@@ -1,0 +1,69 @@
+"""Stable, vectorized key hashing for lake partitioning.
+
+The lake's partition assignment (partition id = hash(url) % P) must be
+identical across runs and processes for the lifetime of a lake --
+events are shuffled TO the partition that holds their key's rows
+(SURVEY.md section 7.2 step 4: "events shuffle, base rows stay put").
+
+We use a vectorized FNV-1a over UTF-8 bytes implemented with numpy on
+the Arrow string buffers: fully deterministic, no dependence on
+pandas/pyarrow hash implementations that may change between versions.
+The commit manifest stores probe values (``hash_probe``) so a lake
+opened by a different build fails loudly instead of silently
+mis-partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_u64(strings: pa.ChunkedArray | pa.Array | np.ndarray | list) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit hash of an array of strings.
+
+    Processes byte-position j across all rows at once: for each j,
+    update only the rows whose string is at least j+1 bytes long.
+    Cost O(max_len * n) numpy ops -- urls are short, so this is fast
+    and allocation-light versus a per-row Python loop.
+    """
+    if isinstance(strings, (pa.ChunkedArray, pa.Array)):
+        arr = strings.combine_chunks() if isinstance(strings, pa.ChunkedArray) else strings
+        arr = arr.cast(pa.large_string())
+        buf_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        starts = buf_offsets[:-1]
+        lengths = (buf_offsets[1:] - starts).astype(np.int64)
+    else:
+        pylist = [s.encode() if isinstance(s, str) else bytes(s) for s in strings]
+        lengths = np.array([len(b) for b in pylist], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+        data = np.frombuffer(b"".join(pylist), dtype=np.uint8) if pylist else np.empty(0, np.uint8)
+
+    n = len(lengths)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return h
+    max_len = int(lengths.max()) if n else 0
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            alive = lengths > j
+            idx = starts[alive] + j
+            h[alive] = (h[alive] ^ data[idx].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+def partition_ids(strings, num_partitions: int) -> np.ndarray:
+    """partition id in [0, num_partitions) for each key string."""
+    return (fnv1a_u64(strings) % np.uint64(num_partitions)).astype(np.int64)
+
+
+def hash_probe(num_partitions: int) -> dict[str, int]:
+    """Probe values persisted in the manifest to detect hash drift."""
+    probes = ["", "a", "https://example.com/p/0", "éè☃"]
+    return {s: int(partition_ids([s], num_partitions)[0]) for s in probes}

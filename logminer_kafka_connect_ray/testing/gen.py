@@ -1,0 +1,404 @@
+"""Deterministic synthetic fixtures (FIXTURES.md F1/F2/F3/F5).
+
+Everything is seeded and pure -- no wall clock, no unseeded randomness --
+so the dict oracle (``testing/oracle.py``) and the Ray engine can be
+compared byte-for-byte.
+
+The change-event generator mirrors the redo-log semantics the reference
+consumes (SURVEY.md section 1.1):
+
+* per-txn change rows carrying (scn, row_id, tx_id) + before/after
+  images (reference ``logminer/LogminerRow.kt:21-44``);
+* separate COMMIT / ROLLBACK marker rows; a txn's changes count only if
+  a commit marker exists (``TransactionConsolidator.kt:32-45``);
+* interleaved transactions: commit order != start order
+  (``OffsetIntegrationTest.kt:29-44``); per-key serialization by commit
+  order (Oracle row locks make concurrent same-key txns impossible);
+* UPDATE: full before image, partial after image (only SET columns)
+  (``DMLOperationsTest.kt:55-67``), including SET-to-NULL
+  (``issues/Issue14Test.kt:93-116``) via the explicit ``set_cols`` list;
+* snapshot READ rows: full after, tx_id='NOT AVAILABLE'
+  (``initial/TableFetcher.kt:58-69``);
+* unreadable rows (status=2) sprinkled in to exercise the skip path
+  (``LogminerSource.kt:96-115``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from logminer_kafka_connect_ray import schemas
+from logminer_kafka_connect_ray.functions.text import extract_text_one
+
+EPOCH_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, fixed
+
+_HTML_TMPL = (
+    "<html><head><title>page {i}</title></head><body>"
+    "<h1>Doc {i}</h1><p>{body}</p><div class=\"f\">host {host}</div>"
+    "</body></html>"
+)
+_WORDS = (
+    "data web crawl page index query batch stream merge commit log scan "
+    "table row key value shard block arrow ray lake delta text html"
+).split()
+
+
+def make_html(i: int, host: int, rng: np.random.Generator) -> bytes:
+    body = " ".join(rng.choice(_WORDS, size=8 + int(rng.integers(0, 24))))
+    return _HTML_TMPL.format(i=i, body=body, host=host).encode()
+
+
+def make_url(i: int, n_hosts: int) -> str:
+    return f"https://site{i % n_hosts}.example/p/{i}"
+
+
+def gen_pages(n_rows: int, n_hosts: int = 20, seed: int = 42) -> pa.Table:
+    """Base `pages` table (F1): url, warc_ts, html, text, lang."""
+    rng = np.random.default_rng(seed)
+    langs = ["en", "de", "fr", "es", "it"]
+    urls, ts, htmls, texts, lang = [], [], [], [], []
+    for i in range(n_rows):
+        h = make_html(i, i % n_hosts, rng)
+        urls.append(make_url(i, n_hosts))
+        ts.append(EPOCH_US + i * 1_000_000)
+        htmls.append(h)
+        texts.append(extract_text_one(h))
+        lang.append(langs[i % len(langs)])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(lang, pa.string()),
+        }
+    )
+
+
+@dataclass
+class ChangeGenConfig:
+    n_events: int = 500
+    seed: int = 42
+    start_scn: int = 1000
+    #: probability a new event starts a new txn (txn size ~ geometric)
+    p_new_txn: float = 0.35
+    #: max concurrently open txns (interleaving degree)
+    max_open_txns: int = 4
+    p_rollback: float = 0.1
+    p_insert: float = 0.25
+    p_delete: float = 0.15
+    #: fraction of updates that SET a column to NULL explicitly
+    p_set_null: float = 0.08
+    #: fraction of change rows marked unreadable (status=2)
+    p_unreadable: float = 0.0
+    #: Zipf exponent for key choice; None = uniform (F5 uses ~1.2)
+    zipf_s: float | None = None
+    #: SCN at which schema evolution happens: events after it carry the
+    #: extra `fetch_status:int32` column in their images (F3)
+    evolution_at_scn: int | None = None
+    #: leave this many txns open (uncommitted) at end-of-log
+    leave_open: int = 0
+    table: str = "WEB.PAGES"
+    n_hosts: int = 20
+
+
+@dataclass
+class _Txn:
+    tx_id: str
+    keys: set = field(default_factory=set)
+    events: list = field(default_factory=list)  # pending effect rows
+    start_scn: int = 0
+
+
+def gen_changes(pages: pa.Table, cfg: ChangeGenConfig):
+    """Generate a change-event log + the expected final state.
+
+    Returns ``(events: list[dict], final_state: dict[url, row-dict],
+    evolved: bool)``.  ``final_state`` reflects committed txns applied
+    in commit order -- the generator maintains it as the ground truth.
+    """
+    rng = np.random.default_rng(cfg.seed)
+    state: dict[str, dict] = {}
+    for row in pages.to_pylist():
+        state[row["url"]] = {k: v for k, v in row.items() if k != "url"}
+
+    data_cols = ["warc_ts", "html", "text", "lang"]
+    evolved_cols = data_cols + ["fetch_status"]
+    known_urls = list(state.keys())
+    next_new_i = len(known_urls) + 1_000_000
+    scn = cfg.start_scn
+    txn_seq = 0
+    events: list[dict] = []
+    open_txns: list[_Txn] = []
+    evolved = False
+
+    def claimed() -> set:
+        return set().union(*(t.keys for t in open_txns)) if open_txns else set()
+
+    def pick_key(existing: bool) -> str | None:
+        nonlocal next_new_i
+        if not existing:
+            next_new_i += 1
+            return make_url(next_new_i, cfg.n_hosts)
+        avail = [u for u in known_urls if u in state and u not in claimed()]
+        if not avail:
+            return None
+        if cfg.zipf_s:
+            # deterministic zipf over index
+            ranks = np.arange(1, len(avail) + 1, dtype=np.float64)
+            p = ranks ** (-cfg.zipf_s)
+            p /= p.sum()
+            return avail[int(rng.choice(len(avail), p=p))]
+        return avail[int(rng.integers(0, len(avail)))]
+
+    def row_id(s: int) -> str:
+        return f"AAAx{s:010d}"
+
+    def img(row: dict | None, use_evolved: bool) -> dict | None:
+        if row is None:
+            return None
+        cols = evolved_cols if use_evolved else data_cols
+        return {c: row.get(c) for c in cols}
+
+    n_emitted = 0
+    while n_emitted < cfg.n_events:
+        # maybe open a txn
+        if open_txns and (len(open_txns) >= cfg.max_open_txns or rng.random() > cfg.p_new_txn):
+            txn = open_txns[int(rng.integers(0, len(open_txns)))]
+        else:
+            txn_seq += 1
+            txn = _Txn(tx_id=f"tx{txn_seq:06d}", start_scn=scn)
+            open_txns.append(txn)
+
+        use_evolved = cfg.evolution_at_scn is not None and scn >= cfg.evolution_at_scn
+        evolved = evolved or use_evolved
+
+        # txn-local view = committed state + txn's own pending effects
+        view = dict(state)
+        for eff in txn.events:
+            if eff["op"] == "d":
+                view.pop(eff["url"], None)
+            else:
+                view[eff["url"]] = eff["_new_row"]
+
+        r = rng.random()
+        ev: dict | None = None
+        if r < cfg.p_insert:
+            url = pick_key(existing=False)
+            i = next_new_i
+            h = make_html(i, i % cfg.n_hosts, rng)
+            new_row = {
+                "warc_ts": EPOCH_US + scn * 1_000_000,
+                "html": h,
+                "text": extract_text_one(h),
+                "lang": ["en", "de", "fr"][i % 3],
+            }
+            if use_evolved:
+                new_row["fetch_status"] = int(rng.integers(200, 500))
+            ev = {
+                "op": "i", "url": url, "before": None,
+                "after": img(new_row, use_evolved), "set_cols": None,
+                "_new_row": new_row,
+            }
+            txn.keys.add(url)
+        elif r < cfg.p_insert + cfg.p_delete:
+            url = pick_key(existing=True)
+            if url is not None and url in view:
+                ev = {
+                    "op": "d", "url": url,
+                    "before": img(view[url], use_evolved), "after": None,
+                    "set_cols": None, "_new_row": None,
+                }
+                txn.keys.add(url)
+        else:
+            url = pick_key(existing=True)
+            if url is not None and url in view:
+                cur = view[url]
+                n_set = int(rng.integers(1, 3))
+                settable = ["text", "lang", "html"]
+                if use_evolved:
+                    settable.append("fetch_status")
+                set_cols = sorted(
+                    rng.choice(settable, size=min(n_set, len(settable)), replace=False)
+                )
+                new_row = dict(cur)
+                if use_evolved and "fetch_status" not in new_row:
+                    new_row["fetch_status"] = None
+                after = {c: None for c in (evolved_cols if use_evolved else data_cols)}
+                explicit_null = rng.random() < cfg.p_set_null
+                for c in set_cols:
+                    if explicit_null and c == "lang":
+                        val = None
+                    elif c == "html":
+                        h = make_html(scn, scn % cfg.n_hosts, rng)
+                        val = h
+                    elif c == "text":
+                        val = f"updated text scn={scn} " + " ".join(
+                            rng.choice(_WORDS, size=5)
+                        )
+                    elif c == "lang":
+                        val = ["en", "de", "fr", "es"][scn % 4]
+                    else:
+                        val = int(rng.integers(200, 500))
+                    after[c] = val
+                    new_row[c] = val
+                ev = {
+                    "op": "u", "url": url,
+                    "before": img(cur, use_evolved), "after": after,
+                    "set_cols": list(set_cols) if explicit_null else None,
+                    "_new_row": new_row,
+                }
+                txn.keys.add(url)
+
+        if ev is not None:
+            status = 2 if rng.random() < cfg.p_unreadable else 0
+            events.append(
+                {
+                    "scn": scn, "row_id": row_id(scn), "commit_scn": None,
+                    "url": ev["url"], "tx_id": txn.tx_id, "op": ev["op"],
+                    "ts_ms": (EPOCH_US + scn * 1_000_000) // 1000,
+                    "table": cfg.table, "username": "WEBCRAWL",
+                    "status": status,
+                    "before": ev["before"], "after": ev["after"],
+                    "set_cols": ev["set_cols"],
+                }
+            )
+            txn.events.append({**ev, "scn": scn, "status": status})
+            n_emitted += 1
+            scn += 1
+
+        # maybe close a txn (never below leave_open at the very end)
+        close_roll = rng.random()
+        if open_txns and (close_roll < 0.25 or n_emitted >= cfg.n_events):
+            while open_txns and (
+                close_roll < 0.25 or n_emitted >= cfg.n_events
+            ):
+                if n_emitted >= cfg.n_events and len(open_txns) <= cfg.leave_open:
+                    break
+                t = open_txns.pop(0)
+                rolled = rng.random() < cfg.p_rollback
+                events.append(
+                    {
+                        "scn": scn, "row_id": row_id(scn),
+                        "commit_scn": scn,
+                        "tx_id": t.tx_id,
+                        "op": "rollback" if rolled else "commit",
+                        "ts_ms": (EPOCH_US + scn * 1_000_000) // 1000,
+                        "table": cfg.table, "username": "WEBCRAWL",
+                        "status": 0, "before": None, "after": None,
+                        "set_cols": None,
+                    }
+                )
+                scn += 1
+                if not rolled:
+                    for eff in t.events:
+                        if eff["status"] == 2:
+                            continue  # unreadable rows are skipped
+                        if eff["op"] == "d":
+                            state.pop(eff["url"], None)
+                        else:
+                            prev = state.get(eff["url"])
+                            if eff["op"] == "u":
+                                newr = dict(prev) if prev else {
+                                    k: v for k, v in (eff["before"] or {}).items()
+                                }
+                                setc = (
+                                    eff["set_cols"]
+                                    if eff["set_cols"] is not None
+                                    else [k for k, v in eff["after"].items() if v is not None]
+                                )
+                                for c in setc:
+                                    newr[c] = eff["after"][c]
+                                state[eff["url"]] = newr
+                            else:
+                                state[eff["url"]] = dict(eff["after"])
+                        if eff["url"] not in known_urls:
+                            known_urls.append(eff["url"])
+                if len(open_txns) <= cfg.leave_open and n_emitted >= cfg.n_events:
+                    break
+                close_roll = rng.random()
+
+    return events, state, evolved
+
+
+def events_to_table(events: list[dict], evolved: bool) -> pa.Table:
+    """Rows -> Arrow table in the on-disk change-event schema (F2)."""
+    table_schema = pa.schema(
+        schemas.PAGES_FIELDS
+        + ([("fetch_status", pa.int32())] if evolved else [])
+    )
+    ev_schema = schemas.change_event_schema(table_schema)
+
+    def fix_img(img: dict | None, url: str | None) -> dict | None:
+        if img is None:
+            return None
+        # the key lives inside the image structs, like the reference's
+        # parsed column maps (LogminerRow.kt:63-96)
+        out = {"url": url}
+        for f in table_schema:
+            if f.name == "url":
+                continue
+            out[f.name] = img.get(f.name)
+        return out
+
+    rows = []
+    for e in events:
+        r = dict(e)
+        url = e.get("url")
+        b, a = fix_img(e["before"], url), fix_img(e["after"], url)
+        rows.append(
+            {
+                "scn": r["scn"], "row_id": r["row_id"],
+                "commit_scn": r["commit_scn"], "tx_id": r["tx_id"],
+                "op": r["op"], "ts_ms": r["ts_ms"], "table": r["table"],
+                "username": r["username"], "status": r["status"],
+                "before": b, "after": a, "set_cols": r["set_cols"],
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=ev_schema)
+
+
+def write_event_batches(
+    events: list[dict], out_dir: str, events_per_file: int = 200
+) -> list[str]:
+    """Write the change log as SCN-ordered micro-batch Parquet files.
+
+    One file per SCN range with footer min/max stats on `scn` -- the
+    analog of V$ARCHIVED_LOG SCN ranges used for log-file pruning
+    (reference logminer/LogminerSession.kt:62-77).  When the schema
+    evolves mid-log, files are split at the evolution point so each
+    file has a single schema era (F3).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    chunk: list[dict] = []
+    chunk_evolved: bool | None = None
+
+    def flush():
+        nonlocal chunk, chunk_evolved
+        if not chunk:
+            return
+        tbl = events_to_table(chunk, bool(chunk_evolved))
+        lo, hi = chunk[0]["scn"], chunk[-1]["scn"]
+        p = os.path.join(out_dir, f"batch-{lo:012d}-{hi:012d}.parquet")
+        pq.write_table(tbl, p)
+        paths.append(p)
+        chunk, chunk_evolved = [], None
+
+    for e in sorted(events, key=lambda x: (x["scn"], x["row_id"])):
+        e_ev = bool(
+            (e["before"] and "fetch_status" in e["before"])
+            or (e["after"] and "fetch_status" in e["after"])
+        )
+        if chunk and (len(chunk) >= events_per_file or e_ev != chunk_evolved):
+            flush()
+        if not chunk:
+            chunk_evolved = e_ev
+        chunk.append(e)
+    flush()
+    return paths
