@@ -1,0 +1,381 @@
+"""Engine driver: snapshot -> replay loop -> resumable lake.
+
+The Ray-Data-native re-expression of the reference's task lifecycle
+(``SourceTask.kt:113-150``): cold start runs the initial snapshot, then
+hands off to the redo-log tail at the snapshot SCN
+(``SourceTask.kt:125-131``, ``Offset.kt:45``); every poll batch becomes
+a micro-batch here; the Kafka Connect offset store becomes the lake's
+manifest store (``state/checkpoint.py``).  See SURVEY.md section 3.4
+for the lifecycle mapping.
+
+One micro-batch = one committed lake version:
+
+    read event files (SCN-pruned)                      [parquet scan]
+      -> ChangeDecoder                                  [map_batches]
+      -> union(carryover open-txn spill)
+      -> CommitResolver (broadcast markers)             [map_batches]
+      -> PreaggPartitioner (combiner + shuffle key)     [map_batches]
+      -> groupby('_part').map_groups(PartitionMerger)   [the shuffle]
+      -> lineage rows -> manifest publish               [driver]
+
+The committed path streams end-to-end; only the tiny lineage table and
+the marker maps ever materialize on the driver.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from logminer_kafka_connect_ray import schemas
+from logminer_kafka_connect_ray.config import EngineConfig
+from logminer_kafka_connect_ray.functions.hashing import hash_probe
+from logminer_kafka_connect_ray.sources import changelog as changelog_src
+from logminer_kafka_connect_ray.sources.snapshot import SnapshotStamper
+from logminer_kafka_connect_ray.stages.decode import ChangeDecoder
+from logminer_kafka_connect_ray.stages.evolve import (
+    align_flat,
+    discover_image_fields,
+    unify_with,
+)
+from logminer_kafka_connect_ray.stages.merge import PartitionMerger, PreaggPartitioner
+from logminer_kafka_connect_ray.stages.txn import CommitResolver, collect_markers
+from logminer_kafka_connect_ray.state.checkpoint import (
+    Manifest,
+    ManifestStore,
+    PartitionEntry,
+)
+
+log = logging.getLogger(__name__)
+
+
+def _ray():
+    import ray  # local import: the driver owns ray.init, never this module
+
+    return ray
+
+
+class Engine:
+    def __init__(self, config: EngineConfig):
+        self.config = config
+        self.store = ManifestStore(config.lake_dir)
+
+    # ------------------------------------------------------------------
+    # Public API (reference SPI analog: Engine(config).snapshot()/
+    # .replay()/.resume(), SURVEY.md section 2.10)
+    # ------------------------------------------------------------------
+    def snapshot(self, base_parquet: str | list[str], snapshot_scn: int) -> Manifest:
+        """Initial snapshot: every base row -> READ event at
+        ``snapshot_scn``, applied through the standard merge path as
+        lake version 1.  Idempotent: an existing version-1 manifest
+        short-circuits (resume semantics of SelectOffset, Offset.kt:45).
+        """
+        import ray.data as rd
+
+        existing = self.store.load()
+        if existing is not None:
+            log.info("snapshot already committed (version %d)", existing.version)
+            return existing
+
+        cfg = self.config
+        table_schema = self._initial_schema(base_parquet)
+        schema_json = schemas.schema_to_json(table_schema)
+        ds = rd.read_parquet(base_parquet)
+        flat = ds.map_batches(
+            SnapshotStamper(schema_json, cfg.key_column, snapshot_scn),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+        return self._merge_and_publish(
+            flat,
+            version=1,
+            phase="snapshot",
+            table_schema=table_schema,
+            schema_version=0,
+            scn_lo=snapshot_scn - 1,
+            scn_hi=snapshot_scn,
+            prev=None,
+            open_spill=None,
+            markers_stats=(0, 0, 0),
+        )
+
+    def replay(self, changelog_dir: str) -> Manifest:
+        """Replay all unapplied change-event files, one committed lake
+        version per micro-batch.  Safe to call repeatedly / after a
+        crash: already-committed versions are detected by manifest and
+        skipped (exactly-once table state)."""
+        m = self.store.load()
+        if m is None:
+            raise RuntimeError("no snapshot/manifest; run snapshot() first")
+        files = changelog_src.list_batch_files(changelog_dir)
+        changelog_src.check_contiguity(files, m.watermark_scn)
+        pending = changelog_src.prune_files(files, m.watermark_scn, None)
+        plan = changelog_src.plan_microbatches(
+            pending, self.config.max_events_per_checkpoint
+        )
+        for bfiles, _, hi in plan:
+            m = self._apply_cdc_batch(m, bfiles, m.watermark_scn, hi)
+        # trailing open txns with no more files: nothing to do -- their
+        # spill carries to the next replay() call (reference: offset
+        # held at minOpenTransaction, TransactionConsolidator.kt:56-64)
+        return m
+
+    def resume(self, changelog_dir: str) -> Manifest:
+        """Alias of replay(): the manifest IS the offset."""
+        return self.replay(changelog_dir)
+
+    # ------------------------------------------------------------------
+    def read_table(self, version: int | None = None, with_meta: bool = False):
+        """Current lake state as a ray Dataset (schema-unified)."""
+        import ray.data as rd
+
+        m = self._require_manifest(version)
+        paths = [
+            f"{self.config.lake_dir}/{p.file}" for p in m.partitions if p.file
+        ]
+        schema = schemas.schema_from_json(m.schema)
+        out_schema = schemas.lake_schema(schema) if with_meta else schema
+        if not paths:
+            return rd.from_arrow(out_schema.empty_table())
+        ds = rd.read_parquet(paths)
+        return ds.map_batches(
+            lambda t, s=out_schema: align_flat(t, s), batch_format="pyarrow"
+        )
+
+    def to_arrow(self, version: int | None = None, with_meta: bool = False) -> pa.Table:
+        """Lake state as one Arrow table (tests / small results only)."""
+        m = self._require_manifest(version)
+        schema = schemas.schema_from_json(m.schema)
+        out_schema = schemas.lake_schema(schema) if with_meta else schema
+        tables = []
+        for p in m.partitions:
+            if p.file:
+                t = pq.read_table(f"{self.config.lake_dir}/{p.file}")
+                tables.append(align_flat(t, out_schema))
+        if not tables:
+            return out_schema.empty_table()
+        t = pa.concat_tables(tables)
+        return t.take(
+            pc.sort_indices(t, sort_keys=[(self.config.key_column, "ascending")])
+        )
+
+    # ------------------------------------------------------------------
+    # Internals
+    # ------------------------------------------------------------------
+    def _require_manifest(self, version: int | None = None) -> Manifest:
+        m = self.store.load(version)
+        if m is None:
+            raise RuntimeError("lake has no committed manifest")
+        probe = hash_probe(self.config.num_partitions)
+        if m.hash_probe and m.hash_probe != probe:
+            raise RuntimeError(
+                "partition hash drift: lake was laid out with a different "
+                "hash function; refusing to mis-partition"
+            )
+        return m
+
+    def _initial_schema(self, base_parquet: str | list[str]) -> pa.Schema:
+        paths = [base_parquet] if isinstance(base_parquet, str) else list(base_parquet)
+        import os
+
+        p0 = paths[0]
+        if os.path.isdir(p0):
+            p0 = next(
+                os.path.join(p0, f) for f in sorted(os.listdir(p0)) if f.endswith(".parquet")
+            )
+        file_schema = pq.ParquetFile(p0).schema_arrow
+        cols = [self.config.key_column, *self.config.data_columns]
+        fields = [file_schema.field(c) for c in cols if c in file_schema.names]
+        return pa.schema(fields)
+
+    def _apply_cdc_batch(
+        self,
+        prev: Manifest,
+        bfiles: list[changelog_src.BatchFile],
+        scn_lo: int,
+        scn_hi: int,
+    ) -> Manifest:
+        import ray.data as rd
+
+        version = prev.version + 1
+        if self.store.exists(version):
+            existing = self.store.load(version)
+            log.info("micro-batch v%d already committed; skipping", version)
+            return existing
+
+        cfg = self.config
+        paths = [f.path for f in bfiles]
+
+        # --- schema evolution detection (plan time) -------------------
+        cur_schema = schemas.schema_from_json(prev.schema)
+        img_fields = discover_image_fields(paths)
+        table_schema, changed = unify_with(cur_schema, img_fields)
+        schema_version = prev.schema_version + (1 if changed else 0)
+        schema_json = schemas.schema_to_json(table_schema)
+        flat_schema = schemas.flat_change_schema(cfg.key_column, table_schema)
+
+        # --- markers: tiny, broadcast (SURVEY.md T1 batch path) -------
+        commit_map, rolled, n_markers = collect_markers(paths, scn_lo, scn_hi)
+        markers_ref = _ray().put((commit_map, rolled))
+
+        def source() -> "rd.Dataset":
+            ds = rd.read_parquet(paths)
+            decoded = ds.map_batches(
+                ChangeDecoder(table_schema, cfg.key_column, cfg.table_whitelist),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
+            # resume-skip predicate (LogminerFetcher.kt:74-101)
+            decoded = decoded.map_batches(
+                lambda t, lo=scn_lo, hi=scn_hi: t.filter(
+                    pc.and_(
+                        pc.greater(t.column("scn"), lo),
+                        pc.less_equal(t.column("scn"), hi),
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            if prev.open_txn_spill:
+                carry = rd.read_parquet(f"{cfg.lake_dir}/{prev.open_txn_spill}")
+                carry = carry.map_batches(
+                    lambda t, s=flat_schema: align_flat(t, s), batch_format="pyarrow"
+                )
+                decoded = decoded.union(carry)
+            return decoded
+
+        committed = source().map_batches(
+            CommitResolver(markers_ref, "committed"),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+        manifest = self._merge_and_publish(
+            committed,
+            version=version,
+            phase="cdc",
+            table_schema=table_schema,
+            schema_version=schema_version,
+            scn_lo=scn_lo,
+            scn_hi=scn_hi,
+            prev=prev,
+            open_spill=(source, markers_ref),
+            markers_stats=(n_markers, len(commit_map), len(rolled)),
+        )
+        return manifest
+
+    def _merge_and_publish(
+        self,
+        flat_committed,
+        version: int,
+        phase: str,
+        table_schema: pa.Schema,
+        schema_version: int,
+        scn_lo: int,
+        scn_hi: int,
+        prev: Manifest | None,
+        open_spill,
+        markers_stats: tuple[int, int, int],
+    ) -> Manifest:
+        import ray.data as rd
+
+        cfg = self.config
+        t0 = time.monotonic()
+        schema_json = schemas.schema_to_json(table_schema)
+        data_cols = schemas.data_columns_of(table_schema, cfg.key_column)
+        part_files = (
+            {p.part_id: p.file for p in prev.partitions} if prev else {}
+        )
+
+        pre = flat_committed.map_batches(
+            PreaggPartitioner(cfg.key_column, len(data_cols), cfg.num_partitions),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+        merger = PartitionMerger(
+            cfg.lake_dir, part_files, schema_json, cfg.key_column, version
+        )
+        def merge_partition(group, _m=merger):
+            return _m(group)
+
+        lineage = pre.groupby("_part").map_groups(
+            merge_partition, batch_format="pyarrow"
+        )
+        lineage_tbl = pa.Table.from_pandas(lineage.to_pandas())
+
+        # --- open-txn carryover spill --------------------------------
+        open_rel = None
+        min_open = None
+        n_open = 0
+        if open_spill is not None:
+            source, markers_ref = open_spill
+            open_ds = source().map_batches(
+                CommitResolver(markers_ref, "open"),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
+            open_rel = f"state/open-v{version:08d}"
+            open_dir = f"{cfg.lake_dir}/{open_rel}"
+            open_ds.write_parquet(open_dir)
+            import os
+
+            stats = []
+            for f in os.listdir(open_dir) if os.path.isdir(open_dir) else []:
+                if f.endswith(".parquet"):
+                    t = pq.read_table(f"{open_dir}/{f}", columns=["scn"])
+                    n_open += t.num_rows
+                    if t.num_rows:
+                        stats.append(pc.min(t.column("scn")).as_py())
+            min_open = min(stats) if stats else None
+            if n_open == 0:
+                open_rel = None
+
+        # --- assemble manifest ---------------------------------------
+        entries = {p.part_id: p for p in (prev.partitions if prev else [])}
+        rows_applied = 0
+        for r in lineage_tbl.to_pylist():
+            entries[r["part_id"]] = PartitionEntry(
+                part_id=r["part_id"],
+                file=r["file"],
+                rows=r["rows"],
+                bytes=r["bytes"],
+                scn_lo=r["scn_lo"],
+                scn_hi=r["scn_hi"],
+                version=version,
+                schema_version=schema_version,
+            )
+            rows_applied += r["events_applied"]
+        all_parts = [entries[k] for k in sorted(entries)]
+        last_commit = max(
+            [prev.last_commit_scn if prev else 0]
+            + [r["scn_hi"] or 0 for r in lineage_tbl.to_pylist()]
+        )
+        m = Manifest(
+            version=version,
+            checkpoint_id=f"ckpt-{version:08d}",
+            watermark_scn=scn_hi,
+            last_commit_scn=last_commit,
+            min_open_scn=min_open,
+            phase=phase,
+            num_partitions=cfg.num_partitions,
+            schema_version=schema_version,
+            schema=schema_json,
+            partitions=all_parts,
+            open_txn_spill=open_rel,
+            hash_probe=hash_probe(cfg.num_partitions),
+            metrics={
+                "events_applied": int(rows_applied),
+                "open_events": int(n_open),
+                "markers": markers_stats[0],
+                "committed_txns": markers_stats[1],
+                "rolled_back_txns": markers_stats[2],
+                "partitions_rewritten": lineage_tbl.num_rows,
+                "duration_s": round(time.monotonic() - t0, 3),
+            },
+        )
+        if not self.store.publish(m):
+            log.info("manifest v%d already published by a concurrent run", version)
+            return self.store.load(version)
+        return m

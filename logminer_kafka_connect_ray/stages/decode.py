@@ -1,0 +1,172 @@
+"""Decode stage: on-disk change events -> flat pipeline form.
+
+The per-event CPU stage of the pipeline -- the analog of the
+reference's redo-SQL parse + typed conversion + envelope construction
+(``logminer/LogminerRow.kt:63-118``, ``ConnectSchemaFactory.kt:56-163``).
+Runs as ``map_batches(decoder, batch_format="pyarrow")`` -- fully
+vectorized Arrow kernels, zero-copy struct-field extraction.
+
+Responsibilities (reference file:line):
+
+* drop unreadable rows, status=2      (LogminerSource.kt:96-115)
+* drop txn marker rows (routed separately)  (LogminerRow.kt:25-33)
+* table whitelist filter              (SourceConnectorConfig.kt:86-97)
+* flatten before/after structs to b_*/a_* columns
+* compute the SET-column bitmask (set_cols list, else after validity)
+* UPDATE after-image enrichment: columns missing from the SET list are
+  filled from the before image       (ConnectSchemaFactory.kt:97-104)
+* key extraction: key = after.key ?? before.key
+  (ConnectSchemaFactory.kt:62-74: record key from PK columns)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from logminer_kafka_connect_ray import schemas
+from logminer_kafka_connect_ray.naming import matches_whitelist
+
+
+def _struct_field(tbl: pa.Table, col: str, field: str, out_type: pa.DataType, n: int):
+    """Extract struct field as a flat array; null column if absent."""
+    if col not in tbl.column_names:
+        return pa.nulls(n, out_type)
+    c = tbl.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    if not pa.types.is_struct(c.type):
+        return pa.nulls(n, out_type)
+    if c.type.field(field) is None:
+        return pa.nulls(n, out_type)
+    try:
+        arr = pc.struct_field(c, field)
+    except (KeyError, pa.ArrowInvalid):
+        return pa.nulls(n, out_type)
+    # struct_field ignores the parent struct's null mask in some arrow
+    # versions -> a null struct must yield null fields
+    parent_null = pc.is_null(c)
+    if pc.any(parent_null).as_py():
+        arr = pc.if_else(parent_null, pa.nulls(n, arr.type), arr)
+    if arr.type != out_type:
+        arr = arr.cast(out_type)
+    return arr
+
+
+class ChangeDecoder:
+    """Callable for ``map_batches``.
+
+    Stateless per batch, but shipped as a class so per-worker setup
+    (resolved schema, column index maps) happens once -- the
+    map_batches analog of actor ``__init__`` setup.
+    """
+
+    def __init__(
+        self,
+        table_schema: pa.Schema,
+        key_column: str = "url",
+        whitelist: tuple[str, ...] = (),
+    ):
+        self.table_schema = table_schema
+        self.key_column = key_column
+        self.whitelist = tuple(whitelist)
+        self.data_cols = schemas.data_columns_of(table_schema, key_column)
+        self.full_mask = (1 << len(self.data_cols)) - 1
+        self.out_schema = schemas.flat_change_schema(key_column, table_schema)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch
+        # ---- filters (M3 status skip, marker drop, S6 whitelist) ----
+        keep = pc.is_in(t.column("op"), value_set=pa.array(schemas.CHANGE_OPS))
+        if "status" in t.column_names:
+            ok = pc.fill_null(
+                pc.not_equal(t.column("status"), schemas.STATUS_UNREADABLE), True
+            )
+            keep = pc.and_(keep, ok)
+        t = t.filter(keep)
+        if self.whitelist and "table" in t.column_names:
+            tables = t.column("table").unique().to_pylist()
+            allowed = [x for x in tables if x and matches_whitelist(x, self.whitelist)]
+            t = t.filter(pc.is_in(t.column("table"), value_set=pa.array(allowed, pa.string())))
+        n = t.num_rows
+
+        key_type = self.table_schema.field(self.key_column).type
+        a_key = _struct_field(t, "after", self.key_column, key_type, n)
+        b_key = _struct_field(t, "before", self.key_column, key_type, n)
+        key = pc.coalesce(a_key, b_key)
+
+        op = t.column("op")
+        is_u = pc.equal(op, "u")
+        is_full_img = pc.is_in(op, value_set=pa.array(["i", "r"]))
+        is_d = pc.equal(op, "d")
+
+        a_cols, b_cols = {}, {}
+        for c in self.data_cols:
+            ftype = self.table_schema.field(c).type
+            a_cols[c] = _struct_field(t, "after", c, ftype, n)
+            b_cols[c] = _struct_field(t, "before", c, ftype, n)
+
+        # ---- SET mask -------------------------------------------------
+        mask = np.zeros(n, dtype=np.int64)
+        for i, c in enumerate(self.data_cols):
+            valid = pc.is_valid(a_cols[c]).to_numpy(zero_copy_only=False)
+            mask |= valid.astype(np.int64) << i
+        # explicit set_cols overrides validity-derived bits (Issue14:
+        # SET col = NULL is a set, absent col is not)
+        if "set_cols" in t.column_names:
+            sc = t.column("set_cols")
+            sc_valid = pc.is_valid(sc).to_numpy(zero_copy_only=False)
+            if sc_valid.any():
+                col_bit = {c: 1 << i for i, c in enumerate(self.data_cols)}
+                idxs = np.flatnonzero(sc_valid)
+                lists = sc.take(pa.array(idxs)).to_pylist()
+                for j, lst in zip(idxs, lists):
+                    m = 0
+                    for c in lst or ():
+                        m |= col_bit.get(c, 0)
+                    mask[j] = m
+        # full-image ops set every column; deletes set none
+        is_full_np = pc.fill_null(is_full_img, False).to_numpy(zero_copy_only=False)
+        is_d_np = pc.fill_null(is_d, False).to_numpy(zero_copy_only=False)
+        mask[is_full_np] = self.full_mask
+        mask[is_d_np] = 0
+
+        # ---- UPDATE enrichment (M7) ----------------------------------
+        is_u_np = pc.fill_null(is_u, False).to_numpy(zero_copy_only=False)
+        for i, c in enumerate(self.data_cols):
+            bit = ((mask >> i) & 1).astype(bool)
+            b_valid = pc.is_valid(b_cols[c]).to_numpy(zero_copy_only=False)
+            fill = is_u_np & ~bit & b_valid
+            if fill.any():
+                cond = pa.array(fill)
+                a_cols[c] = pc.if_else(cond, b_cols[c], a_cols[c])
+                mask |= fill.astype(np.int64) << i
+
+        cols = {
+            "scn": t.column("scn").cast(pa.int64()),
+            "row_id": t.column("row_id").cast(pa.string()),
+            "commit_scn": (
+                t.column("commit_scn").cast(pa.int64())
+                if "commit_scn" in t.column_names
+                else pa.nulls(n, pa.int64())
+            ),
+            "tx_id": t.column("tx_id").cast(pa.string()),
+            "op": op.cast(pa.string()),
+            "ts_ms": (
+                t.column("ts_ms").cast(pa.timestamp("ms", tz="UTC"))
+                if "ts_ms" in t.column_names
+                else pa.nulls(n, pa.timestamp("ms", tz="UTC"))
+            ),
+            "table": (
+                t.column("table").cast(pa.string())
+                if "table" in t.column_names
+                else pa.nulls(n, pa.string())
+            ),
+            self.key_column: key,
+            "set_mask": pa.array(mask),
+        }
+        for c in self.data_cols:
+            cols[f"a_{c}"] = a_cols[c]
+            cols[f"b_{c}"] = b_cols[c]
+        return pa.table(cols, schema=self.out_schema)

@@ -1,0 +1,139 @@
+"""Copy-on-write LWW merge apply (the sink half of the engine).
+
+The reference has no sink-side materializer -- Kafka + log compaction on
+the PK key is what turns its at-least-once, commit-ordered emission
+into an LWW table state (SURVEY.md section 0).  This stage implements
+that end state directly: events are hash-partitioned by key to the lake
+partition that owns them (``partition id = stable_hash(url) % P`` --
+the SAME function that laid out the lake, so base rows never move:
+"events shuffle, base rows stay put"), and each partition task
+
+1. reads its current partition file (copy-on-write: never mutated),
+2. folds base rows + events with ``fold.fold_final``,
+3. writes the new partition file ``p{part:05d}-v{version:08d}.parquet``
+   atomically (temp + rename; deterministic content, so a retried task
+   is harmless),
+4. emits a per-partition lineage row (scn range, rows applied, bytes,
+   checkpoint id) -- the north rule's per-partition lineage + metrics.
+
+Runs as ``events.groupby("_part").map_groups(merger)`` -- the one wide
+shuffle of the pipeline, fed by dominance-pruned (pre-aggregated)
+events to keep hot-key volume down.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from logminer_kafka_connect_ray import schemas
+from logminer_kafka_connect_ray.functions.hashing import partition_ids
+from logminer_kafka_connect_ray.stages import fold
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int64()),
+        ("file", pa.string()),
+        ("rows", pa.int64()),
+        ("bytes", pa.int64()),
+        ("scn_lo", pa.int64()),
+        ("scn_hi", pa.int64()),
+        ("events_applied", pa.int64()),
+        ("rows_deleted", pa.int64()),
+    ]
+)
+
+
+class PreaggPartitioner:
+    """``map_batches`` stage: dominance-prune a block's events and stamp
+    the shuffle key ``_part``.  This block-local fold is the combiner /
+    salted first level of the two-level merge (north-rule skew
+    handling): a hot url's update storm collapses to at most one
+    boundary + trailing partial overlays per block before shuffling.
+    """
+
+    def __init__(self, key_column: str, n_data_cols: int, num_partitions: int):
+        self.key_column = key_column
+        self.n_data_cols = n_data_cols
+        self.num_partitions = num_partitions
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        # rows with no key (both images null) are undecodable -> drop
+        # (reference conversion-failure skip, SourceTask.kt:133-141)
+        t = t.filter(pc.is_valid(t.column(self.key_column)))
+        t = fold.preagg_block(t, self.key_column, self.n_data_cols)
+        parts = partition_ids(t.column(self.key_column), self.num_partitions)
+        return t.append_column("_part", pa.array(parts))
+
+
+class PartitionMerger:
+    """``map_groups`` callable: merge one lake partition (see module doc)."""
+
+    def __init__(
+        self,
+        lake_dir: str,
+        part_files: dict[int, str | None],
+        table_schema_json: list[dict],
+        key_column: str,
+        version: int,
+    ):
+        self.lake_dir = lake_dir
+        self.part_files = part_files
+        self.table_schema = schemas.schema_from_json(table_schema_json)
+        self.key_column = key_column
+        self.version = version
+
+    def _read_base(self, part_id: int) -> pa.Table | None:
+        rel = self.part_files.get(part_id)
+        if rel is None:
+            return None
+        return pq.read_table(os.path.join(self.lake_dir, rel))
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part_id = int(group.column("_part")[0].as_py())
+        events = group.drop_columns(["_part"])
+        base = self._read_base(part_id)
+
+        pieces = [events]
+        n_base = 0
+        if base is not None and base.num_rows:
+            n_base = base.num_rows
+            pseudo = fold.base_as_pseudo_events(base, self.table_schema, self.key_column)
+            pieces.append(pseudo)
+        flat = pa.concat_tables(pieces, promote_options="default")
+        final = fold.fold_final(flat, self.table_schema, self.key_column)
+        # deterministic file content: sort by key
+        final = final.take(pc.sort_indices(final, sort_keys=[(self.key_column, "ascending")]))
+
+        rel = f"parts/p{part_id:05d}-v{self.version:08d}.parquet"
+        path = os.path.join(self.lake_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(final, tmp)
+        os.rename(tmp, path)
+        size = os.path.getsize(path)
+
+        scn_col = events.column("scn")
+        return pa.table(
+            {
+                "part_id": [part_id],
+                "file": [rel],
+                "rows": [final.num_rows],
+                "bytes": [size],
+                "scn_lo": [pc.min(scn_col).as_py()],
+                "scn_hi": [pc.max(scn_col).as_py()],
+                "events_applied": [events.num_rows],
+                "rows_deleted": [max(0, n_base + _inserts(events) - final.num_rows)],
+            },
+            schema=LINEAGE_SCHEMA,
+        )
+
+
+def _inserts(events: pa.Table) -> int:
+    return pc.sum(
+        pc.cast(pc.equal(events.column("op"), "i"), pa.int64())
+    ).as_py() or 0

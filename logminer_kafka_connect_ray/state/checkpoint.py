@@ -1,0 +1,122 @@
+"""Checkpoint / commit-manifest store.
+
+Re-expresses the reference's offset model (``Offset.kt:19-59``:
+``OracleLogOffset(scn, commitScn, isTransactionComplete)`` /
+``SelectOffset(table, scn, rowId)`` serialized into Kafka Connect's
+offset topic) as a versioned JSON manifest on shared storage, upgraded
+from at-least-once to an exactly-once *table state*:
+
+* one manifest per committed micro-batch, named by version
+  (``manifest-v{version:08d}.json``), written atomically
+  (temp file + ``os.rename``);
+* a manifest lists, per lake partition, the current data file plus
+  lineage (scn_lo, scn_hi, rows, checkpoint id) -- per-partition
+  lineage + metrics per the north rule;
+* replaying an already-committed micro-batch finds its manifest and
+  skips => idempotent publish (reference analog: re-read suppression,
+  ``logminer/LogminerFetcher.kt:19-41``, done at batch granularity);
+* open (uncommitted) transactions at the end of a micro-batch are
+  spilled to a parquet file referenced by the manifest -- the analog of
+  the reference's conservative offset that never advances past the
+  oldest open txn (``TransactionConsolidator.kt:56-64``): instead of
+  re-reading those events, we carry them forward explicitly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+
+@dataclass
+class PartitionEntry:
+    """Lineage of one lake partition at one version."""
+
+    part_id: int
+    file: str | None          # relative path; None = empty partition
+    rows: int = 0
+    bytes: int = 0
+    scn_lo: int | None = None  # scn range applied in the batch that wrote it
+    scn_hi: int | None = None
+    version: int = 0           # version whose merge last rewrote this partition
+    schema_version: int = 0
+
+
+@dataclass
+class Manifest:
+    version: int
+    checkpoint_id: str
+    #: offset semantics (reference Offset.kt): all events with
+    #: scn <= watermark_scn from committed txns are fully applied.
+    watermark_scn: int
+    #: max commit scn applied (reference lastCommitScn,
+    #: TransactionConsolidator.kt:24).
+    last_commit_scn: int
+    #: min scn over still-open txns (reference minOpenTransaction,
+    #: TransactionConsolidator.kt:56-64); informational -- open events
+    #: live in open_txn_spill, not re-read.
+    min_open_scn: int | None
+    phase: str                 # 'snapshot' | 'cdc'
+    num_partitions: int
+    schema_version: int
+    schema: list[dict]         # serialized Arrow schema of the table
+    partitions: list[PartitionEntry]
+    open_txn_spill: str | None = None   # relative path of carryover parquet
+    hash_probe: dict[str, int] = field(default_factory=dict)
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        d["partitions"] = [PartitionEntry(**p) for p in d["partitions"]]
+        return Manifest(**d)
+
+
+class ManifestStore:
+    """Versioned manifests under ``{lake_dir}/_manifests``."""
+
+    def __init__(self, lake_dir: str):
+        self.lake_dir = lake_dir
+        self.dir = os.path.join(lake_dir, "_manifests")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, version: int) -> str:
+        return os.path.join(self.dir, f"manifest-v{version:08d}.json")
+
+    def latest_version(self) -> int | None:
+        versions = [
+            int(f[len("manifest-v") : -len(".json")])
+            for f in os.listdir(self.dir)
+            if f.startswith("manifest-v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def load(self, version: int | None = None) -> Manifest | None:
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                return None
+        with open(self._path(version)) as f:
+            return Manifest.from_json(f.read())
+
+    def exists(self, version: int) -> bool:
+        return os.path.exists(self._path(version))
+
+    def publish(self, m: Manifest) -> bool:
+        """Atomically publish; returns False if the version already
+        exists (idempotent re-run detected -> caller skips)."""
+        final = self._path(m.version)
+        if os.path.exists(final):
+            return False
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(m.to_json())
+        os.rename(tmp, final)  # atomic on POSIX
+        return True

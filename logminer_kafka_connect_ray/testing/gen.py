@@ -231,13 +231,23 @@ def gen_changes(pages: pa.Table, cfg: ChangeGenConfig):
                     new_row["fetch_status"] = None
                 after = {c: None for c in (evolved_cols if use_evolved else data_cols)}
                 explicit_null = rng.random() < cfg.p_set_null
+                # a re-crawl that updates html updates the extracted
+                # text with it (keeps the text==extract(html) invariant
+                # checkable end-to-end)
+                if "html" in set_cols and "text" not in set_cols:
+                    set_cols = sorted(set_cols + ["text"])
                 for c in set_cols:
                     if explicit_null and c == "lang":
                         val = None
                     elif c == "html":
                         h = make_html(scn, scn % cfg.n_hosts, rng)
                         val = h
+                        if "text" in set_cols:
+                            after["text"] = extract_text_one(h)
+                            new_row["text"] = after["text"]
                     elif c == "text":
+                        if "html" in set_cols:
+                            continue  # derived from the new html above
                         val = f"updated text scn={scn} " + " ".join(
                             rng.choice(_WORDS, size=5)
                         )

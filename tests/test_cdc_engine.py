@@ -1,0 +1,287 @@
+"""End-to-end CDC engine correctness vs the dict oracle.
+
+The scenario matrix mirrors the reference's integration tests
+(SURVEY.md section 5): DMLOperationsTest (plain I/U/D + partial
+updates), Issue14Test (update-to-null), OffsetIntegrationTest
+(interleaved txns, resume, open txns), SourceTaskTest (snapshot->stream
+handoff, restart), ChangingTableTest (schema evolution), plus skew and
+duplicate-replay idempotence from the north rule.
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from logminer_kafka_connect_ray import EngineConfig
+from logminer_kafka_connect_ray.pipelines.engine import Engine
+from logminer_kafka_connect_ray.testing.compare import state_diff, table_to_state
+from logminer_kafka_connect_ray.testing.gen import (
+    ChangeGenConfig,
+    gen_changes,
+    gen_pages,
+    write_event_batches,
+)
+from logminer_kafka_connect_ray.testing.oracle import replay_oracle
+
+SNAPSHOT_SCN = 999
+
+
+def build(tmp_path, pages, cfg_changes, lake_cfg=None, events_per_file=100):
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, final, evolved = gen_changes(pages, cfg_changes)
+    changelog = str(tmp_path / "changelog")
+    write_event_batches(events, changelog, events_per_file=events_per_file)
+    cfg = lake_cfg or EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4)
+    return Engine(cfg), pages_path, changelog, events
+
+
+def base_state(pages):
+    return {
+        r["url"]: {k: v for k, v in r.items() if k != "url"} for r in pages.to_pylist()
+    }
+
+
+def run_and_compare(ray_session, tmp_path, gen_cfg, events_per_file=100, n_pages=50):
+    pages = gen_pages(n_pages)
+    eng, pages_path, changelog, events = build(tmp_path, pages, gen_cfg,
+                                               events_per_file=events_per_file)
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    eng.replay(changelog)
+    got = table_to_state(eng.to_arrow())
+    want = replay_oracle(base_state(pages), events)
+    diffs = state_diff(got, want)
+    assert not diffs, diffs
+    return eng, events, pages
+
+
+def test_snapshot_only(ray_session, tmp_path):
+    """Snapshot completeness (SelectSourceTest.kt:33-101)."""
+    pages = gen_pages(40)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    eng = Engine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    m = eng.snapshot(pages_path, SNAPSHOT_SCN)
+    assert m.phase == "snapshot"
+    got = table_to_state(eng.to_arrow())
+    want = base_state(pages)
+    assert not state_diff(got, want)
+    # snapshot rows carry the snapshot SCN (op='r' auto-commit)
+    meta = eng.to_arrow(with_meta=True)
+    assert set(meta.column("_scn").to_pylist()) == {SNAPSHOT_SCN}
+
+
+def test_plain_iud(ray_session, tmp_path):
+    """insert/update/delete with correct final state
+    (DMLOperationsTest.kt:19-68)."""
+    run_and_compare(ray_session, tmp_path, ChangeGenConfig(n_events=300, seed=11))
+
+
+def test_partial_update_coalesce(ray_session, tmp_path):
+    """UPDATE after-images are partial; missing columns coalesce from
+    before/current row (ConnectSchemaFactory.kt:97-104)."""
+    run_and_compare(
+        ray_session, tmp_path,
+        ChangeGenConfig(n_events=300, seed=12, p_insert=0.05, p_delete=0.05),
+    )
+
+
+def test_update_to_null(ray_session, tmp_path):
+    """SET col = NULL must null the column (issues/Issue14Test.kt:93-116)."""
+    pages = gen_pages(30)
+    gen_cfg = ChangeGenConfig(n_events=200, seed=13, p_set_null=0.6)
+    eng, events, _ = run_and_compare(ray_session, tmp_path, gen_cfg, n_pages=30)
+    # the scenario actually exercised explicit set-to-null
+    assert any(e.get("set_cols") for e in events)
+
+
+def test_rollback_discard(ray_session, tmp_path):
+    """Rolled-back txns never reach the lake
+    (TransactionConsolidator.kt:42-45)."""
+    eng, events, _ = run_and_compare(
+        ray_session, tmp_path, ChangeGenConfig(n_events=300, seed=14, p_rollback=0.5)
+    )
+    assert any(e["op"] == "rollback" for e in events)
+
+
+def test_unreadable_skip(ray_session, tmp_path):
+    """status=2 rows skipped (LogminerSource.kt:96-115)."""
+    eng, events, _ = run_and_compare(
+        ray_session, tmp_path, ChangeGenConfig(n_events=300, seed=15, p_unreadable=0.15)
+    )
+    assert any(e["status"] == 2 for e in events)
+
+
+def test_interleaved_txns_commit_order(ray_session, tmp_path):
+    """Apply order is commit order, not change order
+    (OffsetIntegrationTest.kt:29-44)."""
+    run_and_compare(
+        ray_session, tmp_path,
+        ChangeGenConfig(n_events=400, seed=16, max_open_txns=6, p_new_txn=0.8),
+        events_per_file=60,
+    )
+
+
+def test_open_txn_carryover(ray_session, tmp_path):
+    """A txn spanning micro-batch files is applied only after its commit
+    marker's batch; still-open txns at end-of-log are excluded but
+    spilled for the next replay (TransactionConsolidator.kt:56-64)."""
+    pages = gen_pages(50)
+    gen_cfg = ChangeGenConfig(n_events=300, seed=17, leave_open=2, max_open_txns=5)
+    eng, pages_path, changelog, events = build(tmp_path, pages, gen_cfg,
+                                               events_per_file=40)
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    m = eng.replay(changelog)
+    want = replay_oracle(base_state(pages), events)
+    got = table_to_state(eng.to_arrow())
+    assert not state_diff(got, want)
+    committed_tx = {e["tx_id"] for e in events if e["op"] == "commit"}
+    all_tx = {e["tx_id"] for e in events if e["op"] not in ("commit", "rollback")}
+    rolled_tx = {e["tx_id"] for e in events if e["op"] == "rollback"}
+    open_tx = all_tx - committed_tx - rolled_tx
+    assert open_tx, "scenario must leave open txns"
+    assert m.open_txn_spill is not None
+    assert m.min_open_scn == min(
+        e["scn"] for e in events if e["tx_id"] in open_tx and e["op"] not in ("commit", "rollback")
+    )
+
+
+def test_open_txn_commits_in_later_log(ray_session, tmp_path):
+    """Handoff across replay() calls: an open txn's commit arriving in a
+    later changelog file applies its buffered rows
+    (OffsetIntegrationTest.kt:47-73)."""
+    pages = gen_pages(50)
+    gen_cfg = ChangeGenConfig(n_events=300, seed=18, leave_open=3, max_open_txns=5)
+    eng, pages_path, changelog, events = build(tmp_path, pages, gen_cfg,
+                                               events_per_file=50)
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    m = eng.replay(changelog)
+    # now commit the open txns in a second changelog increment
+    committed_tx = {e["tx_id"] for e in events if e["op"] in ("commit", "rollback")}
+    open_tx = sorted(
+        {e["tx_id"] for e in events if e["op"] not in ("commit", "rollback")}
+        - committed_tx
+    )
+    assert open_tx
+    next_scn = max(e["scn"] for e in events) + 1
+    extra = []
+    for i, tx in enumerate(open_tx):
+        extra.append(
+            {
+                "scn": next_scn + i, "row_id": f"AAAx{next_scn + i:010d}",
+                "commit_scn": next_scn + i, "url": None, "tx_id": tx,
+                "op": "commit", "ts_ms": 0, "table": "WEB.PAGES",
+                "username": "WEBCRAWL", "status": 0,
+                "before": None, "after": None, "set_cols": None,
+            }
+        )
+    write_event_batches(extra, changelog, events_per_file=50)
+    m2 = eng.replay(changelog)
+    assert m2.version > m.version
+    assert m2.open_txn_spill is None
+    got = table_to_state(eng.to_arrow())
+    want = replay_oracle(base_state(pages), events + extra)
+    assert not state_diff(got, want)
+
+
+def test_duplicate_replay_idempotent(ray_session, tmp_path):
+    """Re-running replay() applies nothing twice (exactly-once table
+    state via the commit manifest)."""
+    eng, events, pages = run_and_compare(
+        ray_session, tmp_path, ChangeGenConfig(n_events=200, seed=19)
+    )
+    v = eng.store.latest_version()
+    before = table_to_state(eng.to_arrow())
+    eng.replay(str(tmp_path / "changelog"))
+    assert eng.store.latest_version() == v
+    assert table_to_state(eng.to_arrow()) == before
+
+
+def test_resume_mid_replay(ray_session, tmp_path):
+    """Crash between micro-batches: a fresh Engine resumes from the
+    manifest and completes to the same state (Offset.kt semantics)."""
+    pages = gen_pages(50)
+    gen_cfg = ChangeGenConfig(n_events=400, seed=20)
+    eng, pages_path, changelog, events = build(tmp_path, pages, gen_cfg,
+                                               events_per_file=60)
+    cfg = eng.config
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    # limit to tiny micro-batches so replay takes several versions;
+    # simulate a crash by replaying only the first pending file
+    from logminer_kafka_connect_ray.sources import changelog as cl
+
+    files = cl.list_batch_files(changelog)
+    first = files[0]
+    m1 = eng._apply_cdc_batch(eng.store.load(), [first], SNAPSHOT_SCN, first.scn_max)
+    assert m1.version == 2
+    # fresh engine (new process analog) resumes and finishes
+    eng2 = Engine(cfg)
+    eng2.resume(changelog)
+    got = table_to_state(eng2.to_arrow())
+    want = replay_oracle(base_state(pages), events)
+    assert not state_diff(got, want)
+
+
+def test_schema_evolution(ray_session, tmp_path):
+    """Column added mid-stream appears in subsequent rows; pre-evolution
+    rows read back null for it (ChangingTableTest.kt:42-93)."""
+    pages = gen_pages(40)
+    gen_cfg = ChangeGenConfig(n_events=300, seed=21, evolution_at_scn=1150)
+    eng, pages_path, changelog, events = build(tmp_path, pages, gen_cfg,
+                                               events_per_file=80)
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    m = eng.replay(changelog)
+    assert m.schema_version >= 1
+    got_tbl = eng.to_arrow()
+    assert "fetch_status" in got_tbl.column_names
+    got = table_to_state(got_tbl)
+    want = replay_oracle(base_state(pages), events)
+    # oracle rows that predate evolution lack the column -> engine null
+    for k, row in want.items():
+        row.setdefault("fetch_status", None)
+    assert not state_diff(got, want)
+
+
+def test_skewed_hot_keys(ray_session, tmp_path):
+    """Zipf-skewed url updates (F5) produce correct state; the
+    dominance-pruning combiner keeps per-partition volume bounded."""
+    run_and_compare(
+        ray_session, tmp_path,
+        ChangeGenConfig(n_events=500, seed=22, zipf_s=1.2, p_insert=0.02, p_delete=0.02),
+        events_per_file=80, n_pages=30,
+    )
+
+
+def test_byte_identical_text(ray_session, tmp_path):
+    """BASELINE.json per-row invariant: byte-identical extracted text
+    per url vs the pure extraction function."""
+    from logminer_kafka_connect_ray.functions.text import extract_text_one
+
+    eng, events, pages = run_and_compare(
+        ray_session, tmp_path, ChangeGenConfig(n_events=300, seed=23)
+    )
+    tbl = eng.to_arrow()
+    for r in tbl.to_pylist():
+        if r["html"] is not None and r["text"] is not None and not str(
+            r["text"]
+        ).startswith("updated text"):
+            assert r["text"].encode() == extract_text_one(r["html"]).encode()
+
+
+def test_lineage_and_metrics(ray_session, tmp_path):
+    """Per-partition lineage (scn range, rows, version) recorded in the
+    manifest (north rule)."""
+    eng, events, pages = run_and_compare(
+        ray_session, tmp_path, ChangeGenConfig(n_events=200, seed=24)
+    )
+    m = eng.store.load()
+    assert m.metrics["events_applied"] > 0
+    touched = [p for p in m.partitions if p.version == m.version]
+    assert touched
+    for p in touched:
+        assert p.file and os.path.exists(f"{eng.config.lake_dir}/{p.file}")
+        assert p.scn_lo is not None and p.scn_hi is not None and p.rows >= 0
+    # copy-on-write: older version files still present for untouched parts
+    assert all(p.file is None or os.path.exists(f"{eng.config.lake_dir}/{p.file}")
+               for p in m.partitions)
