@@ -1,0 +1,177 @@
+"""Driver-checkable query pipelines (SURVEY.md section 2 inventory).
+
+Each function takes ``sf_dir`` (driver parquet tables) and returns a
+Dataset / Arrow table whose columns match the corresponding
+``oracle_sql()`` entry in ``__ray_entry__.py`` name-for-name.  The CDC
+entries run the REAL engine over the derived workload
+(``workload.py``), so the driver's DuckDB comparison is a full
+end-to-end correctness gate for snapshot + txn consolidation + LWW
+merge + manifest publish.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from logminer_kafka_connect_ray import schemas, workload
+from logminer_kafka_connect_ray.config import EngineConfig
+from logminer_kafka_connect_ray.pipelines.engine import Engine
+from logminer_kafka_connect_ray.sources import changelog as changelog_src
+from logminer_kafka_connect_ray.stages.decode import ChangeDecoder
+from logminer_kafka_connect_ray.stages.txn import CommitResolver, collect_markers
+
+
+def _engine_cfg(d: dict[str, str], num_partitions: int = 16) -> EngineConfig:
+    return EngineConfig(lake_dir=d["lake"], num_partitions=num_partitions)
+
+
+def _fresh_lake(d: dict[str, str]):
+    shutil.rmtree(d["lake"], ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# CDC engine end-to-end (S1-S5, T1-T3, M1-M9, J3, A4, D1-D2, O4)
+# ---------------------------------------------------------------------------
+def cdc_final_state(sf_dir: str) -> pa.Table:
+    """Flagship: snapshot + full changelog replay -> final lake state."""
+    d = workload.ensure_workload(sf_dir)
+    _fresh_lake(d)
+    eng = Engine(_engine_cfg(d))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(d["changelog"])
+    return eng.to_arrow()
+
+
+def cdc_snapshot_state(sf_dir: str) -> pa.Table:
+    """Initial snapshot only (SelectSource semantics, S1/S2)."""
+    d = workload.ensure_workload(sf_dir)
+    _fresh_lake(d)
+    eng = Engine(_engine_cfg(d))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    return eng.to_arrow()
+
+
+def _decoded_committed(sf_dir: str):
+    """Shared: decoded + commit-resolved change stream (no merge)."""
+    import ray
+    import ray.data as rd
+
+    d = workload.ensure_workload(sf_dir)
+    files = changelog_src.list_batch_files(d["changelog"])
+    paths = [f.path for f in files]
+    commit_map, rolled, _ = collect_markers(paths)
+    ref = ray.put((commit_map, rolled))
+    ds = rd.read_parquet(paths)
+    decoded = ds.map_batches(
+        ChangeDecoder(workload.PAGES_SCHEMA_NAIVE, "url"),
+        batch_format="pyarrow",
+    )
+    return decoded, ref
+
+
+def cdc_committed_events(sf_dir: str) -> pa.Table:
+    """Committed change rows per op (T1 consolidation + D1 rollback
+    discard), commit order resolved via broadcast markers."""
+    decoded, ref = _decoded_committed(sf_dir)
+    committed = decoded.map_batches(
+        CommitResolver(ref, "committed"), batch_format="pyarrow"
+    )
+    out = committed.groupby("op").count()
+    t = pa.Table.from_pandas(out.to_pandas())
+    t = t.rename_columns(["op", "n_events"])
+    return t.take(pc.sort_indices(t, sort_keys=[("op", "ascending")]))
+
+
+def cdc_open_or_rolled_events(sf_dir: str) -> pa.Table:
+    """Change rows NOT applied: rolled-back txns (D1).  The derived
+    workload closes every txn, so open == rolled here."""
+    decoded, ref = _decoded_committed(sf_dir)
+    committed = decoded.map_batches(
+        CommitResolver(ref, "committed"), batch_format="pyarrow"
+    )
+    n_all = decoded.count()
+    n_committed = committed.count()
+    return pa.table({"n_discarded": pa.array([n_all - n_committed], pa.int64())})
+
+
+def cdc_scn_range_stats(sf_dir: str) -> pa.Table:
+    """SCN-range pruning source stats (S3/S4 + M6 predicates): change
+    rows with scn in (lo, hi], footer-stats file pruning + pushdown."""
+    import ray.data as rd
+
+    d = workload.ensure_workload(sf_dir)
+    files = changelog_src.list_batch_files(d["changelog"])
+    lo = workload.SCN0 + 2000
+    hi = workload.SCN0 + 12000
+    pruned = changelog_src.prune_files(files, lo, hi)
+    ds = rd.read_parquet([f.path for f in pruned])
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.greater(t.column("scn"), lo),
+                    pc.less_equal(t.column("scn"), hi),
+                ),
+                pc.is_in(t.column("op"), value_set=pa.array(schemas.CHANGE_OPS)),
+            )
+        ).select(["scn"]),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Count, Max, Min
+
+    res = ds.aggregate(Count(), Min("scn"), Max("scn"))
+    return pa.table(
+        {
+            "n_rows": pa.array([res["count()"]], pa.int64()),
+            "min_scn": pa.array([res["min(scn)"]], pa.int64()),
+            "max_scn": pa.array([res["max(scn)"]], pa.int64()),
+        }
+    )
+
+
+def cdc_lww_latest(sf_dir: str) -> pa.Table:
+    """Per-key argmax (A4): latest committed change per url by
+    (commit_scn, scn), two-level: block-local partial argmax inside
+    map_batches (the combiner), then a groupby-final argmax."""
+    decoded, ref = _decoded_committed(sf_dir)
+    committed = decoded.map_batches(
+        CommitResolver(ref, "committed"), batch_format="pyarrow"
+    )
+
+    def partial_argmax(t: pa.Table) -> pa.Table:
+        t = t.select(["url", "commit_scn", "scn", "op"])
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("url", "ascending"),
+                ("commit_scn", "descending"),
+                ("scn", "descending"),
+            ],
+        )
+        t = t.take(idx)
+        import numpy as np
+
+        urls = t.column("url").combine_chunks()
+        n = len(urls)
+        first = np.ones(n, bool)
+        if n > 1:
+            first[1:] = pc.not_equal(
+                urls.slice(1), urls.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(first))
+
+    partials = committed.map_batches(partial_argmax, batch_format="pyarrow")
+
+    def final_argmax(df):
+        df = df.sort_values(["commit_scn", "scn"], ascending=False).head(1)
+        return df
+
+    out = partials.groupby("url").map_groups(final_argmax, batch_format="pandas")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = t.select(["url", "commit_scn", "scn", "op"]).rename_columns(
+        ["url", "last_commit_scn", "last_scn", "last_op"]
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))

@@ -1,0 +1,246 @@
+"""Derived CDC workload over the driver's synthetic tables.
+
+The driver's correctness gate runs each ``queries()`` entry AND an
+equivalent DuckDB SQL string over the same parquet tables.  The CDC
+engine's native inputs (a web-page lake + a change-event log) are
+therefore **derived deterministically** from the driver tables:
+
+* base ``pages``    <- ``documents``  (one page per doc)
+* change-event log  <- ``events``     (one change per event row)
+
+Both derivations are simple enough to restate in ANSI SQL (see
+``__ray_entry__.oracle_sql``), which makes the *full engine replay*
+SQL-checkable:
+
+    url        = 'https://site' || (doc_id % 20) || '.example/d/' || doc_id
+    change key = url of doc (user_id % n_docs)
+    scn        = 2000 + event_id * 2
+    txn        = event_id // 5   (5 consecutive events per txn)
+    commit scn = 2000 + (txn*5+4)*2 + 1;  txn % 11 == 7 -> ROLLBACK
+    op         = error->DELETE, signup->INSERT(full image),
+                 click/view->UPDATE SET text, purchase->UPDATE SET lang
+
+UPDATE rows carry **no before image** (the reference's
+missing-supplemental-logging shape, ``SourceTask.kt:133-141``) so the
+merge's before-image fallback path is exercised: an update applied to a
+deleted/absent key yields a row with only its SET columns.
+
+Timestamps here are tz-naive (DuckDB has no tz) -- the engine adopts
+whatever schema the base parquet carries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from logminer_kafka_connect_ray import schemas
+
+N_HOSTS = 20
+SCN0 = 2000
+TXN_SIZE = 5
+ROLLBACK_MOD = 11
+ROLLBACK_REM = 7
+TABLE_NAME = "WEB.PAGES"
+SNAPSHOT_SCN = SCN0 - 1
+
+PAGES_SCHEMA_NAIVE = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+_EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+
+
+def _urls(doc_ids: np.ndarray) -> pa.Array:
+    host = (doc_ids % N_HOSTS).astype(str)
+    return pa.array(
+        np.char.add(
+            np.char.add(np.char.add("https://site", host), ".example/d/"),
+            doc_ids.astype(str),
+        )
+    )
+
+
+def derive_pages(sf_dir: str) -> pa.Table:
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    doc_ids = docs.column("doc_id").to_numpy()
+    text = docs.column("text")
+    html = pc.binary_join_element_wise(
+        pa.array(["<html><body>"] * len(docs)),
+        pc.cast(text, pa.string()),
+        pa.array(["</body></html>"] * len(docs)),
+        "",
+    )
+    return pa.table(
+        {
+            "url": _urls(doc_ids),
+            "warc_ts": pa.array(_EPOCH_2024 + doc_ids * 1_000_000, pa.timestamp("us")),
+            "html": pc.cast(html, pa.binary()),
+            "text": text,
+            "lang": docs.column("lang"),
+        },
+        schema=PAGES_SCHEMA_NAIVE,
+    )
+
+
+def derive_changelog(sf_dir: str, out_dir: str, events_per_file: int = 100_000) -> list[str]:
+    """Vectorized events-table -> change-event parquet files."""
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    eid = ev.column("event_id").to_numpy()
+    etype = ev.column("event_type").to_pandas().to_numpy()
+    user = ev.column("user_id").to_numpy()
+    ts_us = ev.column("ts").cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+
+    doc = user % n_docs
+    url = _urls(doc)
+    scn = SCN0 + eid * 2
+    tx = eid // TXN_SIZE
+    op = np.where(
+        etype == "error", "d", np.where(etype == "signup", "i", "u")
+    )
+    eid_s = eid.astype(str)
+
+    # after-image fields
+    is_i = op == "i"
+    is_text_u = (etype == "click") | (etype == "view")
+    is_lang_u = etype == "purchase"
+    text_val = np.where(is_i, np.char.add("signup:", eid_s), np.char.add("u:", eid_s))
+    text_valid = is_i | is_text_u
+    lang_val = np.where(
+        is_i,
+        np.char.add("xx", (eid % 5).astype(str)),
+        np.char.add("p", (eid % 5).astype(str)),
+    )
+    lang_valid = is_i | is_lang_u
+    html_val = np.char.add(
+        np.char.add("<html><body>signup:", eid_s), "</body></html>"
+    )
+
+    # vectorized masked build: set invalid entries to null
+    def arr_masked(values, valid, typ):
+        a = pa.array(values)
+        return pc.if_else(pa.array(valid), a.cast(typ), pa.nulls(len(valid), typ))
+
+    after = pa.StructArray.from_arrays(
+        [
+            url,
+            arr_masked(ts_us, is_i, pa.timestamp("us")),
+            pc.cast(arr_masked(html_val, is_i, pa.string()), pa.binary()),
+            arr_masked(text_val, text_valid, pa.string()),
+            arr_masked(lang_val, lang_valid, pa.string()),
+        ],
+        names=["url", "warc_ts", "html", "text", "lang"],
+        mask=pa.array(op == "d"),
+    )
+    n = len(eid)
+    img_type = schemas.image_struct(PAGES_SCHEMA_NAIVE)
+    # DELETE rows carry the key in the before image (reference DELETE:
+    # full before, null after -- AbstractIntegrationTest.kt:68)
+    before = pa.StructArray.from_arrays(
+        [
+            url,
+            pa.nulls(n, pa.timestamp("us")),
+            pa.nulls(n, pa.binary()),
+            pa.nulls(n, pa.string()),
+            pa.nulls(n, pa.string()),
+        ],
+        names=["url", "warc_ts", "html", "text", "lang"],
+        mask=pa.array(op != "d"),
+    )
+    ev_schema = schemas.change_event_schema(PAGES_SCHEMA_NAIVE)
+
+    changes = pa.table(
+        {
+            "scn": pa.array(scn, pa.int64()),
+            "row_id": pa.array(np.char.add("R", scn.astype(str))),
+            "commit_scn": pa.nulls(n, pa.int64()),
+            "tx_id": pa.array(np.char.add("tx", tx.astype(str))),
+            "op": pa.array(op),
+            "ts_ms": pa.array(ts_us // 1000, pa.timestamp("ms", tz="UTC")),
+            "table": pa.array([TABLE_NAME] * n),
+            "username": pa.nulls(n, pa.string()),
+            "status": pa.array(np.zeros(n, np.int32)),
+            "before": before,
+            "after": after,
+            "set_cols": pa.nulls(n, pa.list_(pa.string())),
+        },
+        schema=ev_schema,
+    )
+
+    # marker rows: one per distinct txn
+    txs = np.unique(tx)
+    m_scn = SCN0 + (txs * TXN_SIZE + (TXN_SIZE - 1)) * 2 + 1
+    m_op = np.where(txs % ROLLBACK_MOD == ROLLBACK_REM, "rollback", "commit")
+    nm = len(txs)
+    markers = pa.table(
+        {
+            "scn": pa.array(m_scn, pa.int64()),
+            "row_id": pa.array(np.char.add("R", m_scn.astype(str))),
+            "commit_scn": pa.array(m_scn, pa.int64()),
+            "tx_id": pa.array(np.char.add("tx", txs.astype(str))),
+            "op": pa.array(m_op),
+            "ts_ms": pa.nulls(nm, pa.timestamp("ms", tz="UTC")),
+            "table": pa.array([TABLE_NAME] * nm),
+            "username": pa.nulls(nm, pa.string()),
+            "status": pa.array(np.zeros(nm, np.int32)),
+            "before": pa.nulls(nm, img_type),
+            "after": pa.nulls(nm, img_type),
+            "set_cols": pa.nulls(nm, pa.list_(pa.string())),
+        },
+        schema=ev_schema,
+    )
+
+    log_tbl = pa.concat_tables([changes, markers])
+    log_tbl = log_tbl.take(pc.sort_indices(log_tbl, sort_keys=[("scn", "ascending")]))
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for off in range(0, log_tbl.num_rows, events_per_file):
+        chunk = log_tbl.slice(off, events_per_file)
+        lo = chunk.column("scn")[0].as_py()
+        hi = chunk.column("scn")[-1].as_py()
+        p = os.path.join(out_dir, f"batch-{lo:012d}-{hi:012d}.parquet")
+        pq.write_table(chunk, p)
+        paths.append(p)
+    return paths
+
+
+def workload_dirs(sf_dir: str, root: str = "/tmp/lkc_workload") -> dict[str, str]:
+    """Deterministic scratch layout per sf_dir."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(root, tag)
+    return {
+        "root": base,
+        "pages": os.path.join(base, "pages.parquet"),
+        "changelog": os.path.join(base, "changelog"),
+        "lake": os.path.join(base, "lake"),
+    }
+
+
+def ensure_workload(sf_dir: str, root: str = "/tmp/lkc_workload") -> dict[str, str]:
+    """Idempotently materialize pages.parquet + changelog for sf_dir."""
+    d = workload_dirs(sf_dir, root)
+    os.makedirs(d["root"], exist_ok=True)
+    marker = os.path.join(d["root"], "_ready")
+    if not os.path.exists(marker):
+        pq.write_table(derive_pages(sf_dir), d["pages"])
+        derive_changelog(sf_dir, d["changelog"])
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
