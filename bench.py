@@ -1,0 +1,158 @@
+"""Headline benchmark: CDC change-event apply throughput.
+
+Pipeline timed (the BASELINE.json metric): replay a change-event log
+derived from ``$GRAFT_SF_DIR``'s tables (amplified ``BENCH_REPLICATE``x,
+default 10) through the full engine -- decode, txn consolidation, LWW
+merge into copy-on-write lake partitions, manifest publish -- and
+report events/sec.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <replay seconds>, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N,
+   "events": E, "events_per_sec": r}
+
+``--scaling`` runs the same job in fresh processes at num_cpus=8 and
+num_cpus=32 and reports throughput at both plus efficiency
+T(32)/(4*T(8)) -- the sandbox stand-in for the north rule's N vs 4N
+cluster-size criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "10"))
+
+
+def run_bench() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from logminer_kafka_connect_ray import workload
+    from logminer_kafka_connect_ray.config import EngineConfig
+    from logminer_kafka_connect_ray.pipelines.engine import Engine
+
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    root = f"/tmp/lkc_bench/{tag}-r{REPLICATE}"
+    os.makedirs(root, exist_ok=True)
+    pages_path = f"{root}/pages.parquet"
+    changelog = f"{root}/changelog"
+    timings: dict[str, float] = {}
+
+    # --- derive workload (cached across runs; untimed warm of page cache)
+    if not os.path.exists(f"{root}/_ready"):
+        t0 = time.monotonic()
+        pq.write_table(workload.derive_pages(SF_DIR), pages_path)
+        workload.derive_changelog(SF_DIR, changelog, replicate=REPLICATE)
+        open(f"{root}/_ready", "w").write("ok")
+        timings["derive_workload"] = round(time.monotonic() - t0, 3)
+    # warm page cache so we measure compute+shuffle, not first disk read
+    for f in os.listdir(changelog):
+        with open(f"{changelog}/{f}", "rb") as fh:
+            fh.read()
+
+    n_events = sum(
+        pq.ParquetFile(f"{changelog}/{f}").metadata.num_rows
+        for f in os.listdir(changelog)
+        if f.endswith(".parquet")
+    )
+
+    lake = f"{root}/lake-cpus{NUM_CPUS}"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(EngineConfig(lake_dir=lake, num_partitions=64))
+
+    t0 = time.monotonic()
+    eng.snapshot(pages_path, workload.SNAPSHOT_SCN)
+    timings["snapshot"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    m = eng.replay(changelog)
+    replay_s = time.monotonic() - t0
+    timings["replay"] = round(replay_s, 3)
+
+    # secondary pipelines (not part of the headline value)
+    from logminer_kafka_connect_ray.pipelines import queries as q
+
+    for name, fn in [
+        ("cdc_lww_latest", q.cdc_lww_latest),
+        ("cdc_committed_events", q.cdc_committed_events),
+    ]:
+        t0 = time.monotonic()
+        fn(SF_DIR)
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "cdc_replay_seconds",
+        "value": round(replay_s, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "events": n_events,
+        "events_per_sec": round(n_events / replay_s, 1),
+        "final_rows": sum(p.rows for p in m.partitions),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_n, hi_n = 8, 32
+    lo = one(lo_n)
+    hi = one(hi_n)
+    thr_lo, thr_hi = lo["events_per_sec"], hi["events_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi_n / lo_n)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "events": lo["events"],
+                f"sec_{lo_n}": lo["value"],
+                f"sec_{hi_n}": hi["value"],
+                f"events_per_sec_{lo_n}": thr_lo,
+                f"events_per_sec_{hi_n}": thr_hi,
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -36,8 +36,11 @@ class EngineConfig:
     #: `batch.size` poll batches, SourceConnectorConfig.kt:207-213 --
     #: scaled up: ours is a distributed micro-batch, not a poll).
     max_events_per_checkpoint: int = 50_000_000
-    #: rows per Arrow batch inside map_batches stages.
-    batch_size: int = 8192
+    #: rows per Arrow batch inside map_batches stages.  Large batches
+    #: amortize per-batch overhead and give the block-local combiner
+    #: enough rows per key to prune; lower it for very wide payloads
+    #: (e.g. multi-KB html) so batch x concurrency fits worker heaps.
+    batch_size: int = 65536
     #: actor-pool size for stateful stages (txn consolidation, schema
     #: registry).  None = let Ray pick from cluster size.
     actor_concurrency: int | None = None

@@ -43,7 +43,11 @@ from logminer_kafka_connect_ray.stages.evolve import (
     unify_with,
 )
 from logminer_kafka_connect_ray.stages.merge import PartitionMerger, PreaggPartitioner
-from logminer_kafka_connect_ray.stages.txn import CommitResolver, collect_markers
+from logminer_kafka_connect_ray.stages.process import (
+    CarryoverProcessor,
+    ChangeEventProcessor,
+)
+from logminer_kafka_connect_ray.stages.txn import collect_txn_info
 from logminer_kafka_connect_ray.state.checkpoint import (
     Manifest,
     ManifestStore,
@@ -88,7 +92,6 @@ class Engine:
         flat = ds.map_batches(
             SnapshotStamper(schema_json, cfg.key_column, snapshot_scn),
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
         )
         return self._merge_and_publish(
             flat,
@@ -218,40 +221,45 @@ class Engine:
         schema_json = schemas.schema_to_json(table_schema)
         flat_schema = schemas.flat_change_schema(cfg.key_column, table_schema)
 
-        # --- markers: tiny, broadcast (SURVEY.md T1 batch path) -------
-        commit_map, rolled, n_markers = collect_markers(paths, scn_lo, scn_hi)
-        markers_ref = _ray().put((commit_map, rolled))
+        # --- txn metadata: one column-pruned scan, then broadcast -----
+        # (SURVEY.md T1 batch path: markers are tiny vs change rows)
+        info = collect_txn_info(paths, scn_lo, scn_hi)
+        markers_ref = _ray().put(info)
+        cpus = int(_ray().cluster_resources().get("CPU", 8))
+        pool = cfg.actor_concurrency or (1, max(2, min(cpus, 24)))
 
-        def source() -> "rd.Dataset":
+        def source(mode: str = "committed") -> "rd.Dataset":
+            # one fused actor-pool operator for the whole per-event CPU
+            # path: decode + resume-skip SCN filter
+            # (LogminerFetcher.kt:74-101) + commit resolve + combiner
             ds = rd.read_parquet(paths)
-            decoded = ds.map_batches(
-                ChangeDecoder(table_schema, cfg.key_column, cfg.table_whitelist),
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-            )
-            # resume-skip predicate (LogminerFetcher.kt:74-101)
-            decoded = decoded.map_batches(
-                lambda t, lo=scn_lo, hi=scn_hi: t.filter(
-                    pc.and_(
-                        pc.greater(t.column("scn"), lo),
-                        pc.less_equal(t.column("scn"), hi),
-                    )
+            proc = ds.map_batches(
+                ChangeEventProcessor,
+                fn_constructor_args=(
+                    markers_ref, schema_json, cfg.key_column,
+                    cfg.table_whitelist, scn_lo, scn_hi,
+                    cfg.num_partitions, mode,
                 ),
                 batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=pool,
             )
             if prev.open_txn_spill:
-                carry = rd.read_parquet(f"{cfg.lake_dir}/{prev.open_txn_spill}")
-                carry = carry.map_batches(
-                    lambda t, s=flat_schema: align_flat(t, s), batch_format="pyarrow"
+                carry = rd.read_parquet(
+                    f"{cfg.lake_dir}/{prev.open_txn_spill}"
+                ).map_batches(
+                    CarryoverProcessor,
+                    fn_constructor_args=(
+                        markers_ref, schema_json, cfg.key_column,
+                        cfg.num_partitions, mode,
+                    ),
+                    batch_format="pyarrow",
+                    concurrency=(1, 2),
                 )
-                decoded = decoded.union(carry)
-            return decoded
+                proc = proc.union(carry)
+            return proc
 
-        committed = source().map_batches(
-            CommitResolver(markers_ref, "committed"),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-        )
+        committed = source("committed")
         manifest = self._merge_and_publish(
             committed,
             version=version,
@@ -261,8 +269,9 @@ class Engine:
             scn_lo=scn_lo,
             scn_hi=scn_hi,
             prev=prev,
-            open_spill=(source, markers_ref),
-            markers_stats=(n_markers, len(commit_map), len(rolled)),
+            open_spill=(source, info),
+            markers_stats=(info.n_markers, len(info.commit_tx), len(info.rolled_tx)),
+            pre_partitioned=True,
         )
         return manifest
 
@@ -278,6 +287,7 @@ class Engine:
         prev: Manifest | None,
         open_spill,
         markers_stats: tuple[int, int, int],
+        pre_partitioned: bool = False,
     ) -> Manifest:
         import ray.data as rd
 
@@ -289,11 +299,13 @@ class Engine:
             {p.part_id: p.file for p in prev.partitions} if prev else {}
         )
 
-        pre = flat_committed.map_batches(
-            PreaggPartitioner(cfg.key_column, len(data_cols), cfg.num_partitions),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-        )
+        if pre_partitioned:
+            pre = flat_committed  # fused stage already combined+stamped
+        else:
+            pre = flat_committed.map_batches(
+                PreaggPartitioner(cfg.key_column, len(data_cols), cfg.num_partitions),
+                batch_format="pyarrow",
+            )
         merger = PartitionMerger(
             cfg.lake_dir, part_files, schema_json, cfg.key_column, version
         )
@@ -306,16 +318,19 @@ class Engine:
         lineage_tbl = pa.Table.from_pandas(lineage.to_pandas())
 
         # --- open-txn carryover spill --------------------------------
+        # the metadata scan already knows whether any txn is open; the
+        # second (spill) pass over the data is skipped entirely when
+        # none is (the common steady-state case)
         open_rel = None
         min_open = None
         n_open = 0
-        if open_spill is not None:
-            source, markers_ref = open_spill
-            open_ds = source().map_batches(
-                CommitResolver(markers_ref, "open"),
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-            )
+        has_open = open_spill is not None and (
+            open_spill[1].n_open_rows > 0
+            or (prev is not None and prev.open_txn_spill)
+        )
+        if has_open:
+            source, _info = open_spill
+            open_ds = source("open")
             open_rel = f"state/open-v{version:08d}"
             open_dir = f"{cfg.lake_dir}/{open_rel}"
             open_ds.write_parquet(open_dir)

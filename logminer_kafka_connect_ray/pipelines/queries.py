@@ -21,7 +21,7 @@ from logminer_kafka_connect_ray.config import EngineConfig
 from logminer_kafka_connect_ray.pipelines.engine import Engine
 from logminer_kafka_connect_ray.sources import changelog as changelog_src
 from logminer_kafka_connect_ray.stages.decode import ChangeDecoder
-from logminer_kafka_connect_ray.stages.txn import CommitResolver, collect_markers
+from logminer_kafka_connect_ray.stages.txn import CommitResolver, collect_txn_info
 
 
 def _engine_cfg(d: dict[str, str], num_partitions: int = 16) -> EngineConfig:
@@ -62,8 +62,7 @@ def _decoded_committed(sf_dir: str):
     d = workload.ensure_workload(sf_dir)
     files = changelog_src.list_batch_files(d["changelog"])
     paths = [f.path for f in files]
-    commit_map, rolled, _ = collect_markers(paths)
-    ref = ray.put((commit_map, rolled))
+    ref = ray.put(collect_txn_info(paths))
     ds = rd.read_parquet(paths)
     decoded = ds.map_batches(
         ChangeDecoder(workload.PAGES_SCHEMA_NAIVE, "url"),

@@ -38,12 +38,11 @@ def _struct_field(tbl: pa.Table, col: str, field: str, out_type: pa.DataType, n:
         c = c.combine_chunks()
     if not pa.types.is_struct(c.type):
         return pa.nulls(n, out_type)
-    if c.type.field(field) is None:
+    if c.type.get_field_index(field) < 0:
+        # pre-evolution batch: column absent from this file's image
+        # struct -> null (ChangingTableTest semantics)
         return pa.nulls(n, out_type)
-    try:
-        arr = pc.struct_field(c, field)
-    except (KeyError, pa.ArrowInvalid):
-        return pa.nulls(n, out_type)
+    arr = pc.struct_field(c, field)
     # struct_field ignores the parent struct's null mask in some arrow
     # versions -> a null struct must yield null fields
     parent_null = pc.is_null(c)

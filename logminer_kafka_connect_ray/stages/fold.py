@@ -80,19 +80,45 @@ def _boundary_masks(t: pa.Table, full_mask: int):
 
 
 def preagg_block(t: pa.Table, key_column: str, n_data_cols: int) -> pa.Table:
-    """Drop events dominated by a later block-local full-image boundary
-    of the same key.  Safe for arbitrary block subsets of the log."""
+    """Block-local combiner: keep, per key, only the events that can
+    still influence the final fold --
+
+    * the block-local LAST full-image boundary (i/r/d/full-mask u):
+      everything before it is a dead total replacement victim;
+    * the FIRST partial overlay after that boundary (its before image
+      is the fold's from-scratch fallback);
+    * for each data column, the LAST overlay that sets it (earlier
+      setters of the same column are overridden).
+
+    Safe for arbitrary block subsets under the global sort order,
+    assuming before-images are consistent (each event's before = the
+    row state just before it -- what redo logs guarantee).  Bounds a
+    hot key's contribution per block to <= 2 + n_data_cols rows no
+    matter how many updates it received (the north rule's skew
+    mitigation, first level of the two-level fold).
+    """
     if t.num_rows <= 1:
         return t
     idx = _sort_indices(t, key_column)
     t = t.take(idx)
     full_mask = (1 << n_data_cols) - 1
-    _, _, _, is_boundary, _ = _boundary_masks(t, full_mask)
+    is_u, _, _, is_boundary, mask = _boundary_masks(t, full_mask)
     starts, sizes = _group_layout(t.column(key_column))
-    pos = np.arange(t.num_rows, dtype=np.int64)
-    b_pos = np.where(is_boundary, pos, -1)
-    lastb = np.maximum.reduceat(b_pos, starts)
-    keep = pos >= np.repeat(lastb, sizes)
+    n = t.num_rows
+    pos = np.arange(n, dtype=np.int64)
+    lastb = np.maximum.reduceat(np.where(is_boundary, pos, -1), starts)
+    lastb_row = np.repeat(lastb, sizes)
+
+    is_overlay = is_u & ~is_boundary & (pos > lastb_row)
+    keep = pos == np.maximum(lastb_row, 0)
+    keep &= lastb_row >= 0  # no boundary in block -> no boundary kept
+    BIG = n + 1
+    first_ov = np.minimum.reduceat(np.where(is_overlay, pos, BIG), starts)
+    keep |= pos == np.repeat(first_ov, sizes)
+    for i in range(n_data_cols):
+        bit = ((mask >> i) & 1).astype(bool)
+        lastset = np.maximum.reduceat(np.where(is_overlay & bit, pos, -1), starts)
+        keep |= pos == np.repeat(np.where(lastset >= 0, lastset, -BIG), sizes)
     return t.filter(pa.array(keep))
 
 

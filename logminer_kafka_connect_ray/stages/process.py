@@ -1,0 +1,110 @@
+"""Fused change-event processing stage (actor pool).
+
+Chains decode -> resume-skip SCN filter -> commit resolution ->
+combiner/partitioner into ONE ``map_batches`` callable class so the
+whole per-event CPU path runs inside a single operator: no
+inter-stage object-store hops, and the stateful setup (broadcast
+TxnInfo fetch + commit hash-table build, schema resolution) happens
+once per actor in ``__init__`` -- the actor-pool shape the reference's
+single-threaded consolidator maps to at scale (SURVEY.md T1/T3).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from logminer_kafka_connect_ray import schemas
+from logminer_kafka_connect_ray.stages.decode import ChangeDecoder
+from logminer_kafka_connect_ray.stages.merge import PreaggPartitioner
+from logminer_kafka_connect_ray.stages.txn import CommitResolver
+
+
+class ChangeEventProcessor:
+    """decode + filter + resolve (+ combine/partition) in one stage.
+
+    ``mode='committed'`` emits partition-stamped, combiner-pruned
+    committed rows ready for the merge shuffle; ``mode='open'`` emits
+    still-open rows for the carryover spill.
+    """
+
+    def __init__(
+        self,
+        markers_ref,
+        table_schema_json: list[dict],
+        key_column: str,
+        whitelist: tuple[str, ...],
+        scn_lo: int | None,
+        scn_hi: int | None,
+        num_partitions: int,
+        mode: str = "committed",
+    ):
+        table_schema = schemas.schema_from_json(table_schema_json)
+        self.decoder = ChangeDecoder(table_schema, key_column, whitelist)
+        self.resolver = CommitResolver(markers_ref, mode)
+        self.scn_lo = scn_lo
+        self.scn_hi = scn_hi
+        self.mode = mode
+        self.partitioner = PreaggPartitioner(
+            key_column, len(self.decoder.data_cols), num_partitions
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "open":
+            # cheap raw-column pre-filter: only rows of still-open txns
+            # survive to the (expensive) decode
+            batch = batch.filter(
+                pc.fill_null(
+                    pc.is_in(
+                        batch.column("tx_id"),
+                        value_set=self.resolver.info.open_tx,
+                    ),
+                    False,
+                )
+            )
+            if batch.num_rows == 0:
+                return self.decoder.out_schema.empty_table()
+        t = self.decoder(batch)
+        if self.scn_lo is not None or self.scn_hi is not None:
+            cond = None
+            if self.scn_lo is not None:
+                cond = pc.greater(t.column("scn"), self.scn_lo)
+            if self.scn_hi is not None:
+                c2 = pc.less_equal(t.column("scn"), self.scn_hi)
+                cond = c2 if cond is None else pc.and_(cond, c2)
+            t = t.filter(cond)
+        t = self.resolver(t)
+        if self.mode == "committed":
+            t = self.partitioner(t)
+        return t
+
+
+class CarryoverProcessor:
+    """Same tail of the pipeline for carryover spill rows, which are
+    already in flat form (no decode): schema-align -> resolve ->
+    combine/partition."""
+
+    def __init__(
+        self,
+        markers_ref,
+        table_schema_json: list[dict],
+        key_column: str,
+        num_partitions: int,
+        mode: str = "committed",
+    ):
+        from logminer_kafka_connect_ray.stages.evolve import align_flat
+
+        table_schema = schemas.schema_from_json(table_schema_json)
+        self.flat_schema = schemas.flat_change_schema(key_column, table_schema)
+        self._align = align_flat
+        self.resolver = CommitResolver(markers_ref, mode)
+        n_data = len(schemas.data_columns_of(table_schema, key_column))
+        self.partitioner = PreaggPartitioner(key_column, n_data, num_partitions)
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self._align(batch, self.flat_schema)
+        t = self.resolver(t)
+        if self.mode == "committed":
+            t = self.partitioner(t)
+        return t

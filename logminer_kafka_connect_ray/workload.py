@@ -95,8 +95,17 @@ def derive_pages(sf_dir: str) -> pa.Table:
     )
 
 
-def derive_changelog(sf_dir: str, out_dir: str, events_per_file: int = 100_000) -> list[str]:
-    """Vectorized events-table -> change-event parquet files."""
+def derive_changelog(
+    sf_dir: str,
+    out_dir: str,
+    events_per_file: int = 100_000,
+    replicate: int = 1,
+) -> list[str]:
+    """Vectorized events-table -> change-event parquet files.
+
+    ``replicate=R`` tiles the events table R times with disjoint
+    event_id ranges (bench-only amplification; the SQL oracles assume
+    R=1)."""
     ev = pq.read_table(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"],
@@ -106,6 +115,13 @@ def derive_changelog(sf_dir: str, out_dir: str, events_per_file: int = 100_000) 
     etype = ev.column("event_type").to_pandas().to_numpy()
     user = ev.column("user_id").to_numpy()
     ts_us = ev.column("ts").cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+    if replicate > 1:
+        n0 = len(eid)
+        reps = np.arange(replicate).repeat(n0)
+        eid = np.tile(eid, replicate) + reps * n0
+        etype = np.tile(etype, replicate)
+        user = np.tile(user, replicate) + reps  # shift key mix per replica
+        ts_us = np.tile(ts_us, replicate)
 
     doc = user % n_docs
     url = _urls(doc)
@@ -132,16 +148,19 @@ def derive_changelog(sf_dir: str, out_dir: str, events_per_file: int = 100_000) 
         np.char.add("<html><body>signup:", eid_s), "</body></html>"
     )
 
+    def _one(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
     # vectorized masked build: set invalid entries to null
     def arr_masked(values, valid, typ):
         a = pa.array(values)
-        return pc.if_else(pa.array(valid), a.cast(typ), pa.nulls(len(valid), typ))
+        return _one(pc.if_else(pa.array(valid), a.cast(typ), pa.nulls(len(valid), typ)))
 
     after = pa.StructArray.from_arrays(
         [
-            url,
+            _one(url),
             arr_masked(ts_us, is_i, pa.timestamp("us")),
-            pc.cast(arr_masked(html_val, is_i, pa.string()), pa.binary()),
+            _one(pc.cast(arr_masked(html_val, is_i, pa.string()), pa.binary())),
             arr_masked(text_val, text_valid, pa.string()),
             arr_masked(lang_val, lang_valid, pa.string()),
         ],
@@ -154,7 +173,7 @@ def derive_changelog(sf_dir: str, out_dir: str, events_per_file: int = 100_000) 
     # full before, null after -- AbstractIntegrationTest.kt:68)
     before = pa.StructArray.from_arrays(
         [
-            url,
+            _one(url),
             pa.nulls(n, pa.timestamp("us")),
             pa.nulls(n, pa.binary()),
             pa.nulls(n, pa.string()),
