@@ -43,10 +43,7 @@ from logminer_kafka_connect_ray.stages.evolve import (
     unify_with,
 )
 from logminer_kafka_connect_ray.stages.merge import PartitionMerger, PreaggPartitioner
-from logminer_kafka_connect_ray.stages.process import (
-    CarryoverProcessor,
-    ChangeEventProcessor,
-)
+from logminer_kafka_connect_ray.stages.process import make_processor_fn
 from logminer_kafka_connect_ray.stages.txn import collect_txn_info
 from logminer_kafka_connect_ray.state.checkpoint import (
     Manifest,
@@ -212,6 +209,7 @@ class Engine:
 
         cfg = self.config
         paths = [f.path for f in bfiles]
+        t_meta0 = time.monotonic()
 
         # --- schema evolution detection (plan time) -------------------
         cur_schema = schemas.schema_from_json(prev.schema)
@@ -225,41 +223,40 @@ class Engine:
         # (SURVEY.md T1 batch path: markers are tiny vs change rows)
         info = collect_txn_info(paths, scn_lo, scn_hi)
         markers_ref = _ray().put(info)
-        cpus = int(_ray().cluster_resources().get("CPU", 8))
-        pool = cfg.actor_concurrency or (1, max(2, min(cpus, 24)))
 
         def source(mode: str = "committed") -> "rd.Dataset":
-            # one fused actor-pool operator for the whole per-event CPU
-            # path: decode + resume-skip SCN filter
-            # (LogminerFetcher.kt:74-101) + commit resolve + combiner
+            # one fused operator for the whole per-event CPU path:
+            # decode + resume-skip SCN filter (LogminerFetcher.kt:74-101)
+            # + commit resolve + combiner.  Stateless tasks with a
+            # per-worker-process cache (see stages/process.py).
             ds = rd.read_parquet(paths)
             proc = ds.map_batches(
-                ChangeEventProcessor,
-                fn_constructor_args=(
+                make_processor_fn(
                     markers_ref, schema_json, cfg.key_column,
                     cfg.table_whitelist, scn_lo, scn_hi,
                     cfg.num_partitions, mode,
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
-                concurrency=pool,
+                zero_copy_batch=True,
             )
             if prev.open_txn_spill:
                 carry = rd.read_parquet(
                     f"{cfg.lake_dir}/{prev.open_txn_spill}"
                 ).map_batches(
-                    CarryoverProcessor,
-                    fn_constructor_args=(
+                    make_processor_fn(
                         markers_ref, schema_json, cfg.key_column,
-                        cfg.num_partitions, mode,
+                        cfg.table_whitelist, scn_lo, scn_hi,
+                        cfg.num_partitions, mode, carryover=True,
                     ),
                     batch_format="pyarrow",
-                    concurrency=(1, 2),
+                    zero_copy_batch=True,
                 )
                 proc = proc.union(carry)
             return proc
 
         committed = source("committed")
+        self._t_meta = time.monotonic() - t_meta0
         manifest = self._merge_and_publish(
             committed,
             version=version,
@@ -270,7 +267,7 @@ class Engine:
             scn_hi=scn_hi,
             prev=prev,
             open_spill=(source, info),
-            markers_stats=(info.n_markers, len(info.commit_tx), len(info.rolled_tx)),
+            markers_stats=(info.n_markers, info.n_commit, info.n_rolled),
             pre_partitioned=True,
         )
         return manifest
@@ -312,10 +309,23 @@ class Engine:
         def merge_partition(group, _m=merger):
             return _m(group)
 
-        lineage = pre.groupby("_part").map_groups(
-            merge_partition, batch_format="pyarrow"
+        t_merge0 = time.monotonic()
+        # the one wide exchange: range-partition on the precomputed
+        # _part key with EXPLICIT boundaries (one lake partition per
+        # output block -- no sampling pass, no per-group dispatch)
+        exchanged = pre.sort("_part", boundaries=list(range(1, cfg.num_partitions)))
+        lineage = exchanged.map_batches(
+            merge_partition, batch_format="pyarrow", batch_size=None
         )
         lineage_tbl = pa.Table.from_pandas(lineage.to_pandas())
+        t_merge = time.monotonic() - t_merge0
+        pids = lineage_tbl.column("part_id").to_pylist()
+        if len(pids) != len(set(pids)):
+            raise RuntimeError(
+                "merge exchange fragmented a lake partition across blocks "
+                "(partition larger than target_max_block_size); raise "
+                "DataContext.target_max_block_size or num_partitions"
+            )
 
         # --- open-txn carryover spill --------------------------------
         # the metadata scan already knows whether any txn is open; the
@@ -388,6 +398,8 @@ class Engine:
                 "rolled_back_txns": markers_stats[2],
                 "partitions_rewritten": lineage_tbl.num_rows,
                 "duration_s": round(time.monotonic() - t0, 3),
+                "t_plan_s": round(getattr(self, "_t_meta", 0.0), 3),
+                "t_merge_s": round(t_merge, 3),
             },
         )
         if not self.store.publish(m):

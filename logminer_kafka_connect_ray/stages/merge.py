@@ -93,8 +93,22 @@ class PartitionMerger:
             return None
         return pq.read_table(os.path.join(self.lake_dir, rel))
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        part_id = int(group.column("_part")[0].as_py())
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Merge every lake partition present in this batch.
+
+        The exchange (``sort('_part', boundaries=[1..P-1])``) delivers
+        one whole partition per block; a batch can also carry several
+        whole partitions (hash-bucket exchange), but never a fragment
+        -- the engine cross-checks lineage for duplicate part ids and
+        aborts the batch if a partition ever splits."""
+        if batch.num_rows == 0:
+            return LINEAGE_SCHEMA.empty_table()
+        parts = batch.column("_part").unique().to_pylist()
+        out = [self._merge_one(int(p), batch) for p in sorted(parts)]
+        return pa.concat_tables(out)
+
+    def _merge_one(self, part_id: int, batch: pa.Table) -> pa.Table:
+        group = batch.filter(pc.equal(batch.column("_part"), part_id))
         events = group.drop_columns(["_part"])
         base = self._read_base(part_id)
 

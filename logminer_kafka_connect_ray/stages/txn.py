@@ -9,17 +9,24 @@ discarded on ROLLBACK.  Snapshot READ rows and rows outside any
 transaction auto-commit at their own SCN
 (``initial/TableFetcher.kt:58-69``: tx_id = 'NOT AVAILABLE').
 
-Batch-replay shape (SURVEY.md T1 "at 10^10 scale"): marker rows (one
-COMMIT/ROLLBACK per txn -- orders of magnitude fewer than change rows)
-are collected once per micro-batch by a column-pruned metadata scan and
-**broadcast** via ``ray.put``; the change stream then resolves each
-row's commit SCN with vectorized Arrow hash lookups (``pc.index_in``)
-inside ``map_batches`` -- a broadcast hash semi-join instead of an
-all-to-all shuffle on tx_id.  Change rows whose txn has no terminator
-inside the micro-batch are *open*: they are spilled to a carryover file
-and re-enter the next micro-batch, which is this engine's version of
-the reference's conservative offset (never advance past the oldest
-open txn, ``TransactionConsolidator.kt:56-64``).
+Batch-replay shape (SURVEY.md T1 "at 10^10 scale"):
+
+1. ``collect_txn_info`` -- a parallel column-pruned scan (one Ray task
+   per event file, (scn, tx_id, op) only) producing the micro-batch's
+   txn metadata: commit SCN per txn, rollback set, open-txn set, and
+   the min-open-SCN watermark (reference ``minOpenTransaction``,
+   ``TransactionConsolidator.kt:56-64``).
+2. The metadata is broadcast via ``ray.put`` as SORTED uint64 tx-id
+   hashes + aligned SCNs; workers resolve each change row's commit SCN
+   with ``np.searchsorted`` -- a broadcast hash semi-join with zero
+   per-worker index-build cost, instead of an all-to-all shuffle on
+   tx_id.  (FNV-1a 64-bit hashes; micro-batches are bounded by
+   ``max_events_per_checkpoint``, keeping the collision probability
+   ~(markers/2^32)^2 negligible.)
+3. Change rows whose txn has no terminator inside the micro-batch are
+   *open*: they are spilled to a carryover file and re-enter the next
+   micro-batch -- this engine's version of the reference's conservative
+   offset that never advances past the oldest open txn.
 
 A long-lived actor variant for streaming mode lives in
 ``pipelines/streaming.py``.
@@ -32,106 +39,176 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 
 from logminer_kafka_connect_ray import schemas
+from logminer_kafka_connect_ray.functions.hashing import fnv1a_u64
 
 
 @dataclass
 class TxnInfo:
     """Per-micro-batch transaction metadata (broadcast to workers)."""
 
-    commit_tx: pa.Array      # tx ids with a COMMIT marker
-    commit_scn: pa.Array     # aligned commit SCNs
-    rolled_tx: pa.Array      # tx ids with a ROLLBACK marker
-    open_tx: pa.Array        # change-row tx ids with no terminator
+    commit_hash: np.ndarray        # sorted uint64 hashes of committed tx ids
+    commit_scn_sorted: np.ndarray  # aligned commit SCNs (int64)
+    rolled_hash: np.ndarray        # sorted uint64 hashes of rolled-back tx ids
+    open_hash: np.ndarray          # sorted uint64 hashes of open tx ids
     min_open_scn: int | None
     n_markers: int
+    n_commit: int
+    n_rolled: int
     n_open_rows: int
 
 
-def collect_txn_info(
-    paths: list[str], scn_lo: int | None = None, scn_hi: int | None = None
-) -> TxnInfo:
-    """One column-pruned scan of (scn, tx_id, op) over the micro-batch's
-    event files -> commit map + rollback set + open-txn set + the
-    min-open-SCN watermark (reference minOpenTransaction,
-    TransactionConsolidator.kt:56-64).
+def _empty_info() -> TxnInfo:
+    return TxnInfo(
+        np.empty(0, np.uint64), np.empty(0, np.int64), np.empty(0, np.uint64),
+        np.empty(0, np.uint64), None, 0, 0, 0, 0,
+    )
 
-    Driver-side: ~3 small columns of one micro-batch (bounded by
-    max_events_per_checkpoint).  For larger micro-batches this becomes
-    a distributed aggregate over the same three columns.
-    """
-    empty_s = pa.array([], pa.string())
-    if not paths:
-        return TxnInfo(empty_s, pa.array([], pa.int64()), empty_s, empty_s, None, 0, 0)
-    dset = pads.dataset(paths, format="parquet")
+
+def _scan_one(path: str, scn_lo: int | None, scn_hi: int | None) -> dict:
+    """Partial txn metadata for one event file (column-pruned read)."""
+    t = pq.read_table(path, columns=["scn", "tx_id", "op"])
     flt = None
     if scn_lo is not None:
-        flt = pc.field("scn") > scn_lo
+        flt = pc.greater(t.column("scn"), scn_lo)
     if scn_hi is not None:
-        f2 = pc.field("scn") <= scn_hi
-        flt = f2 if flt is None else (flt & f2)
-    t = dset.to_table(columns=["scn", "tx_id", "op"], filter=flt)
-
+        f2 = pc.less_equal(t.column("scn"), scn_hi)
+        flt = f2 if flt is None else pc.and_(flt, f2)
+    if flt is not None:
+        t = t.filter(flt)
     op = t.column("op")
     is_commit = pc.equal(op, schemas.OP_COMMIT)
     is_rollback = pc.equal(op, schemas.OP_ROLLBACK)
     is_marker = pc.or_(is_commit, is_rollback)
 
     commits = t.filter(is_commit)
-    commit_tx = commits.column("tx_id").combine_chunks()
-    commit_scn = commits.column("scn").combine_chunks()
-    rolled_tx = t.filter(is_rollback).column("tx_id").combine_chunks().unique()
+    c_hash = fnv1a_u64(commits.column("tx_id").cast(pa.string()))
+    c_scn = commits.column("scn").to_numpy(zero_copy_only=False).astype(np.int64)
+    r_hash = fnv1a_u64(
+        t.filter(is_rollback).column("tx_id").combine_chunks().unique().cast(pa.string())
+    )
 
     changes = t.filter(pc.invert(is_marker))
     ch_tx = changes.column("tx_id")
-    # auto-commit rows are never "open"
     real = changes.filter(
         pc.and_(
             pc.fill_null(pc.not_equal(ch_tx, schemas.NO_TXN), False),
             pc.is_valid(ch_tx),
         )
     )
-    terminated = pa.concat_arrays(
-        [commit_tx.cast(pa.string()), rolled_tx.cast(pa.string())]
-    )
-    open_mask = pc.invert(
-        pc.is_in(real.column("tx_id"), value_set=terminated)
-    )
-    open_rows = real.filter(open_mask)
-    open_tx = open_rows.column("tx_id").combine_chunks().unique()
-    min_open = (
-        pc.min(open_rows.column("scn")).as_py() if open_rows.num_rows else None
-    )
+    # per-file partial: min scn + row count per distinct change tx hash
+    rh = fnv1a_u64(real.column("tx_id").cast(pa.string()))
+    rscn = real.column("scn").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(rh, kind="stable")
+    rh_s, rscn_s = rh[order], rscn[order]
+    if len(rh_s):
+        first = np.concatenate([[True], rh_s[1:] != rh_s[:-1]])
+        starts = np.flatnonzero(first)
+        tx_hash = rh_s[starts]
+        tx_min_scn = np.minimum.reduceat(rscn_s, starts)
+        tx_rows = np.diff(np.append(starts, len(rh_s)))
+    else:
+        tx_hash = np.empty(0, np.uint64)
+        tx_min_scn = np.empty(0, np.int64)
+        tx_rows = np.empty(0, np.int64)
+    return {
+        "commit_hash": c_hash, "commit_scn": c_scn, "rolled_hash": r_hash,
+        "change_tx_hash": tx_hash, "change_tx_min_scn": tx_min_scn,
+        "change_tx_rows": tx_rows, "n_markers": int(len(c_hash) + len(r_hash)),
+    }
+
+
+def collect_txn_info(
+    paths: list[str],
+    scn_lo: int | None = None,
+    scn_hi: int | None = None,
+    parallel: bool = True,
+) -> TxnInfo:
+    """Micro-batch txn metadata; one Ray task per file when a Ray
+    session is live (the scan is the only serial driver work in a
+    micro-batch, so it is distributed too)."""
+    if not paths:
+        return _empty_info()
+
+    partials = None
+    if parallel and len(paths) > 1:
+        try:
+            import ray
+
+            if ray.is_initialized():
+                scan = ray.remote(num_cpus=1)(_scan_one)
+                partials = ray.get(
+                    [scan.remote(p, scn_lo, scn_hi) for p in paths]
+                )
+        except Exception:
+            partials = None
+    if partials is None:
+        partials = [_scan_one(p, scn_lo, scn_hi) for p in paths]
+
+    commit_hash = np.concatenate([p["commit_hash"] for p in partials])
+    commit_scn = np.concatenate([p["commit_scn"] for p in partials])
+    rolled_hash = np.unique(np.concatenate([p["rolled_hash"] for p in partials]))
+    n_markers = int(sum(p["n_markers"] for p in partials))
+
+    # dedupe commits (keep max commit scn per tx hash)
+    order = np.lexsort((commit_scn, commit_hash))
+    ch, cs = commit_hash[order], commit_scn[order]
+    if len(ch):
+        last = np.concatenate([ch[1:] != ch[:-1], [True]])
+        ch, cs = ch[last], cs[last]
+
+    # open = change txns with no terminator
+    tx_hash = np.concatenate([p["change_tx_hash"] for p in partials])
+    tx_min = np.concatenate([p["change_tx_min_scn"] for p in partials])
+    tx_rows = np.concatenate([p["change_tx_rows"] for p in partials])
+    order = np.argsort(tx_hash, kind="stable")
+    tx_hash, tx_min, tx_rows = tx_hash[order], tx_min[order], tx_rows[order]
+    if len(tx_hash):
+        first = np.concatenate([[True], tx_hash[1:] != tx_hash[:-1]])
+        starts = np.flatnonzero(first)
+        u_hash = tx_hash[starts]
+        u_min = np.minimum.reduceat(tx_min, starts)
+        u_rows = np.add.reduceat(tx_rows, starts)
+    else:
+        u_hash = np.empty(0, np.uint64)
+        u_min = np.empty(0, np.int64)
+        u_rows = np.empty(0, np.int64)
+
+    terminated = np.concatenate([ch, rolled_hash])
+    terminated.sort()
+    if len(terminated):
+        pos = np.searchsorted(terminated, u_hash)
+        pos = np.minimum(pos, len(terminated) - 1)
+        is_open = terminated[pos] != u_hash
+    else:
+        is_open = np.ones(len(u_hash), bool)
+    open_hash = np.sort(u_hash[is_open])
+    n_open_rows = int(u_rows[is_open].sum())
+    min_open = int(u_min[is_open].min()) if is_open.any() else None
+
     return TxnInfo(
-        commit_tx=commit_tx,
-        commit_scn=commit_scn,
-        rolled_tx=rolled_tx,
-        open_tx=open_tx.cast(pa.string()),
+        commit_hash=ch,
+        commit_scn_sorted=cs,
+        rolled_hash=rolled_hash,
+        open_hash=open_hash,
         min_open_scn=min_open,
-        n_markers=int(pc.sum(pc.cast(is_marker, pa.int64())).as_py() or 0),
-        n_open_rows=open_rows.num_rows,
+        n_markers=n_markers,
+        n_commit=int(len(ch)),
+        n_rolled=int(len(rolled_hash)),
+        n_open_rows=n_open_rows,
     )
-
-
-# backwards-compatible helper used by query pipelines
-def collect_markers(paths, scn_lo=None, scn_hi=None):
-    info = collect_txn_info(paths, scn_lo, scn_hi)
-    commit = dict(
-        zip(info.commit_tx.to_pylist(), info.commit_scn.to_pylist())
-    )
-    return commit, set(info.rolled_tx.to_pylist()), info.n_markers
 
 
 class CommitResolver:
     """``map_batches`` callable: stamp commit_scn, keep committed rows
     (``mode='committed'``) or still-open rows (``mode='open'``).
 
-    Instantiated per worker (actor-pool style): the broadcast TxnInfo
-    is fetched from the object store once in ``__init__``; per batch
-    everything is Arrow hash-kernel lookups (index_in / is_in).
-    """
+    Per batch everything is FNV hashing + ``np.searchsorted`` binary
+    probes against the broadcast sorted marker hashes -- no per-worker
+    hash-table build (which would be duplicated per worker and cap
+    scaling)."""
 
     def __init__(self, txn_ref, mode: str = "committed"):
         if isinstance(txn_ref, TxnInfo):
@@ -142,32 +219,37 @@ class CommitResolver:
             info = ray.get(txn_ref)
         self.info = info
         self.mode = mode
-        # pandas Index = a hash table built ONCE per actor/worker and
-        # probed per batch (pc.index_in would rebuild the value_set
-        # hash on every call)
-        import pandas as pd
-
-        commit_s = pd.Series(
-            info.commit_scn.to_numpy(zero_copy_only=False),
-            index=info.commit_tx.to_pandas(),
-        )
-        if not commit_s.index.is_unique:  # duplicate COMMIT markers: last wins
-            commit_s = commit_s.groupby(level=0).max()
-        self._commit_idx = commit_s.index
-        self._commit_scn = commit_s.to_numpy()
-        self._rolled_idx = pd.Index(info.rolled_tx.to_pandas()).unique()
 
     def _lookup_commit(self, tx: pa.ChunkedArray):
-        tx_pd = tx.to_pandas()
-        pos = self._commit_idx.get_indexer(tx_pd) if len(self._commit_idx) else np.full(len(tx_pd), -1)
-        hit = pos >= 0
-        scn = np.where(hit, self._commit_scn[np.where(hit, pos, 0)], 0)
-        commit = pa.array(scn.astype(np.int64), mask=~hit)
-        if len(self._rolled_idx):
-            rolled = pa.array(self._rolled_idx.get_indexer(tx_pd) >= 0)
+        info = self.info
+        h = fnv1a_u64(tx.cast(pa.string()))
+        m = len(info.commit_hash)
+        if m:
+            pos = np.minimum(np.searchsorted(info.commit_hash, h), m - 1)
+            hit = info.commit_hash[pos] == h
+            commit = pa.array(
+                info.commit_scn_sorted[pos].astype(np.int64), mask=~hit
+            )
         else:
-            rolled = pa.array(np.zeros(len(tx_pd), bool))
+            commit = pa.nulls(len(h), pa.int64())
+        if len(info.rolled_hash):
+            rp = np.minimum(
+                np.searchsorted(info.rolled_hash, h), len(info.rolled_hash) - 1
+            )
+            rolled = pa.array(info.rolled_hash[rp] == h)
+        else:
+            rolled = pa.array(np.zeros(len(h), bool))
         return commit, rolled
+
+    def open_tx_mask(self, tx: pa.ChunkedArray) -> pa.Array:
+        """True where the row's txn is still open (for the spill path's
+        cheap raw-column pre-filter)."""
+        info = self.info
+        if not len(info.open_hash):
+            return pa.array(np.zeros(len(tx), bool))
+        h = fnv1a_u64(tx.cast(pa.string()))
+        pos = np.minimum(np.searchsorted(info.open_hash, h), len(info.open_hash) - 1)
+        return pa.array(info.open_hash[pos] == h)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows

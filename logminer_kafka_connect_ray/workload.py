@@ -61,14 +61,24 @@ PAGES_SCHEMA_NAIVE = pa.schema(
 _EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
 
 
+def _const(s: str, n: int) -> pa.Array:
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, np.int32)), pa.array([s])
+    ).cast(pa.string())
+
+
+def _concat(*parts) -> pa.Array:
+    n = next(len(p) for p in parts if not isinstance(p, str))
+    arrays = [
+        _const(p, n) if isinstance(p, str) else pc.cast(pa.array(p) if isinstance(p, np.ndarray) else p, pa.string())
+        for p in parts
+    ]
+    out = pc.binary_join_element_wise(*arrays, "")
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
 def _urls(doc_ids: np.ndarray) -> pa.Array:
-    host = (doc_ids % N_HOSTS).astype(str)
-    return pa.array(
-        np.char.add(
-            np.char.add(np.char.add("https://site", host), ".example/d/"),
-            doc_ids.astype(str),
-        )
-    )
+    return _concat("https://site", doc_ids % N_HOSTS, ".example/d/", doc_ids)
 
 
 def derive_pages(sf_dir: str) -> pa.Table:
@@ -127,33 +137,32 @@ def derive_changelog(
     url = _urls(doc)
     scn = SCN0 + eid * 2
     tx = eid // TXN_SIZE
-    op = np.where(
+    op_np = np.where(
         etype == "error", "d", np.where(etype == "signup", "i", "u")
     )
-    eid_s = eid.astype(str)
+    op = op_np
 
-    # after-image fields
-    is_i = op == "i"
+    # after-image fields (all Arrow string kernels: C-speed concat)
+    is_i = op_np == "i"
     is_text_u = (etype == "click") | (etype == "view")
     is_lang_u = etype == "purchase"
-    text_val = np.where(is_i, np.char.add("signup:", eid_s), np.char.add("u:", eid_s))
+    i_arr = pa.array(is_i)
+    text_val = pc.if_else(
+        i_arr, _concat("signup:", eid), _concat("u:", eid)
+    )
     text_valid = is_i | is_text_u
-    lang_val = np.where(
-        is_i,
-        np.char.add("xx", (eid % 5).astype(str)),
-        np.char.add("p", (eid % 5).astype(str)),
+    lang_val = pc.if_else(
+        i_arr, _concat("xx", eid % 5), _concat("p", eid % 5)
     )
     lang_valid = is_i | is_lang_u
-    html_val = np.char.add(
-        np.char.add("<html><body>signup:", eid_s), "</body></html>"
-    )
+    html_val = _concat("<html><body>signup:", eid, "</body></html>")
 
     def _one(a):
         return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
     # vectorized masked build: set invalid entries to null
     def arr_masked(values, valid, typ):
-        a = pa.array(values)
+        a = values if isinstance(values, (pa.Array, pa.ChunkedArray)) else pa.array(values)
         return _one(pc.if_else(pa.array(valid), a.cast(typ), pa.nulls(len(valid), typ)))
 
     after = pa.StructArray.from_arrays(
@@ -187,9 +196,9 @@ def derive_changelog(
     changes = pa.table(
         {
             "scn": pa.array(scn, pa.int64()),
-            "row_id": pa.array(np.char.add("R", scn.astype(str))),
+            "row_id": _concat("R", scn),
             "commit_scn": pa.nulls(n, pa.int64()),
-            "tx_id": pa.array(np.char.add("tx", tx.astype(str))),
+            "tx_id": _concat("tx", tx),
             "op": pa.array(op),
             "ts_ms": pa.array(ts_us // 1000, pa.timestamp("ms", tz="UTC")),
             "table": pa.array([TABLE_NAME] * n),
@@ -210,9 +219,9 @@ def derive_changelog(
     markers = pa.table(
         {
             "scn": pa.array(m_scn, pa.int64()),
-            "row_id": pa.array(np.char.add("R", m_scn.astype(str))),
+            "row_id": _concat("R", m_scn),
             "commit_scn": pa.array(m_scn, pa.int64()),
-            "tx_id": pa.array(np.char.add("tx", txs.astype(str))),
+            "tx_id": _concat("tx", txs),
             "op": pa.array(m_op),
             "ts_ms": pa.nulls(nm, pa.timestamp("ms", tz="UTC")),
             "table": pa.array([TABLE_NAME] * nm),
