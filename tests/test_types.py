@@ -62,9 +62,12 @@ def test_unqualified_number_is_wide_decimal():
         UNQUALIFIED_NUMBER_PRECISION, UNQUALIFIED_NUMBER_SCALE
     )
     v = t.convert("123.5")
-    assert v == decimal.Decimal("123.5").quantize(
-        decimal.Decimal(1).scaleb(-UNQUALIFIED_NUMBER_SCALE)
-    )
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        assert v == decimal.Decimal("123.5").quantize(
+            decimal.Decimal(1).scaleb(-UNQUALIFIED_NUMBER_SCALE)
+        )
+    assert -v.as_tuple().exponent == UNQUALIFIED_NUMBER_SCALE
 
 
 def test_unsupported_type_raises():
