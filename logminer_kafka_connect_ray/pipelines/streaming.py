@@ -1,0 +1,376 @@
+"""Streaming mode: long-lived transaction-consolidation actors.
+
+The batch-replay path (``pipelines/engine.py``) resolves transactions
+with a per-micro-batch metadata scan + broadcast join.  Stream-shaped
+ingest -- events trickling in file by file, transactions staying open
+across polls -- needs *persistent* consolidation state instead.  This
+module is the direct actor re-expression of the reference's stateful
+core:
+
+* ``TxnShard`` (a Ray actor) == ``TransactionConsolidator`` +
+  ``Transaction`` (``logminer/TransactionConsolidator.kt:19-116``,
+  ``logminer/Transaction.kt:17-145``): per-txn buffers keyed by tx_id,
+  commit releases a txn's rows stamped with the commit SCN, rollback
+  discards them, big buffers spill to disk (reference Chronicle-Queue
+  spill past ``maxRecordsInMemory``, ``Transaction.kt:59-71``), and the
+  shard tracks ``min`` SCN over its open txns -- the safe offset lower
+  bound (``TransactionConsolidator.kt:56-64``).
+
+* ``StreamingConsolidator`` shards that state ``hash(tx_id) % K`` so a
+  txn's rows always meet in one actor (the partitioning assumption the
+  reference gets for free from its single-threaded task; here it is
+  explicit and documented).
+
+* ``StreamingEngine.poll()`` == the reference poll loop
+  (``LogminerSource.kt:76-94``): emit up to ``batch_size`` committed
+  rows in commit order, sleep ``poll_interval`` when idle
+  (``SourceTask.kt:142-146``).
+
+This is the documented "raw actors where the Dataset API can't express
+the semantics" escape hatch: shared mutable per-txn state with
+cross-poll lifetime.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from logminer_kafka_connect_ray import schemas
+from logminer_kafka_connect_ray.functions.hashing import fnv1a_u64
+
+
+class _TxnShardImpl:
+    """One shard of consolidation state (plain class; wrapped
+    ``ray.remote`` at pool construction so importing this module never
+    touches Ray)."""
+
+    def __init__(self, shard_id: int, spill_dir: str, max_rows_in_memory: int = 100_000):
+        self.shard_id = shard_id
+        self.spill_dir = spill_dir
+        self.max_rows_in_memory = max_rows_in_memory
+        #: tx_id -> list[pa.Table] in-memory buffered chunks
+        self.buffers: dict[str, list[pa.Table]] = {}
+        #: tx_id -> spill file path (reference Transaction.kt:59-71)
+        self.spilled: dict[str, str] = {}
+        #: tx_id -> min change scn (watermark input)
+        self.tx_min_scn: dict[str, int] = {}
+        self.rows_in_memory = 0
+
+    # -- ingest -------------------------------------------------------
+    def add_events(self, flat: pa.Table) -> int:
+        """Buffer change rows (flat pipeline form) under their tx_id."""
+        if flat.num_rows == 0:
+            return 0
+        tx_col = flat.column("tx_id")
+        idx = pc.sort_indices(pa.table({"t": tx_col}), sort_keys=[("t", "ascending")])
+        flat = flat.take(idx)
+        tx_sorted = flat.column("tx_id").combine_chunks()
+        n = flat.num_rows
+        neq = pc.not_equal(tx_sorted.slice(1), tx_sorted.slice(0, n - 1))
+        change = pc.fill_null(neq, True).to_numpy(zero_copy_only=False) if n > 1 else np.empty(0, bool)
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1]).astype(np.int64)
+        sizes = np.diff(starts, append=n)
+        for s, sz in zip(starts, sizes):
+            tx = tx_sorted[int(s)].as_py()
+            chunk = flat.slice(int(s), int(sz))
+            self.buffers.setdefault(tx, []).append(chunk)
+            lo = pc.min(chunk.column("scn")).as_py()
+            cur = self.tx_min_scn.get(tx)
+            self.tx_min_scn[tx] = lo if cur is None else min(cur, lo)
+            self.rows_in_memory += chunk.num_rows
+        self._maybe_spill()
+        return flat.num_rows
+
+    def _maybe_spill(self):
+        """Spill the largest open txns to parquet when over budget."""
+        if self.rows_in_memory <= self.max_rows_in_memory:
+            return
+        os.makedirs(self.spill_dir, exist_ok=True)
+        by_size = sorted(
+            self.buffers.items(), key=lambda kv: -sum(t.num_rows for t in kv[1])
+        )
+        for tx, chunks in by_size:
+            if self.rows_in_memory <= self.max_rows_in_memory // 2:
+                break
+            tbl = pa.concat_tables(chunks)
+            path = os.path.join(self.spill_dir, f"s{self.shard_id}-{tx}.parquet")
+            if tx in self.spilled:  # append to existing spill
+                tbl = pa.concat_tables([pq.read_table(self.spilled[tx]), tbl])
+            pq.write_table(tbl, path)
+            self.spilled[tx] = path
+            self.rows_in_memory -= sum(t.num_rows for t in chunks)
+            self.buffers[tx] = []
+
+    # -- terminate ----------------------------------------------------
+    def terminate(self, commit_tx: list[str], commit_scn: list[int], rolled_tx: list[str]) -> pa.Table | None:
+        """Release committed txns (stamped with commit scn), discard
+        rolled-back ones.  Returns the released rows (or None)."""
+        out = []
+        for tx, cscn in zip(commit_tx, commit_scn):
+            chunks = self.buffers.pop(tx, [])
+            if tx in self.spilled:
+                chunks = [pq.read_table(self.spilled.pop(tx))] + chunks
+            self.tx_min_scn.pop(tx, None)
+            if not chunks:
+                continue
+            tbl = pa.concat_tables(chunks)
+            self.rows_in_memory -= sum(t.num_rows for t in chunks if t)
+            i = tbl.column_names.index("commit_scn")
+            tbl = tbl.set_column(
+                i, "commit_scn", pa.array([cscn] * tbl.num_rows, pa.int64())
+            )
+            out.append(tbl)
+        for tx in rolled_tx:  # TransactionConsolidator.kt:42-45
+            chunks = self.buffers.pop(tx, None)
+            if chunks:
+                self.rows_in_memory -= sum(t.num_rows for t in chunks)
+            sp = self.spilled.pop(tx, None)
+            if sp and os.path.exists(sp):
+                os.remove(sp)
+            self.tx_min_scn.pop(tx, None)
+        if not out:
+            return None
+        return pa.concat_tables(out)
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "open_txns": len(self.tx_min_scn),
+            "rows_in_memory": self.rows_in_memory,
+            "spilled_txns": len(self.spilled),
+            "min_open_scn": min(self.tx_min_scn.values()) if self.tx_min_scn else None,
+        }
+
+
+class StreamingConsolidator:
+    """K ``TxnShard`` actors; rows routed by ``fnv(tx_id) % K`` so each
+    transaction's rows meet in exactly one actor."""
+
+    def __init__(self, num_shards: int, spill_dir: str, max_rows_in_memory: int = 100_000):
+        import ray
+
+        self.num_shards = num_shards
+        shard_cls = ray.remote(_TxnShardImpl)
+        self.shards = [
+            shard_cls.options(num_cpus=0.5).remote(
+                i, os.path.join(spill_dir, f"shard-{i}"), max_rows_in_memory
+            )
+            for i in range(num_shards)
+        ]
+
+    def _shard_of(self, tx_hashes: np.ndarray) -> np.ndarray:
+        return (tx_hashes % np.uint64(self.num_shards)).astype(np.int64)
+
+    def feed(self, flat: pa.Table):
+        """Route change rows to their txn's shard (async)."""
+        import ray
+
+        if flat.num_rows == 0:
+            return []
+        h = fnv1a_u64(flat.column("tx_id").cast(pa.string()))
+        shard = self._shard_of(h)
+        refs = []
+        for s in np.unique(shard):
+            piece = flat.filter(pa.array(shard == s))
+            refs.append(self.shards[int(s)].add_events.remote(piece))
+        return refs
+
+    def terminate(self, commit_tx: list[str], commit_scn: list[int], rolled_tx: list[str]):
+        """Broadcast txn terminators; returns refs of released tables."""
+        if not (commit_tx or rolled_tx):
+            return []
+        ch = self._shard_of(fnv1a_u64(list(commit_tx))) if commit_tx else np.empty(0, np.int64)
+        rh = self._shard_of(fnv1a_u64(list(rolled_tx))) if rolled_tx else np.empty(0, np.int64)
+        refs = []
+        for s in range(self.num_shards):
+            cts = [t for t, sh in zip(commit_tx, ch) if sh == s]
+            css = [c for c, sh in zip(commit_scn, ch) if sh == s]
+            rts = [t for t, sh in zip(rolled_tx, rh) if sh == s]
+            if cts or rts:
+                refs.append(self.shards[s].terminate.remote(cts, css, rts))
+        return refs
+
+    def stats(self) -> list[dict]:
+        import ray
+
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def min_open_scn(self) -> int | None:
+        """Global safe-offset lower bound = min over shard watermarks
+        (reference minOpenTransaction, TransactionConsolidator.kt:56-64)."""
+        vals = [s["min_open_scn"] for s in self.stats() if s["min_open_scn"] is not None]
+        return min(vals) if vals else None
+
+    def shutdown(self):
+        import ray
+
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
+class StreamingEngine:
+    """Poll-loop streaming ingest over a growing changelog directory.
+
+    Mirrors the reference task lifecycle (``SourceTask.kt:113-150``):
+    each ``poll()`` ingests newly-appeared event files, feeds change
+    rows to the consolidator shards, applies any COMMIT/ROLLBACK
+    markers, and returns up to ``batch_size`` released rows in commit
+    order (``LogminerSource.kt:76-94`` drains one committed txn batch
+    at a time).  ``run()`` loops with ``poll_interval`` pacing and
+    applies released rows to the lake through the standard merge path.
+    """
+
+    def __init__(
+        self,
+        engine,
+        changelog_dir: str,
+        num_shards: int = 4,
+        batch_size: int = 100_000,
+        poll_interval: float = 0.2,
+        max_rows_in_memory: int = 100_000,
+    ):
+        self.engine = engine
+        self.changelog_dir = changelog_dir
+        self.batch_size = batch_size
+        self.poll_interval = poll_interval
+        self.consolidator = StreamingConsolidator(
+            num_shards,
+            os.path.join(engine.config.lake_dir, "state", "stream-spill"),
+            max_rows_in_memory,
+        )
+        self.seen_files: set[str] = set()
+        self._pending: list[pa.Table] = []  # released, not yet returned
+        m = engine.store.load()
+        self.watermark = m.watermark_scn if m else 0
+        schema = (
+            schemas.schema_from_json(m.schema)
+            if m
+            else None
+        )
+        self._schema = schema
+
+    def _decode_file(self, path: str) -> tuple[pa.Table, pa.Table]:
+        """Raw event file -> (flat change rows, marker rows)."""
+        from logminer_kafka_connect_ray.stages.decode import ChangeDecoder
+
+        raw = pq.read_table(path)
+        markers = raw.filter(
+            pc.is_in(raw.column("op"), value_set=pa.array(schemas.MARKER_OPS))
+        ).select(["scn", "tx_id", "op"])
+        if self._schema is None:
+            raise RuntimeError("streaming needs a snapshotted lake (schema source)")
+        dec = ChangeDecoder(self._schema, self.engine.config.key_column)
+        flat = dec(raw)
+        flat = flat.filter(pc.greater(flat.column("scn"), self.watermark))
+        return flat, markers
+
+    def poll(self) -> pa.Table | None:
+        """One reference-style poll: ingest new files, release committed
+        rows, return <= batch_size rows in (commit_scn, scn) order."""
+        import ray
+
+        new = [
+            f
+            for f in sorted(os.listdir(self.changelog_dir))
+            if f.endswith(".parquet") and f not in self.seen_files
+        ]
+        all_markers = []
+        feed_refs = []
+        for name in new:
+            self.seen_files.add(name)
+            flat, markers = self._decode_file(os.path.join(self.changelog_dir, name))
+            # auto-commit rows (snapshot READs / no-txn) bypass buffering
+            auto = pc.or_(
+                pc.equal(flat.column("op"), schemas.OP_READ),
+                pc.fill_null(pc.equal(flat.column("tx_id"), schemas.NO_TXN), False),
+            )
+            auto_rows = flat.filter(auto)
+            if auto_rows.num_rows:
+                i = auto_rows.column_names.index("commit_scn")
+                auto_rows = auto_rows.set_column(
+                    i, "commit_scn", auto_rows.column("scn").cast(pa.int64())
+                )
+                self._pending.append(auto_rows)
+            feed_refs += self.consolidator.feed(flat.filter(pc.invert(auto)))
+            if markers.num_rows:
+                all_markers.append(markers)
+        if feed_refs:
+            ray.get(feed_refs)  # buffers settled before terminators apply
+        if all_markers:
+            m = pa.concat_tables(all_markers)
+            commits = m.filter(pc.equal(m.column("op"), schemas.OP_COMMIT))
+            rolls = m.filter(pc.equal(m.column("op"), schemas.OP_ROLLBACK))
+            refs = self.consolidator.terminate(
+                commits.column("tx_id").to_pylist(),
+                commits.column("scn").to_pylist(),
+                rolls.column("tx_id").to_pylist(),
+            )
+            for t in ray.get(refs):
+                if t is not None and t.num_rows:
+                    self._pending.append(t)
+        if not self._pending:
+            return None
+        merged = pa.concat_tables(self._pending, promote_options="default")
+        merged = merged.take(
+            pc.sort_indices(
+                merged,
+                sort_keys=[("commit_scn", "ascending"), ("scn", "ascending"), ("row_id", "ascending")],
+            )
+        )
+        out = merged.slice(0, self.batch_size)
+        rest = merged.slice(self.batch_size)
+        self._pending = [rest] if rest.num_rows else []
+        return out if out.num_rows else None
+
+    def run(self, max_polls: int = 10) -> int:
+        """Poll loop applying released rows to the lake; returns rows
+        applied.  Pacing per reference SourceTask.kt:142-146."""
+        import ray.data as rd
+
+        applied = 0
+        for _ in range(max_polls):
+            batch = self.poll()
+            if batch is None:
+                time.sleep(self.poll_interval)
+                continue
+            applied += batch.num_rows
+            prev = self.engine.store.load()
+            hi = pc.max(batch.column("scn")).as_py()
+            flat = rd.from_arrow(batch)
+            from logminer_kafka_connect_ray.stages.merge import PreaggPartitioner
+
+            data_cols = schemas.data_columns_of(
+                self._schema, self.engine.config.key_column
+            )
+            self.engine._merge_and_publish(
+                flat.map_batches(
+                    PreaggPartitioner(
+                        self.engine.config.key_column,
+                        len(data_cols),
+                        self.engine.config.num_partitions,
+                    ),
+                    batch_format="pyarrow",
+                ),
+                version=prev.version + 1,
+                phase="cdc-stream",
+                table_schema=self._schema,
+                schema_version=prev.schema_version,
+                scn_lo=self.watermark,
+                scn_hi=hi,
+                prev=prev,
+                open_spill=None,
+                markers_stats=(0, 0, 0),
+                pre_partitioned=True,
+            )
+            self.watermark = hi
+        return applied
+
+    def shutdown(self):
+        self.consolidator.shutdown()

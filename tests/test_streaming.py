@@ -1,0 +1,138 @@
+"""Streaming-mode tests: long-lived consolidator actors.
+
+Mirrors OffsetIntegrationTest semantics under a poll loop: buffered
+open txns across polls, commit-order release, rollback discard, the
+min-open-SCN watermark, disk spill of large txns, and end-state
+equality with the dict oracle after the lake merge.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from logminer_kafka_connect_ray import EngineConfig
+from logminer_kafka_connect_ray.pipelines.engine import Engine
+from logminer_kafka_connect_ray.pipelines.streaming import StreamingEngine
+from logminer_kafka_connect_ray.testing.compare import state_diff, table_to_state
+from logminer_kafka_connect_ray.testing.gen import (
+    ChangeGenConfig,
+    gen_changes,
+    gen_pages,
+    write_event_batches,
+)
+from logminer_kafka_connect_ray.testing.oracle import replay_oracle
+
+SNAPSHOT_SCN = 999
+
+
+@pytest.fixture()
+def streamed_setup(ray_session, tmp_path):
+    pages = gen_pages(40)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(
+        pages, ChangeGenConfig(n_events=300, seed=31, max_open_txns=5)
+    )
+    changelog = str(tmp_path / "changelog")
+    eng = Engine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    return eng, pages, events, changelog
+
+
+def test_streaming_matches_oracle(streamed_setup, tmp_path):
+    eng, pages, events, changelog = streamed_setup
+    # files appear incrementally: write first half, poll, write rest
+    half = len(events) // 2
+    write_event_batches(events[:half], changelog, events_per_file=40)
+    stream = StreamingEngine(eng, changelog, num_shards=3, poll_interval=0.01)
+    stream.run(max_polls=3)
+    write_event_batches(events[half:], changelog, events_per_file=40)
+    stream.run(max_polls=5)
+    stream.shutdown()
+
+    base = {r["url"]: {k: v for k, v in r.items() if k != "url"}
+            for r in pages.to_pylist()}
+    want = replay_oracle(base, events)
+    got = table_to_state(eng.to_arrow())
+    assert not state_diff(got, want), state_diff(got, want)
+
+
+def test_open_txns_held_across_polls(streamed_setup, tmp_path):
+    """Polling inside an open txn yields none of its rows
+    (OffsetIntegrationTest.kt:77-90)."""
+    eng, pages, events, changelog = streamed_setup
+    # strip all commit/rollback markers -> everything stays open
+    changes_only = [e for e in events if e["op"] not in ("commit", "rollback")]
+    tx_events = [e for e in changes_only if e["tx_id"] != "NOT AVAILABLE"]
+    write_event_batches(changes_only, changelog, events_per_file=50)
+    stream = StreamingEngine(eng, changelog, num_shards=2, poll_interval=0.01)
+    batch = stream.poll()
+    assert batch is None or batch.num_rows == 0
+    # watermark = min open scn (TransactionConsolidator.kt:56-64)
+    assert stream.consolidator.min_open_scn() == min(e["scn"] for e in tx_events)
+    stats = stream.consolidator.stats()
+    assert sum(s["open_txns"] for s in stats) == len({e["tx_id"] for e in tx_events})
+    stream.shutdown()
+
+
+def test_commit_order_release_and_batch_limit(streamed_setup, tmp_path):
+    """Released rows come in (commit_scn, scn) order and respect
+    batch_size (reference batch.size, SourceConnectorConfig.kt:207-213)."""
+    eng, pages, events, changelog = streamed_setup
+    write_event_batches(events, changelog, events_per_file=1000)
+    stream = StreamingEngine(eng, changelog, num_shards=2,
+                             batch_size=25, poll_interval=0.01)
+    seen = []
+    for _ in range(40):
+        b = stream.poll()
+        if b is None:
+            break
+        assert b.num_rows <= 25
+        seen.append(b)
+    stream.shutdown()
+    allb = pa.concat_tables(seen)
+    keys = list(zip(allb.column("commit_scn").to_pylist(),
+                    allb.column("scn").to_pylist()))
+    assert keys == sorted(keys)
+    # committed change rows only
+    marker = {e["tx_id"] for e in events if e["op"] == "commit"}
+    n_committed = sum(
+        1 for e in events
+        if e["op"] not in ("commit", "rollback")
+        and e.get("status", 0) != 2 and e["tx_id"] in marker
+    )
+    assert allb.num_rows == n_committed
+
+
+def test_spill_and_rollback_cleanup(ray_session, tmp_path):
+    """Big open txns spill to disk (Transaction.kt:59-71) and rollback
+    removes the spill file (Transaction.kt:228-239)."""
+    pages = gen_pages(30)
+    pq.write_table(pages, str(tmp_path / "pages.parquet"))
+    eng = Engine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2))
+    eng.snapshot(str(tmp_path / "pages.parquet"), SNAPSHOT_SCN)
+    events, _, _ = gen_changes(
+        pages, ChangeGenConfig(n_events=200, seed=32, leave_open=2, max_open_txns=3)
+    )
+    changes = [e for e in events if e["op"] not in ("commit", "rollback")]
+    changelog = str(tmp_path / "clog")
+    write_event_batches(changes, changelog, events_per_file=1000)
+    stream = StreamingEngine(
+        eng, changelog, num_shards=1, poll_interval=0.01, max_rows_in_memory=20
+    )
+    stream.poll()
+    stats = stream.consolidator.stats()[0]
+    assert stats["spilled_txns"] >= 1
+    spill_dir = os.path.join(eng.config.lake_dir, "state", "stream-spill", "shard-0")
+    assert os.listdir(spill_dir)
+    # roll back every open txn -> buffers & spills released
+    txs = sorted({e["tx_id"] for e in changes if e["tx_id"] != "NOT AVAILABLE"})
+    import ray
+
+    ray.get(stream.consolidator.terminate([], [], txs))
+    stats = stream.consolidator.stats()[0]
+    assert stats["open_txns"] == 0 and stats["spilled_txns"] == 0
+    assert not os.listdir(spill_dir)
+    stream.shutdown()
