@@ -129,6 +129,41 @@ ORDER BY url
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-ops oracles (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+_DEDUP_EXACT_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+_TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       length(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE
+           / greatest(length(text), 1) AS alpha_ratio,
+       length(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE
+           / greatest(length(text), 1) AS punct_ratio,
+       length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+'))
+           AS bpeish_tokens
+FROM documents ORDER BY doc_id
+"""
+
+_ANN_SQL = """
+SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim_r
+FROM embeddings q, embeddings c
+WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+QUALIFY row_number() OVER (PARTITION BY q.vec_id
+    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+             c.vec_id) <= 10
+ORDER BY query_id, sim_r DESC, vec_id
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full CDC replay."""
     from logminer_kafka_connect_ray.pipelines import queries as q
@@ -137,15 +172,28 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from logminer_kafka_connect_ray.pipelines import dataops as d
     from logminer_kafka_connect_ray.pipelines import queries as q
 
     return {
+        # CDC engine (SURVEY.md section 2: S1-S5, M1-M9, T1-T3, J3,
+        # A1-A4, O1-O4, D1-D3)
         "cdc_final_state": q.cdc_final_state,
         "cdc_snapshot_state": q.cdc_snapshot_state,
         "cdc_committed_events": q.cdc_committed_events,
         "cdc_rolled_back_events": q.cdc_open_or_rolled_events,
         "cdc_scn_range_stats": q.cdc_scn_range_stats,
         "cdc_lww_latest": q.cdc_lww_latest,
+        # training-data ops (dedup / similarity / text analysis)
+        "dedup_exact": d.dedup_exact,
+        "dedup_minhash_lsh": d.dedup_minhash_lsh,     # rows-only (LSH)
+        "dedup_simhash": d.dedup_simhash,             # rows-only (LSH)
+        "embedding_near_dup": d.embedding_near_dup,   # rows-only (LSH)
+        "ann_cosine_topk": d.ann_cosine_topk,
+        "ann_cosine_topk_lsh": d.ann_cosine_topk_lsh,  # rows-only (approx)
+        "text_quality": d.text_quality,
+        "lang_id": d.lang_id,                          # rows-only (heuristic)
+        "doc_fingerprints": d.doc_fingerprints,        # rows-only (custom hash)
     }
 
 
@@ -157,4 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rolled_back_events": _DISCARDED_SQL,
         "cdc_scn_range_stats": _SCN_RANGE_SQL,
         "cdc_lww_latest": _LWW_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "text_quality": _TEXT_QUALITY_SQL,
+        "ann_cosine_topk": _ANN_SQL,
     }

@@ -1,0 +1,148 @@
+"""Training-data ops tests with planted fixtures.
+
+Each test builds a tiny documents/embeddings dir with known
+duplicates / near-duplicates / languages and asserts the pipeline
+finds exactly them.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from logminer_kafka_connect_ray.pipelines import dataops as d
+
+BASE_TEXTS = [
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "a completely different document about ray data pipelines and arrow tables",
+    "numbers 123 and symbols !? punctuation, plus words for counting tokens",
+    "der hund und die katze sind nicht mit dem vogel auf der wiese gewesen",
+    "le chat et le chien sont dans le jardin pour une promenade avec vous",
+]
+
+
+def make_docs(tmp_path, texts):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["xx"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def make_embeddings(tmp_path, mat):
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * len(mat), pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_dedup_exact_keeps_min_id(ray_session, tmp_path):
+    texts = BASE_TEXTS + [BASE_TEXTS[0], BASE_TEXTS[2], BASE_TEXTS[0]]
+    sf = make_docs(tmp_path, texts)
+    out = d.dedup_exact(sf)
+    # duplicates of docs 0 (ids 5,7) and 2 (id 6) dropped
+    assert out.column("doc_id").to_pylist() == [0, 1, 2, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dups(ray_session, tmp_path):
+    near = BASE_TEXTS[0].replace("today", "tomorrow")
+    texts = BASE_TEXTS + [near, BASE_TEXTS[0]]
+    sf = make_docs(tmp_path, texts)
+    out = d.dedup_minhash_lsh(sf, threshold=0.5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.to_pylist()}
+    assert (0, 6) in pairs          # exact dup
+    assert (0, 5) in pairs          # near dup (one word changed)
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.to_pylist()}
+    assert jac[(0, 6)] == 1.0
+    assert 0.5 <= jac[(0, 5)] < 1.0
+    # unrelated docs not paired
+    assert not any(a == 1 or b == 1 for a, b in pairs)
+
+
+def test_ngram_jaccard_kernel():
+    assert d.ngram_jaccard("a b c d e f", "a b c d e f") == 1.0
+    assert d.ngram_jaccard("a b c d e f", "x y z w v u") == 0.0
+
+
+def test_simhash_near_dups(ray_session, tmp_path):
+    texts = BASE_TEXTS + [BASE_TEXTS[0]]
+    sf = make_docs(tmp_path, texts)
+    out = d.dedup_simhash(sf, max_hamming=3)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.to_pylist()}
+    assert pairs.get((0, 5)) == 0   # identical text -> hamming 0
+
+
+def test_simhash_deterministic():
+    h1 = d.simhash64(BASE_TEXTS[0])
+    h2 = d.simhash64(BASE_TEXTS[0])
+    assert h1 == h2 and h1 != d.simhash64(BASE_TEXTS[1])
+
+
+def test_ann_matches_bruteforce(ray_session, tmp_path):
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((60, 16)).astype(np.float32)
+    sf = make_embeddings(tmp_path, mat)
+    out = d.ann_cosine_topk(sf, n_queries=3, k=5)
+    # independent numpy reference
+    m = mat.astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn[:3] @ mn.T
+    got = {}
+    for r in out.to_pylist():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["sim_r"]))
+    for qi in range(3):
+        s = sims[qi].copy()
+        order = sorted(
+            (i for i in range(60) if i != qi),
+            key=lambda i: (-round(s[i], 6), i),
+        )[:5]
+        want = [(i, round(s[i], 6)) for i in order]
+        assert got[qi] == want
+
+
+def test_embedding_near_dup_planted(ray_session, tmp_path):
+    rng = np.random.default_rng(4)
+    mat = rng.standard_normal((30, 8)).astype(np.float32)
+    mat[17] = mat[3] * 2.0          # same direction -> cosine 1.0
+    mat[25] = mat[9] + 0.01 * rng.standard_normal(8).astype(np.float32)
+    sf = make_embeddings(tmp_path, mat)
+    out = d.embedding_near_dup(sf, tau=0.98)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out.to_pylist()}
+    assert (3, 17) in pairs and (9, 25) in pairs
+
+
+def test_text_quality_values(ray_session, tmp_path):
+    sf = make_docs(tmp_path, ["ab cd!", ""])
+    out = {r["doc_id"]: r for r in d.text_quality(sf).to_pylist()}
+    assert out[0]["n_chars"] == 6
+    assert out[0]["n_tokens"] == 2
+    assert out[0]["alpha_ratio"] == 4 / 6
+    assert out[0]["punct_ratio"] == 1 / 6
+    assert out[0]["bpeish_tokens"] == 3   # 'ab', 'cd', '!'
+    assert out[1]["n_chars"] == 0 and out[1]["n_tokens"] == 0
+
+
+def test_lang_id_heuristic(ray_session, tmp_path):
+    sf = make_docs(tmp_path, BASE_TEXTS)
+    out = {r["doc_id"]: r["lang_pred"] for r in d.lang_id(sf).to_pylist()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[4] == "fr"
+
+
+def test_fingerprints_stable(ray_session, tmp_path):
+    sf = make_docs(tmp_path, [BASE_TEXTS[0], BASE_TEXTS[0], BASE_TEXTS[1]])
+    fps = [r["fingerprint"] for r in d.doc_fingerprints(sf).to_pylist()]
+    assert fps[0] == fps[1] != fps[2]
