@@ -1,0 +1,106 @@
+"""CLI entry point -- the ``ray job submit`` surface.
+
+North-rule requirement: "run via ray job submit on a fixed-size
+multi-node Ray cluster".  Usage:
+
+    ray job submit -- python -m logminer_kafka_connect_ray.cli \\
+        snapshot --lake /data/lake --base /data/pages --scn 999
+    ray job submit -- python -m logminer_kafka_connect_ray.cli \\
+        replay --lake /data/lake --changelog /data/changelog
+    python -m logminer_kafka_connect_ray.cli stream --lake ... \\
+        --changelog ... --polls 10
+
+This module (not the library) owns the Ray session: inside ``ray job
+submit`` the cluster is already initialised and ``ray.init()`` attaches;
+standalone it starts local mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="logminer-kafka-connect-ray")
+    p.add_argument("command", choices=["snapshot", "replay", "stream", "show"])
+    p.add_argument("--lake", required=True)
+    p.add_argument("--base", help="base table parquet (snapshot)")
+    p.add_argument("--scn", type=int, default=0, help="snapshot SCN")
+    p.add_argument("--changelog", help="change-event parquet dir")
+    p.add_argument("--partitions", type=int, default=64)
+    p.add_argument("--max-events-per-checkpoint", type=int, default=50_000_000)
+    p.add_argument("--table-whitelist", default="", help="comma-separated")
+    p.add_argument("--polls", type=int, default=10, help="stream poll count")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if args.num_cpus:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+
+    from logminer_kafka_connect_ray.config import EngineConfig
+    from logminer_kafka_connect_ray.pipelines.engine import Engine
+
+    cfg = EngineConfig(
+        lake_dir=args.lake,
+        num_partitions=args.partitions,
+        max_events_per_checkpoint=args.max_events_per_checkpoint,
+        table_whitelist=tuple(
+            x for x in args.table_whitelist.split(",") if x.strip()
+        ),
+    )
+    eng = Engine(cfg)
+
+    if args.command == "snapshot":
+        if not args.base:
+            p.error("snapshot requires --base")
+        m = eng.snapshot(args.base, args.scn)
+    elif args.command == "replay":
+        if not args.changelog:
+            p.error("replay requires --changelog")
+        m = eng.replay(args.changelog)
+    elif args.command == "stream":
+        if not args.changelog:
+            p.error("stream requires --changelog")
+        from logminer_kafka_connect_ray.pipelines.streaming import StreamingEngine
+
+        stream = StreamingEngine(eng, args.changelog)
+        applied = stream.run(max_polls=args.polls)
+        stream.shutdown()
+        m = eng.store.load()
+        print(json.dumps({"applied_rows": applied, "version": m.version if m else None}))
+        ray.shutdown()
+        return 0
+    else:  # show
+        m = eng.store.load()
+        if m is None:
+            print(json.dumps({"error": "no manifest"}))
+            ray.shutdown()
+            return 1
+
+    print(
+        json.dumps(
+            {
+                "version": m.version,
+                "phase": m.phase,
+                "watermark_scn": m.watermark_scn,
+                "schema_version": m.schema_version,
+                "rows": sum(x.rows for x in m.partitions),
+                "partitions": len([x for x in m.partitions if x.file]),
+                "metrics": m.metrics,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
