@@ -257,6 +257,7 @@ class Engine:
 
         committed = source("committed")
         self._t_meta = time.monotonic() - t_meta0
+        self._n_unreadable = info.n_unreadable
         manifest = self._merge_and_publish(
             committed,
             version=version,
@@ -400,6 +401,7 @@ class Engine:
                 "duration_s": round(time.monotonic() - t0, 3),
                 "t_plan_s": round(getattr(self, "_t_meta", 0.0), 3),
                 "t_merge_s": round(t_merge, 3),
+                "skipped_unreadable": int(getattr(self, "_n_unreadable", 0)),
             },
         )
         if not self.store.publish(m):

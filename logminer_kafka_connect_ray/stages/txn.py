@@ -58,6 +58,7 @@ class TxnInfo:
     n_commit: int
     n_rolled: int
     n_open_rows: int
+    n_unreadable: int = 0
 
 
 def _empty_info() -> TxnInfo:
@@ -69,7 +70,9 @@ def _empty_info() -> TxnInfo:
 
 def _scan_one(path: str, scn_lo: int | None, scn_hi: int | None) -> dict:
     """Partial txn metadata for one event file (column-pruned read)."""
-    t = pq.read_table(path, columns=["scn", "tx_id", "op"])
+    cols = ["scn", "tx_id", "op"]
+    have_status = "status" in pq.ParquetFile(path).schema_arrow.names
+    t = pq.read_table(path, columns=cols + (["status"] if have_status else []))
     flt = None
     if scn_lo is not None:
         flt = pc.greater(t.column("scn"), scn_lo)
@@ -91,6 +94,13 @@ def _scan_one(path: str, scn_lo: int | None, scn_hi: int | None) -> dict:
     )
 
     changes = t.filter(pc.invert(is_marker))
+    if have_status:  # unreadable rows never buffer (skip path)
+        changes = changes.filter(
+            pc.fill_null(
+                pc.not_equal(changes.column("status"), schemas.STATUS_UNREADABLE),
+                True,
+            )
+        )
     ch_tx = changes.column("tx_id")
     real = changes.filter(
         pc.and_(
@@ -113,10 +123,26 @@ def _scan_one(path: str, scn_lo: int | None, scn_hi: int | None) -> dict:
         tx_hash = np.empty(0, np.uint64)
         tx_min_scn = np.empty(0, np.int64)
         tx_rows = np.empty(0, np.int64)
+    # dead-letter accounting: unreadable rows are skipped with a count,
+    # never crash the stream (LogminerSource.kt:96-115)
+    n_unreadable = 0
+    if have_status:
+        n_unreadable = int(
+            pc.sum(
+                pc.cast(
+                    pc.fill_null(
+                        pc.equal(t.column("status"), schemas.STATUS_UNREADABLE), False
+                    ),
+                    pa.int64(),
+                )
+            ).as_py()
+            or 0
+        )
     return {
         "commit_hash": c_hash, "commit_scn": c_scn, "rolled_hash": r_hash,
         "change_tx_hash": tx_hash, "change_tx_min_scn": tx_min_scn,
         "change_tx_rows": tx_rows, "n_markers": int(len(c_hash) + len(r_hash)),
+        "n_unreadable": n_unreadable,
     }
 
 
@@ -151,6 +177,7 @@ def collect_txn_info(
     commit_scn = np.concatenate([p["commit_scn"] for p in partials])
     rolled_hash = np.unique(np.concatenate([p["rolled_hash"] for p in partials]))
     n_markers = int(sum(p["n_markers"] for p in partials))
+    n_unreadable = int(sum(p.get("n_unreadable", 0) for p in partials))
 
     # dedupe commits (keep max commit scn per tx hash)
     order = np.lexsort((commit_scn, commit_hash))
@@ -198,6 +225,7 @@ def collect_txn_info(
         n_commit=int(len(ch)),
         n_rolled=int(len(rolled_hash)),
         n_open_rows=n_open_rows,
+        n_unreadable=n_unreadable,
     )
 
 

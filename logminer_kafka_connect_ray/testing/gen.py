@@ -104,6 +104,9 @@ class ChangeGenConfig:
     #: leave this many txns open (uncommitted) at end-of-log
     leave_open: int = 0
     table: str = "WEB.PAGES"
+    #: txn-id prefix; Oracle XIDs are database-global, so fixtures
+    #: combining multiple generated logs must use distinct prefixes
+    tx_prefix: str = "tx"
     n_hosts: int = 20
 
 
@@ -172,7 +175,7 @@ def gen_changes(pages: pa.Table, cfg: ChangeGenConfig):
             txn = open_txns[int(rng.integers(0, len(open_txns)))]
         else:
             txn_seq += 1
-            txn = _Txn(tx_id=f"tx{txn_seq:06d}", start_scn=scn)
+            txn = _Txn(tx_id=f"{cfg.tx_prefix}{txn_seq:06d}", start_scn=scn)
             open_txns.append(txn)
 
         use_evolved = cfg.evolution_at_scn is not None and scn >= cfg.evolution_at_scn
