@@ -96,11 +96,15 @@ def run_bench() -> dict:
     timings["replay_runs"] = [round(x, 3) for x in replay_times]
 
     # secondary pipelines (not part of the headline value)
+    from logminer_kafka_connect_ray.pipelines import dataops as dops
     from logminer_kafka_connect_ray.pipelines import queries as q
 
     for name, fn in [
         ("cdc_lww_latest", q.cdc_lww_latest),
         ("cdc_committed_events", q.cdc_committed_events),
+        ("dedup_exact", dops.dedup_exact),
+        ("ann_cosine_topk", dops.ann_cosine_topk),
+        ("text_quality", dops.text_quality),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -249,10 +249,15 @@ def derive_changelog(
     return paths
 
 
+#: bump when the derivation semantics change -- invalidates any cached
+#: /tmp workload from an older build
+WORKLOAD_VERSION = 2
+
+
 def workload_dirs(sf_dir: str, root: str = "/tmp/lkc_workload") -> dict[str, str]:
     """Deterministic scratch layout per sf_dir."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    base = os.path.join(root, tag)
+    base = os.path.join(root, f"{tag}-v{WORKLOAD_VERSION}")
     return {
         "root": base,
         "pages": os.path.join(base, "pages.parquet"),
