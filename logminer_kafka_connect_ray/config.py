@@ -30,6 +30,13 @@ class EngineConfig:
     #: SCN to start from when there is no checkpoint (reference
     #: `start.scn`, SourceConnectorConfig.kt:122-139).  0 = snapshot first.
     start_scn: int = 0
+    #: changelog input shape: 'struct' (before/after image structs) or
+    #: 'redo_sql' (raw statement text + CSF flags, the reference's
+    #: v$logmnr_contents shape parsed by functions/redo_sql.py).
+    changelog_format: str = "struct"
+    #: timezone unzoned redo literals are interpreted in (reference
+    #: `db.timezone`, ColumnSchemaBuilder.kt:159-181).
+    db_timezone: str = "UTC"
 
     # Replay loop -----------------------------------------------------
     #: max change events per micro-batch checkpoint (reference

@@ -235,6 +235,8 @@ class Engine:
                     markers_ref, schema_json, cfg.key_column,
                     cfg.table_whitelist, scn_lo, scn_hi,
                     cfg.num_partitions, mode,
+                    changelog_format=cfg.changelog_format,
+                    db_timezone=cfg.db_timezone,
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,

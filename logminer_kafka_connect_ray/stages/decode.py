@@ -169,3 +169,128 @@ class ChangeDecoder:
             cols[f"a_{c}"] = a_cols[c]
             cols[f"b_{c}"] = b_cols[c]
         return pa.table(cols, schema=self.out_schema)
+
+
+class RedoSqlDecoder:
+    """Decode a raw redo-SQL changelog: rows carry the statement TEXT
+    (``sql_redo``) instead of before/after structs -- the reference's
+    actual input shape (``v$logmnr_contents``).
+
+    Pipeline per batch: CSF fragment reassembly
+    (``LogminerFetcher.kt:144-153``) -> per-row statement parse
+    (``functions/redo_sql.py``; row-oriented by nature, exactly like
+    the reference's parse loop -- the ONLY row-wise stage in the
+    engine) -> flat pipeline form with M7 enrichment.  Unparseable
+    statements and unknown columns are dropped with accounting
+    (``TransactionConsolidator.kt:66-70``, ``SourceTask.kt:133-141``);
+    the count rides in every output batch's metadata would be opaque,
+    so it is exposed via ``self.dead_letters`` (per worker) and a
+    ``_dead`` marker column is NOT added to keep the flat schema
+    identical to ``ChangeDecoder``'s.
+    """
+
+    def __init__(
+        self,
+        table_schema: pa.Schema,
+        key_column: str = "url",
+        whitelist: tuple[str, ...] = (),
+        db_timezone: str = "UTC",
+    ):
+        from logminer_kafka_connect_ray.types import column_type_for_arrow
+
+        self.table_schema = table_schema
+        self.key_column = key_column
+        self.whitelist = tuple(whitelist)
+        self.data_cols = schemas.data_columns_of(table_schema, key_column)
+        self.full_mask = (1 << len(self.data_cols)) - 1
+        self.out_schema = schemas.flat_change_schema(key_column, table_schema)
+        self.column_types = {
+            f.name: column_type_for_arrow(f.type, db_timezone) for f in table_schema
+        }
+        self.dead_letters = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from logminer_kafka_connect_ray.functions.redo_sql import (
+            RedoSqlParseError,
+            UnknownColumnError,
+            parse_redo,
+            reassemble_csf,
+        )
+
+        t = reassemble_csf(batch)
+        keep = pc.is_in(t.column("op"), value_set=pa.array(schemas.CHANGE_OPS))
+        if "status" in t.column_names:
+            ok = pc.fill_null(
+                pc.not_equal(t.column("status"), schemas.STATUS_UNREADABLE), True
+            )
+            keep = pc.and_(keep, ok)
+        t = t.filter(keep)
+        if self.whitelist and "table" in t.column_names:
+            tables = t.column("table").unique().to_pylist()
+            allowed = [x for x in tables if x and matches_whitelist(x, self.whitelist)]
+            t = t.filter(
+                pc.is_in(t.column("table"), value_set=pa.array(allowed, pa.string()))
+            )
+
+        rows = t.to_pylist()
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "scn", "row_id", "commit_scn", "tx_id", "op", "ts_ms", "table",
+                self.key_column, "set_mask",
+            )
+        }
+        for c in self.data_cols:
+            out[f"a_{c}"] = []
+            out[f"b_{c}"] = []
+        col_bit = {c: 1 << i for i, c in enumerate(self.data_cols)}
+
+        for r in rows:
+            sql = r.get("sql_redo")
+            if not sql:
+                self.dead_letters += 1
+                continue
+            try:
+                op, before, after = parse_redo(sql, self.column_types)
+            except (RedoSqlParseError, UnknownColumnError):
+                self.dead_letters += 1  # M4/M5 dead-letter skip
+                continue
+            before = before or {}
+            after = after or {}
+            key = after.get(self.key_column, before.get(self.key_column))
+            if key is None:
+                self.dead_letters += 1
+                continue
+            if op == "i":
+                mask = self.full_mask
+            elif op == "d":
+                mask = 0
+            else:
+                # SET columns are explicit in the statement (incl. SET
+                # col = NULL, Issue14) ...
+                mask = 0
+                for c in after:
+                    mask |= col_bit.get(c, 0)
+                # ... then M7 enrichment from the WHERE/before image
+                for c, v in before.items():
+                    if c in col_bit and not (mask & col_bit[c]) and v is not None:
+                        after[c] = v
+                        mask |= col_bit[c]
+            out["scn"].append(r["scn"])
+            out["row_id"].append(r["row_id"])
+            out["commit_scn"].append(r.get("commit_scn"))
+            out["tx_id"].append(r.get("tx_id"))
+            out["op"].append(op)
+            out["ts_ms"].append(r.get("ts_ms"))
+            out["table"].append(r.get("table"))
+            out[self.key_column].append(key)
+            out["set_mask"].append(mask)
+            for c in self.data_cols:
+                out[f"a_{c}"].append(after.get(c))
+                out[f"b_{c}"].append(before.get(c))
+
+        arrays = {
+            name: pa.array(vals, self.out_schema.field(name).type)
+            for name, vals in out.items()
+        }
+        return pa.table(arrays, schema=self.out_schema)

@@ -38,9 +38,18 @@ class ChangeEventProcessor:
         scn_hi: int | None,
         num_partitions: int,
         mode: str = "committed",
+        changelog_format: str = "struct",
+        db_timezone: str = "UTC",
     ):
+        from logminer_kafka_connect_ray.stages.decode import RedoSqlDecoder
+
         table_schema = schemas.schema_from_json(table_schema_json)
-        self.decoder = ChangeDecoder(table_schema, key_column, whitelist)
+        if changelog_format == "redo_sql":
+            self.decoder = RedoSqlDecoder(
+                table_schema, key_column, whitelist, db_timezone
+            )
+        else:
+            self.decoder = ChangeDecoder(table_schema, key_column, whitelist)
         self.resolver = CommitResolver(markers_ref, mode)
         self.scn_lo = scn_lo
         self.scn_hi = scn_hi
@@ -91,6 +100,8 @@ def make_processor_fn(
     num_partitions: int,
     mode: str = "committed",
     carryover: bool = False,
+    changelog_format: str = "struct",
+    db_timezone: str = "UTC",
 ):
     """Build a pickle-able map_batches task fn with per-process reuse."""
     import json
@@ -98,7 +109,8 @@ def make_processor_fn(
     ref_key = markers_ref.hex() if hasattr(markers_ref, "hex") else str(id(markers_ref))
     cache_key = (
         ref_key, json.dumps(table_schema_json), key_column, tuple(whitelist),
-        scn_lo, scn_hi, num_partitions, mode, carryover,
+        scn_lo, scn_hi, num_partitions, mode, carryover, changelog_format,
+        db_timezone,
     )
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -114,6 +126,7 @@ def make_processor_fn(
                 proc = ChangeEventProcessor(
                     markers_ref, table_schema_json, key_column, whitelist,
                     scn_lo, scn_hi, num_partitions, mode,
+                    changelog_format, db_timezone,
                 )
             _PROC_CACHE[cache_key] = proc
         return proc(batch)

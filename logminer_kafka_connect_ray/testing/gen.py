@@ -415,3 +415,142 @@ def write_event_batches(
         chunk.append(e)
     flush()
     return paths
+
+
+# ---------------------------------------------------------------------------
+# Redo-SQL changelog rendering (the reference's v$logmnr_contents shape)
+# ---------------------------------------------------------------------------
+REDO_SQL_SCHEMA = pa.schema(
+    [
+        ("scn", pa.int64()),
+        ("row_id", pa.string()),
+        ("commit_scn", pa.int64()),
+        ("tx_id", pa.string()),
+        ("op", pa.string()),
+        ("ts_ms", pa.timestamp("ms", tz="UTC")),
+        ("table", pa.string()),
+        ("username", pa.string()),
+        ("status", pa.int32()),
+        ("csf", pa.int32()),
+        ("sql_redo", pa.string()),
+    ]
+)
+
+
+def _sql_literal(v) -> str:
+    """Render a value as an Oracle-ish redo-SQL literal."""
+    import datetime as _dt
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bytes):
+        return f"HEXTORAW('{v.hex()}')"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, int) and abs(v) > 10_000_000_000:  # us-epoch timestamp
+        ts = _dt.datetime.fromtimestamp(v / 1_000_000, _dt.timezone.utc)
+        return f"TO_TIMESTAMP('{ts.strftime('%Y-%m-%d %H:%M:%S.%f')}', 'YYYY-MM-DD HH24:MI:SS.FF6')"
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return f"TO_TIMESTAMP('{v.strftime('%Y-%m-%d %H:%M:%S.%f')}', 'YYYY-MM-DD HH24:MI:SS.FF6')"
+    return str(v)
+
+
+def event_to_redo_sql(e: dict, table_ident: str = '"WEB"."PAGES"') -> str | None:
+    """One generator event -> its redo statement (change ops only)."""
+    op = e["op"]
+    if op in ("commit", "rollback"):
+        return None
+
+    def where_clause(img: dict) -> str:
+        parts = [f'"url" = {_sql_literal(e["url"])}']
+        for c, v in (img or {}).items():
+            parts.append(
+                f'"{c}" IS NULL' if v is None else f'"{c}" = {_sql_literal(v)}'
+            )
+        return " where " + " and ".join(parts)
+
+    if op in ("i", "r"):
+        cols = ["url"] + list(e["after"].keys())
+        vals = [e["url"]] + list(e["after"].values())
+        col_s = ",".join(f'"{c}"' for c in cols)
+        val_s = ",".join(_sql_literal(v) for v in vals)
+        return f"insert into {table_ident}({col_s}) values ({val_s})"
+    if op == "u":
+        set_cols = (
+            e["set_cols"]
+            if e.get("set_cols") is not None
+            else [c for c, v in e["after"].items() if v is not None]
+        )
+        set_s = " , ".join(
+            f'"{c}" = {_sql_literal(e["after"].get(c))}' for c in set_cols
+        )
+        return f"update {table_ident} set {set_s}{where_clause(e['before'])}"
+    if op == "d":
+        return f"delete from {table_ident}{where_clause(e['before'])}"
+    raise ValueError(op)
+
+
+def write_redo_sql_batches(
+    events: list[dict],
+    out_dir: str,
+    events_per_file: int = 200,
+    csf_fragment_len: int | None = None,
+) -> list[str]:
+    """Write the change log in redo-SQL shape.  ``csf_fragment_len``
+    splits long statements into CSF continuation rows (reference
+    LongStatementsTest: >4000-byte statements arrive fragmented)."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows: list[dict] = []
+    for e in sorted(events, key=lambda x: (x["scn"], x["row_id"])):
+        sql = event_to_redo_sql(e)
+        meta = {
+            "scn": e["scn"], "row_id": e["row_id"],
+            "commit_scn": e["commit_scn"], "tx_id": e["tx_id"], "op": e["op"],
+            "ts_ms": e["ts_ms"], "table": e["table"],
+            "username": e["username"], "status": e["status"],
+        }
+        if sql is None:
+            rows.append({**meta, "csf": 0, "sql_redo": None})
+        elif csf_fragment_len and len(sql) > csf_fragment_len:
+            frags = [
+                sql[i : i + csf_fragment_len]
+                for i in range(0, len(sql), csf_fragment_len)
+            ]
+            for j, frag in enumerate(frags):
+                rows.append(
+                    {**meta, "csf": 1 if j < len(frags) - 1 else 0, "sql_redo": frag}
+                )
+        else:
+            rows.append({**meta, "csf": 0, "sql_redo": sql})
+
+    paths = []
+    # never split a CSF run across files
+    i = 0
+    file_rows: list[dict] = []
+
+    def flush():
+        nonlocal file_rows
+        if not file_rows:
+            return
+        tbl = pa.Table.from_pylist(file_rows, schema=REDO_SQL_SCHEMA)
+        lo, hi = file_rows[0]["scn"], file_rows[-1]["scn"]
+        p = os.path.join(out_dir, f"batch-{lo:012d}-{hi:012d}.parquet")
+        pq.write_table(tbl, p)
+        paths.append(p)
+        file_rows = []
+
+    while i < len(rows):
+        run = [rows[i]]
+        while rows[i]["csf"] == 1 and i + 1 < len(rows):
+            i += 1
+            run.append(rows[i])
+        i += 1
+        if file_rows and len(file_rows) + len(run) > events_per_file:
+            flush()
+        file_rows.extend(run)
+    flush()
+    return paths

@@ -112,6 +112,9 @@ class ColumnType:
                     decimal.Decimal(1).scaleb(-self.scale),
                     rounding=decimal.ROUND_HALF_UP,
                 )
+        if self.kind == "binary":
+            # HEXTORAW('...') literals arrive as hex strings
+            return bytes.fromhex(s)
         if self.kind == "date":
             # `yyyy-MM-dd[ HH:mm:ss]` -> date at midnight UTC
             # (ColumnSchemaBuilder.kt:109-128)
@@ -175,8 +178,8 @@ class ColumnType:
             return pc.cast(ts, self.arrow)
         if self.kind == "string":
             return s
-        # zoned timestamps: heterogeneous zone names -> scalar path
-        return pa.array([self.convert(v) for v in arr.to_pylist()], self.arrow)
+        # binary (hex) / zoned timestamps: scalar path
+        return pa.array([self.convert(v) for v in s.to_pylist()], self.arrow)
 
 
 def _unquote(s: str) -> str:
@@ -255,6 +258,26 @@ def resolve_type(
             tz=db_timezone,
             zoned=zoned,
         )
-    if d == "RAW" or d.startswith("RAW("):
-        return ColumnType(pa.binary(), "string")
+    if d == "RAW" or d.startswith("RAW(") or d == "BLOB":
+        return ColumnType(pa.binary(), "binary")
     raise ValueError(f"unsupported column type declaration: {decl!r}")
+
+
+def column_type_for_arrow(t: pa.DataType, db_timezone: str = "UTC") -> ColumnType:
+    """Arrow field type -> ColumnType (for parsing redo literals of an
+    already-known Arrow table schema)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ColumnType(t, "string")
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return ColumnType(t, "binary")
+    if pa.types.is_integer(t):
+        return ColumnType(t, "int")
+    if pa.types.is_floating(t):
+        return ColumnType(t, "float")
+    if pa.types.is_decimal(t):
+        return ColumnType(t, "decimal", scale=t.scale, precision=t.precision)
+    if pa.types.is_date(t):
+        return ColumnType(t, "date")
+    if pa.types.is_timestamp(t):
+        return ColumnType(t, "timestamp", tz=db_timezone, zoned=False)
+    raise ValueError(f"no redo-literal conversion for arrow type {t}")
