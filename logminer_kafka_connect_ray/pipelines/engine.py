@@ -163,6 +163,52 @@ class Engine:
             pc.sort_indices(t, sort_keys=[(self.config.key_column, "ascending")])
         )
 
+    def vacuum(self, keep_versions: int = 2) -> dict:
+        """Remove partition files and spills referenced only by
+        manifests older than the newest ``keep_versions`` (copy-on-write
+        housekeeping).  Time-travel reads (``read_table(version=...)``)
+        keep working for retained versions."""
+        import os
+
+        latest = self.store.latest_version()
+        if latest is None:
+            return {"removed_files": 0, "removed_manifests": 0}
+        keep = {
+            v
+            for v in range(max(1, latest - keep_versions + 1), latest + 1)
+            if self.store.exists(v)
+        }
+        live: set[str] = set()
+        for v in keep:
+            m = self.store.load(v)
+            live |= {p.file for p in m.partitions if p.file}
+            if m.open_txn_spill:
+                live.add(m.open_txn_spill)
+
+        removed_files = 0
+        parts_dir = os.path.join(self.config.lake_dir, "parts")
+        if os.path.isdir(parts_dir):
+            for f in os.listdir(parts_dir):
+                rel = f"parts/{f}"
+                if rel not in live and f.endswith(".parquet"):
+                    os.remove(os.path.join(parts_dir, f))
+                    removed_files += 1
+        state_dir = os.path.join(self.config.lake_dir, "state")
+        if os.path.isdir(state_dir):
+            for d in os.listdir(state_dir):
+                rel = f"state/{d}"
+                if d.startswith("open-v") and rel not in live:
+                    import shutil
+
+                    shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+                    removed_files += 1
+        removed_manifests = 0
+        for v in range(1, latest + 1):
+            if v not in keep and self.store.exists(v):
+                os.remove(self.store._path(v))
+                removed_manifests += 1
+        return {"removed_files": removed_files, "removed_manifests": removed_manifests}
+
     # ------------------------------------------------------------------
     # Internals
     # ------------------------------------------------------------------

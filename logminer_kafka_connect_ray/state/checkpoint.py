@@ -103,6 +103,8 @@ class ManifestStore:
             version = self.latest_version()
             if version is None:
                 return None
+        if not os.path.exists(self._path(version)):
+            return None  # e.g. vacuumed-away old version
         with open(self._path(version)) as f:
             return Manifest.from_json(f.read())
 

@@ -1,0 +1,79 @@
+"""Time-travel reads and copy-on-write vacuum."""
+
+import os
+
+import pyarrow.parquet as pq
+
+from logminer_kafka_connect_ray import EngineConfig
+from logminer_kafka_connect_ray.pipelines.engine import Engine
+from logminer_kafka_connect_ray.testing.compare import state_diff, table_to_state
+from logminer_kafka_connect_ray.testing.gen import (
+    ChangeGenConfig,
+    gen_changes,
+    gen_pages,
+    write_event_batches,
+)
+from logminer_kafka_connect_ray.testing.oracle import replay_oracle
+
+
+def build(tmp_path, n_batches=3):
+    pages = gen_pages(40)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(pages, ChangeGenConfig(n_events=240, seed=61))
+    changelog = str(tmp_path / "changelog")
+    write_event_batches(events, changelog, events_per_file=110)
+    eng = Engine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake"),
+            num_partitions=4,
+            max_events_per_checkpoint=120,  # several versions
+        )
+    )
+    eng.snapshot(pages_path, 999)
+    eng.replay(changelog)
+    return eng, pages, events
+
+
+def test_time_travel_reads(ray_session, tmp_path):
+    eng, pages, events = build(tmp_path)
+    latest = eng.store.latest_version()
+    assert latest >= 3  # snapshot + >=2 cdc micro-batches
+
+    # version 1 = snapshot state
+    v1 = table_to_state(eng.to_arrow(version=1))
+    base = {
+        r["url"]: {k: v for k, v in r.items() if k != "url"}
+        for r in pages.to_pylist()
+    }
+    assert not state_diff(v1, base)
+
+    # intermediate version = oracle over the events applied so far
+    m2 = eng.store.load(2)
+    upto = [e for e in events if e["scn"] <= m2.watermark_scn]
+    want2 = replay_oracle(base, upto)
+    got2 = table_to_state(eng.to_arrow(version=2))
+    assert not state_diff(got2, want2)
+
+
+def test_vacuum_retention(ray_session, tmp_path):
+    eng, pages, events = build(tmp_path)
+    latest = eng.store.latest_version()
+    parts_dir = os.path.join(eng.config.lake_dir, "parts")
+    before_files = set(os.listdir(parts_dir))
+
+    stats = eng.vacuum(keep_versions=1)
+    assert stats["removed_manifests"] == latest - 1
+    after_files = set(os.listdir(parts_dir))
+    assert after_files < before_files
+
+    # latest state untouched
+    base = {
+        r["url"]: {k: v for k, v in r.items() if k != "url"}
+        for r in pages.to_pylist()
+    }
+    want = replay_oracle(base, events)
+    got = table_to_state(eng.to_arrow())
+    assert not state_diff(got, want)
+    # old versions are gone
+    assert eng.store.load(1) is None or latest == 1
