@@ -275,7 +275,24 @@ class Engine:
             # decode + resume-skip SCN filter (LogminerFetcher.kt:74-101)
             # + commit resolve + combiner.  Stateless tasks with a
             # per-worker-process cache (see stages/process.py).
-            ds = rd.read_parquet(paths)
+            src_paths = paths
+            if mode == "open" and info.min_open_scn is not None:
+                # open txns live in files at/after their min SCN --
+                # prune older files from the spill pass entirely
+                src_paths = [
+                    f.path
+                    for f in bfiles
+                    if f.scn_max >= info.min_open_scn
+                ] or paths
+            # prune at the read: only the columns the decoder consumes
+            wanted = {
+                "scn", "row_id", "commit_scn", "tx_id", "op", "ts_ms",
+                "table", "status", "before", "after", "set_cols", "csf",
+                "sql_redo",
+            }
+            avail = pq.ParquetFile(src_paths[0]).schema_arrow.names
+            cols = [c for c in avail if c in wanted]
+            ds = rd.read_parquet(src_paths, columns=cols)
             proc = ds.map_batches(
                 make_processor_fn(
                     markers_ref, schema_json, cfg.key_column,
