@@ -43,11 +43,17 @@ class EngineConfig:
     #: `batch.size` poll batches, SourceConnectorConfig.kt:207-213 --
     #: scaled up: ours is a distributed micro-batch, not a poll).
     max_events_per_checkpoint: int = 50_000_000
-    #: rows per Arrow batch inside map_batches stages.  Large batches
-    #: amortize per-batch overhead and give the block-local combiner
-    #: enough rows per key to prune; lower it for very wide payloads
-    #: (e.g. multi-KB html) so batch x concurrency fits worker heaps.
-    batch_size: int = 65536
+    #: rows per Arrow batch inside map_batches stages.  None (default)
+    #: = auto: target ``target_batch_bytes`` per batch using the event
+    #: files' uncompressed row size, clamped to [16k, 512k] rows.
+    #: Large batches amortize per-batch overhead and give the
+    #: block-local combiner enough rows per key to prune; the byte
+    #: target keeps batch x concurrency within worker heaps even for
+    #: multi-KB html payloads.
+    batch_size: int | None = None
+    #: in-memory bytes targeted per processing batch when batch_size
+    #: is auto.
+    target_batch_bytes: int = 64 * 1024 * 1024
     #: actor-pool size for stateful stages (txn consolidation, schema
     #: registry).  None = let Ray pick from cluster size.
     actor_concurrency: int | None = None

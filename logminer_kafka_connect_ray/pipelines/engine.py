@@ -44,7 +44,7 @@ from logminer_kafka_connect_ray.stages.evolve import (
 )
 from logminer_kafka_connect_ray.stages.merge import PartitionMerger, PreaggPartitioner
 from logminer_kafka_connect_ray.stages.process import make_processor_fn
-from logminer_kafka_connect_ray.stages.txn import collect_txn_info
+from logminer_kafka_connect_ray.stages.txn import collect_txn_info_ref
 from logminer_kafka_connect_ray.state.checkpoint import (
     Manifest,
     ManifestStore,
@@ -224,6 +224,21 @@ class Engine:
             )
         return m
 
+    def _auto_batch_size(self, sample_path: str) -> int:
+        """Rows per batch targeting ``target_batch_bytes`` of
+        uncompressed data (parquet row-group stats of a sample file)."""
+        try:
+            md = pq.ParquetFile(sample_path).metadata
+            rows = md.num_rows or 1
+            raw = sum(
+                md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+            )
+            row_bytes = max(16, raw // rows)
+        except Exception:
+            row_bytes = 1024
+        n = self.config.target_batch_bytes // row_bytes
+        return int(min(524_288, max(16_384, n)))
+
     def _initial_schema(self, base_parquet: str | list[str]) -> pa.Schema:
         paths = [base_parquet] if isinstance(base_parquet, str) else list(base_parquet)
         import os
@@ -267,8 +282,8 @@ class Engine:
 
         # --- txn metadata: one column-pruned scan, then broadcast -----
         # (SURVEY.md T1 batch path: markers are tiny vs change rows)
-        info = collect_txn_info(paths, scn_lo, scn_hi)
-        markers_ref = _ray().put(info)
+        info, markers_ref = collect_txn_info_ref(paths, scn_lo, scn_hi)
+        batch_size = cfg.batch_size or self._auto_batch_size(paths[0])
 
         def source(mode: str = "committed") -> "rd.Dataset":
             # one fused operator for the whole per-event CPU path:
@@ -302,7 +317,7 @@ class Engine:
                     db_timezone=cfg.db_timezone,
                 ),
                 batch_format="pyarrow",
-                batch_size=cfg.batch_size,
+                batch_size=batch_size,
                 zero_copy_batch=True,
             )
             if prev.open_txn_spill:

@@ -146,47 +146,15 @@ def _scan_one(path: str, scn_lo: int | None, scn_hi: int | None) -> dict:
     }
 
 
-def collect_txn_info(
-    paths: list[str],
-    scn_lo: int | None = None,
-    scn_hi: int | None = None,
-    parallel: bool = True,
-) -> TxnInfo:
-    """Micro-batch txn metadata; one Ray task per file when a Ray
-    session is live (the scan is the only serial driver work in a
-    micro-batch, so it is distributed too)."""
-    if not paths:
-        return _empty_info()
-
-    partials = None
-    if parallel and len(paths) > 1:
-        try:
-            import ray
-
-            if ray.is_initialized():
-                scan = ray.remote(num_cpus=1)(_scan_one)
-                partials = ray.get(
-                    [scan.remote(p, scn_lo, scn_hi) for p in paths]
-                )
-        except Exception:
-            partials = None
-    if partials is None:
-        partials = [_scan_one(p, scn_lo, scn_hi) for p in paths]
-
+def _merge_partials(*partials: dict) -> dict:
+    """Associative merge of scan partials (runs in tree-merge tasks)."""
     commit_hash = np.concatenate([p["commit_hash"] for p in partials])
     commit_scn = np.concatenate([p["commit_scn"] for p in partials])
-    rolled_hash = np.unique(np.concatenate([p["rolled_hash"] for p in partials]))
-    n_markers = int(sum(p["n_markers"] for p in partials))
-    n_unreadable = int(sum(p.get("n_unreadable", 0) for p in partials))
-
-    # dedupe commits (keep max commit scn per tx hash)
     order = np.lexsort((commit_scn, commit_hash))
     ch, cs = commit_hash[order], commit_scn[order]
-    if len(ch):
+    if len(ch):  # duplicate COMMIT markers: keep max commit scn
         last = np.concatenate([ch[1:] != ch[:-1], [True]])
         ch, cs = ch[last], cs[last]
-
-    # open = change txns with no terminator
     tx_hash = np.concatenate([p["change_tx_hash"] for p in partials])
     tx_min = np.concatenate([p["change_tx_min_scn"] for p in partials])
     tx_rows = np.concatenate([p["change_tx_rows"] for p in partials])
@@ -199,9 +167,29 @@ def collect_txn_info(
         u_min = np.minimum.reduceat(tx_min, starts)
         u_rows = np.add.reduceat(tx_rows, starts)
     else:
-        u_hash = np.empty(0, np.uint64)
-        u_min = np.empty(0, np.int64)
-        u_rows = np.empty(0, np.int64)
+        u_hash, u_min, u_rows = tx_hash, tx_min, tx_rows
+    return {
+        "commit_hash": ch,
+        "commit_scn": cs,
+        "rolled_hash": np.unique(np.concatenate([p["rolled_hash"] for p in partials])),
+        "change_tx_hash": u_hash,
+        "change_tx_min_scn": u_min,
+        "change_tx_rows": u_rows,
+        "n_markers": int(sum(p["n_markers"] for p in partials)),
+        "n_unreadable": int(sum(p.get("n_unreadable", 0) for p in partials)),
+    }
+
+
+def _finalize(merged: dict) -> TxnInfo:
+    """Merged partial -> TxnInfo (open-txn detection + watermark)."""
+    ch = merged["commit_hash"]
+    cs = merged["commit_scn"]
+    rolled_hash = merged["rolled_hash"]
+    u_hash = merged["change_tx_hash"]
+    u_min = merged["change_tx_min_scn"]
+    u_rows = merged["change_tx_rows"]
+    n_markers = merged["n_markers"]
+    n_unreadable = merged["n_unreadable"]
 
     terminated = np.concatenate([ch, rolled_hash])
     terminated.sort()
@@ -227,6 +215,73 @@ def collect_txn_info(
         n_open_rows=n_open_rows,
         n_unreadable=n_unreadable,
     )
+
+
+def _scan_merge_finalize(*partials: dict) -> TxnInfo:
+    return _finalize(_merge_partials(*partials))
+
+
+def collect_txn_info(
+    paths: list[str],
+    scn_lo: int | None = None,
+    scn_hi: int | None = None,
+    parallel: bool = True,
+) -> TxnInfo:
+    """Micro-batch txn metadata (driver-local result)."""
+    info, _ = collect_txn_info_ref(paths, scn_lo, scn_hi, parallel)
+    return info
+
+
+def collect_txn_info_ref(
+    paths: list[str],
+    scn_lo: int | None = None,
+    scn_hi: int | None = None,
+    parallel: bool = True,
+):
+    """Micro-batch txn metadata as ``(TxnInfo, broadcast_ref)``.
+
+    With a live Ray session: one scan task per file, a TREE of merge
+    tasks, and a finalize task whose OUTPUT ref is handed straight to
+    the workers -- the driver only fetches the (plasma-backed, shared)
+    result for its own bookkeeping; big arrays never round-trip
+    through a driver-side ``ray.put``."""
+    if not paths:
+        info = _empty_info()
+        return info, _try_put(info)
+
+    if parallel and len(paths) > 1:
+        try:
+            import ray
+
+            if ray.is_initialized():
+                scan = ray.remote(num_cpus=1)(_scan_one)
+                merge = ray.remote(num_cpus=1)(_merge_partials)
+                refs = [scan.remote(p, scn_lo, scn_hi) for p in paths]
+                FAN = 16
+                while len(refs) > FAN:
+                    refs = [
+                        merge.remote(*refs[i : i + FAN])
+                        for i in range(0, len(refs), FAN)
+                    ]
+                info_ref = ray.remote(num_cpus=1)(_scan_merge_finalize).remote(*refs)
+                return ray.get(info_ref), info_ref
+        except Exception:
+            pass
+    info = _finalize(
+        _merge_partials(*[_scan_one(p, scn_lo, scn_hi) for p in paths])
+    )
+    return info, _try_put(info)
+
+
+def _try_put(info: TxnInfo):
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return ray.put(info)
+    except Exception:
+        pass
+    return info
 
 
 class CommitResolver:
