@@ -120,6 +120,16 @@ SELECT count(*) AS n_rows, min(scn) AS min_scn, max(scn) AS max_scn
 FROM ch WHERE scn > 4000 AND scn <= 14000
 """
 
+_ENVELOPE_SQL = f"""
+WITH {_CH_CTE.strip()},
+k AS (
+  SELECT op AS kind FROM comm
+  UNION ALL
+  SELECT 'tombstone' AS kind FROM comm WHERE op = 'd'
+)
+SELECT kind, count(*) AS n_records FROM k GROUP BY kind ORDER BY kind
+"""
+
 _LWW_SQL = f"""
 WITH {_CH_CTE.strip()}
 SELECT url, cscn AS last_commit_scn, scn AS last_scn, op AS last_op
@@ -184,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rolled_back_events": q.cdc_open_or_rolled_events,
         "cdc_scn_range_stats": q.cdc_scn_range_stats,
         "cdc_lww_latest": q.cdc_lww_latest,
+        "cdc_envelope_counts": q.cdc_envelope_counts,
         # training-data ops (dedup / similarity / text analysis)
         "dedup_exact": d.dedup_exact,
         "dedup_minhash_lsh": d.dedup_minhash_lsh,     # rows-only (LSH)
@@ -205,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rolled_back_events": _DISCARDED_SQL,
         "cdc_scn_range_stats": _SCN_RANGE_SQL,
         "cdc_lww_latest": _LWW_SQL,
+        "cdc_envelope_counts": _ENVELOPE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "ann_cosine_topk": _ANN_SQL,

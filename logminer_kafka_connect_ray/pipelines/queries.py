@@ -131,6 +131,35 @@ def cdc_scn_range_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def cdc_envelope_counts(sf_dir: str) -> pa.Table:
+    """Debezium-envelope changelog emission (M7/M8): committed change
+    rows -> envelope records incl. delete tombstones; returns row
+    counts per record kind."""
+    from logminer_kafka_connect_ray.stages.envelope import EnvelopeStage
+
+    decoded, ref = _decoded_committed(sf_dir)
+    committed = decoded.map_batches(
+        CommitResolver(ref, "committed"), batch_format="pyarrow"
+    )
+    env = committed.map_batches(
+        EnvelopeStage(
+            schemas.schema_to_json(workload.PAGES_SCHEMA_NAIVE),
+            "url",
+            emit_tombstones=True,
+        ),
+        batch_format="pyarrow",
+    )
+
+    def kind(t: pa.Table) -> pa.Table:
+        k = pc.if_else(t.column("tombstone"), "tombstone", t.column("op"))
+        return pa.table({"kind": k})
+
+    out = env.map_batches(kind, batch_format="pyarrow").groupby("kind").count()
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = t.rename_columns(["kind", "n_records"])
+    return t.take(pc.sort_indices(t, sort_keys=[("kind", "ascending")]))
+
+
 def cdc_lww_latest(sf_dir: str) -> pa.Table:
     """Per-key argmax (A4): latest committed change per url by
     (commit_scn, scn), two-level: block-local partial argmax inside
