@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": d.embedding_near_dup,   # rows-only (LSH)
         "ann_cosine_topk": d.ann_cosine_topk,
         "ann_cosine_topk_lsh": d.ann_cosine_topk_lsh,  # rows-only (approx)
+        "ann_cosine_topk_ivf": d.ann_cosine_topk_ivf,  # rows-only (approx)
         "text_quality": d.text_quality,
         "lang_id": d.lang_id,                          # rows-only (heuristic)
         "doc_fingerprints": d.doc_fingerprints,        # rows-only (custom hash)

@@ -461,6 +461,101 @@ def ann_cosine_topk_lsh(sf_dir: str, n_queries: int = 5, k: int = 10,
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 8, seed: int = 17) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (IVF coarse
+    quantizer).  Normalized vectors, cosine via dot product."""
+    rng = np.random.default_rng(seed)
+    sample = sample / np.clip(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None)
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cent[c] = v / n
+    return cent
+
+
+def ann_cosine_topk_ivf(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 20_000,
+) -> pa.Table:
+    """IVF scale-path ANN: a coarse k-means quantizer (fit on a
+    driver-side sample, centroids broadcast) prunes candidates to the
+    ``n_probe`` nearest clusters of each query; exact cosine only
+    inside probed clusters.  Approximate by construction -- no SQL
+    oracle; recall verified against brute force in tests."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample_tbl = pa.Table.from_pylist(emb.take(train_sample))
+    _, sample = _embedding_matrix(sample_tbl)
+    cent = _kmeans_fit(sample, n_clusters)
+
+    head = pa.Table.from_pylist(
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t.column("vec_id"), n_queries)),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+    q_ids, q_mat = _embedding_matrix(head)
+    qn = q_mat / np.clip(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12, None)
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]   # (Q, n_probe)
+    probe_set = np.unique(probes)
+    ref = ray.put((q_ids, q_mat, cent, probes, probe_set))
+
+    class Stage:
+        def __init__(self):
+            ids, q, c, pr, ps = ray.get(ref)
+            self.inner = CosineTopK((ids, q), k + 1)
+            self.cent = c
+            self.q_probes = {int(qid): set(map(int, row)) for qid, row in zip(ids, pr)}
+            self.probe_set = ps
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, mat = _embedding_matrix(t)
+            matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+            assign = np.argmax(matn @ self.cent.T, axis=1)
+            keep = np.isin(assign, self.probe_set)
+            if not keep.any():
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()),
+                     "vec_id": pa.array([], pa.int64()),
+                     "sim": pa.array([], pa.float64()),
+                     "cluster": pa.array([], pa.int64())}
+                )
+            sub = t.filter(pa.array(keep))
+            scored = self.inner(sub)
+            # tag candidate cluster so per-query probe filtering works
+            cl = dict(zip(ids[keep].tolist(), assign[keep].tolist()))
+            clusters = [cl[v] for v in scored.column("vec_id").to_pylist()]
+            return scored.append_column("cluster", pa.array(clusters, pa.int64()))
+
+    partial = emb.map_batches(Stage, concurrency=(1, 4), batch_format="pyarrow")
+    df = partial.to_pandas()
+    if df.empty:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "sim_r": pa.array([], pa.float64())})
+    # keep only candidates inside each query's probed clusters
+    probes_by_q = {int(qid): set(map(int, row)) for qid, row in zip(q_ids, probes)}
+    df = df[
+        [c in probes_by_q[q] for q, c in zip(df["query_id"], df["cluster"])]
+    ]
+    df = df[~(df["query_id"] == df["vec_id"])].copy()
+    df["sim_r"] = np.round(df["sim"], 6)
+    df = df.sort_values(["query_id", "sim_r", "vec_id"], ascending=[True, False, True])
+    out = df.groupby("query_id", sort=True).head(k)[["query_id", "vec_id", "sim_r"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def embedding_near_dup(sf_dir: str, tau: float = 0.95) -> pa.Table:
     """Embedding-cosine near-dup pairs (sim >= tau) via hyperplane-LSH
     bucket groupby + in-bucket exact cosine."""

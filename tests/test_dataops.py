@@ -146,3 +146,40 @@ def test_fingerprints_stable(ray_session, tmp_path):
     sf = make_docs(tmp_path, [BASE_TEXTS[0], BASE_TEXTS[0], BASE_TEXTS[1]])
     fps = [r["fingerprint"] for r in d.doc_fingerprints(sf).to_pylist()]
     assert fps[0] == fps[1] != fps[2]
+
+
+def test_ann_ivf_recall_on_clustered_data(ray_session, tmp_path):
+    """IVF ANN finds same-cluster neighbors (high recall on clustered
+    embeddings; exact scores match brute force for returned ids)."""
+    rng = np.random.default_rng(8)
+    centers = rng.standard_normal((4, 12)) * 5
+    rows = []
+    for i in range(200):
+        rows.append(centers[i % 4] + 0.1 * rng.standard_normal(12))
+    mat = np.array(rows, dtype=np.float32)
+    sf = make_embeddings(tmp_path, mat)
+
+    exact = d.ann_cosine_topk(sf, n_queries=4, k=8)
+    ivf = d.ann_cosine_topk_ivf(sf, n_queries=4, k=8, n_clusters=8, n_probe=2)
+
+    ex = {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    iv = {}
+    sims = {}
+    for r in ivf.to_pylist():
+        iv.setdefault(r["query_id"], set()).add(r["vec_id"])
+        sims[(r["query_id"], r["vec_id"])] = r["sim_r"]
+    # recall@8 over clustered data should be essentially perfect
+    total = hit = 0
+    for q in ex:
+        total += len(ex[q])
+        hit += len(ex[q] & iv.get(q, set()))
+    assert hit / total >= 0.9, (hit, total)
+    # returned scores are exact cosine values
+    exact_scores = {
+        (r["query_id"], r["vec_id"]): r["sim_r"] for r in exact.to_pylist()
+    }
+    for key, s in sims.items():
+        if key in exact_scores:
+            assert abs(s - exact_scores[key]) < 1e-9
