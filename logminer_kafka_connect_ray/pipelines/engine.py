@@ -282,7 +282,12 @@ class Engine:
 
         # --- txn metadata: one column-pruned scan, then broadcast -----
         # (SURVEY.md T1 batch path: markers are tiny vs change rows)
-        info, markers_ref = collect_txn_info_ref(paths, scn_lo, scn_hi)
+        # async: the metadata scan runs CONCURRENTLY with the read +
+        # decode phase below; only the resolve stage (in workers) and
+        # the open-pass decision (after the merge) wait on it
+        info, markers_ref = collect_txn_info_ref(
+            paths, scn_lo, scn_hi, block=False
+        )
         batch_size = cfg.batch_size or self._auto_batch_size(paths[0])
 
         def source(mode: str = "committed") -> "rd.Dataset":
@@ -291,14 +296,20 @@ class Engine:
             # + commit resolve + combiner.  Stateless tasks with a
             # per-worker-process cache (see stages/process.py).
             src_paths = paths
-            if mode == "open" and info.min_open_scn is not None:
-                # open txns live in files at/after their min SCN --
-                # prune older files from the spill pass entirely
-                src_paths = [
-                    f.path
-                    for f in bfiles
-                    if f.scn_max >= info.min_open_scn
-                ] or paths
+            if mode == "open":
+                txinfo = (
+                    _ray().get(markers_ref)
+                    if not hasattr(markers_ref, "n_open_rows")
+                    else markers_ref
+                )
+                if txinfo.min_open_scn is not None:
+                    # open txns live in files at/after their min SCN --
+                    # prune older files from the spill pass entirely
+                    src_paths = [
+                        f.path
+                        for f in bfiles
+                        if f.scn_max >= txinfo.min_open_scn
+                    ] or paths
             # prune at the read: only the columns the decoder consumes
             wanted = {
                 "scn", "row_id", "commit_scn", "tx_id", "op", "ts_ms",
@@ -337,7 +348,7 @@ class Engine:
 
         committed = source("committed")
         self._t_meta = time.monotonic() - t_meta0
-        self._n_unreadable = info.n_unreadable
+        self._info_ref = markers_ref
         manifest = self._merge_and_publish(
             committed,
             version=version,
@@ -347,8 +358,7 @@ class Engine:
             scn_lo=scn_lo,
             scn_hi=scn_hi,
             prev=prev,
-            open_spill=(source, info),
-            markers_stats=(info.n_markers, info.n_commit, info.n_rolled),
+            open_spill=(source, markers_ref),
             pre_partitioned=True,
         )
         return manifest
@@ -364,7 +374,7 @@ class Engine:
         scn_hi: int,
         prev: Manifest | None,
         open_spill,
-        markers_stats: tuple[int, int, int],
+        markers_stats: tuple[int, int, int] = (0, 0, 0),
         pre_partitioned: bool = False,
     ) -> Manifest:
         import ray.data as rd
@@ -409,18 +419,26 @@ class Engine:
             )
 
         # --- open-txn carryover spill --------------------------------
-        # the metadata scan already knows whether any txn is open; the
-        # second (spill) pass over the data is skipped entirely when
-        # none is (the common steady-state case)
+        # fetch the (already-finished, overlapped) txn metadata now:
+        # it decides whether any spill pass is needed at all
         open_rel = None
         min_open = None
         n_open = 0
-        has_open = open_spill is not None and (
-            open_spill[1].n_open_rows > 0
+        info = None
+        if open_spill is not None:
+            source, info_ref = open_spill
+            info = (
+                _ray().get(info_ref)
+                if not hasattr(info_ref, "n_open_rows")
+                else info_ref
+            )
+            markers_stats = (info.n_markers, info.n_commit, info.n_rolled)
+            self._n_unreadable = info.n_unreadable
+        has_open = info is not None and (
+            info.n_open_rows > 0
             or (prev is not None and prev.open_txn_spill)
         )
         if has_open:
-            source, _info = open_spill
             open_ds = source("open")
             open_rel = f"state/open-v{version:08d}"
             open_dir = f"{cfg.lake_dir}/{open_rel}"

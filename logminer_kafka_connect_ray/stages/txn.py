@@ -237,6 +237,7 @@ def collect_txn_info_ref(
     scn_lo: int | None = None,
     scn_hi: int | None = None,
     parallel: bool = True,
+    block: bool = True,
 ):
     """Micro-batch txn metadata as ``(TxnInfo, broadcast_ref)``.
 
@@ -244,7 +245,10 @@ def collect_txn_info_ref(
     tasks, and a finalize task whose OUTPUT ref is handed straight to
     the workers -- the driver only fetches the (plasma-backed, shared)
     result for its own bookkeeping; big arrays never round-trip
-    through a driver-side ``ray.put``."""
+    through a driver-side ``ray.put``.  With ``block=False`` the driver
+    gets ``(None, ref)`` immediately so the scan OVERLAPS the read +
+    decode phase of the pipeline (workers block on the ref only when
+    the resolve stage first needs it)."""
     if not paths:
         info = _empty_info()
         return info, _try_put(info)
@@ -264,6 +268,8 @@ def collect_txn_info_ref(
                         for i in range(0, len(refs), FAN)
                     ]
                 info_ref = ray.remote(num_cpus=1)(_scan_merge_finalize).remote(*refs)
+                if not block:
+                    return None, info_ref
                 return ray.get(info_ref), info_ref
         except Exception:
             pass
