@@ -141,7 +141,13 @@ def run_scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo_n, hi_n = 8, 32
+    # N=6 vs 4N=24 rather than 8/32: this host has exactly 32 vCPUs,
+    # so at num_cpus=32 the driver + raylet + object store CONTEND with
+    # the workers while at 8 they ride free -- a confound a real
+    # multi-node cluster doesn't have.  6/24 leaves equal headroom at
+    # both levels.  Override with BENCH_CPUS_LO/HI.
+    lo_n = int(os.environ.get("BENCH_CPUS_LO", "6"))
+    hi_n = int(os.environ.get("BENCH_CPUS_HI", "24"))
     # this sandbox shows heavy CPU-steal noise (identical runs vary
     # 2x); interleave the levels and keep the best per level so both
     # see comparable machine conditions
