@@ -199,7 +199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": d.dedup_exact,
         "dedup_minhash_lsh": d.dedup_minhash_lsh,     # rows-only (LSH)
         "dedup_simhash": d.dedup_simhash,             # rows-only (LSH)
-        "embedding_near_dup": d.embedding_near_dup,   # rows-only (LSH)
+        # tau=0.4: the driver's synthetic embeddings top out at ~0.51
+        # pairwise cosine, so the near-dup default (0.95) would be
+        # vacuous on this data
+        "embedding_near_dup": (lambda sf: d.embedding_near_dup(sf, tau=0.4)),  # rows-only (LSH)
         "ann_cosine_topk": d.ann_cosine_topk,
         "ann_cosine_topk_lsh": d.ann_cosine_topk_lsh,  # rows-only (approx)
         "ann_cosine_topk_ivf": d.ann_cosine_topk_ivf,  # rows-only (approx)

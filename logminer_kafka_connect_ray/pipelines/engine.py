@@ -10,16 +10,17 @@ for the lifecycle mapping.
 
 One micro-batch = one committed lake version:
 
-    read event files (SCN-pruned)                      [parquet scan]
-      -> ChangeDecoder                                  [map_batches]
+    txn-metadata scan (parallel, OVERLAPPED with the read below)
+    read event files (SCN-pruned, column-pruned)       [parquet scan]
+      -> fused processor: decode + resume-skip filter
+         + commit resolve (broadcast hashes) + combiner [map_batches]
       -> union(carryover open-txn spill)
-      -> CommitResolver (broadcast markers)             [map_batches]
-      -> PreaggPartitioner (combiner + shuffle key)     [map_batches]
-      -> groupby('_part').map_groups(PartitionMerger)   [the shuffle]
+      -> sort('_part', boundaries=[1..P-1])             [the exchange]
+      -> PartitionMerger (LWW fold, copy-on-write)      [map_batches]
       -> lineage rows -> manifest publish               [driver]
 
-The committed path streams end-to-end; only the tiny lineage table and
-the marker maps ever materialize on the driver.
+The committed path streams end-to-end; only the tiny lineage table
+ever materializes on the driver.
 """
 
 from __future__ import annotations
