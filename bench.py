@@ -2,7 +2,7 @@
 
 Pipeline timed (the BASELINE.json metric): replay a change-event log
 derived from ``$GRAFT_SF_DIR``'s tables (amplified ``BENCH_REPLICATE``x,
-default 10) through the full engine -- decode, txn consolidation, LWW
+default 50) through the full engine -- decode, txn consolidation, LWW
 merge into copy-on-write lake partitions, manifest publish -- and
 report events/sec.
 
@@ -28,7 +28,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "10"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "50"))
 
 
 def run_bench() -> dict:
