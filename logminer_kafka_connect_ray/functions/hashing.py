@@ -58,9 +58,19 @@ def fnv1a_u64(strings: pa.ChunkedArray | pa.Array | np.ndarray | list) -> np.nda
     return h
 
 
-def partition_ids(strings, num_partitions: int) -> np.ndarray:
-    """partition id in [0, num_partitions) for each key string."""
-    return (fnv1a_u64(strings) % np.uint64(num_partitions)).astype(np.int64)
+def partition_ids(keys, num_partitions: int) -> np.ndarray:
+    """partition id in [0, num_partitions) for each key.
+
+    Non-string key columns (int PKs etc.) are cast to their canonical
+    string form first so the mapping stays type-stable across schema
+    widenings (int32 id == int64 id)."""
+    if isinstance(keys, (pa.ChunkedArray, pa.Array)) and not (
+        pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type)
+    ):
+        import pyarrow.compute as pc
+
+        keys = pc.cast(keys, pa.string())
+    return (fnv1a_u64(keys) % np.uint64(num_partitions)).astype(np.int64)
 
 
 def hash_probe(num_partitions: int) -> dict[str, int]:
