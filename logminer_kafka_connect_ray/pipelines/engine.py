@@ -164,6 +164,53 @@ class Engine:
             pc.sort_indices(t, sort_keys=[(self.config.key_column, "ascending")])
         )
 
+    def repartition_lake(self, new_num_partitions: int) -> Manifest:
+        """Re-hash the lake into a different partition count (grow P as
+        the table grows so partitions stay ~1 GiB).  Full copy-on-write
+        rewrite: current rows re-enter the standard merge path as
+        pseudo-events at their recorded ``(_commit_scn, _scn)``, so the
+        result is byte-identical state under the new layout.  The
+        engine's config switches to the new partition count."""
+        from dataclasses import replace as dc_replace
+
+        import ray.data as rd
+
+        from logminer_kafka_connect_ray.stages.fold import base_as_pseudo_events
+        from logminer_kafka_connect_ray.stages.merge import PreaggPartitioner
+
+        m = self._require_manifest()
+        if m.open_txn_spill:
+            raise RuntimeError(
+                "repartition with open-txn carryover pending; replay the "
+                "committing changelog (or drain) first"
+            )
+        schema = schemas.schema_from_json(m.schema)
+        ds = self.read_table(with_meta=True)
+        data_cols = schemas.data_columns_of(schema, self.config.key_column)
+
+        def to_flat(t: pa.Table, s=schema, key=self.config.key_column):
+            return base_as_pseudo_events(t, s, key)
+
+        self.config = dc_replace(self.config, num_partitions=new_num_partitions)
+        flat = ds.map_batches(to_flat, batch_format="pyarrow").map_batches(
+            PreaggPartitioner(
+                self.config.key_column, len(data_cols), new_num_partitions
+            ),
+            batch_format="pyarrow",
+        )
+        return self._merge_and_publish(
+            flat,
+            version=m.version + 1,
+            phase="repartition",
+            table_schema=schema,
+            schema_version=m.schema_version,
+            scn_lo=m.watermark_scn - 1,
+            scn_hi=m.watermark_scn,
+            prev=None,
+            open_spill=None,
+            pre_partitioned=True,
+        )
+
     def vacuum(self, keep_versions: int = 2) -> dict:
         """Remove partition files and spills referenced only by
         manifests older than the newest ``keep_versions`` (copy-on-write

@@ -113,12 +113,22 @@ class ManifestStore:
 
     def publish(self, m: Manifest) -> bool:
         """Atomically publish; returns False if the version already
-        exists (idempotent re-run detected -> caller skips)."""
+        exists (idempotent re-run / concurrent-writer fencing).
+
+        Uses ``os.link`` (fails with EEXIST instead of overwriting,
+        unlike rename) so two drivers racing on the same version cannot
+        both win -- the loser reads the winner's manifest and skips."""
         final = self._path(m.version)
         if os.path.exists(final):
             return False
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            f.write(m.to_json())
-        os.rename(tmp, final)  # atomic on POSIX
-        return True
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(m.to_json())
+            try:
+                os.link(tmp, final)  # atomic create-if-absent on POSIX
+            except FileExistsError:
+                return False
+            return True
+        finally:
+            os.unlink(tmp)

@@ -77,3 +77,55 @@ def test_vacuum_retention(ray_session, tmp_path):
     assert not state_diff(got, want)
     # old versions are gone
     assert eng.store.load(1) is None or latest == 1
+
+
+def test_repartition_lake(ray_session, tmp_path):
+    """Re-hashing the lake to a new partition count preserves state
+    exactly, and subsequent replay works under the new layout."""
+    pages = gen_pages(40)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events1, _, _ = gen_changes(pages, ChangeGenConfig(n_events=100, seed=71))
+    changelog = str(tmp_path / "changelog")
+    write_event_batches(events1, changelog, events_per_file=200)
+
+    eng = Engine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    eng.snapshot(pages_path, 999)
+    eng.replay(changelog)
+    before = table_to_state(eng.to_arrow())
+
+    m = eng.repartition_lake(8)
+    assert m.phase == "repartition"
+    assert m.num_partitions == 8
+    assert eng.config.num_partitions == 8
+    assert table_to_state(eng.to_arrow()) == before
+    touched = [p for p in m.partitions if p.file]
+    assert all(p.version == m.version for p in touched)
+
+    # replay continues under the new layout; the second log's
+    # before-images must reflect post-events1 state (redo logs are
+    # consistent -- the engine's M7 enrichment relies on it)
+    import pyarrow as pa
+
+    state1 = replay_oracle(
+        {r["url"]: {k: v for k, v in r.items() if k != "url"}
+         for r in pages.to_pylist()},
+        events1,
+    )
+    pages_after1 = pa.Table.from_pylist(
+        [{"url": u, **row} for u, row in sorted(state1.items())],
+        schema=pages.schema,
+    )
+    events2, _, _ = gen_changes(
+        pages_after1, ChangeGenConfig(n_events=100, seed=72, start_scn=90000,
+                                      tx_prefix="tz")
+    )
+    write_event_batches(events2, changelog, events_per_file=200)
+    eng.replay(changelog)
+    base = {
+        r["url"]: {k: v for k, v in r.items() if k != "url"}
+        for r in pages.to_pylist()
+    }
+    want = replay_oracle(base, events1 + events2)
+    got = table_to_state(eng.to_arrow())
+    assert not state_diff(got, want)
