@@ -95,6 +95,21 @@ def run_bench() -> dict:
     timings["replay"] = round(replay_s, 3)
     timings["replay_runs"] = [round(x, 3) for x in replay_times]
 
+    # skew stress: same size, half the events on 10 hot keys (north
+    # rule: hot-url handling); compare events/sec to the uniform run
+    skew_dir = f"{root}/changelog-skew"
+    if not os.path.exists(f"{root}/_ready_skew"):
+        workload.derive_changelog(SF_DIR, skew_dir, replicate=REPLICATE, skew=True)
+        open(f"{root}/_ready_skew", "w").write("ok")
+    lake_s = f"{root}/lake-skew{NUM_CPUS}"
+    shutil.rmtree(lake_s, ignore_errors=True)
+    eng_s = Engine(EngineConfig(lake_dir=lake_s, num_partitions=64))
+    eng_s.snapshot(pages_path, workload.SNAPSHOT_SCN)
+    t0 = time.monotonic()
+    eng_s.replay(skew_dir)
+    skew_s = time.monotonic() - t0
+    timings["replay_skewed"] = round(skew_s, 3)
+
     # secondary pipelines (not part of the headline value)
     from logminer_kafka_connect_ray.pipelines import dataops as dops
     from logminer_kafka_connect_ray.pipelines import queries as q
@@ -119,6 +134,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "events": n_events,
         "events_per_sec": round(n_events / replay_s, 1),
+        "events_per_sec_skewed": round(n_events / skew_s, 1),
         "final_rows": sum(p.rows for p in m.partitions),
     }
     ray.shutdown()

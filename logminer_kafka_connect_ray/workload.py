@@ -110,6 +110,7 @@ def derive_changelog(
     out_dir: str,
     events_per_file: int = 100_000,
     replicate: int = 1,
+    skew: bool = False,
 ) -> list[str]:
     """Vectorized events-table -> change-event parquet files.
 
@@ -134,6 +135,10 @@ def derive_changelog(
         ts_us = np.tile(ts_us, replicate)
 
     doc = user % n_docs
+    if skew:
+        # hot-key variant (north rule: skewed hot urls): half of all
+        # events hit just 10 keys
+        doc = np.where(eid % 2 == 0, eid % 10, doc)
     url = _urls(doc)
     scn = SCN0 + eid * 2
     tx = eid // TXN_SIZE
