@@ -130,8 +130,14 @@ class Engine:
         return self.replay(changelog_dir)
 
     # ------------------------------------------------------------------
-    def read_table(self, version: int | None = None, with_meta: bool = False):
-        """Current lake state as a ray Dataset (schema-unified)."""
+    def read_table(
+        self,
+        version: int | None = None,
+        with_meta: bool = False,
+        columns: list[str] | None = None,
+    ):
+        """Current lake state as a ray Dataset (schema-unified;
+        ``columns`` prunes at the parquet read)."""
         import ray.data as rd
 
         m = self._require_manifest(version)
@@ -140,9 +146,11 @@ class Engine:
         ]
         schema = schemas.schema_from_json(m.schema)
         out_schema = schemas.lake_schema(schema) if with_meta else schema
+        if columns:
+            out_schema = pa.schema([out_schema.field(c) for c in columns])
         if not paths:
             return rd.from_arrow(out_schema.empty_table())
-        ds = rd.read_parquet(paths)
+        ds = rd.read_parquet(paths, columns=list(columns) if columns else None)
         return ds.map_batches(
             lambda t, s=out_schema: align_flat(t, s), batch_format="pyarrow"
         )

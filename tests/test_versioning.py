@@ -129,3 +129,27 @@ def test_repartition_lake(ray_session, tmp_path):
     want = replay_oracle(base, events1 + events2)
     got = table_to_state(eng.to_arrow())
     assert not state_diff(got, want)
+
+
+def test_crash_debris_ignored_and_vacuumed(ray_session, tmp_path):
+    """Partition files from a crashed/failed run (never referenced by a
+    manifest) don't affect reads and are removed by vacuum."""
+    eng, pages, events = build(tmp_path)
+    before = table_to_state(eng.to_arrow())
+    parts_dir = os.path.join(eng.config.lake_dir, "parts")
+    # simulate a crashed future merge: orphan data file + stale tmp
+    import shutil
+
+    some = next(f for f in os.listdir(parts_dir) if f.endswith(".parquet"))
+    shutil.copy(
+        os.path.join(parts_dir, some),
+        os.path.join(parts_dir, "p00099-v99999999.parquet"),
+    )
+    open(os.path.join(parts_dir, "p00001-v00000099.parquet.tmp-123"), "w").write("x")
+
+    # reads are manifest-driven: state unchanged
+    assert table_to_state(eng.to_arrow()) == before
+    eng.vacuum(keep_versions=1)
+    files = set(os.listdir(parts_dir))
+    assert "p00099-v99999999.parquet" not in files
+    assert table_to_state(eng.to_arrow()) == before
