@@ -136,3 +136,28 @@ def test_spill_and_rollback_cleanup(ray_session, tmp_path):
     assert stats["open_txns"] == 0 and stats["spilled_txns"] == 0
     assert not os.listdir(spill_dir)
     stream.shutdown()
+
+
+def test_streaming_restart_rebuilds_open_state(streamed_setup, tmp_path):
+    """A restarted StreamingEngine re-reads from the manifest watermark
+    and rebuilds open-txn buffers (the reference's conservative-offset
+    restart, OffsetIntegrationTest.kt:47-73)."""
+    eng, pages, events, changelog = streamed_setup
+    write_event_batches(events, changelog, events_per_file=60)
+    s1 = StreamingEngine(eng, changelog, num_shards=2, poll_interval=0.01)
+    s1.run(max_polls=4)
+    s1.shutdown()
+    state_after_1 = table_to_state(eng.to_arrow())
+
+    # "crash": new streaming engine over the same lake + log
+    s2 = StreamingEngine(eng, changelog, num_shards=2, poll_interval=0.01)
+    s2.run(max_polls=4)
+    s2.shutdown()
+
+    base = {r["url"]: {k: v for k, v in r.items() if k != "url"}
+            for r in pages.to_pylist()}
+    want = replay_oracle(base, events)
+    got = table_to_state(eng.to_arrow())
+    assert not state_diff(got, want), state_diff(got, want)
+    # restart did not corrupt or double-apply
+    assert len(got) == len(want)

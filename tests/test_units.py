@@ -162,3 +162,25 @@ def test_envelope_and_tombstones():
     assert dele["source"]["commit_scn"] == 6
     assert tomb["tombstone"] is True and tomb["key"] == "u3"
     assert tomb["before"] is None and tomb["after"] is None
+
+
+def test_collect_txn_info_serial_fallback(tmp_path):
+    """collect_txn_info without a Ray session (serial path) matches the
+    semantics of the parallel path."""
+    from logminer_kafka_connect_ray.stages.txn import collect_txn_info
+    from logminer_kafka_connect_ray import schemas as sch
+
+    rows = [
+        {"scn": 1, "row_id": "a", "tx_id": "t1", "op": "i"},
+        {"scn": 2, "row_id": "b", "tx_id": "t2", "op": "u"},
+        {"scn": 3, "row_id": "c", "tx_id": "t1", "op": "commit", "commit_scn": 3},
+        {"scn": 4, "row_id": "d", "tx_id": "t3", "op": "rollback", "commit_scn": 4},
+    ]
+    t = pa.Table.from_pylist(rows)
+    p = str(tmp_path / "b1.parquet")
+    pq.write_table(t, p)
+    info = collect_txn_info([p], parallel=False)
+    assert info.n_commit == 1
+    assert info.n_rolled == 1
+    assert info.n_open_rows == 1          # t2 has no terminator
+    assert info.min_open_scn == 2
