@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC engine (SURVEY.md section 2: S1-S5, M1-M9, T1-T3, J3,
         # A1-A4, O1-O4, D1-D3)
         "cdc_final_state": q.cdc_final_state,
+        "cdc_final_state_redo_sql": q.cdc_final_state_redo_sql,
         "cdc_snapshot_state": q.cdc_snapshot_state,
         "cdc_committed_events": q.cdc_committed_events,
         "cdc_rolled_back_events": q.cdc_open_or_rolled_events,
@@ -215,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_final_state": _FINAL_STATE_SQL,
+        "cdc_final_state_redo_sql": _FINAL_STATE_SQL,
         "cdc_snapshot_state": _SNAPSHOT_SQL,
         "cdc_committed_events": _COMMITTED_SQL,
         "cdc_rolled_back_events": _DISCARDED_SQL,

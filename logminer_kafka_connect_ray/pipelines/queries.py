@@ -203,3 +203,28 @@ def cdc_lww_latest(sf_dir: str) -> pa.Table:
         ["url", "last_commit_scn", "last_scn", "last_op"]
     )
     return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+
+def cdc_final_state_redo_sql(sf_dir: str) -> pa.Table:
+    """Same replay as cdc_final_state but from a RAW REDO-SQL changelog
+    (M1 statement parsing + typed literal conversion), verifying the
+    parser path against the same SQL oracle."""
+    import os
+    import shutil as _sh
+
+    d = workload.ensure_workload(sf_dir)
+    redo_dir = os.path.join(d["root"], "changelog-redo")
+    marker = os.path.join(d["root"], "_ready_redo")
+    if not os.path.exists(marker):
+        workload.derive_changelog_redo_sql(sf_dir, redo_dir)
+        open(marker, "w").write("ok")
+    lake = d["lake"] + "-redo"
+    _sh.rmtree(lake, ignore_errors=True)
+    eng = Engine(
+        EngineConfig(
+            lake_dir=lake, num_partitions=16, changelog_format="redo_sql"
+        )
+    )
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(redo_dir)
+    return eng.to_arrow()

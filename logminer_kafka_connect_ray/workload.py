@@ -282,3 +282,92 @@ def ensure_workload(sf_dir: str, root: str = "/tmp/lkc_workload") -> dict[str, s
         with open(marker, "w") as f:
             f.write("ok")
     return d
+
+
+def derive_changelog_redo_sql(
+    sf_dir: str, out_dir: str, events_per_file: int = 100_000
+) -> list[str]:
+    """The SAME derived workload rendered as raw redo-SQL statements
+    (the reference's v$logmnr_contents shape): exercises the M1 parser
+    path end-to-end under the same SQL oracle as the struct form."""
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    eid = ev.column("event_id").to_numpy()
+    etype = ev.column("event_type").to_pandas().to_numpy()
+    user = ev.column("user_id").to_numpy()
+    ts_us = (
+        ev.column("ts").cast(pa.timestamp("us")).to_numpy()
+        .astype("datetime64[us]").astype(np.int64)
+    )
+    doc = user % n_docs
+    urls = _urls(doc).to_pylist()
+    scn = SCN0 + eid * 2
+    tx = eid // TXN_SIZE
+
+    import datetime as _dt
+
+    def ts_lit(us: int) -> str:
+        t = _dt.datetime.utcfromtimestamp(us / 1_000_000)
+        return (
+            f"TO_TIMESTAMP('{t.strftime('%Y-%m-%d %H:%M:%S.%f')}',"
+            f" 'YYYY-MM-DD HH24:MI:SS.FF6')"
+        )
+
+    rows = []
+    for i in range(len(eid)):
+        e, et, u = int(eid[i]), etype[i], urls[i]
+        if et == "error":
+            sql = f'delete from "WEB"."PAGES" where "url" = \'{u}\''
+            op = "d"
+        elif et == "signup":
+            text = f"signup:{e}"
+            html = f"<html><body>{text}</body></html>".encode().hex()
+            sql = (
+                'insert into "WEB"."PAGES"("url","warc_ts","html","text","lang")'
+                f" values ('{u}', {ts_lit(int(ts_us[i]))}, HEXTORAW('{html}'),"
+                f" '{text}', 'xx{e % 5}')"
+            )
+            op = "i"
+        elif et in ("click", "view"):
+            sql = f'update "WEB"."PAGES" set "text" = \'u:{e}\' where "url" = \'{u}\''
+            op = "u"
+        else:  # purchase
+            sql = f'update "WEB"."PAGES" set "lang" = \'p{e % 5}\' where "url" = \'{u}\''
+            op = "u"
+        rows.append(
+            {
+                "scn": int(scn[i]), "row_id": f"R{int(scn[i])}",
+                "commit_scn": None, "tx_id": f"tx{int(tx[i])}", "op": op,
+                "ts_ms": int(ts_us[i]) // 1000, "table": TABLE_NAME,
+                "username": None, "status": 0, "csf": 0, "sql_redo": sql,
+            }
+        )
+    txs = np.unique(tx)
+    m_scn = SCN0 + (txs * TXN_SIZE + (TXN_SIZE - 1)) * 2 + 1
+    for t_, s_ in zip(txs, m_scn):
+        rows.append(
+            {
+                "scn": int(s_), "row_id": f"R{int(s_)}", "commit_scn": int(s_),
+                "tx_id": f"tx{int(t_)}",
+                "op": "rollback" if t_ % ROLLBACK_MOD == ROLLBACK_REM else "commit",
+                "ts_ms": None, "table": TABLE_NAME, "username": None,
+                "status": 0, "csf": 0, "sql_redo": None,
+            }
+        )
+    rows.sort(key=lambda r: r["scn"])
+
+    from logminer_kafka_connect_ray.testing.gen import REDO_SQL_SCHEMA
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for off in range(0, len(rows), events_per_file):
+        chunk = rows[off : off + events_per_file]
+        tbl = pa.Table.from_pylist(chunk, schema=REDO_SQL_SCHEMA)
+        lo, hi = chunk[0]["scn"], chunk[-1]["scn"]
+        p = os.path.join(out_dir, f"batch-{lo:012d}-{hi:012d}.parquet")
+        pq.write_table(tbl, p)
+        paths.append(p)
+    return paths
