@@ -99,10 +99,15 @@ merged AS (
          THEN 1 ELSE 0 END AS deleted
   FROM agg a FULL OUTER JOIN base ON a.url = base.url
 )
-SELECT url, warc_ts, html, text, lang FROM merged WHERE deleted = 0 ORDER BY url
+SELECT url, warc_ts, md5(html::VARCHAR) AS html_md5, text, lang
+FROM merged WHERE deleted = 0 ORDER BY url
 """
 
-_SNAPSHOT_SQL = f"WITH {_BASE_CTE.strip()} SELECT url, warc_ts, html, text, lang FROM base ORDER BY url"
+_SNAPSHOT_SQL = (
+    f"WITH {_BASE_CTE.strip()} "
+    "SELECT url, warc_ts, md5(html::VARCHAR) AS html_md5, text, lang "
+    "FROM base ORDER BY url"
+)
 
 _COMMITTED_SQL = f"""
 WITH {_CH_CTE.strip()}

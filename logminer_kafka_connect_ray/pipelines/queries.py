@@ -28,6 +28,26 @@ def _engine_cfg(d: dict[str, str], num_partitions: int = 16) -> EngineConfig:
     return EngineConfig(lake_dir=d["lake"], num_partitions=num_partitions)
 
 
+def _digest_html(t: pa.Table) -> pa.Table:
+    """Replace the raw ``html:binary`` column with ``html_md5:string``.
+
+    The driver's canonicalizer sorts result columns with pandas, which
+    cannot factorize ``bytearray`` values (DuckDB BLOB -> pandas), so
+    binary payloads must be compared by digest.  Hash equality still
+    enforces the byte-identity invariant (SURVEY.md section 1: byte-
+    identical html/text per url).
+    """
+    import hashlib
+
+    idx = t.schema.get_field_index("html")
+    digests = [
+        hashlib.md5(v).hexdigest() if v is not None else None
+        for v in t.column("html").to_pylist()
+    ]
+    t = t.remove_column(idx)
+    return t.add_column(idx, "html_md5", pa.array(digests, pa.string()))
+
+
 def _fresh_lake(d: dict[str, str]):
     shutil.rmtree(d["lake"], ignore_errors=True)
 
@@ -42,7 +62,7 @@ def cdc_final_state(sf_dir: str) -> pa.Table:
     eng = Engine(_engine_cfg(d))
     eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
     eng.replay(d["changelog"])
-    return eng.to_arrow()
+    return _digest_html(eng.to_arrow())
 
 
 def cdc_snapshot_state(sf_dir: str) -> pa.Table:
@@ -51,7 +71,7 @@ def cdc_snapshot_state(sf_dir: str) -> pa.Table:
     _fresh_lake(d)
     eng = Engine(_engine_cfg(d))
     eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
-    return eng.to_arrow()
+    return _digest_html(eng.to_arrow())
 
 
 def _decoded_committed(sf_dir: str):
@@ -227,4 +247,4 @@ def cdc_final_state_redo_sql(sf_dir: str) -> pa.Table:
     )
     eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
     eng.replay(redo_dir)
-    return eng.to_arrow()
+    return _digest_html(eng.to_arrow())

@@ -35,14 +35,13 @@ def to_pandas(x):
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Mirror the driver's canonicalizer: sort columns by name, then
+    # multi-column sort_values with NO bytes coercion -- a bytearray
+    # (DuckDB BLOB) in any column must fail here like it fails there.
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c], utc=True).astype("int64")
-        elif df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: bytes(v) if isinstance(v, (bytearray, memoryview)) else v
-            )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
