@@ -26,6 +26,7 @@ ever materializes on the driver.
 from __future__ import annotations
 
 import logging
+import os
 import time
 
 import pyarrow as pa
@@ -374,7 +375,35 @@ class Engine:
             }
             avail = pq.ParquetFile(src_paths[0]).schema_arrow.names
             cols = [c for c in avail if c in wanted]
-            ds = rd.read_parquet(src_paths, columns=cols)
+            if cfg.changelog_format == "redo_sql" and "csf" in cols:
+                # CSF runs are contiguous within one log file but a
+                # row-sliced map_batches batch can cut a run in half,
+                # orphaning both fragments (reference reassembles over
+                # the continuous cursor BEFORE batching,
+                # LogminerFetcher.kt:144-153).  Reassemble per file in
+                # the read task; downstream batch slicing then only
+                # sees whole statements.  Assumes one redo log file
+                # fits a read task's heap -- true for archive-log-sized
+                # files, same bound the reference's cursor has.
+                from logminer_kafka_connect_ray.functions.redo_sql import (
+                    reassemble_csf,
+                )
+
+                read_cols = list(cols)
+
+                def read_reassembled(b: pa.Table) -> pa.Table:
+                    out = []
+                    for p in b.column("path").to_pylist():
+                        out.append(
+                            reassemble_csf(pq.read_table(p, columns=read_cols))
+                        )
+                    return pa.concat_tables(out)
+
+                ds = rd.from_items([{"path": p} for p in src_paths]).map_batches(
+                    read_reassembled, batch_size=1, batch_format="pyarrow"
+                )
+            else:
+                ds = rd.read_parquet(src_paths, columns=cols)
             proc = ds.map_batches(
                 make_processor_fn(
                     markers_ref, schema_json, cfg.key_column,
@@ -382,6 +411,10 @@ class Engine:
                     cfg.num_partitions, mode,
                     changelog_format=cfg.changelog_format,
                     db_timezone=cfg.db_timezone,
+                    dead_dir=(
+                        f"{cfg.lake_dir}/dead_letters" if cfg.dead_letter else None
+                    ),
+                    version=version,
                 ),
                 batch_format="pyarrow",
                 batch_size=batch_size,
@@ -418,6 +451,20 @@ class Engine:
             pre_partitioned=True,
         )
         return manifest
+
+    def _count_dead_letters(self, version: int) -> int:
+        """Rows routed to lake/dead_letters/ by this version's decode
+        pass (file names carry the version prefix).  Tiny metadata-only
+        scan -- rejected rows are rare by construction."""
+        d = f"{self.config.lake_dir}/dead_letters"
+        if not os.path.isdir(d):
+            return 0
+        prefix = f"v{version:08d}-"
+        n = 0
+        for f in os.listdir(d):
+            if f.startswith(prefix) and f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        return n
 
     def _merge_and_publish(
         self,
@@ -556,6 +603,7 @@ class Engine:
                 "t_plan_s": round(getattr(self, "_t_meta", 0.0), 3),
                 "t_merge_s": round(t_merge, 3),
                 "skipped_unreadable": int(getattr(self, "_n_unreadable", 0)),
+                "dead_letters": self._count_dead_letters(version),
             },
         )
         if not self.store.publish(m):

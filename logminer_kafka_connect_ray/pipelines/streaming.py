@@ -343,6 +343,18 @@ class StreamingEngine:
             applied += batch.num_rows
             prev = self.engine.store.load()
             hi = pc.max(batch.column("scn")).as_py()
+            # Conservative resumable watermark (reference holds the
+            # offset at min(scn, minOpenTransaction.minScn),
+            # TransactionConsolidator.kt:56-64): rows of still-open
+            # txns exist only in shard-actor memory, so the published
+            # watermark must not pass them -- after a restart
+            # _decode_file re-feeds everything above the watermark and
+            # the idempotent LWW merge absorbs re-applied rows.  Also
+            # monotonic: a later slice's hi can be lower than an
+            # earlier one (commit order != change-scn order).
+            min_open = self.consolidator.min_open_scn()
+            safe_hi = hi if min_open is None else min(hi, min_open - 1)
+            new_wm = max(self.watermark, safe_hi)
             flat = rd.from_arrow(batch)
             from logminer_kafka_connect_ray.stages.merge import PreaggPartitioner
 
@@ -363,13 +375,13 @@ class StreamingEngine:
                 table_schema=self._schema,
                 schema_version=prev.schema_version,
                 scn_lo=self.watermark,
-                scn_hi=hi,
+                scn_hi=new_wm,
                 prev=prev,
                 open_spill=None,
                 markers_stats=(0, 0, 0),
                 pre_partitioned=True,
             )
-            self.watermark = hi
+            self.watermark = new_wm
         return applied
 
     def shutdown(self):

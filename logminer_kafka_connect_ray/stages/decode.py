@@ -177,16 +177,19 @@ class RedoSqlDecoder:
     actual input shape (``v$logmnr_contents``).
 
     Pipeline per batch: CSF fragment reassembly
-    (``LogminerFetcher.kt:144-153``) -> per-row statement parse
+    (``LogminerFetcher.kt:144-153``; a safety net -- the engine's
+    redo read path reassembles per FILE before batch slicing, see
+    ``pipelines/engine.py``) -> per-row statement parse
     (``functions/redo_sql.py``; row-oriented by nature, exactly like
     the reference's parse loop -- the ONLY row-wise stage in the
     engine) -> flat pipeline form with M7 enrichment.  Unparseable
-    statements and unknown columns are dropped with accounting
-    (``TransactionConsolidator.kt:66-70``, ``SourceTask.kt:133-141``);
-    the count rides in every output batch's metadata would be opaque,
-    so it is exposed via ``self.dead_letters`` (per worker) and a
-    ``_dead`` marker column is NOT added to keep the flat schema
-    identical to ``ChangeDecoder``'s.
+    statements, unknown columns and literal-conversion failures are
+    dropped with accounting (``TransactionConsolidator.kt:66-70``,
+    ``SourceTask.kt:133-141``) and -- when ``dead_dir`` is set --
+    ROUTED to a queryable dead-letter Parquet dataset
+    (scn, row_id, tx_id, table, sql_redo, reason), so at 100 TB the
+    rejected rows are inspectable instead of a per-worker counter
+    that dies with the worker.
     """
 
     def __init__(
@@ -195,6 +198,8 @@ class RedoSqlDecoder:
         key_column: str = "url",
         whitelist: tuple[str, ...] = (),
         db_timezone: str = "UTC",
+        dead_dir: str | None = None,
+        version: int = 0,
     ):
         from logminer_kafka_connect_ray.types import column_type_for_arrow
 
@@ -208,6 +213,36 @@ class RedoSqlDecoder:
             f.name: column_type_for_arrow(f.type, db_timezone) for f in table_schema
         }
         self.dead_letters = 0
+        self.dead_dir = dead_dir
+        self.version = version
+
+    def _route_dead(self, rows: list[dict], reasons: list[str]) -> None:
+        """Write rejected rows to the dead-letter dataset.  File names
+        carry the manifest version so a re-run of the same micro-batch
+        can be deduplicated on read by (scn, row_id)."""
+        self.dead_letters += len(rows)
+        if not self.dead_dir or not rows:
+            return
+        import os
+        import uuid
+
+        import pyarrow.parquet as _pq
+
+        os.makedirs(self.dead_dir, exist_ok=True)
+        t = pa.table(
+            {
+                "scn": pa.array([r.get("scn") for r in rows], pa.int64()),
+                "row_id": pa.array([r.get("row_id") for r in rows], pa.string()),
+                "tx_id": pa.array([r.get("tx_id") for r in rows], pa.string()),
+                "table": pa.array([r.get("table") for r in rows], pa.string()),
+                "sql_redo": pa.array(
+                    [r.get("sql_redo") for r in rows], pa.string()
+                ),
+                "reason": pa.array(reasons, pa.string()),
+            }
+        )
+        name = f"v{self.version:08d}-{uuid.uuid4().hex[:12]}.parquet"
+        _pq.write_table(t, os.path.join(self.dead_dir, name))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from logminer_kafka_connect_ray.functions.redo_sql import (
@@ -223,6 +258,11 @@ class RedoSqlDecoder:
             ok = pc.fill_null(
                 pc.not_equal(t.column("status"), schemas.STATUS_UNREADABLE), True
             )
+            if self.dead_dir is not None:
+                bad = t.filter(pc.and_(keep, pc.invert(ok)))
+                if bad.num_rows:
+                    rows = bad.to_pylist()
+                    self._route_dead(rows, ["unreadable"] * len(rows))
             keep = pc.and_(keep, ok)
         t = t.filter(keep)
         if self.whitelist and "table" in t.column_names:
@@ -245,21 +285,38 @@ class RedoSqlDecoder:
             out[f"b_{c}"] = []
         col_bit = {c: 1 << i for i, c in enumerate(self.data_cols)}
 
+        dead_rows: list[dict] = []
+        dead_reasons: list[str] = []
         for r in rows:
             sql = r.get("sql_redo")
             if not sql:
-                self.dead_letters += 1
+                dead_rows.append(r)
+                dead_reasons.append("empty_sql")
                 continue
             try:
                 op, before, after = parse_redo(sql, self.column_types)
-            except (RedoSqlParseError, UnknownColumnError):
-                self.dead_letters += 1  # M4/M5 dead-letter skip
+            except UnknownColumnError:
+                dead_rows.append(r)
+                dead_reasons.append("unknown_column")
+                continue
+            except RedoSqlParseError:
+                dead_rows.append(r)  # M4 dead-letter skip
+                dead_reasons.append("parse_error")
+                continue
+            except (ValueError, ArithmeticError):
+                # literal conversion failures (decimal.InvalidOperation
+                # for malformed numerics, ValueError from timestamp /
+                # fromhex parsing) must skip-with-accounting, not crash
+                # the stream (TransactionConsolidator.kt:66-70, M5)
+                dead_rows.append(r)
+                dead_reasons.append("convert_error")
                 continue
             before = before or {}
             after = after or {}
             key = after.get(self.key_column, before.get(self.key_column))
             if key is None:
-                self.dead_letters += 1
+                dead_rows.append(r)
+                dead_reasons.append("missing_key")
                 continue
             if op == "i":
                 mask = self.full_mask
@@ -289,6 +346,7 @@ class RedoSqlDecoder:
                 out[f"a_{c}"].append(after.get(c))
                 out[f"b_{c}"].append(before.get(c))
 
+        self._route_dead(dead_rows, dead_reasons)
         arrays = {
             name: pa.array(vals, self.out_schema.field(name).type)
             for name, vals in out.items()

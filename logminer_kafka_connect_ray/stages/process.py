@@ -40,13 +40,20 @@ class ChangeEventProcessor:
         mode: str = "committed",
         changelog_format: str = "struct",
         db_timezone: str = "UTC",
+        dead_dir: str | None = None,
+        version: int = 0,
     ):
         from logminer_kafka_connect_ray.stages.decode import RedoSqlDecoder
 
         table_schema = schemas.schema_from_json(table_schema_json)
         if changelog_format == "redo_sql":
+            # dead letters route only from the committed pass -- the
+            # open pass re-decodes a subset of the same raw rows and
+            # would duplicate them
             self.decoder = RedoSqlDecoder(
-                table_schema, key_column, whitelist, db_timezone
+                table_schema, key_column, whitelist, db_timezone,
+                dead_dir=dead_dir if mode == "committed" else None,
+                version=version,
             )
         else:
             self.decoder = ChangeDecoder(table_schema, key_column, whitelist)
@@ -102,6 +109,8 @@ def make_processor_fn(
     carryover: bool = False,
     changelog_format: str = "struct",
     db_timezone: str = "UTC",
+    dead_dir: str | None = None,
+    version: int = 0,
 ):
     """Build a pickle-able map_batches task fn with per-process reuse."""
     import json
@@ -110,7 +119,7 @@ def make_processor_fn(
     cache_key = (
         ref_key, json.dumps(table_schema_json), key_column, tuple(whitelist),
         scn_lo, scn_hi, num_partitions, mode, carryover, changelog_format,
-        db_timezone,
+        db_timezone, dead_dir, version,
     )
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -126,7 +135,7 @@ def make_processor_fn(
                 proc = ChangeEventProcessor(
                     markers_ref, table_schema_json, key_column, whitelist,
                     scn_lo, scn_hi, num_partitions, mode,
-                    changelog_format, db_timezone,
+                    changelog_format, db_timezone, dead_dir, version,
                 )
             _PROC_CACHE[cache_key] = proc
         return proc(batch)

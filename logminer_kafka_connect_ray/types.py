@@ -17,14 +17,19 @@ Type mapping parity (dispatch ``ColumnSchemaBuilder.kt:201-257``):
 
 | Oracle                          | Arrow              | ref lines |
 |---------------------------------|--------------------|-----------|
-| NUMBER(p<=2, s=0)               | int8               | :38-43    |
-| NUMBER(p<=4, s=0)               | int16              | :45-50    |
-| NUMBER(p<=9, s=0)               | int32              | :52-57    |
-| NUMBER(p<=18, s=0)              | int64              | :59-64    |
+| NUMBER(p<=2, -84<=s<=0)         | int8               | :38-43    |
+| NUMBER(p<=4, -84<=s<=0)         | int16              | :45-50    |
+| NUMBER(p<=9, -84<=s<=0)         | int32              | :52-57    |
+| NUMBER(p<=18, -84<=s<=0)        | int64              | :59-64    |
 | BINARY_FLOAT                    | float32            | :66-71    |
 | BINARY_DOUBLE / NUMBER(p<19,s>0)| float64            | :73-78    |
-| NUMBER(p>=19 or s<0)            | decimal(p, s)      | :80-86    |
-| NUMBER (unqualified)            | decimal256(79, 40) | :18-19    |
+| NUMBER(p>=19)                   | decimal(p, s)      | :80-86    |
+| NUMBER (unqualified)            | decimal256(76, 40)* | :18-19   |
+
+*The reference uses Decimal(79, 40); Arrow decimal256 caps precision
+at 76, so magnitudes above 1e36 (Oracle NUMBER reaches ~1e126 at 38
+significant digits) overflow here -- an intentional, documented
+divergence.
 | CHAR/VARCHAR2/CLOB/...          | string             | :89-95    |
 | DATE                            | date32 (midnight)  | :109-128  |
 | TIMESTAMP(n)                    | timestamp[us, cfg tz] | :159-181 |
@@ -60,9 +65,10 @@ NULL_LITERAL = "NULL"
 
 #: unqualified NUMBER precision/scale.  The reference uses
 #: Decimal(precision=79, scale=40) (ColumnSchemaBuilder.kt:18-19);
-#: Arrow decimal256 caps precision at 76, so we clamp -- lossless in
-#: practice since Oracle NUMBER itself holds at most 38 significant
-#: digits.
+#: Arrow decimal256 caps precision at 76, so we clamp.  NOT fully
+#: lossless: with scale 40, integer magnitudes above 1e36 overflow
+#: (Oracle NUMBER reaches ~1e126 at 38 significant digits) -- a
+#: documented divergence, see the module docstring table.
 UNQUALIFIED_NUMBER_PRECISION = 76
 UNQUALIFIED_NUMBER_SCALE = 40
 
@@ -124,25 +130,43 @@ class ColumnType:
         raise ValueError(f"unsupported kind {self.kind}")
 
     def _parse_ts(self, s: str) -> dt.datetime:
-        if self.zoned:
-            # `yyyy-MM-dd HH:mm:ss[.f] VV/xxx [zzz]` forms
-            # (ColumnSchemaBuilder.kt:182-194)
-            m = re.match(
-                r"^(\d{4}-\d{2}-\d{2})[ T](\d{2}:\d{2}:\d{2}(?:\.\d+)?)\s+(.+)$", s
-            )
-            if not m:
-                raise ValueError(f"bad zoned timestamp literal: {s!r}")
-            base = dt.datetime.fromisoformat(f"{m.group(1)}T{m.group(2)}")
-            zone = m.group(3).split()[0]
-            if re.match(r"^[+-]\d{2}:\d{2}$", zone):
-                sign = 1 if zone[0] == "+" else -1
-                hh, mm = int(zone[1:3]), int(zone[4:6])
-                off = dt.timezone(sign * dt.timedelta(hours=hh, minutes=mm))
-                return base.replace(tzinfo=off).astimezone(dt.timezone.utc)
-            return base.replace(tzinfo=ZoneInfo(zone)).astimezone(dt.timezone.utc)
-        # unzoned literal interpreted in the configured db timezone
-        base = dt.datetime.fromisoformat(s.replace(" ", "T"))
-        return base.replace(tzinfo=ZoneInfo(self.tz)).astimezone(dt.timezone.utc)
+        """Timestamp literal -> aware UTC datetime.
+
+        One tolerant parser for all three reference flavors
+        (ColumnSchemaBuilder.kt:159-194): an explicit offset in the
+        literal (TSTZ `...+02:00` / TSLTZ `xxx` form) always wins; a
+        region-zone form (`... US/Pacific [PDT]`, the reference's
+        `VV [zzz]` pattern) resolves via ZoneInfo; only a bare literal
+        is interpreted in the configured db timezone.  The ``zoned``
+        flag is a flavor hint, not a gate -- a TSTZ column replayed
+        through an Arrow-derived schema (``column_type_for_arrow``
+        loses the Oracle flavor) still converts correctly because the
+        literal itself carries the zone.
+        """
+        try:
+            base = dt.datetime.fromisoformat(s.replace(" ", "T", 1))
+        except ValueError:
+            base = None
+        if base is not None:
+            if base.tzinfo is None:
+                # bare literal: interpret in db tz (never overwrite an
+                # explicit offset -- fromisoformat already captured it)
+                base = base.replace(tzinfo=ZoneInfo(self.tz))
+            return base.astimezone(dt.timezone.utc)
+        # `yyyy-MM-dd HH:mm:ss[.f] VV [zzz]` region form
+        m = re.match(
+            r"^(\d{4}-\d{2}-\d{2})[ T](\d{2}:\d{2}:\d{2}(?:\.\d+)?)\s+(.+)$", s
+        )
+        if not m:
+            raise ValueError(f"bad timestamp literal: {s!r}")
+        naive = dt.datetime.fromisoformat(f"{m.group(1)}T{m.group(2)}")
+        zone = m.group(3).split()[0]
+        if re.match(r"^[+-]\d{2}:\d{2}$", zone):
+            sign = 1 if zone[0] == "+" else -1
+            hh, mm = int(zone[1:3]), int(zone[4:6])
+            off = dt.timezone(sign * dt.timedelta(hours=hh, minutes=mm))
+            return naive.replace(tzinfo=off).astimezone(dt.timezone.utc)
+        return naive.replace(tzinfo=ZoneInfo(zone)).astimezone(dt.timezone.utc)
 
     def convert_default(self, literal: str | None):
         """DDL default literal -> typed value (SchemaType
@@ -173,9 +197,14 @@ class ColumnType:
             ts = pc.strptime(pc.utf8_slice_codeunits(s, 0, 10), format="%Y-%m-%d", unit="s")
             return pc.cast(ts, pa.date32())
         if self.kind == "timestamp" and not self.zoned:
-            ts = pc.strptime(s, format="%Y-%m-%d %H:%M:%S", unit="us")
-            ts = pc.assume_timezone(ts, self.tz)
-            return pc.cast(ts, self.arrow)
+            try:
+                ts = pc.strptime(s, format="%Y-%m-%d %H:%M:%S", unit="us")
+                ts = pc.assume_timezone(ts, self.tz)
+                return pc.cast(ts, self.arrow)
+            except pa.ArrowInvalid:
+                # fractional seconds / explicit offsets / region zones:
+                # per-value tolerant parser (_parse_ts)
+                pass
         if self.kind == "string":
             return s
         # binary (hex) / zoned timestamps: scalar path
@@ -219,8 +248,10 @@ def resolve_type(
                 precision=UNQUALIFIED_NUMBER_PRECISION,
             )
         scale = scale or 0
-        if scale == 0 and precision <= 18:
-            # integer tiers (ColumnSchemaBuilder.kt:214-231)
+        if -84 <= scale <= 0 and precision <= 18:
+            # integer tiers chosen by precision; the reference routes
+            # NEGATIVE scale (-84..0) with p<19 here too, e.g.
+            # NUMBER(5,-2) -> Int (ColumnSchemaBuilder.kt:214-231)
             if precision <= 2:
                 return ColumnType(pa.int8(), "int")
             if precision <= 4:

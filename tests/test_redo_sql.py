@@ -117,6 +117,103 @@ def test_redo_decoder_dead_letters():
     assert dec.dead_letters == 2
 
 
+def test_csf_run_across_batch_boundary(ray_session, tmp_path):
+    """A csf=1...csf=0 run that would straddle a map_batches slice must
+    still parse: the engine reassembles per FILE in the read task
+    before any batch slicing (reference reassembles over the continuous
+    cursor before batching, LogminerFetcher.kt:144-153).  Tiny
+    batch_size + heavy fragmentation forces many would-be splits."""
+    pages = gen_pages(20)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(pages, ChangeGenConfig(n_events=60, seed=52))
+    changelog = str(tmp_path / "changelog")
+    # ~40-char fragments: every statement becomes a multi-row CSF run
+    write_redo_sql_batches(events, changelog, events_per_file=500,
+                           csf_fragment_len=40)
+
+    eng = Engine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake"),
+            num_partitions=2,
+            changelog_format="redo_sql",
+            batch_size=7,  # slices mid-run without per-file reassembly
+        )
+    )
+    eng.snapshot(pages_path, 999)
+    eng.replay(changelog)
+
+    m = eng.store.load()
+    assert m.metrics["dead_letters"] == 0, m.metrics
+    base = {r["url"]: {k: v for k, v in r.items() if k != "url"}
+            for r in pages.to_pylist()}
+    want = replay_oracle(base, events)
+    got = table_to_state(eng.to_arrow())
+    assert not state_diff(got, want), state_diff(got, want)
+
+
+def test_dead_letter_routing(ray_session, tmp_path):
+    """Corrupt statements (parse error) and bad literals (conversion
+    error) are routed to lake/dead_letters/ with reasons, counted in
+    manifest metrics, and the replay still matches the oracle for the
+    valid rows (SourceTask.kt:133-141 skip-with-accounting, upgraded
+    to a queryable dataset)."""
+    from logminer_kafka_connect_ray.testing.gen import REDO_SQL_SCHEMA
+
+    pages = gen_pages(20)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(pages, ChangeGenConfig(n_events=80, seed=53))
+    changelog = str(tmp_path / "changelog")
+    write_redo_sql_batches(events, changelog, events_per_file=500)
+
+    hi = max(e["scn"] for e in events)
+    bad_rows = [
+        {"scn": hi + 1, "row_id": f"AAAx{hi+1:010d}", "commit_scn": None,
+         "tx_id": "txbad", "op": "u", "ts_ms": 0, "table": "WEB.PAGES",
+         "username": "WEBCRAWL", "status": 0, "csf": 0,
+         "sql_redo": "garbage %%% not sql at all"},
+        {"scn": hi + 2, "row_id": f"AAAx{hi+2:010d}", "commit_scn": None,
+         "tx_id": "txbad", "op": "i", "ts_ms": 0, "table": "WEB.PAGES",
+         "username": "WEBCRAWL", "status": 0, "csf": 0,
+         "sql_redo": 'insert into "WEB"."PAGES"("url","warc_ts") values '
+                     "('u-bad', TO_TIMESTAMP('not-a-date', "
+                     "'YYYY-MM-DD HH24:MI:SS.FF6'))"},
+        {"scn": hi + 3, "row_id": f"AAAx{hi+3:010d}", "commit_scn": hi + 3,
+         "tx_id": "txbad", "op": "commit", "ts_ms": 0, "table": "WEB.PAGES",
+         "username": "WEBCRAWL", "status": 0, "csf": 0, "sql_redo": None},
+    ]
+    t = pa.Table.from_pylist(bad_rows, schema=REDO_SQL_SCHEMA)
+    pq.write_table(
+        t, f"{changelog}/batch-{hi+1:012d}-{hi+3:012d}.parquet"
+    )
+
+    lake = str(tmp_path / "lake")
+    eng = Engine(
+        EngineConfig(lake_dir=lake, num_partitions=2,
+                     changelog_format="redo_sql")
+    )
+    eng.snapshot(pages_path, 999)
+    eng.replay(changelog)
+
+    m = eng.store.load()
+    assert m.metrics["dead_letters"] == 2, m.metrics
+    import glob
+
+    dead = pa.concat_tables(
+        [pq.read_table(p) for p in glob.glob(f"{lake}/dead_letters/*.parquet")]
+    )
+    reasons = dict(zip(dead.column("scn").to_pylist(),
+                       dead.column("reason").to_pylist()))
+    assert reasons[hi + 1] == "parse_error"
+    assert reasons[hi + 2] == "convert_error"
+    base = {r["url"]: {k: v for k, v in r.items() if k != "url"}
+            for r in pages.to_pylist()}
+    want = replay_oracle(base, events)
+    got = table_to_state(eng.to_arrow())
+    assert not state_diff(got, want), state_diff(got, want)
+
+
 @pytest.mark.parametrize("csf_len", [None, 120])
 def test_redo_sql_end_to_end(ray_session, tmp_path, csf_len):
     """Full replay from a redo-SQL-shaped changelog (with and without

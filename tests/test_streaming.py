@@ -138,6 +138,81 @@ def test_spill_and_rollback_cleanup(ray_session, tmp_path):
     stream.shutdown()
 
 
+def _upd(scn, tx, url, text):
+    cols = ["warc_ts", "html", "text", "lang"]
+    return {
+        "scn": scn, "row_id": f"AAAx{scn:010d}", "commit_scn": None,
+        "url": url, "tx_id": tx, "op": "u", "ts_ms": scn,
+        "table": "WEB.PAGES", "username": "WEBCRAWL", "status": 0,
+        "before": {c: None for c in cols},
+        "after": {**{c: None for c in cols}, "text": text},
+        "set_cols": None,
+    }
+
+
+def _marker(scn, tx, op="commit"):
+    return {
+        "scn": scn, "row_id": f"AAAx{scn:010d}", "commit_scn": scn,
+        "tx_id": tx, "op": op, "ts_ms": scn,
+        "table": "WEB.PAGES", "username": "WEBCRAWL", "status": 0,
+        "before": None, "after": None, "set_cols": None,
+    }
+
+
+def test_streaming_restart_keeps_open_txn_rows_below_released_scn(
+    ray_session, tmp_path
+):
+    """An open txn's buffered row precedes the max released scn; the
+    published watermark must hold at min_open_scn - 1 so a restarted
+    engine re-reads the row and the post-restart COMMIT still applies
+    (reference offset = min(scn, minOpenTransaction.minScn),
+    TransactionConsolidator.kt:56-64)."""
+    pages = gen_pages(10)
+    pq.write_table(pages, str(tmp_path / "pages.parquet"))
+    eng = Engine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2))
+    eng.snapshot(str(tmp_path / "pages.parquet"), SNAPSHOT_SCN)
+    url_a = pages.column("url")[0].as_py()
+    url_b = pages.column("url")[1].as_py()
+    changelog = str(tmp_path / "clog")
+
+    # txA opens at scn 1000 (stays open); txB at 1100 commits at 1150
+    write_event_batches(
+        [
+            _upd(1000, "txA", url_a, "a-after-restart"),
+            _upd(1100, "txB", url_b, "b-committed"),
+            _marker(1150, "txB"),
+        ],
+        changelog,
+        events_per_file=10,
+    )
+    s1 = StreamingEngine(eng, changelog, num_shards=2, poll_interval=0.01)
+    s1.run(max_polls=2)
+    s1.shutdown()  # crash: txA's buffered row dies with the actors
+
+    m = eng.store.load()
+    assert m.watermark_scn < 1000, (
+        f"watermark {m.watermark_scn} passed the open txn's row at 1000"
+    )
+    got = table_to_state(eng.to_arrow())
+    assert got[url_b]["text"] == "b-committed"
+    assert got[url_a]["text"] != "a-after-restart"
+
+    # txA commits only after the restart
+    write_event_batches([_marker(1300, "txA")], str(tmp_path / "clog2"), 10)
+    import shutil
+
+    for f in os.listdir(str(tmp_path / "clog2")):
+        shutil.copy(
+            str(tmp_path / "clog2" / f), os.path.join(changelog, "zz-" + f)
+        )
+    s2 = StreamingEngine(eng, changelog, num_shards=2, poll_interval=0.01)
+    s2.run(max_polls=2)
+    s2.shutdown()
+    got = table_to_state(eng.to_arrow())
+    assert got[url_a]["text"] == "a-after-restart", "open-txn row lost on restart"
+    assert got[url_b]["text"] == "b-committed"
+
+
 def test_streaming_restart_rebuilds_open_state(streamed_setup, tmp_path):
     """A restarted StreamingEngine re-reads from the manifest watermark
     and rebuilds open-txn buffers (the reference's conservative-offset

@@ -37,7 +37,9 @@ from logminer_kafka_connect_ray.types import (
         ("NUMBER(20,2)", None, None, pa.decimal128(20, 2)),
         ("NUMBER(38,10)", None, None, pa.decimal128(38, 10)),
         ("NUMBER(40,10)", None, None, pa.decimal256(40, 10)),
-        ("NUMBER(10,-2)", None, None, pa.decimal128(12, 0)),  # negative scale
+        # negative scale -84..0 with p<19 -> integer tier by precision
+        # (ColumnSchemaBuilder.kt:214-231, e.g. NUMBER(5,-2) -> Int)
+        ("NUMBER(10,-2)", None, None, pa.int64()),
         ("VARCHAR2", None, None, pa.string()),
         ("NVARCHAR2", None, None, pa.string()),
         ("CLOB", None, None, pa.string()),
@@ -128,6 +130,57 @@ def test_timestamp_with_local_tz_offset():
     t = resolve_type("TIMESTAMP WITH LOCAL TIME ZONE")
     v = t.convert("2021-06-01 12:00:00 +02:00")
     assert v == dt.datetime(2021, 6, 1, 10, 0, tzinfo=dt.timezone.utc)
+
+
+def test_explicit_offset_wins_over_db_timezone():
+    """An ISO-attached offset in the literal must NOT be overwritten by
+    the configured db timezone -- even when the column resolved as
+    unzoned (e.g. via column_type_for_arrow, which loses the Oracle
+    flavor)."""
+    from logminer_kafka_connect_ray.types import column_type_for_arrow
+
+    t = column_type_for_arrow(pa.timestamp("us", tz="UTC"), db_timezone="UTC")
+    assert not t.zoned
+    v = t.convert("2020-09-24 10:11:26.684+02:00")
+    assert v == dt.datetime(
+        2020, 9, 24, 8, 11, 26, 684000, tzinfo=dt.timezone.utc
+    )
+
+
+def test_region_zone_with_abbreviation_on_unzoned_column():
+    """The reference TimestampWithTimezone 'VV [zzz]' form
+    ('... US/Pacific PDT') parses instead of crashing, on both zoned
+    and unzoned-resolved columns."""
+    from logminer_kafka_connect_ray.types import column_type_for_arrow
+
+    want = dt.datetime(2020, 1, 27, 14, 0, 0, 640000, tzinfo=dt.timezone.utc)
+    z = resolve_type("TIMESTAMP WITH TIME ZONE")
+    assert z.convert("2020-01-27 06:00:00.640000 US/Pacific PDT") == want
+    u = column_type_for_arrow(pa.timestamp("us", tz="UTC"))
+    assert u.convert("2020-01-27 06:00:00.640000 US/Pacific PDT") == want
+
+
+def test_convert_array_fractional_and_offset_fallback():
+    """The vectorized timestamp path falls back to the tolerant scalar
+    parser for fractional seconds / explicit offsets."""
+    t = resolve_type("TIMESTAMP", db_timezone="UTC")
+    arr = t.convert_array(
+        pa.array(["2021-01-01 12:00:00.500", "2021-01-01 12:00:00+02:00", "NULL"])
+    )
+    got = arr.to_pylist()
+    assert got[0] == dt.datetime(2021, 1, 1, 12, 0, 0, 500000, tzinfo=dt.timezone.utc)
+    assert got[1] == dt.datetime(2021, 1, 1, 10, 0, tzinfo=dt.timezone.utc)
+    assert got[2] is None
+
+
+def test_negative_scale_number_maps_to_int_tier():
+    """ColumnSchemaBuilder.kt:214-231: scale -84..0 with p<19 routes to
+    the integer tier chosen by precision (NUMBER(5,-2) -> int32)."""
+    assert resolve_type("NUMBER(5,-2)").arrow == pa.int32()
+    assert resolve_type("NUMBER(2,-1)").arrow == pa.int8()
+    assert resolve_type("NUMBER(18,-3)").arrow == pa.int64()
+    # s < -84 or p >= 19 still lands in decimal
+    assert resolve_type("NUMBER(20,-2)").kind == "decimal"
 
 
 # --- default-literal conversion (convertDefaultValue) ------------------
