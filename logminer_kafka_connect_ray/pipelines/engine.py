@@ -41,6 +41,7 @@ from logminer_kafka_connect_ray.sources.snapshot import SnapshotStamper
 from logminer_kafka_connect_ray.stages.decode import ChangeDecoder
 from logminer_kafka_connect_ray.stages.evolve import (
     align_flat,
+    catalog_fields,
     discover_image_fields,
     unify_with,
 )
@@ -112,7 +113,17 @@ class Engine:
         skipped (exactly-once table state)."""
         m = self.store.load()
         if m is None:
-            raise RuntimeError("no snapshot/manifest; run snapshot() first")
+            if self.config.start_scn > 0:
+                # snapshot-less start (reference `start.scn`,
+                # SourceConnectorConfig.kt:122-139; SourceTaskTest
+                # `start.scn=1 reads history via CDC only`): bootstrap
+                # an empty lake at start_scn and replay from there
+                m = self._bootstrap_from_scn(changelog_dir)
+            else:
+                raise RuntimeError(
+                    "no snapshot/manifest; run snapshot() first or set "
+                    "EngineConfig.start_scn for a snapshot-less start"
+                )
         files = changelog_src.list_batch_files(changelog_dir)
         changelog_src.check_contiguity(files, m.watermark_scn)
         pending = changelog_src.prune_files(files, m.watermark_scn, None)
@@ -129,6 +140,47 @@ class Engine:
     def resume(self, changelog_dir: str) -> Manifest:
         """Alias of replay(): the manifest IS the offset."""
         return self.replay(changelog_dir)
+
+    def _bootstrap_from_scn(self, changelog_dir: str) -> Manifest:
+        """Publish an empty version-1 manifest at ``start_scn - 1`` so
+        events with scn >= start_scn replay onto an empty table.  The
+        table schema comes from the changelog itself: struct-image
+        footers, plus the _catalog.json dictionary sidecar for the
+        redo-SQL format (the reference discovers it from the DB catalog,
+        SchemaService.kt:50-69)."""
+        cfg = self.config
+        files = changelog_src.list_batch_files(changelog_dir)
+        paths = [f.path for f in files]
+        fields = discover_image_fields(paths)
+        if cfg.changelog_format == "redo_sql":
+            fields = fields + catalog_fields(paths)
+        data_fields = [f for f in fields if f.name != cfg.key_column]
+        if not data_fields:
+            raise RuntimeError(
+                "start_scn bootstrap needs a schema source: no image "
+                "struct footers or _catalog.json found in the changelog"
+            )
+        table_schema = pa.schema(
+            [pa.field(cfg.key_column, pa.string())] + data_fields
+        )
+        m = Manifest(
+            version=1,
+            checkpoint_id="ckpt-00000001",
+            watermark_scn=cfg.start_scn - 1,
+            last_commit_scn=0,
+            min_open_scn=None,
+            phase="start-scn",
+            num_partitions=cfg.num_partitions,
+            schema_version=0,
+            schema=schemas.schema_to_json(table_schema),
+            partitions=[],
+            open_txn_spill=None,
+            hash_probe=hash_probe(cfg.num_partitions),
+            metrics={"events_applied": 0},
+        )
+        if not self.store.publish(m):
+            return self.store.load()
+        return m
 
     # ------------------------------------------------------------------
     def read_table(
@@ -332,6 +384,11 @@ class Engine:
         # --- schema evolution detection (plan time) -------------------
         cur_schema = schemas.schema_from_json(prev.schema)
         img_fields = discover_image_fields(paths)
+        if cfg.changelog_format == "redo_sql":
+            # redo statements carry no type info; the _catalog.json
+            # dictionary sidecar is the schema-refresh source
+            # (stages/evolve.py catalog_fields)
+            img_fields = img_fields + catalog_fields(paths)
         table_schema, changed = unify_with(cur_schema, img_fields)
         schema_version = prev.schema_version + (1 if changed else 0)
         schema_json = schemas.schema_to_json(table_schema)
@@ -504,6 +561,30 @@ class Engine:
             return _m(group)
 
         t_merge0 = time.monotonic()
+        if cfg.salt_factor > 1:
+            # salted two-level fold (north rule): spread each lake
+            # partition's events over salt_factor sub-shards, fold each
+            # sub-shard with the dominance combiner, THEN exchange by
+            # partition.  Costs one extra exchange; use when a single
+            # partition's event volume can exceed a worker's block.
+            from logminer_kafka_connect_ray.stages.merge import (
+                SaltedCombiner,
+                SaltStamper,
+            )
+
+            pre = pre.map_batches(
+                SaltStamper(cfg.key_column, cfg.num_partitions, cfg.salt_factor),
+                batch_format="pyarrow",
+            )
+            pre = pre.sort(
+                "_salt",
+                boundaries=list(range(1, cfg.num_partitions * cfg.salt_factor)),
+            )
+            pre = pre.map_batches(
+                SaltedCombiner(cfg.key_column, len(data_cols)),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
         # the one wide exchange: range-partition on the precomputed
         # _part key with EXPLICIT boundaries (one lake partition per
         # output block -- no sampling pass, no per-group dispatch)

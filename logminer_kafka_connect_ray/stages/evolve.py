@@ -102,6 +102,39 @@ def discover_image_fields(paths: list[str]) -> list[pa.Field]:
     return list(fields.values())
 
 
+def catalog_fields(paths: list[str]) -> list[pa.Field]:
+    """Dictionary-sidecar discovery for REDO-SQL changelogs.
+
+    Statement text carries no type info, so the redo path's schema
+    source is a ``_catalog.json`` next to the log files -- the analog
+    of the reference's LogMiner dictionary (``DictionaryStrategy``,
+    ``logminer/LogminerSession.kt:37-167``) that ``SchemaService``
+    refreshes from on conversion failure (``SchemaService.kt:30-108``,
+    ``ChangingTableTest.kt:42-93``).  Refresh happens at plan time:
+    every micro-batch re-reads the sidecar, so a column added
+    mid-stream evolves the table schema before its statements decode
+    (instead of dead-lettering them).
+    """
+    import json
+    import os
+
+    from logminer_kafka_connect_ray.types import resolve_type
+
+    fields: dict[str, pa.Field] = {}
+    for d in {os.path.dirname(p) for p in paths}:
+        cat = os.path.join(d, "_catalog.json")
+        if not os.path.exists(cat):
+            continue
+        with open(cat) as f:
+            doc = json.load(f)
+        for name, decl in doc.get("columns", {}).items():
+            ct = resolve_type(decl)
+            prev = fields.get(name)
+            t = widen(prev.type, ct.arrow) if prev is not None else ct.arrow
+            fields[name] = pa.field(name, t, nullable=True)
+    return list(fields.values())
+
+
 def align_flat(t: pa.Table, flat_schema: pa.Schema) -> pa.Table:
     """Cast a flat event table (e.g. pre-evolution carryover spill) to
     the current flat schema: add missing columns as null, widen types."""

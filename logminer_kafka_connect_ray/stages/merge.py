@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from logminer_kafka_connect_ray import schemas
-from logminer_kafka_connect_ray.functions.hashing import partition_ids
+from logminer_kafka_connect_ray.functions.hashing import fnv1a_u64, partition_ids
 from logminer_kafka_connect_ray.stages import fold
 
 LINEAGE_SCHEMA = pa.schema(
@@ -68,6 +68,47 @@ class PreaggPartitioner:
         t = fold.preagg_block(t, self.key_column, self.n_data_cols)
         parts = partition_ids(t.column(self.key_column), self.num_partitions)
         return t.append_column("_part", pa.array(parts))
+
+
+class SaltStamper:
+    """Stamp the salted sub-shard key ``_salt = _part * S + salt(key)``
+    (north-rule "salted repartitioning").  The salt uses independent
+    bits of the SAME stable key hash (quotient by P), so one key always
+    lands in one sub-shard and the sub-shard fold is final per key."""
+
+    def __init__(self, key_column: str, num_partitions: int, salt_factor: int):
+        self.key_column = key_column
+        self.num_partitions = num_partitions
+        self.salt_factor = salt_factor
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        keys = t.column(self.key_column)
+        if not (pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type)):
+            keys = _pc.cast(keys, pa.string())
+        h = fnv1a_u64(keys)
+        salt = ((h // np.uint64(self.num_partitions)) % np.uint64(self.salt_factor)).astype(np.int64)
+        part = t.column("_part").to_numpy()
+        return t.append_column("_salt", pa.array(part * self.salt_factor + salt))
+
+
+class SaltedCombiner:
+    """Fold one whole salted sub-shard (delivered as one block by the
+    ``sort('_salt', boundaries=...)`` exchange) with the dominance
+    combiner: a hot partition's event volume collapses to
+    O(distinct keys x (2 + n_data_cols)) before the final _part
+    exchange -- the escape hatch for an event storm on a single lake
+    partition larger than one worker's block."""
+
+    def __init__(self, key_column: str, n_data_cols: int):
+        self.key_column = key_column
+        self.n_data_cols = n_data_cols
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if "_salt" in t.column_names:
+            t = t.drop_columns(["_salt"])
+        return fold.preagg_block(t, self.key_column, self.n_data_cols)
 
 
 class PartitionMerger:

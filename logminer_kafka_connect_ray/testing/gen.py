@@ -494,16 +494,66 @@ def event_to_redo_sql(e: dict, table_ident: str = '"WEB"."PAGES"') -> str | None
     raise ValueError(op)
 
 
+def _infer_oracle_decl(values: list) -> str:
+    """Infer an Oracle column declaration from sample Python values
+    (the generator's stand-in for the real dictionary's type info)."""
+    import datetime as _dt
+
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool) or isinstance(v, int):
+            # us-epoch timestamps ride as big ints in generator images
+            return "TIMESTAMP(6)" if abs(v) > 10_000_000_000 else "NUMBER(9)"
+        if isinstance(v, float):
+            return "BINARY_DOUBLE"
+        if isinstance(v, bytes):
+            return "BLOB"
+        if isinstance(v, _dt.datetime):
+            return "TIMESTAMP(6)"
+        if isinstance(v, _dt.date):
+            return "DATE"
+        return "VARCHAR2"
+    return "VARCHAR2"
+
+
+def write_redo_catalog(events: list[dict], out_dir: str) -> str:
+    """Write the dictionary sidecar ``_catalog.json``: column name ->
+    Oracle type declaration for every column appearing in any image.
+    This is the redo-log analog of the reference's LogMiner dictionary
+    (DictionaryStrategy / SchemaService.kt:30-108): the schema source
+    the engine refreshes from when a statement references a column it
+    does not know yet (ChangingTableTest.kt semantics)."""
+    import json
+
+    cols: dict[str, list] = {}
+    for e in events:
+        for img in (e.get("before"), e.get("after")):
+            for c, v in (img or {}).items():
+                cols.setdefault(c, []).append(v)
+    catalog = {c: _infer_oracle_decl(vs) for c, vs in sorted(cols.items())}
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "_catalog.json")
+    with open(path, "w") as f:
+        json.dump({"columns": catalog}, f, indent=1)
+    return path
+
+
 def write_redo_sql_batches(
     events: list[dict],
     out_dir: str,
     events_per_file: int = 200,
     csf_fragment_len: int | None = None,
+    with_catalog: bool = True,
 ) -> list[str]:
     """Write the change log in redo-SQL shape.  ``csf_fragment_len``
     splits long statements into CSF continuation rows (reference
-    LongStatementsTest: >4000-byte statements arrive fragmented)."""
+    LongStatementsTest: >4000-byte statements arrive fragmented).
+    ``with_catalog`` also writes the ``_catalog.json`` dictionary
+    sidecar (see write_redo_catalog)."""
     os.makedirs(out_dir, exist_ok=True)
+    if with_catalog:
+        write_redo_catalog(events, out_dir)
     rows: list[dict] = []
     for e in sorted(events, key=lambda x: (x["scn"], x["row_id"])):
         sql = event_to_redo_sql(e)

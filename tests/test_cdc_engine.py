@@ -285,3 +285,58 @@ def test_lineage_and_metrics(ray_session, tmp_path):
     # copy-on-write: older version files still present for untouched parts
     assert all(p.file is None or os.path.exists(f"{eng.config.lake_dir}/{p.file}")
                for p in m.partitions)
+
+
+def test_start_scn_without_snapshot(ray_session, tmp_path):
+    """Snapshot-less start (reference `start.scn`,
+    SourceConnectorConfig.kt:122-139; SourceTaskTest.kt:152-178
+    'start.scn=1 reads history via CDC only'): replay() bootstraps an
+    empty manifest at start_scn; final state matches the oracle over an
+    empty base for keys touched at/after start_scn."""
+    pages = gen_pages(30)
+    events, _, _ = gen_changes(
+        pages, ChangeGenConfig(n_events=250, seed=61, p_insert=0.4)
+    )
+    changelog = str(tmp_path / "changelog")
+    write_event_batches(events, changelog, events_per_file=60)
+
+    # case 1: start at the very beginning -> full history, empty base
+    eng = Engine(
+        EngineConfig(lake_dir=str(tmp_path / "lake1"), num_partitions=4,
+                     start_scn=1000)
+    )
+    m = eng.replay(changelog)
+    assert m.phase in ("cdc", "start-scn")
+    got = table_to_state(eng.to_arrow())
+    want = replay_oracle({}, events)
+    assert not state_diff(got, want), state_diff(got, want)
+
+    # case 2: start mid-log -> only events with scn >= start_scn apply
+    mid = 1120
+    eng2 = Engine(
+        EngineConfig(lake_dir=str(tmp_path / "lake2"), num_partitions=4,
+                     start_scn=mid)
+    )
+    eng2.replay(changelog)
+    got2 = table_to_state(eng2.to_arrow())
+    want2 = replay_oracle({}, [e for e in events if e["scn"] >= mid])
+    assert not state_diff(got2, want2), state_diff(got2, want2)
+
+
+def test_salted_two_level_fold(ray_session, tmp_path):
+    """salt_factor > 1 (north-rule salted repartitioning): Zipf-hot
+    keys replay through the salted sub-shard exchange + combiner to the
+    same final state as the direct path."""
+    pages = gen_pages(30)
+    gen_cfg = ChangeGenConfig(n_events=400, seed=62, zipf_s=1.2,
+                              p_insert=0.05, p_delete=0.05)
+    cfg = EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4,
+                       salt_factor=3)
+    eng, pages_path, changelog, events = build(tmp_path, pages, gen_cfg,
+                                               lake_cfg=cfg,
+                                               events_per_file=80)
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    eng.replay(changelog)
+    got = table_to_state(eng.to_arrow())
+    want = replay_oracle(base_state(pages), events)
+    assert not state_diff(got, want), state_diff(got, want)

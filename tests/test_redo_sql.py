@@ -152,6 +152,44 @@ def test_csf_run_across_batch_boundary(ray_session, tmp_path):
     assert not state_diff(got, want), state_diff(got, want)
 
 
+def test_redo_schema_evolution_via_catalog(ray_session, tmp_path):
+    """Replaying redo SQL across an ALTER TABLE ADD COLUMN: the
+    _catalog.json dictionary sidecar supplies the new column's type, so
+    statements referencing it evolve the schema instead of being
+    dead-lettered (ChangingTableTest.kt:42-93 / SchemaService.kt:30-108
+    refresh semantics on the statement-text path)."""
+    pages = gen_pages(30)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(
+        pages, ChangeGenConfig(n_events=200, seed=54, evolution_at_scn=1080)
+    )
+    changelog = str(tmp_path / "changelog")
+    write_redo_sql_batches(events, changelog, events_per_file=60)
+
+    eng = Engine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake"),
+            num_partitions=4,
+            changelog_format="redo_sql",
+        )
+    )
+    eng.snapshot(pages_path, 999)
+    m = eng.replay(changelog)
+    assert m.schema_version >= 1
+    assert m.metrics["dead_letters"] == 0, m.metrics
+
+    got_tbl = eng.to_arrow()
+    assert "fetch_status" in got_tbl.column_names
+    got = table_to_state(got_tbl)
+    base = {r["url"]: {k: v for k, v in r.items() if k != "url"}
+            for r in pages.to_pylist()}
+    want = replay_oracle(base, events)
+    for row in want.values():
+        row.setdefault("fetch_status", None)
+    assert not state_diff(got, want), state_diff(got, want)
+
+
 def test_dead_letter_routing(ray_session, tmp_path):
     """Corrupt statements (parse error) and bad literals (conversion
     error) are routed to lake/dead_letters/ with reasons, counted in
