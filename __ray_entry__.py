@@ -179,6 +179,161 @@ ORDER BY query_id, sim_r DESC, vec_id
 """
 
 
+_NGRAM_JACCARD_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5 THEN array_to_string(w[s.i:s.i+4], ' ')
+              ELSE array_to_string(w, ' ') END AS gram
+  FROM words, LATERAL unnest(generate_series(1,
+       CASE WHEN len(w) >= 5 THEN len(w) - 4 ELSE 1 END)) AS s(i)
+  WHERE len(w) > 0
+),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i::DOUBLE / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.doc_a
+JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.7
+ORDER BY doc_a, doc_b
+"""
+
+_LANG_ID_SQL = """
+WITH m AS (
+  SELECT * FROM (VALUES
+    ('en', 'the and of to in is you that it for was with are have this'),
+    ('de', 'der die und das ist nicht ich ein mit sich auf für den von'),
+    ('fr', 'le la les et des est une pour que dans qui pas sur vous'),
+    ('es', 'el la los las y de que en un una es por para con del'),
+    ('it', 'il la che di e un una per non sono con del alla più')
+  ) AS t(lang, ws)
+),
+mk AS (SELECT lang, unnest(string_split(ws, ' ')) AS word FROM m),
+w AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-zà-ÿ]+'))) AS word
+  FROM documents
+),
+hits AS (
+  SELECT w.doc_id, mk.lang, count(*) AS c
+  FROM w JOIN mk USING (word) GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rn
+  FROM hits WHERE c > 0
+)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+ORDER BY d.doc_id
+"""
+
+# SimHash in SQL: fnv1a per distinct word (recursive byte fold with
+# 128-bit modular arithmetic), sign-summed bits, then ALL pairs with
+# Hamming <= 3.  The Ray path's 4-segment LSH is LOSSLESS for
+# max_hamming=3 (pigeonhole: <= 3 differing bits leave at least one
+# 16-bit segment identical), so exact SQL is a valid oracle.
+_SIMHASH_SQL = """
+WITH RECURSIVE w AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS word
+  FROM documents
+),
+wb AS (SELECT doc_id, word, hex(encode(word)) AS hx,
+              octet_length(encode(word)) AS n FROM w),
+fnv AS (
+  SELECT doc_id, word, n, 0 AS i,
+         CAST('14695981039346656037' AS UHUGEINT) AS h FROM wb
+  UNION ALL
+  SELECT f.doc_id, f.word, f.n, f.i + 1,
+         (xor(f.h, CAST(CAST('0x' || substr(wb.hx, 2*f.i+1, 2) AS INT)
+                        AS UHUGEINT))
+          * CAST(1099511628211 AS UHUGEINT))
+           % CAST('18446744073709551616' AS UHUGEINT)
+  FROM fnv f JOIN wb ON wb.doc_id = f.doc_id AND wb.word = f.word
+  WHERE f.i < f.n
+),
+wh AS (
+  SELECT doc_id,
+         CAST(h % CAST('18446744073709551616' AS UHUGEINT) AS UBIGINT) AS h
+  FROM fnv WHERE i = n
+),
+pw2(j, p) AS (
+  SELECT 0, CAST(1 AS UBIGINT) UNION ALL SELECT j+1, p*2 FROM pw2 WHERE j < 63
+),
+bits AS (
+  SELECT wh.doc_id, pw2.j,
+         sum(CASE WHEN (wh.h >> pw2.j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM wh, pw2 GROUP BY 1, 2
+),
+sh0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0
+             THEN (SELECT p FROM pw2 WHERE pw2.j = bits.j)
+             ELSE 0 END)::UBIGINT AS simhash
+  FROM bits GROUP BY doc_id
+),
+sh AS (
+  SELECT d.doc_id, coalesce(s.simhash, CAST(0 AS UBIGINT)) AS simhash
+  FROM documents d LEFT JOIN sh0 s ON s.doc_id = d.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+# rolling polynomial hash h = fold(h*B + byte) mod 2^64 restated as a
+# power sum: h = seed*B^n + sum(byte_i * B^(n-i)) mod 2^64, with the
+# B^k table from a tiny recursive CTE and 128-bit modular arithmetic.
+_FPM = "CAST('18446744073709551616' AS HUGEINT)"
+_FPMU = "CAST('18446744073709551616' AS UHUGEINT)"
+_FINGERPRINT_SQL = f"""
+WITH RECURSIVE pw(k, p) AS (
+  SELECT 0, CAST(1 AS UHUGEINT)
+  UNION ALL
+  SELECT k+1, (p * CAST(1000003 AS UHUGEINT)) % {_FPMU}
+  FROM pw WHERE k < (SELECT coalesce(max(octet_length(encode(text))), 0)
+                     FROM documents)
+),
+b AS (
+  SELECT doc_id, s.i AS i, octet_length(encode(text)) AS n,
+         CAST(CAST('0x' || substr(hex(encode(text)), 2*s.i-1, 2) AS INT)
+              AS UHUGEINT) AS byte
+  FROM documents,
+       LATERAL unnest(generate_series(1, octet_length(encode(text)))) AS s(i)
+),
+acc AS (
+  SELECT b.doc_id, any_value(b.n) AS n,
+         sum(CAST((b.byte * pw.p) % {_FPMU} AS HUGEINT)) % {_FPM} AS tail
+  FROM b JOIN pw ON pw.k = b.n - b.i
+  GROUP BY b.doc_id
+),
+fp AS (
+  SELECT d.doc_id,
+         (CAST((CAST('14695981039346656037' AS UHUGEINT)
+            * (SELECT p FROM pw WHERE k = coalesce(a.n, 0))) % {_FPMU}
+               AS HUGEINT)
+          + coalesce(a.tail, CAST(0 AS HUGEINT))) % {_FPM} AS v
+  FROM documents d LEFT JOIN acc a ON a.doc_id = d.doc_id
+)
+SELECT doc_id,
+  CAST(CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+       THEN v - {_FPM} ELSE v END AS BIGINT) AS fingerprint
+FROM fp ORDER BY doc_id
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full CDC replay."""
     from logminer_kafka_connect_ray.pipelines import queries as q
@@ -203,8 +358,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_envelope_counts": q.cdc_envelope_counts,
         # training-data ops (dedup / similarity / text analysis)
         "dedup_exact": d.dedup_exact,
-        "dedup_minhash_lsh": d.dedup_minhash_lsh,     # rows-only (LSH)
-        "dedup_simhash": d.dedup_simhash,             # rows-only (LSH)
+        "dedup_ngram_jaccard": d.dedup_ngram_jaccard,  # exact verify kernel
+        "dedup_minhash_lsh": d.dedup_minhash_lsh,  # SQL-checked vs exact kernel
+        "dedup_simhash": d.dedup_simhash,          # SQL-checked (lossless LSH)
         # tau=0.4: the driver's synthetic embeddings top out at ~0.51
         # pairwise cosine, so the near-dup default (0.95) would be
         # vacuous on this data
@@ -213,8 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk_lsh": d.ann_cosine_topk_lsh,  # rows-only (approx)
         "ann_cosine_topk_ivf": d.ann_cosine_topk_ivf,  # rows-only (approx)
         "text_quality": d.text_quality,
-        "lang_id": d.lang_id,                          # rows-only (heuristic)
-        "doc_fingerprints": d.doc_fingerprints,        # rows-only (custom hash)
+        "lang_id": d.lang_id,                    # SQL-checked (marker argmax)
+        "doc_fingerprints": d.doc_fingerprints,  # SQL-checked (power-sum hash)
     }
 
 
@@ -229,6 +385,16 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_latest": _LWW_SQL,
         "cdc_envelope_counts": _ENVELOPE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # LSH at 16 bands x 4 rows finds every pair the exact kernel
+        # finds on this data (all true pairs have jaccard >= 0.87;
+        # per-pair miss probability (1 - j^4)^16 < 1e-4, and the
+        # banding is seed-deterministic), so the exact-Jaccard SQL is
+        # a valid oracle for the LSH path as well.
+        "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "lang_id": _LANG_ID_SQL,
+        "doc_fingerprints": _FINGERPRINT_SQL,
     }

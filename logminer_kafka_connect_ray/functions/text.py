@@ -133,17 +133,45 @@ def token_counts(texts: pa.ChunkedArray | pa.Array) -> dict[str, pa.Array]:
 # Document fingerprint (rolling polynomial hash of the whole text)
 # ---------------------------------------------------------------------------
 _FP_BASE = np.uint64(1000003)
+_FP_SEED = np.uint64(14695981039346656037)
 
 
-def fingerprint_series(texts: pd.Series) -> np.ndarray:
-    """64-bit rolling-hash fingerprint per document (deterministic)."""
-    out = np.zeros(len(texts), dtype=np.uint64)
+def fingerprint_series(texts: pd.Series | pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """64-bit rolling-hash fingerprint per document (deterministic).
+
+    Vectorized like ``hashing.fnv1a_u64``: byte position j is processed
+    across all rows at once over the Arrow string buffers -- O(max_len)
+    numpy passes instead of a per-byte Python loop (~10^6 x fewer
+    interpreter ops on KB-sized documents).  Null/non-string -> 0.
+    """
+    if isinstance(texts, pd.Series):
+        arr = pa.array(
+            [t if isinstance(t, str) else None for t in texts], pa.string()
+        )
+    else:
+        arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    arr = arr.cast(pa.large_string())
+    n = len(arr)
+    valid = np.ones(n, bool)
+    if arr.null_count:
+        valid = ~np.asarray(arr.is_null())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        if arr.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    starts = offsets[:-1]
+    lengths = (offsets[1:] - starts).astype(np.int64)
+    lengths = np.where(valid, lengths, 0)
+    h = np.full(n, _FP_SEED, dtype=np.uint64)
+    max_len = int(lengths.max()) if n else 0
     with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            if not isinstance(t, str):
-                continue
-            h = np.uint64(14695981039346656037)
-            for b in t.encode("utf-8"):
-                h = h * _FP_BASE + np.uint64(b)
-            out[i] = h
-    return out
+        for j in range(max_len):
+            alive = lengths > j
+            idx = starts[alive] + j
+            h[alive] = h[alive] * _FP_BASE + data[idx].astype(np.uint64)
+    h[~valid] = 0
+    return h

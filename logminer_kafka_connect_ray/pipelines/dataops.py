@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from logminer_kafka_connect_ray.functions import text as textfn
-from logminer_kafka_connect_ray.functions.hashing import fnv1a_u64
+from logminer_kafka_connect_ray.functions.hashing import fnv1a_u64, partition_ids
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -167,72 +167,274 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return inter / union if union else 0.0
 
 
+#: in-bucket all-pairs cap.  Buckets past the cap are NOT dropped:
+#: they star-pair against the bucket representative (min doc_id), so a
+#: giant duplicate cluster is still fully discovered (every member
+#: pairs with the rep) at O(n) pairs instead of O(n^2), with a logged
+#: overflow count.
+MAX_BUCKET_PAIRING = 200
+log = __import__("logging").getLogger(__name__)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (byte-view + unpackbits)."""
+    if len(x) == 0:
+        return np.empty(0, np.int64)
+    by = x.astype(np.uint64).view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(by, axis=1).sum(axis=1).astype(np.int64)
+
+
+def _bucket_pairs(ids: np.ndarray, cap: int = MAX_BUCKET_PAIRING,
+                  what: str = "lsh") -> tuple[np.ndarray, np.ndarray]:
+    """Candidate pairs of one bucket: all-pairs under the cap, star
+    pairs to the representative above it (never silent dropping)."""
+    n = len(ids)
+    if n < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if n > cap:
+        log.warning(
+            "%s bucket overflow: %d members > cap %d; star-pairing to "
+            "representative %s", what, n, cap, ids[0],
+        )
+        return np.full(n - 1, ids[0], np.int64), ids[1:].astype(np.int64)
+    ia, ib = np.triu_indices(n, k=1)
+    return ids[ia].astype(np.int64), ids[ib].astype(np.int64)
+
+
+def _canon_blocks(ds, schema: pa.Schema):
+    """Normalize a dataset to a fixed Arrow schema.  Ray's hash
+    aggregate can emit schema-LESS empty blocks (PandasBlockSchema([]))
+    that crash a downstream hash join ('no match for key field');
+    mapping every block through a cast gives empty blocks real
+    columns."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or any(n not in t.column_names for n in schema.names):
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(canon, batch_format="pyarrow")
+
+
+def _exchange_join_docs(
+    left_ds,
+    left_schema: pa.Schema,
+    key: str,
+    right_ds,
+    right_schema: pa.Schema,
+    rename: dict,
+    num_partitions: int = 8,
+):
+    """Distributed inner hash-join of ``left_ds[key]`` against a
+    doc-keyed right dataset (key column ``doc_id``).
+
+    Engine-style exchange: both sides stamp ``_jp = fnv(key) % P``,
+    union under one padded schema, range-partition on ``_jp`` with
+    explicit boundaries (one partition per block), then a per-block
+    pyarrow hash join.  Used instead of ``Dataset.join``, which builds
+    schema-less empty tables for partitions that receive no left rows
+    and crashes in Acero ('no match for key field').  Assumes one join
+    partition fits a block -- size ``num_partitions`` to the data like
+    the lake merge does.
+    """
+    union = pa.schema(
+        [("_side", pa.int8()), ("_jp", pa.int64())]
+        + list(left_schema)
+        + [f for f in right_schema if f.name != "doc_id"]
+        + [pa.field("doc_id", pa.int64())]
+    )
+
+    def pad(side: int, keycol: str):
+        def f(t: pa.Table) -> pa.Table:
+            part = partition_ids(t.column(keycol), num_partitions)
+            cols = []
+            for fld in union:
+                if fld.name == "_side":
+                    cols.append(pa.array(np.full(t.num_rows, side, np.int8)))
+                elif fld.name == "_jp":
+                    cols.append(pa.array(part))
+                elif fld.name in t.column_names:
+                    c = t.column(fld.name)
+                    cols.append(c.cast(fld.type) if c.type != fld.type else c)
+                else:
+                    cols.append(pa.nulls(t.num_rows, fld.type))
+            return pa.table(cols, schema=union)
+
+        return f
+
+    lt = left_ds.map_batches(pad(0, key), batch_format="pyarrow")
+    rt = right_ds.map_batches(pad(1, "doc_id"), batch_format="pyarrow")
+    ex = lt.union(rt).sort("_jp", boundaries=list(range(1, num_partitions)))
+    left_names = [f.name for f in left_schema]
+    right_names = [f.name for f in right_schema]
+    out_names = left_names + [
+        rename.get(n, n) for n in right_names if n != "doc_id"
+    ]
+
+    left_t = pa.schema([union.field(n) for n in left_names])
+    right_t = pa.schema([union.field(n) for n in right_names])
+
+    def join_block(t: pa.Table) -> pa.Table:
+        side = t.column("_side")
+        # a block whose padded column is ALL null can come back from
+        # the sort re-inferred as null-typed -- cast restores the
+        # declared types before the Acero join
+        lp = t.filter(pc.equal(side, 0)).select(left_names).cast(left_t)
+        rp = t.filter(pc.equal(side, 1)).select(right_names).cast(right_t)
+        j = lp.join(rp, keys=[key], right_keys=["doc_id"], join_type="inner")
+        j = j.select(left_names + [n for n in right_names if n != "doc_id"])
+        return j.rename_columns(out_names)
+
+    return ex.map_batches(join_block, batch_size=None, batch_format="pyarrow")
+
+
+def _candidate_pairs(band_rows, key_cols: list[str]):
+    """groupby(bucket) -> candidate pair rows -> DISTRIBUTED dedup
+    (groupby on the pair key -- no driver-side materialization of the
+    pair set, which is unbounded at 100 TB)."""
+
+    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(group["doc_id"].unique())
+        a, b = _bucket_pairs(ids, what="minhash-lsh")
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    pairs = band_rows.groupby(key_cols).map_groups(pairs_of, batch_format="pandas")
+    # distributed pair dedup: one row per (doc_a, doc_b)
+    dd = pairs.groupby(["doc_a", "doc_b"]).count()
+    return _canon_blocks(
+        dd, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    )
+
+
 def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     """MinHash+LSH near-duplicate pairs verified by exact n-gram
     Jaccard >= threshold.  Returns (doc_a, doc_b, jaccard) sorted.
 
-    shingle->minhash->band rows (map_batches, actor pool) ->
-    groupby(band, bucket) -> candidate pairs -> broadcast-text verify.
+    Fully distributed: shingle->minhash->band rows (map_batches) ->
+    groupby(band, bucket) -> candidate pairs -> groupby-pair dedup ->
+    two hash joins against documents for the texts -> per-batch exact
+    Jaccard verify.  No pair set or text dict ever materializes on the
+    driver (the round-1 scale-killer); only the verified result does.
     """
-    import ray
-
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     band_rows = docs.map_batches(MinHashStage, concurrency=(1, 4), batch_format="pyarrow")
+    cand = _candidate_pairs(band_rows, ["band", "bucket"])
 
-    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].unique().tolist())
-        if len(ids) < 2 or len(ids) > 200:  # degenerate bucket guard
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
-
-    cand = (
-        band_rows.groupby(["band", "bucket"])
-        .map_groups(pairs_of, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    j = _exchange_join_docs(cand, pair_schema, "doc_a", docs, doc_schema,
+                            {"text": "text_a"})
+    j = _exchange_join_docs(
+        j, pa.schema(list(pair_schema) + [pa.field("text_a", pa.string())]),
+        "doc_b", docs, doc_schema, {"text": "text_b"},
     )
-    if cand.empty:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    # verify: broadcast candidate texts (small side) and compute exact
-    # jaccard distributed over candidate pairs
-    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    texts_tbl = (
-        docs.map_batches(
-            lambda t, ids=set(need): t.filter(
-                pc.is_in(t.column("doc_id"), value_set=pa.array(list(ids)))
-            ),
-            batch_format="pyarrow",
+
+    def verify(t: pa.Table) -> pa.Table:
+        ta = t.column("text_a").to_pylist()
+        tb = t.column("text_b").to_pylist()
+        jac = np.round([ngram_jaccard(a or "", b or "") for a, b in zip(ta, tb)], 6)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a").to_numpy(zero_copy_only=False)[keep],
+                "doc_b": t.column("doc_b").to_numpy(zero_copy_only=False)[keep],
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
         )
-        .to_pandas()
-    )
-    text_by_id = dict(zip(texts_tbl["doc_id"], texts_tbl["text"]))
-    ref = ray.put(text_by_id)
-    import ray.data as rd
 
-    cand_ds = rd.from_pandas(cand.reset_index(drop=True))
-
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            jac = [
-                ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""))
-                for a, b in zip(df["doc_a"], df["doc_b"])
-            ]
-            df = df.copy()
-            df["jaccard"] = np.round(jac, 6)
-            return df[df["jaccard"] >= threshold]
-
-    out = cand_ds.map_batches(Verify, concurrency=(1, 4), batch_format="pandas").to_pandas()
+    out = j.map_batches(verify, batch_format="pyarrow").to_pandas()
     out = out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    for c in ("doc_a", "doc_b"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.7, k: int = 5) -> pa.Table:
+    """EXACT all-pairs n-gram Jaccard >= threshold -- the near-dup
+    verify kernel as a standalone, SQL-checkable correctness gate for
+    the LSH family (the approximate paths must be a subset of this).
+
+    Distributed inverted-index join: gram rows (doc_id, gram) ->
+    groupby(gram) pair expansion -> groupby(pair) count = |A n B| ->
+    joins against per-doc gram counts -> jaccard filter.  Docs with no
+    grams (empty text) never pair.  Hot grams shared by > cap docs are
+    star-paired with a logged warning (exactness holds while every
+    gram bucket fits the cap -- true by construction on the driver
+    tables; the cap is the documented scale guard)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_id, out_g = [], []
+        for i, s in zip(ids, texts):
+            sh = shingle_hashes(s or "", k)
+            out_id.append(np.full(len(sh), i, np.int64))
+            out_g.append(sh.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id) if out_id else []),
+                "gram": pa.array(np.concatenate(out_g) if out_g else []),
+            }
+        )
+
+    grams = docs.map_batches(gram_rows, batch_format="pyarrow")
+
+    def _renamed(ds, src: str, dst: str, keys: list[str]):
+        schema = pa.schema([(k, pa.int64()) for k in keys] + [(dst, pa.int64())])
+
+        def canon(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or src not in t.column_names:
+                return schema.empty_table()
+            t = t.select(keys + [src]).rename_columns(keys + [dst])
+            return t.cast(schema)
+
+        return ds.map_batches(canon, batch_format="pyarrow")
+
+    sizes = _renamed(grams.groupby("doc_id").count(), "count()", "n_grams",
+                     ["doc_id"])
+
+    def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        a, b = _bucket_pairs(ids, cap=2000, what="ngram-inverted-index")
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    inter = _renamed(
+        grams.groupby("gram")
+        .map_groups(gram_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .count(),
+        "count()", "n_common", ["doc_a", "doc_b"],
+    )
+    inter_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_common", pa.int64())]
+    )
+    size_schema = pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64())])
+    j = _exchange_join_docs(inter, inter_schema, "doc_a", sizes, size_schema,
+                            {"n_grams": "n_grams_a"})
+    j = _exchange_join_docs(
+        j, pa.schema(list(inter_schema) + [pa.field("n_grams_a", pa.int64())]),
+        "doc_b", sizes, size_schema, {"n_grams": "n_grams_b"},
+    )
+
+    def jac(t: pa.Table) -> pa.Table:
+        i = t.column("n_common").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t.column("n_grams_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t.column("n_grams_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        v = i / (na + nb - i)
+        keep = v >= threshold
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a").to_numpy(zero_copy_only=False)[keep],
+                "doc_b": t.column("doc_b").to_numpy(zero_copy_only=False)[keep],
+                "jaccard": pa.array(np.round(v[keep], 6), pa.float64()),
+            }
+        )
+
+    out = j.map_batches(jac, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    for c in ("doc_a", "doc_b"):
+        out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -290,45 +492,59 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
     def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2 or len(g) > 200:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
-        out = {"doc_a": [], "doc_b": [], "hamming": []}
-        for i in range(len(ids)):
-            x = hs[i] ^ hs[i + 1 :]
-            hd = np.array([bin(v).count("1") for v in x])
-            for j, d in enumerate(hd):
-                out["doc_a"].append(ids[i])
-                out["doc_b"].append(ids[i + 1 + j])
-                out["hamming"].append(int(d))
-        return pd.DataFrame(out)
+        ia_ids, ib_ids = _bucket_pairs(ids, what="simhash")
+        if len(ia_ids) == 0:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        pos = {int(v): i for i, v in enumerate(ids)}
+        xa = hs[[pos[int(v)] for v in ia_ids]]
+        xb = hs[[pos[int(v)] for v in ib_ids]]
+        hd = _popcount64(xa ^ xb)
+        keep = hd <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ia_ids[keep], "doc_b": ib_ids[keep],
+             "hamming": hd[keep].astype("int64")}
+        )
 
-    pairs = (
-        seg_rows.groupby(["seg_no", "seg_val"])
-        .map_groups(pairs_of, batch_format="pandas")
-        .to_pandas()
+    pairs = seg_rows.groupby(["seg_no", "seg_val"]).map_groups(
+        pairs_of, batch_format="pandas"
     )
-    pairs = pairs[pairs["hamming"] <= max_hamming].drop_duplicates(
-        ["doc_a", "doc_b"]
-    )
-    pairs = pairs.sort_values(["doc_a", "doc_b"], ignore_index=True)
-    pairs["doc_a"] = pairs["doc_a"].astype("int64")
-    pairs["doc_b"] = pairs["doc_b"].astype("int64")
-    pairs["hamming"] = pairs["hamming"].astype("int64")
-    return pa.Table.from_pandas(pairs, preserve_index=False)
+    # distributed pair dedup (hamming is identical across segments)
+    dd = pairs.groupby(["doc_a", "doc_b"]).min("hamming").to_pandas()
+    dd = dd.rename(columns={"min(hamming)": "hamming"})
+    dd = dd.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    for c in ("doc_a", "doc_b", "hamming"):
+        dd[c] = dd[c].astype("int64")
+    return pa.Table.from_pandas(dd, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------
 def _embedding_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, float64 matrix) from a list<float> column, zero-copy
+    off the Arrow value buffer (reshape, no per-row pylist)."""
     ids = t.column("vec_id").to_numpy(zero_copy_only=False)
     emb = t.column("embedding")
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()
-    mat = np.asarray(emb.to_pylist(), dtype=np.float64)
-    return ids, mat
+    n = len(emb)
+    if pa.types.is_fixed_size_list(emb.type):
+        vals = emb.values.to_numpy(zero_copy_only=False)
+        return ids, vals.reshape(n, emb.type.list_size).astype(np.float64)
+    offsets = emb.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if n and emb.null_count == 0 and (widths == widths[0]).all():
+        dim = int(widths[0])
+        # flatten() honors the array's offset/slice into the buffer
+        vals = emb.flatten().to_numpy(zero_copy_only=False)
+        return ids, vals.reshape(n, dim).astype(np.float64)
+    return ids, np.asarray(emb.to_pylist(), dtype=np.float64)  # ragged fallback
 
 
 class CosineTopK:
@@ -556,57 +772,113 @@ def ann_cosine_topk_ivf(
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
-def embedding_near_dup(sf_dir: str, tau: float = 0.95) -> pa.Table:
-    """Embedding-cosine near-dup pairs (sim >= tau) via hyperplane-LSH
-    bucket groupby + in-bucket exact cosine."""
+def near_dup_bands_for(n_vectors: int, n_planes: int = 8) -> int:
+    """Banding config sized to data scale: expected bucket occupancy is
+    n / 2^n_planes per band, so recall is recovered by adding
+    independent bands (OR-construction) as n grows -- each band is an
+    independent chance for a near-dup pair to collide.  ~log2(n) bands
+    keeps the per-pair miss probability roughly flat as n scales
+    (documented recall/cost trade; see test_embedding_near_dup_recall).
+    """
+    return max(2, min(16, int(np.ceil(np.log2(max(n_vectors, 2))) - 6)))
+
+
+def embedding_near_dup(
+    sf_dir: str,
+    tau: float = 0.95,
+    n_planes: int = 8,
+    n_bands: int | None = None,
+) -> pa.Table:
+    """Embedding-cosine near-dup pairs (sim >= tau) via banded
+    hyperplane-LSH: ``n_bands`` independent 2^n_planes bucketings
+    (OR-construction for recall), groupby(band, bucket), in-bucket
+    exact cosine; oversized buckets star-pair against the bucket
+    representative (never silently dropped).  Pair dedup across bands
+    is a distributed groupby."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if n_bands is None:
+        n_bands = near_dup_bands_for(emb.count(), n_planes)
     dim = len(pa.Table.from_pylist(emb.take(1)).column("embedding")[0])
-    planes = np.random.default_rng(11).standard_normal((8, dim))
+    planes = [
+        np.random.default_rng(11 + band).standard_normal((n_planes, dim))
+        for band in range(n_bands)
+    ]
 
     def bucketize(t: pa.Table) -> pa.Table:
         ids, mat = _embedding_matrix(t)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         matn = mat / norms
-        s = (((matn @ planes.T) > 0) @ (1 << np.arange(8))).astype(np.int64)
+        n = len(ids)
+        bands, buckets, out_ids, emb_idx = [], [], [], []
+        for band, pl in enumerate(planes):
+            s = (((matn @ pl.T) > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
+            bands.append(np.full(n, band, np.int32))
+            buckets.append(s)
+            out_ids.append(ids.astype(np.int64))
+            emb_idx.append(np.arange(n))
+        take = pa.array(np.concatenate(emb_idx))
         return pa.table(
-            {"bucket": pa.array(s), "vec_id": pa.array(ids.astype(np.int64)),
-             "embedding": t.column("embedding")}
+            {
+                "band": pa.array(np.concatenate(bands)),
+                "bucket": pa.array(np.concatenate(buckets)),
+                "vec_id": pa.array(np.concatenate(out_ids)),
+                "embedding": t.column("embedding").take(take),
+            }
         )
 
     def in_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > 500:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim_r": []})
         g = g.sort_values("vec_id")
         ids = g["vec_id"].to_numpy()
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"),
+             "vec_b": pd.Series([], dtype="int64"),
+             "sim_r": pd.Series([], dtype="float64")}
+        )
+        if len(ids) < 2:
+            return empty
         mat = np.asarray(g["embedding"].tolist(), dtype=np.float64)
         matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        if len(ids) > 500:
+            log.warning(
+                "embedding near-dup bucket overflow: %d members; "
+                "star-verifying against representative %s", len(ids), ids[0],
+            )
+            sims = matn[1:] @ matn[0]
+            keep = sims >= tau
+            return pd.DataFrame(
+                {"vec_a": np.full(keep.sum(), ids[0], np.int64),
+                 "vec_b": ids[1:][keep].astype(np.int64),
+                 "sim_r": np.round(sims[keep], 6)}
+            )
         sims = matn @ matn.T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sims[ia, ib] >= tau
         return pd.DataFrame(
-            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
+            {"vec_a": ids[ia[keep]].astype(np.int64),
+             "vec_b": ids[ib[keep]].astype(np.int64),
              "sim_r": np.round(sims[ia[keep], ib[keep]], 6)}
         )
 
     pairs = (
         emb.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
+        .groupby(["band", "bucket"])
         .map_groups(in_bucket_pairs, batch_format="pandas")
-        .to_pandas()
     )
+    # distributed dedup across bands (sim identical per pair)
+    dd = pairs.groupby(["vec_a", "vec_b"]).max("sim_r").to_pandas()
     empty = pa.table(
         {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
          "sim_r": pa.array([], pa.float64())}
     )
-    if pairs.empty or "vec_a" not in pairs.columns:
+    if dd.empty:
         return empty
-    pairs = pairs.drop_duplicates(["vec_a", "vec_b"]).sort_values(
+    dd = dd.rename(columns={"max(sim_r)": "sim_r"}).sort_values(
         ["vec_a", "vec_b"], ignore_index=True
     )
     for c in ("vec_a", "vec_b"):
-        pairs[c] = pairs[c].astype("int64")
-    return pa.Table.from_pandas(pairs, preserve_index=False)
+        dd[c] = dd[c].astype("int64")
+    return pa.Table.from_pandas(dd, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------

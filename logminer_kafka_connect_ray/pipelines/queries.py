@@ -212,13 +212,13 @@ def cdc_lww_latest(sf_dir: str) -> pa.Table:
         return t.filter(pa.array(first))
 
     partials = committed.map_batches(partial_argmax, batch_format="pyarrow")
-
-    def final_argmax(df):
-        df = df.sort_values(["commit_scn", "scn"], ascending=False).head(1)
-        return df
-
-    out = partials.groupby("url").map_groups(final_argmax, batch_format="pandas")
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    # Final level: the combiner already reduced to <= 1 row per url per
+    # block, so the remaining volume is O(result size) -- which this
+    # query returns to the caller anyway.  One vectorized sorted-first-
+    # per-key pass over the combined partials replaces the per-url
+    # pandas map_groups dispatch (round-1 perf finding).
+    t = pa.Table.from_pandas(partials.to_pandas(), preserve_index=False)
+    t = partial_argmax(t)
     t = t.select(["url", "commit_scn", "scn", "op"]).rename_columns(
         ["url", "last_commit_scn", "last_scn", "last_op"]
     )

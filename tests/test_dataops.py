@@ -183,3 +183,84 @@ def test_ann_ivf_recall_on_clustered_data(ray_session, tmp_path):
     for key, s in sims.items():
         if key in exact_scores:
             assert abs(s - exact_scores[key]) < 1e-9
+
+
+def test_bucket_overflow_star_pairing_finds_giant_cluster(ray_session, tmp_path):
+    """A duplicate cluster larger than the all-pairs cap is still fully
+    discovered: overflow buckets star-pair against the representative
+    instead of being dropped (round-1 silent-cap fix)."""
+    cluster = ["identical duplicated web page text body content " * 4] * 300
+    texts = BASE_TEXTS + cluster
+    sf = make_docs(tmp_path, texts)
+    assert len(cluster) > d.MAX_BUCKET_PAIRING
+    out = d.dedup_minhash_lsh(sf, threshold=0.9)
+    members = set()
+    for r in out.to_pylist():
+        members.add(r["doc_a"])
+        members.add(r["doc_b"])
+        assert r["jaccard"] == 1.0
+    want = set(range(len(BASE_TEXTS), len(texts)))
+    assert want <= members, f"missing {sorted(want - members)[:5]}"
+
+
+def test_ngram_jaccard_query_matches_lsh_on_planted(ray_session, tmp_path):
+    """The exact inverted-index all-pairs kernel finds the same planted
+    near-dups as the LSH path (it is the LSH family's oracle)."""
+    near = BASE_TEXTS[0].replace("today", "tomorrow")
+    texts = BASE_TEXTS + [near, BASE_TEXTS[0]]
+    sf = make_docs(tmp_path, texts)
+    exact = d.dedup_ngram_jaccard(sf, threshold=0.5)
+    lsh = d.dedup_minhash_lsh(sf, threshold=0.5)
+    assert exact.to_pylist() == lsh.to_pylist()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in exact.to_pylist()}
+    assert pairs[(0, 6)] == 1.0 and 0.5 <= pairs[(0, 5)] < 1.0
+
+
+def test_embedding_near_dup_banding_recall(ray_session, tmp_path):
+    """Recall/cost trade of the banded hyperplane LSH: more independent
+    bands -> higher recall on planted near-dup pairs (OR-construction);
+    documents the scale story for embedding_near_dup."""
+    rng = np.random.default_rng(5)
+    n, dim = 200, 16
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    planted = []
+    for i in range(0, 100, 2):
+        mat[i + 1] = mat[i] + 0.05 * rng.standard_normal(dim).astype(np.float32)
+        planted.append((i, i + 1))
+    sf = make_embeddings(tmp_path, mat)
+    m = mat.astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    true_pairs = {
+        (a, b) for a, b in planted if (mn[a] @ mn[b]) >= 0.9
+    }
+    assert len(true_pairs) >= 30
+
+    def recall(n_bands):
+        out = d.embedding_near_dup(sf, tau=0.9, n_bands=n_bands)
+        got = {(r["vec_a"], r["vec_b"]) for r in out.to_pylist()}
+        return len(got & true_pairs) / len(true_pairs)
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= r1
+    assert r8 >= 0.9, (r1, r8)
+
+
+def test_fingerprint_vectorized_matches_reference_loop():
+    """The buffer-vectorized rolling hash equals the per-byte fold."""
+    import pandas as pd
+
+    from logminer_kafka_connect_ray.functions.text import (
+        _FP_BASE,
+        fingerprint_series,
+    )
+
+    texts = BASE_TEXTS + ["", None, "é unicode ✓ bytes", "x" * 2000]
+    got = fingerprint_series(pd.Series(texts))
+    for i, t in enumerate(texts):
+        if not isinstance(t, str):
+            assert got[i] == 0
+            continue
+        h = 14695981039346656037
+        for b in t.encode("utf-8"):
+            h = (h * int(_FP_BASE) + b) % (1 << 64)
+        assert got[i] == h, (i, t[:20])
