@@ -334,6 +334,19 @@ FROM fp ORDER BY doc_id
 """
 
 
+_MEDIA_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(16 + doc_id % 48 AS BIGINT) AS width,
+       CAST(16 + doc_id % 32 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(8 AS BIGINT) AS resized_w,
+       CAST(8 AS BIGINT) AS resized_h,
+       CAST(1 + doc_id % 4 AS BIGINT) AS n_frames,
+       CAST((1 + doc_id % 4 + 1) // 2 AS BIGINT) AS n_sampled
+FROM documents ORDER BY media_id
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full CDC replay."""
     from logminer_kafka_connect_ray.pipelines import queries as q
@@ -350,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A1-A4, O1-O4, D1-D3)
         "cdc_final_state": q.cdc_final_state,
         "cdc_final_state_redo_sql": q.cdc_final_state_redo_sql,
+        "cdc_final_state_streaming": q.cdc_final_state_streaming,
+        "cdc_final_state_salted": q.cdc_final_state_salted,
         "cdc_snapshot_state": q.cdc_snapshot_state,
         "cdc_committed_events": q.cdc_committed_events,
         "cdc_rolled_back_events": q.cdc_open_or_rolled_events,
@@ -371,6 +386,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": d.text_quality,
         "lang_id": d.lang_id,                    # SQL-checked (marker argmax)
         "doc_fingerprints": d.doc_fingerprints,  # SQL-checked (power-sum hash)
+        # multimodal plumbing (decode/resize/frame-sample over fake
+        # containers; dims are pure functions of doc_id -> SQL-checked)
+        "media_pipeline": d.media_pipeline,
     }
 
 
@@ -378,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_final_state": _FINAL_STATE_SQL,
         "cdc_final_state_redo_sql": _FINAL_STATE_SQL,
+        "cdc_final_state_streaming": _FINAL_STATE_SQL,
+        "cdc_final_state_salted": _FINAL_STATE_SQL,
         "cdc_snapshot_state": _SNAPSHOT_SQL,
         "cdc_committed_events": _COMMITTED_SQL,
         "cdc_rolled_back_events": _DISCARDED_SQL,
@@ -397,4 +417,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "lang_id": _LANG_ID_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
+        "media_pipeline": _MEDIA_SQL,
     }

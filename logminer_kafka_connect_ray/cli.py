@@ -34,6 +34,14 @@ def main(argv=None) -> int:
     p.add_argument("--table-whitelist", default="", help="comma-separated")
     p.add_argument("--polls", type=int, default=10, help="stream poll count")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--start-scn", type=int, default=0,
+                   help="snapshot-less start: replay history from this "
+                        "SCN with no initial snapshot (reference start.scn)")
+    p.add_argument("--salt-factor", type=int, default=1,
+                   help="salted two-level fold sub-shards per partition "
+                        "(>1 adds an exchange; use for hot partitions)")
+    p.add_argument("--changelog-format", default="struct",
+                   choices=["struct", "redo_sql"])
     args = p.parse_args(argv)
 
     import ray
@@ -55,6 +63,9 @@ def main(argv=None) -> int:
         table_whitelist=tuple(
             x for x in args.table_whitelist.split(",") if x.strip()
         ),
+        start_scn=args.start_scn,
+        salt_factor=args.salt_factor,
+        changelog_format=args.changelog_format,
     )
     eng = Engine(cfg)
 

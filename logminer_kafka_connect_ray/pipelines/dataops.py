@@ -126,7 +126,12 @@ class MinHashStage:
     """Actor-pool stage: doc text -> minhash signature + LSH band keys.
 
     Emits one row per (doc, band): ``(band, bucket, doc_id)`` ready for
-    the band-bucket groupby (SNIPPETS/ray guide near-dup pattern)."""
+    the band-bucket groupby (SNIPPETS/ray guide near-dup pattern).
+
+    Per-doc numpy (64 x n_shingles, L1-resident) measured FASTER than a
+    whole-batch (64 x total_shingles) matrix + reduceat formulation
+    (2.1s vs 9.2s on 5k docs) -- the per-doc loop stays deliberately.
+    """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
@@ -882,6 +887,88 @@ def embedding_near_dup(
 
 
 # ---------------------------------------------------------------------------
+# Multimodal plumbing gate
+# ---------------------------------------------------------------------------
+class MediaPipelineStage:
+    """Actor-pool stage driving the full multimodal plumbing: encode a
+    deterministic fake image + video per doc (dims are pure functions
+    of doc_id, so the driver's SQL oracle can restate them), then
+    decode -> resize -> re-decode -> frame-sample.  Codec state (the
+    stage objects) builds once per actor in __init__."""
+
+    def __init__(self):
+        from logminer_kafka_connect_ray.stages.multimodal import (
+            FrameSampleStage,
+            ImageDecodeStage,
+            ImageResizeStage,
+        )
+
+        self.decode = ImageDecodeStage()
+        self.resize = ImageResizeStage(8, 8)
+        self.frames = FrameSampleStage(every_k=2)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from logminer_kafka_connect_ray.stages.multimodal import (
+            encode_fake_image,
+            encode_fake_video,
+        )
+
+        ids = t.column("doc_id").to_pylist()
+        img = [
+            encode_fake_image(16 + i % 48, 16 + i % 32, 3, seed=i) for i in ids
+        ]
+        vid = [
+            encode_fake_video([b] * (1 + i % 4)) for i, b in zip(ids, img)
+        ]
+        media = pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "payload": pa.array(img, pa.binary())}
+        )
+        dec = self.decode(media)
+        resized = self.resize(media)
+        rdec = self.decode(resized)
+        vmedia = pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "payload": pa.array(vid, pa.binary())}
+        )
+        sampled = self.frames(vmedia)
+        counts = pd.Series(sampled.column("media_id").to_pylist()).value_counts()
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": dec.column("width").cast(pa.int64()),
+                "height": dec.column("height").cast(pa.int64()),
+                "channels": dec.column("channels").cast(pa.int64()),
+                "resized_w": rdec.column("width").cast(pa.int64()),
+                "resized_h": rdec.column("height").cast(pa.int64()),
+                "n_frames": pa.array([1 + i % 4 for i in ids], pa.int64()),
+                "n_sampled": pa.array(
+                    [int(counts.get(i, 0)) for i in ids], pa.int64()
+                ),
+            }
+        )
+
+
+def media_pipeline(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing end-to-end (stages/multimodal.py) over fake
+    media derived deterministically from documents.doc_id; the SQL
+    oracle restates the dimension arithmetic, so the Ray-side schema /
+    batch-size / actor wiring is driver-verified even though real
+    codecs are stubbed."""
+    from logminer_kafka_connect_ray.stages.multimodal import MEDIA_BATCH_SIZE
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = ds.map_batches(
+        MediaPipelineStage,
+        concurrency=(1, 4),
+        batch_size=MEDIA_BATCH_SIZE,
+        batch_format="pyarrow",
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.take(pc.sort_indices(t, sort_keys=[("media_id", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 def text_quality(sf_dir: str) -> pa.Table:
@@ -909,16 +996,20 @@ def text_quality(sf_dir: str) -> pa.Table:
 
 
 def lang_id(sf_dir: str) -> pa.Table:
-    """Heuristic language id per document (stopword-marker argmax)."""
+    """Heuristic language id per document (stopword-marker argmax),
+    vectorized: one regex presence scan per marker word."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def li(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"], "lang_pred": textfn.lang_id_series(df["text"])}
+    def li(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang_pred": textfn.lang_id_batch(t.column("text")),
+            }
         )
 
     t = pa.Table.from_pandas(
-        ds.map_batches(li, batch_format="pandas").to_pandas(), preserve_index=False
+        ds.map_batches(li, batch_format="pyarrow").to_pandas(), preserve_index=False
     )
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
 

@@ -225,6 +225,41 @@ def cdc_lww_latest(sf_dir: str) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
 
 
+def cdc_final_state_streaming(sf_dir: str) -> pa.Table:
+    """Same replay as cdc_final_state but through the STREAMING engine
+    (poll loop + long-lived sharded consolidation actors + per-poll
+    merge, SURVEY.md section 2.9) -- proving the stateful-actor path
+    reaches the same final state under the same SQL oracle."""
+    from logminer_kafka_connect_ray.pipelines.streaming import StreamingEngine
+
+    d = workload.ensure_workload(sf_dir)
+    lake = d["lake"] + "-stream"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(EngineConfig(lake_dir=lake, num_partitions=16))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    stream = StreamingEngine(
+        eng, d["changelog"], num_shards=4, poll_interval=0.01
+    )
+    stream.run(max_polls=80)
+    stream.shutdown()
+    return _digest_html(eng.to_arrow())
+
+
+def cdc_final_state_salted(sf_dir: str) -> pa.Table:
+    """Same replay as cdc_final_state through the salted two-level
+    fold (salt_factor > 1, the north rule's salted repartitioning) --
+    the hot-partition escape hatch verified against the same oracle."""
+    d = workload.ensure_workload(sf_dir)
+    lake = d["lake"] + "-salted"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(
+        EngineConfig(lake_dir=lake, num_partitions=16, salt_factor=3)
+    )
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(d["changelog"])
+    return _digest_html(eng.to_arrow())
+
+
 def cdc_final_state_redo_sql(sf_dir: str) -> pa.Table:
     """Same replay as cdc_final_state but from a RAW REDO-SQL changelog
     (M1 statement parsing + typed literal conversion), verifying the

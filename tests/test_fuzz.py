@@ -48,6 +48,7 @@ def test_fuzz_scenarios(ray_session, tmp_path, seed):
             lake_dir=str(tmp_path / "lake"),
             num_partitions=2 + seed % 6,
             max_events_per_checkpoint=120,  # force several micro-batches
+            salt_factor=1 + seed % 3,  # exercise the salted fold too
         )
     )
     eng.snapshot(pages_path, SNAPSHOT_SCN)

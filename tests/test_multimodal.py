@@ -86,3 +86,28 @@ def test_real_codec_raises():
     )
     with pytest.raises(NotImplementedError):
         stage(t)
+
+
+def test_media_pipeline_gate_values(ray_session, tmp_path):
+    """The media_pipeline driver gate: dims are pure functions of
+    doc_id (what the SQL oracle restates); n_sampled = every-2nd frame."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logminer_kafka_connect_ray.pipelines.dataops import media_pipeline
+
+    ids = list(range(9))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(["x"] * len(ids))}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {r["media_id"]: r for r in media_pipeline(str(tmp_path)).to_pylist()}
+    for i in ids:
+        r = out[i]
+        assert r["width"] == 16 + i % 48
+        assert r["height"] == 16 + i % 32
+        assert r["channels"] == 3
+        assert (r["resized_w"], r["resized_h"]) == (8, 8)
+        assert r["n_frames"] == 1 + i % 4
+        assert r["n_sampled"] == (1 + i % 4 + 1) // 2
