@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_final_state_streaming": q.cdc_final_state_streaming,
         "cdc_final_state_salted": q.cdc_final_state_salted,
         "cdc_snapshot_state": q.cdc_snapshot_state,
+        "cdc_time_travel": q.cdc_time_travel,
         "cdc_committed_events": q.cdc_committed_events,
         "cdc_rolled_back_events": q.cdc_open_or_rolled_events,
         "cdc_scn_range_stats": q.cdc_scn_range_stats,
@@ -399,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_streaming": _FINAL_STATE_SQL,
         "cdc_final_state_salted": _FINAL_STATE_SQL,
         "cdc_snapshot_state": _SNAPSHOT_SQL,
+        "cdc_time_travel": _SNAPSHOT_SQL,
         "cdc_committed_events": _COMMITTED_SQL,
         "cdc_rolled_back_events": _DISCARDED_SQL,
         "cdc_scn_range_stats": _SCN_RANGE_SQL,

@@ -91,6 +91,12 @@ def run_bench() -> dict:
         t0 = time.monotonic()
         m = eng.replay(changelog)
         replay_times.append(time.monotonic() - t0)
+    if os.environ.get("BENCH_STATS"):
+        # per-stage Ray Data stats of the last replay (stderr so the
+        # stdout JSON contract stays one line)
+        print(eng.last_stats or "<no stats>", file=sys.stderr)
+    timings["t_plan_s"] = m.metrics.get("t_plan_s")
+    timings["t_merge_s"] = m.metrics.get("t_merge_s")
     replay_s = min(replay_times)
     timings["replay"] = round(replay_s, 3)
     timings["replay_runs"] = [round(x, 3) for x in replay_times]

@@ -67,6 +67,7 @@ class Engine:
     def __init__(self, config: EngineConfig):
         self.config = config
         self.store = ManifestStore(config.lake_dir)
+        self.last_stats: str | None = None
 
     # ------------------------------------------------------------------
     # Public API (reference SPI analog: Engine(config).snapshot()/
@@ -509,6 +510,61 @@ class Engine:
         )
         return manifest
 
+    def read_dead_letters(self, version: int | None = None):
+        """Rejected rows as a Dataset (scn, row_id, tx_id, table,
+        sql_redo, reason), deduplicated on (scn, row_id) -- a retried
+        micro-batch may have written the same rejects twice.  Pass
+        ``version`` to restrict to one micro-batch's files."""
+        import ray.data as rd
+
+        d = f"{self.config.lake_dir}/dead_letters"
+        prefix = f"v{version:08d}-" if version is not None else None
+        paths = (
+            [
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+                and (prefix is None or f.startswith(prefix))
+            ]
+            if os.path.isdir(d)
+            else []
+        )
+        if not paths:
+            empty = pa.schema(
+                [("scn", pa.int64()), ("row_id", pa.string()),
+                 ("tx_id", pa.string()), ("table", pa.string()),
+                 ("sql_redo", pa.string()), ("reason", pa.string())]
+            ).empty_table()
+            return rd.from_arrow(empty)
+        ds = rd.read_parquet(paths)
+
+        def first_per_key(t: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                t, sort_keys=[("scn", "ascending"), ("row_id", "ascending")]
+            )
+            t = t.take(idx)
+            import numpy as np
+
+            n = t.num_rows
+            if n <= 1:
+                return t
+            s = t.column("scn").combine_chunks()
+            r = t.column("row_id").combine_chunks()
+            same = pc.and_(
+                pc.equal(s.slice(1), s.slice(0, n - 1)),
+                pc.equal(r.slice(1), r.slice(0, n - 1)),
+            )
+            keep = np.ones(n, bool)
+            keep[1:] = ~pc.fill_null(same, False).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(keep))
+
+        # block-local first (combiner), then a tiny exact groupby pass
+        return (
+            ds.map_batches(first_per_key, batch_format="pyarrow")
+            .groupby(["scn", "row_id"])
+            .map_groups(lambda df: df.head(1), batch_format="pandas")
+        )
+
     def _count_dead_letters(self, version: int) -> int:
         """Rows routed to lake/dead_letters/ by this version's decode
         pass (file names carry the version prefix).  Tiny metadata-only
@@ -593,6 +649,13 @@ class Engine:
             merge_partition, batch_format="pyarrow", batch_size=None
         )
         lineage_tbl = pa.Table.from_pandas(lineage.to_pandas())
+        try:
+            #: per-stage Ray Data stats of the last committed pipeline
+            #: (read -> process -> exchange -> merge); surfaced by
+            #: ``BENCH_STATS=1 python bench.py`` for stats-driven tuning
+            self.last_stats = lineage.stats()
+        except Exception:
+            self.last_stats = None
         t_merge = time.monotonic() - t_merge0
         pids = lineage_tbl.column("part_id").to_pylist()
         if len(pids) != len(set(pids)):

@@ -260,6 +260,20 @@ def cdc_final_state_salted(sf_dir: str) -> pa.Table:
     return _digest_html(eng.to_arrow())
 
 
+def cdc_time_travel(sf_dir: str) -> pa.Table:
+    """Time-travel read: after a FULL replay, reading lake version 1
+    must still return the pristine snapshot state (copy-on-write
+    partition files + versioned manifests; Engine.read_table/to_arrow
+    with version=).  Verified against the snapshot SQL oracle."""
+    d = workload.ensure_workload(sf_dir)
+    lake = d["lake"] + "-tt"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(EngineConfig(lake_dir=lake, num_partitions=16))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(d["changelog"])
+    return _digest_html(eng.to_arrow(version=1))
+
+
 def cdc_final_state_redo_sql(sf_dir: str) -> pa.Table:
     """Same replay as cdc_final_state but from a RAW REDO-SQL changelog
     (M1 statement parsing + typed literal conversion), verifying the

@@ -283,3 +283,39 @@ def test_redo_sql_end_to_end(ray_session, tmp_path, csf_len):
     want = replay_oracle(base, events)
     got = table_to_state(eng.to_arrow())
     assert not state_diff(got, want), state_diff(got, want)
+
+
+def test_read_dead_letters_deduped(ray_session, tmp_path):
+    """Engine.read_dead_letters: queryable, deduped on (scn, row_id)
+    even when a retried batch wrote the same rejects twice."""
+    from logminer_kafka_connect_ray.testing.gen import REDO_SQL_SCHEMA
+
+    pages = gen_pages(10)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(pages, ChangeGenConfig(n_events=30, seed=55))
+    changelog = str(tmp_path / "changelog")
+    write_redo_sql_batches(events, changelog, events_per_file=500)
+    hi = max(e["scn"] for e in events)
+    bad = [{"scn": hi + 1, "row_id": f"AAAx{hi+1:010d}", "commit_scn": None,
+            "tx_id": "txbad", "op": "u", "ts_ms": 0, "table": "WEB.PAGES",
+            "username": "WEBCRAWL", "status": 0, "csf": 0,
+            "sql_redo": "not sql"}]
+    pq.write_table(pa.Table.from_pylist(bad, schema=REDO_SQL_SCHEMA),
+                   f"{changelog}/batch-{hi+1:012d}-{hi+1:012d}.parquet")
+
+    lake = str(tmp_path / "lake")
+    eng = Engine(EngineConfig(lake_dir=lake, num_partitions=2,
+                              changelog_format="redo_sql"))
+    eng.snapshot(pages_path, 999)
+    eng.replay(changelog)
+    # simulate a retry double-write: copy the dead-letter file
+    import glob
+    import shutil as _sh
+
+    f = glob.glob(f"{lake}/dead_letters/*.parquet")[0]
+    _sh.copy(f, f.replace(".parquet", "-retry.parquet"))
+    dead = eng.read_dead_letters().to_pandas()
+    assert len(dead) == 1
+    assert dead.iloc[0]["reason"] == "parse_error"
+    assert dead.iloc[0]["scn"] == hi + 1
