@@ -334,6 +334,16 @@ FROM fp ORDER BY doc_id
 """
 
 
+_SUPPLIERS_SQL = """
+SELECT 'https://sup.example/s/' || s_suppkey::VARCHAR AS url,
+       TIMESTAMP '2024-01-01' + s_suppkey * INTERVAL 1 SECOND AS warc_ts,
+       md5('<html><body>' || s_name || '</body></html>') AS html_md5,
+       CASE WHEN s_suppkey % 3 = 0 THEN 'sup:' || s_suppkey::VARCHAR
+            ELSE s_name END AS text,
+       'xx' AS lang
+FROM supplier ORDER BY url
+"""
+
 _MEDIA_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(16 + doc_id % 48 AS BIGINT) AS width,
@@ -367,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_final_state_salted": q.cdc_final_state_salted,
         "cdc_snapshot_state": q.cdc_snapshot_state,
         "cdc_time_travel": q.cdc_time_travel,
+        "cdc_multitable_suppliers": q.cdc_multitable_suppliers,
+        "cdc_multitable_pages": q.cdc_multitable_pages,
         "cdc_committed_events": q.cdc_committed_events,
         "cdc_rolled_back_events": q.cdc_open_or_rolled_events,
         "cdc_scn_range_stats": q.cdc_scn_range_stats,
@@ -401,6 +413,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_salted": _FINAL_STATE_SQL,
         "cdc_snapshot_state": _SNAPSHOT_SQL,
         "cdc_time_travel": _SNAPSHOT_SQL,
+        "cdc_multitable_suppliers": _SUPPLIERS_SQL,
+        # pages state from the MIXED two-table log == single-table replay
+        "cdc_multitable_pages": _FINAL_STATE_SQL,
         "cdc_committed_events": _COMMITTED_SQL,
         "cdc_rolled_back_events": _DISCARDED_SQL,
         "cdc_scn_range_stats": _SCN_RANGE_SQL,

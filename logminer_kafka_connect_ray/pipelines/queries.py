@@ -260,6 +260,40 @@ def cdc_final_state_salted(sf_dir: str) -> pa.Table:
     return _digest_html(eng.to_arrow())
 
 
+def _multitable_run(sf_dir: str):
+    """Fan out ONE mixed two-table changelog to per-table lakes
+    (pipelines/multitable.py; reference: one redo log, topic per table,
+    SourceTask.kt:46-63 whitelist expansion).  Idempotent: committed
+    manifests short-circuit on repeated calls."""
+    from logminer_kafka_connect_ray.pipelines.multitable import MultiTableEngine
+
+    d = workload.ensure_multitable(sf_dir)
+    mt = MultiTableEngine(
+        d["lake"] + "-mt", EngineConfig(num_partitions=8)
+    )
+    mt.snapshot(
+        {workload.TABLE_NAME: d["pages"], workload.SUP_TABLE: d["sup_base"]},
+        workload.SNAPSHOT_SCN,
+    )
+    mt.replay(d["mixed"])
+    return mt
+
+
+def cdc_multitable_suppliers(sf_dir: str) -> pa.Table:
+    """Final state of the SECOND table after replaying the mixed log --
+    proves the fan-out routes supplier events to the supplier lake."""
+    mt = _multitable_run(sf_dir)
+    return _digest_html(mt.engine_for(workload.SUP_TABLE).to_arrow())
+
+
+def cdc_multitable_pages(sf_dir: str) -> pa.Table:
+    """Final PAGES state from the MIXED log must equal the single-table
+    replay -- proves the S6 whitelist keeps the other table's events
+    out of this lake."""
+    mt = _multitable_run(sf_dir)
+    return _digest_html(mt.engine_for(workload.TABLE_NAME).to_arrow())
+
+
 def cdc_time_travel(sf_dir: str) -> pa.Table:
     """Time-travel read: after a FULL replay, reading lake version 1
     must still return the pristine snapshot state (copy-on-write

@@ -254,6 +254,147 @@ def derive_changelog(
     return paths
 
 
+#: second table for the multi-table fan-out gate (S6 whitelist +
+#: pipelines/multitable.py): supplier-derived pages, same schema
+SUP_TABLE = "WEB.SUPPLIERS"
+#: supplier events sit in an SCN range far above the pages range so the
+#: two tables' logs interleave without colliding
+SUP_SCN0 = 10_000_000_000
+
+
+def derive_suppliers(sf_dir: str) -> pa.Table:
+    """Supplier-derived base table (same shape as pages)."""
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    key = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    name = sup.column("s_name").cast(pa.string())
+    url = pc.binary_join_element_wise(
+        pa.array(["https://sup.example/s/"] * len(key)),
+        pc.cast(pa.array(key), pa.string()),
+        "",
+    )
+    html = pc.binary_join_element_wise(
+        pa.array(["<html><body>"] * len(key)),
+        name,
+        pa.array(["</body></html>"] * len(key)),
+        "",
+    )
+    ts = _EPOCH_2024 + key * 1_000_000
+    return pa.table(
+        {
+            "url": url.combine_chunks() if isinstance(url, pa.ChunkedArray) else url,
+            "warc_ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+            "html": pc.cast(html, pa.binary()),
+            "text": name,
+            "lang": pa.array(["xx"] * len(key), pa.string()),
+        },
+        schema=PAGES_SCHEMA_NAIVE,
+    )
+
+
+def derive_changelog_suppliers(sf_dir: str, out_dir: str) -> list[str]:
+    """Supplier-table change events: one committed UPDATE (text only)
+    per supplier with s_suppkey % 3 == 0, table=WEB.SUPPLIERS, tx ids
+    prefixed 'sup' (Oracle XIDs are database-global)."""
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"]
+    )
+    key = np.sort(
+        sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    key = key[key % 3 == 0]
+    n = len(key)
+    k = np.arange(n, dtype=np.int64)
+    scn = SUP_SCN0 + k * 2
+    tx = k // TXN_SIZE
+    url = pc.binary_join_element_wise(
+        pa.array(["https://sup.example/s/"] * n),
+        pc.cast(pa.array(key), pa.string()),
+        "",
+    )
+    text = pc.binary_join_element_wise(
+        pa.array(["sup:"] * n), pc.cast(pa.array(key), pa.string()), ""
+    )
+    img_type = schemas.image_struct(PAGES_SCHEMA_NAIVE)
+
+    def _one(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    after = pa.StructArray.from_arrays(
+        [
+            _one(url),
+            pa.nulls(n, pa.timestamp("us")),
+            pa.nulls(n, pa.binary()),
+            _one(text),
+            pa.nulls(n, pa.string()),
+        ],
+        names=["url", "warc_ts", "html", "text", "lang"],
+    )
+    ev_schema = schemas.change_event_schema(PAGES_SCHEMA_NAIVE)
+    changes = pa.table(
+        {
+            "scn": pa.array(scn, pa.int64()),
+            "row_id": _concat("S", scn),
+            "commit_scn": pa.nulls(n, pa.int64()),
+            "tx_id": _concat("sup", tx),
+            "op": pa.array(["u"] * n),
+            "ts_ms": pa.nulls(n, pa.timestamp("ms", tz="UTC")),
+            "table": pa.array([SUP_TABLE] * n),
+            "username": pa.nulls(n, pa.string()),
+            "status": pa.array(np.zeros(n, np.int32)),
+            "before": pa.nulls(n, img_type),
+            "after": after,
+            "set_cols": pa.nulls(n, pa.list_(pa.string())),
+        },
+        schema=ev_schema,
+    )
+    txs = np.unique(tx)
+    m_scn = SUP_SCN0 + (txs * TXN_SIZE + (TXN_SIZE - 1)) * 2 + 1
+    nm = len(txs)
+    markers = pa.table(
+        {
+            "scn": pa.array(m_scn, pa.int64()),
+            "row_id": _concat("S", m_scn),
+            "commit_scn": pa.array(m_scn, pa.int64()),
+            "tx_id": _concat("sup", txs),
+            "op": pa.array(["commit"] * nm),
+            "ts_ms": pa.nulls(nm, pa.timestamp("ms", tz="UTC")),
+            "table": pa.array([SUP_TABLE] * nm),
+            "username": pa.nulls(nm, pa.string()),
+            "status": pa.array(np.zeros(nm, np.int32)),
+            "before": pa.nulls(nm, img_type),
+            "after": pa.nulls(nm, img_type),
+            "set_cols": pa.nulls(nm, pa.list_(pa.string())),
+        },
+        schema=ev_schema,
+    )
+    log_tbl = pa.concat_tables([changes, markers])
+    log_tbl = log_tbl.take(pc.sort_indices(log_tbl, sort_keys=[("scn", "ascending")]))
+    os.makedirs(out_dir, exist_ok=True)
+    lo = log_tbl.column("scn")[0].as_py()
+    hi = log_tbl.column("scn")[-1].as_py()
+    p = os.path.join(out_dir, f"batch-{lo:012d}-{hi:012d}.parquet")
+    pq.write_table(log_tbl, p)
+    return [p]
+
+
+def ensure_multitable(sf_dir: str, root: str = "/tmp/lkc_workload") -> dict[str, str]:
+    """Mixed two-table changelog (pages + suppliers in ONE log, the
+    reference's single-redo-log-many-tables shape) + supplier base."""
+    d = ensure_workload(sf_dir, root)
+    mixed = os.path.join(d["root"], "changelog-mixed")
+    sup_base = os.path.join(d["root"], "suppliers.parquet")
+    marker = os.path.join(d["root"], "_ready_mixed")
+    if not os.path.exists(marker):
+        derive_changelog(sf_dir, mixed)
+        derive_changelog_suppliers(sf_dir, mixed)
+        pq.write_table(derive_suppliers(sf_dir), sup_base)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return {**d, "mixed": mixed, "sup_base": sup_base}
+
+
 #: bump when the derivation semantics change -- invalidates any cached
 #: /tmp workload from an older build
 WORKLOAD_VERSION = 2
