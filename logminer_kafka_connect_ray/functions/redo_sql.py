@@ -201,10 +201,17 @@ def _parse_where(p: _P, convert) -> dict | None:
         col = p.ident()
         nxt = p.next().upper()
         if nxt == "=":
-            out[col] = convert(col, p.literal())
+            if col == "ROWID":
+                # real LogMiner WHERE clauses carry `and ROWID = 'AAA…'`;
+                # it is row metadata, not a table column -- consume and
+                # drop (the engine's row_id rides as its own column)
+                p.literal()
+            else:
+                out[col] = convert(col, p.literal())
         elif nxt == "IS":
             p.expect_kw("NULL")
-            out[col] = None
+            if col != "ROWID":
+                out[col] = None
         else:
             raise RedoSqlParseError(f"unsupported WHERE operator {nxt!r}")
         if (p.peek() or "").upper() == "AND":

@@ -471,6 +471,8 @@ def event_to_redo_sql(e: dict, table_ident: str = '"WEB"."PAGES"') -> str | None
             parts.append(
                 f'"{c}" IS NULL' if v is None else f'"{c}" = {_sql_literal(v)}'
             )
+        # real LogMiner WHERE clauses always carry the ROWID predicate
+        parts.append(f"ROWID = '{e['row_id']}'")
         return " where " + " and ".join(parts)
 
     if op in ("i", "r"):

@@ -460,8 +460,10 @@ def derive_changelog_redo_sql(
     rows = []
     for i in range(len(eid)):
         e, et, u = int(eid[i]), etype[i], urls[i]
+        rid = f"R{int(scn[i])}"
         if et == "error":
-            sql = f'delete from "WEB"."PAGES" where "url" = \'{u}\''
+            sql = (f'delete from "WEB"."PAGES" where "url" = \'{u}\''
+                   f" and ROWID = '{rid}'")
             op = "d"
         elif et == "signup":
             text = f"signup:{e}"
@@ -473,14 +475,16 @@ def derive_changelog_redo_sql(
             )
             op = "i"
         elif et in ("click", "view"):
-            sql = f'update "WEB"."PAGES" set "text" = \'u:{e}\' where "url" = \'{u}\''
+            sql = (f'update "WEB"."PAGES" set "text" = \'u:{e}\' where "url" = \'{u}\''
+                   f" and ROWID = '{rid}'")
             op = "u"
         else:  # purchase
-            sql = f'update "WEB"."PAGES" set "lang" = \'p{e % 5}\' where "url" = \'{u}\''
+            sql = (f'update "WEB"."PAGES" set "lang" = \'p{e % 5}\' where "url" = \'{u}\''
+                   f" and ROWID = '{rid}'")
             op = "u"
         rows.append(
             {
-                "scn": int(scn[i]), "row_id": f"R{int(scn[i])}",
+                "scn": int(scn[i]), "row_id": rid,
                 "commit_scn": None, "tx_id": f"tx{int(tx[i])}", "op": op,
                 "ts_ms": int(ts_us[i]) // 1000, "table": TABLE_NAME,
                 "username": None, "status": 0, "csf": 0, "sql_redo": sql,

@@ -319,3 +319,18 @@ def test_read_dead_letters_deduped(ray_session, tmp_path):
     assert len(dead) == 1
     assert dead.iloc[0]["reason"] == "parse_error"
     assert dead.iloc[0]["scn"] == hi + 1
+
+
+def test_rowid_predicate_skipped():
+    """Real LogMiner WHERE clauses carry `and ROWID = 'AAA…'`; it is
+    row metadata, not a column -- consumed without schema lookup."""
+    op, before, after = parse_redo(
+        """update "S"."T" set "STRING" = 'x' where "ID" = 5 and ROWID = 'AAAb'""",
+        TYPES,
+    )
+    assert op == "u" and before == {"ID": 5} and after == {"STRING": "x"}
+    op, before, _ = parse_redo(
+        """delete from "S"."T" where "ID" = 1 and "STRING" IS NULL and ROWID = 'AAAc'""",
+        TYPES,
+    )
+    assert before == {"ID": 1, "STRING": None}
