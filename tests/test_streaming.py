@@ -236,3 +236,60 @@ def test_streaming_restart_rebuilds_open_state(streamed_setup, tmp_path):
     assert not state_diff(got, want), state_diff(got, want)
     # restart did not corrupt or double-apply
     assert len(got) == len(want)
+
+
+@pytest.mark.parametrize("seed", [70, 71, 72])
+def test_streaming_restart_fuzz(ray_session, tmp_path, seed):
+    """Randomized crash/restart matrix: files arrive in waves, the
+    engine restarts cold between waves (actors lost), and the final
+    state must equal the oracle -- the conservative watermark plus
+    idempotent merge absorb re-reads and open-txn re-buffering."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    pages = gen_pages(30, seed=seed)
+    pq.write_table(pages, str(tmp_path / "pages.parquet"))
+    events, _, _ = gen_changes(
+        pages,
+        ChangeGenConfig(
+            n_events=260, seed=seed, max_open_txns=4,
+            p_rollback=0.1, leave_open=0,
+        ),
+    )
+    eng = Engine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=3))
+    eng.snapshot(str(tmp_path / "pages.parquet"), SNAPSHOT_SCN)
+    changelog = str(tmp_path / "clog")
+
+    # split the ORDERED event stream into 3 waves at random points
+    cuts = sorted(rng.choice(np.arange(20, len(events) - 20), 2, replace=False))
+    waves = [events[: cuts[0]], events[cuts[0] : cuts[1]], events[cuts[1] :]]
+    written = 0
+    for wave in waves:
+        # append this wave's files (names must sort after previous ones)
+        write_event_batches(
+            wave, str(tmp_path / f"w{written}"), events_per_file=40
+        )
+        import shutil as _sh
+
+        os.makedirs(changelog, exist_ok=True)
+        for f in sorted(os.listdir(str(tmp_path / f"w{written}"))):
+            _sh.copy(
+                str(tmp_path / f"w{written}" / f),
+                os.path.join(changelog, f"{written:02d}-{f}"),
+            )
+        written += 1
+        # cold engine each wave = crash/restart
+        s = StreamingEngine(eng, changelog, num_shards=2, poll_interval=0.01)
+        s.run(max_polls=3 + int(rng.integers(0, 3)))
+        s.shutdown()
+
+    # a final engine drains whatever remains
+    s = StreamingEngine(eng, changelog, num_shards=2, poll_interval=0.01)
+    s.run(max_polls=6)
+    s.shutdown()
+
+    base = {r["url"]: {k: v for k, v in r.items() if k != "url"}
+            for r in pages.to_pylist()}
+    want = replay_oracle(base, events)
+    got = table_to_state(eng.to_arrow())
+    assert not state_diff(got, want), (seed, state_diff(got, want))
