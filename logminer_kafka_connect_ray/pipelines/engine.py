@@ -142,6 +142,47 @@ class Engine:
         """Alias of replay(): the manifest IS the offset."""
         return self.replay(changelog_dir)
 
+    def changelog(self, changelog_dir: str, scn_lo: int | None = None,
+                  scn_hi: int | None = None):
+        """Committed change events as Debezium-envelope records (the
+        reference's OUTPUT surface: op/before/after/source/ts_ms per
+        row, ConnectSchemaFactory.kt:56-163), as a streaming Dataset.
+        ``config.emit_tombstones`` adds the (key, null) tombstone row
+        after each DELETE (reference `tombstones.on.delete`,
+        SourceConnectorConfig.kt:118-119)."""
+        import ray.data as rd
+
+        from logminer_kafka_connect_ray.stages.envelope import EnvelopeStage
+
+        m = self._require_manifest(None)
+        table_schema = schemas.schema_from_json(m.schema)
+        files = changelog_src.list_batch_files(changelog_dir)
+        pruned = changelog_src.prune_files(files, scn_lo, scn_hi)
+        paths = [f.path for f in pruned]
+        if not paths:
+            return rd.from_arrow(
+                EnvelopeStage(m.schema, self.config.key_column).out_schema.empty_table()
+            )
+        _, markers_ref = collect_txn_info_ref(paths, scn_lo, scn_hi, block=False)
+        ds = rd.read_parquet(paths)
+        decoded = ds.map_batches(
+            make_processor_fn(
+                markers_ref, m.schema, self.config.key_column,
+                self.config.table_whitelist, scn_lo, scn_hi,
+                self.config.num_partitions, "emit",
+                changelog_format=self.config.changelog_format,
+                db_timezone=self.config.db_timezone,
+            ),
+            batch_format="pyarrow",
+        )
+        return decoded.map_batches(
+            EnvelopeStage(
+                m.schema, self.config.key_column,
+                emit_tombstones=self.config.emit_tombstones,
+            ),
+            batch_format="pyarrow",
+        )
+
     def _bootstrap_from_scn(self, changelog_dir: str) -> Manifest:
         """Publish an empty version-1 manifest at ``start_scn - 1`` so
         events with scn >= start_scn replay onto an empty table.  The

@@ -152,23 +152,17 @@ def cdc_scn_range_stats(sf_dir: str) -> pa.Table:
 
 
 def cdc_envelope_counts(sf_dir: str) -> pa.Table:
-    """Debezium-envelope changelog emission (M7/M8): committed change
-    rows -> envelope records incl. delete tombstones; returns row
-    counts per record kind."""
-    from logminer_kafka_connect_ray.stages.envelope import EnvelopeStage
-
-    decoded, ref = _decoded_committed(sf_dir)
-    committed = decoded.map_batches(
-        CommitResolver(ref, "committed"), batch_format="pyarrow"
+    """Debezium-envelope changelog emission (M7/M8) through the
+    Engine-level output surface (``Engine.changelog``): committed
+    change rows -> envelope records incl. delete tombstones; returns
+    row counts per record kind."""
+    d = workload.ensure_workload(sf_dir)
+    lake = d["lake"] + "-env"
+    eng = Engine(
+        EngineConfig(lake_dir=lake, num_partitions=4, emit_tombstones=True)
     )
-    env = committed.map_batches(
-        EnvelopeStage(
-            schemas.schema_to_json(workload.PAGES_SCHEMA_NAIVE),
-            "url",
-            emit_tombstones=True,
-        ),
-        batch_format="pyarrow",
-    )
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    env = eng.changelog(d["changelog"])
 
     def kind(t: pa.Table) -> pa.Table:
         k = pc.if_else(t.column("tombstone"), "tombstone", t.column("op"))

@@ -231,11 +231,14 @@ class StreamingEngine:
         self,
         engine,
         changelog_dir: str,
-        num_shards: int = 4,
+        num_shards: int | None = None,
         batch_size: int = 100_000,
         poll_interval: float = 0.2,
         max_rows_in_memory: int = 100_000,
     ):
+        if num_shards is None:
+            # EngineConfig.actor_concurrency sizes the stateful pool
+            num_shards = engine.config.actor_concurrency or 4
         self.engine = engine
         self.changelog_dir = changelog_dir
         self.batch_size = batch_size

@@ -57,7 +57,12 @@ class ChangeEventProcessor:
             )
         else:
             self.decoder = ChangeDecoder(table_schema, key_column, whitelist)
-        self.resolver = CommitResolver(markers_ref, mode)
+        # mode 'emit' = committed rows WITHOUT the merge combiner /
+        # partition stamp (the envelope-output surface needs every
+        # committed event, not the dominance-pruned net set)
+        self.resolver = CommitResolver(
+            markers_ref, "committed" if mode == "emit" else mode
+        )
         self.scn_lo = scn_lo
         self.scn_hi = scn_hi
         self.mode = mode

@@ -184,3 +184,48 @@ def test_collect_txn_info_serial_fallback(tmp_path):
     assert info.n_rolled == 1
     assert info.n_open_rows == 1          # t2 has no terminator
     assert info.min_open_scn == 2
+
+
+def test_engine_changelog_surface(ray_session, tmp_path):
+    """Engine.changelog(): the reference's OUTPUT surface as a Dataset;
+    config.emit_tombstones controls the (key, null) delete markers."""
+    import pyarrow.parquet as pq
+
+    from logminer_kafka_connect_ray import EngineConfig
+    from logminer_kafka_connect_ray.pipelines.engine import Engine
+    from logminer_kafka_connect_ray.testing.gen import (
+        ChangeGenConfig,
+        gen_changes,
+        gen_pages,
+        write_event_batches,
+    )
+
+    pages = gen_pages(20)
+    pq.write_table(pages, str(tmp_path / "pages.parquet"))
+    events, _, _ = gen_changes(
+        pages, ChangeGenConfig(n_events=80, seed=66, p_delete=0.3)
+    )
+    changelog = str(tmp_path / "clog")
+    write_event_batches(events, changelog, events_per_file=40)
+
+    committed = {e["tx_id"] for e in events if e["op"] == "commit"}
+    n_committed = sum(
+        1 for e in events
+        if e["op"] not in ("commit", "rollback") and e["tx_id"] in committed
+    )
+    n_deletes = sum(
+        1 for e in events
+        if e["op"] == "d" and e["tx_id"] in committed
+    )
+    assert n_deletes > 0
+
+    for tomb in (False, True):
+        eng = Engine(
+            EngineConfig(lake_dir=str(tmp_path / f"lake{tomb}"),
+                         num_partitions=2, emit_tombstones=tomb)
+        )
+        eng.snapshot(str(tmp_path / "pages.parquet"), 999)
+        env = eng.changelog(changelog).to_pandas()
+        want = n_committed + (n_deletes if tomb else 0)
+        assert len(env) == want, (tomb, len(env), want)
+        assert env["tombstone"].sum() == (n_deletes if tomb else 0)
