@@ -293,22 +293,159 @@ def _exchange_join_docs(
     return ex.map_batches(join_block, batch_size=None, batch_format="pyarrow")
 
 
-def _candidate_pairs(band_rows, key_cols: list[str]):
-    """groupby(bucket) -> candidate pair rows -> DISTRIBUTED dedup
-    (groupby on the pair key -- no driver-side materialization of the
-    pair set, which is unbounded at 100 TB)."""
+_PAIR_P = 32
 
-    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].unique())
-        a, b = _bucket_pairs(ids, what="minhash-lsh")
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
 
-    pairs = band_rows.groupby(key_cols).map_groups(pairs_of, batch_format="pandas")
-    # distributed pair dedup: one row per (doc_a, doc_b)
-    dd = pairs.groupby(["doc_a", "doc_b"]).count()
-    return _canon_blocks(
-        dd, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+def _bucket_block_pairs(t: pa.Table, group_cols: list[str],
+                        cap: int = MAX_BUCKET_PAIRING,
+                        what: str = "lsh") -> pa.Table:
+    """All bucket groups of one exchange block -> candidate pair rows
+    with a dedup-exchange stamp.  Fully vectorized sweep (lexsort +
+    triu) -- one numpy pass instead of one pandas dispatch per group
+    (per-group map_groups measured ~50x slower on many-bucket LSH)."""
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+         "_dp": pa.array([], pa.int64())}
     )
+    if t.num_rows == 0:
+        return empty
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = [
+        t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+        for c in group_cols
+    ]
+    order = np.lexsort((ids, *reversed(keys)))
+    ids = ids[order]
+    keys = [k[order] for k in keys]
+    change = np.zeros(len(ids), bool)
+    change[0] = True
+    for k in keys:
+        change[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.append(starts, len(ids)))
+    out_a, out_b = [], []
+    for s, sz in zip(starts, sizes):
+        if sz < 2:
+            continue
+        gi = np.unique(ids[s : s + sz])
+        if len(gi) < 2:
+            continue
+        a, b = _bucket_pairs(gi, cap=cap, what=what)
+        if len(a):
+            out_a.append(a)
+            out_b.append(b)
+    if not out_a:
+        return empty
+    da = np.concatenate(out_a)
+    db = np.concatenate(out_b)
+    dp = ((da * 1000003 + db) % _PAIR_P).astype(np.int64)
+    return pa.table(
+        {"doc_a": pa.array(da), "doc_b": pa.array(db), "_dp": pa.array(dp)}
+    )
+
+
+def _dedup_pair_blocks(pairs):
+    """Exchange on the pair stamp, then first-per-(doc_a, doc_b) via a
+    vectorized lexsort sweep per block."""
+
+    def block_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64())}
+            )
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        return pa.table({"doc_a": pa.array(a[first]), "doc_b": pa.array(b[first])})
+
+    return (
+        pairs.sort("_dp", boundaries=list(range(1, _PAIR_P)))
+        .map_batches(
+            lambda t: block_dedup(
+                t.drop_columns(["_dp"]) if "_dp" in t.column_names else t
+            ),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _count_pair_blocks(pairs):
+    """Exchange on the pair stamp, then COUNT per (doc_a, doc_b) via a
+    run-length sweep per block (the inverted-index intersection size)."""
+
+    def block_count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "n_common": pa.array([], pa.int64())}
+            )
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(a)))
+        return pa.table(
+            {"doc_a": pa.array(a[starts]), "doc_b": pa.array(b[starts]),
+             "n_common": pa.array(counts.astype(np.int64))}
+        )
+
+    return (
+        pairs.sort("_dp", boundaries=list(range(1, _PAIR_P)))
+        .map_batches(
+            lambda t: block_count(
+                t.drop_columns(["_dp"]) if "_dp" in t.column_names else t
+            ),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _stamped_bucket_pairs(rows, key_cols: list[str], cap: int, what: str):
+    """rows (group keys + doc_id) -> candidate pair rows with _dp,
+    via the group-key exchange + vectorized block sweep."""
+
+    def stamp(t: pa.Table) -> pa.Table:
+        keys = [
+            t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in key_cols
+        ]
+        acc = np.zeros(len(t), np.int64)
+        for k in keys:
+            with np.errstate(over="ignore"):
+                acc = acc * 1000003 + k
+        return t.append_column("_jp", pa.array(np.abs(acc) % _PAIR_P))
+
+    return (
+        rows.map_batches(stamp, batch_format="pyarrow")
+        .sort("_jp", boundaries=list(range(1, _PAIR_P)))
+        .map_batches(
+            lambda t: _bucket_block_pairs(
+                t.drop_columns(["_jp"]) if "_jp" in t.column_names else t,
+                key_cols, cap=cap, what=what,
+            ),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _candidate_pairs(band_rows, key_cols: list[str]):
+    """bucket groups -> candidate pair rows -> DISTRIBUTED dedup.
+    Explicit-boundary exchanges + vectorized block sweeps end-to-end:
+    no per-group pandas dispatch, no driver-side materialization of the
+    pair set (unbounded at 100 TB)."""
+    pairs = _stamped_bucket_pairs(
+        band_rows, key_cols, cap=MAX_BUCKET_PAIRING, what="minhash-lsh"
+    )
+    return _dedup_pair_blocks(pairs)
 
 
 def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.7) -> pa.Table:
@@ -400,17 +537,12 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.7, k: int = 5) -> pa.T
     sizes = _renamed(grams.groupby("doc_id").count(), "count()", "n_grams",
                      ["doc_id"])
 
-    def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        a, b = _bucket_pairs(ids, cap=2000, what="ngram-inverted-index")
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
-
-    inter = _renamed(
-        grams.groupby("gram")
-        .map_groups(gram_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .count(),
-        "count()", "n_common", ["doc_a", "doc_b"],
+    # inverted-index pair expansion + per-pair intersection count, all
+    # via exchanges + vectorized block sweeps (no per-gram dispatch)
+    inter = _count_pair_blocks(
+        _stamped_bucket_pairs(
+            grams, ["gram"], cap=2000, what="ngram-inverted-index"
+        )
     )
     inter_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_common", pa.int64())]
