@@ -1059,55 +1059,110 @@ def embedding_near_dup(
             }
         )
 
-    def in_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        empty = pd.DataFrame(
-            {"vec_a": pd.Series([], dtype="int64"),
-             "vec_b": pd.Series([], dtype="int64"),
-             "sim_r": pd.Series([], dtype="float64")}
+    # exchange on (band, bucket) + vectorized block sweep (same pattern
+    # as the minhash/simhash candidate paths: no per-bucket dispatch)
+    def stamp(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = t.column("bucket").to_numpy(zero_copy_only=False)
+        jp = np.abs((bucket * 1000003 + band)) % _PAIR_P
+        return t.append_column("_jp", pa.array(jp.astype(np.int64)))
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+             "sim_r": pa.array([], pa.float64()), "_dp": pa.array([], pa.int64())}
         )
-        if len(ids) < 2:
+        if t.num_rows == 0:
             return empty
-        mat = np.asarray(g["embedding"].tolist(), dtype=np.float64)
+        ids, mat = _embedding_matrix(t)
+        ids = ids.astype(np.int64)
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = t.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = bucket * np.int64(len(planes)) + band
+        order = np.lexsort((ids, key))
+        ids, key, mat = ids[order], key[order], mat[order]
         matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
-        if len(ids) > 500:
-            log.warning(
-                "embedding near-dup bucket overflow: %d members; "
-                "star-verifying against representative %s", len(ids), ids[0],
+        change = np.concatenate([[True], key[1:] != key[:-1]])
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, len(ids)))
+        out_a, out_b, out_s = [], [], []
+        for s, sz in zip(starts, sizes):
+            if sz < 2:
+                continue
+            gi, gm = ids[s : s + sz], matn[s : s + sz]
+            if sz > 500:
+                log.warning(
+                    "embedding near-dup bucket overflow: %d members; "
+                    "star-verifying against representative %s", sz, gi[0],
+                )
+                sims = gm[1:] @ gm[0]
+                keep = sims >= tau
+                out_a.append(np.full(int(keep.sum()), gi[0], np.int64))
+                out_b.append(gi[1:][keep])
+                out_s.append(np.round(sims[keep], 6))
+                continue
+            sims = gm @ gm.T
+            ia, ib = np.triu_indices(sz, k=1)
+            keep = sims[ia, ib] >= tau
+            out_a.append(gi[ia[keep]])
+            out_b.append(gi[ib[keep]])
+            out_s.append(np.round(sims[ia[keep], ib[keep]], 6))
+        if not out_a:
+            return empty
+        va = np.concatenate(out_a)
+        vb = np.concatenate(out_b)
+        vs = np.concatenate(out_s)
+        dp = ((va * 1000003 + vb) % _PAIR_P).astype(np.int64)
+        return pa.table(
+            {"vec_a": pa.array(va), "vec_b": pa.array(vb),
+             "sim_r": pa.array(vs, pa.float64()), "_dp": pa.array(dp)}
+        )
+
+    def block_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                 "sim_r": pa.array([], pa.float64())}
             )
-            sims = matn[1:] @ matn[0]
-            keep = sims >= tau
-            return pd.DataFrame(
-                {"vec_a": np.full(keep.sum(), ids[0], np.int64),
-                 "vec_b": ids[1:][keep].astype(np.int64),
-                 "sim_r": np.round(sims[keep], 6)}
-            )
-        sims = matn @ matn.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= tau
-        return pd.DataFrame(
-            {"vec_a": ids[ia[keep]].astype(np.int64),
-             "vec_b": ids[ib[keep]].astype(np.int64),
-             "sim_r": np.round(sims[ia[keep], ib[keep]], 6)}
+        a = t.column("vec_a").to_numpy(zero_copy_only=False)
+        b = t.column("vec_b").to_numpy(zero_copy_only=False)
+        s = t.column("sim_r").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, s = a[order], b[order], s[order]
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        return pa.table(
+            {"vec_a": pa.array(a[first]), "vec_b": pa.array(b[first]),
+             "sim_r": pa.array(s[first], pa.float64())}
         )
 
     pairs = (
         emb.map_batches(bucketize, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
-        .map_groups(in_bucket_pairs, batch_format="pandas")
+        .map_batches(stamp, batch_format="pyarrow")
+        .sort("_jp", boundaries=list(range(1, _PAIR_P)))
+        .map_batches(
+            lambda t: block_pairs(
+                t.drop_columns(["_jp"]) if "_jp" in t.column_names else t
+            ),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        .sort("_dp", boundaries=list(range(1, _PAIR_P)))
+        .map_batches(
+            lambda t: block_dedup(
+                t.drop_columns(["_dp"]) if "_dp" in t.column_names else t
+            ),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
     )
-    # distributed dedup across bands (sim identical per pair)
-    dd = pairs.groupby(["vec_a", "vec_b"]).max("sim_r").to_pandas()
+    dd = pairs.to_pandas()
     empty = pa.table(
         {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
          "sim_r": pa.array([], pa.float64())}
     )
     if dd.empty:
         return empty
-    dd = dd.rename(columns={"max(sim_r)": "sim_r"}).sort_values(
-        ["vec_a", "vec_b"], ignore_index=True
-    )
+    dd = dd.sort_values(["vec_a", "vec_b"], ignore_index=True)
     for c in ("vec_a", "vec_b"):
         dd[c] = dd[c].astype("int64")
     return pa.Table.from_pandas(dd, preserve_index=False)
