@@ -171,6 +171,34 @@ class ChangeDecoder:
         return pa.table(cols, schema=self.out_schema)
 
 
+def route_dead_rows(
+    dead_dir: str | None, version: int, rows: list[dict], reasons: list[str]
+) -> None:
+    """Write rejected rows to the dead-letter dataset.  File names
+    carry the manifest version so a re-run of the same micro-batch can
+    be deduplicated on read by (scn, row_id)."""
+    if not dead_dir or not rows:
+        return
+    import os
+    import uuid
+
+    import pyarrow.parquet as _pq
+
+    os.makedirs(dead_dir, exist_ok=True)
+    t = pa.table(
+        {
+            "scn": pa.array([r.get("scn") for r in rows], pa.int64()),
+            "row_id": pa.array([r.get("row_id") for r in rows], pa.string()),
+            "tx_id": pa.array([r.get("tx_id") for r in rows], pa.string()),
+            "table": pa.array([r.get("table") for r in rows], pa.string()),
+            "sql_redo": pa.array([r.get("sql_redo") for r in rows], pa.string()),
+            "reason": pa.array(reasons, pa.string()),
+        }
+    )
+    name = f"v{version:08d}-{uuid.uuid4().hex[:12]}.parquet"
+    _pq.write_table(t, os.path.join(dead_dir, name))
+
+
 class RedoSqlDecoder:
     """Decode a raw redo-SQL changelog: rows carry the statement TEXT
     (``sql_redo``) instead of before/after structs -- the reference's
@@ -217,32 +245,8 @@ class RedoSqlDecoder:
         self.version = version
 
     def _route_dead(self, rows: list[dict], reasons: list[str]) -> None:
-        """Write rejected rows to the dead-letter dataset.  File names
-        carry the manifest version so a re-run of the same micro-batch
-        can be deduplicated on read by (scn, row_id)."""
         self.dead_letters += len(rows)
-        if not self.dead_dir or not rows:
-            return
-        import os
-        import uuid
-
-        import pyarrow.parquet as _pq
-
-        os.makedirs(self.dead_dir, exist_ok=True)
-        t = pa.table(
-            {
-                "scn": pa.array([r.get("scn") for r in rows], pa.int64()),
-                "row_id": pa.array([r.get("row_id") for r in rows], pa.string()),
-                "tx_id": pa.array([r.get("tx_id") for r in rows], pa.string()),
-                "table": pa.array([r.get("table") for r in rows], pa.string()),
-                "sql_redo": pa.array(
-                    [r.get("sql_redo") for r in rows], pa.string()
-                ),
-                "reason": pa.array(reasons, pa.string()),
-            }
-        )
-        name = f"v{self.version:08d}-{uuid.uuid4().hex[:12]}.parquet"
-        _pq.write_table(t, os.path.join(self.dead_dir, name))
+        route_dead_rows(self.dead_dir, self.version, rows, reasons)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from logminer_kafka_connect_ray.functions.redo_sql import (

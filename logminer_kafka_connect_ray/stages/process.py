@@ -66,6 +66,12 @@ class ChangeEventProcessor:
         self.scn_lo = scn_lo
         self.scn_hi = scn_hi
         self.mode = mode
+        self.key_column = key_column
+        # struct-format null-key rows (both images keyless) are
+        # undecodable: route them like the redo path's rejects instead
+        # of the partitioner silently filtering them
+        self.dead_dir = dead_dir if mode == "committed" else None
+        self.version = version
         self.partitioner = PreaggPartitioner(
             key_column, len(self.decoder.data_cols), num_partitions
         )
@@ -80,6 +86,20 @@ class ChangeEventProcessor:
             if batch.num_rows == 0:
                 return self.decoder.out_schema.empty_table()
         t = self.decoder(batch)
+        if self.dead_dir is not None:
+            nk = pc.is_null(t.column(self.key_column))
+            if pc.any(nk).as_py():
+                from logminer_kafka_connect_ray.stages.decode import (
+                    route_dead_rows,
+                )
+
+                bad = t.filter(nk).select(["scn", "row_id", "tx_id", "table"])
+                rows = bad.to_pylist()
+                route_dead_rows(
+                    self.dead_dir, self.version, rows,
+                    ["missing_key"] * len(rows),
+                )
+                t = t.filter(pc.invert(nk))
         if self.scn_lo is not None or self.scn_hi is not None:
             cond = None
             if self.scn_lo is not None:

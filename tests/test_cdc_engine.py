@@ -340,3 +340,42 @@ def test_salted_two_level_fold(ray_session, tmp_path):
     got = table_to_state(eng.to_arrow())
     want = replay_oracle(base_state(pages), events)
     assert not state_diff(got, want), state_diff(got, want)
+
+
+def test_struct_null_key_routed_to_dead_letters(ray_session, tmp_path):
+    """A struct-format change row whose images carry no key is
+    undecodable: routed to lake/dead_letters/ with reason=missing_key
+    (not silently filtered), and the replay still matches the oracle."""
+    pages = gen_pages(15)
+    pq.write_table(pages, str(tmp_path / "pages.parquet"))
+    events, _, _ = gen_changes(pages, ChangeGenConfig(n_events=60, seed=67))
+    hi = max(e["scn"] for e in events)
+    cols = ["warc_ts", "html", "text", "lang"]
+    bad = {
+        "scn": hi + 1, "row_id": f"AAAx{hi+1:010d}", "commit_scn": None,
+        "url": None, "tx_id": "txnk", "op": "u", "ts_ms": hi + 1,
+        "table": "WEB.PAGES", "username": "X", "status": 0,
+        "before": {c: None for c in cols},
+        "after": {**{c: None for c in cols}, "text": "lost"},
+        "set_cols": None,
+    }
+    commit = {
+        "scn": hi + 2, "row_id": f"AAAx{hi+2:010d}", "commit_scn": hi + 2,
+        "tx_id": "txnk", "op": "commit", "ts_ms": hi + 2,
+        "table": "WEB.PAGES", "username": "X", "status": 0,
+        "before": None, "after": None, "set_cols": None,
+    }
+    changelog = str(tmp_path / "clog")
+    write_event_batches(events + [bad, commit], changelog, events_per_file=40)
+
+    lake = str(tmp_path / "lake")
+    eng = Engine(EngineConfig(lake_dir=lake, num_partitions=3))
+    eng.snapshot(str(tmp_path / "pages.parquet"), SNAPSHOT_SCN)
+    m = eng.replay(changelog)
+    assert m.metrics["dead_letters"] == 1, m.metrics
+    dead = eng.read_dead_letters().to_pandas()
+    assert list(dead["reason"]) == ["missing_key"]
+    assert dead.iloc[0]["scn"] == hi + 1
+    got = table_to_state(eng.to_arrow())
+    want = replay_oracle(base_state(pages), events)
+    assert not state_diff(got, want), state_diff(got, want)
