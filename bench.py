@@ -78,10 +78,11 @@ def run_bench() -> dict:
         if f.endswith(".parquet")
     )
 
-    # two fresh-lake measurements, report the min (machine noise in
-    # this sandbox is large relative to the replay time)
+    # three fresh-lake measurements, report the min (machine noise in
+    # this sandbox is large relative to the replay time: identical runs
+    # vary up to 2x under CPU steal)
     replay_times = []
-    for attempt in range(2):
+    for attempt in range(int(os.environ.get("BENCH_REPLAYS", "3"))):
         lake = f"{root}/lake-cpus{NUM_CPUS}"
         shutil.rmtree(lake, ignore_errors=True)
         eng = Engine(EngineConfig(lake_dir=lake, num_partitions=64))
