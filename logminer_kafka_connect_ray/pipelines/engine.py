@@ -706,6 +706,14 @@ class Engine:
             merge_partition, batch_format="pyarrow", batch_size=None
         )
         lineage_tbl = pa.Table.from_pandas(lineage.to_pandas())
+        if lineage_tbl.num_rows == 0 or "part_id" not in lineage_tbl.column_names:
+            # a micro-batch can legitimately contain ZERO committed
+            # rows (e.g. only open-txn rows before their COMMIT
+            # arrives): the empty pipeline loses its schema -- publish
+            # a no-rewrite manifest instead of crashing
+            from logminer_kafka_connect_ray.stages.merge import LINEAGE_SCHEMA
+
+            lineage_tbl = LINEAGE_SCHEMA.empty_table()
         try:
             #: per-stage Ray Data stats of the last committed pipeline
             #: (read -> process -> exchange -> merge); surfaced by

@@ -379,3 +379,42 @@ def test_struct_null_key_routed_to_dead_letters(ray_session, tmp_path):
     got = table_to_state(eng.to_arrow())
     want = replay_oracle(base_state(pages), events)
     assert not state_diff(got, want), state_diff(got, want)
+
+
+def test_all_open_micro_batch(ray_session, tmp_path):
+    """A micro-batch whose rows ALL belong to still-open txns commits a
+    no-rewrite manifest (no committed rows -> empty lineage) and the
+    carryover applies them once their COMMIT arrives in a later batch;
+    exercised with and without the salted fold."""
+    pages = gen_pages(12)
+    pq.write_table(pages, str(tmp_path / "pages.parquet"))
+    url = pages.column("url")[0].as_py()
+    cols = ["warc_ts", "html", "text", "lang"]
+
+    def upd(scn, text):
+        return {"scn": scn, "row_id": f"AAAx{scn:010d}", "commit_scn": None,
+                "url": url, "tx_id": "txL", "op": "u", "ts_ms": scn,
+                "table": "WEB.PAGES", "username": "X", "status": 0,
+                "before": {c: None for c in cols},
+                "after": {**{c: None for c in cols}, "text": text},
+                "set_cols": None}
+
+    events = [upd(1000 + i, f"t{i}") for i in range(60)]
+    events.append({"scn": 1100, "row_id": "AAAx1100", "commit_scn": 1100,
+                   "tx_id": "txL", "op": "commit", "ts_ms": 1100,
+                   "table": "WEB.PAGES", "username": "X", "status": 0,
+                   "before": None, "after": None, "set_cols": None})
+    changelog = str(tmp_path / "clog")
+    write_event_batches(events, changelog, events_per_file=20)
+
+    for salt in (1, 3):
+        lake = str(tmp_path / f"lake{salt}")
+        eng = Engine(EngineConfig(
+            lake_dir=lake, num_partitions=3,
+            max_events_per_checkpoint=20,  # early batches: open rows only
+            salt_factor=salt,
+        ))
+        eng.snapshot(str(tmp_path / "pages.parquet"), SNAPSHOT_SCN)
+        eng.replay(changelog)
+        got = table_to_state(eng.to_arrow())
+        assert got[url]["text"] == "t59", (salt, got[url]["text"])
