@@ -334,6 +334,16 @@ FROM fp ORDER BY doc_id
 """
 
 
+_EMBED_EXACT_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS sim_r
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
 _SUPPLIERS_SQL = """
 SELECT 'https://sup.example/s/' || s_suppkey::VARCHAR AS url,
        TIMESTAMP '2024-01-01' + s_suppkey * INTERVAL 1 SECOND AS warc_ts,
@@ -392,6 +402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tau=0.4: the driver's synthetic embeddings top out at ~0.51
         # pairwise cosine, so the near-dup default (0.95) would be
         # vacuous on this data
+        "embedding_near_dup_exact": (
+            lambda sf: d.embedding_near_dup_exact(sf, tau=0.4)
+        ),  # exact verify kernel (SQL)
         "embedding_near_dup": (lambda sf: d.embedding_near_dup(sf, tau=0.4)),  # rows-only (LSH)
         "ann_cosine_topk": d.ann_cosine_topk,
         "ann_cosine_topk_lsh": d.ann_cosine_topk_lsh,  # rows-only (approx)
@@ -430,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         # a valid oracle for the LSH path as well.
         "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,
+        "embedding_near_dup_exact": _EMBED_EXACT_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "lang_id": _LANG_ID_SQL,

@@ -1004,6 +1004,63 @@ def ann_cosine_topk_ivf(
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def embedding_near_dup_exact(sf_dir: str, tau: float = 0.95) -> pa.Table:
+    """EXACT all-pairs cosine >= tau -- the embedding near-dup verify
+    kernel as a standalone SQL-checkable gate (the LSH path's recall is
+    measured against this; same role dedup_ngram_jaccard plays for the
+    MinHash family).
+
+    Candidates stream through map_batches against the full normalized
+    matrix broadcast once via ray.put (batch x all matmul, upper
+    triangle by vec_id).  O(N^2/batch) work by definition -- the
+    correctness kernel, not the scale path; at scale, tile the
+    broadcast side into column chunks."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    import pyarrow.parquet as _pq
+
+    full = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    all_ids, all_mat = _embedding_matrix(full)
+    all_n = all_mat / np.clip(
+        np.linalg.norm(all_mat, axis=1, keepdims=True), 1e-12, None
+    )
+    ref = ray.put((all_ids.astype(np.int64), all_n))
+
+    class Stage:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, mat = _embedding_matrix(t)
+            ids = ids.astype(np.int64)
+            matn = mat / np.clip(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None
+            )
+            sims = matn @ self.mat.T  # (batch, N)
+            ia, ib = np.nonzero(
+                (sims >= tau) & (ids[:, None] < self.ids[None, :])
+            )
+            return pa.table(
+                {
+                    "vec_a": pa.array(ids[ia]),
+                    "vec_b": pa.array(self.ids[ib]),
+                    "sim_r": pa.array(np.round(sims[ia, ib], 6), pa.float64()),
+                }
+            )
+
+    out = emb.map_batches(
+        _cached_stage(("embexact", ref.hex(), tau), Stage),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = out.sort_values(["vec_a", "vec_b"], ignore_index=True)
+    for c in ("vec_a", "vec_b"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def near_dup_bands_for(n_vectors: int, n_planes: int = 8) -> int:
     """Banding config sized to data scale: expected bucket occupancy is
     n / 2^n_planes per band, so recall is recovered by adding

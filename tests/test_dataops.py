@@ -264,3 +264,27 @@ def test_fingerprint_vectorized_matches_reference_loop():
         for b in t.encode("utf-8"):
             h = (h * int(_FP_BASE) + b) % (1 << 64)
         assert got[i] == h, (i, t[:20])
+
+
+def test_embedding_exact_kernel_vs_numpy(ray_session, tmp_path):
+    """embedding_near_dup_exact equals a direct numpy all-pairs sweep,
+    and the LSH path's output is a subset of it (its recall target)."""
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((80, 12)).astype(np.float32)
+    mat[11] = mat[4] + 0.02 * rng.standard_normal(12).astype(np.float32)
+    sf = make_embeddings(tmp_path, mat)
+    tau = 0.9
+    exact = d.embedding_near_dup_exact(sf, tau=tau)
+    m = mat.astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    ia, ib = np.triu_indices(len(m), k=1)
+    keep = sims[ia, ib] >= tau
+    want = {(int(a), int(b)): round(float(sims[a, b]), 6)
+            for a, b in zip(ia[keep], ib[keep])}
+    got = {(r["vec_a"], r["vec_b"]): r["sim_r"] for r in exact.to_pylist()}
+    assert got == want
+    lsh = {(r["vec_a"], r["vec_b"]) for r in
+           d.embedding_near_dup(sf, tau=tau, n_bands=8).to_pylist()}
+    assert lsh <= set(got)
+    assert (4, 11) in lsh
