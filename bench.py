@@ -125,8 +125,11 @@ def run_bench() -> dict:
         ("cdc_lww_latest", q.cdc_lww_latest),
         ("cdc_committed_events", q.cdc_committed_events),
         ("dedup_exact", dops.dedup_exact),
+        ("dedup_minhash_lsh", dops.dedup_minhash_lsh),
+        ("dedup_simhash", dops.dedup_simhash),
         ("ann_cosine_topk", dops.ann_cosine_topk),
         ("text_quality", dops.text_quality),
+        ("doc_fingerprints", dops.doc_fingerprints),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)
