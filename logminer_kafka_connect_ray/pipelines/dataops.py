@@ -43,15 +43,60 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _table_meta(sf_dir: str, table: str) -> tuple[int, int]:
+    """(num_rows, uncompressed_bytes) from parquet footer metadata --
+    a free size probe (no data read) used to derive exchange widths."""
+    import pyarrow.parquet as _pq
+
+    md = _pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata
+    raw = sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+    return md.num_rows, raw
+
+
+def _exchange_width(
+    n_rows: int, rows_per_block: int = 2_000_000, lo: int = 8, hi: int = 4096
+) -> int:
+    """Partition count for a candidate-pair / join exchange, derived
+    from the estimated row volume flowing through it (the same policy
+    ``repartition_lake`` applies to lake partitions): each explicit
+    range partition must arrive as ONE block in a worker, so width
+    grows with the data instead of being a constant that silently
+    overflows a block at 100x the input."""
+    import math
+
+    need = max(1, -(-n_rows // rows_per_block))  # ceil
+    return max(lo, min(hi, 1 << math.ceil(math.log2(need))))
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
 def md5_hash_batch(t: pa.Table, col: str = "text") -> pa.Table:
-    """Add a deterministic md5 content hash column (hex string)."""
-    texts = t.column(col).to_pylist()
+    """Add a deterministic md5 content hash column (hex string).
+
+    Hashes straight off the Arrow string column's data buffer via
+    memoryview slices -- no ``to_pylist`` round-trip, no per-row str
+    objects or ``.encode`` copies (the bytes are already UTF-8 in the
+    buffer).  md5 itself is per-value by definition; everything around
+    it is buffer arithmetic."""
+    c = t.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    if pa.types.is_large_string(c.type):
+        c = c.cast(pa.string())
+    n = len(c)
+    # account for a sliced array: offsets index into the shared buffer
+    offs = np.frombuffer(c.buffers()[1], dtype=np.int32, count=n + 1 + c.offset)[
+        c.offset :
+    ]
+    data = memoryview(c.buffers()[2]) if c.buffers()[2] is not None else memoryview(b"")
+    valid = np.ones(n, bool)
+    if c.null_count:
+        valid = pc.is_valid(c).to_numpy(zero_copy_only=False)
+    _md5 = hashlib.md5
     hashes = [
-        hashlib.md5(s.encode("utf-8")).hexdigest() if isinstance(s, str) else None
-        for s in texts
+        _md5(data[offs[i] : offs[i + 1]]).hexdigest() if valid[i] else None
+        for i in range(n)
     ]
     return t.append_column("content_hash", pa.array(hashes, pa.string()))
 
@@ -206,21 +251,6 @@ def _bucket_pairs(ids: np.ndarray, cap: int = MAX_BUCKET_PAIRING,
     return ids[ia].astype(np.int64), ids[ib].astype(np.int64)
 
 
-def _canon_blocks(ds, schema: pa.Schema):
-    """Normalize a dataset to a fixed Arrow schema.  Ray's hash
-    aggregate can emit schema-LESS empty blocks (PandasBlockSchema([]))
-    that crash a downstream hash join ('no match for key field');
-    mapping every block through a cast gives empty blocks real
-    columns."""
-
-    def canon(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or any(n not in t.column_names for n in schema.names):
-            return schema.empty_table()
-        return t.select(schema.names).cast(schema)
-
-    return ds.map_batches(canon, batch_format="pyarrow")
-
-
 def _exchange_join_docs(
     left_ds,
     left_schema: pa.Schema,
@@ -298,7 +328,8 @@ _PAIR_P = 32
 
 def _bucket_block_pairs(t: pa.Table, group_cols: list[str],
                         cap: int = MAX_BUCKET_PAIRING,
-                        what: str = "lsh") -> pa.Table:
+                        what: str = "lsh",
+                        pair_p: int = _PAIR_P) -> pa.Table:
     """All bucket groups of one exchange block -> candidate pair rows
     with a dedup-exchange stamp.  Fully vectorized sweep (lexsort +
     triu) -- one numpy pass instead of one pandas dispatch per group
@@ -338,13 +369,13 @@ def _bucket_block_pairs(t: pa.Table, group_cols: list[str],
         return empty
     da = np.concatenate(out_a)
     db = np.concatenate(out_b)
-    dp = ((da * 1000003 + db) % _PAIR_P).astype(np.int64)
+    dp = ((da * 1000003 + db) % pair_p).astype(np.int64)
     return pa.table(
         {"doc_a": pa.array(da), "doc_b": pa.array(db), "_dp": pa.array(dp)}
     )
 
 
-def _dedup_pair_blocks(pairs):
+def _dedup_pair_blocks(pairs, pair_p: int = _PAIR_P):
     """Exchange on the pair stamp, then first-per-(doc_a, doc_b) via a
     vectorized lexsort sweep per block."""
 
@@ -362,7 +393,7 @@ def _dedup_pair_blocks(pairs):
         return pa.table({"doc_a": pa.array(a[first]), "doc_b": pa.array(b[first])})
 
     return (
-        pairs.sort("_dp", boundaries=list(range(1, _PAIR_P)))
+        pairs.sort("_dp", boundaries=list(range(1, pair_p)))
         .map_batches(
             lambda t: block_dedup(
                 t.drop_columns(["_dp"]) if "_dp" in t.column_names else t
@@ -373,7 +404,7 @@ def _dedup_pair_blocks(pairs):
     )
 
 
-def _count_pair_blocks(pairs):
+def _count_pair_blocks(pairs, pair_p: int = _PAIR_P):
     """Exchange on the pair stamp, then COUNT per (doc_a, doc_b) via a
     run-length sweep per block (the inverted-index intersection size)."""
 
@@ -397,7 +428,7 @@ def _count_pair_blocks(pairs):
         )
 
     return (
-        pairs.sort("_dp", boundaries=list(range(1, _PAIR_P)))
+        pairs.sort("_dp", boundaries=list(range(1, pair_p)))
         .map_batches(
             lambda t: block_count(
                 t.drop_columns(["_dp"]) if "_dp" in t.column_names else t
@@ -408,9 +439,13 @@ def _count_pair_blocks(pairs):
     )
 
 
-def _stamped_bucket_pairs(rows, key_cols: list[str], cap: int, what: str):
+def _stamped_bucket_pairs(rows, key_cols: list[str], cap: int, what: str,
+                          width: int = _PAIR_P, pair_p: int = _PAIR_P):
     """rows (group keys + doc_id) -> candidate pair rows with _dp,
-    via the group-key exchange + vectorized block sweep."""
+    via the group-key exchange + vectorized block sweep.  ``width``
+    (bucket-row exchange) and ``pair_p`` (pair stamp) are data-derived
+    by callers via ``_exchange_width`` so a 100x input grows the
+    exchange instead of overflowing a block."""
 
     def stamp(t: pa.Table) -> pa.Table:
         keys = [
@@ -421,15 +456,15 @@ def _stamped_bucket_pairs(rows, key_cols: list[str], cap: int, what: str):
         for k in keys:
             with np.errstate(over="ignore"):
                 acc = acc * 1000003 + k
-        return t.append_column("_jp", pa.array(np.abs(acc) % _PAIR_P))
+        return t.append_column("_jp", pa.array(np.abs(acc) % width))
 
     return (
         rows.map_batches(stamp, batch_format="pyarrow")
-        .sort("_jp", boundaries=list(range(1, _PAIR_P)))
+        .sort("_jp", boundaries=list(range(1, width)))
         .map_batches(
             lambda t: _bucket_block_pairs(
                 t.drop_columns(["_jp"]) if "_jp" in t.column_names else t,
-                key_cols, cap=cap, what=what,
+                key_cols, cap=cap, what=what, pair_p=pair_p,
             ),
             batch_size=None,
             batch_format="pyarrow",
@@ -437,15 +472,17 @@ def _stamped_bucket_pairs(rows, key_cols: list[str], cap: int, what: str):
     )
 
 
-def _candidate_pairs(band_rows, key_cols: list[str]):
+def _candidate_pairs(band_rows, key_cols: list[str], width: int = _PAIR_P,
+                     pair_p: int = _PAIR_P):
     """bucket groups -> candidate pair rows -> DISTRIBUTED dedup.
     Explicit-boundary exchanges + vectorized block sweeps end-to-end:
     no per-group pandas dispatch, no driver-side materialization of the
     pair set (unbounded at 100 TB)."""
     pairs = _stamped_bucket_pairs(
-        band_rows, key_cols, cap=MAX_BUCKET_PAIRING, what="minhash-lsh"
+        band_rows, key_cols, cap=MAX_BUCKET_PAIRING, what="minhash-lsh",
+        width=width, pair_p=pair_p,
     )
-    return _dedup_pair_blocks(pairs)
+    return _dedup_pair_blocks(pairs, pair_p=pair_p)
 
 
 def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.7) -> pa.Table:
@@ -459,17 +496,22 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     driver (the round-1 scale-killer); only the verified result does.
     """
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs, _raw = _table_meta(sf_dir, "documents")
+    band_w = _exchange_width(n_docs * N_BANDS)
+    pair_p = _exchange_width(n_docs * 4)
+    join_p = _exchange_width(n_docs)
     # stateless stage: task fn (no actor-pool spin-up per execution)
     band_rows = docs.map_batches(MinHashStage(), batch_format="pyarrow")
-    cand = _candidate_pairs(band_rows, ["band", "bucket"])
+    cand = _candidate_pairs(band_rows, ["band", "bucket"],
+                            width=band_w, pair_p=pair_p)
 
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
     j = _exchange_join_docs(cand, pair_schema, "doc_a", docs, doc_schema,
-                            {"text": "text_a"})
+                            {"text": "text_a"}, num_partitions=join_p)
     j = _exchange_join_docs(
         j, pa.schema(list(pair_schema) + [pa.field("text_a", pa.string())]),
-        "doc_b", docs, doc_schema, {"text": "text_b"},
+        "doc_b", docs, doc_schema, {"text": "text_b"}, num_partitions=join_p,
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -505,6 +547,11 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.7, k: int = 5) -> pa.T
     gram bucket fits the cap -- true by construction on the driver
     tables; the cap is the documented scale guard)."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs, raw_bytes = _table_meta(sf_dir, "documents")
+    # gram-row volume ~ one row per ~6 raw text bytes (avg word)
+    gram_w = _exchange_width(max(n_docs, raw_bytes // 6))
+    pair_p = _exchange_width(n_docs * 8)
+    join_p = _exchange_width(n_docs)
 
     def gram_rows(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
@@ -514,10 +561,13 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.7, k: int = 5) -> pa.T
             sh = shingle_hashes(s or "", k)
             out_id.append(np.full(len(sh), i, np.int64))
             out_g.append(sh.astype(np.int64))
+        # typed empties: a zero-row batch must not emit a null-typed
+        # (schema-less) block into the grams dataset
+        e = np.empty(0, np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate(out_id) if out_id else []),
-                "gram": pa.array(np.concatenate(out_g) if out_g else []),
+                "doc_id": pa.array(np.concatenate(out_id) if out_id else e),
+                "gram": pa.array(np.concatenate(out_g) if out_g else e),
             }
         )
 
@@ -541,18 +591,21 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.7, k: int = 5) -> pa.T
     # via exchanges + vectorized block sweeps (no per-gram dispatch)
     inter = _count_pair_blocks(
         _stamped_bucket_pairs(
-            grams, ["gram"], cap=2000, what="ngram-inverted-index"
-        )
+            grams, ["gram"], cap=2000, what="ngram-inverted-index",
+            width=gram_w, pair_p=pair_p,
+        ),
+        pair_p=pair_p,
     )
     inter_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_common", pa.int64())]
     )
     size_schema = pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64())])
     j = _exchange_join_docs(inter, inter_schema, "doc_a", sizes, size_schema,
-                            {"n_grams": "n_grams_a"})
+                            {"n_grams": "n_grams_a"}, num_partitions=join_p)
     j = _exchange_join_docs(
         j, pa.schema(list(inter_schema) + [pa.field("n_grams_a", pa.int64())]),
         "doc_b", sizes, size_schema, {"n_grams": "n_grams_b"},
+        num_partitions=join_p,
     )
 
     def jac(t: pa.Table) -> pa.Table:
@@ -607,6 +660,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     """SimHash near-dup pairs: 4-segment LSH (a pair within Hamming<=3
     must share at least one 16-bit segment) + exact Hamming verify."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs, _raw = _table_meta(sf_dir, "documents")
     sims = docs.map_batches(SimHashStage(), batch_format="pyarrow")
 
     def explode_segments(t: pa.Table) -> pa.Table:
@@ -632,7 +686,8 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     # sweeps -- a clustered corpus can emit near-quadratic hamming<=3
     # output, and per-group pandas dispatch (groupby.map_groups) plus a
     # hash-aggregate dedup measured 490 s where this takes seconds.
-    P = 32
+    # Width derived from data size (4 segment rows per doc).
+    P = _exchange_width(n_docs * 4)
 
     def stamp_bucket(t: pa.Table) -> pa.Table:
         seg_no = t.column("seg_no").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1085,8 +1140,11 @@ def embedding_near_dup(
     representative (never silently dropped).  Pair dedup across bands
     is a distributed groupby."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_vec, _raw = _table_meta(sf_dir, "embeddings")
     if n_bands is None:
-        n_bands = near_dup_bands_for(emb.count(), n_planes)
+        n_bands = near_dup_bands_for(n_vec, n_planes)
+    # band rows carry the embedding payload -> budget fewer rows/block
+    pair_w = _exchange_width(n_vec * n_bands, rows_per_block=500_000)
     dim = len(pa.Table.from_pylist(emb.take(1)).column("embedding")[0])
     planes = [
         np.random.default_rng(11 + band).standard_normal((n_planes, dim))
@@ -1121,7 +1179,7 @@ def embedding_near_dup(
     def stamp(t: pa.Table) -> pa.Table:
         band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
         bucket = t.column("bucket").to_numpy(zero_copy_only=False)
-        jp = np.abs((bucket * 1000003 + band)) % _PAIR_P
+        jp = np.abs((bucket * 1000003 + band)) % pair_w
         return t.append_column("_jp", pa.array(jp.astype(np.int64)))
 
     def block_pairs(t: pa.Table) -> pa.Table:
@@ -1169,7 +1227,7 @@ def embedding_near_dup(
         va = np.concatenate(out_a)
         vb = np.concatenate(out_b)
         vs = np.concatenate(out_s)
-        dp = ((va * 1000003 + vb) % _PAIR_P).astype(np.int64)
+        dp = ((va * 1000003 + vb) % pair_w).astype(np.int64)
         return pa.table(
             {"vec_a": pa.array(va), "vec_b": pa.array(vb),
              "sim_r": pa.array(vs, pa.float64()), "_dp": pa.array(dp)}
@@ -1195,7 +1253,7 @@ def embedding_near_dup(
     pairs = (
         emb.map_batches(bucketize, batch_format="pyarrow")
         .map_batches(stamp, batch_format="pyarrow")
-        .sort("_jp", boundaries=list(range(1, _PAIR_P)))
+        .sort("_jp", boundaries=list(range(1, pair_w)))
         .map_batches(
             lambda t: block_pairs(
                 t.drop_columns(["_jp"]) if "_jp" in t.column_names else t
@@ -1203,7 +1261,7 @@ def embedding_near_dup(
             batch_size=None,
             batch_format="pyarrow",
         )
-        .sort("_dp", boundaries=list(range(1, _PAIR_P)))
+        .sort("_dp", boundaries=list(range(1, pair_w)))
         .map_batches(
             lambda t: block_dedup(
                 t.drop_columns(["_dp"]) if "_dp" in t.column_names else t

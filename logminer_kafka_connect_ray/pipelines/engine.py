@@ -624,17 +624,20 @@ class Engine:
 
     def _count_dead_letters(self, version: int) -> int:
         """Rows routed to lake/dead_letters/ by this version's decode
-        pass (file names carry the version prefix).  Tiny metadata-only
-        scan -- rejected rows are rare by construction."""
+        pass (file names carry the version prefix).  Counted through
+        the deduplicating reader so a retried task's rewritten file
+        can't overcount; routing itself is SCN-window-filtered, so each
+        reject belongs to exactly one version.  Zero cost in the common
+        (no rejects) case."""
         d = f"{self.config.lake_dir}/dead_letters"
         if not os.path.isdir(d):
             return 0
         prefix = f"v{version:08d}-"
-        n = 0
-        for f in os.listdir(d):
-            if f.startswith(prefix) and f.endswith(".parquet"):
-                n += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
-        return n
+        if not any(
+            f.startswith(prefix) and f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return 0
+        return self.read_dead_letters(version).count()
 
     def _merge_and_publish(
         self,

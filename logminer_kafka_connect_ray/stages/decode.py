@@ -228,6 +228,8 @@ class RedoSqlDecoder:
         db_timezone: str = "UTC",
         dead_dir: str | None = None,
         version: int = 0,
+        scn_lo: int | None = None,
+        scn_hi: int | None = None,
     ):
         from logminer_kafka_connect_ray.types import column_type_for_arrow
 
@@ -243,8 +245,24 @@ class RedoSqlDecoder:
         self.dead_letters = 0
         self.dead_dir = dead_dir
         self.version = version
+        self.scn_lo = scn_lo
+        self.scn_hi = scn_hi
 
     def _route_dead(self, rows: list[dict], reasons: list[str]) -> None:
+        # attribute each reject to exactly ONE micro-batch: an event
+        # file can span a micro-batch boundary and be re-read by the
+        # next batch, so only rejects inside THIS batch's SCN window
+        # are routed (the decode's own change rows get the same window
+        # filter downstream in the processor)
+        if self.scn_lo is not None or self.scn_hi is not None:
+            kept = [
+                (r, why)
+                for r, why in zip(rows, reasons)
+                if (self.scn_lo is None or (r.get("scn") or 0) > self.scn_lo)
+                and (self.scn_hi is None or (r.get("scn") or 0) <= self.scn_hi)
+            ]
+            rows = [r for r, _ in kept]
+            reasons = [w for _, w in kept]
         self.dead_letters += len(rows)
         route_dead_rows(self.dead_dir, self.version, rows, reasons)
 

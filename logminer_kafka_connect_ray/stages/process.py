@@ -53,7 +53,7 @@ class ChangeEventProcessor:
             self.decoder = RedoSqlDecoder(
                 table_schema, key_column, whitelist, db_timezone,
                 dead_dir=dead_dir if mode == "committed" else None,
-                version=version,
+                version=version, scn_lo=scn_lo, scn_hi=scn_hi,
             )
         else:
             self.decoder = ChangeDecoder(table_schema, key_column, whitelist)
@@ -86,6 +86,17 @@ class ChangeEventProcessor:
             if batch.num_rows == 0:
                 return self.decoder.out_schema.empty_table()
         t = self.decoder(batch)
+        if self.scn_lo is not None or self.scn_hi is not None:
+            cond = None
+            if self.scn_lo is not None:
+                cond = pc.greater(t.column("scn"), self.scn_lo)
+            if self.scn_hi is not None:
+                c2 = pc.less_equal(t.column("scn"), self.scn_hi)
+                cond = c2 if cond is None else pc.and_(cond, c2)
+            t = t.filter(cond)
+        # missing-key routing runs AFTER the SCN-window filter so a
+        # reject in a file spanning two micro-batches is attributed to
+        # exactly one version (dead-letter metric stays exact)
         if self.dead_dir is not None:
             nk = pc.is_null(t.column(self.key_column))
             if pc.any(nk).as_py():
@@ -100,14 +111,6 @@ class ChangeEventProcessor:
                     ["missing_key"] * len(rows),
                 )
                 t = t.filter(pc.invert(nk))
-        if self.scn_lo is not None or self.scn_hi is not None:
-            cond = None
-            if self.scn_lo is not None:
-                cond = pc.greater(t.column("scn"), self.scn_lo)
-            if self.scn_hi is not None:
-                c2 = pc.less_equal(t.column("scn"), self.scn_hi)
-                cond = c2 if cond is None else pc.and_(cond, c2)
-            t = t.filter(cond)
         t = self.resolver(t)
         if self.mode == "committed":
             t = self.partitioner(t)

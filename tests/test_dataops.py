@@ -288,3 +288,40 @@ def test_embedding_exact_kernel_vs_numpy(ray_session, tmp_path):
            d.embedding_near_dup(sf, tau=tau, n_bands=8).to_pylist()}
     assert lsh <= set(got)
     assert (4, 11) in lsh
+
+
+def test_exchange_width_scales_with_input():
+    """Pair/join exchange widths derive from data size (VERDICT r2 #6):
+    constant at small scale, growing power-of-two beyond the per-block
+    budget, clamped at both ends."""
+    from logminer_kafka_connect_ray.pipelines.dataops import _exchange_width
+
+    assert _exchange_width(0) == 8
+    assert _exchange_width(1_000_000) == 8               # floor
+    assert _exchange_width(64_000_000) == 32             # 64M/2M = 32
+    assert _exchange_width(65_000_000) == 64             # next pow2
+    assert _exchange_width(10**13) == 4096               # ceiling
+    # 100x the input never shrinks the exchange
+    widths = [_exchange_width(n) for n in (10**6, 10**8, 10**10, 10**12)]
+    assert widths == sorted(widths)
+
+
+def test_md5_hash_batch_buffer_path():
+    """Buffer-sliced md5 equals hashlib over the python strings, for
+    nulls, empties, unicode, slices and chunked arrays."""
+    import hashlib as _h
+
+    from logminer_kafka_connect_ray.pipelines.dataops import md5_hash_batch
+
+    vals = ["hello", None, "", "wörld ✓", "x" * 5000]
+    t = pa.table({"text": pa.array(vals)})
+    exp = [_h.md5(s.encode()).hexdigest() if s is not None else None for s in vals]
+    assert md5_hash_batch(t).column("content_hash").to_pylist() == exp
+    assert (
+        md5_hash_batch(t.slice(1, 3)).column("content_hash").to_pylist()
+        == exp[1:4]
+    )
+    tc = pa.table({"text": pa.chunked_array([["a", "b"], ["c"]])})
+    assert md5_hash_batch(tc).column("content_hash").to_pylist() == [
+        _h.md5(s.encode()).hexdigest() for s in "abc"
+    ]
