@@ -235,9 +235,12 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def _bucket_pairs(ids: np.ndarray, cap: int = MAX_BUCKET_PAIRING,
-                  what: str = "lsh") -> tuple[np.ndarray, np.ndarray]:
+                  what: str = "lsh",
+                  ovf: list | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Candidate pairs of one bucket: all-pairs under the cap, star
-    pairs to the representative above it (never silent dropping)."""
+    pairs to the representative above it (never silent dropping).
+    Overflowed bucket sizes are appended to ``ovf`` so callers can
+    surface them as DATA (guard side-channel), not just a log line."""
     n = len(ids)
     if n < 2:
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -246,9 +249,89 @@ def _bucket_pairs(ids: np.ndarray, cap: int = MAX_BUCKET_PAIRING,
             "%s bucket overflow: %d members > cap %d; star-pairing to "
             "representative %s", what, n, cap, ids[0],
         )
+        if ovf is not None:
+            ovf.append(n)
         return np.full(n - 1, ids[0], np.int64), ids[1:].astype(np.int64)
     ia, ib = np.triu_indices(n, k=1)
     return ids[ia].astype(np.int64), ids[ib].astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Exchange guard side-channel (ADVICE r2): every explicit-boundary
+# exchange assumes each stamp range arrives as ONE whole block.  Blocks
+# record (tag, stamp set, overflow sizes) to a scratch dir; the driver
+# finalize fails LOUDLY if any (tag, stamp) was delivered by two
+# distinct blocks (pairs would have been silently lost) and attaches
+# star-pair overflow totals to the result's schema metadata so the
+# verify harness can see when the 'exact kernel' label no longer holds.
+# Record file names are deterministic per block content, so a retried
+# task overwrites its own record instead of faking a split.  At
+# multi-node scale, point guard dirs at shared storage (same assumption
+# the lake dir makes).
+# ---------------------------------------------------------------------------
+def _new_guard_dir(what: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"lkc-exguard-{what}-")
+
+
+def _guard_record(
+    guard_dir: str | None, tag: str, stamps, ovf_sizes: list | tuple = ()
+) -> None:
+    if guard_dir is None:
+        return
+    import json
+    import os
+
+    stamp_list = sorted({int(s) for s in stamps}) if len(stamps) else []
+    if not stamp_list and not ovf_sizes:
+        return
+    rec = {"tag": tag, "stamps": stamp_list, "ovf": [int(x) for x in ovf_sizes]}
+    body = json.dumps(rec, sort_keys=True)
+    key = fnv1a_u64([body])[0]
+    os.makedirs(guard_dir, exist_ok=True)
+    path = os.path.join(guard_dir, f"{tag}-{key:016x}.json")
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(body)
+    os.replace(tmp, path)
+
+
+def _finalize_guard(guard_dir: str | None, t: pa.Table) -> pa.Table:
+    """Driver-side guard check + overflow surfacing (see above)."""
+    if guard_dir is None:
+        return t
+    import json
+    import os
+    import shutil
+
+    seen: dict[tuple[str, int], int] = {}
+    ovf_buckets = 0
+    ovf_members = 0
+    if os.path.isdir(guard_dir):
+        for name in sorted(os.listdir(guard_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(guard_dir, name)) as f:
+                rec = json.load(f)
+            for s in rec["stamps"]:
+                k = (rec["tag"], s)
+                seen[k] = seen.get(k, 0) + 1
+            ovf_buckets += len(rec["ovf"])
+            ovf_members += sum(rec["ovf"])
+        shutil.rmtree(guard_dir, ignore_errors=True)
+    dups = sorted(k for k, n in seen.items() if n > 1)
+    if dups:
+        raise RuntimeError(
+            "exchange delivered a stamp range split across blocks "
+            f"(pairs would be silently lost): {dups[:5]}; raise the "
+            "exchange width (_exchange_width rows_per_block) or "
+            "DataContext.target_max_block_size"
+        )
+    meta = dict(t.schema.metadata or {})
+    meta[b"overflow_buckets"] = str(ovf_buckets).encode()
+    meta[b"overflow_members"] = str(ovf_members).encode()
+    return t.replace_schema_metadata(meta)
 
 
 def _exchange_join_docs(
@@ -259,6 +342,8 @@ def _exchange_join_docs(
     right_schema: pa.Schema,
     rename: dict,
     num_partitions: int = 8,
+    guard_dir: str | None = None,
+    tag: str = "join",
 ):
     """Distributed inner hash-join of ``left_ds[key]`` against a
     doc-keyed right dataset (key column ``doc_id``).
@@ -310,6 +395,11 @@ def _exchange_join_docs(
     right_t = pa.schema([union.field(n) for n in right_names])
 
     def join_block(t: pa.Table) -> pa.Table:
+        _guard_record(
+            guard_dir, tag,
+            t.column("_jp").to_numpy(zero_copy_only=False)
+            if t.num_rows else np.empty(0),
+        )
         side = t.column("_side")
         # a block whose padded column is ALL null can come back from
         # the sort re-inferred as null-typed -- cast restores the
@@ -329,7 +419,10 @@ _PAIR_P = 32
 def _bucket_block_pairs(t: pa.Table, group_cols: list[str],
                         cap: int = MAX_BUCKET_PAIRING,
                         what: str = "lsh",
-                        pair_p: int = _PAIR_P) -> pa.Table:
+                        pair_p: int = _PAIR_P,
+                        guard_dir: str | None = None,
+                        tag: str = "jp",
+                        stamps=None) -> pa.Table:
     """All bucket groups of one exchange block -> candidate pair rows
     with a dedup-exchange stamp.  Fully vectorized sweep (lexsort +
     triu) -- one numpy pass instead of one pandas dispatch per group
@@ -355,16 +448,20 @@ def _bucket_block_pairs(t: pa.Table, group_cols: list[str],
     starts = np.flatnonzero(change)
     sizes = np.diff(np.append(starts, len(ids)))
     out_a, out_b = [], []
+    ovf: list[int] = []
     for s, sz in zip(starts, sizes):
         if sz < 2:
             continue
         gi = np.unique(ids[s : s + sz])
         if len(gi) < 2:
             continue
-        a, b = _bucket_pairs(gi, cap=cap, what=what)
+        a, b = _bucket_pairs(gi, cap=cap, what=what, ovf=ovf)
         if len(a):
             out_a.append(a)
             out_b.append(b)
+    _guard_record(
+        guard_dir, tag, stamps if stamps is not None else np.empty(0), ovf
+    )
     if not out_a:
         return empty
     da = np.concatenate(out_a)
@@ -375,11 +472,22 @@ def _bucket_block_pairs(t: pa.Table, group_cols: list[str],
     )
 
 
-def _dedup_pair_blocks(pairs, pair_p: int = _PAIR_P):
+def _pop_stamp(t: pa.Table, col: str):
+    """(stamps, table-without-stamp-col) for guard recording."""
+    if col not in t.column_names:
+        return np.empty(0, np.int64), t
+    stamps = t.column(col).to_numpy(zero_copy_only=False)
+    return stamps, t.drop_columns([col])
+
+
+def _dedup_pair_blocks(pairs, pair_p: int = _PAIR_P,
+                       guard_dir: str | None = None, tag: str = "dp"):
     """Exchange on the pair stamp, then first-per-(doc_a, doc_b) via a
     vectorized lexsort sweep per block."""
 
     def block_dedup(t: pa.Table) -> pa.Table:
+        stamps, t = _pop_stamp(t, "_dp")
+        _guard_record(guard_dir, tag, stamps)
         if t.num_rows == 0:
             return pa.table(
                 {"doc_a": pa.array([], pa.int64()),
@@ -394,21 +502,18 @@ def _dedup_pair_blocks(pairs, pair_p: int = _PAIR_P):
 
     return (
         pairs.sort("_dp", boundaries=list(range(1, pair_p)))
-        .map_batches(
-            lambda t: block_dedup(
-                t.drop_columns(["_dp"]) if "_dp" in t.column_names else t
-            ),
-            batch_size=None,
-            batch_format="pyarrow",
-        )
+        .map_batches(block_dedup, batch_size=None, batch_format="pyarrow")
     )
 
 
-def _count_pair_blocks(pairs, pair_p: int = _PAIR_P):
+def _count_pair_blocks(pairs, pair_p: int = _PAIR_P,
+                       guard_dir: str | None = None, tag: str = "dp"):
     """Exchange on the pair stamp, then COUNT per (doc_a, doc_b) via a
     run-length sweep per block (the inverted-index intersection size)."""
 
     def block_count(t: pa.Table) -> pa.Table:
+        stamps, t = _pop_stamp(t, "_dp")
+        _guard_record(guard_dir, tag, stamps)
         if t.num_rows == 0:
             return pa.table(
                 {"doc_a": pa.array([], pa.int64()),
@@ -429,18 +534,13 @@ def _count_pair_blocks(pairs, pair_p: int = _PAIR_P):
 
     return (
         pairs.sort("_dp", boundaries=list(range(1, pair_p)))
-        .map_batches(
-            lambda t: block_count(
-                t.drop_columns(["_dp"]) if "_dp" in t.column_names else t
-            ),
-            batch_size=None,
-            batch_format="pyarrow",
-        )
+        .map_batches(block_count, batch_size=None, batch_format="pyarrow")
     )
 
 
 def _stamped_bucket_pairs(rows, key_cols: list[str], cap: int, what: str,
-                          width: int = _PAIR_P, pair_p: int = _PAIR_P):
+                          width: int = _PAIR_P, pair_p: int = _PAIR_P,
+                          guard_dir: str | None = None):
     """rows (group keys + doc_id) -> candidate pair rows with _dp,
     via the group-key exchange + vectorized block sweep.  ``width``
     (bucket-row exchange) and ``pair_p`` (pair stamp) are data-derived
@@ -458,31 +558,33 @@ def _stamped_bucket_pairs(rows, key_cols: list[str], cap: int, what: str,
                 acc = acc * 1000003 + k
         return t.append_column("_jp", pa.array(np.abs(acc) % width))
 
+    def sweep(t: pa.Table) -> pa.Table:
+        stamps, t = _pop_stamp(t, "_jp")
+        return _bucket_block_pairs(
+            t, key_cols, cap=cap, what=what, pair_p=pair_p,
+            guard_dir=guard_dir, tag=f"{what}:jp", stamps=stamps,
+        )
+
     return (
         rows.map_batches(stamp, batch_format="pyarrow")
         .sort("_jp", boundaries=list(range(1, width)))
-        .map_batches(
-            lambda t: _bucket_block_pairs(
-                t.drop_columns(["_jp"]) if "_jp" in t.column_names else t,
-                key_cols, cap=cap, what=what, pair_p=pair_p,
-            ),
-            batch_size=None,
-            batch_format="pyarrow",
-        )
+        .map_batches(sweep, batch_size=None, batch_format="pyarrow")
     )
 
 
 def _candidate_pairs(band_rows, key_cols: list[str], width: int = _PAIR_P,
-                     pair_p: int = _PAIR_P):
+                     pair_p: int = _PAIR_P, guard_dir: str | None = None):
     """bucket groups -> candidate pair rows -> DISTRIBUTED dedup.
     Explicit-boundary exchanges + vectorized block sweeps end-to-end:
     no per-group pandas dispatch, no driver-side materialization of the
     pair set (unbounded at 100 TB)."""
     pairs = _stamped_bucket_pairs(
         band_rows, key_cols, cap=MAX_BUCKET_PAIRING, what="minhash-lsh",
-        width=width, pair_p=pair_p,
+        width=width, pair_p=pair_p, guard_dir=guard_dir,
     )
-    return _dedup_pair_blocks(pairs, pair_p=pair_p)
+    return _dedup_pair_blocks(
+        pairs, pair_p=pair_p, guard_dir=guard_dir, tag="minhash-lsh:dp"
+    )
 
 
 def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.7) -> pa.Table:
@@ -500,18 +602,21 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     band_w = _exchange_width(n_docs * N_BANDS)
     pair_p = _exchange_width(n_docs * 4)
     join_p = _exchange_width(n_docs)
+    gd = _new_guard_dir("minhash")
     # stateless stage: task fn (no actor-pool spin-up per execution)
     band_rows = docs.map_batches(MinHashStage(), batch_format="pyarrow")
     cand = _candidate_pairs(band_rows, ["band", "bucket"],
-                            width=band_w, pair_p=pair_p)
+                            width=band_w, pair_p=pair_p, guard_dir=gd)
 
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
     j = _exchange_join_docs(cand, pair_schema, "doc_a", docs, doc_schema,
-                            {"text": "text_a"}, num_partitions=join_p)
+                            {"text": "text_a"}, num_partitions=join_p,
+                            guard_dir=gd, tag="join_a")
     j = _exchange_join_docs(
         j, pa.schema(list(pair_schema) + [pa.field("text_a", pa.string())]),
         "doc_b", docs, doc_schema, {"text": "text_b"}, num_partitions=join_p,
+        guard_dir=gd, tag="join_b",
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -531,7 +636,7 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     out = out.sort_values(["doc_a", "doc_b"], ignore_index=True)
     for c in ("doc_a", "doc_b"):
         out[c] = out[c].astype("int64")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _finalize_guard(gd, pa.Table.from_pandas(out, preserve_index=False))
 
 
 def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.7, k: int = 5) -> pa.Table:
@@ -552,6 +657,7 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.7, k: int = 5) -> pa.T
     gram_w = _exchange_width(max(n_docs, raw_bytes // 6))
     pair_p = _exchange_width(n_docs * 8)
     join_p = _exchange_width(n_docs)
+    gd = _new_guard_dir("ngram")
 
     def gram_rows(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
@@ -592,20 +698,21 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.7, k: int = 5) -> pa.T
     inter = _count_pair_blocks(
         _stamped_bucket_pairs(
             grams, ["gram"], cap=2000, what="ngram-inverted-index",
-            width=gram_w, pair_p=pair_p,
+            width=gram_w, pair_p=pair_p, guard_dir=gd,
         ),
-        pair_p=pair_p,
+        pair_p=pair_p, guard_dir=gd, tag="ngram:dp",
     )
     inter_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_common", pa.int64())]
     )
     size_schema = pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64())])
     j = _exchange_join_docs(inter, inter_schema, "doc_a", sizes, size_schema,
-                            {"n_grams": "n_grams_a"}, num_partitions=join_p)
+                            {"n_grams": "n_grams_a"}, num_partitions=join_p,
+                            guard_dir=gd, tag="join_a")
     j = _exchange_join_docs(
         j, pa.schema(list(inter_schema) + [pa.field("n_grams_a", pa.int64())]),
         "doc_b", sizes, size_schema, {"n_grams": "n_grams_b"},
-        num_partitions=join_p,
+        num_partitions=join_p, guard_dir=gd, tag="join_b",
     )
 
     def jac(t: pa.Table) -> pa.Table:
@@ -626,7 +733,7 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.7, k: int = 5) -> pa.T
     out = out.sort_values(["doc_a", "doc_b"], ignore_index=True)
     for c in ("doc_a", "doc_b"):
         out[c] = out[c].astype("int64")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _finalize_guard(gd, pa.Table.from_pandas(out, preserve_index=False))
 
 
 # ---------------------------------------------------------------------------
@@ -688,6 +795,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     # hash-aggregate dedup measured 490 s where this takes seconds.
     # Width derived from data size (4 segment rows per doc).
     P = _exchange_width(n_docs * 4)
+    gd = _new_guard_dir("simhash")
 
     def stamp_bucket(t: pa.Table) -> pa.Table:
         seg_no = t.column("seg_no").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -698,11 +806,13 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     def block_pairs(t: pa.Table) -> pa.Table:
         """All (seg_no, seg_val) groups of this block (whole groups by
         the exchange): per group, capped all-pairs + hamming filter."""
+        stamps, t = _pop_stamp(t, "_jp")
         empty = pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "hamming": pa.array([], pa.int64()), "_dp": pa.array([], pa.int64())}
         )
         if t.num_rows == 0:
+            _guard_record(gd, "simhash:jp", stamps)
             return empty
         seg_no = t.column("seg_no").to_numpy(zero_copy_only=False).astype(np.int64)
         seg_val = t.column("seg_val").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -715,13 +825,14 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         starts = np.flatnonzero(change)
         sizes = np.diff(np.append(starts, len(key)))
         out_a, out_b, out_h = [], [], []
+        ovf: list[int] = []
         for s, sz in zip(starts, sizes):
             if sz < 2:
                 continue
             gi, gh = ids[s : s + sz], hs[s : s + sz]
             # higher cap than the text-verify LSH: the in-bucket check
             # is one vectorized xor+popcount, cheap into the thousands
-            a, b = _bucket_pairs(gi, cap=4096, what="simhash")
+            a, b = _bucket_pairs(gi, cap=4096, what="simhash", ovf=ovf)
             if not len(a):
                 continue
             ia, ib = np.triu_indices(sz, k=1) if sz <= 4096 else (None, None)
@@ -735,6 +846,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
             out_a.append(a[keep])
             out_b.append(b[keep])
             out_h.append(hd[keep])
+        _guard_record(gd, "simhash:jp", stamps, ovf)
         if not out_a:
             return empty
         da = np.concatenate(out_a)
@@ -747,6 +859,8 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         )
 
     def block_dedup(t: pa.Table) -> pa.Table:
+        stamps, t = _pop_stamp(t, "_dp")
+        _guard_record(gd, "simhash:dp", stamps)
         if t.num_rows == 0:
             return pa.table(
                 {"doc_a": pa.array([], pa.int64()),
@@ -769,19 +883,13 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         .sort("_jp", boundaries=list(range(1, P)))
         .map_batches(block_pairs, batch_size=None, batch_format="pyarrow")
         .sort("_dp", boundaries=list(range(1, P)))
-        .map_batches(
-            lambda t: block_dedup(
-                t.drop_columns(["_dp"]) if "_dp" in t.column_names else t
-            ),
-            batch_size=None,
-            batch_format="pyarrow",
-        )
+        .map_batches(block_dedup, batch_size=None, batch_format="pyarrow")
     )
     dd = pairs.to_pandas()
     dd = dd.sort_values(["doc_a", "doc_b"], ignore_index=True)
     for c in ("doc_a", "doc_b", "hamming"):
         dd[c] = dd[c].astype("int64")
-    return pa.Table.from_pandas(dd, preserve_index=False)
+    return _finalize_guard(gd, pa.Table.from_pandas(dd, preserve_index=False))
 
 
 # ---------------------------------------------------------------------------
@@ -1145,6 +1253,7 @@ def embedding_near_dup(
         n_bands = near_dup_bands_for(n_vec, n_planes)
     # band rows carry the embedding payload -> budget fewer rows/block
     pair_w = _exchange_width(n_vec * n_bands, rows_per_block=500_000)
+    gd = _new_guard_dir("embnd")
     dim = len(pa.Table.from_pylist(emb.take(1)).column("embedding")[0])
     planes = [
         np.random.default_rng(11 + band).standard_normal((n_planes, dim))
@@ -1183,11 +1292,13 @@ def embedding_near_dup(
         return t.append_column("_jp", pa.array(jp.astype(np.int64)))
 
     def block_pairs(t: pa.Table) -> pa.Table:
+        stamps, t = _pop_stamp(t, "_jp")
         empty = pa.table(
             {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
              "sim_r": pa.array([], pa.float64()), "_dp": pa.array([], pa.int64())}
         )
         if t.num_rows == 0:
+            _guard_record(gd, "embnd:jp", stamps)
             return empty
         ids, mat = _embedding_matrix(t)
         ids = ids.astype(np.int64)
@@ -1201,6 +1312,7 @@ def embedding_near_dup(
         starts = np.flatnonzero(change)
         sizes = np.diff(np.append(starts, len(ids)))
         out_a, out_b, out_s = [], [], []
+        ovf: list[int] = []
         for s, sz in zip(starts, sizes):
             if sz < 2:
                 continue
@@ -1210,6 +1322,7 @@ def embedding_near_dup(
                     "embedding near-dup bucket overflow: %d members; "
                     "star-verifying against representative %s", sz, gi[0],
                 )
+                ovf.append(int(sz))
                 sims = gm[1:] @ gm[0]
                 keep = sims >= tau
                 out_a.append(np.full(int(keep.sum()), gi[0], np.int64))
@@ -1222,6 +1335,7 @@ def embedding_near_dup(
             out_a.append(gi[ia[keep]])
             out_b.append(gi[ib[keep]])
             out_s.append(np.round(sims[ia[keep], ib[keep]], 6))
+        _guard_record(gd, "embnd:jp", stamps, ovf)
         if not out_a:
             return empty
         va = np.concatenate(out_a)
@@ -1234,6 +1348,8 @@ def embedding_near_dup(
         )
 
     def block_dedup(t: pa.Table) -> pa.Table:
+        stamps, t = _pop_stamp(t, "_dp")
+        _guard_record(gd, "embnd:dp", stamps)
         if t.num_rows == 0:
             return pa.table(
                 {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
@@ -1254,21 +1370,9 @@ def embedding_near_dup(
         emb.map_batches(bucketize, batch_format="pyarrow")
         .map_batches(stamp, batch_format="pyarrow")
         .sort("_jp", boundaries=list(range(1, pair_w)))
-        .map_batches(
-            lambda t: block_pairs(
-                t.drop_columns(["_jp"]) if "_jp" in t.column_names else t
-            ),
-            batch_size=None,
-            batch_format="pyarrow",
-        )
+        .map_batches(block_pairs, batch_size=None, batch_format="pyarrow")
         .sort("_dp", boundaries=list(range(1, pair_w)))
-        .map_batches(
-            lambda t: block_dedup(
-                t.drop_columns(["_dp"]) if "_dp" in t.column_names else t
-            ),
-            batch_size=None,
-            batch_format="pyarrow",
-        )
+        .map_batches(block_dedup, batch_size=None, batch_format="pyarrow")
     )
     dd = pairs.to_pandas()
     empty = pa.table(
@@ -1276,11 +1380,11 @@ def embedding_near_dup(
          "sim_r": pa.array([], pa.float64())}
     )
     if dd.empty:
-        return empty
+        return _finalize_guard(gd, empty)
     dd = dd.sort_values(["vec_a", "vec_b"], ignore_index=True)
     for c in ("vec_a", "vec_b"):
         dd[c] = dd[c].astype("int64")
-    return pa.Table.from_pandas(dd, preserve_index=False)
+    return _finalize_guard(gd, pa.Table.from_pandas(dd, preserve_index=False))
 
 
 # ---------------------------------------------------------------------------

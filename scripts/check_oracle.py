@@ -47,6 +47,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 qs = entrymod.queries()
 sqls = entrymod.oracle_sql()
+only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+if only:
+    unknown = only - set(qs)
+    assert not unknown, f"unknown queries: {unknown}"
+    qs = {k: v for k, v in qs.items() if k in only}
 fails = 0
 for name, fn in qs.items():
     try:

@@ -201,6 +201,11 @@ def test_bucket_overflow_star_pairing_finds_giant_cluster(ray_session, tmp_path)
         assert r["jaccard"] == 1.0
     want = set(range(len(BASE_TEXTS), len(texts)))
     assert want <= members, f"missing {sorted(want - members)[:5]}"
+    # overflow is surfaced as DATA (ADVICE r2), not just a log line:
+    # the verify harness can see the 'exact kernel' label no longer holds
+    meta = out.schema.metadata or {}
+    assert int(meta[b"overflow_buckets"]) > 0
+    assert int(meta[b"overflow_members"]) >= len(cluster)
 
 
 def test_ngram_jaccard_query_matches_lsh_on_planted(ray_session, tmp_path):
@@ -325,3 +330,37 @@ def test_md5_hash_batch_buffer_path():
     assert md5_hash_batch(tc).column("content_hash").to_pylist() == [
         _h.md5(s.encode()).hexdigest() for s in "abc"
     ]
+
+
+def test_guard_zero_overflow_on_clean_data(ray_session, tmp_path):
+    """A run with no oversized buckets reports overflow 0 in the result
+    metadata (the exact-kernel label provably held)."""
+    sf = make_docs(tmp_path, BASE_TEXTS + [BASE_TEXTS[0]])
+    out = d.dedup_minhash_lsh(sf, threshold=0.9)
+    meta = out.schema.metadata or {}
+    assert int(meta[b"overflow_buckets"]) == 0
+    assert int(meta[b"overflow_members"]) == 0
+
+
+def test_finalize_guard_detects_split_partition(tmp_path):
+    """Two distinct blocks delivering the same (tag, stamp) = an
+    exchange split a partition across blocks -> loud failure instead of
+    silent pair loss (ADVICE r2)."""
+    gd = str(tmp_path / "guard")
+    d._guard_record(gd, "x:jp", np.array([3, 4]))
+    d._guard_record(gd, "x:jp", np.array([5]))
+    t = pa.table({"doc_a": pa.array([], pa.int64())})
+    out = d._finalize_guard(gd, t)  # disjoint stamps: fine
+    assert int((out.schema.metadata or {})[b"overflow_buckets"]) == 0
+
+    gd2 = str(tmp_path / "guard2")
+    d._guard_record(gd2, "x:jp", np.array([3]))
+    d._guard_record(gd2, "x:jp", np.array([3, 9]))  # stamp 3 twice
+    with pytest.raises(RuntimeError, match="split across blocks"):
+        d._finalize_guard(gd2, t)
+
+    # a retried task re-recording the SAME block is idempotent
+    gd3 = str(tmp_path / "guard3")
+    d._guard_record(gd3, "x:jp", np.array([7]))
+    d._guard_record(gd3, "x:jp", np.array([7]))  # identical record
+    d._finalize_guard(gd3, t)  # no raise
