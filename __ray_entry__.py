@@ -344,6 +344,43 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
 ORDER BY vec_a, vec_b
 """
 
+# Planted-fixture oracles for the approximate paths (VERDICT r2 #2).
+# The Ray queries union the embeddings with power-of-two scalar
+# multiples of planted rows: exact float scaling means bit-identical
+# direction, hence identical hyperplane signs in EVERY LSH band and
+# identical nearest-centroid assignment in IVF -- recall of the
+# planted structure is provable, not probabilistic, so the expected
+# output is pure SQL.  (dataops._planted_neighbor_rows /
+# embedding_near_dup(plant_copies=True) document the derivation.)
+_ANN_PLANTED_SQL = """
+SELECT q.vec_id AS query_id,
+       10000000 + q.vec_id * 16 + s.j AS vec_id,
+       CAST(1.0 AS DOUBLE) AS sim_r
+FROM embeddings q, LATERAL unnest(generate_series(0, 9)) AS s(j)
+WHERE q.vec_id < 5
+ORDER BY query_id, vec_id
+"""
+
+# The near-dup oracle RECOMPUTES the exact all-pairs sweep over the
+# same derived table (original + x2 copies of vec_id % 7 = 0), so if
+# the planted assumption (no natural pair >= tau) ever broke on new
+# driver data, the gate would fail loudly instead of silently trusting
+# the LSH.
+_EMBED_ND_PLANTED_SQL = """
+WITH derived AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT 10000000 + vec_id AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 2.0) AS e
+  FROM embeddings WHERE vec_id % 7 = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS sim_r
+FROM derived a JOIN derived b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+ORDER BY vec_a, vec_b
+"""
+
 _SUPPLIERS_SQL = """
 SELECT 'https://sup.example/s/' || s_suppkey::VARCHAR AS url,
        TIMESTAMP '2024-01-01' + s_suppkey * INTERVAL 1 SECOND AS warc_ts,
@@ -405,10 +442,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_exact": (
             lambda sf: d.embedding_near_dup_exact(sf, tau=0.4)
         ),  # exact verify kernel (SQL)
-        "embedding_near_dup": (lambda sf: d.embedding_near_dup(sf, tau=0.4)),  # rows-only (LSH)
+        # planted-fixture gates (VERDICT r2 #2): exact power-of-two
+        # scalar multiples -> provable LSH/IVF recall -> SQL-checked.
+        # The un-planted approximate behavior stays recall-tested in
+        # pytest (test_dataops).
+        "embedding_near_dup": (
+            lambda sf: d.embedding_near_dup(sf, tau=0.95, plant_copies=True)
+        ),
         "ann_cosine_topk": d.ann_cosine_topk,
-        "ann_cosine_topk_lsh": d.ann_cosine_topk_lsh,  # rows-only (approx)
-        "ann_cosine_topk_ivf": d.ann_cosine_topk_ivf,  # rows-only (approx)
+        "ann_cosine_topk_lsh": (
+            lambda sf: d.ann_cosine_topk_lsh(sf, plant_neighbors=True)
+        ),
+        "ann_cosine_topk_ivf": (
+            lambda sf: d.ann_cosine_topk_ivf(sf, plant_neighbors=True)
+        ),
         "text_quality": d.text_quality,
         "lang_id": d.lang_id,                    # SQL-checked (marker argmax)
         "doc_fingerprints": d.doc_fingerprints,  # SQL-checked (power-sum hash)
@@ -444,8 +491,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "embedding_near_dup_exact": _EMBED_EXACT_SQL,
+        "embedding_near_dup": _EMBED_ND_PLANTED_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "ann_cosine_topk_lsh": _ANN_PLANTED_SQL,
+        "ann_cosine_topk_ivf": _ANN_PLANTED_SQL,
         "lang_id": _LANG_ID_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "media_pipeline": _MEDIA_SQL,

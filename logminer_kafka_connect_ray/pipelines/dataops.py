@@ -1018,14 +1018,57 @@ def ann_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+#: planted vec_ids start here (far above any driver-table id)
+PLANT_BASE = 10_000_000
+
+
+def _planted_neighbor_rows(sf_dir: str, n_queries: int, k: int) -> pa.Table:
+    """The planted-fixture oracle input for the approximate ANN paths
+    (VERDICT r2 #2): ``k`` scalar multiples of each query vector at
+    ``vec_id = PLANT_BASE + q*16 + j``, scaled by 2^(j+1).
+
+    Power-of-two scaling is EXACT in IEEE float, so each planted row
+    has bit-identical direction to its query: identical hyperplane
+    signs in every LSH band and identical nearest-centroid assignment
+    in IVF.  Recall of the planted top-k is therefore provable (not
+    probabilistic), cosine is exactly 1.0 after 6-dp rounding, and the
+    expected output is a pure-SQL statement over the embeddings table
+    (see __ray_entry__._ANN_PLANTED_SQL)."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    emb_type = t.schema.field("embedding").type
+    ids, rows = [], []
+    for q, vec in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()):
+        arr = np.asarray(vec, dtype=np.float32)
+        for j in range(k):
+            ids.append(PLANT_BASE + q * 16 + j)
+            rows.append((arr * np.float32(2.0 ** (j + 1))).tolist())
+    return pa.table(
+        {"vec_id": pa.array(ids, pa.int64()), "embedding": pa.array(rows, emb_type)}
+    )
+
+
 def ann_cosine_topk_lsh(sf_dir: str, n_queries: int = 5, k: int = 10,
-                        n_planes: int = 12) -> pa.Table:
+                        n_planes: int = 12,
+                        plant_neighbors: bool = False) -> pa.Table:
     """Scale-path ANN: random-hyperplane LSH buckets prune candidates;
     only vectors sharing a bucket (original or 1-bit-flip probe) with a
-    query are scored.  Approximate by construction -- no SQL oracle."""
+    query are scored.  Approximate by construction on arbitrary data;
+    with ``plant_neighbors`` the input is unioned with exact scalar
+    multiples of the queries (see ``_planted_neighbor_rows``) whose
+    recall is provable, giving the query an exact SQL oracle."""
     import ray
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if plant_neighbors:
+        import ray.data as rd
+
+        emb = emb.union(rd.from_arrow(_planted_neighbor_rows(sf_dir, n_queries, k)))
     q_ids, q_mat = _query_vectors(sf_dir, n_queries)
     dim = q_mat.shape[1]
     planes = np.random.default_rng(7).standard_normal((n_planes, dim))
@@ -1101,15 +1144,24 @@ def ann_cosine_topk_ivf(
     n_clusters: int = 16,
     n_probe: int = 4,
     train_sample: int = 20_000,
+    plant_neighbors: bool = False,
 ) -> pa.Table:
     """IVF scale-path ANN: a coarse k-means quantizer (fit on a
     driver-side sample, centroids broadcast) prunes candidates to the
     ``n_probe`` nearest clusters of each query; exact cosine only
-    inside probed clusters.  Approximate by construction -- no SQL
-    oracle; recall verified against brute force in tests."""
+    inside probed clusters.  Approximate by construction on arbitrary
+    data; with ``plant_neighbors`` the input carries exact scalar
+    multiples of the queries (bit-identical direction -> identical
+    nearest-centroid assignment -> always inside the probed cluster),
+    so recall of the planted top-k is provable and the query gets an
+    exact SQL oracle (see ``_planted_neighbor_rows``)."""
     import ray
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if plant_neighbors:
+        import ray.data as rd
+
+        emb = emb.union(rd.from_arrow(_planted_neighbor_rows(sf_dir, n_queries, k)))
     sample_tbl = pa.Table.from_pylist(emb.take(train_sample))
     _, sample = _embedding_matrix(sample_tbl)
     cent = _kmeans_fit(sample, n_clusters)
@@ -1235,20 +1287,70 @@ def near_dup_bands_for(n_vectors: int, n_planes: int = 8) -> int:
     return max(2, min(16, int(np.ceil(np.log2(max(n_vectors, 2))) - 6)))
 
 
+#: in-bucket all-pairs cap for the embedding near-dup sweep; the
+#: in-bucket check is one matmul, cheap into the thousands
+EMB_BUCKET_CAP = 4096
+
+
 def embedding_near_dup(
     sf_dir: str,
     tau: float = 0.95,
     n_planes: int = 8,
     n_bands: int | None = None,
+    plant_copies: bool = False,
 ) -> pa.Table:
     """Embedding-cosine near-dup pairs (sim >= tau) via banded
     hyperplane-LSH: ``n_bands`` independent 2^n_planes bucketings
     (OR-construction for recall), groupby(band, bucket), in-bucket
     exact cosine; oversized buckets star-pair against the bucket
     representative (never silently dropped).  Pair dedup across bands
-    is a distributed groupby."""
+    is a distributed groupby.
+
+    ``plant_copies`` unions the input with exact x2 scalar copies of
+    every ``vec_id % 7 == 0`` vector at ``PLANT_BASE + vec_id``.  A x2
+    copy has bit-identical direction (power-of-two float scaling is
+    exact), so it collides with its original in EVERY band -- recall
+    of the planted pairs is provable, and with tau above the data's
+    max natural cosine the expected output is exactly the planted
+    pairs, restated in SQL over a derived-table CTE
+    (__ray_entry__._EMBED_ND_PLANTED_SQL).  The oracle recomputes the
+    full exact all-pairs sweep, so if the no-natural-pair assumption
+    ever broke, the gate would fail loudly rather than silently
+    trusting the LSH."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     n_vec, _raw = _table_meta(sf_dir, "embeddings")
+    if plant_copies:
+        import pyarrow.parquet as _pq
+
+        etype = (
+            _pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+            .schema_arrow.field("embedding")
+            .type
+        )
+
+        def mk_copies(t: pa.Table, _etype=etype) -> pa.Table:
+            empty = pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "embedding": pa.array([], _etype)}
+            )
+            if t.num_rows == 0:
+                return empty
+            ids, mat = _embedding_matrix(t)
+            keep = (ids % 7) == 0
+            if not keep.any():
+                return empty
+            sub_ids = ids[keep].astype(np.int64) + PLANT_BASE
+            vals = (mat[keep] * 2.0).astype(np.float32)
+            n, dim = vals.shape
+            arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
+                pa.array(vals.reshape(-1)),
+            )
+            return pa.table(
+                {"vec_id": pa.array(sub_ids), "embedding": arr.cast(_etype)}
+            )
+
+        emb = emb.union(emb.map_batches(mk_copies, batch_format="pyarrow"))
     if n_bands is None:
         n_bands = near_dup_bands_for(n_vec, n_planes)
     # band rows carry the embedding payload -> budget fewer rows/block
@@ -1317,7 +1419,7 @@ def embedding_near_dup(
             if sz < 2:
                 continue
             gi, gm = ids[s : s + sz], matn[s : s + sz]
-            if sz > 500:
+            if sz > EMB_BUCKET_CAP:
                 log.warning(
                     "embedding near-dup bucket overflow: %d members; "
                     "star-verifying against representative %s", sz, gi[0],

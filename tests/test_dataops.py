@@ -364,3 +364,29 @@ def test_finalize_guard_detects_split_partition(tmp_path):
     d._guard_record(gd3, "x:jp", np.array([7]))
     d._guard_record(gd3, "x:jp", np.array([7]))  # identical record
     d._finalize_guard(gd3, t)  # no raise
+
+
+def test_planted_neighbor_gates(ray_session, tmp_path):
+    """The planted-fixture gates (VERDICT r2 #2): power-of-two scalar
+    multiples have bit-identical direction, so the approximate LSH/IVF
+    paths provably return exactly the planted structure."""
+    rng = np.random.default_rng(12)
+    mat = rng.standard_normal((120, 16)).astype(np.float32)
+    sf = make_embeddings(tmp_path, mat)
+
+    for fn in (d.ann_cosine_topk_lsh, d.ann_cosine_topk_ivf):
+        out = fn(sf, plant_neighbors=True)
+        got = [(r["query_id"], r["vec_id"], r["sim_r"]) for r in out.to_pylist()]
+        want = [
+            (q, d.PLANT_BASE + q * 16 + j, 1.0)
+            for q in range(5)
+            for j in range(10)
+        ]
+        assert got == want, fn.__name__
+
+    nd = d.embedding_near_dup(sf, tau=0.95, plant_copies=True)
+    got_nd = {(r["vec_a"], r["vec_b"]): r["sim_r"] for r in nd.to_pylist()}
+    want_nd = {
+        (i, d.PLANT_BASE + i): 1.0 for i in range(0, 120, 7)
+    }
+    assert got_nd == want_nd
