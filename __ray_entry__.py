@@ -103,6 +103,16 @@ SELECT url, warc_ts, md5(html::VARCHAR) AS html_md5, text, lang
 FROM merged WHERE deleted = 0 ORDER BY url
 """
 
+# SMT gate: the engine-side transform uppercases event-derived lang
+# values (a_lang/b_lang) before merge; base rows are untouched.  The
+# oracle restates that by uppercasing the event-derived lang literals.
+_FINAL_STATE_TRANSFORM_SQL = _FINAL_STATE_SQL.replace(
+    "THEN 'xx' || (eid % 5)::VARCHAR", "THEN 'XX' || (eid % 5)::VARCHAR"
+).replace(
+    "ELSE 'p' || (eid % 5)::VARCHAR", "ELSE 'P' || (eid % 5)::VARCHAR"
+)
+assert _FINAL_STATE_TRANSFORM_SQL != _FINAL_STATE_SQL
+
 _SNAPSHOT_SQL = (
     f"WITH {_BASE_CTE.strip()} "
     "SELECT url, warc_ts, md5(html::VARCHAR) AS html_md5, text, lang "
@@ -422,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_final_state_redo_sql": q.cdc_final_state_redo_sql,
         "cdc_final_state_streaming": q.cdc_final_state_streaming,
         "cdc_final_state_salted": q.cdc_final_state_salted,
+        "cdc_final_state_transform": q.cdc_final_state_transform,  # SMT hook
         "cdc_snapshot_state": q.cdc_snapshot_state,
         "cdc_time_travel": q.cdc_time_travel,
         "cdc_multitable_suppliers": q.cdc_multitable_suppliers,
@@ -471,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_redo_sql": _FINAL_STATE_SQL,
         "cdc_final_state_streaming": _FINAL_STATE_SQL,
         "cdc_final_state_salted": _FINAL_STATE_SQL,
+        "cdc_final_state_transform": _FINAL_STATE_TRANSFORM_SQL,
         "cdc_snapshot_state": _SNAPSHOT_SQL,
         "cdc_time_travel": _SNAPSHOT_SQL,
         "cdc_multitable_suppliers": _SUPPLIERS_SQL,

@@ -10,7 +10,9 @@ as a plain dataclass. Keys that only make sense for a JDBC poll loop
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
+from typing import Any
 
 
 @dataclass
@@ -83,6 +85,16 @@ class EngineConfig:
     #: LogminerSource.kt:96-115) -- always on; this only controls
     #: whether they are routed to the dead-letter output.
     dead_letter: bool = True
+    #: user single-message-transform hook (the reference declares Kafka
+    #: Connect SMT support in its manifest.json / SURVEY.md section
+    #: 2.10): a module-level callable ``pa.Table -> pa.Table`` applied
+    #: to each decoded flat change batch exactly once, between decode
+    #: and the commit-resolve/combiner stages (so transformed rows are
+    #: what gets spilled, emitted and merged).  It may rewrite the data
+    #: columns (``a_*``/``b_*``) but must preserve the pipeline schema;
+    #: the processor raises if the schema changes.  Must be picklable
+    #: (a top-level function), since it ships to Ray workers.
+    transform: Callable[[Any], Any] | None = None
 
     extra: dict = field(default_factory=dict)
 

@@ -172,6 +172,7 @@ class Engine:
                 self.config.num_partitions, "emit",
                 changelog_format=self.config.changelog_format,
                 db_timezone=self.config.db_timezone,
+                transform=self.config.transform,
             ),
             batch_format="pyarrow",
         )
@@ -530,6 +531,7 @@ class Engine:
                         f"{cfg.lake_dir}/dead_letters" if cfg.dead_letter else None
                     ),
                     version=version,
+                    transform=cfg.transform,
                 ),
                 batch_format="pyarrow",
                 batch_size=batch_size,

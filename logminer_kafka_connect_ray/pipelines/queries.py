@@ -302,6 +302,33 @@ def cdc_time_travel(sf_dir: str) -> pa.Table:
     return _digest_html(eng.to_arrow(version=1))
 
 
+def smt_upper_lang(t: pa.Table) -> pa.Table:
+    """Example user SMT (reference manifest.json SingleMessageTransform
+    analog): uppercase the lang column in both change images.  Module-
+    level so it pickles to Ray workers."""
+    for c in ("a_lang", "b_lang"):
+        i = t.column_names.index(c)
+        t = t.set_column(i, c, pc.utf8_upper(t.column(c)))
+    return t
+
+
+def cdc_final_state_transform(sf_dir: str) -> pa.Table:
+    """Flagship replay with a user transform (SMT hook, SURVEY.md
+    section 2.10) between decode and the combiner: event-derived lang
+    values are uppercased before spill/merge; snapshot base rows are
+    untouched (the SMT operates on the change stream, like the
+    reference's per-record transforms)."""
+    d = workload.ensure_workload(sf_dir)
+    lake = d["lake"] + "-smt"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(
+        EngineConfig(lake_dir=lake, num_partitions=16, transform=smt_upper_lang)
+    )
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(d["changelog"])
+    return _digest_html(eng.to_arrow())
+
+
 def cdc_final_state_redo_sql(sf_dir: str) -> pa.Table:
     """Same replay as cdc_final_state but from a RAW REDO-SQL changelog
     (M1 statement parsing + typed literal conversion), verifying the

@@ -42,6 +42,7 @@ class ChangeEventProcessor:
         db_timezone: str = "UTC",
         dead_dir: str | None = None,
         version: int = 0,
+        transform=None,
     ):
         from logminer_kafka_connect_ray.stages.decode import RedoSqlDecoder
 
@@ -72,6 +73,12 @@ class ChangeEventProcessor:
         # of the partitioner silently filtering them
         self.dead_dir = dead_dir if mode == "committed" else None
         self.version = version
+        #: user SMT hook (reference manifest.json SingleMessageTransform
+        #: declaration; SURVEY.md section 2.10): applied once per
+        #: decoded event, before spill/emit/merge, in every mode --
+        #: carryover rows were transformed when first decoded, so the
+        #: CarryoverProcessor never reapplies it
+        self.transform = transform
         self.partitioner = PreaggPartitioner(
             key_column, len(self.decoder.data_cols), num_partitions
         )
@@ -111,6 +118,15 @@ class ChangeEventProcessor:
                     ["missing_key"] * len(rows),
                 )
                 t = t.filter(pc.invert(nk))
+        if self.transform is not None:
+            t2 = self.transform(t)
+            if t2.schema != t.schema:
+                raise RuntimeError(
+                    "EngineConfig.transform must preserve the flat "
+                    f"change schema; got {t2.schema.names} vs "
+                    f"{t.schema.names}"
+                )
+            t = t2
         t = self.resolver(t)
         if self.mode == "committed":
             t = self.partitioner(t)
@@ -139,15 +155,22 @@ def make_processor_fn(
     db_timezone: str = "UTC",
     dead_dir: str | None = None,
     version: int = 0,
+    transform=None,
 ):
     """Build a pickle-able map_batches task fn with per-process reuse."""
     import json
 
     ref_key = markers_ref.hex() if hasattr(markers_ref, "hex") else str(id(markers_ref))
+    tf_key = (
+        f"{getattr(transform, '__module__', '')}."
+        f"{getattr(transform, '__qualname__', repr(transform))}"
+        if transform is not None
+        else None
+    )
     cache_key = (
         ref_key, json.dumps(table_schema_json), key_column, tuple(whitelist),
         scn_lo, scn_hi, num_partitions, mode, carryover, changelog_format,
-        db_timezone, dead_dir, version,
+        db_timezone, dead_dir, version, tf_key,
     )
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -164,6 +187,7 @@ def make_processor_fn(
                     markers_ref, table_schema_json, key_column, whitelist,
                     scn_lo, scn_hi, num_partitions, mode,
                     changelog_format, db_timezone, dead_dir, version,
+                    transform,
                 )
             _PROC_CACHE[cache_key] = proc
         return proc(batch)

@@ -606,3 +606,18 @@ def write_redo_sql_batches(
         file_rows.extend(run)
     flush()
     return paths
+
+
+def smt_mark_text(t):
+    """Module-level example SMT for tests (pickles to Ray workers):
+    prefix every event-derived after-image text with 'smt:'."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    i = t.column_names.index("a_text")
+    marked = pc.binary_join_element_wise(
+        pa.array(["smt:"] * t.num_rows), t.column("a_text").cast(pa.string()), ""
+    )
+    return t.set_column(i, "a_text", pc.if_else(
+        pc.is_valid(t.column("a_text")), marked, t.column("a_text")
+    ))

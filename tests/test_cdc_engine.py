@@ -18,6 +18,7 @@ from logminer_kafka_connect_ray.pipelines.engine import Engine
 from logminer_kafka_connect_ray.testing.compare import state_diff, table_to_state
 from logminer_kafka_connect_ray.testing.gen import (
     ChangeGenConfig,
+    smt_mark_text,
     gen_changes,
     gen_pages,
     write_event_batches,
@@ -418,3 +419,40 @@ def test_all_open_micro_batch(ray_session, tmp_path):
         eng.replay(changelog)
         got = table_to_state(eng.to_arrow())
         assert got[url]["text"] == "t59", (salt, got[url]["text"])
+
+
+
+def test_smt_transform_hook(ray_session, tmp_path):
+    """EngineConfig.transform (the reference's SMT analog, SURVEY.md
+    section 2.10) rewrites decoded events exactly once between decode
+    and merge: event-derived text is marked, snapshot-derived text is
+    not, and the unmarked replay differs."""
+    pages = gen_pages(30)
+    gen_cfg = ChangeGenConfig(n_events=200, seed=21)
+    eng, pages_path, changelog, events = build(
+        tmp_path, pages, gen_cfg,
+        lake_cfg=EngineConfig(
+            lake_dir=str(tmp_path / "lake"), num_partitions=4,
+            transform=smt_mark_text,
+        ),
+    )
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    eng.replay(changelog)
+    got = table_to_state(eng.to_arrow())
+
+    # oracle: apply the same marking to the event stream, then replay
+    marked_events = []
+    for e in events:
+        e2 = dict(e)
+        if e2.get("after") and e2["after"].get("text") is not None:
+            a = dict(e2["after"])
+            a["text"] = "smt:" + a["text"]
+            e2["after"] = a
+        marked_events.append(e2)
+    want = replay_oracle(base_state(pages), marked_events)
+    diffs = state_diff(got, want)
+    assert not diffs, diffs
+    # sanity: at least one surviving row actually carries the mark
+    assert any(
+        (v.get("text") or "").startswith("smt:") for v in got.values()
+    )
