@@ -463,26 +463,24 @@ class Engine:
             paths[0], total_rows=sum(f.num_rows for f in bfiles)
         )
 
-        def source(mode: str = "committed") -> "rd.Dataset":
+        #: still-open rows side-write here from the committed pass
+        #: (single decode per micro-batch, round-2 verdict #8).  A
+        #: re-run of this uncommitted version (crash before publish)
+        #: starts from a clean spill dir so attempts don't accumulate.
+        open_rel = f"state/open-v{version:08d}"
+        open_dir = f"{cfg.lake_dir}/{open_rel}"
+        import shutil
+
+        shutil.rmtree(open_dir, ignore_errors=True)
+
+        def source() -> "rd.Dataset":
             # one fused operator for the whole per-event CPU path:
             # decode + resume-skip SCN filter (LogminerFetcher.kt:74-101)
-            # + commit resolve + combiner.  Stateless tasks with a
-            # per-worker-process cache (see stages/process.py).
+            # + commit resolve + combiner, with still-open rows
+            # side-written to the carryover spill in the SAME pass.
+            # Stateless tasks with a per-worker-process cache
+            # (see stages/process.py).
             src_paths = paths
-            if mode == "open":
-                txinfo = (
-                    _ray().get(markers_ref)
-                    if not hasattr(markers_ref, "n_open_rows")
-                    else markers_ref
-                )
-                if txinfo.min_open_scn is not None:
-                    # open txns live in files at/after their min SCN --
-                    # prune older files from the spill pass entirely
-                    src_paths = [
-                        f.path
-                        for f in bfiles
-                        if f.scn_max >= txinfo.min_open_scn
-                    ] or paths
             # prune at the read: only the columns the decoder consumes
             wanted = {
                 "scn", "row_id", "commit_scn", "tx_id", "op", "ts_ms",
@@ -524,7 +522,7 @@ class Engine:
                 make_processor_fn(
                     markers_ref, schema_json, cfg.key_column,
                     cfg.table_whitelist, scn_lo, scn_hi,
-                    cfg.num_partitions, mode,
+                    cfg.num_partitions, "committed",
                     changelog_format=cfg.changelog_format,
                     db_timezone=cfg.db_timezone,
                     dead_dir=(
@@ -532,6 +530,7 @@ class Engine:
                     ),
                     version=version,
                     transform=cfg.transform,
+                    open_dir=open_dir,
                 ),
                 batch_format="pyarrow",
                 batch_size=batch_size,
@@ -544,7 +543,8 @@ class Engine:
                     make_processor_fn(
                         markers_ref, schema_json, cfg.key_column,
                         cfg.table_whitelist, scn_lo, scn_hi,
-                        cfg.num_partitions, mode, carryover=True,
+                        cfg.num_partitions, "committed", carryover=True,
+                        open_dir=open_dir,
                     ),
                     batch_format="pyarrow",
                     zero_copy_batch=True,
@@ -552,7 +552,7 @@ class Engine:
                 proc = proc.union(carry)
             return proc
 
-        committed = source("committed")
+        committed = source()
         self._t_meta = time.monotonic() - t_meta0
         self._info_ref = markers_ref
         manifest = self._merge_and_publish(
@@ -564,7 +564,7 @@ class Engine:
             scn_lo=scn_lo,
             scn_hi=scn_hi,
             prev=prev,
-            open_spill=(source, markers_ref),
+            open_spill=(markers_ref, open_rel),
             pre_partitioned=True,
         )
         return manifest
@@ -736,14 +736,14 @@ class Engine:
             )
 
         # --- open-txn carryover spill --------------------------------
-        # fetch the (already-finished, overlapped) txn metadata now:
-        # it decides whether any spill pass is needed at all
+        # the committed pass already side-wrote any still-open rows
+        # (single decode per micro-batch); fetch the overlapped txn
+        # metadata for the manifest stats and take stock of the spill
         open_rel = None
         min_open = None
         n_open = 0
-        info = None
         if open_spill is not None:
-            source, info_ref = open_spill
+            info_ref, open_candidate = open_spill
             info = (
                 _ray().get(info_ref)
                 if not hasattr(info_ref, "n_open_rows")
@@ -751,17 +751,7 @@ class Engine:
             )
             markers_stats = (info.n_markers, info.n_commit, info.n_rolled)
             self._n_unreadable = info.n_unreadable
-        has_open = info is not None and (
-            info.n_open_rows > 0
-            or (prev is not None and prev.open_txn_spill)
-        )
-        if has_open:
-            open_ds = source("open")
-            open_rel = f"state/open-v{version:08d}"
-            open_dir = f"{cfg.lake_dir}/{open_rel}"
-            open_ds.write_parquet(open_dir)
-            import os
-
+            open_dir = f"{cfg.lake_dir}/{open_candidate}"
             stats = []
             for f in os.listdir(open_dir) if os.path.isdir(open_dir) else []:
                 if f.endswith(".parquet"):
@@ -770,8 +760,8 @@ class Engine:
                     if t.num_rows:
                         stats.append(pc.min(t.column("scn")).as_py())
             min_open = min(stats) if stats else None
-            if n_open == 0:
-                open_rel = None
+            if n_open:
+                open_rel = open_candidate
 
         # --- assemble manifest ---------------------------------------
         entries = {p.part_id: p for p in (prev.partitions if prev else [])}

@@ -24,8 +24,14 @@ class ChangeEventProcessor:
     """decode + filter + resolve (+ combine/partition) in one stage.
 
     ``mode='committed'`` emits partition-stamped, combiner-pruned
-    committed rows ready for the merge shuffle; ``mode='open'`` emits
-    still-open rows for the carryover spill.
+    committed rows ready for the merge shuffle, and SIDE-WRITES the
+    same pass's still-open rows to ``open_dir`` (single decode per
+    micro-batch -- round-2 verdict #8; previously a second read+decode
+    pass re-derived them).  ``mode='emit'`` emits committed rows
+    without the combiner/partition stamp (envelope output surface).
+    A retried task may rewrite its open-spill file under a new name;
+    re-applied duplicate events are row-level no-ops in the LWW fold
+    (same idempotence that covers resume re-reads).
     """
 
     def __init__(
@@ -43,6 +49,7 @@ class ChangeEventProcessor:
         dead_dir: str | None = None,
         version: int = 0,
         transform=None,
+        open_dir: str | None = None,
     ):
         from logminer_kafka_connect_ray.stages.decode import RedoSqlDecoder
 
@@ -61,9 +68,8 @@ class ChangeEventProcessor:
         # mode 'emit' = committed rows WITHOUT the merge combiner /
         # partition stamp (the envelope-output surface needs every
         # committed event, not the dominance-pruned net set)
-        self.resolver = CommitResolver(
-            markers_ref, "committed" if mode == "emit" else mode
-        )
+        self.resolver = CommitResolver(markers_ref, "committed")
+        self.open_dir = open_dir if mode == "committed" else None
         self.scn_lo = scn_lo
         self.scn_hi = scn_hi
         self.mode = mode
@@ -84,14 +90,6 @@ class ChangeEventProcessor:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.mode == "open":
-            # cheap raw-column pre-filter: only rows of still-open txns
-            # survive to the (expensive) decode
-            batch = batch.filter(
-                self.resolver.open_tx_mask(batch.column("tx_id"))
-            )
-            if batch.num_rows == 0:
-                return self.decoder.out_schema.empty_table()
         t = self.decoder(batch)
         if self.scn_lo is not None or self.scn_hi is not None:
             cond = None
@@ -127,10 +125,29 @@ class ChangeEventProcessor:
                     f"{t.schema.names}"
                 )
             t = t2
-        t = self.resolver(t)
         if self.mode == "committed":
-            t = self.partitioner(t)
-        return t
+            committed, open_rows = self.resolver.split(t)
+            write_open_spill(self.open_dir, open_rows)
+            return self.partitioner(committed)
+        return self.resolver(t)
+
+
+def write_open_spill(open_dir: str | None, rows: pa.Table) -> None:
+    """Side-write still-open rows to the carryover spill dataset
+    (uuid-named file per batch; same at-least-once pattern as
+    dead-letter routing -- duplicates from a retried task are absorbed
+    by the fold's idempotent re-apply)."""
+    if open_dir is None or rows.num_rows == 0:
+        return
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(open_dir, exist_ok=True)
+    tmp = os.path.join(open_dir, f".tmp-{uuid.uuid4().hex}")
+    pq.write_table(rows, tmp)
+    os.rename(tmp, os.path.join(open_dir, f"open-{uuid.uuid4().hex[:12]}.parquet"))
 
 
 #: per-worker-process processor cache.  Stateless *task* stages with a
@@ -156,6 +173,7 @@ def make_processor_fn(
     dead_dir: str | None = None,
     version: int = 0,
     transform=None,
+    open_dir: str | None = None,
 ):
     """Build a pickle-able map_batches task fn with per-process reuse."""
     import json
@@ -170,7 +188,7 @@ def make_processor_fn(
     cache_key = (
         ref_key, json.dumps(table_schema_json), key_column, tuple(whitelist),
         scn_lo, scn_hi, num_partitions, mode, carryover, changelog_format,
-        db_timezone, dead_dir, version, tf_key,
+        db_timezone, dead_dir, version, tf_key, open_dir,
     )
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -180,14 +198,15 @@ def make_processor_fn(
                 _PROC_CACHE.clear()
             if carryover:
                 proc = CarryoverProcessor(
-                    markers_ref, table_schema_json, key_column, num_partitions, mode
+                    markers_ref, table_schema_json, key_column, num_partitions,
+                    mode, open_dir,
                 )
             else:
                 proc = ChangeEventProcessor(
                     markers_ref, table_schema_json, key_column, whitelist,
                     scn_lo, scn_hi, num_partitions, mode,
                     changelog_format, db_timezone, dead_dir, version,
-                    transform,
+                    transform, open_dir,
                 )
             _PROC_CACHE[cache_key] = proc
         return proc(batch)
@@ -198,8 +217,9 @@ def make_processor_fn(
 
 class CarryoverProcessor:
     """Same tail of the pipeline for carryover spill rows, which are
-    already in flat form (no decode): schema-align -> resolve ->
-    combine/partition."""
+    already in flat form (no decode, no re-transform): schema-align ->
+    resolve -> combine/partition, with still-open rows side-written
+    forward into the NEXT version's spill."""
 
     def __init__(
         self,
@@ -208,20 +228,23 @@ class CarryoverProcessor:
         key_column: str,
         num_partitions: int,
         mode: str = "committed",
+        open_dir: str | None = None,
     ):
         from logminer_kafka_connect_ray.stages.evolve import align_flat
 
         table_schema = schemas.schema_from_json(table_schema_json)
         self.flat_schema = schemas.flat_change_schema(key_column, table_schema)
         self._align = align_flat
-        self.resolver = CommitResolver(markers_ref, mode)
+        self.resolver = CommitResolver(markers_ref, "committed")
         n_data = len(schemas.data_columns_of(table_schema, key_column))
         self.partitioner = PreaggPartitioner(key_column, n_data, num_partitions)
         self.mode = mode
+        self.open_dir = open_dir if mode == "committed" else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = self._align(batch, self.flat_schema)
-        t = self.resolver(t)
         if self.mode == "committed":
-            t = self.partitioner(t)
-        return t
+            committed, open_rows = self.resolver.split(t)
+            write_open_spill(self.open_dir, open_rows)
+            return self.partitioner(committed)
+        return self.resolver(t)

@@ -258,16 +258,19 @@ def collect_txn_info_ref(
             import ray
 
             if ray.is_initialized():
-                scan = ray.remote(num_cpus=1)(_scan_one)
-                merge = ray.remote(num_cpus=1)(_merge_partials)
+                scan, merge, finalize = _remote_fns()
                 refs = [scan.remote(p, scn_lo, scn_hi) for p in paths]
+                # FAN=16 measured best here: merging is allocation-
+                # heavy (concat of ~1M-element marker arrays), so a
+                # wider fan serializes work the tree runs in parallel
+                # (A/B: FAN=64 cost +2s on the 6M-event replay)
                 FAN = 16
                 while len(refs) > FAN:
                     refs = [
                         merge.remote(*refs[i : i + FAN])
                         for i in range(0, len(refs), FAN)
                     ]
-                info_ref = ray.remote(num_cpus=1)(_scan_merge_finalize).remote(*refs)
+                info_ref = finalize.remote(*refs)
                 if not block:
                     return None, info_ref
                 return ray.get(info_ref), info_ref
@@ -277,6 +280,24 @@ def collect_txn_info_ref(
         _merge_partials(*[_scan_one(p, scn_lo, scn_hi) for p in paths])
     )
     return info, _try_put(info)
+
+
+_REMOTE_FNS = None
+
+
+def _remote_fns():
+    """Cache the ray.remote wrappers: re-wrapping per call re-exports
+    the function definitions to every worker on each micro-batch."""
+    global _REMOTE_FNS
+    if _REMOTE_FNS is None:
+        import ray
+
+        _REMOTE_FNS = (
+            ray.remote(num_cpus=1)(_scan_one),
+            ray.remote(num_cpus=1)(_merge_partials),
+            ray.remote(num_cpus=1)(_scan_merge_finalize),
+        )
+    return _REMOTE_FNS
 
 
 def _try_put(info: TxnInfo):
@@ -291,8 +312,9 @@ def _try_put(info: TxnInfo):
 
 
 class CommitResolver:
-    """``map_batches`` callable: stamp commit_scn, keep committed rows
-    (``mode='committed'``) or still-open rows (``mode='open'``).
+    """``map_batches`` callable: stamp commit_scn and keep committed
+    rows; ``split`` additionally returns the still-open rows of the
+    same pass (single-decode spill path).
 
     Per batch everything is FNV hashing + ``np.searchsorted`` binary
     probes against the broadcast sorted marker hashes -- no per-worker
@@ -330,20 +352,7 @@ class CommitResolver:
             rolled = pa.array(np.zeros(len(h), bool))
         return commit, rolled
 
-    def open_tx_mask(self, tx: pa.ChunkedArray) -> pa.Array:
-        """True where the row's txn is still open (for the spill path's
-        cheap raw-column pre-filter)."""
-        info = self.info
-        if not len(info.open_hash):
-            return pa.array(np.zeros(len(tx), bool))
-        h = fnv1a_u64(tx.cast(pa.string()))
-        pos = np.minimum(np.searchsorted(info.open_hash, h), len(info.open_hash) - 1)
-        return pa.array(info.open_hash[pos] == h)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return batch
+    def _resolve(self, batch: pa.Table):
         tx = batch.column("tx_id")
         # broadcast hash join tx_id -> commit scn
         commit_scn, is_rolled = self._lookup_commit(tx)
@@ -358,16 +367,30 @@ class CommitResolver:
         is_committed = pc.and_(
             pc.is_valid(commit_scn), pc.invert(pc.and_(is_rolled, pc.invert(auto)))
         )
-        if self.mode == "committed":
-            out = batch.set_column(
-                batch.column_names.index("commit_scn"),
-                "commit_scn",
-                commit_scn.combine_chunks()
-                if isinstance(commit_scn, pa.ChunkedArray)
-                else commit_scn,
-            )
-            return out.filter(is_committed)
+        stamped = batch.set_column(
+            batch.column_names.index("commit_scn"),
+            "commit_scn",
+            commit_scn.combine_chunks()
+            if isinstance(commit_scn, pa.ChunkedArray)
+            else commit_scn,
+        )
+        return stamped, is_committed, is_rolled, auto
+
+    def split(self, batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+        """(committed rows stamped with commit_scn, still-open rows) in
+        ONE resolve pass -- the single-decode spill path: the committed
+        pipeline side-writes the open rows instead of a second
+        read+decode pass over the same files."""
+        if batch.num_rows == 0:
+            return batch, batch
+        stamped, is_committed, is_rolled, auto = self._resolve(batch)
         open_mask = pc.and_(
             pc.invert(is_committed), pc.invert(pc.and_(is_rolled, pc.invert(auto)))
         )
-        return batch.filter(open_mask)
+        return stamped.filter(is_committed), batch.filter(open_mask)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        stamped, is_committed, _, _ = self._resolve(batch)
+        return stamped.filter(is_committed)
