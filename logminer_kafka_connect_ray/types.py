@@ -65,10 +65,16 @@ NULL_LITERAL = "NULL"
 
 #: unqualified NUMBER precision/scale.  The reference uses
 #: Decimal(precision=79, scale=40) (ColumnSchemaBuilder.kt:18-19);
-#: Arrow decimal256 caps precision at 76, so we clamp.  NOT fully
-#: lossless: with scale 40, integer magnitudes above 1e36 overflow
-#: (Oracle NUMBER reaches ~1e126 at 38 significant digits) -- a
-#: documented divergence, see the module docstring table.
+#: Arrow decimal256 caps precision at 76, so we clamp.  PINNED
+#: divergence behavior (round-3; test_types.py::test_decimal_overflow
+#: _pinned): with scale 40, integer magnitudes above 1e36 raise
+#: ``decimal.InvalidOperation`` from the quantize (context precision
+#: 76), which the redo decoder catches as a conversion failure and
+#: ROUTES TO DEAD LETTERS (reason ``convert_error``) -- an explicit
+#: skip-with-accounting, never a silently wrong value.  Values at or
+#: below 1e36 round-trip exactly.  (Oracle NUMBER reaches ~1e126 at
+#: 38 significant digits; a source actually using that range needs a
+#: string-typed column mapping.)
 UNQUALIFIED_NUMBER_PRECISION = 76
 UNQUALIFIED_NUMBER_SCALE = 40
 

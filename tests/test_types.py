@@ -214,3 +214,27 @@ def test_convert_array_matches_scalar():
     assert out.type == pa.timestamp("us", tz="UTC")
     assert out[0].as_py() == dt.datetime(2021, 1, 1, 11, 0, tzinfo=dt.timezone.utc)
     assert out[1].as_py() is None
+
+
+def test_decimal_overflow_pinned():
+    """PINNED divergence vs the reference's Decimal(79,40)
+    (ColumnSchemaBuilder.kt:18-19): Arrow decimal256 caps precision at
+    76, so unqualified-NUMBER magnitudes above 1e36 raise
+    decimal.InvalidOperation (an ArithmeticError) from the quantize --
+    the decoder's M5 conversion-failure path routes them to dead
+    letters as convert_error.  Explicit skip-with-accounting; the
+    engine can never emit a silently wrong value for them."""
+    import decimal
+
+    t = resolve_type("NUMBER")
+    assert t.arrow == pa.decimal256(76, 40)
+    # at the cap: exact round-trip
+    ok = t.convert(f"'{'9' * 36}'")
+    assert str(ok).startswith("9" * 36)
+    assert pa.array([ok], t.arrow)[0].as_py() == ok
+    # above the cap: explicit error (caught as ArithmeticError by the
+    # redo decoder -> dead letter), NOT a wrong value
+    for bad in ("9" * 37, "-" + "9" * 37, "1E+40"):
+        with pytest.raises(decimal.InvalidOperation):
+            t.convert(f"'{bad}'")
+    assert issubclass(decimal.InvalidOperation, ArithmeticError)
