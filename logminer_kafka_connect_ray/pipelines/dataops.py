@@ -1493,11 +1493,13 @@ def embedding_near_dup(
 # Multimodal plumbing gate
 # ---------------------------------------------------------------------------
 class MediaPipelineStage:
-    """Actor-pool stage driving the full multimodal plumbing: encode a
-    deterministic fake image + video per doc (dims are pure functions
-    of doc_id, so the driver's SQL oracle can restate them), then
-    decode -> resize -> re-decode -> frame-sample.  Codec state (the
-    stage objects) builds once per actor in __init__."""
+    """Actor-pool stage driving the full multimodal plumbing on REAL
+    BMP containers: encode a deterministic 24-bpp BI_RGB bitmap per
+    doc (dims are pure functions of doc_id, so the driver's SQL oracle
+    can restate them) plus a video container of BMP frames, then
+    decode -> resize -> re-decode -> frame-sample through the actual
+    byte-level codec (stages/multimodal.encode_bmp/decode_bmp).  Codec
+    state (the stage objects) builds once per actor in __init__."""
 
     def __init__(self):
         from logminer_kafka_connect_ray.stages.multimodal import (
@@ -1512,13 +1514,18 @@ class MediaPipelineStage:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from logminer_kafka_connect_ray.stages.multimodal import (
-            encode_fake_image,
+            encode_bmp,
             encode_fake_video,
         )
 
         ids = t.column("doc_id").to_pylist()
         img = [
-            encode_fake_image(16 + i % 48, 16 + i % 32, 3, seed=i) for i in ids
+            encode_bmp(
+                np.random.default_rng(i).integers(
+                    0, 256, size=(16 + i % 32, 16 + i % 48, 3), dtype=np.uint8
+                )
+            )
+            for i in ids
         ]
         vid = [
             encode_fake_video([b] * (1 + i % 4)) for i, b in zip(ids, img)
