@@ -217,6 +217,31 @@ WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.7
 ORDER BY doc_a, doc_b
 """
 
+_WORD_FREQ_SQL = """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+)
+SELECT word, count(*) AS n FROM w GROUP BY word
+ORDER BY n DESC, word LIMIT 50
+"""
+
+# Connected components over the exact near-dup pair graph via
+# recursive transitive closure; canonical = min reachable doc_id.
+_CLUSTER_SQL = f"""
+WITH RECURSIVE p AS (
+  SELECT doc_a, doc_b FROM ({_NGRAM_JACCARD_SQL.replace("ORDER BY doc_a, doc_b", "")})
+),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
 _LANG_ID_SQL = """
 WITH m AS (
   SELECT * FROM (VALUES
@@ -445,6 +470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (dedup / similarity / text analysis)
         "dedup_exact": d.dedup_exact,
         "dedup_ngram_jaccard": d.dedup_ngram_jaccard,  # exact verify kernel
+        "dedup_cluster_canonical": d.dedup_cluster_canonical,  # CC canonicalization (SQL)
+        "word_freq_topk": d.word_freq_topk,  # vocabulary top-k (SQL)
         "dedup_minhash_lsh": d.dedup_minhash_lsh,  # SQL-checked vs exact kernel
         "dedup_simhash": d.dedup_simhash,          # SQL-checked (lossless LSH)
         # tau=0.4: the driver's synthetic embeddings top out at ~0.51
@@ -501,6 +528,8 @@ def oracle_sql() -> dict[str, str]:
         # banding is seed-deterministic), so the exact-Jaccard SQL is
         # a valid oracle for the LSH path as well.
         "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
+        "dedup_cluster_canonical": _CLUSTER_SQL,
+        "word_freq_topk": _WORD_FREQ_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "embedding_near_dup_exact": _EMBED_EXACT_SQL,
         "embedding_near_dup": _EMBED_ND_PLANTED_SQL,

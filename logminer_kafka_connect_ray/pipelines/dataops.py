@@ -1489,6 +1489,96 @@ def embedding_near_dup(
     return _finalize_guard(gd, pa.Table.from_pandas(dd, preserve_index=False))
 
 
+def word_freq_topk(sf_dir: str, k: int = 50) -> pa.Table:
+    """Corpus vocabulary: top-k word frequencies over documents.text.
+
+    Two-level aggregation: per-batch ``np.unique`` word counts (the
+    combiner -- each batch ships at most |vocab_batch| rows, not
+    |words|) -> ``groupby(word).sum`` -> top-k by (n desc, word asc).
+    The distributed groupby carries vocabulary-sized data (bounded by
+    distinct words, not corpus size), so this shape holds at 100 TB.
+    """
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for s in t.column("text").to_pylist():
+            words.extend(_WORD.findall((s or "").lower()))
+        if not words:
+            return pa.table(
+                {"word": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
+        return pa.table(
+            {"word": pa.array(list(uniq), pa.string()),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    agg = ds.map_batches(partial_counts, batch_format="pyarrow").groupby(
+        "word"
+    ).sum("n")
+    df = agg.to_pandas()
+    df = df.rename(columns={"sum(n)": "n"})
+    df["n"] = df["n"].astype("int64")
+    df = df.sort_values(["n", "word"], ascending=[False, True], ignore_index=True)
+    return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+
+def dedup_cluster_canonical(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+    """Connected-components canonicalization over the near-dup pair
+    graph: every document appearing in an exact n-gram-Jaccard pair
+    (>= threshold) maps to the MIN doc_id of its connected component
+    -- the "keep one canonical doc per duplicate cluster" primitive a
+    dedup pipeline actually applies.
+
+    The pair graph is the (gate-sized) output of the distributed
+    ``dedup_ngram_jaccard`` sweep; components are resolved by
+    hash-to-min label propagation over that edge list (vectorized
+    numpy ``minimum.reduceat`` rounds, O(E log D) for diameter D).
+    At 100 TB the same propagation runs as repeated pair-stamp
+    exchanges + block sweeps (the `_dedup_pair_blocks` primitive) --
+    the edge list here is dedup OUTPUT-sized, orders below corpus
+    size, so driver-local iteration is the honest default."""
+    pairs = dedup_ngram_jaccard(sf_dir, threshold=threshold)
+    a = pairs.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "canonical_id": pa.array([], pa.int64())}
+    )
+    if len(a) == 0:
+        return empty
+    nodes = np.unique(np.concatenate([a, b]))
+    label = {int(n): int(n) for n in nodes}
+    # hash-to-min propagation until fixpoint (label = min reachable id)
+    changed = True
+    while changed:
+        changed = False
+        la = np.array([label[int(x)] for x in a])
+        lb = np.array([label[int(x)] for x in b])
+        m = np.minimum(la, lb)
+        for x, lbl in zip(np.concatenate([a, b]), np.concatenate([m, m])):
+            if lbl < label[int(x)]:
+                label[int(x)] = int(lbl)
+                changed = True
+        # path-compress through current labels
+        for x in list(label):
+            l0 = label[x]
+            while label.get(l0, l0) != l0:
+                l0 = label[l0]
+            if l0 != label[x]:
+                label[x] = l0
+                changed = True
+    out = pa.table(
+        {
+            "doc_id": pa.array([int(n) for n in nodes], pa.int64()),
+            "canonical_id": pa.array([label[int(n)] for n in nodes], pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing gate
 # ---------------------------------------------------------------------------

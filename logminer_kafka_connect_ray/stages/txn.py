@@ -147,14 +147,17 @@ def _scan_one(path: str, scn_lo: int | None, scn_hi: int | None) -> dict:
 
 
 def _merge_partials(*partials: dict) -> dict:
-    """Associative merge of scan partials (runs in tree-merge tasks)."""
+    """Associative merge of scan partials (runs in tree-merge tasks).
+
+    Commit arrays are merged by PURE CONCAT here -- the sort +
+    duplicate-marker dedup they need happens exactly once, in
+    ``_finalize`` (per-level lexsorts of the ~N-commit arrays were
+    pure critical-path latency; duplicate COMMITs are rare).  The
+    change-txn aggregates DO reduce per level (reduceat), since txns
+    spanning files collapse and that shrinks what flows up the tree."""
     commit_hash = np.concatenate([p["commit_hash"] for p in partials])
     commit_scn = np.concatenate([p["commit_scn"] for p in partials])
-    order = np.lexsort((commit_scn, commit_hash))
-    ch, cs = commit_hash[order], commit_scn[order]
-    if len(ch):  # duplicate COMMIT markers: keep max commit scn
-        last = np.concatenate([ch[1:] != ch[:-1], [True]])
-        ch, cs = ch[last], cs[last]
+    ch, cs = commit_hash, commit_scn
     tx_hash = np.concatenate([p["change_tx_hash"] for p in partials])
     tx_min = np.concatenate([p["change_tx_min_scn"] for p in partials])
     tx_rows = np.concatenate([p["change_tx_rows"] for p in partials])
@@ -181,9 +184,16 @@ def _merge_partials(*partials: dict) -> dict:
 
 
 def _finalize(merged: dict) -> TxnInfo:
-    """Merged partial -> TxnInfo (open-txn detection + watermark)."""
+    """Merged partial -> TxnInfo (open-txn detection + watermark).
+    The one place commit arrays are sorted + deduped (duplicate COMMIT
+    markers keep the max commit scn)."""
     ch = merged["commit_hash"]
     cs = merged["commit_scn"]
+    order = np.lexsort((cs, ch))
+    ch, cs = ch[order], cs[order]
+    if len(ch):
+        last = np.concatenate([ch[1:] != ch[:-1], [True]])
+        ch, cs = ch[last], cs[last]
     rolled_hash = merged["rolled_hash"]
     u_hash = merged["change_tx_hash"]
     u_min = merged["change_tx_min_scn"]

@@ -390,3 +390,26 @@ def test_planted_neighbor_gates(ray_session, tmp_path):
         (i, d.PLANT_BASE + i): 1.0 for i in range(0, 120, 7)
     }
     assert got_nd == want_nd
+
+
+def test_word_freq_topk_exact(ray_session, tmp_path):
+    sf = make_docs(tmp_path, ["a b a c", "b a", ""])
+    out = d.word_freq_topk(sf, k=2)
+    assert out.to_pylist() == [{"word": "a", "n": 3}, {"word": "b", "n": 2}]
+
+
+def test_dedup_cluster_canonical_transitive(ray_session, tmp_path):
+    """a~b and b~c (but a!~c directly) still land in ONE component --
+    the hash-to-min propagation closes the chain; canonical = min id."""
+    base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    b = base.replace("today", "tomorrow")        # ~ base
+    c = b.replace("quick", "quickest")           # ~ b, farther from base
+    texts = [base, "totally unrelated document about arrow tables and ray", b, c,
+             base]                               # 4 = exact dup of 0
+    sf = make_docs(tmp_path, texts)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in d.dedup_ngram_jaccard(sf, threshold=0.5).to_pylist()}
+    assert (0, 2) in pairs and (2, 3) in pairs and (0, 4) in pairs
+    out = {r["doc_id"]: r["canonical_id"]
+           for r in d.dedup_cluster_canonical(sf, threshold=0.5).to_pylist()}
+    assert out == {0: 0, 2: 0, 3: 0, 4: 0}
