@@ -42,7 +42,21 @@ def main(argv=None) -> int:
                         "(>1 adds an exchange; use for hot partitions)")
     p.add_argument("--changelog-format", default="struct",
                    choices=["struct", "redo_sql"])
+    p.add_argument("--transform", default=None, metavar="MODULE:FUNC",
+                   help="user single-message transform: dotted path to "
+                        "a module-level pa.Table -> pa.Table callable "
+                        "(the reference's Kafka Connect SMT config "
+                        "analog), e.g. mypkg.transforms:redact_pii")
     args = p.parse_args(argv)
+
+    transform = None
+    if args.transform:
+        import importlib
+
+        mod_name, _, fn_name = args.transform.partition(":")
+        if not fn_name:
+            p.error("--transform must be MODULE:FUNC")
+        transform = getattr(importlib.import_module(mod_name), fn_name)
 
     import ray
 
@@ -66,6 +80,7 @@ def main(argv=None) -> int:
         start_scn=args.start_scn,
         salt_factor=args.salt_factor,
         changelog_format=args.changelog_format,
+        transform=transform,
     )
     eng = Engine(cfg)
 
