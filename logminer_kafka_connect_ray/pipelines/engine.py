@@ -518,24 +518,65 @@ class Engine:
                 )
             else:
                 ds = rd.read_parquet(src_paths, columns=cols)
-            proc = ds.map_batches(
-                make_processor_fn(
-                    markers_ref, schema_json, cfg.key_column,
-                    cfg.table_whitelist, scn_lo, scn_hi,
-                    cfg.num_partitions, "committed",
-                    changelog_format=cfg.changelog_format,
-                    db_timezone=cfg.db_timezone,
-                    dead_dir=(
-                        f"{cfg.lake_dir}/dead_letters" if cfg.dead_letter else None
+            dead_dir = f"{cfg.lake_dir}/dead_letters" if cfg.dead_letter else None
+            if os.environ.get("LKC_FUSED_RESOLVE", "0") == "1":
+                # single fused operator (previous default): no
+                # inter-stage hop, but every worker's first batch
+                # blocks on the broadcast TxnInfo ref -- decode waits
+                # behind the whole marker-scan tree
+                proc = ds.map_batches(
+                    make_processor_fn(
+                        markers_ref, schema_json, cfg.key_column,
+                        cfg.table_whitelist, scn_lo, scn_hi,
+                        cfg.num_partitions, "committed",
+                        changelog_format=cfg.changelog_format,
+                        db_timezone=cfg.db_timezone,
+                        dead_dir=dead_dir,
+                        version=version,
+                        transform=cfg.transform,
+                        open_dir=open_dir,
                     ),
-                    version=version,
-                    transform=cfg.transform,
-                    open_dir=open_dir,
-                ),
-                batch_format="pyarrow",
-                batch_size=batch_size,
-                zero_copy_batch=True,
-            )
+                    batch_format="pyarrow",
+                    batch_size=batch_size,
+                    zero_copy_batch=True,
+                )
+            else:
+                # two pipelined stages: decode has NO marker
+                # dependency, so it streams concurrently with the
+                # marker-scan task tree; resolve blocks on the
+                # broadcast ref only when its first decoded block
+                # lands, by which point the overlapped scan is done.
+                # Costs one plasma hop of the decoded rows -- measured
+                # cheaper than serializing 32 workers behind the scan.
+                decoded = ds.map_batches(
+                    make_processor_fn(
+                        None, schema_json, cfg.key_column,
+                        cfg.table_whitelist, scn_lo, scn_hi,
+                        cfg.num_partitions, "committed",
+                        changelog_format=cfg.changelog_format,
+                        db_timezone=cfg.db_timezone,
+                        dead_dir=dead_dir,
+                        version=version,
+                        transform=cfg.transform,
+                        stage="decode",
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=batch_size,
+                    zero_copy_batch=True,
+                )
+                proc = decoded.map_batches(
+                    make_processor_fn(
+                        markers_ref, schema_json, cfg.key_column,
+                        cfg.table_whitelist, scn_lo, scn_hi,
+                        cfg.num_partitions, "committed",
+                        version=version,
+                        open_dir=open_dir,
+                        stage="resolve",
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    zero_copy_batch=True,
+                )
             if prev.open_txn_spill:
                 carry = rd.read_parquet(
                     f"{cfg.lake_dir}/{prev.open_txn_spill}"

@@ -21,7 +21,8 @@ from logminer_kafka_connect_ray.stages.txn import CommitResolver
 
 
 class ChangeEventProcessor:
-    """decode + filter + resolve (+ combine/partition) in one stage.
+    """decode + filter + resolve (+ combine/partition), optionally
+    split into two pipelined stages.
 
     ``mode='committed'`` emits partition-stamped, combiner-pruned
     committed rows ready for the merge shuffle, and SIDE-WRITES the
@@ -32,6 +33,20 @@ class ChangeEventProcessor:
     A retried task may rewrite its open-spill file under a new name;
     re-applied duplicate events are row-level no-ops in the LWW fold
     (same idempotence that covers resume re-reads).
+
+    ``stage`` picks how much of the chain this instance runs:
+
+    * ``'fused'`` -- the whole chain in one operator (no inter-stage
+      object-store hop, but every worker's FIRST batch blocks on the
+      broadcast TxnInfo ref, serializing decode behind the marker
+      scan).
+    * ``'decode'`` -- decode + SCN filter + dead-letter + SMT only; no
+      marker dependency, so this stage streams concurrently WITH the
+      marker-scan task tree.
+    * ``'resolve'`` -- commit resolution + open-spill side-write +
+      combiner/partitioner over already-flat rows; blocks on the
+      marker ref only when its first block arrives, by which point the
+      overlapped scan has had the whole decode phase to finish.
     """
 
     def __init__(
@@ -50,25 +65,33 @@ class ChangeEventProcessor:
         version: int = 0,
         transform=None,
         open_dir: str | None = None,
+        stage: str = "fused",
     ):
         from logminer_kafka_connect_ray.stages.decode import RedoSqlDecoder
 
         table_schema = schemas.schema_from_json(table_schema_json)
-        if changelog_format == "redo_sql":
-            # dead letters route only from the committed pass -- the
-            # open pass re-decodes a subset of the same raw rows and
-            # would duplicate them
-            self.decoder = RedoSqlDecoder(
-                table_schema, key_column, whitelist, db_timezone,
-                dead_dir=dead_dir if mode == "committed" else None,
-                version=version, scn_lo=scn_lo, scn_hi=scn_hi,
-            )
-        else:
-            self.decoder = ChangeDecoder(table_schema, key_column, whitelist)
+        self.stage = stage
+        n_data_cols = len(schemas.data_columns_of(table_schema, key_column))
+        if stage in ("fused", "decode"):
+            if changelog_format == "redo_sql":
+                # dead letters route only from the committed pass -- the
+                # open pass re-decodes a subset of the same raw rows and
+                # would duplicate them
+                self.decoder = RedoSqlDecoder(
+                    table_schema, key_column, whitelist, db_timezone,
+                    dead_dir=dead_dir if mode == "committed" else None,
+                    version=version, scn_lo=scn_lo, scn_hi=scn_hi,
+                )
+            else:
+                self.decoder = ChangeDecoder(table_schema, key_column, whitelist)
         # mode 'emit' = committed rows WITHOUT the merge combiner /
         # partition stamp (the envelope-output surface needs every
         # committed event, not the dominance-pruned net set)
-        self.resolver = CommitResolver(markers_ref, "committed")
+        if stage in ("fused", "resolve"):
+            self.resolver = CommitResolver(markers_ref, "committed")
+            self.partitioner = PreaggPartitioner(
+                key_column, n_data_cols, num_partitions
+            )
         self.open_dir = open_dir if mode == "committed" else None
         self.scn_lo = scn_lo
         self.scn_hi = scn_hi
@@ -85,11 +108,8 @@ class ChangeEventProcessor:
         #: carryover rows were transformed when first decoded, so the
         #: CarryoverProcessor never reapplies it
         self.transform = transform
-        self.partitioner = PreaggPartitioner(
-            key_column, len(self.decoder.data_cols), num_partitions
-        )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _decode(self, batch: pa.Table) -> pa.Table:
         t = self.decoder(batch)
         if self.scn_lo is not None or self.scn_hi is not None:
             cond = None
@@ -125,11 +145,22 @@ class ChangeEventProcessor:
                     f"{t.schema.names}"
                 )
             t = t2
+        return t
+
+    def _resolve(self, t: pa.Table) -> pa.Table:
         if self.mode == "committed":
             committed, open_rows = self.resolver.split(t)
             write_open_spill(self.open_dir, open_rows)
             return self.partitioner(committed)
         return self.resolver(t)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.stage == "resolve":
+            return self._resolve(batch)
+        t = self._decode(batch)
+        if self.stage == "decode":
+            return t
+        return self._resolve(t)
 
 
 def write_open_spill(open_dir: str | None, rows: pa.Table) -> None:
@@ -174,6 +205,7 @@ def make_processor_fn(
     version: int = 0,
     transform=None,
     open_dir: str | None = None,
+    stage: str = "fused",
 ):
     """Build a pickle-able map_batches task fn with per-process reuse."""
     import json
@@ -188,7 +220,7 @@ def make_processor_fn(
     cache_key = (
         ref_key, json.dumps(table_schema_json), key_column, tuple(whitelist),
         scn_lo, scn_hi, num_partitions, mode, carryover, changelog_format,
-        db_timezone, dead_dir, version, tf_key, open_dir,
+        db_timezone, dead_dir, version, tf_key, open_dir, stage,
     )
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -206,12 +238,12 @@ def make_processor_fn(
                     markers_ref, table_schema_json, key_column, whitelist,
                     scn_lo, scn_hi, num_partitions, mode,
                     changelog_format, db_timezone, dead_dir, version,
-                    transform, open_dir,
+                    transform, open_dir, stage,
                 )
             _PROC_CACHE[cache_key] = proc
         return proc(batch)
 
-    fn.__name__ = f"process_{mode}{'_carry' if carryover else ''}"
+    fn.__name__ = f"{stage}_{mode}{'_carry' if carryover else ''}"
     return fn
 
 
