@@ -101,33 +101,70 @@ def _route_shards(flat: pa.Table, num_shards: int):
     return pieces if num_shards > 1 else pieces[0]
 
 
-def _order_and_slice(batch_size: int, *tables):
-    """Ray TASK: merge pending released tables (cross-schema promote
-    for mid-stream evolution), sort to commit order, split off one
-    emission batch.  Returns (batch, rest, n_batch); the driver only
-    fetches n_batch and the bounded batch -- the unbounded rest stays
-    an object ref (Ray's object store spills it natively, replacing
-    the round-2 unbounded driver-memory pending buffer)."""
+#: emission order of released rows (reference commit-order drain,
+#: LogminerSource.kt:76-94)
+_ORDER_KEYS = [
+    ("commit_scn", "ascending"),
+    ("scn", "ascending"),
+    ("row_id", "ascending"),
+]
+
+
+def _sort_run(*tables):
+    """Ray TASK: newly released tables -> ONE sorted run (cross-schema
+    promote for mid-stream evolution).  Returns (run, n_rows); only the
+    tiny count is fetched by the driver.  Sorting cost is O(new) per
+    poll -- the backlog itself is never re-sorted (see
+    ``_emit_from_runs``)."""
     live = [t for t in tables if t is not None and t.num_rows]
     if not live:
-        # zero-row placeholder; dropped by the num_rows filter if it
-        # ever re-enters a later merge
         z = pa.table({"commit_scn": pa.array([], pa.int64())})
-        return z, z, 0
+        return z, 0
     merged = pa.concat_tables(live, promote_options="default")
-    merged = merged.take(
-        pc.sort_indices(
-            merged,
-            sort_keys=[
-                ("commit_scn", "ascending"),
-                ("scn", "ascending"),
-                ("row_id", "ascending"),
-            ],
-        )
+    merged = merged.take(pc.sort_indices(merged, sort_keys=_ORDER_KEYS))
+    return merged, merged.num_rows
+
+
+def _compact_runs(offsets, *runs):
+    """Ray TASK: fold the live tails of many runs into one run (keeps
+    the per-poll k-way emission bounded).  Amortized over the
+    compaction interval this is O(backlog log backlog) once per C
+    polls, not per poll."""
+    live = [
+        t.slice(off) for t, off in zip(runs, offsets) if t.num_rows - off > 0
+    ]
+    return _sort_run(*live)
+
+
+def _emit_from_runs(batch_size, offsets, *runs):
+    """Ray TASK: k-way-select the globally smallest ``batch_size`` rows
+    across the sorted runs' live tails.
+
+    Each run contributes at most ``batch_size`` rows, and those rows
+    are necessarily a PREFIX of its tail (the tail is sorted) -- so
+    only a bounded candidate window per run is examined, the emitted
+    batch is exactly what sorting the whole backlog would emit, and
+    the per-poll cost is O(R * batch_size log) independent of backlog
+    size.  Returns (sorted batch, rows consumed per run); runs are
+    immutable plasma objects -- the driver just advances offsets."""
+    cands, ids = [], []
+    for i, t in enumerate(runs):
+        w = t.slice(offsets[i], batch_size)
+        if w.num_rows:
+            cands.append(w)
+            ids.append(np.full(w.num_rows, i, np.int64))
+    if not cands:
+        z = pa.table({"commit_scn": pa.array([], pa.int64())})
+        return z, [0] * len(runs)
+    merged = pa.concat_tables(cands, promote_options="default")
+    rid = np.concatenate(ids)
+    order = pc.sort_indices(merged, sort_keys=_ORDER_KEYS).to_numpy(
+        zero_copy_only=False
     )
-    out = merged.slice(0, batch_size)
-    rest = merged.slice(batch_size)
-    return out, rest, out.num_rows
+    take = order[: batch_size]
+    batch = merged.take(pa.array(take))
+    counts = np.bincount(rid[take], minlength=len(runs))
+    return batch, counts.tolist()
 
 
 class _TxnShardImpl:
@@ -348,11 +385,19 @@ class StreamingEngine:
             max_rows_in_memory,
         )
         self.seen_files: set[str] = set()
-        #: released-but-not-emitted rows as OBJECT REFS: the driver
-        #: never materializes them; Ray's object store spills the
-        #: backlog natively (round-2 verdict: the table-typed pending
-        #: list was unbounded driver memory)
-        self._pending: list = []
+        #: released-but-not-emitted backlog as a list of SORTED runs:
+        #: ``[ref, consumed_offset, length]``.  Runs are immutable
+        #: plasma objects (Ray's object store spills the backlog
+        #: natively; the driver holds only refs + two ints per run) and
+        #: are never re-sorted -- each poll sorts ONLY the newly
+        #: released rows into one new run and k-way-selects the
+        #: emission batch from bounded windows of every run's live tail
+        #: (the round-2 design concat+re-sorted the WHOLE backlog every
+        #: poll: O(backlog log backlog) per poll, quadratic over a
+        #: stream's life).
+        self._runs: list[list] = []
+        #: fold run tails into one run when this many accumulate
+        self._compact_after = 32
         m = engine.store.load()
         if m is None:
             raise RuntimeError("streaming needs a snapshotted lake (schema source)")
@@ -360,7 +405,9 @@ class StreamingEngine:
         self._schema = schemas.schema_from_json(m.schema)
         self._schema_version = m.schema_version
         self._decode = ray.remote(num_returns=3)(_decode_changelog_file)
-        self._order = ray.remote(num_returns=3)(_order_and_slice)
+        self._sort = ray.remote(num_returns=2)(_sort_run)
+        self._compact = ray.remote(num_returns=2)(_compact_runs)
+        self._emit = ray.remote(num_returns=2)(_emit_from_runs)
 
     def _refresh_schema(self, paths: list[str]) -> None:
         """Mid-stream schema evolution (reference SchemaService
@@ -394,6 +441,7 @@ class StreamingEngine:
         ]
         marker_refs = []
         feed_refs = []
+        released = []  # this poll's newly released tables (refs)
         if new:
             paths = [os.path.join(self.changelog_dir, f) for f in new]
             self._refresh_schema(paths)
@@ -407,7 +455,7 @@ class StreamingEngine:
                     self.watermark,
                     self.engine.config.transform,
                 )
-                self._pending.append(auto_ref)
+                released.append(auto_ref)
                 feed_refs += self.consolidator.feed_ref(buf_ref)
                 marker_refs.append(markers_ref)
         if feed_refs:
@@ -418,18 +466,36 @@ class StreamingEngine:
             commits = m.filter(pc.equal(m.column("op"), schemas.OP_COMMIT))
             rolls = m.filter(pc.equal(m.column("op"), schemas.OP_ROLLBACK))
             # released rows come back as refs and stay refs
-            self._pending += self.consolidator.terminate(
+            released += self.consolidator.terminate(
                 commits.column("tx_id").to_pylist(),
                 commits.column("scn").to_pylist(),
                 rolls.column("tx_id").to_pylist(),
             )
-        if not self._pending:
+        if released:
+            # sort ONLY the new rows into one run; the backlog is never
+            # re-sorted
+            run_ref, n_ref = self._sort.remote(*released)
+            n_new = ray.get(n_ref)
+            if n_new:
+                self._runs.append([run_ref, 0, n_new])
+        if len(self._runs) > self._compact_after:
+            run_ref, n_ref = self._compact.remote(
+                [r[1] for r in self._runs], *[r[0] for r in self._runs]
+            )
+            n_live = ray.get(n_ref)
+            self._runs = [[run_ref, 0, n_live]] if n_live else []
+        if not self._runs:
             return None, 0
-        batch_ref, rest_ref, n_ref = self._order.remote(
-            self.batch_size, *self._pending
+        batch_ref, counts_ref = self._emit.remote(
+            self.batch_size,
+            [r[1] for r in self._runs],
+            *[r[0] for r in self._runs],
         )
-        self._pending = [rest_ref]
-        n = ray.get(n_ref)
+        counts = ray.get(counts_ref)
+        for r, c in zip(self._runs, counts):
+            r[1] += int(c)
+        self._runs = [r for r in self._runs if r[1] < r[2]]
+        n = int(sum(counts))
         return (batch_ref, n) if n else (None, 0)
 
     def poll(self) -> pa.Table | None:

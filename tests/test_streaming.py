@@ -338,3 +338,86 @@ def test_streaming_mid_stream_schema_evolution(ray_session, tmp_path):
         row.setdefault("fetch_status", None)
     diffs = state_diff(got, want)
     assert not diffs, diffs
+
+
+def test_run_emission_equals_global_sort():
+    """The log-structured backlog (sorted runs + bounded-window k-way
+    emission) must drain exactly the sequence a full-backlog sort
+    would: same rows, same (commit_scn, scn, row_id) order, across
+    batch boundaries, run-count compaction, and a mid-stream schema
+    difference between runs."""
+    import random
+
+    from logminer_kafka_connect_ray.pipelines.streaming import (
+        _compact_runs,
+        _emit_from_runs,
+        _sort_run,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(5000):
+        rows.append(
+            {
+                "commit_scn": rng.randrange(100),
+                "scn": rng.randrange(1000),
+                "row_id": f"r{rng.randrange(2000):05d}",
+                "val": i,
+            }
+        )
+    # split into 40 uneven run inputs; one run carries an extra column
+    # (mid-stream evolution: older runs null-fill at concat time)
+    chunks, i = [], 0
+    while i < len(rows):
+        sz = rng.randrange(1, 300)
+        chunks.append(rows[i : i + sz])
+        i += sz
+    runs = []
+    for j, ch in enumerate(chunks):
+        t = pa.Table.from_pylist(ch)
+        if j == len(chunks) - 1:
+            t = t.append_column("extra", pa.array([1.5] * t.num_rows))
+        run, n = _sort_run(t)
+        assert n == t.num_rows
+        runs.append([run, 0, n])
+
+    # reference: one global sort
+    import pyarrow.compute as pc
+
+    allt = pa.concat_tables(
+        [r[0] for r in runs], promote_options="default"
+    )
+    want = allt.take(
+        pc.sort_indices(
+            allt,
+            sort_keys=[
+                ("commit_scn", "ascending"),
+                ("scn", "ascending"),
+                ("row_id", "ascending"),
+            ],
+        )
+    )
+
+    got_batches = []
+    batch_size = 750
+    polls = 0
+    while runs:
+        polls += 1
+        if len(runs) > 8:  # exercise compaction mid-drain
+            run, n = _compact_runs([r[1] for r in runs], *[r[0] for r in runs])
+            runs = [[run, 0, n]] if n else []
+        batch, counts = _emit_from_runs(
+            batch_size, [r[1] for r in runs], *[r[0] for r in runs]
+        )
+        for r, c in zip(runs, counts):
+            r[1] += c
+        runs = [r for r in runs if r[1] < r[2]]
+        got_batches.append(batch)
+    got = pa.concat_tables(got_batches, promote_options="default")
+    assert got.num_rows == want.num_rows
+    # order-defining keys must match positionally; val ties may permute
+    for col in ("commit_scn", "scn", "row_id"):
+        assert got.column(col).to_pylist() == want.column(col).to_pylist(), col
+    assert sorted(got.column("val").to_pylist()) == sorted(
+        want.column("val").to_pylist()
+    )
