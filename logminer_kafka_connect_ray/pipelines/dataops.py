@@ -1525,6 +1525,178 @@ def word_freq_topk(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(df.head(k), preserve_index=False)
 
 
+_CC_REL = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
+
+
+def cc_canonical_labels(
+    edges,
+    num_partitions: int | None = None,
+    max_rounds: int = 50,
+) -> pa.Table:
+    """Distributed connected components: label every node of an edge
+    list with the MIN node id reachable from it.
+
+    Hash-to-min expressed as Ray Data exchange rounds (Rastogi et al.,
+    "Finding Connected Components in Map-Reduce in Logarithmic
+    Rounds"): the state is a ``(node, lbl)`` relation seeded with both
+    edge directions; each round stamps ``fnv(node) % P``,
+    range-partitions with explicit boundaries, and a per-block numpy
+    sweep computes ``m = min(lbls of node ∪ node)`` per group and
+    emits ``(node, m)`` plus ``(lbl, m)`` for every non-min label --
+    the min propagates one hop outward per round, converging in
+    O(log n) rounds for typical near-dup graphs (O(diameter) worst
+    case).  The relation stays edge-sized (block-local dedup per
+    sweep) and lives in the object store between rounds.
+
+    Correctness does NOT depend on the exchange delivering each node's
+    group as one block: min is associative/commutative, so a split
+    group just emits two partial-min rows that meet again next round
+    -- a block-size overflow here delays convergence instead of
+    silently corrupting labels (unlike the pairing exchanges, which
+    need the `_guard_record` side-channel).
+
+    Convergence is detected by a per-round (row-count, order-free
+    checksum) signature: labels only decrease, so a stable signature
+    means a stable relation.  ``edges`` is a Dataset or Table with
+    int64 ``doc_a``/``doc_b``; the returned label table (one row per
+    distinct node, component roots map to themselves) is
+    output-sized, fetched to the caller like every other dataops
+    result."""
+    import ray.data as rd
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "canonical_id": pa.array([], pa.int64())}
+    )
+    if isinstance(edges, pa.Table):
+        if edges.num_rows == 0:
+            return empty
+        n_edges = edges.num_rows
+        edges_ds = rd.from_arrow(edges.select(["doc_a", "doc_b"]))
+    else:
+        edges_ds = edges
+        n_edges = edges_ds.count()
+        if n_edges == 0:
+            return empty
+    P = num_partitions or _exchange_width(n_edges * 2)
+
+    def seed(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(np.concatenate([a, b])),
+             "lbl": pa.array(np.concatenate([b, a]))},
+            schema=_CC_REL,
+        )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "lbl": pa.array([], pa.int64()),
+                 "_p": pa.array([], pa.int64())}
+            )
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("node"), P))
+        )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CC_REL.empty_table()
+        node = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = t.column("lbl").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(node, kind="stable")
+        ns, ls = node[order], lbl[order]
+        first = np.concatenate([[True], ns[1:] != ns[:-1]])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(ns)))
+        m = np.minimum(np.minimum.reduceat(ls, starts), ns[starts])
+        m_row = np.repeat(m, counts)
+        keep = ls != m_row
+        gu = ns[starts] != m
+        # hash-to-min emissions, BOTH halves: every member of u's set
+        # (and u itself) learns the min, AND the min node receives the
+        # whole set -- dropping the second half severs reverse
+        # reachability and strands chains at local minima (the min
+        # node would never learn who points at it)
+        out_node = np.concatenate(
+            [ns[starts], ls[keep], m_row[keep], m[gu]]
+        )
+        out_lbl = np.concatenate(
+            [m, m_row[keep], ls[keep], ns[starts][gu]]
+        )
+        # block-local dedup keeps the relation edge-sized across rounds
+        o2 = np.lexsort((out_lbl, out_node))
+        onn, oll = out_node[o2], out_lbl[o2]
+        fdist = np.concatenate(
+            [[True], (onn[1:] != onn[:-1]) | (oll[1:] != oll[:-1])]
+        )
+        return pa.table(
+            {"node": pa.array(onn[fdist]), "lbl": pa.array(oll[fdist])},
+            schema=_CC_REL,
+        )
+
+    def sig_block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            cs = 0
+        else:
+            x = (
+                t.column("node").to_numpy(zero_copy_only=False).astype(np.uint64)
+                * np.uint64(0x100000001B3)
+                + t.column("lbl").to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            with np.errstate(over="ignore"):
+                cs = int((x * np.uint64(0x9E3779B97F4A7C15)).sum())
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "cs": pa.array([cs], pa.uint64())})
+
+    rel = edges_ds.map_batches(seed, batch_format="pyarrow")
+    prev_sig = None
+    for _ in range(max_rounds):
+        rel = (
+            rel.map_batches(stamp, batch_format="pyarrow")
+            .sort("_p", boundaries=list(range(1, P)))
+            .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        sigs = pa.Table.from_pandas(
+            rel.map_batches(sig_block, batch_format="pyarrow").to_pandas()
+        )
+        n_rows = int(pc.sum(sigs.column("n")).as_py() or 0)
+        cs = int(
+            np.sum(
+                sigs.column("cs").to_numpy(zero_copy_only=False).astype(np.uint64),
+                dtype=np.uint64,
+            )
+        )
+        sig = (n_rows, cs)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} "
+            "hash-to-min rounds (pathological graph diameter?)"
+        )
+    # fixpoint relation: every node holds {component min}, the min
+    # node holds its whole component (the hash-to-min invariant; a
+    # root's row set is component-sized, same bound as the output),
+    # plus possible duplicates from split groups; output-sized final
+    # reduce
+    star = pa.Table.from_pandas(rel.to_pandas())
+    node = star.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+    lbl = star.column("lbl").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(node, kind="stable")
+    ns, ls = node[order], lbl[order]
+    first = np.concatenate([[True], ns[1:] != ns[:-1]])
+    starts = np.flatnonzero(first)
+    canon = np.minimum(np.minimum.reduceat(ls, starts), ns[starts])
+    return pa.table(
+        {"doc_id": pa.array(ns[starts]), "canonical_id": pa.array(canon)}
+    )
+
+
 def dedup_cluster_canonical(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     """Connected-components canonicalization over the near-dup pair
     graph: every document appearing in an exact n-gram-Jaccard pair
@@ -1532,51 +1704,14 @@ def dedup_cluster_canonical(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     -- the "keep one canonical doc per duplicate cluster" primitive a
     dedup pipeline actually applies.
 
-    The pair graph is the (gate-sized) output of the distributed
+    The pair graph is the output of the distributed
     ``dedup_ngram_jaccard`` sweep; components are resolved by
-    hash-to-min label propagation over that edge list (vectorized
-    numpy ``minimum.reduceat`` rounds, O(E log D) for diameter D).
-    At 100 TB the same propagation runs as repeated pair-stamp
-    exchanges + block sweeps (the `_dedup_pair_blocks` primitive) --
-    the edge list here is dedup OUTPUT-sized, orders below corpus
-    size, so driver-local iteration is the honest default."""
+    ``cc_canonical_labels`` -- hash-to-min label propagation run as
+    Ray Data exchange rounds, so the propagation itself is distributed
+    (the round-2 driver-local dict iteration is gone) and the same
+    code path serves a 100 TB pair graph."""
     pairs = dedup_ngram_jaccard(sf_dir, threshold=threshold)
-    a = pairs.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
-    b = pairs.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
-    empty = pa.table(
-        {"doc_id": pa.array([], pa.int64()),
-         "canonical_id": pa.array([], pa.int64())}
-    )
-    if len(a) == 0:
-        return empty
-    nodes = np.unique(np.concatenate([a, b]))
-    label = {int(n): int(n) for n in nodes}
-    # hash-to-min propagation until fixpoint (label = min reachable id)
-    changed = True
-    while changed:
-        changed = False
-        la = np.array([label[int(x)] for x in a])
-        lb = np.array([label[int(x)] for x in b])
-        m = np.minimum(la, lb)
-        for x, lbl in zip(np.concatenate([a, b]), np.concatenate([m, m])):
-            if lbl < label[int(x)]:
-                label[int(x)] = int(lbl)
-                changed = True
-        # path-compress through current labels
-        for x in list(label):
-            l0 = label[x]
-            while label.get(l0, l0) != l0:
-                l0 = label[l0]
-            if l0 != label[x]:
-                label[x] = l0
-                changed = True
-    out = pa.table(
-        {
-            "doc_id": pa.array([int(n) for n in nodes], pa.int64()),
-            "canonical_id": pa.array([label[int(n)] for n in nodes], pa.int64()),
-        }
-    )
-    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+    return cc_canonical_labels(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -413,3 +413,52 @@ def test_dedup_cluster_canonical_transitive(ray_session, tmp_path):
     out = {r["doc_id"]: r["canonical_id"]
            for r in d.dedup_cluster_canonical(sf, threshold=0.5).to_pylist()}
     assert out == {0: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_cc_exchange_rounds_vs_union_find(ray_session):
+    """The distributed hash-to-min exchange rounds must label exactly
+    like a union-find, across shapes that stress convergence: long
+    chains (worst-case diameter), cliques, stars, isolated pairs."""
+    import random
+
+    import pyarrow as pa
+
+    rng = random.Random(11)
+    edges = []
+    # chain of 60 nodes with shuffled ids (deep diameter)
+    chain = list(range(1000, 1060))
+    rng.shuffle(chain)
+    edges += list(zip(chain, chain[1:]))
+    # clique of 12
+    cl = [2000 + i * 3 for i in range(12)]
+    edges += [(a, b) for i, a in enumerate(cl) for b in cl[i + 1:]]
+    # star
+    edges += [(3000, 3000 + i) for i in range(1, 15)]
+    # random forest-ish noise
+    for _ in range(80):
+        a, b = rng.randrange(4000, 4200), rng.randrange(4000, 4200)
+        if a != b:
+            edges.append((a, b))
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    t = pa.table(
+        {"doc_a": pa.array([a for a, _ in edges], pa.int64()),
+         "doc_b": pa.array([b for _, b in edges], pa.int64())}
+    )
+    out = d.cc_canonical_labels(t, num_partitions=8)
+    got = {r["doc_id"]: r["canonical_id"] for r in out.to_pylist()}
+    assert got == want
