@@ -439,6 +439,68 @@ FROM documents ORDER BY media_id
 """
 
 
+# Event-time relational operators (pipelines/events.py).  Aggregates
+# are integer cents (floor(value*100)) on both sides: float sum order
+# differs between engines, integer sums are exact.  CASTs pin DuckDB's
+# HUGEINT sum back to the engine's int64.
+_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+_WINDOW_STATS_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# Left as-of join restated as a merge-union + IGNORE NULLS forward
+# fill (deterministic tie-break: at equal ts, events sort before the
+# probe -- ts <= o_orderdate is inclusive -- and max event_id wins).
+_ASOF_SQL = """
+WITH rel AS (
+  SELECT user_id AS k, ts AS t, 0 AS probe, event_id AS eid,
+         event_type AS etype, NULL::BIGINT AS okey
+  FROM events
+  UNION ALL
+  SELECT o_custkey, o_orderdate, 1, NULL::BIGINT, NULL::VARCHAR, o_orderkey
+  FROM orders
+), w AS (
+  SELECT *,
+         last_value(eid IGNORE NULLS) OVER win AS m_eid,
+         last_value(CASE WHEN probe = 0 THEN t END IGNORE NULLS) OVER win
+           AS m_ts,
+         last_value(etype IGNORE NULLS) OVER win AS m_etype
+  FROM rel
+  WINDOW win AS (PARTITION BY k ORDER BY t, probe, eid
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT okey AS o_orderkey, k AS o_custkey, t AS o_orderdate,
+       m_eid AS asof_event_id, m_ts AS asof_ts, m_etype AS asof_event_type
+FROM w WHERE probe = 1 ORDER BY o_orderkey
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full CDC replay."""
     from logminer_kafka_connect_ray.pipelines import queries as q
@@ -448,6 +510,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from logminer_kafka_connect_ray.pipelines import dataops as d
+    from logminer_kafka_connect_ray.pipelines import events as ev
     from logminer_kafka_connect_ray.pipelines import queries as q
 
     return {
@@ -500,6 +563,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (decode/resize/frame-sample over fake
         # containers; dims are pure functions of doc_id -> SQL-checked)
         "media_pipeline": d.media_pipeline,
+        # event-time relational operators (as-of join, session
+        # windows, tumbling windows -- pipelines/events.py)
+        "events_sessionize": ev.events_sessionize,
+        "events_window_stats": ev.events_window_stats,
+        "orders_asof_events": ev.orders_asof_events,
     }
 
 
@@ -540,4 +608,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "media_pipeline": _MEDIA_SQL,
+        "events_sessionize": _SESSIONIZE_SQL,
+        "events_window_stats": _WINDOW_STATS_SQL,
+        "orders_asof_events": _ASOF_SQL,
     }

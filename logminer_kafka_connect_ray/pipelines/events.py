@@ -1,0 +1,418 @@
+"""Event-time relational operators: as-of join, gap sessionization,
+tumbling-window aggregation.
+
+These are the windowed/temporal primitives the reference's consumers
+apply downstream of the connector (a CDC feed is an event stream;
+Kafka-side stream processors sessionize it, window it, and as-of-join
+it against dimension feeds).  Ray Data has no native as-of join or
+session window, so each is built from the repo's standard exchange
+primitive: stamp a key partition id, range-partition with explicit
+boundaries (``sort(_p, boundaries=...)``), and run one vectorized
+numpy sweep per delivered block (`SURVEY.md` section 2.8/2.9 custom
+operators; same pattern as the near-dup sweeps in ``dataops.py``).
+
+Partitioning assumption (documented per the custom-operator contract):
+each stamp range arrives as ONE block.  The `_guard_record` /
+`_finalize_guard` side-channel from ``dataops`` fails loudly if an
+exchange ever splits a range across blocks; widths are derived from
+input size via `_exchange_width`, so 100x the input grows the
+exchange instead of overflowing it.
+
+All money/value sums are computed in integer cents (``floor(value *
+100)``) on BOTH the Ray side and the DuckDB oracle side: float
+summation order differs between engines, integer sums do not.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from logminer_kafka_connect_ray.functions.hashing import partition_ids
+from logminer_kafka_connect_ray.pipelines.dataops import (
+    _exchange_width,
+    _finalize_guard,
+    _guard_record,
+    _new_guard_dir,
+    _read,
+    _table_meta,
+)
+
+_US = 1_000_000
+
+
+def _ts_i64(col: pa.ChunkedArray) -> np.ndarray:
+    """timestamp[us] column -> int64 microseconds (zero-copy view)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _cents(v: np.ndarray) -> np.ndarray:
+    """double -> int64 floor-cents (exact; same double -> same floor
+    on every engine, unlike half-even vs half-away ``round``)."""
+    return np.floor(v * 100.0).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Gap sessionization
+# ---------------------------------------------------------------------------
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Per-user gap sessions over the ``events`` table: a session
+    breaks when consecutive events (ordered by ``ts, event_id``) are
+    more than ``gap_minutes`` apart.  Returns one row per session:
+    ``(user_id, session_idx, session_start, session_end, n_events,
+    sum_value_cents)``, ``session_idx`` 1-based per user.
+
+    Distributed shape: one hash exchange on ``user_id`` (every event
+    of a user lands in the same range partition), then a single
+    lexsort + ``reduceat`` sweep per block -- no per-row Python, no
+    driver-side iteration; the result is session-count-sized.
+    """
+    import ray.data as rd  # noqa: F401  (Dataset ops used via ds)
+
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gap_us = np.int64(gap_minutes * 60 * _US)
+    gd = _new_guard_dir("sessionize")
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_idx", pa.int64()),
+            ("session_start", pa.timestamp("us")),
+            ("session_end", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+            ("sum_value_cents", pa.int64()),
+        ]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "sess", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, ts, u))
+        u, ts, cents = u[order], ts[order], cents[order]
+        n = len(u)
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        brk = new_user.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, n))
+        # 1-based session index per user: global session ordinal minus
+        # the ordinal of the user's first session
+        sess_new_user = new_user[starts]
+        ordinal = np.arange(len(starts), dtype=np.int64)
+        base = np.maximum.accumulate(np.where(sess_new_user, ordinal, -1))
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "session_idx": pa.array(ordinal - base + 1),
+                "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
+                "session_end": pa.array(ts[starts + counts - 1]).cast(
+                    pa.timestamp("us")
+                ),
+                "n_events": pa.array(counts.astype(np.int64)),
+                "sum_value_cents": pa.array(np.add.reduceat(cents, starts)),
+            },
+            schema=out_schema,
+        )
+
+    res = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("session_idx", "ascending")]
+        )
+    )
+    return _finalize_guard(gd, t)
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation
+# ---------------------------------------------------------------------------
+def events_window_stats(sf_dir: str, window_minutes: int = 60) -> pa.Table:
+    """Tumbling event-time windows over ``events``: per
+    ``(event_type, window_start)`` emit ``n_events``, exact distinct
+    ``n_users``, and ``sum_value_cents``.
+
+    One hash exchange on ``(event_type, window)`` co-locates each
+    window's rows, then a lexsort + ``reduceat`` sweep computes counts
+    and exact distinct users per group (distinct needs co-location,
+    which is why this is an exchange rather than a pure combiner
+    pre-aggregation like the CDC fold's).  Result is
+    window-cardinality-sized.
+    """
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    win_us = np.int64(window_minutes * 60 * _US)
+    gd = _new_guard_dir("winstats")
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "user_id", "value"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "_w": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "_cents": pa.array([], pa.int64()),
+                    "_p": pa.array([], pa.int64()),
+                }
+            )
+        ts = _ts_i64(t.column("ts"))
+        w = (ts // win_us) * win_us
+        et = t.column("event_type")
+        key = pc.binary_join_element_wise(
+            pc.cast(et, pa.string()),
+            pc.cast(pa.array(w), pa.string()),
+            "\x00",
+        )
+        return pa.table(
+            {
+                "event_type": et,
+                "_w": pa.array(w),
+                "user_id": t.column("user_id"),
+                "_cents": pa.array(
+                    _cents(t.column("value").to_numpy(zero_copy_only=False))
+                ),
+                "_p": pa.array(partition_ids(key, P)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("window_start", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+            ("n_users", pa.int64()),
+            ("sum_value_cents", pa.int64()),
+        ]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "win", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        # dictionary-encode event_type once -> int codes for lexsort
+        codes = pc.dictionary_encode(et)
+        etc = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        etd = codes.dictionary
+        w = t.column("_w").to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = t.column("_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, w, etc))
+        etc, w, uid, cents = etc[order], w[order], uid[order], cents[order]
+        n = len(w)
+        brk = np.concatenate([[True], (etc[1:] != etc[:-1]) | (w[1:] != w[:-1])])
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, n))
+        # exact distinct users per group: uid is sorted within group,
+        # count positions where uid changes (or a group starts)
+        uid_new = brk | np.concatenate([[True], uid[1:] != uid[:-1]])
+        n_users = np.add.reduceat(uid_new.astype(np.int64), starts)
+        return pa.table(
+            {
+                "event_type": etd.take(pa.array(etc[starts])),
+                "window_start": pa.array(w[starts]).cast(pa.timestamp("us")),
+                "n_events": pa.array(counts.astype(np.int64)),
+                "n_users": pa.array(n_users),
+                "sum_value_cents": pa.array(np.add.reduceat(cents, starts)),
+            },
+            schema=out_schema,
+        )
+
+    res = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[("event_type", "ascending"), ("window_start", "ascending")],
+        )
+    )
+    return _finalize_guard(gd, t)
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+def orders_asof_events(sf_dir: str) -> pa.Table:
+    """As-of join: for every order, the LATEST event of the same
+    customer (``events.user_id = orders.o_custkey``) with ``ts <=
+    o_orderdate`` (ties on ``ts`` broken by max ``event_id``); orders
+    with no prior event keep nulls (left as-of join).
+
+    Distributed shape: tag both sides, union into ONE relation, hash
+    exchange on the join key, and per block run the textbook
+    vectorized as-of sweep -- lexsort by ``(key, t, side, eid)`` so
+    every probe row follows exactly the events at-or-before it, then a
+    single ``maximum.accumulate`` forward-fills the last event index
+    (validated against the key-group start, so a fill never crosses
+    keys).  No per-row Python, one shuffle, probe-count-sized output.
+    """
+    n_ev, _ = _table_meta(sf_dir, "events")
+    n_or, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_ev + n_or)
+    gd = _new_guard_dir("asof")
+
+    rel_schema = pa.schema(
+        [
+            ("_k", pa.int64()),
+            ("_t", pa.int64()),
+            ("_side", pa.int8()),  # 0 = event, 1 = probe (order)
+            ("_eid", pa.int64()),  # event_id, -1 on probes
+            ("_etype", pa.string()),  # "" on probes
+            ("_okey", pa.int64()),  # o_orderkey, -1 on events
+            ("_p", pa.int64()),
+        ]
+    )
+
+    def pad_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return rel_schema.empty_table()
+        k = t.column("user_id").cast(pa.int64())
+        return pa.table(
+            {
+                "_k": k,
+                "_t": pa.array(_ts_i64(t.column("ts"))),
+                "_side": pa.array(np.zeros(n, np.int8)),
+                "_eid": t.column("event_id").cast(pa.int64()),
+                "_etype": t.column("event_type").cast(pa.string()),
+                "_okey": pa.array(np.full(n, -1, np.int64)),
+                "_p": pa.array(partition_ids(k, P)),
+            },
+            schema=rel_schema,
+        )
+
+    def pad_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return rel_schema.empty_table()
+        k = t.column("o_custkey").cast(pa.int64())
+        return pa.table(
+            {
+                "_k": k,
+                "_t": pa.array(_ts_i64(t.column("o_orderdate"))),
+                "_side": pa.array(np.ones(n, np.int8)),
+                "_eid": pa.array(np.full(n, -1, np.int64)),
+                "_etype": pa.array([""] * n, pa.string()),
+                "_okey": t.column("o_orderkey").cast(pa.int64()),
+                "_p": pa.array(partition_ids(k, P)),
+            },
+            schema=rel_schema,
+        )
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    rel = ev.map_batches(pad_events, batch_format="pyarrow").union(
+        orders.map_batches(pad_orders, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("asof_event_id", pa.int64()),
+            ("asof_ts", pa.timestamp("us")),
+            ("asof_event_type", pa.string()),
+        ]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "asof", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        t = t.select(rel_schema.names).cast(rel_schema)  # re-inference safety
+        k = t.column("_k").to_numpy(zero_copy_only=False)
+        tt = t.column("_t").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        eid = t.column("_eid").to_numpy(zero_copy_only=False)
+        # events (side 0) sort BEFORE probes at equal (k, t): an event
+        # at ts == o_orderdate is eligible; eid last = max tiebreak
+        order = np.lexsort((eid, side, tt, k))
+        k, tt, side, eid = k[order], tt[order], side[order], eid[order]
+        n = len(k)
+        idx = np.arange(n, dtype=np.int64)
+        marker = np.where(side == 0, idx, np.int64(-1))
+        m = np.maximum.accumulate(marker)
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        gstart = np.maximum.accumulate(np.where(new_key, idx, np.int64(-1)))
+        probe = side == 1
+        matched = probe & (m >= gstart)
+        pm = m[probe]
+        ok = matched[probe]
+        etype_col = t.column("_etype")
+        if isinstance(etype_col, pa.ChunkedArray):
+            etype_col = etype_col.combine_chunks()
+        etype_sorted = etype_col.take(pa.array(order))
+        okey_sorted = t.column("_okey").to_numpy(zero_copy_only=False)[order]
+        # matched event's sorted position per probe (0 placeholder on
+        # unmatched rows -- nulled out by the if_else below)
+        take_idx = np.where(ok, pm, 0)
+        unmatched = pa.array(~ok)
+        asof_eid = pc.if_else(
+            unmatched, pa.nulls(len(ok), pa.int64()), pa.array(eid[take_idx])
+        )
+        asof_ts = pc.if_else(
+            unmatched, pa.nulls(len(ok), pa.int64()), pa.array(tt[take_idx])
+        ).cast(pa.timestamp("us"))
+        asof_etype = pc.if_else(
+            unmatched,
+            pa.nulls(len(ok), pa.string()),
+            etype_sorted.take(pa.array(take_idx)),
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okey_sorted[probe]),
+                "o_custkey": pa.array(k[probe]),
+                "o_orderdate": pa.array(tt[probe]).cast(pa.timestamp("us")),
+                "asof_event_id": asof_eid,
+                "asof_ts": asof_ts,
+                "asof_event_type": asof_etype,
+            },
+            schema=out_schema,
+        )
+
+    res = rel.sort("_p", boundaries=list(range(1, P))).map_batches(
+        sweep, batch_format="pyarrow", batch_size=None
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = t.take(pc.sort_indices(t, sort_keys=[("o_orderkey", "ascending")]))
+    return _finalize_guard(gd, t)

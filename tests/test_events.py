@@ -1,0 +1,145 @@
+"""Event-time relational operator tests (pipelines/events.py):
+gap sessionization, tumbling windows, as-of join -- planted fixtures
+with hand-computed expectations covering boundary/tie semantics.
+"""
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from logminer_kafka_connect_ray.pipelines import events as ev
+
+EPOCH = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return EPOCH + dt.timedelta(minutes=minutes)
+
+
+def make_events(tmp_path, rows):
+    """rows: (event_id, user_id, minutes_from_epoch, event_type, value)."""
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([_ts(r[2]) for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def make_orders(tmp_path, rows):
+    """rows: (o_orderkey, o_custkey, minutes_from_epoch)."""
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([1.0] * len(rows), pa.float64()),
+            "o_orderdate": pa.array([_ts(r[2]) for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_sessionize_gap_boundary_and_per_user_idx(ray_session, tmp_path):
+    # user 1: events at 0, 30 (gap == 30min: SAME session), 61 (gap 31:
+    # break), user 2: single event
+    sf = make_events(
+        tmp_path,
+        [
+            (1, 1, 0.0, "a", 1.00),
+            (2, 1, 30.0, "a", 2.00),
+            (3, 1, 61.0, "a", 4.00),
+            (4, 2, 5.0, "b", 8.00),
+        ],
+    )
+    out = ev.events_sessionize(sf).to_pylist()
+    got = [
+        (r["user_id"], r["session_idx"], r["n_events"], r["sum_value_cents"])
+        for r in out
+    ]
+    assert got == [(1, 1, 2, 300), (1, 2, 1, 400), (2, 1, 1, 800)]
+    assert out[0]["session_start"] == _ts(0) and out[0]["session_end"] == _ts(30)
+
+
+def test_sessionize_tie_on_ts_uses_event_id_order(ray_session, tmp_path):
+    # two events at the identical ts belong to one session regardless
+    # of file order; session bounds cover both
+    sf = make_events(
+        tmp_path,
+        [(10, 7, 100.0, "a", 1.0), (9, 7, 100.0, "a", 1.0)],
+    )
+    out = ev.events_sessionize(sf).to_pylist()
+    assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def test_window_stats_distinct_users_and_hour_boundary(ray_session, tmp_path):
+    # minute 59.999 is hour 0; minute 60 is hour 1.  user 5 appears
+    # twice in hour 0 -> n_users counts it once.
+    sf = make_events(
+        tmp_path,
+        [
+            (1, 5, 1.0, "click", 1.00),
+            (2, 5, 59.9, "click", 2.00),
+            (3, 6, 30.0, "click", 3.00),
+            (4, 5, 60.0, "click", 5.00),
+            (5, 9, 10.0, "view", 7.00),
+        ],
+    )
+    out = ev.events_window_stats(sf).to_pylist()
+    got = {
+        (r["event_type"], r["window_start"].hour): (
+            r["n_events"], r["n_users"], r["sum_value_cents"],
+        )
+        for r in out
+    }
+    assert got == {
+        ("click", 0): (3, 2, 600),
+        ("click", 1): (1, 1, 500),
+        ("view", 0): (1, 1, 700),
+    }
+
+
+def test_asof_join_inclusive_ties_and_no_match(ray_session, tmp_path):
+    rows = [
+        # user 3: events at t=10 (eid 1) and TWO at t=20 (eids 2, 3)
+        (1, 3, 10.0, "early", 0.0),
+        (2, 3, 20.0, "tie_lo", 0.0),
+        (3, 3, 20.0, "tie_hi", 0.0),
+        # user 4: single late event
+        (4, 4, 500.0, "late", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    make_orders(
+        tmp_path,
+        [
+            (100, 3, 20.0),   # at the tie: inclusive, max event_id wins
+            (101, 3, 15.0),   # between events: eid 1
+            (102, 4, 100.0),  # before user 4's only event: no match
+            (103, 8, 50.0),   # user with no events at all: no match
+        ],
+    )
+    out = {r["o_orderkey"]: r for r in ev.orders_asof_events(sf).to_pylist()}
+    assert len(out) == 4
+    assert out[100]["asof_event_id"] == 3
+    assert out[100]["asof_event_type"] == "tie_hi"
+    assert out[100]["asof_ts"] == _ts(20)
+    assert out[101]["asof_event_id"] == 1
+    assert out[102]["asof_event_id"] is None
+    assert out[103]["asof_event_id"] is None
+    assert out[103]["asof_event_type"] is None
+
+
+def test_asof_join_orders_only_all_null(ray_session, tmp_path):
+    sf = make_events(tmp_path, [])
+    make_orders(tmp_path, [(1, 1, 5.0)])
+    out = ev.orders_asof_events(sf).to_pylist()
+    assert len(out) == 1 and out[0]["asof_event_id"] is None
