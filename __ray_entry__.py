@@ -500,6 +500,24 @@ SELECT okey AS o_orderkey, k AS o_custkey, t AS o_orderdate,
 FROM w WHERE probe = 1 ORDER BY o_orderkey
 """
 
+_GROUP_TOPK_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events
+)
+SELECT user_id, CAST(rank AS BIGINT) AS rank, event_id, ts, value
+FROM r WHERE rank <= 3 ORDER BY user_id, rank
+"""
+
+_QUANTILES_SQL = """
+WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+l AS (SELECT quantile_disc(cents, [0.25, 0.5, 0.75, 0.9, 0.99]) AS v FROM c)
+SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+       CAST(unnest(v) AS BIGINT) AS value_cents FROM l
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full CDC replay."""
@@ -568,6 +586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": ev.events_sessionize,
         "events_window_stats": ev.events_window_stats,
         "orders_asof_events": ev.orders_asof_events,
+        "events_group_topk": ev.events_group_topk,
+        "events_value_quantiles": ev.events_value_quantiles,
     }
 
 
@@ -611,4 +631,6 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SESSIONIZE_SQL,
         "events_window_stats": _WINDOW_STATS_SQL,
         "orders_asof_events": _ASOF_SQL,
+        "events_group_topk": _GROUP_TOPK_SQL,
+        "events_value_quantiles": _QUANTILES_SQL,
     }

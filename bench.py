@@ -119,6 +119,7 @@ def run_bench() -> dict:
 
     # secondary pipelines (not part of the headline value)
     from logminer_kafka_connect_ray.pipelines import dataops as dops
+    from logminer_kafka_connect_ray.pipelines import events as evops
     from logminer_kafka_connect_ray.pipelines import queries as q
 
     for name, fn in [
@@ -130,6 +131,8 @@ def run_bench() -> dict:
         ("ann_cosine_topk", dops.ann_cosine_topk),
         ("text_quality", dops.text_quality),
         ("doc_fingerprints", dops.doc_fingerprints),
+        ("events_sessionize", evops.events_sessionize),
+        ("orders_asof_events", evops.orders_asof_events),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

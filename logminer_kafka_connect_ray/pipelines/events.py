@@ -416,3 +416,146 @@ def orders_asof_events(sf_dir: str) -> pa.Table:
     t = t.cast(out_schema)
     t = t.take(pc.sort_indices(t, sort_keys=[("o_orderkey", "ascending")]))
     return _finalize_guard(gd, t)
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k
+# ---------------------------------------------------------------------------
+def events_group_topk(sf_dir: str, k: int = 3) -> pa.Table:
+    """Top-``k`` events per user by ``(value DESC, event_id ASC)``.
+
+    Two-level: a block-local combiner keeps at most ``k`` rows per
+    user per block (cuts shuffle volume to ~k x users before the wide
+    step), then one hash exchange on ``user_id`` and a final identical
+    sweep.  Value doubles pass through untouched (no arithmetic), so
+    the oracle comparison is bit-exact; descending order is
+    ``-value`` (IEEE negation is exact).
+    """
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("topk")
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("rank", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+        ]
+    )
+
+    def _topk(t: pa.Table, final: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table() if final else t
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, -v, u))
+        us = u[order]
+        new_u = np.concatenate([[True], us[1:] != us[:-1]])
+        idx = np.arange(len(us), dtype=np.int64)
+        base = np.maximum.accumulate(np.where(new_u, idx, -1))
+        rank = idx - base + 1
+        keep = rank <= k
+        sel = pa.array(order[keep])
+        kept = t.take(sel)
+        if not final:
+            return kept
+        return pa.table(
+            {
+                "user_id": kept.column("user_id").cast(pa.int64()),
+                "rank": pa.array(rank[keep]),
+                "event_id": kept.column("event_id").cast(pa.int64()),
+                "ts": kept.column("ts"),
+                "value": kept.column("value"),
+            },
+            schema=out_schema,
+        )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        t = _topk(t, final=False)
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    def final_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "topk", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        return _topk(t, final=True)
+
+    res = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(final_sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("rank", "ascending")]
+        )
+    )
+    return _finalize_guard(gd, t)
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles
+# ---------------------------------------------------------------------------
+def events_value_quantiles(
+    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> pa.Table:
+    """EXACT discrete quantiles of ``floor(value * 100)`` cents over
+    ``events`` (``quantile_disc`` semantics: the smallest element
+    whose cumulative count reaches ``ceil(q * n)``).
+
+    Distributed as a counting sort: each block emits its distinct
+    ``(cents, count)`` partial (``np.unique``), a ``groupby.sum``
+    merges the partials, and the driver walks the cumulative counts of
+    the DISTINCT-value table only -- the wide input never leaves the
+    cluster, and the driver-side work is bounded by the value domain
+    (cents cardinality), not the row count.
+    """
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"cents": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        c = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        vals, counts = np.unique(c, return_counts=True)
+        return pa.table(
+            {"cents": pa.array(vals), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cents")
+        .sum("n")
+    )
+    t = pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+    vals = t.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vals)
+    vals, counts = vals[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        target = max(1, int(np.ceil(q * n)))
+        pos = int(np.searchsorted(cum, target))
+        out_q.append(float(q))
+        out_v.append(int(vals[pos]))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()),
+         "value_cents": pa.array(out_v, pa.int64())}
+    )

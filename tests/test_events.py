@@ -138,6 +138,36 @@ def test_asof_join_inclusive_ties_and_no_match(ray_session, tmp_path):
     assert out[103]["asof_event_type"] is None
 
 
+def test_group_topk_rank_and_ties(ray_session, tmp_path):
+    # user 1 has 4 events; equal values tie-break by smaller event_id
+    sf = make_events(
+        tmp_path,
+        [
+            (1, 1, 0.0, "a", 5.0),
+            (2, 1, 1.0, "a", 9.0),
+            (3, 1, 2.0, "a", 9.0),
+            (4, 1, 3.0, "a", 1.0),
+            (5, 2, 0.0, "a", 2.0),
+        ],
+    )
+    out = [
+        (r["user_id"], r["rank"], r["event_id"])
+        for r in ev.events_group_topk(sf, k=3).to_pylist()
+    ]
+    assert out == [(1, 1, 2), (1, 2, 3), (1, 3, 1), (2, 1, 5)]
+
+
+def test_value_quantiles_disc_semantics(ray_session, tmp_path):
+    # cents = [100, 200, 300, 400]; quantile_disc: smallest element
+    # whose cumulative count >= ceil(q*n)
+    sf = make_events(
+        tmp_path,
+        [(i, 1, float(i), "a", v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0])],
+    )
+    out = ev.events_value_quantiles(sf, qs=(0.25, 0.5, 0.75, 1.0))
+    assert out.column("value_cents").to_pylist() == [100, 200, 300, 400]
+
+
 def test_asof_join_orders_only_all_null(ray_session, tmp_path):
     sf = make_events(tmp_path, [])
     make_orders(tmp_path, [(1, 1, 5.0)])
