@@ -500,6 +500,18 @@ SELECT okey AS o_orderkey, k AS o_custkey, t AS o_orderdate,
 FROM w WHERE probe = 1 ORDER BY o_orderkey
 """
 
+_RANGE_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(count(e.ts) AS BIGINT) AS n_events_w,
+       CAST(coalesce(sum(CAST(floor(e.value * 100) AS BIGINT)), 0) AS BIGINT)
+         AS sum_value_cents_w
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >  o.o_orderdate - INTERVAL 24 HOUR
+ AND e.ts <= o.o_orderdate
+GROUP BY 1, 2, 3 ORDER BY o_orderkey
+"""
+
 _GROUP_TOPK_SQL = """
 WITH r AS (
   SELECT user_id, event_id, ts, value,
@@ -588,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_asof_events": ev.orders_asof_events,
         "events_group_topk": ev.events_group_topk,
         "events_value_quantiles": ev.events_value_quantiles,
+        "orders_range_join_events": ev.orders_range_join_events,
     }
 
 
@@ -633,4 +646,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_asof_events": _ASOF_SQL,
         "events_group_topk": _GROUP_TOPK_SQL,
         "events_value_quantiles": _QUANTILES_SQL,
+        "orders_range_join_events": _RANGE_JOIN_SQL,
     }

@@ -70,8 +70,6 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     lexsort + ``reduceat`` sweep per block -- no per-row Python, no
     driver-side iteration; the result is session-count-sized.
     """
-    import ray.data as rd  # noqa: F401  (Dataset ops used via ds)
-
     n_rows, _ = _table_meta(sf_dir, "events")
     P = _exchange_width(n_rows)
     gap_us = np.int64(gap_minutes * 60 * _US)
@@ -405,6 +403,173 @@ def orders_asof_events(sf_dir: str) -> pa.Table:
                 "asof_event_id": asof_eid,
                 "asof_ts": asof_ts,
                 "asof_event_type": asof_etype,
+            },
+            schema=out_schema,
+        )
+
+    res = rel.sort("_p", boundaries=list(range(1, P))).map_batches(
+        sweep, batch_format="pyarrow", batch_size=None
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = t.take(pc.sort_indices(t, sort_keys=[("o_orderkey", "ascending")]))
+    return _finalize_guard(gd, t)
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join -- aggregate form
+# ---------------------------------------------------------------------------
+def orders_range_join_events(sf_dir: str, window_hours: int = 24) -> pa.Table:
+    """Range join: for every order, the count and cents-sum of the
+    same customer's events with ``ts`` in ``(o_orderdate - window,
+    o_orderdate]`` (trailing window, exclusive lower / inclusive upper
+    bound).  Aggregate form -- emitting raw (order, event) pairs is
+    the scale-unsafe shape; the aggregate keeps output probe-sized.
+
+    Distributed shape: per order emit TWO probe rows into the union
+    relation, one at each window bound; after the key exchange a
+    single merge sweep computes the running per-key event count and
+    cents cumsum (``cumsum`` reset at key-group starts), so each probe
+    reads "events at-or-before me" in O(1); the window aggregate is
+    the difference of its two probes, paired in-block.  Probes sort
+    AFTER events at equal ts (side 1 > 0), which makes the upper bound
+    inclusive and the lower bound exclusive, matching the SQL
+    ``ts > lo AND ts <= hi``.
+    """
+    n_ev, _ = _table_meta(sf_dir, "events")
+    n_or, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_ev + 2 * n_or)
+    gd = _new_guard_dir("rangejoin")
+    win_us = np.int64(window_hours * 3600 * _US)
+
+    rel_schema = pa.schema(
+        [
+            ("_k", pa.int64()),
+            ("_t", pa.int64()),
+            ("_side", pa.int8()),   # 0 = event, 1 = probe
+            ("_bound", pa.int8()),  # probes: 0 = lower, 1 = upper
+            ("_cents", pa.int64()),
+            ("_okey", pa.int64()),
+            ("_odate", pa.int64()),
+            ("_p", pa.int64()),
+        ]
+    )
+
+    def pad_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return rel_schema.empty_table()
+        k = t.column("user_id").cast(pa.int64())
+        return pa.table(
+            {
+                "_k": k,
+                "_t": pa.array(_ts_i64(t.column("ts"))),
+                "_side": pa.array(np.zeros(n, np.int8)),
+                "_bound": pa.array(np.zeros(n, np.int8)),
+                "_cents": pa.array(
+                    _cents(t.column("value").to_numpy(zero_copy_only=False))
+                ),
+                "_okey": pa.array(np.full(n, -1, np.int64)),
+                "_odate": pa.array(np.full(n, -1, np.int64)),
+                "_p": pa.array(partition_ids(k, P)),
+            },
+            schema=rel_schema,
+        )
+
+    def pad_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return rel_schema.empty_table()
+        k = t.column("o_custkey").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        od = _ts_i64(t.column("o_orderdate"))
+        ok = t.column("o_orderkey").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k2 = np.concatenate([k, k])
+        part = partition_ids(pa.array(k2), P)
+        return pa.table(
+            {
+                "_k": pa.array(k2),
+                "_t": pa.array(np.concatenate([od - win_us, od])),
+                "_side": pa.array(np.ones(2 * n, np.int8)),
+                "_bound": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                ),
+                "_cents": pa.array(np.zeros(2 * n, np.int64)),
+                "_okey": pa.array(np.concatenate([ok, ok])),
+                "_odate": pa.array(np.concatenate([od, od])),
+                "_p": pa.array(part),
+            },
+            schema=rel_schema,
+        )
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    rel = ev.map_batches(pad_events, batch_format="pyarrow").union(
+        orders.map_batches(pad_orders, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("n_events_w", pa.int64()),
+            ("sum_value_cents_w", pa.int64()),
+        ]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "range", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        t = t.select(rel_schema.names).cast(rel_schema)
+        k = t.column("_k").to_numpy(zero_copy_only=False)
+        tt = t.column("_t").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        cents = t.column("_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, tt, k))
+        k, tt, side, cents = k[order], tt[order], side[order], cents[order]
+        n = len(k)
+        is_ev = side == 0
+        cum_n = np.cumsum(is_ev.astype(np.int64))
+        cum_c = np.cumsum(np.where(is_ev, cents, 0))
+        idx = np.arange(n, dtype=np.int64)
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        gstart = np.maximum.accumulate(np.where(new_key, idx, np.int64(-1)))
+        # events-at-or-before within the key group: cumulative minus
+        # the cumulative just before the group start
+        base_n = np.where(gstart > 0, cum_n[np.maximum(gstart - 1, 0)], 0)
+        base_c = np.where(gstart > 0, cum_c[np.maximum(gstart - 1, 0)], 0)
+        at_n = cum_n - base_n
+        at_c = cum_c - base_c
+        probe = side == 1
+        bound = t.column("_bound").to_numpy(zero_copy_only=False)[order][probe]
+        okey = t.column("_okey").to_numpy(zero_copy_only=False)[order][probe]
+        odate = t.column("_odate").to_numpy(zero_copy_only=False)[order][probe]
+        pk = k[probe]
+        pn, pc_ = at_n[probe], at_c[probe]
+        # pair each order's two bound probes: sort by (okey, bound)
+        po = np.lexsort((bound, okey))
+        okey, odate, pk = okey[po], odate[po], pk[po]
+        pn, pc_, bound = pn[po], pc_[po], bound[po]
+        lo, hi = slice(0, None, 2), slice(1, None, 2)
+        if len(okey) % 2 or not (
+            np.array_equal(okey[lo], okey[hi])
+            and (bound[lo] == 0).all()
+            and (bound[hi] == 1).all()
+        ):
+            raise RuntimeError(
+                "range-join probe pairing broken: an order's bound probes "
+                "were not co-delivered (exchange split?)"
+            )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okey[lo]),
+                "o_custkey": pa.array(pk[lo]),
+                "o_orderdate": pa.array(odate[lo]).cast(pa.timestamp("us")),
+                "n_events_w": pa.array(pn[hi] - pn[lo]),
+                "sum_value_cents_w": pa.array(pc_[hi] - pc_[lo]),
             },
             schema=out_schema,
         )

@@ -168,6 +168,28 @@ def test_value_quantiles_disc_semantics(ray_session, tmp_path):
     assert out.column("value_cents").to_pylist() == [100, 200, 300, 400]
 
 
+def test_range_join_window_bounds(ray_session, tmp_path):
+    # window is (orderdate - 24h, orderdate]: an event exactly 24h
+    # before is OUT, one exactly at the orderdate is IN
+    h = 60.0  # minutes per hour
+    sf = make_events(
+        tmp_path,
+        [
+            (1, 1, 0.0, "a", 1.00),        # exactly 24h before order at 24h
+            (2, 1, 1.0, "a", 2.00),        # inside
+            (3, 1, 24 * h, "a", 4.00),     # exactly at the order: inside
+            (4, 1, 25 * h, "a", 8.00),     # after: out
+            (5, 2, 10.0, "a", 16.00),      # other user
+        ],
+    )
+    make_orders(tmp_path, [(100, 1, 24 * h), (101, 3, 50.0)])
+    out = {r["o_orderkey"]: r
+           for r in ev.orders_range_join_events(sf).to_pylist()}
+    assert out[100]["n_events_w"] == 2
+    assert out[100]["sum_value_cents_w"] == 600
+    assert out[101]["n_events_w"] == 0 and out[101]["sum_value_cents_w"] == 0
+
+
 def test_asof_join_orders_only_all_null(ray_session, tmp_path):
     sf = make_events(tmp_path, [])
     make_orders(tmp_path, [(1, 1, 5.0)])
