@@ -438,6 +438,16 @@ class Engine:
         paths = [f.path for f in bfiles]
         t_meta0 = time.monotonic()
 
+        # --- txn metadata scan: LAUNCH FIRST --------------------------
+        # (SURVEY.md T1 batch path: markers are tiny vs change rows)
+        # async: kicked off before the driver's schema-discovery footer
+        # reads so the scan tree overlaps them too, not just the
+        # read+decode phase; only the resolve stage (in workers) and
+        # the open-pass decision (after the merge) wait on it
+        info, markers_ref = collect_txn_info_ref(
+            paths, scn_lo, scn_hi, block=False
+        )
+
         # --- schema evolution detection (plan time) -------------------
         cur_schema = schemas.schema_from_json(prev.schema)
         img_fields = discover_image_fields(paths)
@@ -451,14 +461,6 @@ class Engine:
         schema_json = schemas.schema_to_json(table_schema)
         flat_schema = schemas.flat_change_schema(cfg.key_column, table_schema)
 
-        # --- txn metadata: one column-pruned scan, then broadcast -----
-        # (SURVEY.md T1 batch path: markers are tiny vs change rows)
-        # async: the metadata scan runs CONCURRENTLY with the read +
-        # decode phase below; only the resolve stage (in workers) and
-        # the open-pass decision (after the merge) wait on it
-        info, markers_ref = collect_txn_info_ref(
-            paths, scn_lo, scn_hi, block=False
-        )
         batch_size = cfg.batch_size or self._auto_batch_size(
             paths[0], total_rows=sum(f.num_rows for f in bfiles)
         )
