@@ -5,6 +5,7 @@ with hand-computed expectations covering boundary/tie semantics.
 
 import datetime as dt
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -195,3 +196,94 @@ def test_asof_join_orders_only_all_null(ray_session, tmp_path):
     make_orders(tmp_path, [(1, 1, 5.0)])
     out = ev.orders_asof_events(sf).to_pylist()
     assert len(out) == 1 and out[0]["asof_event_id"] is None
+
+
+def test_events_ops_differential_fuzz(ray_session, tmp_path):
+    """Random inputs (dense ts/user domains to force ties) vs
+    brute-force Python references for sessionize / as-of / range join
+    / top-k: the vectorized sweeps must agree exactly."""
+    import random
+
+    rng = random.Random(20260817)
+    n_users = 12
+    ev_rows = []
+    for i in range(400):
+        ev_rows.append(
+            (
+                i + 1,
+                rng.randrange(1, n_users + 1),
+                float(rng.randrange(0, 48 * 60)),  # whole minutes, many ties
+                rng.choice(["a", "b"]),
+                rng.randrange(0, 2000) / 100.0,
+            )
+        )
+    or_rows = [
+        (1000 + j, rng.randrange(1, n_users + 3), float(rng.randrange(0, 48 * 60)))
+        for j in range(120)
+    ]
+    sf = make_events(tmp_path, ev_rows)
+    make_orders(tmp_path, or_rows)
+
+    by_user: dict[int, list] = {}
+    for eid, uid, mins, et, val in ev_rows:
+        by_user.setdefault(uid, []).append((mins, eid, et, val))
+    for v in by_user.values():
+        v.sort()
+
+    # --- sessionize reference
+    want_sess = []
+    for uid in sorted(by_user):
+        evs = by_user[uid]
+        sess, cur = [], [evs[0]]
+        for e in evs[1:]:
+            if e[0] - cur[-1][0] > 30:
+                sess.append(cur)
+                cur = [e]
+            else:
+                cur.append(e)
+        sess.append(cur)
+        for i, s in enumerate(sess, 1):
+            want_sess.append(
+                (uid, i, len(s), sum(int(np.floor(x[3] * 100)) for x in s))
+            )
+    got_sess = [
+        (r["user_id"], r["session_idx"], r["n_events"], r["sum_value_cents"])
+        for r in ev.events_sessionize(sf).to_pylist()
+    ]
+    assert got_sess == want_sess
+
+    # --- as-of reference
+    got_asof = {r["o_orderkey"]: r for r in ev.orders_asof_events(sf).to_pylist()}
+    for ok, ck, mins in or_rows:
+        elig = [e for e in by_user.get(ck, []) if e[0] <= mins]
+        r = got_asof[ok]
+        if not elig:
+            assert r["asof_event_id"] is None, ok
+        else:
+            best = max(elig, key=lambda e: (e[0], e[1]))
+            assert r["asof_event_id"] == best[1], ok
+            assert r["asof_event_type"] == best[2], ok
+
+    # --- range-join reference (24h trailing window)
+    got_rj = {
+        r["o_orderkey"]: r
+        for r in ev.orders_range_join_events(sf).to_pylist()
+    }
+    for ok, ck, mins in or_rows:
+        win = [
+            e for e in by_user.get(ck, [])
+            if mins - 24 * 60 < e[0] <= mins
+        ]
+        r = got_rj[ok]
+        assert r["n_events_w"] == len(win), ok
+        assert r["sum_value_cents_w"] == sum(
+            int(np.floor(e[3] * 100)) for e in win
+        ), ok
+
+    # --- top-k reference
+    got_tk: dict[int, list] = {}
+    for r in ev.events_group_topk(sf, k=3).to_pylist():
+        got_tk.setdefault(r["user_id"], []).append(r["event_id"])
+    for uid, evs in by_user.items():
+        want = [e[1] for e in sorted(evs, key=lambda e: (-e[3], e[1]))[:3]]
+        assert got_tk[uid] == want, uid
