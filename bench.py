@@ -117,6 +117,28 @@ def run_bench() -> dict:
     skew_s = time.monotonic() - t0
     timings["replay_skewed"] = round(skew_s, 3)
 
+    # streaming-mode replay of the same changelog (poll loop + sharded
+    # consolidator actors + per-poll merge): secondary timing proving
+    # the stateful path's throughput, not just its correctness gate
+    from logminer_kafka_connect_ray.pipelines.streaming import StreamingEngine
+
+    lake_st = f"{root}/lake-stream{NUM_CPUS}"
+    shutil.rmtree(lake_st, ignore_errors=True)
+    eng_st = Engine(EngineConfig(lake_dir=lake_st, num_partitions=64))
+    eng_st.snapshot(pages_path, workload.SNAPSHOT_SCN)
+    t0 = time.monotonic()
+    # batch_size sized so the run is ~6-8 merge polls at this event
+    # volume: the poll loop's cost is dominated by the per-poll merge,
+    # so tiny poll batches measure merge count, not streaming throughput
+    stream = StreamingEngine(
+        eng_st, changelog, num_shards=8, poll_interval=0.01,
+        batch_size=1_000_000,
+    )
+    stream.run(max_polls=400)
+    stream.shutdown()
+    stream_s = time.monotonic() - t0
+    timings["replay_streaming"] = round(stream_s, 3)
+
     # secondary pipelines (not part of the headline value)
     from logminer_kafka_connect_ray.pipelines import dataops as dops
     from logminer_kafka_connect_ray.pipelines import events as evops
@@ -148,6 +170,7 @@ def run_bench() -> dict:
         "events": n_events,
         "events_per_sec": round(n_events / replay_s, 1),
         "events_per_sec_skewed": round(n_events / skew_s, 1),
+        "events_per_sec_streaming": round(n_events / stream_s, 1),
         "final_rows": sum(p.rows for p in m.partitions),
     }
     ray.shutdown()

@@ -136,6 +136,85 @@ def _compact_runs(offsets, *runs):
     return _sort_run(*live)
 
 
+def _count_rows(t) -> int:
+    """Ray TASK: row count of a released ref (None-safe) -- lets the
+    driver drop empty terminate outputs without fetching tables."""
+    return t.num_rows if t is not None else 0
+
+
+def _txn_summary(flat: pa.Table) -> pa.Table:
+    """Per-txn (tx_id, min_scn, n_rows) of a buffered-rows block --
+    the METADATA the consolidator shards need for the min-open-SCN
+    watermark when the rows themselves stay in plasma (bulk catch-up
+    path)."""
+    if flat.num_rows == 0:
+        return pa.table(
+            {"tx_id": pa.array([], pa.string()),
+             "min_scn": pa.array([], pa.int64()),
+             "n_rows": pa.array([], pa.int64())}
+        )
+    tx = flat.column("tx_id").cast(pa.string()).combine_chunks()
+    scn = flat.column("scn").to_numpy(zero_copy_only=False)
+    idx = pc.sort_indices(pa.table({"t": tx}), sort_keys=[("t", "ascending")])
+    order = idx.to_numpy(zero_copy_only=False)
+    txs, scns = tx.take(idx), scn[order]
+    n = len(order)
+    neq = pc.not_equal(txs.slice(1), txs.slice(0, n - 1))
+    change = (
+        pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+        if n > 1
+        else np.empty(0, bool)
+    )
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1]).astype(np.int64)
+    sizes = np.diff(starts, append=n)
+    return pa.table(
+        {
+            "tx_id": txs.take(pa.array(starts)),
+            "min_scn": pa.array(np.minimum.reduceat(scns, starts)),
+            "n_rows": pa.array(sizes.astype(np.int64)),
+        }
+    )
+
+
+def _release_filter(block: pa.Table, commit_map: pa.Table):
+    """Ray TASK (num_returns=3): split a plasma-resident buffered-rows
+    block against this poll's terminator map.
+
+    ``commit_map`` columns: ``tx_id`` + nullable ``commit_scn`` (null
+    = ROLLBACK -> rows dropped).  Returns ``(released, still_open,
+    (n_released, n_open))``: released rows get their commit scn joined
+    in with one ``index_in`` pass; unmatched rows stay open and are
+    re-filtered by later polls.  This is the bulk-regime release path:
+    row payloads move plasma -> task once per terminator poll instead
+    of round-tripping through the consolidator actors."""
+    if block.num_rows == 0:
+        return block, block, (0, 0)
+    pos = pc.index_in(
+        block.column("tx_id").cast(pa.string()),
+        value_set=commit_map.column("tx_id"),
+    )
+    matched = pc.is_valid(pos)
+    cs = pc.take(commit_map.column("commit_scn"), pc.fill_null(pos, 0))
+    committed = pc.and_(matched, pc.is_valid(cs))
+    released = block.filter(committed)
+    if released.num_rows:
+        rel_cs = pc.take(
+            commit_map.column("commit_scn"),
+            pc.index_in(
+                released.column("tx_id").cast(pa.string()),
+                value_set=commit_map.column("tx_id"),
+            ),
+        )
+        if isinstance(rel_cs, pa.ChunkedArray):
+            rel_cs = rel_cs.combine_chunks()
+        i = released.column_names.index("commit_scn")
+        released = released.set_column(
+            i, "commit_scn", rel_cs.cast(pa.int64())
+        )
+    still_open = block.filter(pc.invert(matched))
+    return released, still_open, (released.num_rows, still_open.num_rows)
+
+
 def _emit_from_runs(batch_size, offsets, *runs):
     """Ray TASK: k-way-select the globally smallest ``batch_size`` rows
     across the sorted runs' live tails.
@@ -198,16 +277,38 @@ class _TxnShardImpl:
         change = pc.fill_null(neq, True).to_numpy(zero_copy_only=False) if n > 1 else np.empty(0, bool)
         starts = np.concatenate([[0], np.flatnonzero(change) + 1]).astype(np.int64)
         sizes = np.diff(starts, append=n)
-        for s, sz in zip(starts, sizes):
-            tx = tx_sorted[int(s)].as_py()
-            chunk = flat.slice(int(s), int(sz))
-            self.buffers.setdefault(tx, []).append(chunk)
-            lo = pc.min(chunk.column("scn")).as_py()
+        # one vectorized pass for the per-txn min scns and tx ids --
+        # a per-txn pc.min/as_py loop is ~ms per txn and the feed path
+        # sees thousands of txns per file
+        mins = np.minimum.reduceat(
+            flat.column("scn").to_numpy(zero_copy_only=False), starts
+        )
+        txs = tx_sorted.take(pa.array(starts)).to_pylist()
+        for tx, s, sz, mn in zip(txs, starts, sizes, mins):
+            self.buffers.setdefault(tx, []).append(flat.slice(int(s), int(sz)))
             cur = self.tx_min_scn.get(tx)
-            self.tx_min_scn[tx] = lo if cur is None else min(cur, lo)
-            self.rows_in_memory += chunk.num_rows
+            self.tx_min_scn[tx] = int(mn) if cur is None else min(cur, int(mn))
+            self.rows_in_memory += int(sz)
         self._maybe_spill()
         return flat.num_rows
+
+    def add_txn_meta(self, summary: pa.Table, num_shards: int) -> int:
+        """Track txn METADATA only (bulk catch-up path): the rows stay
+        in plasma blocks on the driver's ref list; this shard just
+        learns each of its txns' min scn so the min-open-SCN watermark
+        stays exact.  ``terminate`` pops these entries like any other
+        (releasing no rows -- the block release-filter does that)."""
+        if summary.num_rows == 0:
+            return 0
+        h = fnv1a_u64(summary.column("tx_id"))
+        mine = pa.array((h % np.uint64(num_shards)).astype(np.int64) == self.shard_id)
+        part = summary.filter(mine)
+        txs = part.column("tx_id").to_pylist()
+        mins = part.column("min_scn").to_numpy(zero_copy_only=False)
+        for tx, mn in zip(txs, mins):
+            cur = self.tx_min_scn.get(tx)
+            self.tx_min_scn[tx] = int(mn) if cur is None else min(cur, int(mn))
+        return len(txs)
 
     def _maybe_spill(self):
         """Spill the largest open txns to parquet when over budget."""
@@ -237,22 +338,15 @@ class _TxnShardImpl:
     # -- terminate ----------------------------------------------------
     def terminate(self, commit_tx: list[str], commit_scn: list[int], rolled_tx: list[str]) -> pa.Table | None:
         """Release committed txns (stamped with commit scn), discard
-        rolled-back ones.  Returns the released rows (or None)."""
-        out = []
-        for tx, cscn in zip(commit_tx, commit_scn):
-            chunks = self.buffers.pop(tx, [])
-            if tx in self.spilled:
-                chunks = [pq.read_table(self.spilled.pop(tx))] + chunks
-            self.tx_min_scn.pop(tx, None)
-            if not chunks:
-                continue
-            tbl = pa.concat_tables(chunks, promote_options="default")
-            self.rows_in_memory -= sum(t.num_rows for t in chunks if t)
-            i = tbl.column_names.index("commit_scn")
-            tbl = tbl.set_column(
-                i, "commit_scn", pa.array([cscn] * tbl.num_rows, pa.int64())
-            )
-            out.append(tbl)
+        rolled-back ones.  Returns the released rows (or None).
+
+        Vectorized: a CDC stream is mostly SMALL txns (the bench
+        workload averages ~6 rows/txn), so a per-txn concat +
+        set_column loop costs ~ms per TXN and dominates the whole
+        streaming path at volume.  The loop below only moves list
+        references; the released table is built with ONE concat and
+        the commit scns joined in with one ``index_in`` pass."""
+        released_chunks: list[pa.Table] = []
         for tx in rolled_tx:  # TransactionConsolidator.kt:42-45
             chunks = self.buffers.pop(tx, None)
             if chunks:
@@ -261,9 +355,28 @@ class _TxnShardImpl:
             if sp and os.path.exists(sp):
                 os.remove(sp)
             self.tx_min_scn.pop(tx, None)
-        if not out:
+        for tx in commit_tx:
+            sp = self.spilled.pop(tx, None)
+            if sp is not None:
+                released_chunks.append(pq.read_table(sp))
+                os.remove(sp)
+            chunks = self.buffers.pop(tx, None)
+            if chunks:
+                self.rows_in_memory -= sum(t.num_rows for t in chunks)
+                released_chunks.extend(chunks)
+            self.tx_min_scn.pop(tx, None)
+        if not released_chunks:
             return None
-        return pa.concat_tables(out, promote_options="default")
+        tbl = pa.concat_tables(released_chunks, promote_options="default")
+        pos = pc.index_in(
+            tbl.column("tx_id").cast(pa.string()),
+            value_set=pa.array(commit_tx, pa.string()),
+        )
+        cs = pc.take(pa.array(commit_scn, pa.int64()), pos)
+        if isinstance(cs, pa.ChunkedArray):
+            cs = cs.combine_chunks()
+        i = tbl.column_names.index("commit_scn")
+        return tbl.set_column(i, "commit_scn", cs)
 
     def stats(self) -> dict:
         return {
@@ -307,6 +420,14 @@ class StreamingConsolidator:
             for s in range(self.num_shards)
         ]
 
+    def feed_meta_ref(self, summary_ref):
+        """Bulk-path metadata feed: every shard filters its own txns
+        from the (tiny) per-file summary ref."""
+        return [
+            s.add_txn_meta.remote(summary_ref, self.num_shards)
+            for s in self.shards
+        ]
+
     def feed(self, flat: pa.Table):
         """Driver-side convenience wrapper over ``feed_ref``."""
         import ray
@@ -321,13 +442,20 @@ class StreamingConsolidator:
             return []
         ch = self._shard_of(fnv1a_u64(list(commit_tx))) if commit_tx else np.empty(0, np.int64)
         rh = self._shard_of(fnv1a_u64(list(rolled_tx))) if rolled_tx else np.empty(0, np.int64)
+        # numpy mask routing: the commit list can be 10^4-10^5 entries
+        # per poll, so per-element Python zip filters add up
+        ct = np.asarray(commit_tx, dtype=object)
+        cs = np.asarray(commit_scn, dtype=np.int64)
+        rt = np.asarray(rolled_tx, dtype=object)
         refs = []
         for s in range(self.num_shards):
-            cts = [t for t, sh in zip(commit_tx, ch) if sh == s]
-            css = [c for c, sh in zip(commit_scn, ch) if sh == s]
-            rts = [t for t, sh in zip(rolled_tx, rh) if sh == s]
-            if cts or rts:
-                refs.append(self.shards[s].terminate.remote(cts, css, rts))
+            cm, rm = ch == s, rh == s
+            if cm.any() or rm.any():
+                refs.append(
+                    self.shards[s].terminate.remote(
+                        ct[cm].tolist(), cs[cm].tolist(), rt[rm].tolist()
+                    )
+                )
         return refs
 
     def stats(self) -> list[dict]:
@@ -369,6 +497,7 @@ class StreamingEngine:
         batch_size: int = 100_000,
         poll_interval: float = 0.2,
         max_rows_in_memory: int = 100_000,
+        bulk_file_threshold: int = 4,
     ):
         import ray
 
@@ -408,6 +537,15 @@ class StreamingEngine:
         self._sort = ray.remote(num_returns=2)(_sort_run)
         self._compact = ray.remote(num_returns=2)(_compact_runs)
         self._emit = ray.remote(num_returns=2)(_emit_from_runs)
+        self._count = ray.remote(_count_rows)
+        self._summary = ray.remote(_txn_summary)
+        self._release = ray.remote(num_returns=3)(_release_filter)
+        #: bulk catch-up: buffered-rows blocks kept as plasma refs,
+        #: released by `_release_filter` tasks instead of actor
+        #: round-trips (the object store natively spills these)
+        self._open_blocks: list = []
+        #: a poll ingesting >= this many files uses the bulk path
+        self.bulk_file_threshold = bulk_file_threshold
 
     def _refresh_schema(self, paths: list[str]) -> None:
         """Mid-stream schema evolution (reference SchemaService
@@ -434,43 +572,128 @@ class StreamingEngine:
         tiny marker tables."""
         import ray
 
+        released, _hi = self._ingest()
+        return self._emit_sorted(released)
+
+    def _ingest(self):
+        """Ingest newly-appeared files: decode in parallel Ray tasks,
+        then apply feed -> terminate PER FILE in SCN-file order.
+        Returns ``(released_refs, max_commit_scn_or_None)``; the
+        driver touches only refs and the tiny marker tables."""
+        import ray
+
         new = [
             f
             for f in sorted(os.listdir(self.changelog_dir))
             if f.endswith(".parquet") and f not in self.seen_files
         ]
-        marker_refs = []
         feed_refs = []
         released = []  # this poll's newly released tables (refs)
+        terminator_parts = []  # this poll's (tx_id, commit_scn|null) map
+        hi_commit = None
         if new:
             paths = [os.path.join(self.changelog_dir, f) for f in new]
             self._refresh_schema(paths)
             schema_json = schemas.schema_to_json(self._schema)
+            decoded = []
             for name, path in zip(new, paths):
                 self.seen_files.add(name)
-                auto_ref, buf_ref, markers_ref = self._decode.remote(
-                    path,
-                    schema_json,
-                    self.engine.config.key_column,
-                    self.watermark,
-                    self.engine.config.transform,
+                decoded.append(
+                    self._decode.remote(
+                        path,
+                        schema_json,
+                        self.engine.config.key_column,
+                        self.watermark,
+                        self.engine.config.transform,
+                    )
                 )
+            # Apply feed -> terminate PER FILE, in SCN-file order
+            # (decode itself stays fully parallel above).  Per-shard
+            # actor-task submission order guarantees a file's buffered
+            # rows land before its terminators run, and a marker in
+            # file i can only commit rows from files <= i (commit scn
+            # > all its change scns), so no global feed barrier is
+            # needed.  This keeps shard buffers OPEN-TXN-sized: the
+            # old apply-all-markers-after-all-feeds shape made a poll
+            # that catches up on many files buffer EVERY row before
+            # releasing any, spilling millions of rows that were about
+            # to be released anyway.
+            # Bulk catch-up regime (many files in one poll -- initial
+            # backfill or recovery): buffered rows would round-trip
+            # ~the whole stream volume through the consolidator actors
+            # only to be released moments later.  Instead the blocks
+            # stay in plasma, the actors get per-txn METADATA (exact
+            # min-open-SCN watermark), and release is a parallel
+            # filter of blocks against the poll's terminator map.  The
+            # trickle regime (reference poll shape, few files) keeps
+            # the actor-buffer + per-txn disk spill semantics
+            # (Transaction.kt:59-71).
+            bulk = len(new) >= self.bulk_file_threshold
+            for auto_ref, buf_ref, markers_ref in decoded:
                 released.append(auto_ref)
-                feed_refs += self.consolidator.feed_ref(buf_ref)
-                marker_refs.append(markers_ref)
+                if bulk:
+                    feed_refs += self.consolidator.feed_meta_ref(
+                        self._summary.remote(buf_ref)
+                    )
+                    self._open_blocks.append(buf_ref)
+                else:
+                    feed_refs += self.consolidator.feed_ref(buf_ref)
+                m = ray.get(markers_ref)  # tiny: (scn, tx_id, op) only
+                if m.num_rows == 0:
+                    continue
+                commits = m.filter(pc.equal(m.column("op"), schemas.OP_COMMIT))
+                rolls = m.filter(pc.equal(m.column("op"), schemas.OP_ROLLBACK))
+                if commits.num_rows:
+                    c_hi = pc.max(commits.column("scn")).as_py()
+                    hi_commit = c_hi if hi_commit is None else max(hi_commit, c_hi)
+                # actor-resident rows come back as refs and stay refs
+                released += self.consolidator.terminate(
+                    commits.column("tx_id").to_pylist(),
+                    commits.column("scn").to_pylist(),
+                    rolls.column("tx_id").to_pylist(),
+                )
+                terminator_parts.append(
+                    pa.table(
+                        {
+                            "tx_id": pa.concat_arrays(
+                                [
+                                    commits.column("tx_id").cast(pa.string()).combine_chunks(),
+                                    rolls.column("tx_id").cast(pa.string()).combine_chunks(),
+                                ]
+                            ),
+                            "commit_scn": pa.concat_arrays(
+                                [
+                                    commits.column("scn").cast(pa.int64()).combine_chunks(),
+                                    pa.nulls(rolls.num_rows, pa.int64()),
+                                ]
+                            ),
+                        }
+                    )
+                )
         if feed_refs:
-            ray.get(feed_refs)  # buffers settled before terminators apply
-        all_markers = [m for m in ray.get(marker_refs) if m.num_rows] if marker_refs else []
-        if all_markers:
-            m = pa.concat_tables(all_markers)
-            commits = m.filter(pc.equal(m.column("op"), schemas.OP_COMMIT))
-            rolls = m.filter(pc.equal(m.column("op"), schemas.OP_ROLLBACK))
-            # released rows come back as refs and stay refs
-            released += self.consolidator.terminate(
-                commits.column("tx_id").to_pylist(),
-                commits.column("scn").to_pylist(),
-                rolls.column("tx_id").to_pylist(),
-            )
+            ray.get(feed_refs)  # buffers settled before watermark reads
+        # release block-resident rows against this poll's terminators
+        if self._open_blocks and terminator_parts:
+            cm_ref = ray.put(pa.concat_tables(terminator_parts))
+            results = [
+                self._release.remote(b, cm_ref) for b in self._open_blocks
+            ]
+            counts = ray.get([r[2] for r in results])
+            new_open = []
+            for (rel_ref, open_ref, _), (n_rel, n_open) in zip(results, counts):
+                if n_rel:
+                    released.append(rel_ref)
+                if n_open:
+                    new_open.append(open_ref)
+            self._open_blocks = new_open
+        return released, hi_commit
+
+    def _emit_sorted(self, released):
+        """Sorted-run bookkeeping for the commit-order ``poll()``
+        surface: fold this poll's released refs into one sorted run
+        and k-way-select the next emission batch."""
+        import ray
+
         if released:
             # sort ONLY the new rows into one run; the backlog is never
             # re-sorted
@@ -507,35 +730,55 @@ class StreamingEngine:
 
     def run(self, max_polls: int = 10) -> int:
         """Poll loop applying released rows to the lake; returns rows
-        applied.  Pacing per reference SourceTask.kt:142-146."""
+        applied.  Pacing per reference SourceTask.kt:142-146.
+
+        The lake apply is ORDER-FREE: the LWW fold in the merge path
+        orders per key by (commit_scn, scn, row_id), so released refs
+        flow straight into a Dataset (``from_arrow_refs``) with no
+        global commit-order sort -- that sort is the ``poll()``
+        emission contract (the reference's Kafka drain), not a merge
+        prerequisite, and funneling the whole released volume through
+        the single-task sorted-run machinery made catch-up polls
+        driver-shaped (53 s sorting one 450k-row x html-payload run
+        measured at 10x file backlog)."""
         import ray
         import ray.data as rd
 
         applied = 0
         for _ in range(max_polls):
-            batch_ref, n = self._poll_ref()
+            released, hi_commit = self._ingest()
+            # drain any backlog left by interleaved poll() usage first
+            if self._runs:
+                batch_ref, n = self._emit_sorted([])
+                if n:
+                    released.append(batch_ref)
+            if not released:
+                time.sleep(self.poll_interval)
+                continue
+            counts = ray.get([self._count.remote(r) for r in released])
+            live = [r for r, c in zip(released, counts) if c]
+            n = int(sum(counts))
             if not n:
                 time.sleep(self.poll_interval)
                 continue
             applied += n
             prev = self.engine.store.load()
-            # bounded fetch: scn stats only (the batch itself flows to
-            # the merge as a Dataset from the ref)
-            batch = ray.get(batch_ref)
-            hi = pc.max(batch.column("scn")).as_py()
             # Conservative resumable watermark (reference holds the
             # offset at min(scn, minOpenTransaction.minScn),
             # TransactionConsolidator.kt:56-64): rows of still-open
             # txns exist only in shard-actor memory, so the published
             # watermark must not pass them -- after a restart
             # _decode_file re-feeds everything above the watermark and
-            # the idempotent LWW merge absorbs re-applied rows.  Also
-            # monotonic: a later slice's hi can be lower than an
-            # earlier one (commit order != change-scn order).
+            # the idempotent LWW merge absorbs re-applied rows.  hi is
+            # the max COMMIT scn this ingest saw: any row above it is
+            # either open (min_open clamps below it), rolled back
+            # (discarded -- no re-read needed), or autocommit
+            # (re-feeding after restart is absorbed idempotently).
             min_open = self.consolidator.min_open_scn()
+            hi = self.watermark if hi_commit is None else hi_commit
             safe_hi = hi if min_open is None else min(hi, min_open - 1)
             new_wm = max(self.watermark, safe_hi)
-            flat = rd.from_arrow(batch)
+            flat = rd.from_arrow_refs(live)
             from logminer_kafka_connect_ray.stages.evolve import align_flat
             from logminer_kafka_connect_ray.stages.merge import PreaggPartitioner
 

@@ -124,6 +124,10 @@ def test_giant_txn_streaming_spill_bounded(ray_session, tmp_path):
     stream = StreamingEngine(
         eng, changelog, num_shards=2, poll_interval=0.01,
         max_rows_in_memory=200,
+        # pin the TRICKLE regime: this test exercises the per-txn
+        # disk-spill semantics (Transaction.kt:59-71); the bulk
+        # catch-up path (plasma-block release) has its own test below
+        bulk_file_threshold=100,
     )
     stream.run(max_polls=2)
     stats = stream.consolidator.stats()
@@ -137,6 +141,47 @@ def test_giant_txn_streaming_spill_bounded(ray_session, tmp_path):
     # commit arrives; everything releases and applies
     write_event_batches([commit], changelog, events_per_file=10)
     stream.run(max_polls=4)
+    stream.shutdown()
+
+    got = table_to_state(eng.to_arrow())
+    want = replay_oracle(_base_state(pages), events)
+    diffs = state_diff(got, want)
+    assert not diffs, diffs
+
+
+def test_giant_txn_streaming_bulk_path(ray_session, tmp_path):
+    """Bulk catch-up regime: the same giant open txn arrives as many
+    files in one poll.  Rows must stay OUT of the shard actors (plasma
+    blocks + metadata only), the watermark must still hold at the open
+    txn's min scn, and the commit must release every row exactly once
+    through the block release-filter."""
+    pages = gen_pages(10)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events = _giant_txn_events(pages, 2000)
+    body, commit = events[:-1], events[-1]
+    changelog = str(tmp_path / "changelog")
+    write_event_batches(body, changelog, events_per_file=400)
+
+    eng = Engine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    stream = StreamingEngine(
+        eng, changelog, num_shards=2, poll_interval=0.01,
+        max_rows_in_memory=200, bulk_file_threshold=2,
+    )
+    stream.run(max_polls=2)
+    stats = stream.consolidator.stats()
+    # metadata-only: no rows buffered in actors, nothing spilled
+    assert sum(s["rows_in_memory"] for s in stats) == 0, stats
+    assert sum(s["spilled_txns"] for s in stats) == 0, stats
+    # but the watermark still knows the open txn
+    assert stream.consolidator.min_open_scn() == 1000
+    assert stream._open_blocks, "open rows must be retained as block refs"
+    assert eng.store.load().version == 1  # lake unchanged while open
+
+    write_event_batches([commit], changelog, events_per_file=10)
+    stream.run(max_polls=4)
+    assert not stream._open_blocks  # everything released
     stream.shutdown()
 
     got = table_to_state(eng.to_arrow())
