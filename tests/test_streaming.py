@@ -421,3 +421,61 @@ def test_run_emission_equals_global_sort():
     assert sorted(got.column("val").to_pylist()) == sorted(
         want.column("val").to_pylist()
     )
+
+
+def test_poll_then_run_drains_backlog(streamed_setup, tmp_path):
+    """Interleaved surface use: poll() leaves a sorted-run backlog
+    (emission-bounded), then run() must drain that backlog into the
+    lake alongside newly released rows -- final state equals the
+    oracle."""
+    eng, pages, events, changelog = streamed_setup
+    write_event_batches(events, changelog, events_per_file=40)
+    stream = StreamingEngine(
+        eng, changelog, num_shards=2, batch_size=30, poll_interval=0.01
+    )
+    # consume one emission batch via the Kafka-style surface
+    b1 = stream.poll()
+    assert b1 is not None and 0 < b1.num_rows <= 30
+    assert stream._runs, "poll() must leave an emission backlog"
+
+    # rows consumed by poll() went to that consumer, not the lake;
+    # apply them through the engine merge FIRST (poll() emits in
+    # commit order, and the per-key fold guard requires nondecreasing
+    # apply order across batches), then run() drains the remaining
+    # backlog + new releases -- the mixed surfaces must reproduce the
+    # oracle state EXACTLY
+    import ray.data as rd
+
+    from logminer_kafka_connect_ray import schemas
+    from logminer_kafka_connect_ray.stages.evolve import align_flat
+    from logminer_kafka_connect_ray.stages.merge import PreaggPartitioner
+
+    prev = eng.store.load()
+    schema = schemas.schema_from_json(prev.schema)
+    flat_schema = schemas.flat_change_schema("url", schema)
+    data_cols = schemas.data_columns_of(schema, "url")
+    eng._merge_and_publish(
+        rd.from_arrow(b1)
+        .map_batches(lambda t, s=flat_schema: align_flat(t, s),
+                     batch_format="pyarrow")
+        .map_batches(PreaggPartitioner("url", len(data_cols), 4),
+                     batch_format="pyarrow"),
+        version=prev.version + 1,
+        phase="cdc-stream",
+        table_schema=schema,
+        schema_version=prev.schema_version,
+        scn_lo=0,
+        scn_hi=prev.watermark_scn,
+        prev=prev,
+        open_spill=None,
+        markers_stats=(0, 0, 0),
+        pre_partitioned=True,
+    )
+    stream.run(max_polls=40)
+    stream.shutdown()
+
+    base = {r["url"]: {k: v for k, v in r.items() if k != "url"}
+            for r in pages.to_pylist()}
+    want = replay_oracle(base, events)
+    got = table_to_state(eng.to_arrow())
+    assert not state_diff(got, want), state_diff(got, want)
