@@ -549,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_final_state": q.cdc_final_state,
         "cdc_final_state_redo_sql": q.cdc_final_state_redo_sql,
         "cdc_final_state_streaming": q.cdc_final_state_streaming,
+        "cdc_final_state_streaming_redo": q.cdc_final_state_streaming_redo,
         "cdc_final_state_salted": q.cdc_final_state_salted,
         "cdc_final_state_transform": q.cdc_final_state_transform,  # SMT hook
         "cdc_snapshot_state": q.cdc_snapshot_state,
@@ -609,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _FINAL_STATE_SQL,
         "cdc_final_state_redo_sql": _FINAL_STATE_SQL,
         "cdc_final_state_streaming": _FINAL_STATE_SQL,
+        "cdc_final_state_streaming_redo": _FINAL_STATE_SQL,
         "cdc_final_state_salted": _FINAL_STATE_SQL,
         "cdc_final_state_transform": _FINAL_STATE_TRANSFORM_SQL,
         "cdc_snapshot_state": _SNAPSHOT_SQL,

@@ -239,6 +239,39 @@ def cdc_final_state_streaming(sf_dir: str) -> pa.Table:
     return _digest_html(eng.to_arrow())
 
 
+def cdc_final_state_streaming_redo(sf_dir: str) -> pa.Table:
+    """Streaming engine over the RAW REDO-SQL changelog: the
+    reference's actual operating shape (a LogMiner statement stream
+    consumed by a long-lived poll loop) -- statement parsing, CSF
+    reassembly, dead-letter routing and the catalog-sidecar schema
+    source all running inside the streaming decode tasks, verified
+    against the same SQL oracle as every other flagship path."""
+    import os
+
+    from logminer_kafka_connect_ray.pipelines.streaming import StreamingEngine
+
+    d = workload.ensure_workload(sf_dir)
+    redo_dir = os.path.join(d["root"], "changelog-redo")
+    marker = os.path.join(d["root"], "_ready_redo")
+    if not os.path.exists(marker):
+        workload.derive_changelog_redo_sql(sf_dir, redo_dir)
+        open(marker, "w").write("ok")
+    lake = d["lake"] + "-stream-redo"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(
+        EngineConfig(
+            lake_dir=lake, num_partitions=16, changelog_format="redo_sql"
+        )
+    )
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    stream = StreamingEngine(
+        eng, redo_dir, num_shards=4, poll_interval=0.01
+    )
+    stream.run(max_polls=80)
+    stream.shutdown()
+    return _digest_html(eng.to_arrow())
+
+
 def cdc_final_state_salted(sf_dir: str) -> pa.Table:
     """Same replay as cdc_final_state through the salted two-level
     fold (salt_factor > 1, the north rule's salted repartitioning) --

@@ -51,6 +51,10 @@ def _decode_changelog_file(
     key_column: str,
     watermark: int,
     transform=None,
+    changelog_format: str = "struct",
+    db_timezone: str = "UTC",
+    dead_dir: str | None = None,
+    whitelist: tuple[str, ...] = (),
 ) -> tuple[pa.Table, pa.Table, pa.Table]:
     """Ray TASK: raw event file -> (auto-commit rows, to-buffer rows,
     marker rows).  Runs OFF the driver (round-2 verdict: the poll
@@ -58,16 +62,46 @@ def _decode_changelog_file(
     path's scale-killer); the driver only ever touches the returned
     object refs, except the tiny marker tables it fetches to route
     terminators.  ``transform`` is the SMT hook, applied exactly once
-    here -- rows buffered in shard actors are already transformed."""
-    from logminer_kafka_connect_ray.stages.decode import ChangeDecoder
+    here -- rows buffered in shard actors are already transformed.
+
+    ``changelog_format='redo_sql'`` decodes raw redo statements (CSF
+    reassembled per file before any slicing, LogminerFetcher.kt:
+    144-153) with the same parse/convert dead-letter routing as the
+    batch path; streaming dead letters are attributed to version 0
+    (the stream has no plan-time version) and deduplicated by the
+    (scn, row_id) reader like any retried write."""
+    from logminer_kafka_connect_ray.stages.decode import (
+        ChangeDecoder,
+        RedoSqlDecoder,
+        route_dead_rows,
+    )
 
     raw = pq.read_table(path)
+    schema = schemas.schema_from_json(schema_json)
+    if changelog_format == "redo_sql":
+        from logminer_kafka_connect_ray.functions.redo_sql import reassemble_csf
+
+        raw = reassemble_csf(raw)
+        dec = RedoSqlDecoder(
+            schema, key_column, whitelist, db_timezone,
+            dead_dir=dead_dir, version=0, scn_lo=watermark,
+        )
+    else:
+        dec = ChangeDecoder(schema, key_column, whitelist)
     markers = raw.filter(
         pc.is_in(raw.column("op"), value_set=pa.array(schemas.MARKER_OPS))
     ).select(["scn", "tx_id", "op"])
-    dec = ChangeDecoder(schemas.schema_from_json(schema_json), key_column)
     flat = dec(raw)
     flat = flat.filter(pc.greater(flat.column("scn"), watermark))
+    # struct-format null-key rows are undecodable: route them like the
+    # batch processor does (process.py missing_key parity)
+    nk = pc.is_null(flat.column(key_column))
+    if pc.any(nk).as_py():
+        if dead_dir is not None:
+            bad = flat.filter(nk).select(["scn", "row_id", "tx_id", "table"])
+            rows = bad.to_pylist()
+            route_dead_rows(dead_dir, 0, rows, ["missing_key"] * len(rows))
+        flat = flat.filter(pc.invert(nk))
     if transform is not None:
         flat = transform(flat)
     # auto-commit rows (snapshot READs / no-txn) bypass buffering
@@ -559,6 +593,13 @@ class StreamingEngine:
         )
 
         fields = discover_image_fields(paths)
+        if self.engine.config.changelog_format == "redo_sql":
+            # redo statements carry no type info; the _catalog.json
+            # dictionary sidecar is the refresh source (same as the
+            # batch plan path, stages/evolve.py catalog_fields)
+            from logminer_kafka_connect_ray.stages.evolve import catalog_fields
+
+            fields = fields + catalog_fields(paths)
         schema, changed = unify_with(self._schema, fields)
         if changed:
             self._schema = schema
@@ -598,13 +639,19 @@ class StreamingEngine:
             decoded = []
             for name, path in zip(new, paths):
                 self.seen_files.add(name)
+                cfg = self.engine.config
                 decoded.append(
                     self._decode.remote(
                         path,
                         schema_json,
-                        self.engine.config.key_column,
+                        cfg.key_column,
                         self.watermark,
-                        self.engine.config.transform,
+                        cfg.transform,
+                        cfg.changelog_format,
+                        cfg.db_timezone,
+                        (f"{cfg.lake_dir}/dead_letters"
+                         if cfg.dead_letter else None),
+                        cfg.table_whitelist,
                     )
                 )
             # Apply feed -> terminate PER FILE, in SCN-file order

@@ -334,3 +334,59 @@ def test_rowid_predicate_skipped():
         TYPES,
     )
     assert before == {"ID": 1, "STRING": None}
+
+
+def test_redo_sql_streaming_end_to_end(ray_session, tmp_path):
+    """The reference's actual operating shape: a redo-SQL statement
+    stream consumed by the long-lived poll loop.  Statement parsing,
+    CSF reassembly and dead-letter routing all run inside the
+    streaming decode tasks; final state matches the dict oracle and
+    the corrupt statement lands in lake/dead_letters."""
+    from logminer_kafka_connect_ray.pipelines.streaming import StreamingEngine
+    from logminer_kafka_connect_ray.testing.gen import REDO_SQL_SCHEMA
+
+    pages = gen_pages(30)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(
+        pages, ChangeGenConfig(n_events=200, seed=57, p_set_null=0.2)
+    )
+    changelog = str(tmp_path / "changelog")
+    write_redo_sql_batches(events, changelog, events_per_file=60,
+                           csf_fragment_len=120)
+    # one corrupt statement inside its own committed txn
+    hi = max(e["scn"] for e in events)
+    bad = [
+        {"scn": hi + 1, "row_id": f"AAAx{hi+1:010d}", "commit_scn": None,
+         "tx_id": "txbad", "op": "u", "ts_ms": 0, "table": "WEB.PAGES",
+         "username": "WEBCRAWL", "status": 0, "csf": 0,
+         "sql_redo": "garbage %%% not sql at all"},
+        {"scn": hi + 2, "row_id": f"AAAx{hi+2:010d}", "commit_scn": hi + 2,
+         "tx_id": "txbad", "op": "commit", "ts_ms": 0, "table": "WEB.PAGES",
+         "username": "WEBCRAWL", "status": 0, "csf": 0, "sql_redo": None},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(bad, schema=REDO_SQL_SCHEMA),
+        f"{changelog}/batch-{hi+1:012d}-{hi+2:012d}.parquet",
+    )
+
+    eng = Engine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake"), num_partitions=4,
+            changelog_format="redo_sql",
+        )
+    )
+    eng.snapshot(pages_path, 999)
+    stream = StreamingEngine(eng, changelog, num_shards=2, poll_interval=0.01)
+    stream.run(max_polls=10)
+    stream.shutdown()
+
+    base = {
+        r["url"]: {k: v for k, v in r.items() if k != "url"}
+        for r in pages.to_pylist()
+    }
+    want = replay_oracle(base, events)
+    got = table_to_state(eng.to_arrow())
+    assert not state_diff(got, want), state_diff(got, want)
+    dead = eng.read_dead_letters().to_pandas()
+    assert (dead["reason"] == "parse_error").sum() == 1, dead
