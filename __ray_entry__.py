@@ -555,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_state": q.cdc_snapshot_state,
         "cdc_time_travel": q.cdc_time_travel,
         "cdc_multitable_suppliers": q.cdc_multitable_suppliers,
+        "cdc_multitable_suppliers_streaming": q.cdc_multitable_suppliers_streaming,
         "cdc_multitable_pages": q.cdc_multitable_pages,
         "cdc_committed_events": q.cdc_committed_events,
         "cdc_rolled_back_events": q.cdc_open_or_rolled_events,
@@ -616,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_snapshot_state": _SNAPSHOT_SQL,
         "cdc_time_travel": _SNAPSHOT_SQL,
         "cdc_multitable_suppliers": _SUPPLIERS_SQL,
+        "cdc_multitable_suppliers_streaming": _SUPPLIERS_SQL,
         # pages state from the MIXED two-table log == single-table replay
         "cdc_multitable_pages": _FINAL_STATE_SQL,
         "cdc_committed_events": _COMMITTED_SQL,

@@ -74,3 +74,32 @@ class MultiTableEngine:
             t for t in discover_tables(changelog_dir) if matches_whitelist(t, wl)
         ]
         return {t: self.engine_for(t).replay(changelog_dir) for t in tables}
+
+    def stream(
+        self, changelog_dir: str, max_polls: int = 10, **stream_kw
+    ) -> dict[str, int]:
+        """Streaming fan-out: one poll loop per whitelisted table over
+        the SAME mixed changelog (the reference's single task serving
+        many topics, ``SourceTask.kt:46-63``).  Each table's decode
+        task prunes to its own rows (S6 whitelist inside
+        ``_decode_changelog_file``); terminators for foreign tables'
+        txns are no-ops on that table's shards, so per-table
+        watermarks advance independently -- per-topic offsets,
+        re-expressed.  Returns rows applied per table."""
+        from logminer_kafka_connect_ray.pipelines.streaming import (
+            StreamingEngine,
+        )
+
+        wl = self.base_config.table_whitelist
+        tables = [
+            t for t in discover_tables(changelog_dir) if matches_whitelist(t, wl)
+        ]
+        streams = {
+            t: StreamingEngine(self.engine_for(t), changelog_dir, **stream_kw)
+            for t in tables
+        }
+        try:
+            return {t: s.run(max_polls=max_polls) for t, s in streams.items()}
+        finally:
+            for s in streams.values():
+                s.shutdown()

@@ -313,6 +313,24 @@ def cdc_multitable_suppliers(sf_dir: str) -> pa.Table:
     return _digest_html(mt.engine_for(workload.SUP_TABLE).to_arrow())
 
 
+def cdc_multitable_suppliers_streaming(sf_dir: str) -> pa.Table:
+    """Streaming fan-out (MultiTableEngine.stream): per-table poll
+    loops over the same mixed log must reach the identical supplier
+    final state as the batch fan-out -- same SQL oracle."""
+    from logminer_kafka_connect_ray.pipelines.multitable import MultiTableEngine
+
+    d = workload.ensure_multitable(sf_dir)
+    root = d["lake"] + "-mt-stream"
+    shutil.rmtree(root, ignore_errors=True)
+    mt = MultiTableEngine(root, EngineConfig(num_partitions=8))
+    mt.snapshot(
+        {workload.TABLE_NAME: d["pages"], workload.SUP_TABLE: d["sup_base"]},
+        workload.SNAPSHOT_SCN,
+    )
+    mt.stream(d["mixed"], max_polls=40, num_shards=2, poll_interval=0.01)
+    return _digest_html(mt.engine_for(workload.SUP_TABLE).to_arrow())
+
+
 def cdc_multitable_pages(sf_dir: str) -> pa.Table:
     """Final PAGES state from the MIXED log must equal the single-table
     replay -- proves the S6 whitelist keeps the other table's events
