@@ -775,6 +775,31 @@ class StreamingEngine:
         ref, n = self._poll_ref()
         return ray.get(ref) if n else None
 
+    def poll_envelopes(self) -> pa.Table | None:
+        """``poll()`` shaped as Debezium-envelope records -- the
+        reference's per-record OUTPUT surface (op/before/after/source/
+        ts_ms, ConnectSchemaFactory.kt:56-163) on the streaming side,
+        with ``config.emit_tombstones`` adding the (key, null) row
+        after each DELETE.  The envelope stage is rebuilt when the
+        schema evolves mid-stream."""
+        from logminer_kafka_connect_ray.stages.envelope import EnvelopeStage
+
+        batch = self.poll()
+        if batch is None:
+            return None
+        cached = getattr(self, "_env_stage", None)
+        if cached is None or cached[0] != self._schema_version:
+            cached = (
+                self._schema_version,
+                EnvelopeStage(
+                    schemas.schema_to_json(self._schema),
+                    self.engine.config.key_column,
+                    self.engine.config.emit_tombstones,
+                ),
+            )
+            self._env_stage = cached
+        return cached[1](batch)
+
     def run(self, max_polls: int = 10) -> int:
         """Poll loop applying released rows to the lake; returns rows
         applied.  Pacing per reference SourceTask.kt:142-146.

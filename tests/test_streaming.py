@@ -479,3 +479,37 @@ def test_poll_then_run_drains_backlog(streamed_setup, tmp_path):
     want = replay_oracle(base, events)
     got = table_to_state(eng.to_arrow())
     assert not state_diff(got, want), state_diff(got, want)
+
+
+def test_streaming_envelope_surface(streamed_setup, tmp_path):
+    """poll_envelopes(): the streaming side of the reference's OUTPUT
+    surface -- draining all emission batches as envelopes yields one
+    record per committed change row (plus tombstones per DELETE when
+    configured), identical in counts to the batch Engine.changelog."""
+    eng, pages, events, changelog = streamed_setup
+    eng.config.emit_tombstones = True
+    write_event_batches(events, changelog, events_per_file=60)
+    stream = StreamingEngine(eng, changelog, num_shards=2,
+                             batch_size=64, poll_interval=0.01)
+    parts = []
+    for _ in range(40):
+        b = stream.poll_envelopes()
+        if b is None:
+            break
+        parts.append(b)
+    stream.shutdown()
+    env = pa.concat_tables(parts)
+
+    committed = {e["tx_id"] for e in events if e["op"] == "commit"}
+    n_committed = sum(
+        1 for e in events
+        if e["op"] not in ("commit", "rollback")
+        and e.get("status", 0) != 2 and e["tx_id"] in committed
+    )
+    n_deletes = sum(
+        1 for e in events
+        if e["op"] == "d" and e.get("status", 0) != 2 and e["tx_id"] in committed
+    )
+    assert env.num_rows == n_committed + n_deletes
+    tomb = env.column("tombstone").to_pandas()
+    assert int(tomb.sum()) == n_deletes
