@@ -512,6 +512,56 @@ FROM orders o LEFT JOIN events e
 GROUP BY 1, 2, 3 ORDER BY o_orderkey
 """
 
+# End-to-end curation composition: lang filter -> quality filter ->
+# exact dedup -> token stats, restated over the same lang-id marker
+# CTEs the lang_id oracle uses.
+_CURATION_SQL = """
+WITH m AS (
+  SELECT * FROM (VALUES
+    ('en', 'the and of to in is you that it for was with are have this'),
+    ('de', 'der die und das ist nicht ich ein mit sich auf für den von'),
+    ('fr', 'le la les et des est une pour que dans qui pas sur vous'),
+    ('es', 'el la los las y de que en un una es por para con del'),
+    ('it', 'il la che di e un una per non sono con del alla più')
+  ) AS t(lang, ws)
+),
+mk AS (SELECT lang, unnest(string_split(ws, ' ')) AS word FROM m),
+w AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-zà-ÿ]+'))) AS word
+  FROM documents
+),
+hits AS (
+  SELECT w.doc_id, mk.lang, count(*) AS c
+  FROM w JOIN mk USING (word) GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rn
+  FROM hits WHERE c > 0
+),
+feat AS (
+  SELECT d.doc_id, d.text,
+         length(regexp_extract_all(d.text, '\\S+')) AS n_tokens,
+         length(regexp_extract_all(d.text, '[A-Za-z]'))::DOUBLE
+             / greatest(length(d.text), 1) AS alpha_ratio,
+         length(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+'))
+             AS bpeish_tokens
+  FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+  WHERE b.lang = 'en'
+),
+filt AS (
+  SELECT * FROM feat WHERE n_tokens >= 5 AND alpha_ratio >= 0.45
+),
+ded AS (
+  SELECT doc_id, n_tokens, bpeish_tokens,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM filt
+)
+SELECT doc_id, n_tokens, bpeish_tokens
+FROM ded WHERE rn = 1 ORDER BY doc_id
+"""
+
 _GROUP_TOPK_SQL = """
 WITH r AS (
   SELECT user_id, event_id, ts, value,
@@ -589,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk_ivf": (
             lambda sf: d.ann_cosine_topk_ivf(sf, plant_neighbors=True)
         ),
+        "corpus_curation": d.corpus_curation,  # lang+quality+dedup composition
         "text_quality": d.text_quality,
         "lang_id": d.lang_id,                    # SQL-checked (marker argmax)
         "doc_fingerprints": d.doc_fingerprints,  # SQL-checked (power-sum hash)
@@ -638,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "embedding_near_dup_exact": _EMBED_EXACT_SQL,
         "embedding_near_dup": _EMBED_ND_PLANTED_SQL,
+        "corpus_curation": _CURATION_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_topk_lsh": _ANN_PLANTED_SQL,

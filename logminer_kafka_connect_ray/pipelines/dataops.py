@@ -1489,6 +1489,118 @@ def embedding_near_dup(
     return _finalize_guard(gd, pa.Table.from_pandas(dd, preserve_index=False))
 
 
+def corpus_curation(
+    sf_dir: str,
+    lang: str = "en",
+    min_tokens: int = 5,
+    min_alpha: float = 0.45,
+) -> pa.Table:
+    """End-to-end training-corpus curation in ONE streaming pass:
+    language-id filter -> quality filter (token count, alpha ratio)
+    -> exact dedup (keep min doc_id per content hash) -> per-doc
+    token stats.  The composition a real data pipeline applies before
+    tokenization, expressed as a single Dataset so each stage's
+    output never materializes: lang/quality/hash compute fuses into
+    one map_batches, survivors flow through one hash exchange for the
+    exact dedup (same combiner -> boundary-exchange -> sweep shape as
+    ``dedup_exact``), and only the curated stats reach the caller."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    P = _exchange_width(n_docs)
+    gd = _new_guard_dir("curation")
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("bpeish_tokens", pa.int64()),
+        ]
+    )
+
+    def stage1(t: pa.Table) -> pa.Table:
+        lang_pred = textfn.lang_id_batch(t.column("text"))
+        q = textfn.quality_features(t.column("text"))
+        tok = textfn.token_counts(t.column("text"))
+        keep = pc.and_(
+            pc.equal(lang_pred, lang),
+            pc.and_(
+                pc.greater_equal(q["n_tokens"], min_tokens),
+                pc.greater_equal(q["alpha_ratio"], min_alpha),
+            ),
+        )
+        t2 = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": t.column("text"),
+                "n_tokens": q["n_tokens"],
+                "bpeish_tokens": tok["bpeish_tokens"],
+            }
+        ).filter(keep)
+        t2 = md5_hash_batch(t2)
+        t2 = t2.drop_columns(["text"])
+        # block-local first-per-hash combiner (bounds shuffle volume)
+        idx = pc.sort_indices(
+            t2,
+            sort_keys=[("content_hash", "ascending"), ("doc_id", "ascending")],
+        )
+        t2 = t2.take(idx)
+        h = t2.column("content_hash").combine_chunks()
+        n = len(h)
+        first = np.ones(n, bool)
+        if n > 1:
+            first[1:] = pc.not_equal(h.slice(1), h.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        t2 = t2.filter(pa.array(first))
+        if t2.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "bpeish_tokens": pa.array([], pa.int64()),
+                    "content_hash": pa.array([], pa.string()),
+                    "_p": pa.array([], pa.int64()),
+                }
+            )
+        return t2.append_column(
+            "_p", pa.array(partition_ids(t2.column("content_hash"), P))
+        )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "cur", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("content_hash", "ascending"), ("doc_id", "ascending")],
+        )
+        t = t.take(idx)
+        h = t.column("content_hash").combine_chunks()
+        n = len(h)
+        first = np.ones(n, bool)
+        if n > 1:
+            first[1:] = pc.not_equal(h.slice(1), h.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        return (
+            t.filter(pa.array(first))
+            .select(["doc_id", "n_tokens", "bpeish_tokens"])
+            .cast(out_schema)
+        )
+
+    res = (
+        ds.map_batches(stage1, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    return _finalize_guard(gd, t)
+
+
 def word_freq_topk(sf_dir: str, k: int = 50) -> pa.Table:
     """Corpus vocabulary: top-k word frequencies over documents.text.
 

@@ -462,3 +462,22 @@ def test_cc_exchange_rounds_vs_union_find(ray_session):
     out = d.cc_canonical_labels(t, num_partitions=8)
     got = {r["doc_id"]: r["canonical_id"] for r in out.to_pylist()}
     assert got == want
+
+
+def test_corpus_curation_composition(ray_session, tmp_path):
+    """lang filter + quality filter + exact dedup compose: the German
+    doc and the too-short doc drop, duplicate English docs keep the
+    min doc_id, and the survivor carries its token stats."""
+    en = ("the quick brown fox jumps over the lazy dog and it was fine "
+          "for this test of the pipeline with many common words in it")
+    texts = [
+        en,                                  # 0: survives
+        en,                                  # 1: exact dup of 0 -> dropped
+        "der hund und die katze sind nicht mit dem vogel auf der wiese",  # 2: de
+        "the and of",                        # 3: en but < 5 tokens
+        "it is you that have the words and this was for the test here",  # 4: survives
+    ]
+    sf = make_docs(tmp_path, texts)
+    out = d.corpus_curation(sf)
+    assert out.column("doc_id").to_pylist() == [0, 4]
+    assert out.column("n_tokens").to_pylist()[0] == len(en.split())
