@@ -672,6 +672,96 @@ def events_group_topk(sf_dir: str, k: int = 3) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (the scale path for distinct
+# counting; `events_window_stats` is the exact, SQL-gated sibling --
+# same pairing contract as the LSH paths and their exact kernels)
+# ---------------------------------------------------------------------------
+_HLL_P = 12  # 4096 registers; relative error ~1.04/sqrt(m) ~ 1.6%
+
+
+def _hll_registers(keys: np.ndarray, m: int = 1 << _HLL_P) -> np.ndarray:
+    """One block's HLL register array from uint64 key hashes.
+
+    Register = top ``p`` hash bits; value = 1 + leading-zero count of
+    the remaining 64-p bits (capped).  Fully vectorized: the leading
+    zeros come from a float64 exponent extraction (exact for the
+     52-bit window, which covers every rank this sketch can store)."""
+    regs = np.zeros(m, np.uint8)
+    if len(keys) == 0:
+        return regs
+    # murmur3-style finalizer: FNV-1a's high bits avalanche poorly on
+    # short keys (decimal-int strings clustered into ~44 of 4096
+    # registers), which collapses the estimate; the mixer fixes the
+    # top-bit distribution for any input hash
+    with np.errstate(over="ignore"):
+        keys = keys.astype(np.uint64).copy()
+        keys ^= keys >> np.uint64(33)
+        keys *= np.uint64(0xFF51AFD7ED558CCD)
+        keys ^= keys >> np.uint64(33)
+        keys *= np.uint64(0xC4CEB9FE1A85EC53)
+        keys ^= keys >> np.uint64(33)
+    idx = (keys >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = (keys << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
+    # leading zeros of `rest` via the float64 exponent of its top bits
+    top = (rest >> np.uint64(11)).astype(np.float64)  # fits 53-bit mantissa
+    exp = ((top.view(np.uint64) >> np.uint64(52)) & np.uint64(0x7FF)).astype(
+        np.int64
+    )
+    nlz = 1075 - exp  # 1023 + 52 - exp = leading zeros within 53 bits
+    rank = (nlz + 1).clip(1, 64 - _HLL_P + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction -- Flajolet et al. 2007."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def events_distinct_users_hll(sf_dir: str) -> pa.Table:
+    """Approximate global distinct ``user_id`` count via a distributed
+    HyperLogLog: each block emits its 4096-register sketch, registers
+    merge by elementwise max (one tiny reduction -- NO shuffle of the
+    keys themselves), and the estimator runs on the merged sketch.
+
+    This is the 100 TB path for distinct counting: the exact
+    per-window distinct in ``events_window_stats`` co-locates keys
+    (one full exchange), while this moves 4 KB per block regardless
+    of input size.  Accuracy (~1.6% expected) is pinned by a pytest
+    against the exact count; no SQL gate because the estimate is
+    approximate by construction."""
+    from logminer_kafka_connect_ray.functions.hashing import fnv1a_u64
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def block_sketch(t: pa.Table) -> pa.Table:
+        h = fnv1a_u64(pc.cast(t.column("user_id"), pa.string()))
+        return pa.table({"regs": pa.array([_hll_registers(h).tobytes()])})
+
+    merged = np.zeros(1 << _HLL_P, np.uint8)
+    for b in ds.map_batches(block_sketch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf in b.column("regs").to_pylist():
+            np.maximum(
+                merged, np.frombuffer(buf, np.uint8), out=merged
+            )
+    return pa.table(
+        {
+            "n_users_approx": pa.array([int(round(_hll_estimate(merged)))],
+                                       pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact distributed quantiles
 # ---------------------------------------------------------------------------
 def events_value_quantiles(

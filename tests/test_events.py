@@ -287,3 +287,20 @@ def test_events_ops_differential_fuzz(ray_session, tmp_path):
     for uid, evs in by_user.items():
         want = [e[1] for e in sorted(evs, key=lambda e: (-e[3], e[1]))[:3]]
         assert got_tk[uid] == want, uid
+
+
+def test_hll_distinct_users_accuracy(ray_session, tmp_path):
+    """The HLL sketch (scale path) must land within 5% of the exact
+    distinct count (its SQL-gated sibling is events_window_stats'
+    exact distinct)."""
+    rows = []
+    rng = __import__("random").Random(99)
+    true_users = set()
+    for i in range(5000):
+        u = rng.randrange(1, 1200)
+        true_users.add(u)
+        rows.append((i + 1, u, float(i % 300), "a", 1.0))
+    sf = make_events(tmp_path, rows)
+    got = ev.events_distinct_users_hll(sf).column("n_users_approx")[0].as_py()
+    exact = len(true_users)
+    assert abs(got - exact) / exact < 0.05, (got, exact)
