@@ -513,3 +513,60 @@ def test_streaming_envelope_surface(streamed_setup, tmp_path):
     assert env.num_rows == n_committed + n_deletes
     tomb = env.column("tombstone").to_pandas()
     assert int(tomb.sum()) == n_deletes
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_streaming_fuzz_regimes(ray_session, tmp_path, seed):
+    """Randomized streaming replay across regimes: random event mix
+    (rollbacks, open txns, partial updates), random file sizes, random
+    bulk threshold (forcing trickle, bulk, or mixed), incremental file
+    arrival -- final state must equal the dict oracle every time."""
+    import random
+
+    rng = random.Random(seed)
+    pages = gen_pages(rng.randrange(15, 40), seed=seed)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(
+        pages,
+        ChangeGenConfig(
+            n_events=rng.randrange(120, 320),
+            seed=seed,
+            max_open_txns=rng.randrange(2, 7),
+            p_delete=rng.choice([0.0, 0.15, 0.3]),
+            p_set_null=rng.choice([0.0, 0.2]),
+        ),
+    )
+    changelog = str(tmp_path / "changelog")
+    eng = Engine(
+        EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=rng.choice([2, 4]))
+    )
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    stream = StreamingEngine(
+        eng,
+        changelog,
+        num_shards=rng.choice([1, 2, 3]),
+        poll_interval=0.01,
+        batch_size=rng.choice([50, 500, 100_000]),
+        max_rows_in_memory=rng.choice([30, 100_000]),
+        bulk_file_threshold=rng.choice([1, 3, 100]),
+    )
+    # events arrive in 1-3 waves with random per-file sizes
+    waves = rng.randrange(1, 4)
+    cut = sorted(rng.sample(range(1, len(events)), waves - 1)) + [len(events)]
+    lo = 0
+    for hi in cut:
+        write_event_batches(
+            events[lo:hi], changelog,
+            events_per_file=rng.choice([20, 60, 1000]),
+        )
+        lo = hi
+        stream.run(max_polls=rng.randrange(2, 5))
+    stream.run(max_polls=12)  # drain
+    stream.shutdown()
+
+    base = {r["url"]: {k: v for k, v in r.items() if k != "url"}
+            for r in pages.to_pylist()}
+    want = replay_oracle(base, events)
+    got = table_to_state(eng.to_arrow())
+    assert not state_diff(got, want), (seed, state_diff(got, want))
