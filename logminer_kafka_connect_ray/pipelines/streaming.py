@@ -521,6 +521,18 @@ class StreamingEngine:
     order (``LogminerSource.kt:76-94`` drains one committed txn batch
     at a time).  ``run()`` loops with ``poll_interval`` pacing and
     applies released rows to the lake through the standard merge path.
+
+    Two ingest regimes (chosen per poll by ``bulk_file_threshold``):
+
+    * trickle (few files -- the reference's poll shape): rows buffer
+      in the shard actors with per-txn disk spill past
+      ``max_rows_in_memory`` (``Transaction.kt:59-71``);
+    * bulk catch-up (many files -- backfill/recovery): row blocks
+      stay in the object store as refs, the actors track per-txn
+      METADATA only (the min-open-SCN watermark stays exact), and
+      release is a parallel filter of blocks against the poll's
+      terminator map.  ``max_rows_in_memory`` does not apply here:
+      plasma spills the open blocks natively.
     """
 
     def __init__(
