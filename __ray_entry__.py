@@ -562,6 +562,17 @@ SELECT doc_id, n_tokens, bpeish_tokens
 FROM ded WHERE rn = 1 ORDER BY doc_id
 """
 
+_NATION_ORDER_SQL = """
+SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, n.n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2 ORDER BY n_nationkey
+"""
+
 _GROUP_TOPK_SQL = """
 WITH r AS (
   SELECT user_id, event_id, ts, value,
@@ -654,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_group_topk": ev.events_group_topk,
         "events_value_quantiles": ev.events_value_quantiles,
         "orders_range_join_events": ev.orders_range_join_events,
+        "nation_order_stats": ev.nation_order_stats,  # broadcast join
     }
 
 
@@ -703,4 +715,5 @@ def oracle_sql() -> dict[str, str]:
         "events_group_topk": _GROUP_TOPK_SQL,
         "events_value_quantiles": _QUANTILES_SQL,
         "orders_range_join_events": _RANGE_JOIN_SQL,
+        "nation_order_stats": _NATION_ORDER_SQL,
     }

@@ -672,6 +672,74 @@ def events_group_topk(sf_dir: str, k: int = 3) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Broadcast dimension join
+# ---------------------------------------------------------------------------
+def nation_order_stats(sf_dir: str) -> pa.Table:
+    """Orders joined to their customer's nation WITHOUT a shuffle:
+    the small side (customer -> nation, ~0.1% of the fact table) is
+    built once on the driver, ``ray.put`` into the object store, and
+    probed zero-copy inside every ``map_batches`` task (the canonical
+    broadcast-join shape: at 100 TB the orders stream never moves,
+    only per-block partial aggregates do).  Per nation: order count
+    and total price in cents.
+    """
+    import ray
+    import ray.data as rd  # noqa: F401
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        .to_pandas()
+    )
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    n_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    # dense lookup array custkey -> nationkey (custkeys are small ints;
+    # fall back would be a dict probe, but the driver-built array is
+    # tiny either way and ships ONCE via ray.put)
+    max_ck = int(cust["c_custkey"].max())
+    lut = np.full(max_ck + 2, -1, np.int64)
+    lut[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    lut_ref = ray.put(lut)
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table, _ref=lut_ref) -> pa.Table:
+        lookup = ray.get(_ref)  # zero-copy plasma view, cached per task
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        nk = lookup[np.clip(ck, 0, len(lookup) - 1)]
+        cents = _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
+        order = np.argsort(nk)
+        nk, cents = nk[order], cents[order]
+        brk = np.concatenate([[True], nk[1:] != nk[:-1]])
+        starts = np.flatnonzero(brk)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(nk[starts]),
+                "n_orders": pa.array(
+                    np.diff(np.append(starts, len(nk))).astype(np.int64)
+                ),
+                "sum_price_cents": pa.array(np.add.reduceat(cents, starts)),
+            }
+        )
+
+    parts = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("n_nationkey", as_index=False).sum()
+    agg["n_name"] = agg["n_nationkey"].map(n_name)
+    out = pa.table(
+        {
+            "n_nationkey": pa.array(agg["n_nationkey"].to_numpy(), pa.int64()),
+            "n_name": pa.array(agg["n_name"], pa.string()),
+            "n_orders": pa.array(agg["n_orders"].to_numpy(), pa.int64()),
+            "sum_price_cents": pa.array(
+                agg["sum_price_cents"].to_numpy(), pa.int64()
+            ),
+        }
+    )
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("n_nationkey", "ascending")])
+    )
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog distinct-count sketch (the scale path for distinct
 # counting; `events_window_stats` is the exact, SQL-gated sibling --
 # same pairing contract as the LSH paths and their exact kernels)

@@ -66,7 +66,7 @@ for name, fn in qs.items():
                 fails += 1
             print(f"{name}: {status} rows={len(got)}/{len(want)} cols_match={same_cols}")
             if not same_vals and same_cols and same_n:
-                neq = ~(got == want | (got.isna() & want.isna())).all(axis=1)
+                neq = ~((got == want) | (got.isna() & want.isna())).all(axis=1)
                 print("  first diffs:")
                 print(pd.concat([got[neq].head(3), want[neq].head(3)], keys=["got", "want"]))
             elif not same_cols:

@@ -304,3 +304,34 @@ def test_hll_distinct_users_accuracy(ray_session, tmp_path):
     got = ev.events_distinct_users_hll(sf).column("n_users_approx")[0].as_py()
     exact = len(true_users)
     assert abs(got - exact) / exact < 0.05, (got, exact)
+
+
+def test_nation_order_stats_broadcast(ray_session, tmp_path):
+    """Broadcast-join aggregate with planted customers/nations: orders
+    aggregate to their customer's nation without a shuffle."""
+    import pyarrow.parquet as pq2
+
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_name": pa.array(["a", "b", "c"]),
+            "c_nationkey": pa.array([10, 10, 20], pa.int64()),
+            "c_acctbal": pa.array([0.0, 0.0, 0.0]),
+            "c_mktsegment": pa.array(["m"] * 3),
+        }
+    )
+    nat = pa.table(
+        {
+            "n_nationkey": pa.array([10, 20], pa.int64()),
+            "n_name": pa.array(["X", "Y"]),
+            "n_regionkey": pa.array([0, 0], pa.int64()),
+        }
+    )
+    pq2.write_table(cust, str(tmp_path / "customer.parquet"))
+    pq2.write_table(nat, str(tmp_path / "nation.parquet"))
+    make_orders(
+        tmp_path, [(100, 1, 1.0), (101, 2, 2.0), (102, 3, 3.0), (103, 1, 4.0)]
+    )
+    out = {r["n_name"]: r for r in ev.nation_order_stats(str(tmp_path)).to_pylist()}
+    assert out["X"]["n_orders"] == 3 and out["Y"]["n_orders"] == 1
+    assert out["X"]["sum_price_cents"] == 300  # o_totalprice 1.0 each
