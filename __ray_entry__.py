@@ -562,6 +562,24 @@ SELECT doc_id, n_tokens, bpeish_tokens
 FROM ded WHERE rn = 1 ORDER BY doc_id
 """
 
+_SLIDING_SQL = """
+WITH hop AS (SELECT unnest(range(0, 4)) AS i),
+e AS (
+  SELECT event_type,
+         epoch_us(ts) // 900000000 * 900000000 AS last_w,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+x AS (
+  SELECT event_type, last_w - i * 900000000 AS w, cents
+  FROM e, hop WHERE last_w - i * 900000000 >= 0
+)
+SELECT event_type, make_timestamp(w) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 _NATION_ORDER_SQL = """
 SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, n.n_name,
        CAST(count(*) AS BIGINT) AS n_orders,
@@ -666,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": ev.events_value_quantiles,
         "orders_range_join_events": ev.orders_range_join_events,
         "nation_order_stats": ev.nation_order_stats,  # broadcast join
+        "events_window_sliding": ev.events_window_sliding,  # hopping windows
     }
 
 
@@ -716,4 +735,5 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles": _QUANTILES_SQL,
         "orders_range_join_events": _RANGE_JOIN_SQL,
         "nation_order_stats": _NATION_ORDER_SQL,
+        "events_window_sliding": _SLIDING_SQL,
     }

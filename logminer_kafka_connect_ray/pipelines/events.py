@@ -263,6 +263,125 @@ def events_window_stats(sf_dir: str, window_minutes: int = 60) -> pa.Table:
     return _finalize_guard(gd, t)
 
 
+def events_window_sliding(
+    sf_dir: str, window_minutes: int = 60, hop_minutes: int = 15
+) -> pa.Table:
+    """HOPPING (sliding) event-time windows: every event belongs to
+    ``window/hop`` overlapping windows; per ``(event_type,
+    window_start)`` emit count and cents-sum.
+
+    Distributed shape: the per-batch stamp REPLICATES each row once
+    per covering window (k = window/hop copies of the tiny key
+    columns only -- the fan-out happens before the exchange so the
+    wide step still sees pre-bucketed keys), then the same exchange +
+    reduceat sweep as the tumbling case.  Distinct users are left to
+    the tumbling variant: replicating user ids k-fold is the exact
+    cost sliding distinct requires, and the gate covers count/sum.
+    """
+    assert window_minutes % hop_minutes == 0, "window must be a multiple of hop"
+    k = window_minutes // hop_minutes
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows * k)
+    win_us = np.int64(window_minutes * 60 * _US)
+    hop_us = np.int64(hop_minutes * 60 * _US)
+    gd = _new_guard_dir("slidewin")
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("window_start", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+            ("sum_value_cents", pa.int64()),
+        ]
+    )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "_w": pa.array([], pa.int64()),
+                    "_cents": pa.array([], pa.int64()),
+                    "_p": pa.array([], pa.int64()),
+                }
+            )
+        ts = _ts_i64(t.column("ts"))
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        n = len(ts)
+        # last hop-aligned window start covering each event, then k
+        # hops backwards (windows with start > ts excluded by clip
+        # below being >= 0-length check: start w satisfies
+        # w <= ts < w + win  <=>  w in (ts-win, ts] hop-aligned)
+        last = (ts // hop_us) * hop_us
+        offs = (np.arange(k, dtype=np.int64) * hop_us)[None, :]
+        w = (last[:, None] - offs).reshape(-1)
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        keep = w >= 0  # drop pre-epoch window starts
+        w, idx = w[keep], idx[keep]
+        et_rep = et.take(pa.array(idx))
+        key = pc.binary_join_element_wise(
+            pc.cast(et_rep, pa.string()),
+            pc.cast(pa.array(w), pa.string()),
+            "\x00",
+        )
+        return pa.table(
+            {
+                "event_type": et_rep,
+                "_w": pa.array(w),
+                "_cents": pa.array(cents[idx]),
+                "_p": pa.array(partition_ids(key, P)),
+            }
+        )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "swin", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = pc.dictionary_encode(et)
+        etc = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column("_w").to_numpy(zero_copy_only=False)
+        cents = t.column("_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, etc))
+        etc, w, cents = etc[order], w[order], cents[order]
+        brk = np.concatenate([[True], (etc[1:] != etc[:-1]) | (w[1:] != w[:-1])])
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, len(w)))
+        return pa.table(
+            {
+                "event_type": codes.dictionary.take(pa.array(etc[starts])),
+                "window_start": pa.array(w[starts]).cast(pa.timestamp("us")),
+                "n_events": pa.array(counts.astype(np.int64)),
+                "sum_value_cents": pa.array(np.add.reduceat(cents, starts)),
+            },
+            schema=out_schema,
+        )
+
+    res = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[("event_type", "ascending"), ("window_start", "ascending")],
+        )
+    )
+    return _finalize_guard(gd, t)
+
+
 # ---------------------------------------------------------------------------
 # As-of join
 # ---------------------------------------------------------------------------

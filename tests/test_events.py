@@ -335,3 +335,23 @@ def test_nation_order_stats_broadcast(ray_session, tmp_path):
     out = {r["n_name"]: r for r in ev.nation_order_stats(str(tmp_path)).to_pylist()}
     assert out["X"]["n_orders"] == 3 and out["Y"]["n_orders"] == 1
     assert out["X"]["sum_price_cents"] == 300  # o_totalprice 1.0 each
+
+
+def test_window_sliding_membership(ray_session, tmp_path):
+    """An event belongs to exactly window/hop hopping windows (fewer
+    near the epoch); counts and sums replicate accordingly."""
+    # event at minute 30: windows starting at -15, 0, 15, 30; event at
+    # minute 70: windows 15, 30, 45, 60 (the w >= 0 guard is for the
+    # unix epoch, not the fixture's 2024 base, so -15 is legitimate)
+    sf = make_events(
+        tmp_path, [(1, 1, 30.0, "a", 1.00), (2, 1, 70.0, "a", 2.00)]
+    )
+    out = {}
+    for r in ev.events_window_sliding(sf).to_pylist():
+        w = r["window_start"]
+        key = (w - EPOCH).total_seconds() / 60
+        out[key] = (r["n_events"], r["sum_value_cents"])
+    assert out == {
+        -15.0: (1, 100), 0.0: (1, 100), 15.0: (2, 300), 30.0: (2, 300),
+        45.0: (1, 200), 60.0: (1, 200),
+    }
