@@ -570,3 +570,48 @@ def test_streaming_fuzz_regimes(ray_session, tmp_path, seed):
     want = replay_oracle(base, events)
     got = table_to_state(eng.to_arrow())
     assert not state_diff(got, want), (seed, state_diff(got, want))
+
+
+def test_bulk_regime_mid_stream_schema_evolution(ray_session, tmp_path):
+    """Schema evolution landing in a BULK poll: pre-evolution rows are
+    retained as plasma open blocks with the OLD schema while
+    post-evolution blocks carry the new column; align_flat at merge
+    time must unify both when their commits release them."""
+    pages = gen_pages(30)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(
+        pages, ChangeGenConfig(n_events=260, seed=43, evolution_at_scn=1120,
+                               max_open_txns=5)
+    )
+    pre = [e for e in events if e["scn"] < 1120]
+    post = [e for e in events if e["scn"] >= 1120]
+    assert pre and post
+    changelog = str(tmp_path / "changelog")
+    eng = Engine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+
+    stream = StreamingEngine(
+        eng, changelog, num_shards=2, poll_interval=0.01,
+        bulk_file_threshold=1,  # force the bulk (plasma-block) path
+    )
+    write_event_batches(pre, changelog, events_per_file=30)
+    stream.run(max_polls=3)
+    v_pre = eng.store.load().schema_version
+    write_event_batches(post, changelog, events_per_file=30)
+    stream.run(max_polls=6)
+    stream.shutdown()
+
+    m = eng.store.load()
+    assert m.schema_version > v_pre
+    got_tbl = eng.to_arrow()
+    assert "fetch_status" in got_tbl.column_names
+    got = table_to_state(got_tbl)
+    want = replay_oracle(
+        {r["url"]: {k: v for k, v in r.items() if k != "url"}
+         for r in pages.to_pylist()},
+        events,
+    )
+    for row in want.values():
+        row.setdefault("fetch_status", None)
+    assert not state_diff(got, want), state_diff(got, want)
