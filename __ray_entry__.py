@@ -434,7 +434,9 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(8 AS BIGINT) AS resized_w,
        CAST(8 AS BIGINT) AS resized_h,
        CAST(1 + doc_id % 4 AS BIGINT) AS n_frames,
-       CAST((1 + doc_id % 4 + 1) // 2 AS BIGINT) AS n_sampled
+       CAST((1 + doc_id % 4 + 1) // 2 AS BIGINT) AS n_sampled,
+       CAST(16000 AS BIGINT) AS audio_rate,
+       CAST(800 + (doc_id % 5) * 200 AS BIGINT) AS audio_n
 FROM documents ORDER BY media_id
 """
 
@@ -672,8 +674,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": d.text_quality,
         "lang_id": d.lang_id,                    # SQL-checked (marker argmax)
         "doc_fingerprints": d.doc_fingerprints,  # SQL-checked (power-sum hash)
-        # multimodal plumbing (decode/resize/frame-sample over fake
-        # containers; dims are pure functions of doc_id -> SQL-checked)
+        # multimodal pipeline (decode/resize/frame-sample/audio-features
+        # over REAL BMP/AVI/WAV containers; dims + counts are pure
+        # functions of doc_id -> SQL-checked)
         "media_pipeline": d.media_pipeline,
         # event-time relational operators (as-of join, session
         # windows, tumbling windows -- pipelines/events.py)

@@ -1831,15 +1831,18 @@ def dedup_cluster_canonical(sf_dir: str, threshold: float = 0.7) -> pa.Table:
 # ---------------------------------------------------------------------------
 class MediaPipelineStage:
     """Actor-pool stage driving the full multimodal plumbing on REAL
-    BMP containers: encode a deterministic 24-bpp BI_RGB bitmap per
-    doc (dims are pure functions of doc_id, so the driver's SQL oracle
-    can restate them) plus a video container of BMP frames, then
-    decode -> resize -> re-decode -> frame-sample through the actual
-    byte-level codec (stages/multimodal.encode_bmp/decode_bmp).  Codec
-    state (the stage objects) builds once per actor in __init__."""
+    containers end-to-end: per doc, a deterministic 24-bpp BI_RGB
+    bitmap (BMP), an uncompressed AVI of that frame repeated, and a
+    16-bit PCM WAV (all dims/counts are pure functions of doc_id, so
+    the driver's SQL oracle can restate them).  The batch flows
+    decode -> resize -> re-decode, AVI demux -> frame-sample -> BMP
+    re-encode, and WAV feature extraction through the actual
+    byte-level codecs (stages/multimodal.{encode,decode}_{bmp,avi,wav}).
+    Codec state (the stage objects) builds once per actor in __init__."""
 
     def __init__(self):
         from logminer_kafka_connect_ray.stages.multimodal import (
+            AudioFeatureStage,
             FrameSampleStage,
             ImageDecodeStage,
             ImageResizeStage,
@@ -1848,24 +1851,32 @@ class MediaPipelineStage:
         self.decode = ImageDecodeStage()
         self.resize = ImageResizeStage(8, 8)
         self.frames = FrameSampleStage(every_k=2)
+        self.audio = AudioFeatureStage()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from logminer_kafka_connect_ray.stages.multimodal import (
+            encode_avi,
             encode_bmp,
-            encode_fake_video,
+            encode_wav,
         )
 
         ids = t.column("doc_id").to_pylist()
-        img = [
-            encode_bmp(
-                np.random.default_rng(i).integers(
-                    0, 256, size=(16 + i % 32, 16 + i % 48, 3), dtype=np.uint8
-                )
+        pxs = [
+            np.random.default_rng(i).integers(
+                0, 256, size=(16 + i % 32, 16 + i % 48, 3), dtype=np.uint8
             )
             for i in ids
         ]
-        vid = [
-            encode_fake_video([b] * (1 + i % 4)) for i, b in zip(ids, img)
+        img = [encode_bmp(px) for px in pxs]
+        vid = [encode_avi([px] * (1 + i % 4)) for i, px in zip(ids, pxs)]
+        wav = [
+            encode_wav(
+                np.random.default_rng(i).integers(
+                    -32768, 32767, size=800 + (i % 5) * 200, dtype=np.int16
+                ),
+                16000,
+            )
+            for i in ids
         ]
         media = pa.table(
             {"media_id": pa.array(ids, pa.int64()),
@@ -1880,6 +1891,11 @@ class MediaPipelineStage:
         )
         sampled = self.frames(vmedia)
         counts = pd.Series(sampled.column("media_id").to_pylist()).value_counts()
+        amedia = pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "payload": pa.array(wav, pa.binary())}
+        )
+        adec = self.audio(amedia)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -1892,16 +1908,18 @@ class MediaPipelineStage:
                 "n_sampled": pa.array(
                     [int(counts.get(i, 0)) for i in ids], pa.int64()
                 ),
+                "audio_rate": adec.column("sample_rate").cast(pa.int64()),
+                "audio_n": adec.column("n_samples").cast(pa.int64()),
             }
         )
 
 
 def media_pipeline(sf_dir: str) -> pa.Table:
-    """Multimodal plumbing end-to-end (stages/multimodal.py) over fake
-    media derived deterministically from documents.doc_id; the SQL
-    oracle restates the dimension arithmetic, so the Ray-side schema /
-    batch-size / actor wiring is driver-verified even though real
-    codecs are stubbed."""
+    """Multimodal pipeline end-to-end (stages/multimodal.py) over REAL
+    BMP / uncompressed-AVI / PCM-WAV containers derived
+    deterministically from documents.doc_id; the SQL oracle restates
+    the dimension/count arithmetic, so the codecs, schema, batch
+    sizing and actor wiring are all driver-verified byte-for-byte."""
     from logminer_kafka_connect_ray.stages.multimodal import MEDIA_BATCH_SIZE
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])

@@ -12,12 +12,23 @@ Codec status (round 3):
   BI_RGB Windows bitmaps (BITMAPFILEHEADER + BITMAPINFOHEADER, 24/32
   bpp, bottom-up or top-down, 4-byte row padding) implemented here in
   numpy -- ``encode_bmp`` / ``decode_bmp``.  The image stages decode
-  and resize real BMP bytes end-to-end, and ``media_pipeline`` (the
-  driver-gated query) runs on real BMP containers.
-* compressed formats (JPEG/PNG) and audio/video codecs (libsndfile /
-  ffmpeg) are NOT in this container -> honest ``NotImplementedError``,
-  with the deterministic FAKE containers below standing in for the
-  plumbing tests.
+  and resize real BMP bytes end-to-end.
+* **WAV is REAL**: canonical RIFF/WAVE 16-bit PCM (mono or
+  interleaved multi-channel), chunk-walking decoder that skips
+  unknown chunks and word-alignment pad bytes -- ``encode_wav`` /
+  ``decode_wav``.  ``AudioFeatureStage`` computes features from real
+  WAV bytes.
+* **AVI is REAL** (uncompressed): RIFF 'AVI ' with hdrl
+  (avih + strl{strh 'vids'/'DIB ', strf BITMAPINFOHEADER}) and a movi
+  list of ``00db`` raw-DIB frames -- ``encode_avi`` / ``decode_avi``.
+  ``FrameSampleStage`` demuxes real AVI and re-emits sampled frames
+  as real BMP payloads, so the video->image handoff is byte-real.
+  ``media_pipeline`` (the driver-gated query) runs on real BMP + AVI
+  + WAV containers end-to-end.
+* compressed formats (JPEG/PNG/MP3/H.264 ...) need codec libraries
+  that are NOT in this container -> honest ``NotImplementedError``,
+  with the deterministic FAKE containers below retained for plumbing
+  tests.
 
 FAKE container formats (deterministic, self-describing):
 
@@ -138,6 +149,161 @@ def decode_bmp(b: bytes) -> tuple[int, int, int, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# REAL codec: RIFF/WAVE 16-bit PCM (pure numpy)
+# ---------------------------------------------------------------------------
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 PCM samples ((n,) mono or (n, ch) interleaved) -> canonical
+    RIFF/WAVE bytes (fmt chunk 1=PCM, 16-bit, then data chunk)."""
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = np.ascontiguousarray(samples).tobytes()  # frame-interleaved
+    block_align = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block_align, block_align, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE bytes -> (rate, channels, (n_frames, ch) int16).
+
+    Walks the chunk list (skipping unknown chunks such as LIST/INFO and
+    the word-alignment pad byte after odd-sized chunks); 16-bit
+    integer PCM only -- compressed/float WAVs raise."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    off, rate, ch, data = 12, None, None, None
+    while off + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, off)
+        off += 8
+        if cid == b"fmt ":
+            audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", b, off)
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only 16-bit integer PCM WAV supported "
+                    f"(format={audio_fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = b[off : off + size]
+        off += size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt / data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, ch, samples.reshape(-1, ch)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: uncompressed AVI ('vids'/'DIB ', 24-bpp 00db frames)
+# ---------------------------------------------------------------------------
+def _riff_chunk(cid: bytes, payload: bytes) -> bytes:
+    return (
+        cid
+        + struct.pack("<I", len(payload))
+        + payload
+        + (b"\x00" if len(payload) % 2 else b"")
+    )
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """Same-sized (h, w, 3) uint8 RGB frames -> minimal uncompressed AVI.
+
+    Standard layout: RIFF 'AVI ' { LIST hdrl { avih, LIST strl { strh
+    'vids'/'DIB ', strf BITMAPINFOHEADER } }, LIST movi { 00db raw DIB
+    bits per frame } }.  DIB bits are bottom-up BGR rows padded to
+    4 bytes -- the same pixel layout the BMP codec uses."""
+    if not frames:
+        raise ValueError("encode_avi needs at least one frame")
+    h, w, c = frames[0].shape
+    if c != 3:
+        raise ValueError("encode_avi expects (h, w, 3) RGB frames")
+    stride = (w * 3 + 3) & ~3
+    dibs = []
+    for px in frames:
+        if px.shape != (h, w, 3):
+            raise ValueError("all AVI frames must share one size")
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = np.ascontiguousarray(px, np.uint8)[::-1, :, ::-1].reshape(
+            h, w * 3
+        )
+        dibs.append(rows.tobytes())
+    frame_bytes = stride * h
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10, len(frames),
+        0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHH8I4h", b"vids", b"DIB ", 0, 0, 0,
+        0, 1, fps, 0, len(frames), frame_bytes, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    strl = _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh)
+                       + _riff_chunk(b"strf", strf))
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi = _riff_chunk(
+        b"LIST", b"movi" + b"".join(_riff_chunk(b"00db", d) for d in dibs)
+    )
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def decode_avi(b: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Uncompressed AVI bytes -> (w, h, [(h, w, 3) uint8 RGB frames]).
+
+    Recursive RIFF walk: LIST chunks recurse, ``strf`` pins the frame
+    format (24-bpp BI_RGB only), ``00db``/``00dc`` chunks are frames.
+    Tolerates extra chunks (idx1, JUNK, INFO)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    dims: list[tuple[int, int, bool]] = []
+    frame_spans: list[tuple[int, int]] = []
+
+    def walk(lo: int, hi: int) -> None:
+        off = lo
+        while off + 8 <= hi:
+            cid, size = struct.unpack_from("<4sI", b, off)
+            off += 8
+            if cid == b"LIST":
+                walk(off + 4, off + size)
+            elif cid == b"strf" and not dims:
+                w_, h_ = struct.unpack_from("<ii", b, off + 4)
+                (bpp,) = struct.unpack_from("<H", b, off + 14)
+                (comp,) = struct.unpack_from("<I", b, off + 16)
+                if comp != 0 or bpp != 24:
+                    raise NotImplementedError(
+                        f"only uncompressed 24-bpp AVI video supported "
+                        f"(bpp={bpp}, compression={comp}) -- compressed "
+                        f"codecs need ffmpeg, absent from this container"
+                    )
+                dims.append((w_, abs(h_), h_ > 0))
+            elif cid in (b"00db", b"00dc"):
+                frame_spans.append((off, size))
+            off += size + (size & 1)
+
+    walk(12, len(b))
+    if not dims:
+        raise ValueError("AVI missing strf stream format")
+    w, h, bottom_up = dims[0]
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for off, _size in frame_spans:
+        raw = np.frombuffer(b, np.uint8, count=h * stride, offset=off)
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        frames.append(np.ascontiguousarray(rows[:, :, ::-1]))  # BGR -> RGB
+    return w, h, frames
+
+
+# ---------------------------------------------------------------------------
 # Stages
 # ---------------------------------------------------------------------------
 class ImageDecodeStage:
@@ -231,17 +397,29 @@ class ImageResizeStage:
 
 
 class AudioFeatureStage:
-    """payload -> (sample_rate, n_samples, rms) features."""
+    """payload -> (sample_rate, n_samples, rms) features.
+
+    REAL for RIFF/WAVE 16-bit PCM (``decode_wav`` above) and for the
+    FAUD fake container; compressed audio (MP3/AAC/FLAC) needs codec
+    libraries absent from this container.  ``n_samples`` counts frames
+    (per-channel samples); ``rms`` is over all channels."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
         rates, ns, rms = [], [], []
         for b in t.column("payload").to_pylist():
-            if b[:4] != b"FAUD":
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                rate, _ch, frames = decode_wav(b)
+                n = frames.shape[0]
+                samples = frames.reshape(-1)
+            elif b[:4] == b"FAUD":
+                rate, n = struct.unpack_from("<II", b, 4)
+                samples = np.frombuffer(b, dtype=np.int16, count=n, offset=12)
+            else:
                 raise NotImplementedError(
-                    "real audio decoding requires libsndfile/soundfile"
+                    "compressed audio needs codec libs absent here; "
+                    "supported payloads: WAV 16-bit PCM (real codec) and "
+                    "the FAUD fake container (stages/multimodal.py)"
                 )
-            rate, n = struct.unpack_from("<II", b, 4)
-            samples = np.frombuffer(b, dtype=np.int16, count=n, offset=12)
             rates.append(rate)
             ns.append(n)
             rms.append(float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))))
@@ -258,7 +436,12 @@ class AudioFeatureStage:
 class FrameSampleStage:
     """video payload -> one row per sampled frame (every k-th), frame
     re-emitted as an image payload: a flat_map-shaped stage expressed
-    as map_batches returning more rows than it received."""
+    as map_batches returning more rows than it received.
+
+    REAL for uncompressed AVI (``decode_avi`` above; sampled frames
+    re-encode as real BMP payloads, so downstream image stages run on
+    them byte-for-byte) and for the FVID fake container; compressed
+    video needs ffmpeg, absent from this container."""
 
     def __init__(self, every_k: int = 2):
         self.every_k = every_k
@@ -268,8 +451,19 @@ class FrameSampleStage:
         for mid, b in zip(
             t.column("media_id").to_pylist(), t.column("payload").to_pylist()
         ):
+            if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                _w, _h, pxs = decode_avi(b)
+                for i in range(0, len(pxs), self.every_k):
+                    mids.append(mid)
+                    fidx.append(i)
+                    frames.append(encode_bmp(pxs[i]))
+                continue
             if b[:4] != b"FVID":
-                raise NotImplementedError("real video demux requires ffmpeg")
+                raise NotImplementedError(
+                    "compressed video demux requires ffmpeg; supported "
+                    "payloads: uncompressed AVI (real codec) and the "
+                    "FVID fake container (stages/multimodal.py)"
+                )
             (n_frames,) = struct.unpack_from("<H", b, 4)
             off = 6
             for i in range(n_frames):

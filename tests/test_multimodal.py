@@ -89,6 +89,91 @@ def test_real_codec_raises():
         stage(t)
 
 
+def test_wav_roundtrip_exact():
+    """Real WAV codec: encode -> decode is sample-exact for mono and
+    interleaved stereo, and the decoder skips unknown chunks."""
+    import struct
+
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-32768, 32767, size=777, dtype=np.int16)
+    b = mm.encode_wav(mono, 22050)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    rate, ch, out = mm.decode_wav(b)
+    assert (rate, ch) == (22050, 1)
+    assert np.array_equal(out[:, 0], mono)
+
+    stereo = rng.integers(-32768, 32767, size=(100, 2), dtype=np.int16)
+    rate, ch, out = mm.decode_wav(mm.encode_wav(stereo, 48000))
+    assert (rate, ch) == (48000, 2)
+    assert np.array_equal(out, stereo)
+
+    # insert a LIST/INFO chunk between fmt and data: decoder must skip it
+    b = mm.encode_wav(mono, 8000)
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    patched = b[:fmt_end] + junk + b[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate, ch, out = mm.decode_wav(patched)
+    assert rate == 8000 and np.array_equal(out[:, 0], mono)
+
+    with pytest.raises(NotImplementedError):
+        # float PCM (format 3) rejected honestly
+        bad = bytearray(mm.encode_wav(mono, 8000))
+        struct.pack_into("<H", bad, 20, 3)
+        mm.decode_wav(bytes(bad))
+
+
+def test_avi_roundtrip_exact():
+    """Real AVI codec: encode -> decode is pixel-exact per frame,
+    including padded strides (w=5)."""
+    rng = np.random.default_rng(12)
+    frames = [
+        rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8) for _ in range(6)
+    ]
+    b = mm.encode_avi(frames, fps=10)
+    assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
+    w, h, out = mm.decode_avi(b)
+    assert (w, h) == (5, 4) and len(out) == 6
+    for a, e in zip(out, frames):
+        assert np.array_equal(a, e)
+
+
+def test_avi_through_frame_sample_stage(ray_session):
+    """FrameSampleStage demuxes REAL AVI bytes and emits sampled
+    frames as REAL BMP payloads that the image decode stage accepts."""
+    rng = np.random.default_rng(13)
+    frames = [
+        rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    t = pa.table(
+        {"media_id": pa.array([7], pa.int64()),
+         "payload": pa.array([mm.encode_avi(frames)], pa.binary())}
+    )
+    sampled = mm.FrameSampleStage(every_k=2)(t)
+    assert sampled.column("frame_index").to_pylist() == [0, 2, 4]
+    for i, payload in zip([0, 2, 4], sampled.column("payload").to_pylist()):
+        w, h, c, px = mm.decode_bmp(payload)
+        assert (w, h, c) == (8, 6, 3)
+        assert np.array_equal(px, frames[i])
+    dec = mm.ImageDecodeStage()(sampled)
+    assert dec.column("width").to_pylist() == [8, 8, 8]
+
+
+def test_wav_through_audio_stage(ray_session):
+    """AudioFeatureStage computes features from REAL WAV bytes."""
+    rng = np.random.default_rng(14)
+    s = rng.integers(-32768, 32767, size=1234, dtype=np.int16)
+    t = pa.table(
+        {"media_id": pa.array([1], pa.int64()),
+         "payload": pa.array([mm.encode_wav(s, 16000)], pa.binary())}
+    )
+    out = mm.AudioFeatureStage()(t)
+    assert out.column("sample_rate").to_pylist() == [16000]
+    assert out.column("n_samples").to_pylist() == [1234]
+    expect = float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))
+    assert abs(out.column("rms")[0].as_py() - expect) < 1e-9
+
+
 def test_media_pipeline_gate_values(ray_session, tmp_path):
     """The media_pipeline driver gate: dims are pure functions of
     doc_id (what the SQL oracle restates); n_sampled = every-2nd frame."""
@@ -112,6 +197,8 @@ def test_media_pipeline_gate_values(ray_session, tmp_path):
         assert (r["resized_w"], r["resized_h"]) == (8, 8)
         assert r["n_frames"] == 1 + i % 4
         assert r["n_sampled"] == (1 + i % 4 + 1) // 2
+        assert r["audio_rate"] == 16000
+        assert r["audio_n"] == 800 + (i % 5) * 200
 
 
 def test_bmp_roundtrip_exact():
