@@ -593,6 +593,47 @@ JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY 1, 2 ORDER BY n_nationkey
 """
 
+# Semi/anti join: LEFT JOIN against the distinct fact keys restates
+# the engine's EXISTS-probe (distributed distinct + broadcast bitmap).
+_SEMI_ANTI_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(o.k) AS BIGINT) AS n_with_orders,
+       CAST(COUNT(*) - COUNT(o.k) AS BIGINT) AS n_without_orders
+FROM customer
+LEFT JOIN (SELECT DISTINCT o_custkey AS k FROM orders) o ON o.k = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+# Deterministic hash sample: the recursive CTE folds FNV-1a 64-bit
+# over the decimal-string bytes of event_id (same fold the engine's
+# vectorized fnv1a_u64 computes), so sample MEMBERSHIP is SQL-exact.
+_SAMPLE_HASH_SQL = """
+WITH RECURSIVE eb AS (
+  SELECT event_id, hex(encode(CAST(event_id AS VARCHAR))) AS hx,
+         octet_length(encode(CAST(event_id AS VARCHAR))) AS n
+  FROM events
+),
+fnv AS (
+  SELECT event_id, n, 0 AS i,
+         CAST('14695981039346656037' AS UHUGEINT) AS h FROM eb
+  UNION ALL
+  SELECT f.event_id, f.n, f.i + 1,
+         (xor(f.h, CAST(CAST('0x' || substr(eb.hx, 2*f.i+1, 2) AS INT)
+                        AS UHUGEINT))
+          * CAST(1099511628211 AS UHUGEINT))
+           % CAST('18446744073709551616' AS UHUGEINT)
+  FROM fnv f JOIN eb ON eb.event_id = f.event_id
+  WHERE f.i < f.n
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       CAST(floor(e.value * 100) AS BIGINT) AS value_cents
+FROM events e JOIN fnv ON fnv.event_id = e.event_id AND fnv.i = fnv.n
+WHERE CAST(fnv.h % CAST('18446744073709551616' AS UHUGEINT) AS UBIGINT)
+      % 20 = 0
+ORDER BY e.event_id
+"""
+
 _GROUP_TOPK_SQL = """
 WITH r AS (
   SELECT user_id, event_id, ts, value,
@@ -688,6 +729,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_range_join_events": ev.orders_range_join_events,
         "nation_order_stats": ev.nation_order_stats,  # broadcast join
         "events_window_sliding": ev.events_window_sliding,  # hopping windows
+        # semi/anti join: EXISTS-probe of the dim stream against the
+        # fact stream's distributed distinct-key set
+        "customer_order_presence": ev.customer_order_presence,
+        # deterministic bernoulli-by-key sampling; membership itself is
+        # SQL-checked via the recursive FNV-1a fold
+        "events_sample_hash": ev.events_sample_hash,
     }
 
 
@@ -739,4 +786,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_range_join_events": _RANGE_JOIN_SQL,
         "nation_order_stats": _NATION_ORDER_SQL,
         "events_window_sliding": _SLIDING_SQL,
+        "customer_order_presence": _SEMI_ANTI_SQL,
+        "events_sample_hash": _SAMPLE_HASH_SQL,
     }

@@ -355,3 +355,68 @@ def test_window_sliding_membership(ray_session, tmp_path):
         -15.0: (1, 100), 0.0: (1, 100), 15.0: (2, 300), 30.0: (2, 300),
         45.0: (1, 200), 60.0: (1, 200),
     }
+
+
+def test_customer_order_presence_semi_anti(ray_session, tmp_path):
+    """Semi/anti join with planted customers: 1 and 3 have orders,
+    2 and 4 do not; counts split per segment."""
+    import pyarrow.parquet as pq2
+
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_name": pa.array(["a", "b", "c", "d"]),
+            "c_nationkey": pa.array([0, 0, 0, 0], pa.int64()),
+            "c_acctbal": pa.array([0.0] * 4),
+            "c_mktsegment": pa.array(["M1", "M1", "M2", "M2"]),
+        }
+    )
+    pq2.write_table(cust, str(tmp_path / "customer.parquet"))
+    make_orders(tmp_path, [(100, 1, 1.0), (101, 1, 2.0), (102, 3, 3.0)])
+    out = {
+        r["c_mktsegment"]: r
+        for r in ev.customer_order_presence(str(tmp_path)).to_pylist()
+    }
+    assert out["M1"]["n_customers"] == 2
+    assert out["M1"]["n_with_orders"] == 1      # only customer 1
+    assert out["M1"]["n_without_orders"] == 1   # customer 2
+    assert out["M2"]["n_with_orders"] == 1      # customer 3
+    assert out["M2"]["n_without_orders"] == 1   # customer 4
+
+
+def test_value_quantiles_approx_vs_exact(ray_session, tmp_path):
+    """The HDR-histogram sketch must land within its 2^-6 relative
+    error bound of the exact sibling at every quantile."""
+    rng = np.random.default_rng(17)
+    rows = [
+        (i + 1, 1, float(i % 100), "a", float(v))
+        for i, v in enumerate(rng.gamma(2.0, 150.0, size=4000))
+    ]
+    sf = make_events(tmp_path, rows)
+    exact = {
+        r["q"]: r["value_cents"]
+        for r in ev.events_value_quantiles(sf).to_pylist()
+    }
+    approx = {
+        r["q"]: r["value_cents_approx"]
+        for r in ev.events_value_quantiles_approx(sf).to_pylist()
+    }
+    for q, v in exact.items():
+        assert abs(approx[q] - v) <= max(2, v * 2 ** -6 + 1), (q, v, approx[q])
+
+
+def test_events_sample_hash_deterministic_membership(ray_session, tmp_path):
+    """The hash sample picks exactly the rows whose FNV-1a(decimal
+    event_id) % 20 == 0 -- reproducible across runs and block splits."""
+    from logminer_kafka_connect_ray.functions.hashing import fnv1a_u64
+
+    rows = [(i, i % 7, float(i), "a", 1.25) for i in range(1, 501)]
+    sf = make_events(tmp_path, rows)
+    got = ev.events_sample_hash(sf).column("event_id").to_pylist()
+    want = [
+        i for i in range(1, 501)
+        if int(fnv1a_u64([str(i)])[0]) % 20 == 0
+    ]
+    assert got == want and len(want) > 0
+    # second run: byte-identical membership
+    assert ev.events_sample_hash(sf).column("event_id").to_pylist() == want
