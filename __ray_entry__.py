@@ -634,6 +634,28 @@ WHERE CAST(fnv.h % CAST('18446744073709551616' AS UHUGEINT) AS UBIGINT)
 ORDER BY e.event_id
 """
 
+_RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(floor(value*100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS cum_value_cents
+FROM events ORDER BY event_id
+"""
+
+_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       CAST(COUNT(CASE WHEN event_type='click' THEN 1 END) AS BIGINT) AS n_click,
+       CAST(COUNT(CASE WHEN event_type='error' THEN 1 END) AS BIGINT) AS n_error,
+       CAST(COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS BIGINT)
+         AS n_purchase,
+       CAST(COUNT(CASE WHEN event_type='signup' THEN 1 END) AS BIGINT) AS n_signup,
+       CAST(COUNT(CASE WHEN event_type='view' THEN 1 END) AS BIGINT) AS n_view,
+       CAST(COALESCE(SUM(CASE WHEN event_type='purchase'
+                     THEN CAST(floor(value*100) AS BIGINT) END), 0) AS BIGINT)
+         AS purchase_cents
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
 _GROUP_TOPK_SQL = """
 WITH r AS (
   SELECT user_id, event_id, ts, value,
@@ -735,6 +757,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic bernoulli-by-key sampling; membership itself is
         # SQL-checked via the recursive FNV-1a fold
         "events_sample_hash": ev.events_sample_hash,
+        # cumulative window function (running total per key)
+        "events_running_total": ev.events_running_total,
+        # pivot / wide aggregation (one column per category)
+        "events_type_pivot": ev.events_type_pivot,
     }
 
 
@@ -788,4 +814,6 @@ def oracle_sql() -> dict[str, str]:
         "events_window_sliding": _SLIDING_SQL,
         "customer_order_presence": _SEMI_ANTI_SQL,
         "events_sample_hash": _SAMPLE_HASH_SQL,
+        "events_running_total": _RUNNING_TOTAL_SQL,
+        "events_type_pivot": _TYPE_PIVOT_SQL,
     }

@@ -1207,3 +1207,131 @@ def events_sample_hash(sf_dir: str, one_in: int = 20) -> pa.Table:
         preserve_index=False,
     )
     return t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# Cumulative window function (running total per key)
+# ---------------------------------------------------------------------------
+def events_running_total(sf_dir: str) -> pa.Table:
+    """``SUM(value_cents) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` -- the cumulative window-function shape, one output
+    row per input row.
+
+    Same distributed shape as sessionization: hash exchange on
+    ``user_id`` -> per-block lexsort -> segmented cumulative sum
+    (one ``np.cumsum`` minus the per-segment base; no per-row
+    Python).  Output is input-sized, so at 100 TB this would write
+    straight to partitioned Parquet; the gate returns it whole at
+    gate scale."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("runtot")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("cum_value_cents", pa.int64()),
+        ]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(gd, "runtot", t.column("_p").to_numpy(zero_copy_only=False))
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, ts, u))
+        u, eid, cents = u[order], eid[order], cents[order]
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        counts = np.diff(np.append(starts, len(u)))
+        c = np.cumsum(cents)
+        base = np.repeat(c[starts] - cents[starts], counts)
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(u),
+                "cum_value_cents": pa.array(c - base),
+            },
+            schema=out_schema,
+        )
+
+    res = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False).cast(out_schema)
+    t = t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
+    return _finalize_guard(gd, t)
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide aggregation: one column per category value)
+# ---------------------------------------------------------------------------
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir: str) -> pa.Table:
+    """Per-user pivot of event counts: one row per ``user_id`` with a
+    ``n_<event_type>`` column per category plus the purchase value
+    total -- the wide-aggregation / pivot shape.
+
+    Distributed as per-block partials (lexsort + ``reduceat`` per
+    masked category -- no per-row Python, the block collapses to
+    its distinct users) merged by one dim-bounded ``groupby.sum``;
+    unknown categories fail loudly rather than dropping silently."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    cats = list(_PIVOT_TYPES)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64())}
+        for c in cats:
+            cols[f"n_{c}"] = pa.array([], pa.int64())
+        cols["purchase_cents"] = pa.array([], pa.int64())
+        if t.num_rows == 0:
+            return pa.table(cols)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t.column("event_type").to_pandas(), dtype=object)
+        unknown = ~np.isin(et, cats)
+        if unknown.any():
+            raise ValueError(f"unknown event_type(s): {set(et[unknown])}")
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        order = np.argsort(u, kind="stable")
+        u, et, cents = u[order], et[order], cents[order]
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        out = {"user_id": pa.array(u[starts])}
+        for c in cats:
+            m = (et == c).astype(np.int64)
+            out[f"n_{c}"] = pa.array(np.add.reduceat(m, starts))
+        pm = np.where(et == "purchase", cents, 0)
+        out["purchase_cents"] = pa.array(np.add.reduceat(pm, starts))
+        return pa.table(out)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .sum([f"n_{c}" for c in cats] + ["purchase_cents"])
+    )
+    t = pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+    t = t.rename_columns(
+        ["user_id"] + [f"n_{c}" for c in cats] + ["purchase_cents"]
+    )
+    t = t.cast(
+        pa.schema(
+            [("user_id", pa.int64())]
+            + [(f"n_{c}", pa.int64()) for c in cats]
+            + [("purchase_cents", pa.int64())]
+        )
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))

@@ -420,3 +420,47 @@ def test_events_sample_hash_deterministic_membership(ray_session, tmp_path):
     assert got == want and len(want) > 0
     # second run: byte-identical membership
     assert ev.events_sample_hash(sf).column("event_id").to_pylist() == want
+
+
+def test_running_total_order_and_segments(ray_session, tmp_path):
+    """Cumulative sum restarts per user and follows (ts, event_id)
+    order, including a ts tie broken by event_id."""
+    sf = make_events(
+        tmp_path,
+        [
+            (1, 1, 0.0, "a", 1.00),
+            (3, 1, 5.0, "a", 2.00),   # tie on ts with event 2
+            (2, 1, 5.0, "a", 4.00),   # same ts, lower id -> earlier
+            (4, 2, 1.0, "a", 10.00),
+        ],
+    )
+    out = {r["event_id"]: r["cum_value_cents"]
+           for r in ev.events_running_total(sf).to_pylist()}
+    assert out[1] == 100
+    assert out[2] == 500       # 100 + 400 (event 2 before event 3)
+    assert out[3] == 700       # + 200
+    assert out[4] == 1000      # user 2 restarts
+
+
+def test_type_pivot_counts_and_unknown_raises(ray_session, tmp_path):
+    sf = make_events(
+        tmp_path,
+        [
+            (1, 1, 0.0, "click", 1.00),
+            (2, 1, 1.0, "purchase", 2.50),
+            (3, 1, 2.0, "purchase", 0.50),
+            (4, 2, 3.0, "view", 9.00),
+        ],
+    )
+    out = {r["user_id"]: r for r in ev.events_type_pivot(sf).to_pylist()}
+    assert out[1]["n_click"] == 1 and out[1]["n_purchase"] == 2
+    assert out[1]["purchase_cents"] == 300
+    assert out[1]["n_view"] == 0 and out[2]["n_view"] == 1
+    assert out[2]["purchase_cents"] == 0
+
+    import pytest as _pt
+    import ray.exceptions
+
+    sf2 = make_events(tmp_path, [(1, 1, 0.0, "mystery", 1.0)])
+    with _pt.raises((ValueError, ray.exceptions.RayTaskError)):
+        ev.events_type_pivot(sf2)
