@@ -634,6 +634,27 @@ WHERE CAST(fnv.h % CAST('18446744073709551616' AS UHUGEINT) AS UBIGINT)
 ORDER BY e.event_id
 """
 
+_SET_OPS_SQL = """
+WITH e AS (SELECT DISTINCT user_id AS k FROM events),
+     o AS (SELECT DISTINCT o_custkey AS k FROM orders),
+     j AS (SELECT e.k AS ek, o.k AS ok FROM e FULL OUTER JOIN o ON e.k = o.k)
+SELECT CAST(COUNT(CASE WHEN ok IS NULL THEN 1 END) AS BIGINT) AS n_only_events,
+       CAST(COUNT(CASE WHEN ek IS NULL THEN 1 END) AS BIGINT) AS n_only_orders,
+       CAST(COUNT(CASE WHEN ek IS NOT NULL AND ok IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_both
+FROM j
+"""
+
+_ROLLUP_SQL = """
+SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY ROLLUP(event_type, CAST(user_id % 10 AS BIGINT))
+ORDER BY event_type NULLS LAST, user_bucket NULLS LAST
+"""
+
 _RUNNING_TOTAL_SQL = """
 SELECT event_id, user_id,
        CAST(SUM(CAST(floor(value*100) AS BIGINT))
@@ -761,6 +782,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": ev.events_running_total,
         # pivot / wide aggregation (one column per category)
         "events_type_pivot": ev.events_type_pivot,
+        # fact-vs-fact INTERSECT/EXCEPT cardinalities (both sides
+        # distributed; only the 3-row class table reaches the driver)
+        "user_custkey_set_ops": ev.user_custkey_set_ops,
+        # ROLLUP(event_type, user_bucket) grouping-sets aggregate
+        "events_rollup": ev.events_rollup,
     }
 
 
@@ -816,4 +842,6 @@ def oracle_sql() -> dict[str, str]:
         "events_sample_hash": _SAMPLE_HASH_SQL,
         "events_running_total": _RUNNING_TOTAL_SQL,
         "events_type_pivot": _TYPE_PIVOT_SQL,
+        "user_custkey_set_ops": _SET_OPS_SQL,
+        "events_rollup": _ROLLUP_SQL,
     }

@@ -1335,3 +1335,178 @@ def events_type_pivot(sf_dir: str) -> pa.Table:
         )
     )
     return t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# Distributed set operations (fact-vs-fact INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+def user_custkey_set_ops(sf_dir: str) -> pa.Table:
+    """Set relations between two FACT-side key sets -- distinct
+    ``events.user_id`` vs distinct ``orders.o_custkey``: how many keys
+    appear only in events, only in orders, and in both (INTERSECT /
+    EXCEPT / EXCEPT-reversed cardinalities in one pass).
+
+    Unlike the semi/anti probe (dim-bounded driver bitmap), BOTH sides
+    here stay distributed: each side emits per-block ``(key, side_bit)``
+    distinct partials, one hash exchange co-locates keys, and a
+    per-block sweep ORs the side bits per key and counts the three
+    classes.  Only the 3-row class-count table reaches the driver."""
+    n_e, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_e)
+    gd = _new_guard_dir("setops")
+
+    ev_ds = _read(sf_dir, "events", columns=["user_id"])
+    or_ds = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(col: str, bit: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"k": pa.array([], pa.int64()),
+                     "side": pa.array([], pa.int64())}
+                )
+            u = np.unique(t.column(col).to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"k": pa.array(u.astype(np.int64)),
+                 "side": pa.array(np.full(len(u), bit, np.int64))}
+            )
+        return fn
+
+    both = ev_ds.map_batches(partial("user_id", 1), batch_format="pyarrow").union(
+        or_ds.map_batches(partial("o_custkey", 2), batch_format="pyarrow")
+    )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column("_p", pa.array(partition_ids(t.column("k"), P)))
+
+    out_schema = pa.schema(
+        [("n_only_events", pa.int64()), ("n_only_orders", pa.int64()),
+         ("n_both", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"n_only_events": [0], "n_only_orders": [0], "n_both": [0]},
+                schema=out_schema,
+            )
+        _guard_record(gd, "setops", t.column("_p").to_numpy(zero_copy_only=False))
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        side = t.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, side = k[order], side[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        mask = np.bitwise_or.reduceat(side, starts)
+        return pa.table(
+            {
+                "n_only_events": [int((mask == 1).sum())],
+                "n_only_orders": [int((mask == 2).sum())],
+                "n_both": [int((mask == 3).sum())],
+            },
+            schema=out_schema,
+        )
+
+    res = (
+        both.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    parts = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    out = pa.table(
+        {c: pa.array([int(pc.sum(parts.column(c)).as_py() or 0)], pa.int64())
+         for c in out_schema.names},
+        schema=out_schema,
+    )
+    return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Rollup (grouping-sets aggregate)
+# ---------------------------------------------------------------------------
+def events_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP(event_type, user_bucket): event counts and value sums at
+    three grouping levels -- (event_type, bucket), (event_type), and
+    grand total -- in ONE distributed pass.  ``user_bucket =
+    user_id % 10`` keeps the fixture deterministic; NULL group columns
+    mark rolled-up levels exactly as SQL ROLLUP does.
+
+    Distributed shape: each block computes its FINEST-level partial
+    (lexsort + reduceat), the partials merge in a single dim-bounded
+    ``groupby.sum``, and the coarser levels derive from the merged
+    finest level on the driver (group-count-sized, not row-sized) --
+    the standard rollup-from-finest push-down."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "user_bucket": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64()),
+                 "sum_value_cents": pa.array([], pa.int64())}
+            )
+        et = np.asarray(t.column("event_type").to_pandas(), dtype=object)
+        ub = (t.column("user_id").to_numpy(zero_copy_only=False) % 10).astype(
+            np.int64
+        )
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        # composite sort key: type then bucket
+        order = np.lexsort((ub, et))
+        et, ub, cents = et[order], ub[order], cents[order]
+        brk = np.concatenate(
+            [[True], (et[1:] != et[:-1]) | (ub[1:] != ub[:-1])]
+        )
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, len(et)))
+        return pa.table(
+            {
+                "event_type": pa.array(list(et[starts]), pa.string()),
+                "user_bucket": pa.array(ub[starts]),
+                "n_events": pa.array(counts.astype(np.int64)),
+                "sum_value_cents": pa.array(np.add.reduceat(cents, starts)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_bucket"])
+        .sum(["n_events", "sum_value_cents"])
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "user_bucket", "n_events", "sum_value_cents"]
+    fine = merged
+    by_type = (
+        fine.groupby("event_type", as_index=False)[["n_events", "sum_value_cents"]]
+        .sum()
+    )
+    by_type["user_bucket"] = None
+    total = {
+        "event_type": [None], "user_bucket": [None],
+        "n_events": [fine["n_events"].sum()],
+        "sum_value_cents": [fine["sum_value_cents"].sum()],
+    }
+    import pandas as pd
+
+    allp = pd.concat(
+        [fine, by_type, pd.DataFrame(total)], ignore_index=True
+    )[["event_type", "user_bucket", "n_events", "sum_value_cents"]]
+    out = pa.table(
+        {
+            "event_type": pa.array(allp["event_type"], pa.string()),
+            "user_bucket": pa.array(
+                allp["user_bucket"].astype("Int64"), pa.int64()
+            ),
+            "n_events": pa.array(allp["n_events"].astype(np.int64)),
+            "sum_value_cents": pa.array(
+                allp["sum_value_cents"].astype(np.int64)
+            ),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("event_type", "ascending"), ("user_bucket", "ascending")],
+        )
+    )

@@ -464,3 +464,43 @@ def test_type_pivot_counts_and_unknown_raises(ray_session, tmp_path):
     sf2 = make_events(tmp_path, [(1, 1, 0.0, "mystery", 1.0)])
     with _pt.raises((ValueError, ray.exceptions.RayTaskError)):
         ev.events_type_pivot(sf2)
+
+
+def test_user_custkey_set_ops_planted(ray_session, tmp_path):
+    """Set-op cardinalities with planted keys: events users {1,2,3},
+    order custkeys {3,4} -> only_events=2, only_orders=1, both=1."""
+    sf = make_events(
+        tmp_path,
+        [(1, 1, 0.0, "a", 1.0), (2, 2, 1.0, "a", 1.0),
+         (3, 3, 2.0, "a", 1.0), (4, 3, 3.0, "a", 1.0)],
+    )
+    make_orders(tmp_path, [(100, 3, 1.0), (101, 4, 2.0), (102, 4, 3.0)])
+    r = ev.user_custkey_set_ops(sf).to_pylist()[0]
+    assert r == {"n_only_events": 2, "n_only_orders": 1, "n_both": 1}
+
+
+def test_events_rollup_levels(ray_session, tmp_path):
+    """ROLLUP emits all three grouping levels with NULL markers, and
+    the coarser levels are exact sums of the finest."""
+    sf = make_events(
+        tmp_path,
+        [
+            (1, 1, 0.0, "click", 1.00),   # bucket 1
+            (2, 11, 1.0, "click", 2.00),  # bucket 1 (11 % 10)
+            (3, 2, 2.0, "click", 4.00),   # bucket 2
+            (4, 2, 3.0, "view", 8.00),    # bucket 2
+        ],
+    )
+    rows = ev.events_rollup(sf).to_pylist()
+    fine = {(r["event_type"], r["user_bucket"]): r for r in rows
+            if r["event_type"] is not None and r["user_bucket"] is not None}
+    per_type = {r["event_type"]: r for r in rows
+                if r["event_type"] is not None and r["user_bucket"] is None}
+    total = [r for r in rows
+             if r["event_type"] is None and r["user_bucket"] is None]
+    assert fine[("click", 1)]["n_events"] == 2
+    assert fine[("click", 1)]["sum_value_cents"] == 300
+    assert per_type["click"]["n_events"] == 3
+    assert per_type["click"]["sum_value_cents"] == 700
+    assert len(total) == 1 and total[0]["n_events"] == 4
+    assert total[0]["sum_value_cents"] == 1500
