@@ -438,14 +438,21 @@ class Engine:
         paths = [f.path for f in bfiles]
         t_meta0 = time.monotonic()
 
-        # --- txn metadata scan: LAUNCH FIRST --------------------------
+        # --- txn metadata scan: RESOLVE FIRST -------------------------
         # (SURVEY.md T1 batch path: markers are tiny vs change rows)
-        # async: kicked off before the driver's schema-discovery footer
-        # reads so the scan tree overlaps them too, not just the
-        # read+decode phase; only the resolve stage (in workers) and
-        # the open-pass decision (after the merge) wait on it
+        # The scan tree runs as Ray tasks and the driver WAITS for the
+        # merged marker table before building the merge pipeline.
+        # Measured 5-pair interleaved A/B vs the async variant (scan
+        # overlapped with decode, fused decode+resolve tasks
+        # ray.get()ing the markers ref mid-task): blocking inside the
+        # first wave of fused tasks stalls the executor's slots behind
+        # the scan -- t_merge inflated 78.2s -> 46.7s total across
+        # pairs (prescan wins every pair); the serialized scan costs
+        # well under a second of t_plan.  LKC_PRESCAN=0 restores the
+        # async variant for A/B.
         info, markers_ref = collect_txn_info_ref(
-            paths, scn_lo, scn_hi, block=False
+            paths, scn_lo, scn_hi,
+            block=os.environ.get("LKC_PRESCAN", "1") == "1",
         )
 
         # --- schema evolution detection (plan time) -------------------
