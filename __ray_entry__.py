@@ -645,6 +645,14 @@ SELECT CAST(COUNT(CASE WHEN ok IS NULL THEN 1 END) AS BIGINT) AS n_only_events,
 FROM j
 """
 
+_HASH_JOIN_SQL = """
+SELECT o.o_orderkey, o.o_custkey, e.event_id,
+       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS o_total_cents,
+       CAST(floor(e.value * 100) AS BIGINT) AS value_cents
+FROM orders o JOIN events e ON e.user_id = o.o_custkey
+ORDER BY o.o_orderkey, e.event_id
+"""
+
 _ROLLUP_SQL = """
 SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -787,6 +795,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_custkey_set_ops": ev.user_custkey_set_ops,
         # ROLLUP(event_type, user_bucket) grouping-sets aggregate
         "events_rollup": ev.events_rollup,
+        # fact-to-fact shuffle hash join (general case: neither side
+        # broadcastable; partitioned searchsorted+repeat sweep)
+        "orders_events_join": ev.orders_events_join,
     }
 
 
@@ -844,4 +855,5 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pivot": _TYPE_PIVOT_SQL,
         "user_custkey_set_ops": _SET_OPS_SQL,
         "events_rollup": _ROLLUP_SQL,
+        "orders_events_join": _HASH_JOIN_SQL,
     }

@@ -1423,6 +1423,153 @@ def user_custkey_set_ops(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Fact-to-fact shuffle hash join
+# ---------------------------------------------------------------------------
+def orders_events_join(sf_dir: str) -> pa.Table:
+    """Distributed inner equi-join of two FACT tables -- ``orders``
+    joined to ``events`` on ``o_custkey = user_id`` -- emitting the
+    joined ROWS, not an aggregate.  Completes the join family: the
+    broadcast join handles a small dimension side, semi/anti handles
+    existence, as-of/range handle temporal predicates; this is the
+    general case where BOTH sides are too large to broadcast.
+
+    Distributed shape (partitioned hash join): each side's rows are
+    stamped with the same ``hash(key) % P`` partition id and padded
+    into one union relation; a single explicit-boundary exchange
+    co-locates each key's rows from both sides; a per-block numpy
+    sweep then sorts the build side (orders) by key and expands the
+    probe side (events) against it with a vectorized
+    searchsorted + repeat cross-product -- no per-row Python, no
+    driver-side key index.  Only the joined projection is emitted.
+
+    Scale notes: join OUTPUT is inherently row-multiplied, so at real
+    scale the sweep's result should flow straight to
+    ``write_parquet`` (the gate returns it to the caller instead, as
+    every gate does).  One KEY's full cross product must fit one
+    block; a pathological hot key needs the same salting escape the
+    LWW fold uses (``salt_factor``) on the smaller side.  Width P is
+    data-derived (`_exchange_width`), and the `_guard_record`
+    side-channel fails loudly if the exchange ever splits a key range
+    across blocks."""
+    n_ev, _ = _table_meta(sf_dir, "events")
+    n_or, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_ev + n_or)
+    gd = _new_guard_dir("hashjoin")
+
+    rel_schema = pa.schema(
+        [
+            ("_k", pa.int64()),
+            ("_side", pa.int8()),    # 0 = build (orders), 1 = probe (events)
+            ("_id", pa.int64()),     # o_orderkey | event_id
+            ("_cents", pa.int64()),  # o_totalprice | value, floor-cents
+            ("_p", pa.int64()),
+        ]
+    )
+
+    def pad_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return rel_schema.empty_table()
+        k = t.column("o_custkey").cast(pa.int64())
+        return pa.table(
+            {
+                "_k": k,
+                "_side": pa.array(np.zeros(n, np.int8)),
+                "_id": t.column("o_orderkey").cast(pa.int64()),
+                "_cents": pa.array(
+                    _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
+                ),
+                "_p": pa.array(partition_ids(k, P)),
+            },
+            schema=rel_schema,
+        )
+
+    def pad_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return rel_schema.empty_table()
+        k = t.column("user_id").cast(pa.int64())
+        return pa.table(
+            {
+                "_k": k,
+                "_side": pa.array(np.ones(n, np.int8)),
+                "_id": t.column("event_id").cast(pa.int64()),
+                "_cents": pa.array(
+                    _cents(t.column("value").to_numpy(zero_copy_only=False))
+                ),
+                "_p": pa.array(partition_ids(k, P)),
+            },
+            schema=rel_schema,
+        )
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    rel = orders.map_batches(pad_orders, batch_format="pyarrow").union(
+        ev.map_batches(pad_events, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("event_id", pa.int64()),
+            ("o_total_cents", pa.int64()),
+            ("value_cents", pa.int64()),
+        ]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(gd, "hj", t.column("_p").to_numpy(zero_copy_only=False))
+        t = t.select(rel_schema.names).cast(rel_schema)
+        k = t.column("_k").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        rid = t.column("_id").to_numpy(zero_copy_only=False)
+        cents = t.column("_cents").to_numpy(zero_copy_only=False)
+        build = side == 0
+        bk, bid, bc = k[build], rid[build], cents[build]
+        order = np.argsort(bk, kind="stable")
+        bk, bid, bc = bk[order], bid[order], bc[order]
+        pk, pid, pv = k[~build], rid[~build], cents[~build]
+        lo = np.searchsorted(bk, pk, side="left")
+        hi = np.searchsorted(bk, pk, side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return out_schema.empty_table()
+        # vectorized ragged cross product: probe row i pairs with
+        # build rows [lo[i], hi[i])
+        p_idx = np.repeat(np.arange(len(pk), dtype=np.int64), cnt)
+        offs = np.concatenate([[np.int64(0)], np.cumsum(cnt[:-1])])
+        b_idx = np.repeat(lo, cnt) + (np.arange(tot, dtype=np.int64)
+                                      - np.repeat(offs, cnt))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(bid[b_idx]),
+                "o_custkey": pa.array(bk[b_idx]),
+                "event_id": pa.array(pid[p_idx]),
+                "o_total_cents": pa.array(bc[b_idx]),
+                "value_cents": pa.array(pv[p_idx]),
+            },
+            schema=out_schema,
+        )
+
+    res = rel.sort("_p", boundaries=list(range(1, P))).map_batches(
+        sweep, batch_format="pyarrow", batch_size=None
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("o_orderkey", "ascending"), ("event_id", "ascending")]
+        )
+    )
+    return _finalize_guard(gd, t)
+
+
+# ---------------------------------------------------------------------------
 # Rollup (grouping-sets aggregate)
 # ---------------------------------------------------------------------------
 def events_rollup(sf_dir: str) -> pa.Table:

@@ -504,3 +504,42 @@ def test_events_rollup_levels(ray_session, tmp_path):
     assert per_type["click"]["sum_value_cents"] == 700
     assert len(total) == 1 and total[0]["n_events"] == 4
     assert total[0]["sum_value_cents"] == 1500
+
+
+def test_orders_events_join_planted(ray_session, tmp_path):
+    # cust 1: 2 orders x 2 events = 4 joined rows; cust 2: 1 x 1;
+    # cust 5 (orders only) and user 9 (events only) drop out of the
+    # inner join entirely.
+    make_events(
+        tmp_path,
+        [
+            (100, 1, 0.0, "a", 1.25),
+            (101, 1, 1.0, "a", 0.75),
+            (102, 2, 2.0, "a", 2.00),
+            (103, 9, 3.0, "a", 5.00),
+        ],
+    )
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+            "o_custkey": pa.array([1, 1, 2, 5], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 4, pa.string()),
+            "o_totalprice": pa.array([2.50, 3.00, 4.00, 9.99], pa.float64()),
+            "o_orderdate": pa.array([_ts(0)] * 4, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    out = ev.orders_events_join(str(tmp_path)).to_pylist()
+    got = [
+        (r["o_orderkey"], r["o_custkey"], r["event_id"],
+         r["o_total_cents"], r["value_cents"])
+        for r in out
+    ]
+    assert got == [
+        (10, 1, 100, 250, 125),
+        (10, 1, 101, 250, 75),
+        (11, 1, 100, 300, 125),
+        (11, 1, 101, 300, 75),
+        (12, 2, 102, 400, 200),
+    ]
