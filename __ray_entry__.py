@@ -645,6 +645,16 @@ SELECT CAST(COUNT(CASE WHEN ok IS NULL THEN 1 END) AS BIGINT) AS n_only_events,
 FROM j
 """
 
+_GLOBAL_RANK_SQL = """
+SELECT event_id,
+       CAST(floor(value * 100) AS BIGINT) AS value_cents,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY CAST(floor(value * 100) AS BIGINT) DESC, event_id
+       ) AS BIGINT) AS rnk
+FROM events
+ORDER BY rnk
+"""
+
 _HASH_JOIN_SQL = """
 SELECT o.o_orderkey, o.o_custkey, e.event_id,
        CAST(floor(o.o_totalprice * 100) AS BIGINT) AS o_total_cents,
@@ -798,6 +808,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fact-to-fact shuffle hash join (general case: neither side
         # broadcastable; partitioned searchsorted+repeat sweep)
         "orders_events_join": ev.orders_events_join,
+        # exact global ROW_NUMBER: histogram-balanced value ranges +
+        # exact prefix offsets (distributed total-order sort pattern)
+        "events_global_rank": ev.events_global_rank,
     }
 
 
@@ -856,4 +869,5 @@ def oracle_sql() -> dict[str, str]:
         "user_custkey_set_ops": _SET_OPS_SQL,
         "events_rollup": _ROLLUP_SQL,
         "orders_events_join": _HASH_JOIN_SQL,
+        "events_global_rank": _GLOBAL_RANK_SQL,
     }

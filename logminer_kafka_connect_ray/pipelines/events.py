@@ -1166,6 +1166,129 @@ def events_value_quantiles_approx(
 
 
 # ---------------------------------------------------------------------------
+# Global ROW_NUMBER (distributed total-order rank)
+# ---------------------------------------------------------------------------
+def events_global_rank(sf_dir: str) -> pa.Table:
+    """Exact GLOBAL ``ROW_NUMBER() OVER (ORDER BY value_cents DESC,
+    event_id)`` for every event -- the distributed total-order sort
+    pattern, built without ever materializing a single global sort on
+    one node.
+
+    Distributed shape (range-partition by sort key + exact prefix
+    offsets):
+
+    1. Histogram pass: each block emits a 4096-counter HDR histogram
+       of its value cents (the same `_qsketch_bins` mapping the
+       quantile sketch uses -- monotonic in the value, 32 KB per
+       block, merged by elementwise SUM on the driver; no exchange).
+    2. The driver groups CONTIGUOUS bins into P count-balanced value
+       ranges and computes each range's exact base rank = total rows
+       in higher-value ranges (suffix sums of the merged histogram --
+       exact, because ranges are unions of whole bins and every row's
+       bin is known exactly).
+    3. Ranked pass: rows are stamped with their range id, one
+       explicit-boundary exchange co-locates each value range, and a
+       per-block numpy lexsort assigns ``rnk = base + 1..n`` locally.
+       Ranks are globally exact: ranges are value-disjoint.
+
+    Skew note: a single hot VALUE maps to one bin and therefore one
+    range; the histogram bounds a range's overshoot by that one bin's
+    count.  Output is row-sized (rank per input row) -- at real scale
+    it streams to Parquet; the gate returns it like every gate does."""
+    n_ev, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_ev)
+    gd = _new_guard_dir("grank")
+    NB = 64 * (1 << _QSK_MBITS)
+
+    # --- pass 1: exact global value histogram ------------------------
+    def block_sketch(t: pa.Table) -> pa.Table:
+        counts = np.zeros(NB, np.int64)
+        if t.num_rows:
+            c = _cents(t.column("value").to_numpy(zero_copy_only=False))
+            np.add.at(counts, _qsketch_bins(c), 1)
+        return pa.table({"counts": pa.array([counts.tobytes()])})
+
+    merged = np.zeros(NB, np.int64)
+    for b in (
+        _read(sf_dir, "events", columns=["value"])
+        .map_batches(block_sketch, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for buf in b.column("counts").to_pylist():
+            merged += np.frombuffer(buf, np.int64)
+
+    total = int(merged.sum())
+    target = max(1, -(-total // P))  # ceil
+    cum_excl = np.concatenate([[np.int64(0)], np.cumsum(merged)[:-1]])
+    bin_range = np.minimum(cum_excl // target, P - 1).astype(np.int64)
+    range_counts = np.bincount(bin_range, weights=merged, minlength=P).astype(
+        np.int64
+    )
+    # base[r] = exact number of rows in HIGHER-value ranges (ranges
+    # are ascending in value; rank orders value DESC)
+    suffix = np.concatenate(
+        [np.cumsum(range_counts[::-1])[::-1][1:], [np.int64(0)]]
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("value_cents", pa.int64()),
+            ("rnk", pa.int64()),
+        ]
+    )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "value_cents": pa.array([], pa.int64()),
+                 "_p": pa.array([], pa.int64())}
+            )
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "value_cents": pa.array(cents),
+                "_p": pa.array(bin_range[_qsketch_bins(cents)]),
+            }
+        )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        p = t.column("_p").to_numpy(zero_copy_only=False)
+        _guard_record(gd, "grank", p)
+        if not (p == p[0]).all():
+            raise RuntimeError(
+                "global-rank sweep got a mixed-range block; base offset "
+                "would be wrong (exchange merged partitions?)"
+            )
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        cents = t.column("value_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -cents))
+        base = int(suffix[int(p[0])])
+        rnk = np.empty(len(eid), np.int64)
+        rnk[order] = base + 1 + np.arange(len(eid), dtype=np.int64)
+        return pa.table(
+            {"event_id": pa.array(eid), "value_cents": pa.array(cents),
+             "rnk": pa.array(rnk)},
+            schema=out_schema,
+        )
+
+    res = (
+        _read(sf_dir, "events", columns=["event_id", "value"])
+        .map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = t.take(pc.sort_indices(t, sort_keys=[("rnk", "ascending")]))
+    return _finalize_guard(gd, t)
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash sampling (reproducible bernoulli-by-key)
 # ---------------------------------------------------------------------------
 def events_sample_hash(sf_dir: str, one_in: int = 20) -> pa.Table:

@@ -543,3 +543,26 @@ def test_orders_events_join_planted(ray_session, tmp_path):
         (11, 1, 101, 300, 75),
         (12, 2, 102, 400, 200),
     ]
+
+
+def test_events_global_rank_exact(ray_session, tmp_path):
+    # values chosen to straddle histogram bins and include ties (two
+    # rows at 3.00 tie-broken by event_id) plus a hot duplicate value
+    rows = [
+        (1, 1, 0.0, "a", 3.00),
+        (2, 1, 1.0, "a", 10.50),
+        (3, 2, 2.0, "a", 3.00),
+        (4, 2, 3.0, "a", 0.10),
+        (5, 3, 4.0, "a", 700.25),
+        (6, 3, 5.0, "a", 0.10),
+        (7, 4, 6.0, "a", 0.00),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_global_rank(sf).to_pylist()
+    got = [(r["rnk"], r["event_id"], r["value_cents"]) for r in out]
+    # expected: sort by (cents desc, event_id)
+    exp = sorted(
+        [(int(v * 100), eid) for eid, _, _, _, v in rows],
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert got == [(i + 1, eid, c) for i, (c, eid) in enumerate(exp)]
