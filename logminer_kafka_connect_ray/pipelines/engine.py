@@ -438,21 +438,20 @@ class Engine:
         paths = [f.path for f in bfiles]
         t_meta0 = time.monotonic()
 
-        # --- txn metadata scan: RESOLVE FIRST -------------------------
+        # --- txn metadata scan: LAUNCH FIRST, BARRIER BEFORE EXEC ----
         # (SURVEY.md T1 batch path: markers are tiny vs change rows)
-        # The scan tree runs as Ray tasks and the driver WAITS for the
-        # merged marker table before building the merge pipeline.
-        # Measured 5-pair interleaved A/B vs the async variant (scan
-        # overlapped with decode, fused decode+resolve tasks
-        # ray.get()ing the markers ref mid-task): blocking inside the
-        # first wave of fused tasks stalls the executor's slots behind
-        # the scan -- t_merge inflated 78.2s -> 46.7s total across
-        # pairs (prescan wins every pair); the serialized scan costs
-        # well under a second of t_plan.  LKC_PRESCAN=0 restores the
-        # async variant for A/B.
+        # The scan tree is launched async here so it overlaps the
+        # driver's plan work (schema discovery footer reads, batch
+        # sizing, pipeline build), then the driver WAITS on the ref
+        # right before triggering execution.  Measured 5-pair
+        # interleaved A/B vs letting the fused decode+resolve tasks
+        # ray.get() the ref mid-task: in-task blocking stalls the
+        # executor's slots behind the scan -- t_merge inflated 78.2s
+        # -> 46.7s total across pairs (the barrier variant won every
+        # pair).  LKC_PRESCAN=0 restores the in-task-blocking variant
+        # for A/B.
         info, markers_ref = collect_txn_info_ref(
-            paths, scn_lo, scn_hi,
-            block=os.environ.get("LKC_PRESCAN", "1") == "1",
+            paths, scn_lo, scn_hi, block=False,
         )
 
         # --- schema evolution detection (plan time) -------------------
@@ -603,6 +602,17 @@ class Engine:
             return proc
 
         committed = source()
+        # prescan barrier: the scan has been overlapping all the plan
+        # work above; make sure it is RESOLVED before the streaming
+        # executor starts, so no fused decode+resolve task ever blocks
+        # on the ref while holding an executor slot (see the A/B note
+        # at the collect_txn_info_ref call)
+        if (
+            markers_ref is not None
+            and not hasattr(markers_ref, "n_open_rows")  # plain info w/o Ray
+            and os.environ.get("LKC_PRESCAN", "1") == "1"
+        ):
+            _ray().get(markers_ref)
         self._t_meta = time.monotonic() - t_meta0
         self._info_ref = markers_ref
         manifest = self._merge_and_publish(
