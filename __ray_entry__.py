@@ -645,6 +645,29 @@ SELECT CAST(COUNT(CASE WHEN ok IS NULL THEN 1 END) AS BIGINT) AS n_only_events,
 FROM j
 """
 
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term
+         ) AS rnk
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rnk AS BIGINT) AS rnk
+FROM scored WHERE rnk <= 5
+ORDER BY doc_id, rnk
+"""
+
 _GLOBAL_RANK_SQL = """
 SELECT event_id,
        CAST(floor(value * 100) AS BIGINT) AS value_cents,
@@ -811,6 +834,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact global ROW_NUMBER: histogram-balanced value ranges +
         # exact prefix offsets (distributed total-order sort pattern)
         "events_global_rank": ev.events_global_rank,
+        # distributed TF-IDF: two-exchange (term-df attach, per-doc
+        # top-k) with integer-exact 1/df idf ordering
+        "tfidf_topk": d.tfidf_topk,
     }
 
 
@@ -870,4 +896,5 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _ROLLUP_SQL,
         "orders_events_join": _HASH_JOIN_SQL,
         "events_global_rank": _GLOBAL_RANK_SQL,
+        "tfidf_topk": _TFIDF_SQL,
     }

@@ -1637,6 +1637,156 @@ def word_freq_topk(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(df.head(k), preserve_index=False)
 
 
+def tfidf_topk(sf_dir: str, k: int = 5) -> pa.Table:
+    """Top-k TF-IDF terms per document over ``documents.text`` -- the
+    canonical corpus-weighting primitive for training-data curation
+    (keyword extraction, topical dedup, quality filters).
+
+    Scoring uses the integer-exact inverse-document-frequency variant
+    ``score = tf / df`` (one IEEE double division -- correctly
+    rounded, so Ray and the SQL oracle order identically; a log-based
+    idf is NOT correctly rounded across engines and can flip
+    near-ties).  The global document count N scales every doc's
+    scores by the same constant under idf = 1/df, so ranking needs no
+    N at all.  Output carries only integers + the term (never the
+    float score) so the value-hash compare is exact.
+
+    Distributed shape (two exchanges, both data-derived widths):
+    1. One tokenize pass emits each doc's distinct (doc_id, term, tf)
+       rows -- the per-block ``np.unique`` combiner bounds a block's
+       output by its vocabulary, not its token count.
+    2. Exchange by hash(term): each term's rows co-locate, a numpy
+       sweep counts df = rows per term (each row IS one distinct doc)
+       and attaches it.
+    3. Exchange by hash(doc_id): each doc's rows co-locate, a lexsort
+       sweep ranks by (tf/df desc, term asc) and keeps rank <= k.
+    Tokenization is per-row by necessity (same measured-justified
+    call as ``lang_id``); everything after is vectorized."""
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    # each doc contributes at most its distinct-term count; 64 is a
+    # generous per-doc vocabulary estimate for width sizing only
+    P_term = _exchange_width(n_docs * 64)
+    P_doc = _exchange_width(n_docs * 64)
+    gd = _new_guard_dir("tfidf")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    tf_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+
+    def doc_term_tf(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tf_schema.empty_table()
+        dids, terms, tfs = [], [], []
+        doc_ids = t.column("doc_id").to_pylist()
+        for did, s in zip(doc_ids, t.column("text").to_pylist()):
+            toks = _WORD.findall((s or "").lower())
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                     return_counts=True)
+            dids.append(np.full(len(uniq), did, np.int64))
+            terms.extend(uniq)
+            tfs.append(counts.astype(np.int64))
+        if not dids:
+            return tf_schema.empty_table()
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate(dids)),
+             "term": pa.array(terms, pa.string()),
+             "tf": pa.array(np.concatenate(tfs))},
+            schema=tf_schema,
+        )
+
+    def stamp_term(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("term"), P_term))
+        )
+
+    df_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()),
+         ("tf", pa.int64()), ("df", pa.int64())]
+    )
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return df_schema.empty_table()
+        _guard_record(gd, "term", t.column("_p").to_numpy(zero_copy_only=False))
+        terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        order = np.argsort(terms, kind="stable")
+        inv = np.empty(len(terms), np.int64)
+        inv[order] = np.arange(len(terms))
+        st = terms[order]
+        starts = np.flatnonzero(np.concatenate([[True], st[1:] != st[:-1]]))
+        sizes = np.diff(np.append(starts, len(st)))
+        # df per sorted row -> back to original order; each row is one
+        # distinct (doc, term), so group size IS the document frequency
+        df_sorted = np.repeat(sizes.astype(np.int64), sizes)
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "term": t.column("term"),
+             "tf": t.column("tf"),
+             "df": pa.array(df_sorted[inv])},
+            schema=df_schema,
+        )
+
+    def stamp_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("doc_id"), P_doc))
+        )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()),
+         ("tf", pa.int64()), ("df", pa.int64()), ("rnk", pa.int64())]
+    )
+
+    def topk_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(gd, "doc", t.column("_p").to_numpy(zero_copy_only=False))
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        tf = t.column("tf").to_numpy(zero_copy_only=False)
+        dfv = t.column("df").to_numpy(zero_copy_only=False)
+        score = tf.astype(np.float64) / dfv.astype(np.float64)
+        order = np.lexsort((terms, -score, did))
+        did, terms, tf, dfv = did[order], terms[order], tf[order], dfv[order]
+        starts = np.flatnonzero(np.concatenate([[True], did[1:] != did[:-1]]))
+        rnk = np.arange(len(did), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(did)))
+        ) + 1
+        keep = rnk <= k
+        return pa.table(
+            {"doc_id": pa.array(did[keep]),
+             "term": pa.array(list(terms[keep]), pa.string()),
+             "tf": pa.array(tf[keep]),
+             "df": pa.array(dfv[keep]),
+             "rnk": pa.array(rnk[keep])},
+            schema=out_schema,
+        )
+
+    res = (
+        ds.map_batches(doc_term_tf, batch_format="pyarrow")
+        .map_batches(stamp_term, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P_term)))
+        .map_batches(attach_df, batch_format="pyarrow", batch_size=None)
+        .map_batches(stamp_doc, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P_doc)))
+        .map_batches(topk_sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("doc_id", "ascending"), ("rnk", "ascending")]
+        )
+    )
+    return _finalize_guard(gd, t)
+
+
 _CC_REL = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
 
 

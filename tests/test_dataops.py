@@ -481,3 +481,30 @@ def test_corpus_curation_composition(ray_session, tmp_path):
     out = d.corpus_curation(sf)
     assert out.column("doc_id").to_pylist() == [0, 4]
     assert out.column("n_tokens").to_pylist()[0] == len(en.split())
+
+
+def test_tfidf_topk_planted(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import tfidf_topk
+
+    # doc 0: "apple" x3 unique-ish (df=1), "the" common (df=3);
+    # expected ordering by tf/df desc then term
+    sf = make_docs(
+        tmp_path,
+        [
+            "apple apple apple the banana",
+            "the banana banana cherry",
+            "the cherry date",
+        ],
+    )
+    out = tfidf_topk(sf, k=2).to_pylist()
+    got = {(r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["df"]) for r in out}
+    # doc 0: apple tf3/df1=3.0 > banana tf1/df2=0.5 > the tf1/df3
+    assert got[(0, 1)] == ("apple", 3, 1)
+    assert got[(0, 2)] == ("banana", 1, 2)
+    # doc 1: banana tf2/df2=1.0 > cherry tf1/df2=0.5 > the
+    assert got[(1, 1)] == ("banana", 2, 2)
+    assert got[(1, 2)] == ("cherry", 1, 2)
+    # doc 2: date tf1/df1=1.0 > cherry tf1/df2=0.5; ties none
+    assert got[(2, 1)] == ("date", 1, 1)
+    assert got[(2, 2)] == ("cherry", 1, 2)
+    assert len(out) == 6
