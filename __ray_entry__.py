@@ -645,6 +645,22 @@ SELECT CAST(COUNT(CASE WHEN ok IS NULL THEN 1 END) AS BIGINT) AS n_only_events,
 FROM j
 """
 
+_LAG_DELTA_SQL = """
+WITH w AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+         CAST(floor(value * 100) AS BIGINT) - LAG(
+             CAST(floor(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS dlt
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(gap_us // 1000000 AS BIGINT) AS gap_seconds,
+       CAST(dlt AS BIGINT) AS delta_value_cents
+FROM w ORDER BY event_id
+"""
+
 _TFIDF_SQL = """
 WITH toks AS (
   SELECT doc_id,
@@ -837,6 +853,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed TF-IDF: two-exchange (term-df attach, per-doc
         # top-k) with integer-exact 1/df idf ordering
         "tfidf_topk": d.tfidf_topk,
+        # offset window function (LAG deltas per key)
+        "events_lag_delta": ev.events_lag_delta,
     }
 
 
@@ -897,4 +915,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_events_join": _HASH_JOIN_SQL,
         "events_global_rank": _GLOBAL_RANK_SQL,
         "tfidf_topk": _TFIDF_SQL,
+        "events_lag_delta": _LAG_DELTA_SQL,
     }

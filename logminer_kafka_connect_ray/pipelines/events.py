@@ -1400,6 +1400,78 @@ def events_running_total(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# LAG window function (previous-row deltas per key)
+# ---------------------------------------------------------------------------
+def events_lag_delta(sf_dir: str) -> pa.Table:
+    """``LAG(ts) / LAG(value) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` deltas -- for every event, the seconds since the same
+    user's PREVIOUS event and the cents change vs it (NULL for each
+    user's first event).  Completes the window-function family:
+    cumulative (`events_running_total`), global rank
+    (`events_global_rank`), grouped top-k, and now offset (lag/lead;
+    LEAD is this sweep with the shift reversed).
+
+    Same distributed shape as the running total: hash exchange on
+    ``user_id`` -> per-block lexsort -> a one-element ``np.roll``-free
+    shifted difference with the per-segment first row masked to NULL."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("lag")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("gap_seconds", pa.int64()),
+            ("delta_value_cents", pa.int64()),
+        ]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(gd, "lag", t.column("_p").to_numpy(zero_copy_only=False))
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, cents = u[order], ts[order], eid[order], cents[order]
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        gap = np.empty(len(u), np.int64)
+        dlt = np.empty(len(u), np.int64)
+        gap[1:] = (ts[1:] - ts[:-1]) // _US
+        dlt[1:] = cents[1:] - cents[:-1]
+        gap[0] = dlt[0] = 0  # masked below
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(u),
+                "gap_seconds": pa.array(gap, pa.int64(), mask=first),
+                "delta_value_cents": pa.array(dlt, pa.int64(), mask=first),
+            },
+            schema=out_schema,
+        )
+
+    res = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False).cast(out_schema)
+    t = t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
+    return _finalize_guard(gd, t)
+
+
+# ---------------------------------------------------------------------------
 # Pivot (wide aggregation: one column per category value)
 # ---------------------------------------------------------------------------
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")

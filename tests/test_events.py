@@ -566,3 +566,23 @@ def test_events_global_rank_exact(ray_session, tmp_path):
         key=lambda t: (-t[0], t[1]),
     )
     assert got == [(i + 1, eid, c) for i, (c, eid) in enumerate(exp)]
+
+
+def test_events_lag_delta_planted(ray_session, tmp_path):
+    # user 1: events at 0s, 90s, 90s (ts tie -> event_id order);
+    # user 2: single event -> NULLs
+    sf = make_events(
+        tmp_path,
+        [
+            (1, 1, 0.0, "a", 1.00),
+            (2, 1, 1.5, "a", 2.50),
+            (3, 1, 1.5, "a", 2.00),
+            (4, 2, 5.0, "b", 8.00),
+        ],
+    )
+    out = {r["event_id"]: r for r in ev.events_lag_delta(sf).to_pylist()}
+    assert out[1]["gap_seconds"] is None
+    assert out[1]["delta_value_cents"] is None
+    assert out[2]["gap_seconds"] == 90 and out[2]["delta_value_cents"] == 150
+    assert out[3]["gap_seconds"] == 0 and out[3]["delta_value_cents"] == -50
+    assert out[4]["gap_seconds"] is None
