@@ -645,6 +645,20 @@ SELECT CAST(COUNT(CASE WHEN ok IS NULL THEN 1 END) AS BIGINT) AS n_only_events,
 FROM j
 """
 
+_TYPE_QUANTILES_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT event_type, 0.5 AS q,
+       CAST(quantile_disc(cents, 0.5) AS BIGINT) AS value_cents
+FROM c GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.9 AS q,
+       CAST(quantile_disc(cents, 0.9) AS BIGINT) AS value_cents
+FROM c GROUP BY event_type
+ORDER BY event_type, q
+"""
+
 _LAG_DELTA_SQL = """
 WITH w AS (
   SELECT event_id, user_id,
@@ -855,6 +869,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": d.tfidf_topk,
         # offset window function (LAG deltas per key)
         "events_lag_delta": ev.events_lag_delta,
+        # exact per-group quantiles (grouped distributed counting sort)
+        "events_type_quantiles": ev.events_type_quantiles,
     }
 
 
@@ -916,4 +932,5 @@ def oracle_sql() -> dict[str, str]:
         "events_global_rank": _GLOBAL_RANK_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "events_lag_delta": _LAG_DELTA_SQL,
+        "events_type_quantiles": _TYPE_QUANTILES_SQL,
     }

@@ -1003,6 +1003,81 @@ def events_value_quantiles(
     )
 
 
+def events_type_quantiles(
+    sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9)
+) -> pa.Table:
+    """EXACT per-GROUP discrete quantiles: for every ``event_type``,
+    the p50/p90 of ``floor(value * 100)`` cents (``quantile_disc``
+    semantics, same as the global `events_value_quantiles`).
+
+    Grouped variant of the distributed counting sort: each block emits
+    distinct ``(event_type, cents, count)`` partials via a composite
+    ``np.unique``, a ``groupby.sum`` merges them, and the driver walks
+    each group's cumulative counts -- driver work is bounded by
+    (groups x distinct values), never by row count."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "cents": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        et = t.column("event_type")
+        codes_arr = pc.dictionary_encode(
+            et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        )
+        if isinstance(codes_arr, pa.ChunkedArray):
+            codes_arr = codes_arr.combine_chunks()
+        cats = codes_arr.dictionary.to_pylist()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        # composite (group, value) counting via a single np.unique
+        span = c.max() - c.min() + 1 if len(c) else 1
+        comp = codes * span + (c - c.min())
+        uniq, counts = np.unique(comp, return_counts=True)
+        g = uniq // span
+        v = uniq % span + c.min()
+        return pa.table(
+            {"event_type": pa.array([cats[int(i)] for i in g], pa.string()),
+             "cents": pa.array(v.astype(np.int64)),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .sum("n")
+    )
+    df = merged.to_pandas()
+    df.columns = ["event_type", "cents", "n"]
+    rows_et, rows_q, rows_v = [], [], []
+    for et, grp in df.groupby("event_type"):
+        vals = grp["cents"].to_numpy().astype(np.int64)
+        counts = grp["n"].to_numpy().astype(np.int64)
+        order = np.argsort(vals)
+        vals, counts = vals[order], counts[order]
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        for q in qs:
+            target = max(1, int(np.ceil(q * n)))
+            pos = int(np.searchsorted(cum, target))
+            rows_et.append(et)
+            rows_q.append(float(q))
+            rows_v.append(int(vals[pos]))
+    out = pa.table(
+        {"event_type": pa.array(rows_et, pa.string()),
+         "q": pa.array(rows_q, pa.float64()),
+         "value_cents": pa.array(rows_v, pa.int64())}
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("event_type", "ascending"), ("q", "ascending")]
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semi / anti join (EXISTS / NOT EXISTS against a fact stream)
 # ---------------------------------------------------------------------------

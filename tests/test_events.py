@@ -586,3 +586,24 @@ def test_events_lag_delta_planted(ray_session, tmp_path):
     assert out[2]["gap_seconds"] == 90 and out[2]["delta_value_cents"] == 150
     assert out[3]["gap_seconds"] == 0 and out[3]["delta_value_cents"] == -50
     assert out[4]["gap_seconds"] is None
+
+
+def test_events_type_quantiles_disc(ray_session, tmp_path):
+    # type a: cents [100, 200, 300, 400] -> p50 = 2nd = 200, p90 = 4th
+    # (ceil(0.9*4)=4) = 400; type b: single value
+    sf = make_events(
+        tmp_path,
+        [
+            (1, 1, 0.0, "a", 1.00),
+            (2, 1, 1.0, "a", 2.00),
+            (3, 2, 2.0, "a", 3.00),
+            (4, 2, 3.0, "a", 4.00),
+            (5, 3, 4.0, "b", 7.77),
+        ],
+    )
+    out = {(r["event_type"], r["q"]): r["value_cents"]
+           for r in ev.events_type_quantiles(sf).to_pylist()}
+    assert out[("a", 0.5)] == 200
+    assert out[("a", 0.9)] == 400
+    assert out[("b", 0.5)] == 777
+    assert out[("b", 0.9)] == 777
