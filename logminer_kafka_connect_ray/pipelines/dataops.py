@@ -2007,6 +2007,7 @@ class MediaPipelineStage:
         from logminer_kafka_connect_ray.stages.multimodal import (
             encode_avi,
             encode_bmp,
+            encode_png,
             encode_wav,
         )
 
@@ -2017,7 +2018,13 @@ class MediaPipelineStage:
             )
             for i in ids
         ]
-        img = [encode_bmp(px) for px in pxs]
+        # alternate REAL containers per doc: PNG (odd ids) / BMP (even)
+        # -- one oracle covers both codecs AND the stages' format
+        # auto-detection (PNG in -> PNG out on resize, same for BMP)
+        img = [
+            encode_png(px) if i % 2 else encode_bmp(px)
+            for i, px in zip(ids, pxs)
+        ]
         vid = [encode_avi([px] * (1 + i % 4)) for i, px in zip(ids, pxs)]
         wav = [
             encode_wav(

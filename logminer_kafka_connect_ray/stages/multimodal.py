@@ -25,10 +25,16 @@ Codec status (round 3):
   as real BMP payloads, so the video->image handoff is byte-real.
   ``media_pipeline`` (the driver-gated query) runs on real BMP + AVI
   + WAV containers end-to-end.
-* compressed formats (JPEG/PNG/MP3/H.264 ...) need codec libraries
-  that are NOT in this container -> honest ``NotImplementedError``,
-  with the deterministic FAKE containers below retained for plumbing
-  tests.
+* **PNG is REAL** (8-bit truecolor): chunk walker + stdlib ``zlib``
+  inflate + numpy scanline un-filtering (None/Sub/Up vectorized, Sub
+  as an exact cumsum-mod-256; Average/Paeth per-pixel along x only)
+  -- ``encode_png`` / ``decode_png``.  Covers the dominant web PNG
+  form; palette/greyscale/16-bit/interlaced raise with the feature
+  named.
+* transform-coded formats (JPEG/WebP/MP3/H.264 ...) need codec
+  libraries that are NOT in this container -> honest
+  ``NotImplementedError``, with the deterministic FAKE containers
+  below retained for plumbing tests.
 
 FAKE container formats (deterministic, self-describing):
 
@@ -146,6 +152,124 @@ def decode_bmp(b: bytes) -> tuple[int, int, int, np.ndarray]:
     # BGR(A) -> RGB(A)
     rgb = rows[:, :, [2, 1, 0] + ([3] if c == 4 else [])]
     return w, h, c, np.ascontiguousarray(rgb)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: PNG, 8-bit truecolor (pure numpy + stdlib zlib)
+# ---------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """(h, w, 3|4) uint8 -> real PNG bytes (8-bit truecolor / +alpha,
+    filter 0 scanlines, one zlib IDAT).  Readable by any PNG viewer."""
+    import struct as _s
+    import zlib
+
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w, c = px.shape
+    if c not in (3, 4):
+        raise ValueError("encode_png expects (h, w, 3|4)")
+    ctype = 2 if c == 3 else 6
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(data)) + tag + data
+            + _s.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * c), np.uint8)
+    raw[:, 1:] = px.reshape(h, w * c)  # filter byte 0 per scanline
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real PNG bytes -> (w, h, channels, (h, w, c) uint8).
+
+    Pure numpy + stdlib ``zlib``: walks the chunk stream, inflates the
+    concatenated IDATs, and un-filters scanlines.  Supports the
+    dominant web form -- 8-bit depth, truecolor (color type 2) and
+    truecolor+alpha (6), non-interlaced.  Filters: None/Up are
+    vectorized whole-row ops, Sub is an exact per-row ``cumsum mod
+    256`` over pixel groups, Average/Paeth fall back to a per-PIXEL
+    loop along x only (vectorized across channels) -- the recurrence
+    on the left-neighbor reconstruction is inherently sequential.
+    Palette/greyscale/16-bit/interlaced raise ``NotImplementedError``
+    with the exact unsupported feature named."""
+    import struct as _s
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = depth = ctype = interlace = None
+    idat = []
+    while pos + 8 <= len(b):
+        (ln,) = _s.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # skip crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = _s.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype} interlace={interlace} "
+            "not supported (8-bit truecolor/truecolor+alpha, "
+            "non-interlaced only)"
+        )
+    c = 3 if ctype == 2 else 4
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = 1 + w * c
+    if len(raw) != h * stride:
+        raise ValueError("PNG IDAT length mismatch")
+    rows = raw.reshape(h, stride)
+    filt = rows[:, 0]
+    cur = rows[:, 1:].astype(np.int64).reshape(h, w, c)
+    out = np.zeros((h, w, c), np.int64)
+    for y in range(h):
+        f = int(filt[y])
+        up = out[y - 1] if y else np.zeros((w, c), np.int64)
+        if f == 0:
+            out[y] = cur[y]
+        elif f == 1:  # Sub: recon = cumsum of raw over pixels, mod 256
+            out[y] = np.cumsum(cur[y], axis=0) % 256
+        elif f == 2:  # Up
+            out[y] = (cur[y] + up) % 256
+        elif f == 3:  # Average
+            left = np.zeros(c, np.int64)
+            for x in range(w):
+                left = (cur[y, x] + (left + up[x]) // 2) % 256
+                out[y, x] = left
+        elif f == 4:  # Paeth
+            left = np.zeros(c, np.int64)
+            ul = np.zeros(c, np.int64)
+            for x in range(w):
+                a, bb, cc = left, up[x], ul
+                p = a + bb - cc
+                pa_, pb, pcq = np.abs(p - a), np.abs(p - bb), np.abs(p - cc)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pcq), a, np.where(pb <= pcq, bb, cc)
+                )
+                left = (cur[y, x] + pred) % 256
+                out[y, x] = left
+                ul = bb
+        else:
+            raise ValueError(f"PNG filter {f} invalid")
+    return w, h, c, out.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -327,12 +451,14 @@ class ImageDecodeStage:
     def _decode(self, b: bytes):
         if b[:2] == b"BM":
             return decode_bmp(b)
+        if b[:8] == _PNG_SIG:
+            return decode_png(b)
         if b[:4] == b"FIMG":
             return _decode_fake_image(b)
         raise NotImplementedError(
-            "compressed image formats need PIL, which is not available "
-            "in this environment; supported payloads: BMP (real codec) "
-            "and the FIMG fake container (stages/multimodal.py)"
+            "JPEG/WebP/... need PIL, which is not available in this "
+            "environment; supported payloads: BMP and PNG (real "
+            "codecs) and the FIMG fake container (stages/multimodal.py)"
         )
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -368,20 +494,25 @@ class ImageResizeStage:
         for b in t.column("payload").to_pylist():
             if b[:2] == b"BM":
                 w, h, c, px = decode_bmp(b)
-                is_bmp = True
+                fmt = "bmp"
+            elif b[:8] == _PNG_SIG:
+                w, h, c, px = decode_png(b)
+                fmt = "png"
             elif b[:4] == b"FIMG":
                 w, h, c, px = _decode_fake_image(b)
-                is_bmp = False
+                fmt = "fimg"
             else:
                 raise NotImplementedError(
-                    "compressed image resize requires PIL; supported: "
-                    "BMP (real codec), FIMG fake container"
+                    "JPEG/WebP/... resize requires PIL; supported: "
+                    "BMP and PNG (real codecs), FIMG fake container"
                 )
             xi = (np.arange(self.out_w) * w // self.out_w)
             yi = (np.arange(self.out_h) * h // self.out_h)
             res = px[yi][:, xi]
-            if is_bmp:
+            if fmt == "bmp":
                 out.append(encode_bmp(res[:, :, :3]))
+            elif fmt == "png":
+                out.append(encode_png(res))
             else:
                 out.append(
                     b"FIMG"

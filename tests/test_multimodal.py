@@ -274,3 +274,107 @@ def test_bmp_through_decode_and_resize_stages(ray_session):
     xi = np.arange(6) * 18 // 6
     yi = np.arange(4) * 12 // 4
     assert np.array_equal(rpx, px[yi][:, xi])
+
+
+def test_png_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    b = mm.encode_png(px)
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h, c, out = mm.decode_png(b)
+    assert (w, h, c) == (17, 13, 3)
+    assert np.array_equal(out, px)
+    # RGBA round-trip
+    pxa = rng.integers(0, 256, (5, 4, 4), dtype=np.uint8)
+    w, h, c, out = mm.decode_png(mm.encode_png(pxa))
+    assert (w, h, c) == (4, 5, 4) and np.array_equal(out, pxa)
+
+
+def test_png_all_filter_types():
+    """Hand-filter scanlines with every PNG filter (0..4) and check the
+    decoder reconstructs the original pixels (reference filter math
+    from the PNG spec, applied forward here in the test)."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+    h, w, c = 6, 5, 3
+    px = rng.integers(0, 256, (h, w, c), dtype=np.int64)
+    filters = [0, 1, 2, 3, 4, 2]
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y]
+        raw.append(f)
+        up = px[y - 1] if y else np.zeros((w, c), np.int64)
+        left = np.zeros(c, np.int64)
+        ul = np.zeros(c, np.int64)
+        for x in range(w):
+            cur = px[y, x]
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = (cur - left) % 256
+            elif f == 2:
+                enc = (cur - up[x]) % 256
+            elif f == 3:
+                enc = (cur - (left + up[x]) // 2) % 256
+            else:
+                a, b_, cc = left, up[x], ul
+                p = a + b_ - cc
+                pa_, pb, pcq = abs(p - a), abs(p - b_), abs(p - cc)
+                pred = np.where((pa_ <= pb) & (pa_ <= pcq), a,
+                                np.where(pb <= pcq, b_, cc))
+                enc = (cur - pred) % 256
+            raw.extend(int(v) for v in enc)
+            left = cur
+            ul = up[x]
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    b = (b"\x89PNG\r\n\x1a\n"
+         + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(bytes(raw)))
+         + chunk(b"IEND", b""))
+    dw, dh, dc, out = mm.decode_png(b)
+    assert (dw, dh, dc) == (w, h, c)
+    assert np.array_equal(out, px.astype(np.uint8))
+
+
+def test_png_unsupported_features_raise():
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    # palette (color type 3) must name the feature, not crash
+    b = (b"\x89PNG\r\n\x1a\n"
+         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+         + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="color_type=3"):
+        mm.decode_png(b)
+
+
+def test_png_through_decode_and_resize_stages(ray_session):
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+    t = pa.table(
+        {"media_id": pa.array([1], pa.int64()),
+         "payload": pa.array([mm.encode_png(px)], pa.binary())}
+    )
+    dec = mm.ImageDecodeStage()(t)
+    assert dec.column("width").to_pylist() == [12]
+    assert dec.column("height").to_pylist() == [16]
+    assert abs(dec.column("mean_luma").to_pylist()[0] - float(px.mean())) < 1e-9
+    res = mm.ImageResizeStage(6, 8)(t)
+    rb = res.column("payload").to_pylist()[0]
+    assert rb[:8] == b"\x89PNG\r\n\x1a\n"  # PNG in -> PNG out
+    w, h, c, rp = mm.decode_png(rb)
+    assert (w, h) == (6, 8)
+    # nearest-neighbor: resized pixels are exact source samples
+    xi = np.arange(6) * 12 // 6
+    yi = np.arange(8) * 16 // 8
+    assert np.array_equal(rp, px[yi][:, xi])
