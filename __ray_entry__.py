@@ -698,6 +698,14 @@ FROM scored WHERE rnk <= 5
 ORDER BY doc_id, rnk
 """
 
+_HASH_JOIN_LEFT_SQL = """
+SELECT o.o_orderkey, o.o_custkey, e.event_id,
+       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS o_total_cents,
+       CAST(floor(e.value * 100) AS BIGINT) AS value_cents
+FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey
+ORDER BY o.o_orderkey, e.event_id
+"""
+
 _GLOBAL_RANK_SQL = """
 SELECT event_id,
        CAST(floor(value * 100) AS BIGINT) AS value_cents,
@@ -861,6 +869,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fact-to-fact shuffle hash join (general case: neither side
         # broadcastable; partitioned searchsorted+repeat sweep)
         "orders_events_join": ev.orders_events_join,
+        # left-outer variant: unmatched build rows emitted with NULL
+        # probe columns (exact per block -- keys are co-located)
+        "orders_events_join_left": lambda sf: ev.orders_events_join(
+            sf, how="left"
+        ),
         # exact global ROW_NUMBER: histogram-balanced value ranges +
         # exact prefix offsets (distributed total-order sort pattern)
         "events_global_rank": ev.events_global_rank,
@@ -929,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "user_custkey_set_ops": _SET_OPS_SQL,
         "events_rollup": _ROLLUP_SQL,
         "orders_events_join": _HASH_JOIN_SQL,
+        "orders_events_join_left": _HASH_JOIN_LEFT_SQL,
         "events_global_rank": _GLOBAL_RANK_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "events_lag_delta": _LAG_DELTA_SQL,

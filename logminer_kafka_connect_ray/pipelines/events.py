@@ -1695,7 +1695,7 @@ def user_custkey_set_ops(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 # Fact-to-fact shuffle hash join
 # ---------------------------------------------------------------------------
-def orders_events_join(sf_dir: str) -> pa.Table:
+def orders_events_join(sf_dir: str, how: str = "inner") -> pa.Table:
     """Distributed inner equi-join of two FACT tables -- ``orders``
     joined to ``events`` on ``o_custkey = user_id`` -- emitting the
     joined ROWS, not an aggregate.  Completes the join family: the
@@ -1720,7 +1720,15 @@ def orders_events_join(sf_dir: str) -> pa.Table:
     LWW fold uses (``salt_factor``) on the smaller side.  Width P is
     data-derived (`_exchange_width`), and the `_guard_record`
     side-channel fails loudly if the exchange ever splits a key range
-    across blocks."""
+    across blocks.
+
+    ``how="left"`` keeps every ORDER: build rows no probe row matched
+    are emitted once with NULL event columns (the per-block matched
+    mask makes this exact -- a key's rows from both sides are
+    co-located by the exchange, so "unmatched in this block" IS
+    "unmatched globally")."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: expected 'inner' or 'left'")
     n_ev, _ = _table_meta(sf_dir, "events")
     n_or, _ = _table_meta(sf_dir, "orders")
     P = _exchange_width(n_ev + n_or)
@@ -1807,24 +1815,53 @@ def orders_events_join(sf_dir: str) -> pa.Table:
         hi = np.searchsorted(bk, pk, side="right")
         cnt = hi - lo
         tot = int(cnt.sum())
-        if tot == 0:
-            return out_schema.empty_table()
         # vectorized ragged cross product: probe row i pairs with
         # build rows [lo[i], hi[i])
-        p_idx = np.repeat(np.arange(len(pk), dtype=np.int64), cnt)
-        offs = np.concatenate([[np.int64(0)], np.cumsum(cnt[:-1])])
-        b_idx = np.repeat(lo, cnt) + (np.arange(tot, dtype=np.int64)
-                                      - np.repeat(offs, cnt))
-        return pa.table(
-            {
-                "o_orderkey": pa.array(bid[b_idx]),
-                "o_custkey": pa.array(bk[b_idx]),
-                "event_id": pa.array(pid[p_idx]),
-                "o_total_cents": pa.array(bc[b_idx]),
-                "value_cents": pa.array(pv[p_idx]),
-            },
-            schema=out_schema,
-        )
+        if len(pk):
+            p_idx = np.repeat(np.arange(len(pk), dtype=np.int64), cnt)
+            offs = np.concatenate([[np.int64(0)], np.cumsum(cnt[:-1])])
+            b_idx = np.repeat(lo, cnt) + (np.arange(tot, dtype=np.int64)
+                                          - np.repeat(offs, cnt))
+        else:  # probe side empty in this range (build-only keys)
+            p_idx = b_idx = np.zeros(0, np.int64)
+        cols = {
+            "o_orderkey": pa.array(bid[b_idx]),
+            "o_custkey": pa.array(bk[b_idx]),
+            "event_id": pa.array(pid[p_idx]),
+            "o_total_cents": pa.array(bc[b_idx]),
+            "value_cents": pa.array(pv[p_idx]),
+        }
+        if how == "left":
+            matched = np.zeros(len(bk), bool)
+            matched[b_idx] = True
+            um = ~matched
+            n_um = int(um.sum())
+            if n_um:
+                null_mask = np.ones(n_um, bool)
+                cols = {
+                    "o_orderkey": pa.array(
+                        np.concatenate([bid[b_idx], bid[um]])
+                    ),
+                    "o_custkey": pa.array(np.concatenate([bk[b_idx], bk[um]])),
+                    "event_id": pa.array(
+                        np.concatenate([pid[p_idx], np.zeros(n_um, np.int64)]),
+                        mask=np.concatenate(
+                            [np.zeros(tot, bool), null_mask]
+                        ),
+                    ),
+                    "o_total_cents": pa.array(
+                        np.concatenate([bc[b_idx], bc[um]])
+                    ),
+                    "value_cents": pa.array(
+                        np.concatenate([pv[p_idx], np.zeros(n_um, np.int64)]),
+                        mask=np.concatenate(
+                            [np.zeros(tot, bool), null_mask]
+                        ),
+                    ),
+                }
+        elif tot == 0:
+            return out_schema.empty_table()
+        return pa.table(cols, schema=out_schema)
 
     res = rel.sort("_p", boundaries=list(range(1, P))).map_batches(
         sweep, batch_format="pyarrow", batch_size=None

@@ -607,3 +607,35 @@ def test_events_type_quantiles_disc(ray_session, tmp_path):
     assert out[("a", 0.9)] == 400
     assert out[("b", 0.5)] == 777
     assert out[("b", 0.9)] == 777
+
+
+def test_orders_events_join_left_nulls(ray_session, tmp_path):
+    # cust 5 has an order but no events -> one row with NULL event
+    # columns; matched rows identical to the inner join.
+    make_events(
+        tmp_path,
+        [
+            (100, 1, 0.0, "a", 1.25),
+            (102, 2, 2.0, "a", 2.00),
+            (103, 9, 3.0, "a", 5.00),
+        ],
+    )
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([10, 12, 13], pa.int64()),
+            "o_custkey": pa.array([1, 2, 5], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+            "o_totalprice": pa.array([2.50, 4.00, 9.99], pa.float64()),
+            "o_orderdate": pa.array([_ts(0)] * 3, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    out = ev.orders_events_join(str(tmp_path), how="left").to_pylist()
+    by_key = {r["o_orderkey"]: r for r in out}
+    assert len(out) == 3
+    assert by_key[10]["event_id"] == 100 and by_key[10]["value_cents"] == 125
+    assert by_key[12]["event_id"] == 102
+    assert by_key[13]["event_id"] is None
+    assert by_key[13]["value_cents"] is None
+    assert by_key[13]["o_total_cents"] == 999
