@@ -639,3 +639,93 @@ def test_orders_events_join_left_nulls(ray_session, tmp_path):
     assert by_key[13]["event_id"] is None
     assert by_key[13]["value_cents"] is None
     assert by_key[13]["o_total_cents"] == 999
+
+
+def test_new_ops_differential_fuzz(ray_session, tmp_path):
+    """Randomized inputs vs brute-force references for the round-3
+    additions: shuffle hash join (inner + left), global ROW_NUMBER,
+    LAG deltas, per-group quantiles."""
+    import random
+
+    rng = random.Random(42)
+    n_users = 10
+    ev_rows = [
+        (
+            i + 1,
+            rng.randrange(1, n_users + 1),
+            float(rng.randrange(0, 600)),  # whole minutes, ties likely
+            rng.choice(["a", "b", "c"]),
+            rng.randrange(0, 500) / 100.0,  # narrow: force cents ties
+        )
+        for i in range(300)
+    ]
+    or_rows = [
+        (1000 + j, rng.randrange(1, n_users + 4), float(rng.randrange(0, 600)))
+        for j in range(80)
+    ]
+    sf = make_events(tmp_path, ev_rows)
+    make_orders(tmp_path, or_rows)
+    cents = {eid: int(np.floor(v * 100)) for eid, _, _, _, v in ev_rows}
+
+    # --- hash join references (o_totalprice fixed at 1.00 by fixture)
+    ev_by_user: dict[int, list[int]] = {}
+    for eid, uid, _, _, _ in ev_rows:
+        ev_by_user.setdefault(uid, []).append(eid)
+    want_inner = sorted(
+        (ok, ck, eid, 100, cents[eid])
+        for ok, ck, _ in or_rows
+        for eid in ev_by_user.get(ck, [])
+    )
+    got_inner = [
+        (r["o_orderkey"], r["o_custkey"], r["event_id"],
+         r["o_total_cents"], r["value_cents"])
+        for r in ev.orders_events_join(sf).to_pylist()
+    ]
+    assert sorted(got_inner) == want_inner
+    want_left = want_inner + sorted(
+        (ok, ck, None, 100, None)
+        for ok, ck, _ in or_rows
+        if ck not in ev_by_user
+    )
+    got_left = [
+        (r["o_orderkey"], r["o_custkey"], r["event_id"],
+         r["o_total_cents"], r["value_cents"])
+        for r in ev.orders_events_join(sf, how="left").to_pylist()
+    ]
+    key = lambda t: (t[0], t[2] if t[2] is not None else -1)
+    assert sorted(got_left, key=key) == sorted(want_left, key=key)
+
+    # --- global rank reference
+    want_rank = sorted(ev_rows, key=lambda r: (-cents[r[0]], r[0]))
+    got_rank = ev.events_global_rank(sf).to_pylist()
+    assert [r["event_id"] for r in got_rank] == [r[0] for r in want_rank]
+    assert [r["rnk"] for r in got_rank] == list(range(1, len(ev_rows) + 1))
+
+    # --- lag reference
+    got_lag = {r["event_id"]: r for r in ev.events_lag_delta(sf).to_pylist()}
+    by_user: dict[int, list] = {}
+    for eid, uid, mins, _, _ in ev_rows:
+        by_user.setdefault(uid, []).append((mins, eid))
+    for uid, evs in by_user.items():
+        evs.sort()
+        for i, (mins, eid) in enumerate(evs):
+            r = got_lag[eid]
+            if i == 0:
+                assert r["gap_seconds"] is None and r["delta_value_cents"] is None
+            else:
+                pm, pe = evs[i - 1]
+                assert r["gap_seconds"] == int((mins - pm) * 60), eid
+                assert r["delta_value_cents"] == cents[eid] - cents[pe], eid
+
+    # --- grouped quantile reference (disc: smallest elem with
+    # cumcount >= ceil(q*n))
+    got_q = {(r["event_type"], r["q"]): r["value_cents"]
+             for r in ev.events_type_quantiles(sf).to_pylist()}
+    by_type: dict[str, list[int]] = {}
+    for eid, _, _, et, _ in ev_rows:
+        by_type.setdefault(et, []).append(cents[eid])
+    for et, vals in by_type.items():
+        vals.sort()
+        for q in (0.5, 0.9):
+            want = vals[max(1, int(np.ceil(q * len(vals)))) - 1]
+            assert got_q[(et, q)] == want, (et, q)
