@@ -729,3 +729,40 @@ def test_new_ops_differential_fuzz(ray_session, tmp_path):
         for q in (0.5, 0.9):
             want = vals[max(1, int(np.ceil(q * len(vals)))) - 1]
             assert got_q[(et, q)] == want, (et, q)
+
+
+def test_hash_join_bloom_prunes_and_matches(ray_session, tmp_path):
+    """bloom=True must be bit-identical to bloom=False, and the bloom
+    itself must drop definitely-absent probe keys."""
+    import numpy as np
+    from logminer_kafka_connect_ray.functions.hashing import (
+        bloom_block, bloom_probe,
+    )
+
+    make_events(
+        tmp_path,
+        [(100 + i, 1 + i % 20, float(i), "a", i / 7.0) for i in range(60)],
+    )
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([10 + j for j in range(15)], pa.int64()),
+            "o_custkey": pa.array([1 + (j * 3) % 8 for j in range(15)], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 15, pa.string()),
+            "o_totalprice": pa.array([float(j) for j in range(15)], pa.float64()),
+            "o_orderdate": pa.array([_ts(0)] * 15, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1"] * 15, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    a = ev.orders_events_join(str(tmp_path), bloom=True)
+    b = ev.orders_events_join(str(tmp_path), bloom=False)
+    assert a.equals(b)
+    al = ev.orders_events_join(str(tmp_path), how="left", bloom=True)
+    bl = ev.orders_events_join(str(tmp_path), how="left", bloom=False)
+    assert al.equals(bl)
+    # direct bloom semantics: no false negatives, absent keys dropped
+    w = np.frombuffer(
+        bloom_block(pa.array([str(k) for k in range(1, 9)])), np.uint64
+    )
+    assert bloom_probe(w, pa.array([str(k) for k in range(1, 9)])).all()
+    assert not bloom_probe(w, pa.array(["99991", "99992", "99993"])).any()
