@@ -698,6 +698,39 @@ FROM scored WHERE rnk <= 5
 ORDER BY doc_id, rnk
 """
 
+_STRATIFIED_SQL = """
+WITH RECURSIVE eb AS (
+  SELECT event_id, event_type,
+         hex(encode(CAST(event_id AS VARCHAR))) AS hx,
+         octet_length(encode(CAST(event_id AS VARCHAR))) AS n
+  FROM events
+),
+fnv AS (
+  SELECT event_id, n, 0 AS i,
+         CAST('14695981039346656037' AS UHUGEINT) AS h FROM eb
+  UNION ALL
+  SELECT f.event_id, f.n, f.i + 1,
+         (xor(f.h, CAST(CAST('0x' || substr(eb.hx, 2*f.i+1, 2) AS INT)
+                        AS UHUGEINT))
+          * CAST(1099511628211 AS UHUGEINT))
+           % CAST('18446744073709551616' AS UHUGEINT)
+  FROM fnv f JOIN eb ON eb.event_id = f.event_id
+  WHERE f.i < f.n
+),
+r AS (
+  SELECT eb.event_type, eb.event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY eb.event_type
+           ORDER BY CAST(fnv.h % CAST('18446744073709551616' AS UHUGEINT)
+                         AS UBIGINT), eb.event_id
+         ) AS rnk
+  FROM eb JOIN fnv ON fnv.event_id = eb.event_id AND fnv.i = fnv.n
+)
+SELECT event_type, event_id, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 50
+ORDER BY event_type, rnk
+"""
+
 _HASH_JOIN_LEFT_SQL = """
 SELECT o.o_orderkey, o.o_custkey, e.event_id,
        CAST(floor(o.o_totalprice * 100) AS BIGINT) AS o_total_cents,
@@ -884,6 +917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_delta": ev.events_lag_delta,
         # exact per-group quantiles (grouped distributed counting sort)
         "events_type_quantiles": ev.events_type_quantiles,
+        # per-class deterministic capped sampling (combiner-bounded)
+        "events_stratified_sample": ev.events_stratified_sample,
     }
 
 
@@ -947,4 +982,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _TFIDF_SQL,
         "events_lag_delta": _LAG_DELTA_SQL,
         "events_type_quantiles": _TYPE_QUANTILES_SQL,
+        "events_stratified_sample": _STRATIFIED_SQL,
     }

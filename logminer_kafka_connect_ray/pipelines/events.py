@@ -1408,6 +1408,103 @@ def events_sample_hash(sf_dir: str, one_in: int = 20) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Stratified deterministic sampling (per-group capped subset)
+# ---------------------------------------------------------------------------
+def events_stratified_sample(sf_dir: str, cap: int = 50) -> pa.Table:
+    """Per-GROUP deterministic sample: for every ``event_type``, the
+    ``cap`` events ranked first by FNV-1a(event_id) hash order -- the
+    class-balancing primitive (equal-size per-class subsets,
+    reproducible across runs and cluster sizes, no RNG state).
+
+    Scale shape: per-block partials keep at most ``cap`` rows per
+    group (lexsort + rank-within-group -- the same combiner as grouped
+    top-k), so the exchange carries <= blocks x groups x cap tiny
+    rows no matter how hot a class is; a final per-group sweep merges
+    partials and re-ranks.  A naive group-exchange of raw rows would
+    put an entire hot class in one block -- this shape never does."""
+    from logminer_kafka_connect_ray.functions.hashing import fnv1a_u64
+
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = 8  # partials are cap-bounded per group per block: tiny exchange
+    gd = _new_guard_dir("strat")
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("event_id", pa.int64()),
+         ("h", pa.uint64())]
+    )
+
+    def _rank_within(et: np.ndarray, h: np.ndarray, eid: np.ndarray):
+        """sorted-by-(type, h, eid) order + 1-based rank per type."""
+        order = np.lexsort((eid, h, et))
+        et_s = et[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], et_s[1:] != et_s[:-1]])
+        )
+        rnk = np.arange(len(et_s), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(et_s)))
+        ) + 1
+        return order, rnk
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        h = fnv1a_u64(pc.cast(t.column("event_id"), pa.string()))
+        order, rnk = _rank_within(et, h, eid)
+        keep = order[rnk <= cap]
+        return pa.table(
+            {"event_type": pa.array(list(et[keep]), pa.string()),
+             "event_id": pa.array(eid[keep]),
+             "h": pa.array(h[keep], pa.uint64())},
+            schema=part_schema,
+        )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("event_type"), P))
+        )
+
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("event_id", pa.int64()),
+         ("rnk", pa.int64())]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(gd, "strat", t.column("_p").to_numpy(zero_copy_only=False))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        order, rnk = _rank_within(et, h, eid)
+        keep = rnk <= cap
+        o = order[keep]
+        return pa.table(
+            {"event_type": pa.array(list(et[o]), pa.string()),
+             "event_id": pa.array(eid[o]),
+             "rnk": pa.array(rnk[keep])},
+            schema=out_schema,
+        )
+
+    res = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False).cast(out_schema)
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("event_type", "ascending"), ("rnk", "ascending")]
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cumulative window function (running total per key)
 # ---------------------------------------------------------------------------
 def events_running_total(sf_dir: str) -> pa.Table:

@@ -766,3 +766,24 @@ def test_hash_join_bloom_prunes_and_matches(ray_session, tmp_path):
     )
     assert bloom_probe(w, pa.array([str(k) for k in range(1, 9)])).all()
     assert not bloom_probe(w, pa.array(["99991", "99992", "99993"])).any()
+
+
+def test_events_stratified_sample_deterministic(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.functions.hashing import fnv1a_u64
+
+    rows = [(i, 1 + i % 3, float(i), ["a", "b"][i % 2], 1.0)
+            for i in range(1, 41)]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_stratified_sample(sf, cap=5).to_pylist()
+    # exactly cap rows per present class, ranked 1..cap
+    for et in ("a", "b"):
+        grp = [r for r in out if r["event_type"] == et]
+        assert [r["rnk"] for r in grp] == [1, 2, 3, 4, 5]
+        # reference: FNV hash order with event_id tiebreak
+        ids = [r[0] for r in rows if r[3] == et]
+        h = fnv1a_u64([str(i) for i in ids])
+        want = [ids[j] for j in np.lexsort((np.array(ids), h))][:5]
+        assert [r["event_id"] for r in grp] == want
+    # rerun-stable
+    out2 = ev.events_stratified_sample(sf, cap=5).to_pylist()
+    assert out == out2
