@@ -739,6 +739,27 @@ FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey
 ORDER BY o.o_orderkey, e.event_id
 """
 
+_PROPS_STATS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
+       CAST(COALESCE(SUM(CAST(json_extract(props, '$.k') AS BIGINT)), 0)
+            AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_HASH_JOIN_FULL_SQL = """
+SELECT o.o_orderkey,
+       COALESCE(o.o_custkey, e.user_id) AS o_custkey,
+       e.event_id,
+       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS o_total_cents,
+       CAST(floor(e.value * 100) AS BIGINT) AS value_cents
+FROM orders o FULL OUTER JOIN events e ON e.user_id = o.o_custkey
+ORDER BY o_custkey, o.o_orderkey, e.event_id
+"""
+
 _GLOBAL_RANK_SQL = """
 SELECT event_id,
        CAST(floor(value * 100) AS BIGINT) AS value_cents,
@@ -907,6 +928,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_events_join_left": lambda sf: ev.orders_events_join(
             sf, how="left"
         ),
+        # full-outer: unmatched rows from BOTH sides, NULL-filled
+        "orders_events_join_full": lambda sf: ev.orders_events_join(
+            sf, how="full"
+        ),
         # exact global ROW_NUMBER: histogram-balanced value ranges +
         # exact prefix offsets (distributed total-order sort pattern)
         "events_global_rank": ev.events_global_rank,
@@ -919,6 +944,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_quantiles": ev.events_type_quantiles,
         # per-class deterministic capped sampling (combiner-bounded)
         "events_stratified_sample": ev.events_stratified_sample,
+        # semi-structured JSON field extraction + aggregate (one
+        # vectorized extract_regex kernel, no per-row json.loads)
+        "events_props_stats": ev.events_props_stats,
     }
 
 
@@ -978,9 +1006,11 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _ROLLUP_SQL,
         "orders_events_join": _HASH_JOIN_SQL,
         "orders_events_join_left": _HASH_JOIN_LEFT_SQL,
+        "orders_events_join_full": _HASH_JOIN_FULL_SQL,
         "events_global_rank": _GLOBAL_RANK_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "events_lag_delta": _LAG_DELTA_SQL,
         "events_type_quantiles": _TYPE_QUANTILES_SQL,
         "events_stratified_sample": _STRATIFIED_SQL,
+        "events_props_stats": _PROPS_STATS_SQL,
     }

@@ -1408,6 +1408,70 @@ def events_sample_hash(sf_dir: str, one_in: int = 20) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured extraction (JSON payload column)
+# ---------------------------------------------------------------------------
+def events_props_stats(sf_dir: str) -> pa.Table:
+    """Extract the integer ``k`` field from the JSON ``props`` payload
+    column and aggregate it per ``event_type`` -- the semi-structured
+    flatten-then-aggregate shape every web-scale event table needs
+    (payloads arrive as JSON strings; typed fields are pulled out in
+    flight, never materialized as a parsed column).
+
+    Extraction is a single vectorized ``pc.extract_regex`` Arrow
+    kernel over the string column (no per-row json.loads); rows whose
+    payload lacks the field count as NULL (n_with_k tracks presence).
+    Aggregation is the standard two-level shape: per-block lexsort +
+    reduceat partials -> one dim-bounded ``groupby.sum``."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("n_events", pa.int64()),
+         ("n_with_k", pa.int64()), ("sum_k", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ex = pc.extract_regex(
+            t.column("props"), pattern=r'"k"\s*:\s*(?P<k>-?\d+)'
+        )
+        if isinstance(ex, pa.ChunkedArray):
+            ex = ex.combine_chunks()
+        kvals = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        valid = pc.is_valid(kvals).to_numpy(zero_copy_only=False)
+        k = kvals.fill_null(0).to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        order = np.argsort(et, kind="stable")
+        et, k, valid = et[order], k[order], valid[order]
+        starts = np.flatnonzero(np.concatenate([[True], et[1:] != et[:-1]]))
+        counts = np.diff(np.append(starts, len(et)))
+        return pa.table(
+            {"event_type": pa.array(list(et[starts]), pa.string()),
+             "n_events": pa.array(counts.astype(np.int64)),
+             "n_with_k": pa.array(
+                 np.add.reduceat(valid.astype(np.int64), starts)
+             ),
+             "sum_k": pa.array(np.add.reduceat(k, starts))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n_events", "n_with_k", "sum_k"])
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "n_events", "n_with_k", "sum_k"]
+    out = pa.table(
+        {"event_type": pa.array(merged["event_type"], pa.string()),
+         "n_events": pa.array(merged["n_events"].astype(np.int64)),
+         "n_with_k": pa.array(merged["n_with_k"].astype(np.int64)),
+         "sum_k": pa.array(merged["sum_k"].astype(np.int64))}
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("event_type", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
 # Stratified deterministic sampling (per-group capped subset)
 # ---------------------------------------------------------------------------
 def events_stratified_sample(sf_dir: str, cap: int = 50) -> pa.Table:
@@ -1827,6 +1891,10 @@ def orders_events_join(
     co-located by the exchange, so "unmatched in this block" IS
     "unmatched globally").
 
+    ``how="full"`` additionally keeps every EVENT: probe rows with no
+    build match are emitted once with NULL order columns (the same
+    per-block exactness argument).
+
     Shuffle pruning: a build-side BLOOM filter (one pruned key-column
     pass; 1 MiB constant regardless of cardinality, per-block bitmaps
     OR-merged then ``ray.put`` once) drops probe rows whose key
@@ -1834,9 +1902,12 @@ def orders_events_join(
     scale, probe rows that would join to nothing are pure shuffle
     waste.  No false negatives, so results are bit-identical with
     ``bloom=False``; left-join semantics are unaffected (only probe
-    rows are dropped, never build rows)."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how={how!r}: expected 'inner' or 'left'")
+    rows are dropped, never build rows).  Bloom is auto-disabled for
+    ``how="full"`` -- a full join must KEEP unmatched probe rows."""
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how={how!r}: expected 'inner', 'left' or 'full'")
+    if how == "full":
+        bloom = False
     n_ev, _ = _table_meta(sf_dir, "events")
     n_or, _ = _table_meta(sf_dir, "orders")
     P = _exchange_width(n_ev + n_or)
@@ -1976,32 +2047,44 @@ def orders_events_join(
             "o_total_cents": pa.array(bc[b_idx]),
             "value_cents": pa.array(pv[p_idx]),
         }
-        if how == "left":
+        if how in ("left", "full"):
             matched = np.zeros(len(bk), bool)
             matched[b_idx] = True
-            um = ~matched
-            n_um = int(um.sum())
-            if n_um:
-                null_mask = np.ones(n_um, bool)
+            um = np.flatnonzero(~matched)          # unmatched build rows
+            upm = (
+                np.flatnonzero(cnt == 0) if how == "full"
+                else np.zeros(0, np.int64)
+            )                                       # unmatched probe rows
+            n_um, n_up = len(um), len(upm)
+            if n_um or n_up:
+                bnull = np.concatenate(
+                    [np.zeros(tot + n_um, bool), np.ones(n_up, bool)]
+                )
+                pnull = np.concatenate(
+                    [np.zeros(tot, bool), np.ones(n_um, bool),
+                     np.zeros(n_up, bool)]
+                )
+                z_um = np.zeros(n_um, np.int64)
+                z_up = np.zeros(n_up, np.int64)
                 cols = {
                     "o_orderkey": pa.array(
-                        np.concatenate([bid[b_idx], bid[um]])
+                        np.concatenate([bid[b_idx], bid[um], z_up]),
+                        mask=bnull,
                     ),
-                    "o_custkey": pa.array(np.concatenate([bk[b_idx], bk[um]])),
+                    "o_custkey": pa.array(
+                        np.concatenate([bk[b_idx], bk[um], pk[upm]])
+                    ),
                     "event_id": pa.array(
-                        np.concatenate([pid[p_idx], np.zeros(n_um, np.int64)]),
-                        mask=np.concatenate(
-                            [np.zeros(tot, bool), null_mask]
-                        ),
+                        np.concatenate([pid[p_idx], z_um, pid[upm]]),
+                        mask=pnull,
                     ),
                     "o_total_cents": pa.array(
-                        np.concatenate([bc[b_idx], bc[um]])
+                        np.concatenate([bc[b_idx], bc[um], z_up]),
+                        mask=bnull,
                     ),
                     "value_cents": pa.array(
-                        np.concatenate([pv[p_idx], np.zeros(n_um, np.int64)]),
-                        mask=np.concatenate(
-                            [np.zeros(tot, bool), null_mask]
-                        ),
+                        np.concatenate([pv[p_idx], z_um, pv[upm]]),
+                        mask=pnull,
                     ),
                 }
         elif tot == 0:

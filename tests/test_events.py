@@ -787,3 +787,65 @@ def test_events_stratified_sample_deterministic(ray_session, tmp_path):
     # rerun-stable
     out2 = ev.events_stratified_sample(sf, cap=5).to_pylist()
     assert out == out2
+
+
+def test_orders_events_join_full_both_sides(ray_session, tmp_path):
+    # cust 5: orders only; user 9: events only; cust 1: both
+    make_events(
+        tmp_path,
+        [
+            (100, 1, 0.0, "a", 1.25),
+            (103, 9, 3.0, "a", 5.00),
+        ],
+    )
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([10, 13], pa.int64()),
+            "o_custkey": pa.array([1, 5], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 2, pa.string()),
+            "o_totalprice": pa.array([2.50, 9.99], pa.float64()),
+            "o_orderdate": pa.array([_ts(0)] * 2, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1"] * 2, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    out = ev.orders_events_join(str(tmp_path), how="full").to_pylist()
+    assert len(out) == 3
+    by_cust = {r["o_custkey"]: r for r in out}
+    assert by_cust[1]["o_orderkey"] == 10 and by_cust[1]["event_id"] == 100
+    assert by_cust[5]["o_orderkey"] == 13
+    assert by_cust[5]["event_id"] is None and by_cust[5]["value_cents"] is None
+    assert by_cust[9]["event_id"] == 103
+    assert by_cust[9]["o_orderkey"] is None
+    assert by_cust[9]["o_total_cents"] is None
+    assert by_cust[9]["value_cents"] == 500
+
+
+def test_events_props_stats_extraction(ray_session, tmp_path):
+    rows = [
+        (1, 1, 0.0, "a", 1.0),
+        (2, 1, 1.0, "a", 1.0),
+        (3, 2, 2.0, "b", 1.0),
+        (4, 2, 3.0, "b", 1.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([_ts(r[2]) for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            # one row without k, one negative, whitespace variants
+            "props": pa.array(
+                ['{"k": 7}', '{"k":-3}', '{"other": 1}', '{ "k" : 10 }'],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = {r["event_type"]: r
+           for r in ev.events_props_stats(str(tmp_path)).to_pylist()}
+    assert out["a"] == {"event_type": "a", "n_events": 2, "n_with_k": 2,
+                        "sum_k": 4}
+    assert out["b"] == {"event_type": "b", "n_events": 2, "n_with_k": 1,
+                        "sum_k": 10}
