@@ -379,10 +379,12 @@ class Engine:
     def _auto_batch_size(self, sample_path: str, total_rows: int | None = None) -> int:
         """Rows per batch targeting ``target_batch_bytes`` of
         uncompressed data (parquet row-group stats of a sample file),
-        additionally capped so the fused decode stage gets >= ~3 tasks
-        per CPU -- a byte-only target under-parallelizes small-to-mid
-        jobs (measured: 6M events at 64 MiB batches -> only 12 tasks on
-        32 cpus, the decode wall time dominated by task granularity)."""
+        additionally capped so the fused decode stage gets >= ~1 task
+        per CPU.  Both extremes measured slow on the 6M-event replay
+        (32 cpus, interleaved pairs): a byte-only target gave ~15
+        tasks (under-parallelized, 8.4-10.2 s), while 3 tasks/cpu gave
+        96 tasks whose per-task fixed cost dominated (6.9-8.0 s);
+        ~30 tasks (1 wave) ran 4.1-5.7 s with t_merge 3.1-3.9 s."""
         try:
             md = pq.ParquetFile(sample_path).metadata
             rows = md.num_rows or 1
@@ -402,7 +404,7 @@ class Engine:
                     cpus = int(ray.cluster_resources().get("CPU", 8))
             except Exception:
                 pass
-            n = min(n, total_rows // (3 * cpus) or n)
+            n = min(n, total_rows // cpus or n)
         return int(min(524_288, max(16_384, n)))
 
     def _initial_schema(self, base_parquet: str | list[str]) -> pa.Schema:

@@ -37,7 +37,8 @@ for f in os.listdir(changelog):  # warm page cache
 
 lake = f"{root}/lake-ab"
 shutil.rmtree(lake, ignore_errors=True)
-eng = Engine(EngineConfig(lake_dir=lake, num_partitions=64))
+_bs = int(os.environ.get("LKC_BATCH_SIZE", "0")) or None  # A/B knob
+eng = Engine(EngineConfig(lake_dir=lake, num_partitions=64, batch_size=_bs))
 eng.snapshot(pages_path, workload.SNAPSHOT_SCN)
 t0 = time.monotonic()
 m = eng.replay(changelog)
