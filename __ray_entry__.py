@@ -739,6 +739,18 @@ FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey
 ORDER BY o.o_orderkey, e.event_id
 """
 
+_CONTAMINATION_SQL = """
+WITH needles AS (
+  SELECT doc_id AS src_id, substr(text, 21, 32) AS needle
+  FROM documents
+  WHERE doc_id % 97 = 0 AND length(text) >= 52
+)
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM documents d JOIN needles n ON position(n.needle IN d.text) > 0
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
 _PROPS_STATS_SQL = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -938,6 +950,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed TF-IDF: two-exchange (term-df attach, per-doc
         # top-k) with integer-exact 1/df idf ordering
         "tfidf_topk": d.tfidf_topk,
+        # benchmark decontamination: broadcast needle set, vectorized
+        # match_substring sweeps, contaminated-docs-only output
+        "contamination_check": d.contamination_check,
         # offset window function (LAG deltas per key)
         "events_lag_delta": ev.events_lag_delta,
         # exact per-group quantiles (grouped distributed counting sort)
@@ -1009,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_events_join_full": _HASH_JOIN_FULL_SQL,
         "events_global_rank": _GLOBAL_RANK_SQL,
         "tfidf_topk": _TFIDF_SQL,
+        "contamination_check": _CONTAMINATION_SQL,
         "events_lag_delta": _LAG_DELTA_SQL,
         "events_type_quantiles": _TYPE_QUANTILES_SQL,
         "events_stratified_sample": _STRATIFIED_SQL,

@@ -1637,6 +1637,71 @@ def word_freq_topk(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(df.head(k), preserve_index=False)
 
 
+def contamination_check(sf_dir: str) -> pa.Table:
+    """Benchmark-contamination scan: flag documents containing any of
+    a set of verbatim "test-set" snippets -- the decontamination
+    primitive every training-data pipeline runs before a corpus
+    ships.  The snippet list here derives deterministically from the
+    corpus itself (32-char substrings of every ``doc_id % 97 == 0``
+    document) so the gate needs no external data; a real run passes
+    its benchmark strings instead.
+
+    Scale shape: the needle set is dimension-sized -> collected once
+    on the driver from a column-pruned read and closed over (the
+    broadcast-small-side pattern); the corpus-side scan is K
+    ``pc.match_substring`` Arrow kernel sweeps per batch (vectorized
+    literal search over the whole column -- no per-row Python), with
+    per-doc hit counts summed across needles.  Output is
+    contaminated-docs-only, so the driver sees hits, not the corpus."""
+    def pick_needles(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.utf8_length(t.column("text")).to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array((ids % 97 == 0) & (lens >= 52)))
+        return pa.table(
+            {"doc_id": pc.cast(sub.column("doc_id"), pa.int64()),
+             "needle": pc.utf8_slice_codeunits(
+                 sub.column("text"), start=20, stop=52
+             )}
+        )
+
+    needle_src = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(pick_needles, batch_format="pyarrow")
+        .to_pandas()
+    )
+    needles = [
+        (int(r.doc_id), str(r.needle)) for r in needle_src.itertuples()
+    ]
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())])
+    if not needles:
+        return out_schema.empty_table()
+    pats = [n for _, n in needles]
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        col = t.column("text")
+        hits = np.zeros(t.num_rows, np.int64)
+        for pat in pats:
+            m = pc.match_substring(col, pattern=pat)
+            hits += m.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = hits > 0
+        return pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()).filter(
+                pa.array(keep)
+             ),
+             "n_hits": pa.array(hits[keep])},
+            schema=out_schema,
+        )
+
+    res = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow"
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
 def tfidf_topk(sf_dir: str, k: int = 5) -> pa.Table:
     """Top-k TF-IDF terms per document over ``documents.text`` -- the
     canonical corpus-weighting primitive for training-data curation

@@ -508,3 +508,21 @@ def test_tfidf_topk_planted(ray_session, tmp_path):
     assert got[(2, 1)] == ("date", 1, 1)
     assert got[(2, 2)] == ("cherry", 1, 2)
     assert len(out) == 6
+
+
+def test_contamination_check_planted(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import contamination_check
+
+    # doc 0 (0 % 97 == 0) sources the needle (chars 20:52); doc 1
+    # embeds that snippet verbatim -> contaminated; doc 2 clean.
+    base = "x" * 20 + "THE-BENCHMARK-SNIPPET-0123456789" + "y" * 20
+    assert len(base) >= 52
+    texts = [
+        base,                                       # doc 0: source (self-hit)
+        "some words " + base[20:52] + " more words",  # doc 1: contaminated
+        "totally unrelated text with no overlap at all here",  # doc 2
+    ]
+    sf = make_docs(tmp_path, texts)
+    out = {r["doc_id"]: r["n_hits"]
+           for r in contamination_check(sf).to_pylist()}
+    assert out == {0: 1, 1: 1}
