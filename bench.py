@@ -155,6 +155,8 @@ def run_bench() -> dict:
         ("doc_fingerprints", dops.doc_fingerprints),
         ("events_sessionize", evops.events_sessionize),
         ("orders_asof_events", evops.orders_asof_events),
+        ("orders_events_join", evops.orders_events_join),
+        ("tfidf_topk", dops.tfidf_topk),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)
