@@ -739,6 +739,17 @@ FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey
 ORDER BY o.o_orderkey, e.event_id
 """
 
+_TYPE_MOMENTS_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(CAST(cents AS HUGEINT) * cents) AS BIGINT) AS sum_sq_cents
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
 _CONTAMINATION_SQL = """
 WITH needles AS (
   SELECT doc_id AS src_id, substr(text, 21, 32) AS needle
@@ -962,6 +973,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semi-structured JSON field extraction + aggregate (one
         # vectorized extract_regex kernel, no per-row json.loads)
         "events_props_stats": ev.events_props_stats,
+        # distributive integer moments (variance/stddev/corr base)
+        "events_type_moments": ev.events_type_moments,
     }
 
 
@@ -1029,4 +1042,5 @@ def oracle_sql() -> dict[str, str]:
         "events_type_quantiles": _TYPE_QUANTILES_SQL,
         "events_stratified_sample": _STRATIFIED_SQL,
         "events_props_stats": _PROPS_STATS_SQL,
+        "events_type_moments": _TYPE_MOMENTS_SQL,
     }

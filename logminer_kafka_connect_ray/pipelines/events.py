@@ -1408,6 +1408,63 @@ def events_sample_hash(sf_dir: str, one_in: int = 20) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Distributive moments (variance / correlation building block)
+# ---------------------------------------------------------------------------
+def events_type_moments(sf_dir: str) -> pa.Table:
+    """Per-``event_type`` second-order moments of ``value`` cents --
+    ``(n, sum, sum_sq)`` -- the distributive aggregate every
+    variance / stddev / z-score / correlation computation reduces to.
+    Moments stay INTEGER end-to-end (cents; no float summation-order
+    divergence between engines); the caller derives
+    ``var = (sum_sq - sum^2/n) / n`` from them in one deterministic
+    division.
+
+    Same two-level shape as the pivot: per-block lexsort + reduceat
+    partials -> one dim-bounded ``groupby.sum``.  ``sum_sq`` of int64
+    cents fits int64 up to ~1e8 rows x 1e5-cent values; beyond that a
+    real deployment widens the partial to two limbs -- noted, not
+    silently wrong (the gate's domain is far inside the bound)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("n", pa.int64()),
+         ("sum_cents", pa.int64()), ("sum_sq_cents", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        c = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        order = np.argsort(et, kind="stable")
+        et, c = et[order], c[order]
+        starts = np.flatnonzero(np.concatenate([[True], et[1:] != et[:-1]]))
+        counts = np.diff(np.append(starts, len(et)))
+        return pa.table(
+            {"event_type": pa.array(list(et[starts]), pa.string()),
+             "n": pa.array(counts.astype(np.int64)),
+             "sum_cents": pa.array(np.add.reduceat(c, starts)),
+             "sum_sq_cents": pa.array(np.add.reduceat(c * c, starts))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n", "sum_cents", "sum_sq_cents"])
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "n", "sum_cents", "sum_sq_cents"]
+    out = pa.table(
+        {"event_type": pa.array(merged["event_type"], pa.string()),
+         "n": pa.array(merged["n"].astype(np.int64)),
+         "sum_cents": pa.array(merged["sum_cents"].astype(np.int64)),
+         "sum_sq_cents": pa.array(merged["sum_sq_cents"].astype(np.int64))}
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("event_type", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
 # Semi-structured extraction (JSON payload column)
 # ---------------------------------------------------------------------------
 def events_props_stats(sf_dir: str) -> pa.Table:

@@ -849,3 +849,20 @@ def test_events_props_stats_extraction(ray_session, tmp_path):
                         "sum_k": 4}
     assert out["b"] == {"event_type": "b", "n_events": 2, "n_with_k": 1,
                         "sum_k": 10}
+
+
+def test_events_type_moments_exact(ray_session, tmp_path):
+    sf = make_events(
+        tmp_path,
+        [
+            (1, 1, 0.0, "a", 1.00),   # 100
+            (2, 1, 1.0, "a", 2.50),   # 250
+            (3, 2, 2.0, "b", 0.10),   # 10
+        ],
+    )
+    out = {r["event_type"]: r for r in ev.events_type_moments(sf).to_pylist()}
+    assert out["a"]["n"] == 2
+    assert out["a"]["sum_cents"] == 350
+    assert out["a"]["sum_sq_cents"] == 100 * 100 + 250 * 250
+    assert out["b"] == {"event_type": "b", "n": 1, "sum_cents": 10,
+                        "sum_sq_cents": 100}
