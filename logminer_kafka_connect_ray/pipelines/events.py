@@ -1914,7 +1914,7 @@ def user_custkey_set_ops(sf_dir: str) -> pa.Table:
 # Fact-to-fact shuffle hash join
 # ---------------------------------------------------------------------------
 def orders_events_join(
-    sf_dir: str, how: str = "inner", bloom: bool = True
+    sf_dir: str, how: str = "inner", bloom: bool = True, salt: int = 1
 ) -> pa.Table:
     """Distributed inner equi-join of two FACT tables -- ``orders``
     joined to ``events`` on ``o_custkey = user_id`` -- emitting the
@@ -1960,14 +1960,34 @@ def orders_events_join(
     waste.  No false negatives, so results are bit-identical with
     ``bloom=False``; left-join semantics are unaffected (only probe
     rows are dropped, never build rows).  Bloom is auto-disabled for
-    ``how="full"`` -- a full join must KEEP unmatched probe rows."""
+    ``how="full"`` -- a full join must KEEP unmatched probe rows.
+
+    ``salt > 1`` splits each HOT KEY across ``salt`` exchange ranges
+    (the same escape hatch the LWW fold's ``salt_factor`` provides):
+    build rows replicate to every salt lane, each probe row goes to
+    exactly ONE deterministic lane (``fnv(event_id) % salt``), so
+    every (build, probe) pair still meets exactly once and the output
+    is bit-identical -- at ``salt``x the build-side exchange volume.
+    Inner-join only: a replicated build row's per-lane "unmatched"
+    state is no longer global, so left/full outer need the unsalted
+    path."""
     if how not in ("inner", "left", "full"):
         raise ValueError(f"how={how!r}: expected 'inner', 'left' or 'full'")
+    if salt > 1 and how != "inner":
+        raise ValueError(
+            "salt>1 requires how='inner': outer joins derive unmatched "
+            "rows per block, which salting makes non-global"
+        )
     if how == "full":
         bloom = False
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
     n_ev, _ = _table_meta(sf_dir, "events")
     n_or, _ = _table_meta(sf_dir, "orders")
-    P = _exchange_width(n_ev + n_or)
+    P = _exchange_width(n_ev + n_or * max(1, salt))
+    if salt > P:
+        raise ValueError(f"salt={salt} must be <= exchange width P={P} "
+                         "(lane spreading needs distinct ranges)")
     gd = _new_guard_dir("hashjoin")
 
     rel_schema = pa.schema(
@@ -1980,20 +2000,41 @@ def orders_events_join(
         ]
     )
 
+    _GOLD = 2654435761  # odd constant spreading salt lanes over ranges
+
     def pad_orders(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
             return rel_schema.empty_table()
         k = t.column("o_custkey").cast(pa.int64())
+        pid = partition_ids(k, P)
+        kv = k.to_numpy(zero_copy_only=False) if salt > 1 else None
+        oid = t.column("o_orderkey").cast(pa.int64())
+        cents = _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
+        if salt > 1:
+            # build rows replicate to every salt lane of their key
+            lanes = np.tile(np.arange(salt, dtype=np.int64), n)
+            kv = np.repeat(kv, salt)
+            pid = (np.repeat(pid, salt) + lanes * _GOLD) % P
+            return pa.table(
+                {
+                    "_k": pa.array(kv),
+                    "_side": pa.array(np.zeros(n * salt, np.int8)),
+                    "_id": pa.array(
+                        np.repeat(oid.to_numpy(zero_copy_only=False), salt)
+                    ),
+                    "_cents": pa.array(np.repeat(cents, salt)),
+                    "_p": pa.array(pid),
+                },
+                schema=rel_schema,
+            )
         return pa.table(
             {
                 "_k": k,
                 "_side": pa.array(np.zeros(n, np.int8)),
-                "_id": t.column("o_orderkey").cast(pa.int64()),
-                "_cents": pa.array(
-                    _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
-                ),
-                "_p": pa.array(partition_ids(k, P)),
+                "_id": oid,
+                "_cents": pa.array(cents),
+                "_p": pa.array(pid),
             },
             schema=rel_schema,
         )
@@ -2003,6 +2044,16 @@ def orders_events_join(
         if n == 0:
             return rel_schema.empty_table()
         k = t.column("user_id").cast(pa.int64())
+        pid = partition_ids(k, P)
+        if salt > 1:
+            # each probe row picks exactly ONE deterministic lane
+            from logminer_kafka_connect_ray.functions.hashing import fnv1a_u64
+
+            lane = (
+                fnv1a_u64(pc.cast(t.column("event_id"), pa.string()))
+                % np.uint64(salt)
+            ).astype(np.int64)
+            pid = (pid + lane * _GOLD) % P
         return pa.table(
             {
                 "_k": k,
@@ -2011,7 +2062,7 @@ def orders_events_join(
                 "_cents": pa.array(
                     _cents(t.column("value").to_numpy(zero_copy_only=False))
                 ),
-                "_p": pa.array(partition_ids(k, P)),
+                "_p": pa.array(pid),
             },
             schema=rel_schema,
         )

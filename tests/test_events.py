@@ -866,3 +866,32 @@ def test_events_type_moments_exact(ray_session, tmp_path):
     assert out["a"]["sum_sq_cents"] == 100 * 100 + 250 * 250
     assert out["b"] == {"event_type": "b", "n": 1, "sum_cents": 10,
                         "sum_sq_cents": 100}
+
+
+def test_hash_join_salted_bit_identical(ray_session, tmp_path):
+    """salt>1 spreads a hot key over lanes yet produces the identical
+    inner-join output; outer joins refuse the salt."""
+    import pytest as _pt
+
+    # one HOT user (id 7) with many events + several cold users
+    rows = [(i, 7 if i % 2 == 0 else 1 + i % 5, float(i), "a", i / 9.0)
+            for i in range(1, 101)]
+    make_events(tmp_path, rows)
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(list(range(10, 40)), pa.int64()),
+            "o_custkey": pa.array([7 if j % 3 == 0 else 1 + j % 5
+                                   for j in range(30)], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 30, pa.string()),
+            "o_totalprice": pa.array([float(j) for j in range(30)], pa.float64()),
+            "o_orderdate": pa.array([_ts(0)] * 30, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1"] * 30, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    plain = ev.orders_events_join(str(tmp_path), salt=1)
+    salted = ev.orders_events_join(str(tmp_path), salt=4)
+    assert salted.num_rows == plain.num_rows > 0
+    assert salted.equals(plain)  # both sorted by (o_orderkey, event_id)
+    with _pt.raises(ValueError, match="salt>1 requires"):
+        ev.orders_events_join(str(tmp_path), how="left", salt=4)
