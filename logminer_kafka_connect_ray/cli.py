@@ -24,8 +24,16 @@ import sys
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="logminer-kafka-connect-ray")
-    p.add_argument("command", choices=["snapshot", "replay", "stream", "show"])
-    p.add_argument("--lake", required=True)
+    p.add_argument(
+        "command", choices=["snapshot", "replay", "stream", "show", "query"]
+    )
+    p.add_argument("--lake", help="lake dir (required except for query)")
+    p.add_argument("--name", help="query: registered pipeline name "
+                                  "(see __ray_entry__.queries())")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="query: input table directory")
+    p.add_argument("--out", help="query: write result parquet here "
+                                 "instead of printing a preview")
     p.add_argument("--base", help="base table parquet (snapshot)")
     p.add_argument("--scn", type=int, default=0, help="snapshot SCN")
     p.add_argument("--changelog", help="change-event parquet dir")
@@ -66,6 +74,44 @@ def main(argv=None) -> int:
         if args.num_cpus:
             kwargs.update(address="local", num_cpus=args.num_cpus)
         ray.init(**kwargs)
+
+    if args.command == "query":
+        # run any registered pipeline from the driver contract surface
+        # (one name = one Ray Data pipeline + one DuckDB-checkable
+        # oracle; the ray job submit analog of queries())
+        if not args.name:
+            p.error("query requires --name")
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "__ray_entry__",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "__ray_entry__.py"),
+        )
+        entry = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry)
+        qs = entry.queries()
+        if args.name not in qs:
+            p.error(f"unknown query {args.name!r}; known: {sorted(qs)}")
+        res = qs[args.name](args.sf_dir)
+        import pyarrow as pa
+
+        if not isinstance(res, pa.Table):  # Dataset / pandas result
+            res = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+        if args.out:
+            import pyarrow.parquet as pq
+
+            pq.write_table(res, args.out)
+            print(json.dumps({"rows": res.num_rows, "out": args.out}))
+        else:
+            print(res.slice(0, 20).to_pandas().to_string())
+            print(json.dumps({"rows": res.num_rows}))
+        ray.shutdown()
+        return 0
+
+    if not args.lake:
+        p.error(f"{args.command} requires --lake")
 
     from logminer_kafka_connect_ray.config import EngineConfig
     from logminer_kafka_connect_ray.pipelines.engine import Engine
