@@ -739,6 +739,19 @@ FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey
 ORDER BY o.o_orderkey, e.event_id
 """
 
+_LABEL_CENTROIDS_SQL = """
+SELECT CAST(e.label AS BIGINT) AS label, CAST(t.dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(CAST(t.v AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS sum_q
+FROM embeddings AS e, LATERAL (
+  SELECT unnest(e.embedding) AS v,
+         generate_subscripts(e.embedding, 1) AS dim
+) t
+GROUP BY e.label, t.dim
+ORDER BY e.label, t.dim
+"""
+
 _TYPE_MOMENTS_SQL = """
 WITH c AS (
   SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events
@@ -964,6 +977,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benchmark decontamination: broadcast needle set, vectorized
         # match_substring sweeps, contaminated-docs-only output
         "contamination_check": d.contamination_check,
+        # distributed centroid / mean-pooling aggregate (k-means
+        # M-step shape) with integer-quantized component sums
+        "label_centroids": d.label_centroids,
         # offset window function (LAG deltas per key)
         "events_lag_delta": ev.events_lag_delta,
         # exact per-group quantiles (grouped distributed counting sort)
@@ -1038,6 +1054,7 @@ def oracle_sql() -> dict[str, str]:
         "events_global_rank": _GLOBAL_RANK_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "contamination_check": _CONTAMINATION_SQL,
+        "label_centroids": _LABEL_CENTROIDS_SQL,
         "events_lag_delta": _LAG_DELTA_SQL,
         "events_type_quantiles": _TYPE_QUANTILES_SQL,
         "events_stratified_sample": _STRATIFIED_SQL,

@@ -1637,6 +1637,71 @@ def word_freq_topk(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(df.head(k), preserve_index=False)
 
 
+def label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label embedding CENTROID sums -- the distributed
+    mean-pooling / cluster-centroid aggregate (k-means M-step, IVF
+    coarse-quantizer training, class prototypes) over the
+    ``embeddings`` table's ``list<float>`` column.
+
+    Components are quantized to integer micro-units
+    (``floor(v * 1e6)`` -- float32->float64 widening and the scale
+    are both exactly reproducible in SQL) BEFORE summation, so the
+    sums carry no float summation-order divergence between engines;
+    the caller derives the float centroid as ``sum_q / (n * 1e6)`` in
+    one deterministic division per component.
+
+    Scale shape: per-block zero-copy matrix extraction
+    (`_embedding_matrix`) + one ``np.add.reduceat`` per block gives
+    label-count-bounded partials (labels x dim rows per block, never
+    row-count); a single dim-bounded ``groupby.sum`` merges them."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    part_schema = pa.schema(
+        [("label", pa.int64()), ("dim", pa.int64()),
+         ("n", pa.int64()), ("sum_q", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _, mat = _embedding_matrix(t)
+        q = np.floor(mat * 1e6).astype(np.int64)
+        lbl = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lbl, kind="stable")
+        lbl, q = lbl[order], q[order]
+        starts = np.flatnonzero(np.concatenate([[True], lbl[1:] != lbl[:-1]]))
+        counts = np.diff(np.append(starts, len(lbl)))
+        sums = np.add.reduceat(q, starts, axis=0)  # (n_labels, dim)
+        n_lab, dim = sums.shape
+        return pa.table(
+            {"label": pa.array(np.repeat(lbl[starts], dim)),
+             "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                     n_lab)),
+             "n": pa.array(np.repeat(counts.astype(np.int64), dim)),
+             "sum_q": pa.array(sums.reshape(-1))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .sum(["n", "sum_q"])
+        .to_pandas()
+    )
+    merged.columns = ["label", "dim", "n", "sum_q"]
+    out = pa.table(
+        {"label": pa.array(merged["label"].astype(np.int64)),
+         "dim": pa.array(merged["dim"].astype(np.int64)),
+         "n": pa.array(merged["n"].astype(np.int64)),
+         "sum_q": pa.array(merged["sum_q"].astype(np.int64))}
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("label", "ascending"), ("dim", "ascending")]
+        )
+    )
+
+
 def contamination_check(sf_dir: str) -> pa.Table:
     """Benchmark-contamination scan: flag documents containing any of
     a set of verbatim "test-set" snippets -- the decontamination

@@ -526,3 +526,25 @@ def test_contamination_check_planted(ray_session, tmp_path):
     out = {r["doc_id"]: r["n_hits"]
            for r in contamination_check(sf).to_pylist()}
     assert out == {0: 1, 1: 1}
+
+
+def test_label_centroids_exact(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import label_centroids
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, -0.5], [3.0, 0.25], [10.0, 2.0]],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([7, 7, 9], pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = {(r["label"], r["dim"]): (r["n"], r["sum_q"])
+           for r in label_centroids(str(tmp_path)).to_pylist()}
+    assert out[(7, 1)] == (2, 4_000_000)      # 1.0 + 3.0
+    assert out[(7, 2)] == (2, -250_000)       # floor(-0.5e6) + floor(0.25e6)
+    assert out[(9, 1)] == (1, 10_000_000)
+    assert out[(9, 2)] == (1, 2_000_000)
