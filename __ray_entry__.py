@@ -775,13 +775,21 @@ GROUP BY d.doc_id
 ORDER BY d.doc_id
 """
 
-_PROPS_STATS_SQL = """
+# NOTE: the oracle restates the ENGINE's extraction semantics -- first
+# regex match of "k": <int> anywhere in the payload string (nested keys
+# count; a float's integer prefix is taken) -- not json_extract('$.k'),
+# so both sides agree by construction on ANY payload shape, not just
+# the flat '{"k": N}' the current generator emits.
+_PROPS_STATS_SQL = r"""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
-       CAST(COALESCE(SUM(CAST(json_extract(props, '$.k') AS BIGINT)), 0)
-            AS BIGINT) AS sum_k
-FROM events
+       CAST(COUNT(k_str) AS BIGINT) AS n_with_k,
+       CAST(COALESCE(SUM(CAST(k_str AS BIGINT)), 0) AS BIGINT) AS sum_k
+FROM (
+    SELECT event_type,
+           NULLIF(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1), '') AS k_str
+    FROM events
+)
 GROUP BY event_type
 ORDER BY event_type
 """

@@ -83,14 +83,28 @@ def main(argv=None) -> int:
             p.error("query requires --name")
         import importlib.util
         import os
+        import sys
 
-        spec = importlib.util.spec_from_file_location(
-            "__ray_entry__",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "__ray_entry__.py"),
-        )
-        entry = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(entry)
+        entry = sys.modules.get("__ray_entry__")
+        if entry is None:
+            entry_path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "__ray_entry__.py")
+            spec = importlib.util.spec_from_file_location(
+                "__ray_entry__", entry_path
+            )
+            if spec is None or spec.loader is None or not os.path.exists(
+                entry_path
+            ):
+                p.error(
+                    "query requires the repo checkout: no __ray_entry__.py "
+                    f"next to the package (looked at {entry_path})"
+                )
+            entry = importlib.util.module_from_spec(spec)
+            # register BEFORE exec so a second loader (or a script doing
+            # `import __ray_entry__`) reuses this module instead of
+            # re-executing it
+            sys.modules["__ray_entry__"] = entry
+            spec.loader.exec_module(entry)
         qs = entry.queries()
         if args.name not in qs:
             p.error(f"unknown query {args.name!r}; known: {sorted(qs)}")

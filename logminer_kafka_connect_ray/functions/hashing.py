@@ -83,15 +83,22 @@ def hash_probe(num_partitions: int) -> dict[str, int]:
 # Bloom filter (shuffle-pruning semi-join prefilter)
 # ---------------------------------------------------------------------------
 #: 2^23 bits = 1 MiB per filter -- constant regardless of build-side
-#: cardinality (the point of a bloom vs an exact key set); ~2% false
-#: positives at 1M distinct keys with 2 probes, 0 false negatives.
+#: cardinality (the point of a bloom vs an exact key set); ~0.06%
+#: false positives at 100k distinct keys / ~5% at 1M with 2
+#: independent probes, 0 false negatives.
 BLOOM_BITS = 1 << 23
 _BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
 
 
 def _bloom_idx(keys) -> tuple[np.ndarray, np.ndarray]:
     """Two independent bit positions per key (same string
-    canonicalization as ``partition_ids`` so both join sides agree)."""
+    canonicalization as ``partition_ids`` so both join sides agree).
+
+    The second index takes the HIGH 23 bits of the mixed hash: low
+    bits of ``h * odd`` mod 2^64 are a pure function of the low bits
+    of ``h``, so a low-bits second index would collide exactly when
+    the first does (measured 50x worse FPR) -- the shift is what
+    makes the two probes independent."""
     if isinstance(keys, (pa.ChunkedArray, pa.Array)) and not (
         pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type)
     ):
@@ -100,7 +107,7 @@ def _bloom_idx(keys) -> tuple[np.ndarray, np.ndarray]:
         keys = pc.cast(keys, pa.string())
     h = fnv1a_u64(keys)
     with np.errstate(over="ignore"):
-        h2 = h * _BLOOM_MIX
+        h2 = (h * _BLOOM_MIX) >> np.uint64(64 - 23)
     m = np.uint64(BLOOM_BITS)
     return (h % m).astype(np.int64), (h2 % m).astype(np.int64)
 

@@ -68,6 +68,32 @@ def _exchange_width(
     return max(lo, min(hi, 1 << math.ceil(math.log2(need))))
 
 
+def _segment_starts(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Segment boundaries of an ALREADY-SORTED key array: returns
+    ``(starts, counts)`` -- each group's first index and size.  The
+    reduceat feed every per-block group partial shares."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    starts = np.flatnonzero(
+        np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]])
+    )
+    return starts, np.diff(np.append(starts, n))
+
+
+def _group_segments(
+    keys: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stable sort-by-key segmentation: ``(order, starts, counts)``
+    with ``keys[order]`` grouped, ``starts`` indexing each group's
+    first sorted row.  The shared 'sort by key, find segment starts,
+    reduce per segment' primitive behind every per-block partial
+    (moments, props, centroids, tf-idf, ranks)."""
+    order = np.argsort(keys, kind="stable")
+    starts, counts = _segment_starts(keys[order])
+    return order, starts, counts
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -264,8 +290,13 @@ def _bucket_pairs(ids: np.ndarray, cap: int = MAX_BUCKET_PAIRING,
 # distinct blocks (pairs would have been silently lost) and attaches
 # star-pair overflow totals to the result's schema metadata so the
 # verify harness can see when the 'exact kernel' label no longer holds.
-# Record file names are deterministic per block content, so a retried
-# task overwrites its own record instead of faking a split.  At
+# Record file names are keyed by (Ray task id, per-task call index):
+# stable across task RETRIES (a re-executed task replays the same call
+# sequence under the same task id, so it overwrites its own records)
+# but distinct across the two map_batches calls a SPLIT range would
+# produce -- even when both halves carry an identical stamp set, the
+# two calls write two files and finalize sees the duplicate.  (A pure
+# content hash -- the previous scheme -- deduped that exact case.)  At
 # multi-node scale, point guard dirs at shared storage (same assumption
 # the lake dir makes).
 # ---------------------------------------------------------------------------
@@ -273,6 +304,12 @@ def _new_guard_dir(what: str) -> str:
     import tempfile
 
     return tempfile.mkdtemp(prefix=f"lkc-exguard-{what}-")
+
+
+#: per-worker-process map: (task id, attempt) -> number of
+#: _guard_record calls so far in that attempt (a retry replays the
+#: same sequence from 0; see note above)
+_GUARD_CALLS: dict[tuple[str, int], int] = {}
 
 
 def _guard_record(
@@ -288,7 +325,25 @@ def _guard_record(
         return
     rec = {"tag": tag, "stamps": stamp_list, "ovf": [int(x) for x in ovf_sizes]}
     body = json.dumps(rec, sort_keys=True)
-    key = fnv1a_u64([body])[0]
+    tid, attempt = "", 0
+    try:
+        import ray
+
+        ctx = ray.get_runtime_context()
+        tid = ctx.get_task_id() or ""
+        # counter resets per ATTEMPT where Ray exposes it (2.49 does
+        # not); without it, the one uncovered case is a retry landing
+        # on the SAME still-live worker (lineage reconstruction --
+        # normal retries follow a process death, which resets the
+        # dict), and that case fails LOUDLY as a spurious split, never
+        # silently.
+        get_attempt = getattr(ctx, "get_attempt_number", None)
+        attempt = int(get_attempt()) if (tid and get_attempt) else 0
+    except Exception:
+        pass
+    seq = _GUARD_CALLS.get((tid, attempt), 0)
+    _GUARD_CALLS[(tid, attempt)] = seq + 1
+    key = fnv1a_u64([f"{tid}\x00{seq}\x00{body}"])[0]
     os.makedirs(guard_dir, exist_ok=True)
     path = os.path.join(guard_dir, f"{tag}-{key:016x}.json")
     tmp = f"{path}.tmp-{os.getpid()}"
@@ -1667,10 +1722,8 @@ def label_centroids(sf_dir: str) -> pa.Table:
         _, mat = _embedding_matrix(t)
         q = np.floor(mat * 1e6).astype(np.int64)
         lbl = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(lbl, kind="stable")
+        order, starts, counts = _group_segments(lbl)
         lbl, q = lbl[order], q[order]
-        starts = np.flatnonzero(np.concatenate([[True], lbl[1:] != lbl[:-1]]))
-        counts = np.diff(np.append(starts, len(lbl)))
         sums = np.add.reduceat(q, starts, axis=0)  # (n_labels, dim)
         n_lab, dim = sums.shape
         return pa.table(
@@ -1795,8 +1848,8 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> pa.Table:
     n_docs, _ = _table_meta(sf_dir, "documents")
     # each doc contributes at most its distinct-term count; 64 is a
     # generous per-doc vocabulary estimate for width sizing only
-    P_term = _exchange_width(n_docs * 64)
-    P_doc = _exchange_width(n_docs * 64)
+    # both exchanges carry the same ~64-terms-per-doc row volume
+    P_term = P_doc = _exchange_width(n_docs * 64)
     gd = _new_guard_dir("tfidf")
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1844,12 +1897,9 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> pa.Table:
             return df_schema.empty_table()
         _guard_record(gd, "term", t.column("_p").to_numpy(zero_copy_only=False))
         terms = np.asarray(t.column("term").to_pylist(), dtype=object)
-        order = np.argsort(terms, kind="stable")
+        order, starts, sizes = _group_segments(terms)
         inv = np.empty(len(terms), np.int64)
         inv[order] = np.arange(len(terms))
-        st = terms[order]
-        starts = np.flatnonzero(np.concatenate([[True], st[1:] != st[:-1]]))
-        sizes = np.diff(np.append(starts, len(st)))
         # df per sorted row -> back to original order; each row is one
         # distinct (doc, term), so group size IS the document frequency
         df_sorted = np.repeat(sizes.astype(np.int64), sizes)
@@ -1884,10 +1934,11 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> pa.Table:
         score = tf.astype(np.float64) / dfv.astype(np.float64)
         order = np.lexsort((terms, -score, did))
         did, terms, tf, dfv = did[order], terms[order], tf[order], dfv[order]
-        starts = np.flatnonzero(np.concatenate([[True], did[1:] != did[:-1]]))
-        rnk = np.arange(len(did), dtype=np.int64) - np.repeat(
-            starts, np.diff(np.append(starts, len(did)))
-        ) + 1
+        starts, counts = _segment_starts(did)
+        rnk = (
+            np.arange(len(did), dtype=np.int64)
+            - np.repeat(starts, counts) + 1
+        )
         keep = rnk <= k
         return pa.table(
             {"doc_id": pa.array(did[keep]),

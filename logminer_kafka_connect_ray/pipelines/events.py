@@ -33,9 +33,11 @@ from logminer_kafka_connect_ray.functions.hashing import partition_ids
 from logminer_kafka_connect_ray.pipelines.dataops import (
     _exchange_width,
     _finalize_guard,
+    _group_segments,
     _guard_record,
     _new_guard_dir,
     _read,
+    _segment_starts,
     _table_meta,
 )
 
@@ -1197,18 +1199,12 @@ def _qsketch_lo(bins: np.ndarray) -> np.ndarray:
     return np.where(small, bins, ((1 << m) + mant) << np.maximum(e - m, 0))
 
 
-def events_value_quantiles_approx(
-    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
-) -> pa.Table:
-    """Approximate quantiles of ``floor(value*100)`` cents via a
-    distributed HDR histogram: each block emits a 4096-counter sketch
-    (exponent + 6 mantissa bits per value), sketches merge by
-    elementwise SUM (one 32 KB array per block -- no key exchange, no
-    sort), and the driver walks the merged counters.  Relative error
-    is bounded by 2^-6 ~ 1.6% regardless of domain or row count --
-    the 100 TB path; ``events_value_quantiles`` is the exact,
-    SQL-gated sibling (pytest pins this sketch against it)."""
-    ds = _read(sf_dir, "events", columns=["value"])
+def _merged_value_histogram(ds) -> np.ndarray:
+    """Exact global HDR histogram of ``floor(value*100)`` cents over a
+    dataset with a ``value`` column: each block emits one 4096-counter
+    sketch (``_qsketch_bins``; 32 KB regardless of block size), and the
+    driver merges them by elementwise SUM -- no key exchange, no sort.
+    Shared by the quantile sketch and the global-rank range planner."""
     NB = 64 * (1 << _QSK_MBITS)
 
     def block_sketch(t: pa.Table) -> pa.Table:
@@ -1224,6 +1220,23 @@ def events_value_quantiles_approx(
     ):
         for buf in b.column("counts").to_pylist():
             merged += np.frombuffer(buf, np.int64)
+    return merged
+
+
+def events_value_quantiles_approx(
+    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> pa.Table:
+    """Approximate quantiles of ``floor(value*100)`` cents via a
+    distributed HDR histogram: each block emits a 4096-counter sketch
+    (exponent + 6 mantissa bits per value), sketches merge by
+    elementwise SUM (one 32 KB array per block -- no key exchange, no
+    sort), and the driver walks the merged counters.  Relative error
+    is bounded by 2^-6 ~ 1.6% regardless of domain or row count --
+    the 100 TB path; ``events_value_quantiles`` is the exact,
+    SQL-gated sibling (pytest pins this sketch against it)."""
+    ds = _read(sf_dir, "events", columns=["value"])
+    NB = 64 * (1 << _QSK_MBITS)
+    merged = _merged_value_histogram(ds)
 
     cum = np.cumsum(merged)
     n = int(cum[-1]) if len(cum) else 0
@@ -1273,24 +1286,10 @@ def events_global_rank(sf_dir: str) -> pa.Table:
     n_ev, _ = _table_meta(sf_dir, "events")
     P = _exchange_width(n_ev)
     gd = _new_guard_dir("grank")
-    NB = 64 * (1 << _QSK_MBITS)
-
     # --- pass 1: exact global value histogram ------------------------
-    def block_sketch(t: pa.Table) -> pa.Table:
-        counts = np.zeros(NB, np.int64)
-        if t.num_rows:
-            c = _cents(t.column("value").to_numpy(zero_copy_only=False))
-            np.add.at(counts, _qsketch_bins(c), 1)
-        return pa.table({"counts": pa.array([counts.tobytes()])})
-
-    merged = np.zeros(NB, np.int64)
-    for b in (
+    merged = _merged_value_histogram(
         _read(sf_dir, "events", columns=["value"])
-        .map_batches(block_sketch, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    ):
-        for buf in b.column("counts").to_pylist():
-            merged += np.frombuffer(buf, np.int64)
+    )
 
     total = int(merged.sum())
     target = max(1, -(-total // P))  # ceil
@@ -1422,8 +1421,9 @@ def events_type_moments(sf_dir: str) -> pa.Table:
     Same two-level shape as the pivot: per-block lexsort + reduceat
     partials -> one dim-bounded ``groupby.sum``.  ``sum_sq`` of int64
     cents fits int64 up to ~1e8 rows x 1e5-cent values; beyond that a
-    real deployment widens the partial to two limbs -- noted, not
-    silently wrong (the gate's domain is far inside the bound)."""
+    real deployment widens the partial to two limbs.  The partial
+    RAISES on any |cents| >= sqrt(int64 max) (where ``c*c`` alone
+    would wrap) -- out-of-domain data fails loudly, never silently."""
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
     part_schema = pa.schema(
@@ -1436,10 +1436,13 @@ def events_type_moments(sf_dir: str) -> pa.Table:
             return part_schema.empty_table()
         et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
         c = _cents(t.column("value").to_numpy(zero_copy_only=False))
-        order = np.argsort(et, kind="stable")
+        if c.size and int(np.abs(c).max()) >= 3_037_000_499:  # isqrt(2^63)
+            raise ValueError(
+                "events_type_moments: |value_cents| >= 3037000499 would "
+                "overflow int64 in sum_sq; widen the partial to two limbs"
+            )
+        order, starts, counts = _group_segments(et)
         et, c = et[order], c[order]
-        starts = np.flatnonzero(np.concatenate([[True], et[1:] != et[:-1]]))
-        counts = np.diff(np.append(starts, len(et)))
         return pa.table(
             {"event_type": pa.array(list(et[starts]), pa.string()),
              "n": pa.array(counts.astype(np.int64)),
@@ -1477,6 +1480,11 @@ def events_props_stats(sf_dir: str) -> pa.Table:
     Extraction is a single vectorized ``pc.extract_regex`` Arrow
     kernel over the string column (no per-row json.loads); rows whose
     payload lacks the field count as NULL (n_with_k tracks presence).
+    Semantics are REGEX semantics, by contract: the first
+    ``"k": <int>`` match anywhere in the payload (a nested object's
+    ``k`` counts; a float's integer prefix is taken) -- and the DuckDB
+    oracle restates the same regex, so the two sides agree on any
+    payload shape, not just the generator's flat ``{"k": N}``.
     Aggregation is the standard two-level shape: per-block lexsort +
     reduceat partials -> one dim-bounded ``groupby.sum``."""
     ds = _read(sf_dir, "events", columns=["event_type", "props"])
@@ -1498,10 +1506,8 @@ def events_props_stats(sf_dir: str) -> pa.Table:
         valid = pc.is_valid(kvals).to_numpy(zero_copy_only=False)
         k = kvals.fill_null(0).to_numpy(zero_copy_only=False)
         et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
-        order = np.argsort(et, kind="stable")
+        order, starts, counts = _group_segments(et)
         et, k, valid = et[order], k[order], valid[order]
-        starts = np.flatnonzero(np.concatenate([[True], et[1:] != et[:-1]]))
-        counts = np.diff(np.append(starts, len(et)))
         return pa.table(
             {"event_type": pa.array(list(et[starts]), pa.string()),
              "n_events": pa.array(counts.astype(np.int64)),
@@ -1545,7 +1551,6 @@ def events_stratified_sample(sf_dir: str, cap: int = 50) -> pa.Table:
     put an entire hot class in one block -- this shape never does."""
     from logminer_kafka_connect_ray.functions.hashing import fnv1a_u64
 
-    n_rows, _ = _table_meta(sf_dir, "events")
     P = 8  # partials are cap-bounded per group per block: tiny exchange
     gd = _new_guard_dir("strat")
     ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
@@ -1558,13 +1563,11 @@ def events_stratified_sample(sf_dir: str, cap: int = 50) -> pa.Table:
     def _rank_within(et: np.ndarray, h: np.ndarray, eid: np.ndarray):
         """sorted-by-(type, h, eid) order + 1-based rank per type."""
         order = np.lexsort((eid, h, et))
-        et_s = et[order]
-        starts = np.flatnonzero(
-            np.concatenate([[True], et_s[1:] != et_s[:-1]])
+        starts, counts = _segment_starts(et[order])
+        rnk = (
+            np.arange(len(et), dtype=np.int64)
+            - np.repeat(starts, counts) + 1
         )
-        rnk = np.arange(len(et_s), dtype=np.int64) - np.repeat(
-            starts, np.diff(np.append(starts, len(et_s)))
-        ) + 1
         return order, rnk
 
     def partial(t: pa.Table) -> pa.Table:

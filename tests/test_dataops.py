@@ -359,11 +359,23 @@ def test_finalize_guard_detects_split_partition(tmp_path):
     with pytest.raises(RuntimeError, match="split across blocks"):
         d._finalize_guard(gd2, t)
 
-    # a retried task re-recording the SAME block is idempotent
+    # two DISTINCT calls carrying the identical stamp set are a split
+    # too (one range delivered as two same-stamp blocks) -- the case a
+    # pure content hash used to dedupe away silently
     gd3 = str(tmp_path / "guard3")
     d._guard_record(gd3, "x:jp", np.array([7]))
-    d._guard_record(gd3, "x:jp", np.array([7]))  # identical record
-    d._finalize_guard(gd3, t)  # no raise
+    d._guard_record(gd3, "x:jp", np.array([7]))
+    with pytest.raises(RuntimeError, match="split across blocks"):
+        d._finalize_guard(gd3, t)
+
+    # a RETRY replays the same call sequence under the same task id
+    # (fresh per-attempt counter) -> same file names -> idempotent
+    gd4 = str(tmp_path / "guard4")
+    d._GUARD_CALLS.clear()  # attempt 1 starts in a fresh worker process
+    d._guard_record(gd4, "x:jp", np.array([7]))
+    d._GUARD_CALLS.clear()  # retry attempt: fresh process, same sequence
+    d._guard_record(gd4, "x:jp", np.array([7]))
+    d._finalize_guard(gd4, t)  # no raise
 
 
 def test_planted_neighbor_gates(ray_session, tmp_path):
