@@ -226,6 +226,31 @@ SELECT word, count(*) AS n FROM w GROUP BY word
 ORDER BY n DESC, word LIMIT 50
 """
 
+# Unigram LM scoring (CCNet-style quality filter): per-word
+# log-probabilities quantized to integer micro-nats with ONE double op
+# per DISTINCT word -- floor(1e6 * ln(n_w / n_total)) -- identically
+# on both sides, then integer-summed per document, so the comparison
+# carries no float-summation-order risk.
+_DOC_LM_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+),
+freq AS (SELECT word, count(*) AS n FROM tok GROUP BY word),
+tot AS (SELECT count(*) AS total FROM tok),
+lp AS (
+  SELECT f.word,
+         CAST(floor(1e6 * ln(f.n::DOUBLE / t.total)) AS BIGINT) AS lp_micro
+  FROM freq f, tot t
+)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(lp.lp_micro) AS BIGINT) AS sum_lp_micro
+FROM tok JOIN lp USING (word)
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+"""
+
 # Connected components over the exact near-dup pair graph via
 # recursive transitive closure; canonical = min reachable doc_id.
 _CLUSTER_SQL = f"""
@@ -873,6 +898,12 @@ SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
 """
 
 
+_USER_DISTINCT_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full CDC replay."""
     from logminer_kafka_connect_ray.pipelines import queries as q
@@ -909,6 +940,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": d.dedup_ngram_jaccard,  # exact verify kernel
         "dedup_cluster_canonical": d.dedup_cluster_canonical,  # CC canonicalization (SQL)
         "word_freq_topk": d.word_freq_topk,  # vocabulary top-k (SQL)
+        # unigram LM quality score (CCNet-shape perplexity filter;
+        # integer micro-nat arithmetic -> exact SQL gate)
+        "doc_lm_score": d.doc_lm_score,
         "dedup_minhash_lsh": d.dedup_minhash_lsh,  # SQL-checked vs exact kernel
         "dedup_simhash": d.dedup_simhash,          # SQL-checked (lossless LSH)
         # tau=0.4: the driver's synthetic embeddings top out at ~0.51
@@ -999,6 +1033,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": ev.events_props_stats,
         # distributive integer moments (variance/stddev/corr base)
         "events_type_moments": ev.events_type_moments,
+        # exact per-group COUNT(DISTINCT) via pair-hash exchange
+        # (HLL sketch in state/hll.py is the approximate sibling)
+        "events_user_distinct": ev.events_user_distinct,
     }
 
 
@@ -1031,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
         "dedup_cluster_canonical": _CLUSTER_SQL,
         "word_freq_topk": _WORD_FREQ_SQL,
+        "doc_lm_score": _DOC_LM_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "embedding_near_dup_exact": _EMBED_EXACT_SQL,
         "embedding_near_dup": _EMBED_ND_PLANTED_SQL,
@@ -1068,4 +1106,5 @@ def oracle_sql() -> dict[str, str]:
         "events_stratified_sample": _STRATIFIED_SQL,
         "events_props_stats": _PROPS_STATS_SQL,
         "events_type_moments": _TYPE_MOMENTS_SQL,
+        "events_user_distinct": _USER_DISTINCT_SQL,
     }

@@ -1692,6 +1692,138 @@ def word_freq_topk(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(df.head(k), preserve_index=False)
 
 
+class _UnigramScorer:
+    """Actor-pool stage for ``doc_lm_score``: holds the broadcast
+    (sorted vocab, micro-nat log-prob) arrays, scores each batch's
+    documents with searchsorted + int64 sums (no per-token Python
+    beyond the shared tokenizer)."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        vocab, lp, oov_lp = (
+            ray.get(model_ref)
+            if not isinstance(model_ref, tuple) else model_ref
+        )
+        self.vocab = vocab    # sorted object array of words
+        self.lp = lp          # int64 micro-nats, aligned with vocab
+        self.oov_lp = oov_lp  # None (uncapped: OOV = drift, raise)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+             ("sum_lp_micro", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_ids, n_tok, sums = [], [], []
+        for did, s in zip(ids, t.column("text").to_pylist()):
+            toks = _WORD.findall((s or "").lower())
+            if not toks:
+                continue  # no model evaluation for empty docs (= SQL join)
+            w = np.asarray(toks, dtype=object)
+            pos = np.clip(np.searchsorted(self.vocab, w), 0,
+                          len(self.vocab) - 1)
+            hit = self.vocab[pos] == w
+            if not bool(np.all(hit)) and self.oov_lp is None:
+                raise ValueError(
+                    "doc_lm_score: token absent from the pass-1 vocabulary "
+                    "(tokenizer drift between passes)"
+                )
+            tok_lp = np.where(hit, self.lp[pos],
+                              np.int64(self.oov_lp or 0))
+            doc_ids.append(int(did))
+            n_tok.append(len(toks))
+            sums.append(int(tok_lp.sum()))
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "n_tokens": pa.array(n_tok, pa.int64()),
+             "sum_lp_micro": pa.array(sums, pa.int64())},
+            schema=out_schema,
+        )
+
+
+def doc_lm_score(sf_dir: str, vocab_cap: int | None = None) -> pa.Table:
+    """Per-document unigram language-model score -- the CCNet/KenLM
+    perplexity-filter shape every web-corpus pipeline runs before
+    training, restated as an exactly-checkable unigram model over the
+    corpus itself (public method: Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data", 2020).
+
+    Pass 1 trains: corpus-wide word counts via the same
+    vocabulary-bounded two-level aggregate as ``word_freq_topk``
+    (per-block ``np.unique`` combiner -> ``groupby.sum``; the exchange
+    carries |vocab| rows, never |tokens|).  The driver quantizes each
+    DISTINCT word's log-probability to integer micro-nats --
+    ``floor(1e6 * ln(n_w / n_total))``, one double op per vocab entry,
+    restated verbatim in the DuckDB oracle -- and broadcasts the
+    (sorted vocab, lp) arrays once via ``ray.put``.
+
+    Pass 2 scores: stateless searchsorted lookup + int64 sums per
+    batch (``_UnigramScorer``).  All cross-engine arithmetic after the
+    per-word quantization is integer, so scores match the oracle
+    bit-for-bit; zero-token docs are dropped on both sides.
+
+    Scale: pass 1 is the proven vocab-bounded shape; pass 2 is
+    embarrassingly parallel.  At 100 TB pass vocab_cap to clamp the
+    broadcast model to the top-V words (OOV scored at the rarest
+    retained word's lp); the gate runs uncapped so the oracle is the
+    full exact model."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for s in t.column("text").to_pylist():
+            words.extend(_WORD.findall((s or "").lower()))
+        if not words:
+            return pa.table(
+                {"word": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(
+            np.asarray(words, dtype=object), return_counts=True
+        )
+        return pa.table(
+            {"word": pa.array(list(uniq), pa.string()),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    freq = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("word").sum("n").to_pandas()
+    )
+    counts = freq["sum(n)"].to_numpy().astype(np.int64)
+    vocab = freq["word"].to_numpy().astype(object)
+    order = np.argsort(vocab, kind="stable")
+    vocab, counts = vocab[order], counts[order]
+    total = int(counts.sum())
+    capped = vocab_cap is not None and len(vocab) > vocab_cap
+    if capped:
+        keep = np.argsort(-counts, kind="stable")[:vocab_cap]
+        mask = np.zeros(len(vocab), bool)
+        mask[keep] = True
+        vocab, counts = vocab[mask], counts[mask]
+    # total stays the FULL corpus token count even when capped, so
+    # retained-word probabilities are unchanged by the cap
+    lp = np.floor(1e6 * np.log(counts.astype(np.float64) / total)).astype(
+        np.int64
+    )
+    oov_lp = int(lp.min()) if capped else None
+    model_ref = ray.put((vocab, lp, oov_lp))
+
+    scored = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _cached_stage(
+            ("lmscore", model_ref.hex()), lambda: _UnigramScorer(model_ref)
+        ),
+        batch_format="pyarrow",
+    )
+    df = scored.to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def label_centroids(sf_dir: str) -> pa.Table:
     """Per-label embedding CENTROID sums -- the distributed
     mean-pooling / cluster-centroid aggregate (k-means M-step, IVF

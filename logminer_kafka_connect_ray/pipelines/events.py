@@ -2303,3 +2303,89 @@ def events_rollup(sf_dir: str) -> pa.Table:
             sort_keys=[("event_type", "ascending"), ("user_bucket", "ascending")],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group COUNT(DISTINCT) -- the cardinality aggregate
+# ---------------------------------------------------------------------------
+def events_user_distinct(sf_dir: str) -> pa.Table:
+    """``COUNT(DISTINCT user_id) GROUP BY event_type`` -- the exact
+    distributed distinct-count aggregate (the HLL sketch in
+    ``state/hll.py`` is this operator's approximate scale sibling).
+
+    Shape: per-block distinct (event_type, user_id) pairs (lexsort +
+    segment starts -- each block ships at most its local distinct
+    pairs, the combiner), hash exchange on the PAIR so every copy of
+    a pair co-locates, per-block global dedup + per-type counts, then
+    one group-count-bounded ``groupby.sum``.  The exchange carries
+    global-distinct-pair volume, never raw rows; a hot type spreads
+    across ALL partitions because the hash includes user_id (no
+    skew pile-up, unlike a groupby on event_type alone)."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("udist")
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    pair_schema = pa.schema(
+        [("event_type", pa.string()), ("user_id", pa.int64())]
+    )
+
+    def _distinct_pairs(t: pa.Table):
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.lexsort((uid, et))
+        et, uid = et[order], uid[order]
+        first = np.concatenate(
+            [[True], (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])]
+        ) if len(et) else np.array([], bool)
+        return et[first], uid[first]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        et, uid = _distinct_pairs(t)
+        return pa.table(
+            {"event_type": pa.array(list(et), pa.string()),
+             "user_id": pa.array(uid)},
+            schema=pair_schema,
+        )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        key = pc.binary_join_element_wise(
+            t.column("event_type"),
+            pc.cast(t.column("user_id"), pa.string()),
+            "\x00",
+        )
+        return t.append_column("_p", pa.array(partition_ids(key, P)))
+
+    cnt_schema = pa.schema([("event_type", pa.string()), ("n", pa.int64())])
+
+    def count_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cnt_schema.empty_table()
+        _guard_record(gd, "udist",
+                      t.column("_p").to_numpy(zero_copy_only=False))
+        et, _uid = _distinct_pairs(t)
+        starts, counts = _segment_starts(et)
+        return pa.table(
+            {"event_type": pa.array(list(et[starts]), pa.string()),
+             "n": pa.array(counts.astype(np.int64))},
+            schema=cnt_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(count_block, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type").sum("n")
+    )
+    df = agg.to_pandas().rename(columns={"sum(n)": "n_users"})
+    df["n_users"] = df["n_users"].astype("int64")
+    df = df.sort_values("event_type", ignore_index=True)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    return _finalize_guard(gd, t)

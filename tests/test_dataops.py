@@ -410,6 +410,29 @@ def test_word_freq_topk_exact(ray_session, tmp_path):
     assert out.to_pylist() == [{"word": "a", "n": 3}, {"word": "b", "n": 2}]
 
 
+def test_doc_lm_score_exact_and_capped(ray_session, tmp_path):
+    """Uncapped scores equal the hand-computed unigram model; a
+    vocab_cap keeps retained-word probabilities unchanged (total stays
+    full-corpus) and floors OOV tokens at the rarest retained lp."""
+    sf = make_docs(tmp_path, ["a a b", "a z", ""])
+    out = {r["doc_id"]: r for r in d.doc_lm_score(sf).to_pylist()}
+    # corpus: a=3, b=1, z=1, total=5
+    lp = {w: int(np.floor(1e6 * np.log(n / 5))) for w, n in
+          {"a": 3, "b": 1, "z": 1}.items()}
+    assert set(out) == {0, 1}  # empty doc dropped
+    assert out[0] == {"doc_id": 0, "n_tokens": 3,
+                      "sum_lp_micro": 2 * lp["a"] + lp["b"]}
+    assert out[1] == {"doc_id": 1, "n_tokens": 2,
+                      "sum_lp_micro": lp["a"] + lp["z"]}
+
+    capped = {r["doc_id"]: r for r in
+              d.doc_lm_score(sf, vocab_cap=1).to_pylist()}
+    # only "a" retained (top-1 by count); its lp unchanged; b/z score
+    # at the retained minimum = lp["a"]
+    assert capped[0]["sum_lp_micro"] == 3 * lp["a"]
+    assert capped[1]["sum_lp_micro"] == 2 * lp["a"]
+
+
 def test_dedup_cluster_canonical_transitive(ray_session, tmp_path):
     """a~b and b~c (but a!~c directly) still land in ONE component --
     the hash-to-min propagation closes the chain; canonical = min id."""

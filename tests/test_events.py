@@ -895,3 +895,21 @@ def test_hash_join_salted_bit_identical(ray_session, tmp_path):
     assert salted.equals(plain)  # both sorted by (o_orderkey, event_id)
     with _pt.raises(ValueError, match="salt>1 requires"):
         ev.orders_events_join(str(tmp_path), how="left", salt=4)
+
+
+def test_events_user_distinct_exact(ray_session, tmp_path):
+    """Duplicate (type, user) pairs across and within blocks collapse
+    to one; per-type distinct counts match the hand count."""
+    rows = [
+        (1, 10, 0.0, "click", 1.0),
+        (2, 10, 1.0, "click", 1.0),   # dup pair (click, 10)
+        (3, 11, 2.0, "click", 1.0),
+        (4, 10, 3.0, "view", 1.0),
+        (5, 12, 4.0, "view", 1.0),
+        (6, 12, 5.0, "view", 1.0),    # dup pair (view, 12)
+        (7, 13, 6.0, "buy", 1.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["event_type"]: r["n_users"]
+           for r in ev.events_user_distinct(sf).to_pylist()}
+    assert out == {"click": 2, "view": 2, "buy": 1}
