@@ -925,6 +925,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_final_state_streaming_redo": q.cdc_final_state_streaming_redo,
         "cdc_final_state_salted": q.cdc_final_state_salted,
         "cdc_final_state_transform": q.cdc_final_state_transform,  # SMT hook
+        # DBLog-style chunked snapshot: per-chunk as-of SCNs, chunk-vs-
+        # log arbitration via the (commit_scn, scn, row_id) LWW fold
+        "cdc_final_state_chunked": q.cdc_final_state_chunked,
         "cdc_snapshot_state": q.cdc_snapshot_state,
         "cdc_time_travel": q.cdc_time_travel,
         "cdc_multitable_suppliers": q.cdc_multitable_suppliers,
@@ -1047,6 +1050,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_streaming_redo": _FINAL_STATE_SQL,
         "cdc_final_state_salted": _FINAL_STATE_SQL,
         "cdc_final_state_transform": _FINAL_STATE_TRANSFORM_SQL,
+        "cdc_final_state_chunked": _FINAL_STATE_SQL,
         "cdc_snapshot_state": _SNAPSHOT_SQL,
         "cdc_time_travel": _SNAPSHOT_SQL,
         "cdc_multitable_suppliers": _SUPPLIERS_SQL,

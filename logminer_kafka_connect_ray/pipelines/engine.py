@@ -107,6 +107,70 @@ class Engine:
             markers_stats=(0, 0, 0),
         )
 
+    def snapshot_chunked(
+        self, chunks: list[tuple[str, int]], base_scn: int
+    ) -> Manifest:
+        """DBLog-style chunked snapshot: each chunk is a key-range
+        slice of the source table read AS OF ITS OWN SCN (a live
+        database keeps moving while a long snapshot runs; Netflix
+        DBLog, Andreadis & Gross 2019, solves this with per-chunk
+        watermark windows).  The reference cannot do this -- its
+        flashback snapshot is one consistent SCN (SelectSource.kt:9-104)
+        and a table too large to snapshot in one flashback window
+        simply fails.
+
+        ``chunks`` is ``[(parquet_path, chunk_scn), ...]``.  Each
+        chunk's rows become READ events stamped at that chunk's SCN
+        (``commit_scn = scn = chunk_scn``), so the standard
+        ``(commit_scn, scn, row_id)`` LWW fold IS the watermark
+        arbitration: a change event with commit <= chunk_scn loses to
+        the chunk row (its effect is already inside the chunk image),
+        one with commit > chunk_scn wins.  No special-case window
+        logic -- the DBLog chunk/log interleave collapses into the
+        same fold every other path uses, which is why all six replay
+        routes can share one oracle.
+
+        The published manifest watermark is ``base_scn`` (before the
+        first change event), so a following ``replay()`` re-reads the
+        whole log and idempotently folds it over the mixed-SCN chunk
+        state; a production deployment would advance it to
+        ``min(chunk_scns)`` (files wholly below the oldest chunk are
+        dominated) -- kept at base_scn here so chunk SCN choice can
+        never interact with file pruning.  Chunk SCNs must not equal
+        any event commit_scn (ties would make 'already inside the
+        image' ambiguous); callers pick inter-transaction SCNs.
+        Idempotent like ``snapshot()``: an existing manifest
+        short-circuits."""
+        import ray.data as rd
+
+        existing = self.store.load()
+        if existing is not None:
+            log.info("snapshot already committed (version %d)", existing.version)
+            return existing
+
+        cfg = self.config
+        table_schema = self._initial_schema(chunks[0][0])
+        schema_json = schemas.schema_to_json(table_schema)
+        flat = None
+        for path, chunk_scn in chunks:
+            part = rd.read_parquet(path).map_batches(
+                SnapshotStamper(schema_json, cfg.key_column, int(chunk_scn)),
+                batch_format="pyarrow",
+            )
+            flat = part if flat is None else flat.union(part)
+        return self._merge_and_publish(
+            flat,
+            version=1,
+            phase="snapshot",
+            table_schema=table_schema,
+            schema_version=0,
+            scn_lo=base_scn - 1,
+            scn_hi=base_scn,
+            prev=None,
+            open_spill=None,
+            markers_stats=(0, 0, 0),
+        )
+
     def replay(self, changelog_dir: str) -> Manifest:
         """Replay all unapplied change-event files, one committed lake
         version per micro-batch.  Safe to call repeatedly / after a

@@ -65,6 +65,26 @@ def cdc_final_state(sf_dir: str) -> pa.Table:
     return _digest_html(eng.to_arrow())
 
 
+def cdc_final_state_chunked(sf_dir: str) -> pa.Table:
+    """DBLog-style chunked snapshot + full replay -> final lake state.
+
+    Each snapshot chunk is read AS OF A DIFFERENT SCN (the simulated
+    database keeps moving while the snapshot runs --
+    ``workload.ensure_chunked_snapshot``), so this path exercises the
+    chunk-vs-log watermark arbitration the plain snapshot never hits;
+    the final state must still equal the single oracle.  A capability
+    the reference does not have (its flashback snapshot is one
+    consistent SCN, SelectSource.kt:9-104)."""
+    d = workload.ensure_workload(sf_dir)
+    chunks = workload.ensure_chunked_snapshot(sf_dir)
+    lake = d["lake"] + "_chunked"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(EngineConfig(lake_dir=lake, num_partitions=16))
+    eng.snapshot_chunked(chunks, base_scn=workload.SNAPSHOT_SCN)
+    eng.replay(d["changelog"])
+    return _digest_html(eng.to_arrow())
+
+
 def cdc_snapshot_state(sf_dir: str) -> pa.Table:
     """Initial snapshot only (SelectSource semantics, S1/S2)."""
     d = workload.ensure_workload(sf_dir)

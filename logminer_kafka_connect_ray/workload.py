@@ -516,3 +516,127 @@ def derive_changelog_redo_sql(
         pq.write_table(tbl, p)
         paths.append(p)
     return paths
+
+
+# ---------------------------------------------------------------------------
+# Chunked-snapshot fixture (DBLog-style moving-database simulator)
+# ---------------------------------------------------------------------------
+def _simulate_state_at(sf_dir: str, scn_c: int) -> dict[str, dict]:
+    """The 'live database' a chunk read observes: base pages with every
+    COMMITTED change whose commit_scn <= scn_c applied, as a url-keyed
+    dict.  Plain-Python single pass in eid order -- this is the input
+    SIMULATOR for the chunked-snapshot gate, not engine code (the
+    engine's own fold is what the gate checks against DuckDB); clarity
+    over speed is deliberate here."""
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    eid = ev.column("event_id").to_numpy()
+    order = np.argsort(eid, kind="stable")
+    eid = eid[order]
+    etype = ev.column("event_type").to_pandas().to_numpy()[order]
+    user = ev.column("user_id").to_numpy()[order]
+    ts_us = (
+        ev.column("ts").cast(pa.timestamp("us")).to_numpy()
+        .astype("datetime64[us]").astype(np.int64)[order]
+    )
+
+    pages = derive_pages(sf_dir)
+    state: dict[str, dict] = {}
+    for r in pages.to_pylist():
+        state[r["url"]] = r
+
+    urls = _urls(user % n_docs).to_pylist()
+    for i in range(len(eid)):
+        e = int(eid[i])
+        tx = e // TXN_SIZE
+        if tx % ROLLBACK_MOD == ROLLBACK_REM:
+            continue  # rolled back
+        commit_scn = SCN0 + (tx * TXN_SIZE + (TXN_SIZE - 1)) * 2 + 1
+        if commit_scn > scn_c:
+            continue  # not yet committed at the chunk's read point
+        et, url = etype[i], urls[i]
+        if et == "error":  # DELETE
+            state.pop(url, None)
+        elif et == "signup":  # INSERT (full image)
+            state[url] = {
+                "url": url,
+                "warc_ts": int(ts_us[i]),
+                "html": f"<html><body>signup:{e}</body></html>".encode(),
+                "text": f"signup:{e}",
+                "lang": f"xx{e % 5}",
+            }
+        else:  # partial UPDATE
+            row = state.get(url)
+            if row is None:
+                continue  # update of a deleted row: no-op on the image
+            if et in ("click", "view"):
+                row["text"] = f"u:{e}"
+            elif et == "purchase":
+                row["lang"] = f"p{e % 5}"
+    return state
+
+
+def chunk_scns(sf_dir: str, n_chunks: int) -> list[int]:
+    """Inter-transaction SCNs spread across the changelog: odd values
+    (event rows sit at even SCNs) that avoid the commit-marker form
+    SCN0 + 2*(5t+4) + 1, so a chunk SCN never ties with any event scn
+    or commit_scn (see Engine.snapshot_chunked)."""
+    n_ev = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    out = []
+    for i in range(n_chunks):
+        j = max(1, (i * n_ev) // n_chunks)  # chunk 0 starts near the log head
+        if j % TXN_SIZE == 0:
+            j += 1  # SCN0 + 2*(j-1) + 1 would be a commit marker
+        out.append(SCN0 + 2 * (j - 1) + 1)
+    return out
+
+
+def ensure_chunked_snapshot(
+    sf_dir: str, n_chunks: int = 4, root: str = "/tmp/lkc_workload"
+) -> list[tuple[str, int]]:
+    """Materialize ``n_chunks`` url-range chunk files, chunk ``i`` read
+    AS OF its own SCN (the database keeps moving while the snapshot
+    runs).  Returns ``[(parquet_path, chunk_scn), ...]`` for
+    ``Engine.snapshot_chunked``.  Cached like ensure_workload."""
+    d = workload_dirs(sf_dir, root)
+    cdir = os.path.join(d["root"], "chunks")
+    marker = os.path.join(d["root"], f"_ready_chunks{n_chunks}")
+    scns = chunk_scns(sf_dir, n_chunks)
+    paths = [os.path.join(cdir, f"chunk-{i:03d}.parquet") for i in range(n_chunks)]
+    if os.path.exists(marker):
+        return list(zip(paths, scns))
+    os.makedirs(cdir, exist_ok=True)
+    base_urls = sorted(derive_pages(sf_dir).column("url").to_pylist())
+    bounds = [
+        base_urls[(i * len(base_urls)) // n_chunks] for i in range(1, n_chunks)
+    ] + [None]
+    lo = None
+    for i, (scn_c, path) in enumerate(zip(scns, paths)):
+        hi = bounds[i]
+        state = _simulate_state_at(sf_dir, scn_c)
+        rows = [
+            r for u, r in sorted(state.items())
+            if (lo is None or u >= lo) and (hi is None or u < hi)
+        ]
+        t = pa.table(
+            {
+                "url": pa.array([r["url"] for r in rows], pa.string()),
+                "warc_ts": pa.array(
+                    [r["warc_ts"] for r in rows], pa.timestamp("us")
+                ),
+                "html": pa.array([r["html"] for r in rows], pa.binary()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            },
+            schema=PAGES_SCHEMA_NAIVE,
+        )
+        pq.write_table(t, path)
+        lo = hi
+    with open(marker, "w") as f:
+        f.write("ok")
+    return list(zip(paths, scns))

@@ -456,3 +456,54 @@ def test_smt_transform_hook(ray_session, tmp_path):
     assert any(
         (v.get("text") or "").startswith("smt:") for v in got.values()
     )
+
+
+def _state_to_pages(state: dict, schema, urls) -> "pq.pa.Table":
+    import pyarrow as pa
+
+    rows = [dict(url=u, **state[u]) for u in sorted(urls) if u in state]
+    return pa.table(
+        {f.name: pa.array([r.get(f.name) for r in rows], f.type)
+         for f in schema},
+        schema=schema,
+    )
+
+
+def test_chunked_snapshot_moving_db(ray_session, tmp_path):
+    """DBLog-style chunked snapshot: two chunks read at DIFFERENT
+    points of the change stream (one at base, one after roughly half
+    the log has committed), then a full replay -- final state must
+    equal the plain-path oracle.  Exercises chunk-vs-log arbitration:
+    events older than a chunk's SCN are already inside its image and
+    must lose the fold; newer ones must win."""
+    import pyarrow as pa
+
+    pages = gen_pages(60)
+    eng, pages_path, changelog, events = build(
+        tmp_path, pages, ChangeGenConfig(n_events=400, seed=23)
+    )
+    scns = sorted(e["scn"] for e in events)
+    scn_mid = scns[len(scns) // 2]
+    mid_state = replay_oracle(
+        base_state(pages), [e for e in events if e["scn"] <= scn_mid]
+    )
+    assert mid_state != base_state(pages)  # the db really moved
+
+    urls = sorted(set(base_state(pages)) | set(mid_state))
+    bound = urls[len(urls) // 2]
+    p0 = str(tmp_path / "chunk0.parquet")
+    p1 = str(tmp_path / "chunk1.parquet")
+    pq.write_table(
+        _state_to_pages(base_state(pages), pages.schema,
+                        [u for u in urls if u < bound]), p0)
+    pq.write_table(
+        _state_to_pages(mid_state, pages.schema,
+                        [u for u in urls if u >= bound]), p1)
+
+    eng.snapshot_chunked([(p0, SNAPSHOT_SCN), (p1, scn_mid)],
+                         base_scn=SNAPSHOT_SCN)
+    eng.replay(changelog)
+    got = table_to_state(eng.to_arrow())
+    want = replay_oracle(base_state(pages), events)
+    diffs = state_diff(got, want)
+    assert not diffs, diffs
