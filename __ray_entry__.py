@@ -226,6 +226,39 @@ SELECT word, count(*) AS n FROM w GROUP BY word
 ORDER BY n DESC, word LIMIT 50
 """
 
+# Gopher-style repetition signals: integer counts only (the caller
+# derives dup/top fractions with one division); bigrams via DuckDB
+# list lambdas, unigrams via the shared token CTE.
+_DOC_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+),
+per AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+uni AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_token_n
+  FROM per GROUP BY doc_id
+),
+bl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws)), i -> ws[i] || chr(0) || ws[i+1])
+           AS bigrams
+  FROM bl WHERE len(ws) > 0
+)
+SELECT u.doc_id, u.n_tokens, u.n_distinct, u.top_token_n,
+       CAST(len(b.bigrams) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(b.bigrams)) AS BIGINT) AS n_distinct_bigrams
+FROM uni u JOIN bg b USING (doc_id)
+ORDER BY u.doc_id
+"""
+
 # Unigram LM scoring (CCNet-style quality filter): per-word
 # log-probabilities quantized to integer micro-nats with ONE double op
 # per DISTINCT word -- floor(1e6 * ln(n_w / n_total)) -- identically
@@ -946,6 +979,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram LM quality score (CCNet-shape perplexity filter;
         # integer micro-nat arithmetic -> exact SQL gate)
         "doc_lm_score": d.doc_lm_score,
+        # Gopher-style repetition/diversity counts (dup-word and
+        # dup-bigram filter base; integer-exact SQL gate)
+        "doc_repetition": d.doc_repetition,
         "dedup_minhash_lsh": d.dedup_minhash_lsh,  # SQL-checked vs exact kernel
         "dedup_simhash": d.dedup_simhash,          # SQL-checked (lossless LSH)
         # tau=0.4: the driver's synthetic embeddings top out at ~0.51
@@ -1073,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_canonical": _CLUSTER_SQL,
         "word_freq_topk": _WORD_FREQ_SQL,
         "doc_lm_score": _DOC_LM_SQL,
+        "doc_repetition": _DOC_REPETITION_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "embedding_near_dup_exact": _EMBED_EXACT_SQL,
         "embedding_near_dup": _EMBED_ND_PLANTED_SQL,

@@ -2430,6 +2430,53 @@ def text_quality(sf_dir: str) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
 
 
+def doc_repetition(sf_dir: str) -> pa.Table:
+    """Repetition / lexical-diversity signals per document -- the
+    Gopher-style repetition filters (Rae et al. 2021, section A1.1:
+    duplicate-word and duplicate-n-gram fractions flag boilerplate and
+    spam) in integer-exact form: token count, distinct-token count,
+    top-token multiplicity, and the bigram versions.  The caller
+    derives the fractions (dup_fraction = 1 - n_distinct/n_tokens,
+    top_fraction = top_token_n/n_tokens) with one division each.
+
+    Embarrassingly parallel map_batches; per-doc counting is
+    np.unique over the token array (same tokenize-once-per-row shape
+    as lang_id, with the same measured justification).  Zero-token
+    docs are dropped on both sides (no repetition is defined for
+    them)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("n_distinct", pa.int64()), ("top_token_n", pa.int64()),
+         ("n_bigrams", pa.int64()), ("n_distinct_bigrams", pa.int64())]
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        cols = {n: [] for n in out_schema.names}
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        for did, s in zip(ids, t.column("text").to_pylist()):
+            toks = _WORD.findall((s or "").lower())
+            if not toks:
+                continue
+            w = np.asarray(toks, dtype=object)
+            _, counts = np.unique(w, return_counts=True)
+            big = w[:-1] + "\x00" + w[1:] if len(w) > 1 else np.array([], object)
+            cols["doc_id"].append(int(did))
+            cols["n_tokens"].append(len(w))
+            cols["n_distinct"].append(len(counts))
+            cols["top_token_n"].append(int(counts.max()))
+            cols["n_bigrams"].append(len(big))
+            cols["n_distinct_bigrams"].append(len(np.unique(big)) if len(big) else 0)
+        return pa.table(
+            {n: pa.array(cols[n], pa.int64()) for n in out_schema.names},
+            schema=out_schema,
+        )
+
+    df = ds.map_batches(feats, batch_format="pyarrow").to_pandas()
+    df = df.sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def lang_id(sf_dir: str) -> pa.Table:
     """Heuristic language id per document (stopword-marker argmax),
     vectorized: one regex presence scan per marker word."""

@@ -433,6 +433,19 @@ def test_doc_lm_score_exact_and_capped(ray_session, tmp_path):
     assert capped[1]["sum_lp_micro"] == 2 * lp["a"]
 
 
+def test_doc_repetition_counts(ray_session, tmp_path):
+    sf = make_docs(tmp_path, ["a a a b", "xyz", ""])
+    out = {r["doc_id"]: r for r in d.doc_repetition(sf).to_pylist()}
+    assert set(out) == {0, 1}  # empty doc dropped
+    # "a a a b": bigrams = (a,a) (a,a) (a,b) -> 3 total, 2 distinct
+    assert out[0] == {"doc_id": 0, "n_tokens": 4, "n_distinct": 2,
+                      "top_token_n": 3, "n_bigrams": 3,
+                      "n_distinct_bigrams": 2}
+    assert out[1] == {"doc_id": 1, "n_tokens": 1, "n_distinct": 1,
+                      "top_token_n": 1, "n_bigrams": 0,
+                      "n_distinct_bigrams": 0}
+
+
 def test_dedup_cluster_canonical_transitive(ray_session, tmp_path):
     """a~b and b~c (but a!~c directly) still land in ONE component --
     the hash-to-min propagation closes the chain; canonical = min id."""
