@@ -103,6 +103,15 @@ SELECT url, warc_ts, md5(html::VARCHAR) AS html_md5, text, lang
 FROM merged WHERE deleted = 0 ORDER BY url
 """
 
+# Materialized-view gate: the maintained per-lang aggregate must equal
+# the same aggregate recomputed over the fully replayed final state.
+_VIEW_LANG_SQL = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS sum_text_chars
+FROM ({_FINAL_STATE_SQL.replace("ORDER BY url", "")})
+GROUP BY lang ORDER BY lang
+"""
+
 # SMT gate: the engine-side transform uppercases event-derived lang
 # values (a_lang/b_lang) before merge; base rows are untouched.  The
 # oracle restates that by uppercasing the event-derived lang literals.
@@ -961,6 +970,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DBLog-style chunked snapshot: per-chunk as-of SCNs, chunk-vs-
         # log arbitration via the (commit_scn, scn, row_id) LWW fold
         "cdc_final_state_chunked": q.cdc_final_state_chunked,
+        # incrementally-maintained materialized view (per-partition
+        # merge deltas -> cumulative sidecar; no lake rescan)
+        "cdc_view_lang_stats": q.cdc_view_lang_stats,
         "cdc_snapshot_state": q.cdc_snapshot_state,
         "cdc_time_travel": q.cdc_time_travel,
         "cdc_multitable_suppliers": q.cdc_multitable_suppliers,
@@ -1087,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_salted": _FINAL_STATE_SQL,
         "cdc_final_state_transform": _FINAL_STATE_TRANSFORM_SQL,
         "cdc_final_state_chunked": _FINAL_STATE_SQL,
+        "cdc_view_lang_stats": _VIEW_LANG_SQL,
         "cdc_snapshot_state": _SNAPSHOT_SQL,
         "cdc_time_travel": _SNAPSHOT_SQL,
         "cdc_multitable_suppliers": _SUPPLIERS_SQL,

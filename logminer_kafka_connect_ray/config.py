@@ -96,6 +96,19 @@ class EngineConfig:
     #: (a top-level function), since it ships to Ray workers.
     transform: Callable[[Any], Any] | None = None
 
+    #: incrementally-maintained aggregate views over the lake table
+    #: (materialized-view maintenance -- the downstream-aggregate half
+    #: of a CDC pipeline, kept fresh from per-partition merge deltas
+    #: instead of rescanning the lake).  Each spec is
+    #: ``(view_name, group_column, char_length_column_or_None)``; the
+    #: maintained state is, per group value: row count and (optionally)
+    #: total character length of the named string column.  Updated
+    #: exactly-once per committed version (deltas ride the lineage rows
+    #: the merge already emits; the cumulative state is published as a
+    #: ``views/v{version}.json`` sidecar next to the manifest).  Read
+    #: back with ``Engine.view(name)``.
+    views: tuple[tuple[str, str, str | None], ...] = ()
+
     extra: dict = field(default_factory=dict)
 
     @property

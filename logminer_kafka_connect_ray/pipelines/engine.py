@@ -332,6 +332,99 @@ class Engine:
             pc.sort_indices(t, sort_keys=[(self.config.key_column, "ascending")])
         )
 
+    # --- materialized-view maintenance -------------------------------
+    def _views_path(self, version: int) -> str:
+        return os.path.join(self.config.lake_dir, "views", f"v{version:08d}.json")
+
+    def _load_views_state(self, version: int | None) -> dict:
+        """Cumulative view state at ``version`` (or the latest sidecar
+        at/below it -- bootstrap and pre-view versions write none).
+        Shape: {view_name: {group_or_NULLSENTINEL: [rows, chars]}}."""
+        import json as _json
+
+        vdir = os.path.join(self.config.lake_dir, "views")
+        if version is None or not os.path.isdir(vdir):
+            return {}
+        cands = sorted(
+            f for f in os.listdir(vdir)
+            if f.startswith("v") and f.endswith(".json")
+            and f <= f"v{version:08d}.json"
+        )
+        if not cands:
+            return {}
+        with open(os.path.join(vdir, cands[-1])) as f:
+            raw = _json.load(f)
+        return {
+            name: {g: [int(r), int(c)] for g, r, c in rows}
+            for name, rows in raw["views"].items()
+        }
+
+    def _publish_views(self, prev, lineage_tbl: pa.Table, version: int) -> None:
+        """Fold this version's per-partition view deltas (riding the
+        lineage rows) into the cumulative state and write the
+        ``views/v{version}.json`` sidecar atomically.  Deterministic
+        content + temp/rename => idempotent under retries and
+        concurrent republish, exactly like partition files."""
+        import json as _json
+
+        state = self._load_views_state(prev.version if prev else None)
+        for name, _g, _l in self.config.views:
+            state.setdefault(name, {})
+        if "views_delta" in lineage_tbl.column_names:
+            for blob in lineage_tbl.column("views_delta").to_pylist():
+                if not blob:
+                    continue
+                for entry in _json.loads(blob):
+                    view = state.setdefault(entry["view"], {})
+                    for g, d_rows, d_chars in entry["delta"]:
+                        r = view.setdefault(g, [0, 0])
+                        r[0] += int(d_rows)
+                        r[1] += int(d_chars)
+        payload = {
+            "version": version,
+            "views": {
+                name: sorted(
+                    [[g, r, c] for g, (r, c) in groups.items() if r or c]
+                )
+                for name, groups in state.items()
+            },
+        }
+        path = self._views_path(version)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            _json.dump(payload, f, sort_keys=True)
+        os.replace(tmp, path)
+
+    def view(self, name: str, version: int | None = None) -> pa.Table:
+        """Materialized-view state as an Arrow table:
+        ``(<group_col>, n_rows[, sum_<col>_chars])`` sorted by group
+        (nulls last, matching SQL ORDER BY).  Maintained incrementally
+        from merge deltas -- reading it never scans the lake."""
+        from logminer_kafka_connect_ray.stages.merge import PartitionMerger
+
+        spec = next((v for v in self.config.views if v[0] == name), None)
+        if spec is None:
+            raise KeyError(f"no view {name!r} configured; views="
+                           f"{[v[0] for v in self.config.views]}")
+        _, gcol, lcol = spec
+        m = self._require_manifest(version)
+        state = self._load_views_state(m.version).get(name, {})
+        rows = sorted(
+            ((None if g == PartitionMerger.NULL_GROUP else g, r, c)
+             for g, (r, c) in state.items() if r),
+            key=lambda x: (x[0] is None, x[0] or ""),
+        )
+        cols = {
+            gcol: pa.array([x[0] for x in rows], pa.string()),
+            "n_rows": pa.array([x[1] for x in rows], pa.int64()),
+        }
+        if lcol is not None:
+            cols[f"sum_{lcol}_chars"] = pa.array(
+                [x[2] for x in rows], pa.int64()
+            )
+        return pa.table(cols)
+
     def repartition_lake(self, new_num_partitions: int) -> Manifest:
         """Re-hash the lake into a different partition count (grow P as
         the table grows so partitions stay ~1 GiB).  Full copy-on-write
@@ -799,7 +892,8 @@ class Engine:
                 batch_format="pyarrow",
             )
         merger = PartitionMerger(
-            cfg.lake_dir, part_files, schema_json, cfg.key_column, version
+            cfg.lake_dir, part_files, schema_json, cfg.key_column, version,
+            views=cfg.views,
         )
         def merge_partition(group, _m=merger):
             return _m(group)
@@ -888,6 +982,10 @@ class Engine:
             min_open = min(stats) if stats else None
             if n_open:
                 open_rel = open_candidate
+
+        # --- materialized-view maintenance ---------------------------
+        if cfg.views:
+            self._publish_views(prev, lineage_tbl, version)
 
         # --- assemble manifest ---------------------------------------
         entries = {p.part_id: p for p in (prev.partitions if prev else [])}

@@ -85,6 +85,39 @@ def cdc_final_state_chunked(sf_dir: str) -> pa.Table:
     return _digest_html(eng.to_arrow())
 
 
+def cdc_view_lang_stats(sf_dir: str) -> pa.Table:
+    """Incrementally-maintained materialized view over the CDC stream:
+    per-lang row count + total text chars, updated from per-partition
+    merge DELTAS (old contribution out, new in) rather than rescanning
+    the lake -- the downstream-aggregate half of a CDC pipeline.
+    Replay runs in 4 micro-batches so the state genuinely accumulates
+    across versions; the oracle recomputes the same aggregate from the
+    final replayed state."""
+    d = workload.ensure_workload(sf_dir)
+    lake = d["lake"] + "_views"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(EngineConfig(
+        lake_dir=lake, num_partitions=16,
+        views=(("lang_stats", "lang", "text"),),
+        # force several micro-batch versions: deltas must accumulate
+        max_events_per_checkpoint=max(
+            1, _n_events(sf_dir) // 4
+        ),
+    ))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(d["changelog"])
+    return eng.view("lang_stats")
+
+
+def _n_events(sf_dir: str) -> int:
+    import pyarrow.parquet as _pq
+    import os as _os
+
+    return _pq.ParquetFile(
+        _os.path.join(sf_dir, "events.parquet")
+    ).metadata.num_rows
+
+
 def cdc_snapshot_state(sf_dir: str) -> pa.Table:
     """Initial snapshot only (SelectSource semantics, S1/S2)."""
     d = workload.ensure_workload(sf_dir)

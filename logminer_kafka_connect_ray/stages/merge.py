@@ -44,6 +44,11 @@ LINEAGE_SCHEMA = pa.schema(
         ("scn_hi", pa.int64()),
         ("events_applied", pa.int64()),
         ("rows_deleted", pa.int64()),
+        # JSON-encoded per-view aggregate deltas for this partition
+        # merge (materialized-view maintenance): list of
+        # {"view": name, "delta": [[group, d_rows, d_chars], ...]}.
+        # "" when the engine has no views configured.
+        ("views_delta", pa.string()),
     ]
 )
 
@@ -121,12 +126,14 @@ class PartitionMerger:
         table_schema_json: list[dict],
         key_column: str,
         version: int,
+        views: tuple[tuple[str, str, str | None], ...] = (),
     ):
         self.lake_dir = lake_dir
         self.part_files = part_files
         self.table_schema = schemas.schema_from_json(table_schema_json)
         self.key_column = key_column
         self.version = version
+        self.views = views
 
     def _read_base(self, part_id: int) -> pa.Table | None:
         rel = self.part_files.get(part_id)
@@ -183,9 +190,65 @@ class PartitionMerger:
                 "scn_hi": [pc.max(scn_col).as_py()],
                 "events_applied": [events.num_rows],
                 "rows_deleted": [max(0, n_base + _inserts(events) - final.num_rows)],
+                "views_delta": [self._views_delta_json(events, base, final)],
             },
             schema=LINEAGE_SCHEMA,
         )
+
+    #: JSON stand-in for a NULL group value (views_delta is JSON, and
+    #: a null group must stay distinct from the string "null")
+    NULL_GROUP = "\x00NULL"
+
+    def _views_delta_json(self, events: pa.Table, base: pa.Table | None,
+                          final: pa.Table) -> str:
+        """Per-partition materialized-view deltas: for every key the
+        events TOUCHED, subtract its old (base) contribution and add
+        its new (final) one, per configured view.  Untouched keys
+        cancel by construction, so the delta is touched-rows-sized --
+        the whole point of incremental maintenance.  Vectorized:
+        is_in key probe + np.unique/bincount per side."""
+        if not self.views:
+            return ""
+        import json as _json
+
+        touched = events.column(self.key_column).combine_chunks().unique()
+        out = []
+        for name, gcol, lcol in self.views:
+            acc: dict[str, list[int]] = {}
+            for tbl, sign in ((base, -1), (final, 1)):
+                if tbl is None or tbl.num_rows == 0 or gcol not in tbl.column_names:
+                    continue
+                sel = tbl.filter(
+                    pc.is_in(tbl.column(self.key_column), value_set=touched)
+                )
+                if sel.num_rows == 0:
+                    continue
+                g_arr = np.asarray(
+                    [self.NULL_GROUP if g is None else str(g)
+                     for g in sel.column(gcol).to_pylist()],
+                    dtype=object,
+                )
+                if lcol is not None and lcol in sel.column_names:
+                    lens = pc.fill_null(
+                        pc.utf8_length(sel.column(lcol)), 0
+                    ).to_numpy(zero_copy_only=False).astype(np.int64)
+                else:
+                    lens = np.zeros(sel.num_rows, np.int64)
+                uniq, inv = np.unique(g_arr, return_inverse=True)
+                cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+                chs = np.bincount(
+                    inv, weights=lens, minlength=len(uniq)
+                ).astype(np.int64)
+                for g, c, s in zip(uniq, cnt, chs):
+                    r = acc.setdefault(g, [0, 0])
+                    r[0] += sign * int(c)
+                    r[1] += sign * int(s)
+            delta = [
+                [g, r[0], r[1]] for g, r in sorted(acc.items())
+                if r[0] or r[1]
+            ]
+            out.append({"view": name, "delta": delta})
+        return _json.dumps(out)
 
 
 def _inserts(events: pa.Table) -> int:

@@ -507,3 +507,40 @@ def test_chunked_snapshot_moving_db(ray_session, tmp_path):
     want = replay_oracle(base_state(pages), events)
     diffs = state_diff(got, want)
     assert not diffs, diffs
+
+
+def test_materialized_view_incremental(ray_session, tmp_path):
+    """Materialized-view maintenance: per-lang (count, total text
+    chars) accumulated from merge deltas across MANY micro-batch
+    versions equals the aggregate of the final replayed state; a
+    duplicate replay() changes nothing (exactly-once deltas)."""
+    from collections import Counter
+
+    pages = gen_pages(50)
+    cfg = EngineConfig(
+        lake_dir=str(tmp_path / "lake"), num_partitions=4,
+        views=(("v", "lang", "text"),),
+        max_events_per_checkpoint=50,
+    )
+    eng, pages_path, changelog, events = build(
+        tmp_path, pages, ChangeGenConfig(n_events=300, seed=7),
+        lake_cfg=cfg, events_per_file=60,
+    )
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    m = eng.replay(changelog)
+    assert m.version > 3  # deltas really accumulated across versions
+
+    want_state = replay_oracle(base_state(pages), events)
+    n, ch = Counter(), Counter()
+    for r in want_state.values():
+        n[r["lang"]] += 1
+        ch[r["lang"]] += len(r["text"]) if r["text"] is not None else 0
+    want = {g: (n[g], ch[g]) for g in n}
+    got = {r["lang"]: (r["n_rows"], r["sum_text_chars"])
+           for r in eng.view("v").to_pylist()}
+    assert got == want
+
+    eng.replay(changelog)  # no new files -> no new version, no drift
+    got2 = {r["lang"]: (r["n_rows"], r["sum_text_chars"])
+            for r in eng.view("v").to_pylist()}
+    assert got2 == want
