@@ -615,3 +615,41 @@ def test_bulk_regime_mid_stream_schema_evolution(ray_session, tmp_path):
     for row in want.values():
         row.setdefault("fetch_status", None)
     assert not state_diff(got, want), state_diff(got, want)
+
+
+def test_streaming_maintains_views(ray_session, tmp_path):
+    """Views configured on the engine stay correct when the merge is
+    driven by the STREAMING poll loop (same _merge_and_publish, so
+    deltas accumulate per poll exactly as per batch version)."""
+    from collections import Counter
+
+    pages = gen_pages(40)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(
+        pages, ChangeGenConfig(n_events=300, seed=31, max_open_txns=5)
+    )
+    changelog = str(tmp_path / "changelog")
+    eng = Engine(EngineConfig(
+        lake_dir=str(tmp_path / "lake"), num_partitions=4,
+        views=(("v", "lang", "text"),),
+    ))
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    half = len(events) // 2
+    write_event_batches(events[:half], changelog, events_per_file=40)
+    stream = StreamingEngine(eng, changelog, num_shards=2, poll_interval=0.01)
+    stream.run(max_polls=4)
+    write_event_batches(events[half:], changelog, events_per_file=40)
+    stream.run(max_polls=5)
+    stream.shutdown()
+
+    base = {r["url"]: {k: v for k, v in r.items() if k != "url"}
+            for r in pages.to_pylist()}
+    want_state = replay_oracle(base, events)
+    n, ch = Counter(), Counter()
+    for r in want_state.values():
+        n[r["lang"]] += 1
+        ch[r["lang"]] += len(r["text"]) if r["text"] is not None else 0
+    got = {r["lang"]: (r["n_rows"], r["sum_text_chars"])
+           for r in eng.view("v").to_pylist()}
+    assert got == {g: (n[g], ch[g]) for g in n}
