@@ -112,6 +112,17 @@ FROM ({_FINAL_STATE_SQL.replace("ORDER BY url", "")})
 GROUP BY lang ORDER BY lang
 """
 
+# Lake-analytics gate: per-host stats over the replayed final state
+# (the 'query the table you built' consumer path).
+_HOST_STATS_SQL = f"""
+SELECT split_part(url, '/', 3) AS host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS sum_text_chars,
+       max(warc_ts) AS max_warc_ts
+FROM ({_FINAL_STATE_SQL.replace("ORDER BY url", "")})
+GROUP BY host ORDER BY host
+"""
+
 # SMT gate: the engine-side transform uppercases event-derived lang
 # values (a_lang/b_lang) before merge; base rows are untouched.  The
 # oracle restates that by uppercasing the event-derived lang literals.
@@ -973,6 +984,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incrementally-maintained materialized view (per-partition
         # merge deltas -> cumulative sidecar; no lake rescan)
         "cdc_view_lang_stats": q.cdc_view_lang_stats,
+        # lake-analytics consumer: distributed scan of the replayed
+        # lake (column-pruned read -> per-block Arrow group_by partial
+        # -> small global groupby)
+        "lake_host_stats": q.lake_host_stats,
         "cdc_snapshot_state": q.cdc_snapshot_state,
         "cdc_time_travel": q.cdc_time_travel,
         "cdc_multitable_suppliers": q.cdc_multitable_suppliers,
@@ -1100,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_transform": _FINAL_STATE_TRANSFORM_SQL,
         "cdc_final_state_chunked": _FINAL_STATE_SQL,
         "cdc_view_lang_stats": _VIEW_LANG_SQL,
+        "lake_host_stats": _HOST_STATS_SQL,
         "cdc_snapshot_state": _SNAPSHOT_SQL,
         "cdc_time_travel": _SNAPSHOT_SQL,
         "cdc_multitable_suppliers": _SUPPLIERS_SQL,

@@ -456,3 +456,60 @@ def cdc_final_state_redo_sql(sf_dir: str) -> pa.Table:
     eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
     eng.replay(redo_dir)
     return _digest_html(eng.to_arrow())
+
+
+def lake_host_stats(sf_dir: str) -> pa.Table:
+    """Distributed analytics scan over the REPLAYED lake: per-host page
+    count, total text volume, and freshest warc_ts.  The 'query the
+    table you built' half of a CDC pipeline -- downstream consumers
+    read the lake the merge produced, not the change stream.
+
+    Scale shape: column-pruned parquet read of the lake partitions ->
+    per-block vectorized partial aggregation (Arrow group_by inside
+    map_batches, so only one tiny row per (block, host) reaches the
+    shuffle) -> small global groupby-sum.  No full materialization; the
+    final result is O(n_hosts)."""
+    d = workload.ensure_workload(sf_dir)
+    lake = d["lake"] + "-hoststats"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(EngineConfig(lake_dir=lake, num_partitions=16))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(d["changelog"])
+    return host_stats(eng.read_table(columns=["url", "warc_ts", "text"]))
+
+
+def host_stats(ds) -> pa.Table:
+    """Per-host (n_pages, sum_text_chars, max_warc_ts) over a Dataset
+    with (url, warc_ts, text) columns; two-level vectorized aggregate
+    (per-block Arrow group_by partial -> global groupby-sum/max)."""
+    from ray.data.aggregate import Max, Sum
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        host = pc.list_element(pc.split_pattern(t.column("url"), "/"), 2)
+        chars = pc.fill_null(
+            pc.cast(pc.utf8_length(t.column("text")), pa.int64()), 0
+        )
+        ts = pc.cast(t.column("warc_ts"), pa.int64())
+        g = pa.table({"host": host, "chars": chars, "ts": ts}).group_by(
+            "host"
+        )
+        p = g.aggregate([("chars", "sum"), ("ts", "max"), ("host", "count")])
+        return p.rename_columns(["host", "chars", "ts", "n"])
+
+    agg = (
+        ds.map_batches(host_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n"), Sum("chars"), Max("ts"))
+    )
+    t = pa.Table.from_pandas(agg.to_pandas())
+    t = pa.table(
+        {
+            "host": t.column("host"),
+            "n_pages": pc.cast(t.column("sum(n)"), pa.int64()),
+            "sum_text_chars": pc.cast(t.column("sum(chars)"), pa.int64()),
+            "max_warc_ts": pc.cast(t.column("max(ts)"), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("host", "ascending")]))

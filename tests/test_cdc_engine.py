@@ -544,3 +544,40 @@ def test_materialized_view_incremental(ray_session, tmp_path):
     got2 = {r["lang"]: (r["n_rows"], r["sum_text_chars"])
             for r in eng.view("v").to_pylist()}
     assert got2 == want
+
+
+def test_lake_host_stats(ray_session, tmp_path):
+    """Lake-analytics consumer: per-host stats computed by the
+    distributed two-level aggregate over the replayed lake equal a
+    dict-oracle recomputation over replay_oracle's final state."""
+    from collections import Counter
+
+    from logminer_kafka_connect_ray.pipelines.queries import host_stats
+    from logminer_kafka_connect_ray.testing.compare import canon
+
+    pages = gen_pages(60, n_hosts=7)
+    eng, pages_path, changelog, events = build(
+        tmp_path, pages, ChangeGenConfig(n_events=400, seed=13)
+    )
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    eng.replay(changelog)
+
+    want_state = replay_oracle(base_state(pages), events)
+    n, ch, ts = Counter(), Counter(), {}
+    for url, r in want_state.items():
+        h = url.split("/")[2]
+        n[h] += 1
+        ch[h] += len(r["text"]) if r["text"] is not None else 0
+        # oracle state mixes datetime (base rows) and int-us (events):
+        # canonicalize both to int microseconds before taking the max
+        w = canon(r["warc_ts"])
+        ts.setdefault(h, None)
+        if w is not None and (ts[h] is None or w > ts[h]):
+            ts[h] = w
+    got = {
+        r["host"]: (r["n_pages"], r["sum_text_chars"], canon(r["max_warc_ts"]))
+        for r in host_stats(
+            eng.read_table(columns=["url", "warc_ts", "text"])
+        ).to_pylist()
+    }
+    assert got == {h: (n[h], ch[h], ts[h]) for h in n}
