@@ -123,6 +123,26 @@ FROM ({_FINAL_STATE_SQL.replace("ORDER BY url", "")})
 GROUP BY host ORDER BY host
 """
 
+# SCD Type-2 gate: per-url version intervals in COMMIT order.  The
+# base snapshot row (op='r', scn 1999 = workload.SNAPSHOT_SCN) is
+# version 1; every committed i/u/d appends one; valid_to = next
+# version's valid_from (NULL = current).
+_SCD2_SQL = f"""
+WITH {_BASE_CTE.strip()},
+{_CH_CTE.strip()},
+vers AS (
+  SELECT url, 'r' AS op, 1999 AS vscn, 1999 AS o1 FROM base
+  UNION ALL
+  SELECT url, op, scn AS vscn, cscn AS o1 FROM comm
+)
+SELECT url, CAST(row_number() OVER w AS BIGINT) AS ver, op,
+       CAST(vscn AS BIGINT) AS valid_from_scn,
+       CAST(lead(vscn) OVER w AS BIGINT) AS valid_to_scn
+FROM vers
+WINDOW w AS (PARTITION BY url ORDER BY o1, vscn)
+ORDER BY url, ver
+"""
+
 # SMT gate: the engine-side transform uppercases event-derived lang
 # values (a_lang/b_lang) before merge; base rows are untouched.  The
 # oracle restates that by uppercasing the event-derived lang literals.
@@ -988,6 +1008,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lake (column-pruned read -> per-block Arrow group_by partial
         # -> small global groupby)
         "lake_host_stats": q.lake_host_stats,
+        # SCD Type-2 history sink: every version with its validity
+        # interval (url-hash exchange -> per-block segment window)
+        "cdc_history_scd2": q.cdc_history_scd2,
         "cdc_snapshot_state": q.cdc_snapshot_state,
         "cdc_time_travel": q.cdc_time_travel,
         "cdc_multitable_suppliers": q.cdc_multitable_suppliers,
@@ -1116,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_chunked": _FINAL_STATE_SQL,
         "cdc_view_lang_stats": _VIEW_LANG_SQL,
         "lake_host_stats": _HOST_STATS_SQL,
+        "cdc_history_scd2": _SCD2_SQL,
         "cdc_snapshot_state": _SNAPSHOT_SQL,
         "cdc_time_travel": _SNAPSHOT_SQL,
         "cdc_multitable_suppliers": _SUPPLIERS_SQL,

@@ -513,3 +513,162 @@ def host_stats(ds) -> pa.Table:
         }
     )
     return t.take(pc.sort_indices(t, sort_keys=[("host", "ascending")]))
+
+
+def cdc_history_scd2(sf_dir: str) -> pa.Table:
+    """SCD Type-2 history table over snapshot + committed change
+    stream: one row per (url, version) with its validity interval
+    ``[valid_from_scn, valid_to_scn)`` in COMMIT order -- the
+    slowly-changing-dimension sink shape a CDC consumer materializes
+    when it must keep every version, not just the latest (the
+    reference stops at per-record Kafka emission; this is the history
+    half of the J3 apply).  The base snapshot row is version 1
+    (op='r', reference SelectSource's read op), each committed
+    i/u/d appends a version, and a version's valid_to is the NEXT
+    version's valid_from (NULL = current).
+
+    Scale shape: committed-change stream (broadcast marker resolve)
+    unioned with the snapshot key scan -> hash exchange on url
+    (explicit boundaries, split-guarded) -> per-block vectorized
+    sort + segment window (row_number + lead).  Per-url history must
+    co-locate, which the url exchange guarantees; no driver loops."""
+    import ray.data as rd
+
+    from logminer_kafka_connect_ray.pipelines.dataops import _exchange_width
+
+    d = workload.ensure_workload(sf_dir)
+    decoded, ref = _decoded_committed(sf_dir)
+    committed = decoded.map_batches(
+        CommitResolver(ref, "committed"), batch_format="pyarrow"
+    )
+    base = rd.read_parquet(d["pages"], columns=["url"])
+    return scd2_history(
+        committed, base, workload.SNAPSHOT_SCN,
+        _exchange_width(_n_events(sf_dir)),
+    )
+
+
+def scd2_history(committed, base, snap_scn: int, P: int) -> pa.Table:
+    """Distributed SCD2 core: ``committed`` is a Dataset with
+    (url, op, commit_scn, scn) columns, ``base`` a Dataset with a url
+    column (the snapshot keys); returns the version-interval table."""
+    import numpy as np
+
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        _finalize_guard,
+        _guard_record,
+        _new_guard_dir,
+    )
+
+    vers_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("op", pa.string()),
+            ("o1", pa.int64()),
+            ("vscn", pa.int64()),
+        ]
+    )
+
+    def ch_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pc.cast(t.column("url"), pa.string()),
+                "op": pc.cast(t.column("op"), pa.string()),
+                "o1": pc.cast(t.column("commit_scn"), pa.int64()),
+                "vscn": pc.cast(t.column("scn"), pa.int64()),
+            },
+            schema=vers_schema,
+        )
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "url": pc.cast(t.column("url"), pa.string()),
+                "op": pa.array(["r"] * n, pa.string()),
+                "o1": pa.array(np.full(n, snap_scn, np.int64)),
+                "vscn": pa.array(np.full(n, snap_scn, np.int64)),
+            },
+            schema=vers_schema,
+        )
+
+    vers = committed.map_batches(ch_rows, batch_format="pyarrow").union(
+        base.map_batches(base_rows, batch_format="pyarrow")
+    )
+    gd = _new_guard_dir("scd2")
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("url"), P))
+        )
+
+    out_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("ver", pa.int64()),
+            ("op", pa.string()),
+            ("valid_from_scn", pa.int64()),
+            ("valid_to_scn", pa.int64()),
+        ]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "scd2", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("url", "ascending"),
+                    ("o1", "ascending"),
+                    ("vscn", "ascending"),
+                ],
+            )
+        )
+        urls = t.column("url").combine_chunks()
+        n = len(urls)
+        first = np.ones(n, bool)
+        if n > 1:
+            first[1:] = pc.not_equal(
+                urls.slice(1), urls.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        vscn = t.column("vscn").to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(first)
+        seg = np.cumsum(first) - 1
+        ver = np.arange(n, dtype=np.int64) - starts[seg] + 1
+        last = np.empty(n, bool)
+        last[:-1] = first[1:]
+        last[-1] = True
+        vto = np.zeros(n, np.int64)
+        vto[:-1] = vscn[1:]
+        return pa.table(
+            {
+                "url": urls,
+                "ver": pa.array(ver),
+                "op": t.column("op").combine_chunks(),
+                "valid_from_scn": pa.array(vscn),
+                "valid_to_scn": pa.array(vto, pa.int64(), mask=last),
+            },
+            schema=out_schema,
+        )
+
+    res = (
+        vers.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False).cast(
+        out_schema
+    )
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("url", "ascending"), ("ver", "ascending")]
+        )
+    )
+    return _finalize_guard(gd, t)

@@ -581,3 +581,59 @@ def test_lake_host_stats(ray_session, tmp_path):
         ).to_pylist()
     }
     assert got == {h: (n[h], ch[h], ts[h]) for h in n}
+
+
+def test_scd2_history(ray_session, tmp_path):
+    """SCD2 version intervals: distributed helper output equals a dict
+    oracle built from the committed events in commit order (base
+    snapshot row = version 1, valid_to = next version's valid_from)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logminer_kafka_connect_ray.pipelines.queries import scd2_history
+
+    pages = gen_pages(40, n_hosts=5)
+    events, _, _ = gen_changes(
+        pages, ChangeGenConfig(n_events=300, seed=23, p_rollback=0.2,
+                               max_open_txns=4)
+    )
+    commit_scn = {
+        e["tx_id"]: e["commit_scn"] for e in events if e["op"] == "commit"
+    }
+    committed_rows = [
+        {
+            "url": e["url"],
+            "op": e["op"],
+            "commit_scn": commit_scn[e["tx_id"]],
+            "scn": e["scn"],
+        }
+        for e in events
+        if e["op"] in ("i", "u", "d")
+        and e["status"] == 0
+        and e["tx_id"] in commit_scn
+    ]
+    snap = 500
+    got = scd2_history(
+        rd.from_arrow(pa.Table.from_pylist(committed_rows)),
+        rd.from_arrow(pages.select(["url"])),
+        snap_scn=snap,
+        P=8,
+    ).to_pylist()
+
+    per_url = {r["url"]: [("r", snap)] for r in pages.to_pylist()}
+    for e in sorted(committed_rows, key=lambda e: (e["commit_scn"], e["scn"])):
+        per_url.setdefault(e["url"], []).append((e["op"], e["scn"]))
+    want = []
+    for url in sorted(per_url):
+        vs = per_url[url]
+        for i, (op, scn) in enumerate(vs):
+            want.append(
+                {
+                    "url": url,
+                    "ver": i + 1,
+                    "op": op,
+                    "valid_from_scn": scn,
+                    "valid_to_scn": vs[i + 1][1] if i + 1 < len(vs) else None,
+                }
+            )
+    assert got == want
