@@ -143,6 +143,27 @@ WINDOW w AS (PARTITION BY url ORDER BY o1, vscn)
 ORDER BY url, ver
 """
 
+# Lake reconciliation gate: urls whose row changed between the
+# snapshot (lake version 1) and the replayed head, classified.
+_LAKE_DIFF_SQL = f"""
+WITH {_BASE_CTE.strip()},
+b AS (
+  SELECT url, warc_ts, md5(html::VARCHAR) AS html_md5, text, lang FROM base
+),
+f AS ({_FINAL_STATE_SQL.replace("ORDER BY url", "")})
+SELECT COALESCE(b.url, f.url) AS url,
+       CASE WHEN b.url IS NULL THEN 'added'
+            WHEN f.url IS NULL THEN 'removed'
+            ELSE 'modified' END AS change
+FROM b FULL OUTER JOIN f ON b.url = f.url
+WHERE b.url IS NULL OR f.url IS NULL
+   OR b.warc_ts IS DISTINCT FROM f.warc_ts
+   OR b.html_md5 IS DISTINCT FROM f.html_md5
+   OR b.text IS DISTINCT FROM f.text
+   OR b.lang IS DISTINCT FROM f.lang
+ORDER BY url, change
+"""
+
 # SMT gate: the engine-side transform uppercases event-derived lang
 # values (a_lang/b_lang) before merge; base rows are untouched.  The
 # oracle restates that by uppercasing the event-derived lang literals.
@@ -1011,6 +1032,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SCD Type-2 history sink: every version with its validity
         # interval (url-hash exchange -> per-block segment window)
         "cdc_history_scd2": q.cdc_history_scd2,
+        # partition-aligned zero-shuffle reconciliation diff between
+        # lake versions (copy-on-write pruning: unchanged files unread)
+        "lake_version_diff": q.lake_version_diff,
         "cdc_snapshot_state": q.cdc_snapshot_state,
         "cdc_time_travel": q.cdc_time_travel,
         "cdc_multitable_suppliers": q.cdc_multitable_suppliers,
@@ -1140,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_view_lang_stats": _VIEW_LANG_SQL,
         "lake_host_stats": _HOST_STATS_SQL,
         "cdc_history_scd2": _SCD2_SQL,
+        "lake_version_diff": _LAKE_DIFF_SQL,
         "cdc_snapshot_state": _SNAPSHOT_SQL,
         "cdc_time_travel": _SNAPSHOT_SQL,
         "cdc_multitable_suppliers": _SUPPLIERS_SQL,

@@ -672,3 +672,30 @@ def scd2_history(committed, base, snap_scn: int, P: int) -> pa.Table:
         )
     )
     return _finalize_guard(gd, t)
+
+
+def lake_version_diff(sf_dir: str) -> pa.Table:
+    """Reconciliation audit between lake versions: which urls changed
+    between the pristine snapshot (version 1) and the fully replayed
+    head, classified added / removed / modified (Engine.diff).
+
+    Scale shape: partition-ALIGNED pairwise diff -- the stable
+    hash(url) partitioning means partition i of both versions holds
+    the same key range, so no shuffle happens at all; partitions whose
+    file path is unchanged between the manifests are pruned unread
+    (copy-on-write lineage).  Cost is proportional to churn, not to
+    table size."""
+    d = workload.ensure_workload(sf_dir)
+    lake = d["lake"] + "-diff"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(EngineConfig(lake_dir=lake, num_partitions=16))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(d["changelog"])
+    t = pa.Table.from_pandas(
+        eng.diff(1).to_pandas(), preserve_index=False
+    )
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("url", "ascending"), ("change", "ascending")]
+        )
+    )

@@ -637,3 +637,47 @@ def test_scd2_history(ray_session, tmp_path):
                 }
             )
     assert got == want
+
+
+def test_lake_diff(ray_session, tmp_path):
+    """Engine.diff classification matches a dict oracle over the
+    replayed state; identical versions diff to empty (copy-on-write
+    file pruning)."""
+    import pyarrow as pa
+
+    from logminer_kafka_connect_ray.testing.compare import canon
+
+    pages = gen_pages(40)
+    eng, pages_path, changelog, events = build(
+        tmp_path, pages, ChangeGenConfig(n_events=300, seed=29)
+    )
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    m = eng.replay(changelog)
+
+    base = base_state(pages)
+    final = replay_oracle(base, events)
+    cols = ("warc_ts", "html", "text", "lang")
+    want = {}
+    for url in set(base) | set(final):
+        if url not in base:
+            want[url] = "added"
+        elif url not in final:
+            want[url] = "removed"
+        else:
+            b = {c: canon(base[url].get(c)) for c in cols}
+            f = {c: canon(final[url].get(c)) for c in cols}
+            if b != f:
+                want[url] = "modified"
+    got = {
+        r["url"]: r["change"]
+        for r in pa.Table.from_pandas(
+            eng.diff(1).to_pandas(), preserve_index=False
+        ).to_pylist()
+    }
+    assert got == want
+    assert want, "scenario must actually change rows"
+    assert "removed" in set(want.values())
+
+    # same version on both sides: every partition file identical ->
+    # all pruned, empty result without reading anything
+    assert eng.diff(m.version, m.version).count() == 0
