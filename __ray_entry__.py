@@ -225,6 +225,29 @@ SELECT doc_id FROM (
 ) WHERE rn = 1 ORDER BY doc_id
 """
 
+# Line-level exact dedup gate (C4/RefinedWeb): an occurrence is kept
+# iff it is the globally first occurrence of that exact line by
+# (doc_id, ordinal); per-doc totals.
+_LINE_DEDUP_SQL = """
+WITH l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS ord
+  FROM documents
+),
+r AS (
+  SELECT doc_id, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn
+  FROM l
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(length(line)) FILTER (WHERE rn = 1), 0) AS BIGINT)
+           AS kept_chars
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
 _TEXT_QUALITY_SQL = """
 SELECT doc_id,
        length(text) AS n_chars,
@@ -1047,6 +1070,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_envelope_counts": q.cdc_envelope_counts,
         # training-data ops (dedup / similarity / text analysis)
         "dedup_exact": d.dedup_exact,
+        # C4/RefinedWeb line-level exact dedup (line-hash exchange;
+        # first-global-occurrence wins)
+        "line_dedup": d.line_dedup,
         "dedup_ngram_jaccard": d.dedup_ngram_jaccard,  # exact verify kernel
         "dedup_cluster_canonical": d.dedup_cluster_canonical,  # CC canonicalization (SQL)
         "word_freq_topk": d.word_freq_topk,  # vocabulary top-k (SQL)
@@ -1177,6 +1203,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_latest": _LWW_SQL,
         "cdc_envelope_counts": _ENVELOPE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         # LSH at 16 bands x 4 rows finds every pair the exact kernel
         # finds on this data (all true pairs have jaccard >= 0.87;

@@ -2512,3 +2512,140 @@ def doc_fingerprints(sf_dir: str) -> pa.Table:
         ds.map_batches(fp, batch_format="pandas").to_pandas(), preserve_index=False
     )
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (C4 / RefinedWeb shape)
+# ---------------------------------------------------------------------------
+def line_dedup(sf_dir: str) -> pa.Table:
+    """Cross-corpus exact LINE dedup (the C4 / RefinedWeb curation
+    step: drop every line whose exact text already occurred anywhere
+    earlier in the corpus).  An occurrence is kept iff it is the
+    globally FIRST occurrence of that line, ordered by
+    ``(doc_id, line_ordinal)``; later repeats -- including within the
+    same document -- are dropped.  Returns per-document
+    ``(n_lines, n_kept, kept_chars)``.
+
+    Scale shape: Arrow-native line explosion (``split_pattern`` +
+    ``list_flatten``/``list_parent_indices``, no per-row Python) ->
+    hash exchange on the line text (explicit boundaries,
+    split-guarded, so every occurrence of one line lands in ONE
+    block) -> per-block vectorized first-of-segment sweep + per-doc
+    ``reduceat`` partials -> small ``groupby(doc_id).sum``.  Only
+    (line, doc_id, ord) triples cross the exchange; the winner
+    arbitration never leaves the block."""
+    from ray.data.aggregate import Sum
+
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    # ~tens of lines per web document; size the exchange for the
+    # exploded row count, not the doc count
+    P = _exchange_width(n_docs * 32)
+    gd = _new_guard_dir("linededup")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    exploded_schema = pa.schema(
+        [
+            ("line", pa.string()),
+            ("doc_id", pa.int64()),
+            ("ord", pa.int64()),
+            ("_p", pa.int64()),
+        ]
+    )
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return exploded_schema.empty_table()
+        text = t.column("text").combine_chunks()
+        ls = pc.split_pattern(text, "\n")
+        flat = pc.cast(pc.list_flatten(ls), pa.string())
+        parent = pc.list_parent_indices(ls)
+        doc = pc.cast(t.column("doc_id").take(parent), pa.int64())
+        lens = (
+            pc.fill_null(pc.list_value_length(ls), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ordv = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        if len(flat) == 0:
+            return exploded_schema.empty_table()
+        return pa.table(
+            {
+                "line": flat,
+                "doc_id": doc,
+                "ord": pa.array(ordv),
+                "_p": pa.array(partition_ids(flat, P)),
+            },
+            schema=exploded_schema,
+        )
+
+    partial_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_lines", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("kept_chars", pa.int64()),
+        ]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return partial_schema.empty_table()
+        _guard_record(
+            gd, "linededup", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("line", "ascending"),
+                    ("doc_id", "ascending"),
+                    ("ord", "ascending"),
+                ],
+            )
+        )
+        lines = t.column("line").combine_chunks()
+        n = len(lines)
+        first = np.ones(n, bool)
+        if n > 1:
+            first[1:] = pc.not_equal(
+                lines.slice(1), lines.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = (
+            pc.utf8_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        order, starts, counts = _group_segments(doc)
+        kept = first[order].astype(np.int64)
+        kept_chars = (chars * first)[order]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[order][starts]),
+                "n_lines": pa.array(counts.astype(np.int64)),
+                "n_kept": pa.array(np.add.reduceat(kept, starts)),
+                "kept_chars": pa.array(np.add.reduceat(kept_chars, starts)),
+            },
+            schema=partial_schema,
+        )
+
+    res = (
+        ds.map_batches(line_rows, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .aggregate(Sum("n_lines"), Sum("n_kept"), Sum("kept_chars"))
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = pa.table(
+        {
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_lines": pc.cast(t.column("sum(n_lines)"), pa.int64()),
+            "n_kept": pc.cast(t.column("sum(n_kept)"), pa.int64()),
+            "kept_chars": pc.cast(t.column("sum(kept_chars)"), pa.int64()),
+        }
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    return _finalize_guard(gd, t)

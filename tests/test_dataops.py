@@ -596,3 +596,34 @@ def test_label_centroids_exact(ray_session, tmp_path):
     assert out[(7, 2)] == (2, -250_000)       # floor(-0.5e6) + floor(0.25e6)
     assert out[(9, 1)] == (1, 10_000_000)
     assert out[(9, 2)] == (1, 2_000_000)
+
+
+def test_line_dedup_first_occurrence(ray_session, tmp_path):
+    """Exact line dedup: globally first occurrence (by doc_id, ord)
+    wins; repeats within and across docs are dropped; empty-string
+    lines count; a brute-force dict oracle agrees."""
+    texts = [
+        "alpha\nbeta\nalpha",        # in-doc repeat of "alpha"
+        "beta\ngamma",               # "beta" already seen in doc 0
+        "gamma\n\ndelta\n",          # "" and trailing "" lines
+        "\ndelta",
+    ]
+    sf = make_docs(tmp_path, texts)
+    out = {r["doc_id"]: r for r in d.line_dedup(sf).to_pylist()}
+
+    seen, want = set(), {}
+    for did, tx in enumerate(texts):
+        lines = tx.split("\n")
+        kept = [ln for ln in lines if ln not in seen and not seen.add(ln)]
+        want[did] = {
+            "doc_id": did,
+            "n_lines": len(lines),
+            "n_kept": len(kept),
+            "kept_chars": sum(len(ln) for ln in kept),
+        }
+    assert out == want
+    # spot-check the interesting rows
+    assert out[0]["n_kept"] == 2          # alpha, beta (2nd alpha dropped)
+    assert out[2]["n_lines"] == 4         # gamma / "" / delta / ""
+    assert out[2]["n_kept"] == 2          # "" and delta ("gamma" seen)
+    assert out[3]["n_kept"] == 0
