@@ -150,6 +150,7 @@ def run_bench() -> dict:
         ("dedup_exact", dops.dedup_exact),
         ("dedup_minhash_lsh", dops.dedup_minhash_lsh),
         ("dedup_simhash", dops.dedup_simhash),
+        ("line_dedup", dops.line_dedup),
         ("ann_cosine_topk", dops.ann_cosine_topk),
         ("text_quality", dops.text_quality),
         ("doc_fingerprints", dops.doc_fingerprints),
