@@ -1045,6 +1045,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DBLog-style chunked snapshot: per-chunk as-of SCNs, chunk-vs-
         # log arbitration via the (commit_scn, scn, row_id) LWW fold
         "cdc_final_state_chunked": q.cdc_final_state_chunked,
+        # lake maintenance gate: repartition_lake (16->24 live
+        # re-layout) + vacuum, state must survive byte-identical
+        "cdc_final_state_repartitioned": q.cdc_final_state_repartitioned,
         # incrementally-maintained materialized view (per-partition
         # merge deltas -> cumulative sidecar; no lake rescan)
         "cdc_view_lang_stats": q.cdc_view_lang_stats,
@@ -1187,6 +1190,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_salted": _FINAL_STATE_SQL,
         "cdc_final_state_transform": _FINAL_STATE_TRANSFORM_SQL,
         "cdc_final_state_chunked": _FINAL_STATE_SQL,
+        "cdc_final_state_repartitioned": _FINAL_STATE_SQL,
         "cdc_view_lang_stats": _VIEW_LANG_SQL,
         "lake_host_stats": _HOST_STATS_SQL,
         "cdc_history_scd2": _SCD2_SQL,

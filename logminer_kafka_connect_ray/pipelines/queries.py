@@ -699,3 +699,24 @@ def lake_version_diff(sf_dir: str) -> pa.Table:
             t, sort_keys=[("url", "ascending"), ("change", "ascending")]
         )
     )
+
+
+def cdc_final_state_repartitioned(sf_dir: str) -> pa.Table:
+    """Flagship replay followed by a LIVE lake re-layout: grow the
+    partition count 16 -> 24 via ``repartition_lake`` (full
+    copy-on-write rewrite through the standard merge path at recorded
+    ``(_commit_scn, _scn)``), then ``vacuum`` down to the head
+    version.  The state read back after both maintenance operations
+    must still match the same replay oracle byte-for-byte -- gating
+    the two lake-maintenance operators (the scale levers that keep
+    partitions ~1 GiB at 100 TB) at the driver level, not just in
+    pytest."""
+    d = workload.ensure_workload(sf_dir)
+    lake = d["lake"] + "-repart"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(EngineConfig(lake_dir=lake, num_partitions=16))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(d["changelog"])
+    eng.repartition_lake(24)
+    eng.vacuum(keep_versions=1)
+    return _digest_html(eng.to_arrow())
