@@ -143,6 +143,17 @@ WINDOW w AS (PARTITION BY url ORDER BY o1, vscn)
 ORDER BY url, ver
 """
 
+# Dead-letter accounting gate: the corrupt changelog nulls the key of
+# every 101st change event (workload.derive_changelog_corrupt); each
+# such row must appear in dead_letters exactly once as missing_key.
+# Routing runs at decode, before commit resolution, so rolled-back
+# txns' corrupt rows count too -- hence ch, not comm.
+_DEAD_LETTERS_SQL = f"""
+WITH {_CH_CTE.strip()}
+SELECT 'missing_key' AS reason, CAST(count(*) AS BIGINT) AS n
+FROM ch WHERE eid % 101 = 0
+"""
+
 # Lake reconciliation gate: urls whose row changed between the
 # snapshot (lake version 1) and the replayed head, classified.
 _LAKE_DIFF_SQL = f"""
@@ -1048,6 +1059,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lake maintenance gate: repartition_lake (16->24 live
         # re-layout) + vacuum, state must survive byte-identical
         "cdc_final_state_repartitioned": q.cdc_final_state_repartitioned,
+        # dead-letter accounting gate: planted keyless rows must all
+        # route to lake/dead_letters with exact per-reason counts
+        "cdc_dead_letters": q.cdc_dead_letters,
         # incrementally-maintained materialized view (per-partition
         # merge deltas -> cumulative sidecar; no lake rescan)
         "cdc_view_lang_stats": q.cdc_view_lang_stats,
@@ -1191,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_transform": _FINAL_STATE_TRANSFORM_SQL,
         "cdc_final_state_chunked": _FINAL_STATE_SQL,
         "cdc_final_state_repartitioned": _FINAL_STATE_SQL,
+        "cdc_dead_letters": _DEAD_LETTERS_SQL,
         "cdc_view_lang_stats": _VIEW_LANG_SQL,
         "lake_host_stats": _HOST_STATS_SQL,
         "cdc_history_scd2": _SCD2_SQL,

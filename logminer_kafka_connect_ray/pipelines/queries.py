@@ -494,7 +494,16 @@ def host_stats(ds) -> pa.Table:
             "host"
         )
         p = g.aggregate([("chars", "sum"), ("ts", "max"), ("host", "count")])
-        return p.rename_columns(["host", "chars", "ts", "n"])
+        # select by the aggregate's generated names -- the position of
+        # key vs aggregate columns is a pyarrow implementation detail
+        return pa.table(
+            {
+                "host": p.column("host"),
+                "chars": p.column("chars_sum"),
+                "ts": p.column("ts_max"),
+                "n": p.column("host_count"),
+            }
+        )
 
     agg = (
         ds.map_batches(host_partial, batch_format="pyarrow")
@@ -720,3 +729,38 @@ def cdc_final_state_repartitioned(sf_dir: str) -> pa.Table:
     eng.repartition_lake(24)
     eng.vacuum(keep_versions=1)
     return _digest_html(eng.to_arrow())
+
+
+def cdc_dead_letters(sf_dir: str) -> pa.Table:
+    """Dead-letter accounting gate (M4/M5): replay a changelog where
+    every 101st change event's key is nulled (undecodable struct row).
+    The engine must route EVERY corrupt row to ``lake/dead_letters``
+    with reason ``missing_key`` -- skip-with-accounting, never a
+    silent drop -- and the deduplicating reader's per-reason counts
+    must equal the exact count DuckDB derives from the events table.
+    Routing happens at decode, before commit resolution, so
+    rolled-back txns' corrupt rows are counted too (they were still
+    unreadable)."""
+    import os as _os
+
+    d = workload.ensure_workload(sf_dir)
+    corrupt = _os.path.join(d["root"], "changelog-corrupt")
+    marker = _os.path.join(d["root"], "_ready_corrupt")
+    if not _os.path.exists(marker):
+        workload.derive_changelog_corrupt(sf_dir, corrupt)
+        open(marker, "w").write("ok")
+    lake = d["lake"] + "-dead"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(EngineConfig(lake_dir=lake, num_partitions=16))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(corrupt)
+    out = eng.read_dead_letters().groupby("reason").count()
+    t = pa.Table.from_pandas(out.to_pandas())
+    t = t.rename_columns(["reason", "n"])
+    t = pa.table(
+        {
+            "reason": t.column("reason"),
+            "n": pc.cast(t.column("n"), pa.int64()),
+        }
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("reason", "ascending")]))

@@ -32,6 +32,7 @@ whatever schema the base parquet carries.
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -640,3 +641,52 @@ def ensure_chunked_snapshot(
     with open(marker, "w") as f:
         f.write("ok")
     return list(zip(paths, scns))
+
+
+def derive_changelog_corrupt(
+    sf_dir: str, out_dir: str, every: int = 101
+) -> list[str]:
+    """The standard struct changelog with every ``every``-th change
+    event's key (url) nulled -- a deterministic corruption fixture for
+    the dead-letter gate (M4/M5): keyless struct rows are undecodable
+    and must route to ``lake/dead_letters`` with reason
+    ``missing_key``, never be silently dropped.  Corruption keys off
+    ``event_id = (scn - SCN0) // 2``, so the DuckDB oracle can count
+    the exact expected rejects from the events table."""
+    tmp = out_dir + "-src"
+    derive_changelog(sf_dir, tmp)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _null_key(col: pa.ChunkedArray, keep: pa.Array) -> pa.StructArray:
+        # rebuild the before/after struct with url nulled where ~keep,
+        # preserving the struct's own validity (marker rows are null)
+        arr = col.combine_chunks()
+        st = arr.type
+        names = [st.field(i).name for i in range(st.num_fields)]
+        children = [arr.field(i) for i in range(st.num_fields)]
+        ui = names.index("url")
+        children[ui] = pc.if_else(
+            keep, children[ui], pa.scalar(None, pa.string())
+        )
+        return pa.StructArray.from_arrays(
+            children, names=names, mask=pc.is_null(arr)
+        )
+
+    outs = []
+    for f in sorted(os.listdir(tmp)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(tmp, f))
+        scn = t.column("scn").to_numpy()
+        op = t.column("op").to_pandas().to_numpy()
+        eid = (scn - SCN0) // 2
+        bad = (eid % every == 0) & np.isin(op, ("i", "u", "d"))
+        keep = pa.array(~bad)
+        for name in ("before", "after"):
+            idx = t.schema.get_field_index(name)
+            t = t.set_column(idx, name, _null_key(t.column(name), keep))
+        dst = os.path.join(out_dir, f)
+        pq.write_table(t, dst)
+        outs.append(dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return outs
