@@ -1031,6 +1031,119 @@ SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+# KMV distinct sketch: the estimator is DETERMINISTIC given the hash
+# function, so the oracle reproduces the engine's k-minimum-values
+# estimate bit-for-bit -- the same recursive FNV-1a fold as
+# _SAMPLE_HASH_SQL over DISTINCT user_ids, then murmur3's fmix64
+# finalizer restated in UHUGEINT mod-2^64 arithmetic (>>33 is integer
+# division by 2^33), then the k-th smallest distinct finalized hash
+# per type feeds floor((k-1)*2^64 / h_k) (exact count when a type has
+# fewer than k distinct hashes).
+_KMV_K = 64
+_USER_KMV_SQL = f"""
+WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events),
+ub AS (
+  SELECT user_id, hex(encode(CAST(user_id AS VARCHAR))) AS hx,
+         octet_length(encode(CAST(user_id AS VARCHAR))) AS n
+  FROM u
+),
+fnv AS (
+  SELECT user_id, n, 0 AS i,
+         CAST('14695981039346656037' AS UHUGEINT) AS h FROM ub
+  UNION ALL
+  SELECT f.user_id, f.n, f.i + 1,
+         (xor(f.h, CAST(CAST('0x' || substr(ub.hx, 2*f.i+1, 2) AS INT)
+                        AS UHUGEINT))
+          * CAST(1099511628211 AS UHUGEINT))
+           % CAST('18446744073709551616' AS UHUGEINT)
+  FROM fnv f JOIN ub ON ub.user_id = f.user_id
+  WHERE f.i < f.n
+),
+m0 AS (SELECT user_id, h FROM fnv WHERE i = n),
+m1 AS (SELECT user_id, xor(h, h // CAST(8589934592 AS UHUGEINT)) AS h FROM m0),
+m2 AS (SELECT user_id,
+              (h * CAST('18397679294719823053' AS UHUGEINT))
+                % CAST('18446744073709551616' AS UHUGEINT) AS h FROM m1),
+m3 AS (SELECT user_id, xor(h, h // CAST(8589934592 AS UHUGEINT)) AS h FROM m2),
+m4 AS (SELECT user_id,
+              (h * CAST('14181476777654086739' AS UHUGEINT))
+                % CAST('18446744073709551616' AS UHUGEINT) AS h FROM m3),
+uh AS (SELECT user_id, xor(h, h // CAST(8589934592 AS UHUGEINT)) AS h FROM m4),
+pairs AS (
+  SELECT DISTINCT e.event_type, uh.h
+  FROM events e JOIN uh ON uh.user_id = e.user_id
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY event_type) AS c
+  FROM pairs
+),
+est AS (
+  -- NB: greatest()/least() on UHUGEINT return DOUBLE in DuckDB 1.0
+  -- (a cast would then ROUND, not floor) -- stay in UHUGEINT via CASE
+  SELECT event_type,
+         CASE WHEN c < {_KMV_K} THEN CAST(c AS UHUGEINT)
+              ELSE (CAST({_KMV_K - 1} AS UHUGEINT)
+                    * CAST('18446744073709551616' AS UHUGEINT))
+                   // (CASE WHEN h = CAST(0 AS UHUGEINT)
+                            THEN CAST(1 AS UHUGEINT) ELSE h END)
+         END AS e
+  FROM ranked WHERE r = least(c, {_KMV_K})
+)
+SELECT event_type,
+       CAST(CASE WHEN e > CAST(9223372036854775807 AS UHUGEINT)
+                 THEN CAST(9223372036854775807 AS UHUGEINT)
+                 ELSE e END AS BIGINT) AS n_users_kmv
+FROM est
+ORDER BY event_type
+"""
+
+# Cross-document duplicated 8-gram density (the map-reduce restating
+# of exact-substring dedup): a gram occurrence is duplicated iff its
+# exact word-8-gram string occurs >= 2 times corpus-wide.
+_DUP_NGRAMS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT w.doc_id, array_to_string(ws[r.i:r.i+7], ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) r
+  WHERE len(ws) >= 8
+),
+c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+d AS (
+  SELECT g.doc_id, count(*) AS n_dup
+  FROM g JOIN c USING (gram) WHERE c.cnt >= 2
+  GROUP BY g.doc_id
+)
+SELECT w.doc_id,
+       CAST(greatest(len(ws) - 7, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_grams
+FROM w LEFT JOIN d USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+# TPC-H Q1 pricing-summary shape in exact integer arithmetic: every
+# sum is an int64 of cents (x100 per discount/tax factor), so float
+# summation order cannot diverge between the engines.
+_LINEITEM_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS sum_disc_cents_x100,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100) AS BIGINT))
+                * (100 + CAST(floor(l_tax * 100) AS BIGINT)))
+            AS BIGINT) AS sum_charge_cents_x10k
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 23:59:59.999999'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full CDC replay."""
@@ -1190,8 +1303,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributive integer moments (variance/stddev/corr base)
         "events_type_moments": ev.events_type_moments,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
-        # (HLL sketch in state/hll.py is the approximate sibling)
+        # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
+        # mergeable KMV distinct sketch: approximate BY DESIGN yet
+        # hash-deterministic, so the SQL oracle reproduces the
+        # estimate bit-for-bit (unlike HLL, which stays pytest-gated)
+        "events_user_kmv_distinct": ev.events_user_kmv_distinct,
+        # TPC-H Q1 pricing summary in exact integer cents over the
+        # lineitem fact table (pre-aggregated wide aggregate)
+        "lineitem_pricing": ev.lineitem_pricing,
+        # cross-document duplicated 8-gram density: the map-reduce
+        # variant of exact-substring dedup (Lee et al. 2022)
+        "doc_dup_ngrams": d.doc_dup_ngrams,
     }
 
 
@@ -1272,4 +1395,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": _PROPS_STATS_SQL,
         "events_type_moments": _TYPE_MOMENTS_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
+        "events_user_kmv_distinct": _USER_KMV_SQL,
+        "lineitem_pricing": _LINEITEM_PRICING_SQL,
+        "doc_dup_ngrams": _DUP_NGRAMS_SQL,
     }

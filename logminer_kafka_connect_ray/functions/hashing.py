@@ -134,3 +134,19 @@ def bloom_probe(words: np.ndarray, keys) -> np.ndarray:
             words[idx >> 6] >> (idx & 63).astype(np.uint64)
         ).astype(np.uint64) & np.uint64(1)
     return (bit(i1) & bit(i2)).astype(bool)
+
+
+def fmix64(h: np.ndarray) -> np.ndarray:
+    """murmur3's 64-bit finalizer over a uint64 array: FNV-1a's high
+    bits avalanche poorly on short keys (sequential decimal-int
+    strings cluster), which breaks any consumer that relies on hash
+    ORDER STATISTICS or top bits -- the HLL registers and the KMV
+    k-minimum-values sketch both finalize through this mixer."""
+    with np.errstate(over="ignore"):
+        h = h.astype(np.uint64).copy()
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return h

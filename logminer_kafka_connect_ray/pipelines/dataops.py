@@ -2649,3 +2649,146 @@ def line_dedup(sf_dir: str) -> pa.Table:
     )
     t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
     return _finalize_guard(gd, t)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated n-gram density (substring-dedup family)
+# ---------------------------------------------------------------------------
+def doc_dup_ngrams(sf_dir: str, n: int = 8) -> pa.Table:
+    """Per-document duplicated word-``n``-gram density: for every
+    document, how many of its word 8-grams occur >= 2 times anywhere
+    in the corpus (including other occurrences in the same document).
+    This is the map-reduce variant of the exact-substring dedup step
+    in "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022): where they build a corpus suffix array, a
+    cluster pipeline ships each fixed-width gram to the partition
+    that owns it and counts occurrences there -- the same exchange
+    the ``line_dedup`` / ``dedup_ngram_jaccard`` operators use.
+    ``doc_repetition`` is the intra-document sibling; this one is
+    cross-document.
+
+    Returns one row per document: ``(doc_id, n_grams, n_dup_grams)``
+    (documents shorter than ``n`` words report ``0, 0``).
+
+    Scale shape: Arrow-native gram construction (``split_pattern`` +
+    ``binary_join_element_wise`` over ``n`` shifted zero-copy slices
+    of the flattened word array -- no per-row Python) -> hash
+    exchange on the gram STRING (explicit boundaries, split-guarded:
+    every occurrence of one gram lands in ONE block, and arbitration
+    is exact on strings, not hashes) -> per-block segment-count sweep
+    + per-doc ``reduceat`` partials -> small ``groupby(doc_id).sum``.
+    Only (gram, doc_id) pairs cross the exchange; gram counting never
+    leaves the block."""
+    from ray.data.aggregate import Sum
+
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    # ~50-100 words per synthetic web document; size the exchange for
+    # the exploded gram count, not the doc count
+    P = _exchange_width(n_docs * 64)
+    gd = _new_guard_dir("dupngrams")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    gram_schema = pa.schema(
+        [("gram", pa.large_string()), ("doc_id", pa.int64()),
+         ("_p", pa.int64())]
+    )
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return gram_schema.empty_table()
+        text = pc.cast(t.column("text").combine_chunks(), pa.large_string())
+        ls = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(ls)
+        parent = pc.list_parent_indices(ls).to_numpy(zero_copy_only=False)
+        m = len(flat) - n + 1
+        if m <= 0:
+            return gram_schema.empty_table()
+        shifted = [flat.slice(j, m) for j in range(n)]
+        grams = pc.binary_join_element_wise(
+            *shifted, pa.scalar(" ", pa.large_string())
+        )
+        # a window is a real gram only when all n words share a doc
+        valid = parent[:m] == parent[n - 1 : n - 1 + m]
+        doc = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[parent[:m]]
+        grams = grams.filter(pa.array(valid))
+        doc = doc[valid]
+        if len(grams) == 0:
+            return gram_schema.empty_table()
+        return pa.table(
+            {"gram": grams, "doc_id": pa.array(doc),
+             "_p": pa.array(partition_ids(grams, P))},
+            schema=gram_schema,
+        )
+
+    dup_schema = pa.schema([("doc_id", pa.int64()), ("n_dup", pa.int64())])
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return dup_schema.empty_table()
+        _guard_record(
+            gd, "dupngrams", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=[("gram", "ascending")]))
+        grams = t.column("gram").combine_chunks()
+        nrow = len(grams)
+        brk = np.ones(nrow, bool)
+        if nrow > 1:
+            brk[1:] = pc.not_equal(
+                grams.slice(1), grams.slice(0, nrow - 1)
+            ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, nrow))
+        dup = np.repeat(counts >= 2, counts).astype(np.int64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order, dstarts, dcounts = _group_segments(doc)
+        return pa.table(
+            {"doc_id": pa.array(doc[order][dstarts]),
+             "n_dup": pa.array(np.add.reduceat(dup[order], dstarts))},
+            schema=dup_schema,
+        )
+
+    dup = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .aggregate(Sum("n_dup"))
+        .to_pandas()
+    )
+    dup.columns = ["doc_id", "n_dup_grams"]
+
+    # total gram count per doc: one cheap vectorized pass, no exchange
+    def totals(t: pa.Table) -> pa.Table:
+        words = pc.add(
+            pc.count_substring(t.column("text"), " "), pa.scalar(1)
+        )
+        ng = pc.max_element_wise(
+            pc.cast(pc.subtract(words, pa.scalar(n - 1)), pa.int64()),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "n_grams": ng}
+        )
+
+    tot = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(totals, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = tot.merge(dup, on="doc_id", how="left").fillna({"n_dup_grams": 0})
+    t = pa.table(
+        {"doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+         "n_grams": pa.array(out["n_grams"].to_numpy(), pa.int64()),
+         "n_dup_grams": pa.array(
+             out["n_dup_grams"].to_numpy().astype(np.int64)
+         )}
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    return _finalize_guard(gd, t)

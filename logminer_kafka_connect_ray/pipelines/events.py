@@ -878,17 +878,12 @@ def _hll_registers(keys: np.ndarray, m: int = 1 << _HLL_P) -> np.ndarray:
     regs = np.zeros(m, np.uint8)
     if len(keys) == 0:
         return regs
-    # murmur3-style finalizer: FNV-1a's high bits avalanche poorly on
-    # short keys (decimal-int strings clustered into ~44 of 4096
-    # registers), which collapses the estimate; the mixer fixes the
-    # top-bit distribution for any input hash
-    with np.errstate(over="ignore"):
-        keys = keys.astype(np.uint64).copy()
-        keys ^= keys >> np.uint64(33)
-        keys *= np.uint64(0xFF51AFD7ED558CCD)
-        keys ^= keys >> np.uint64(33)
-        keys *= np.uint64(0xC4CEB9FE1A85EC53)
-        keys ^= keys >> np.uint64(33)
+    # murmur3 finalizer: FNV-1a's high bits avalanche poorly on short
+    # keys (decimal-int strings clustered into ~44 of 4096 registers),
+    # which collapses the estimate; shared with the KMV sketch
+    from logminer_kafka_connect_ray.functions.hashing import fmix64
+
+    keys = fmix64(keys)
     idx = (keys >> np.uint64(64 - _HLL_P)).astype(np.int64)
     rest = (keys << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
     # leading zeros of `rest` via the float64 exponent of its top bits
@@ -2311,7 +2306,8 @@ def events_rollup(sf_dir: str) -> pa.Table:
 def events_user_distinct(sf_dir: str) -> pa.Table:
     """``COUNT(DISTINCT user_id) GROUP BY event_type`` -- the exact
     distributed distinct-count aggregate (the HLL sketch in
-    ``state/hll.py`` is this operator's approximate scale sibling).
+    ``events_distinct_users_hll`` above is this operator's
+    approximate scale sibling).
 
     Shape: per-block distinct (event_type, user_id) pairs (lexsort +
     segment starts -- each block ships at most its local distinct
@@ -2389,3 +2385,211 @@ def events_user_distinct(sf_dir: str) -> pa.Table:
     df = df.sort_values("event_type", ignore_index=True)
     t = pa.Table.from_pandas(df, preserve_index=False)
     return _finalize_guard(gd, t)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+def events_user_kmv_distinct(sf_dir: str, k: int = 64) -> pa.Table:
+    """Mergeable KMV distinct-count sketch per ``event_type``: keep
+    the ``k`` smallest DISTINCT 64-bit FNV-1a hashes of the member
+    keys; estimate ``n_hat = floor((k-1) * 2^64 / h_(k))`` from the
+    k-th smallest, or the exact count when fewer than ``k`` distinct
+    hashes exist (Bar-Yossef et al. 2002, the classic KMV estimator).
+
+    Unlike HLL (``events_distinct_users_hll``, pytest-gated within 5%
+    error), KMV is DETERMINISTIC given the hash function -- the DuckDB
+    oracle reproduces the estimate bit-for-bit with the same recursive
+    FNV-1a fold ``events_sample_hash`` uses (plus the ``fmix64``
+    finalizer restated in UHUGEINT arithmetic), so this approximate
+    operator carries an EXACT SQL gate.  The finalizer matters: raw
+    FNV-1a order statistics on short sequential keys are clustered
+    enough to bias the estimate ~2.4x (measured in the pytest).
+
+    Scale shape: per-block partial = the k smallest distinct
+    ``(event_type, hash)`` pairs (at most ``k x n_types`` rows leave
+    any block -- the mergeable-sketch combiner), then one
+    type-count-bounded ``groupby.map_groups`` union.  Sketch union is
+    associative, commutative and idempotent, so task retries and block
+    splits cannot change the answer (no exchange guard needed)."""
+    from logminer_kafka_connect_ray.functions.hashing import fmix64, fnv1a_u64
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    part_schema = pa.schema([("event_type", pa.string()), ("h", pa.uint64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        h = fmix64(fnv1a_u64(pc.cast(t.column("user_id"), pa.string())))
+        order = np.lexsort((h, et))
+        et, h = et[order], h[order]
+        distinct = np.concatenate(
+            [[True], (et[1:] != et[:-1]) | (h[1:] != h[:-1])]
+        )
+        et, h = et[distinct], h[distinct]
+        starts, counts = _segment_starts(et)
+        rank = np.arange(len(et), dtype=np.int64) - np.repeat(starts, counts)
+        sel = rank < k
+        return pa.table(
+            {"event_type": pa.array(list(et[sel]), pa.string()),
+             "h": pa.array(h[sel], pa.uint64())},
+            schema=part_schema,
+        )
+
+    i64_max = (1 << 63) - 1
+
+    def merge(g: pa.Table) -> pa.Table:
+        et = g.column("event_type")[0].as_py()
+        h = np.unique(
+            g.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        c = len(h)
+        if c < k:
+            est = c
+        else:
+            hk = max(int(h[k - 1]), 1)
+            est = min(((k - 1) << 64) // hk, i64_max)
+        return pa.table(
+            {"event_type": pa.array([et], pa.string()),
+             "n_users_kmv": pa.array([est], pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+        .to_pandas()
+    )
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    return t.take(pc.sort_indices(t, sort_keys=[("event_type", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shape pricing summary over lineitem
+# ---------------------------------------------------------------------------
+def lineitem_pricing(sf_dir: str, cutoff: str = "2000-09-02") -> pa.Table:
+    """Pricing-summary report over ``lineitem`` (the TPC-H Q1 shape):
+    per ``(l_returnflag, l_linestatus)`` for rows shipped on or before
+    ``cutoff``, the additive bases every Q1 column derives from --
+    row count, quantity, base price, discounted price and charged
+    price -- ALL in exact integers (cents; the discount/tax products
+    scale by 100 each, so ``disc_cents_x100`` is cents*100 and
+    ``charge_cents_x10k`` cents*10000).  Float summation order
+    diverges between engines; integer sums do not, and the averages
+    TPC-H prints are one deterministic division away.
+
+    Scale shape: predicate + column pruning at the read, one
+    per-block lexsort+reduceat partial (group cardinality <= 9), then
+    a 9-row ``groupby.sum`` -- the canonical pre-aggregated wide
+    aggregate, no raw-row shuffle.  Partials RAISE on any product
+    that could wrap int64 (|cents| bounded at read time), never
+    silently overflow."""
+    cutoff_us = np.datetime64(cutoff + "T23:59:59.999999", "us").astype(
+        np.int64
+    )
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+
+    part_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("n_rows", pa.int64()),
+            ("sum_qty", pa.int64()),
+            ("sum_base_cents", pa.int64()),
+            ("sum_disc_cents_x100", pa.int64()),
+            ("sum_charge_cents_x10k", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(
+            pc.cast(t.column("l_shipdate"), pa.int64()), cutoff_us
+        )
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        rf = np.asarray(t.column("l_returnflag").to_pylist(), dtype=object)
+        st = np.asarray(t.column("l_linestatus").to_pylist(), dtype=object)
+        key = np.char.add(rf.astype(str), np.char.add("|", st.astype(str)))
+        qty = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        base = _cents(t.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc = _cents(t.column("l_discount").to_numpy(zero_copy_only=False))
+        tax = _cents(t.column("l_tax").to_numpy(zero_copy_only=False))
+        if base.size and int(np.abs(base).max()) >= 1 << 40:
+            raise ValueError(
+                "lineitem_pricing: |base_cents| >= 2^40 could wrap int64 "
+                "in the charge product; widen the partial to two limbs"
+            )
+        disc_x100 = base * (100 - disc)
+        charge_x10k = disc_x100 * (100 + tax)
+        order, starts, counts = _group_segments(key)
+        rf, st = rf[order][starts], st[order][starts]
+        return pa.table(
+            {
+                "l_returnflag": pa.array(list(rf), pa.string()),
+                "l_linestatus": pa.array(list(st), pa.string()),
+                "n_rows": pa.array(counts.astype(np.int64)),
+                "sum_qty": pa.array(np.add.reduceat(qty[order], starts)),
+                "sum_base_cents": pa.array(
+                    np.add.reduceat(base[order], starts)
+                ),
+                "sum_disc_cents_x100": pa.array(
+                    np.add.reduceat(disc_x100[order], starts)
+                ),
+                "sum_charge_cents_x10k": pa.array(
+                    np.add.reduceat(charge_x10k[order], starts)
+                ),
+            },
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(
+            [
+                "n_rows", "sum_qty", "sum_base_cents",
+                "sum_disc_cents_x100", "sum_charge_cents_x10k",
+            ]
+        )
+        .to_pandas()
+    )
+    merged.columns = [
+        "l_returnflag", "l_linestatus", "n_rows", "sum_qty",
+        "sum_base_cents", "sum_disc_cents_x100", "sum_charge_cents_x10k",
+    ]
+    t = pa.Table.from_pandas(merged, preserve_index=False)
+    t = pa.table(
+        {
+            "l_returnflag": pc.cast(t.column("l_returnflag"), pa.string()),
+            "l_linestatus": pc.cast(t.column("l_linestatus"), pa.string()),
+            "n_rows": pc.cast(t.column("n_rows"), pa.int64()),
+            "sum_qty": pc.cast(t.column("sum_qty"), pa.int64()),
+            "sum_base_cents": pc.cast(t.column("sum_base_cents"), pa.int64()),
+            "sum_disc_cents_x100": pc.cast(
+                t.column("sum_disc_cents_x100"), pa.int64()
+            ),
+            "sum_charge_cents_x10k": pc.cast(
+                t.column("sum_charge_cents_x10k"), pa.int64()
+            ),
+        }
+    )
+    return t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[
+                ("l_returnflag", "ascending"),
+                ("l_linestatus", "ascending"),
+            ],
+        )
+    )

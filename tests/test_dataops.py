@@ -627,3 +627,44 @@ def test_line_dedup_first_occurrence(ray_session, tmp_path):
     assert out[2]["n_lines"] == 4         # gamma / "" / delta / ""
     assert out[2]["n_kept"] == 2          # "" and delta ("gamma" seen)
     assert out[3]["n_kept"] == 0
+
+
+def test_doc_dup_ngrams_planted(ray_session, tmp_path):
+    """Planted corpus: doc 0 and doc 1 share one exact 8-word span
+    (every 8-gram inside it is duplicated), doc 2 repeats its own
+    8-gram twice (intra-doc duplication counts), doc 3 is short."""
+    import pyarrow.parquet as _pq
+
+    span = "a b c d e f g h"          # 8 words -> 1 shared gram
+    texts = [
+        span + " x0 y0 z0",            # grams: 4 (11 words)
+        "p q " + span,                 # grams: 3 (10 words)
+        span + " " + span,             # 16 words -> 9 grams, self-dup
+        "too short",                   # 2 words -> 0 grams
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["t"] * 4, pa.string()),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    _pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in d.doc_dup_ngrams(str(tmp_path)).to_pylist()}
+
+    # reference: brute-force corpus gram counts
+    from collections import Counter
+    grams = Counter()
+    per_doc = []
+    for s in texts:
+        ws = s.split(" ")
+        gs = [" ".join(ws[i:i + 8]) for i in range(max(len(ws) - 7, 0))]
+        per_doc.append(gs)
+        grams.update(gs)
+    for i, gs in enumerate(per_doc):
+        assert out[i]["n_grams"] == len(gs)
+        assert out[i]["n_dup_grams"] == sum(1 for g in gs if grams[g] >= 2)
+    assert out[3] == {"doc_id": 3, "n_grams": 0, "n_dup_grams": 0}
+    assert out[2]["n_dup_grams"] >= 2  # the two copies of the span gram

@@ -913,3 +913,59 @@ def test_events_user_distinct_exact(ray_session, tmp_path):
     out = {r["event_type"]: r["n_users"]
            for r in ev.events_user_distinct(sf).to_pylist()}
     assert out == {"click": 2, "view": 2, "buy": 1}
+
+
+def test_events_user_kmv_distinct_deterministic(ray_session, tmp_path):
+    """KMV must equal the single-pass reference computation exactly
+    (the estimator is deterministic given the hash fn), cover BOTH
+    branches (exact when n_distinct < k, estimated when >= k), and
+    the estimate must land within the sketch's error envelope."""
+    from logminer_kafka_connect_ray.functions.hashing import fmix64, fnv1a_u64
+
+    k = 64
+    rows = []
+    # type 'big': 500 distinct users (estimator branch)
+    for i in range(500):
+        rows.append((len(rows) + 1, 1000 + i, float(i), "big", 1.0))
+    # type 'small': 10 distinct users, repeated (exact branch)
+    for i in range(30):
+        rows.append((len(rows) + 1, 2000 + i % 10, float(i), "small", 1.0))
+    sf = make_events(tmp_path, rows)
+    out = {r["event_type"]: r["n_users_kmv"]
+           for r in ev.events_user_kmv_distinct(sf, k=k).to_pylist()}
+
+    assert out["small"] == 10  # < k distinct -> exact
+
+    h = np.unique(fmix64(fnv1a_u64([str(1000 + i) for i in range(500)])))
+    expect = ((k - 1) << 64) // max(int(h[k - 1]), 1)
+    assert out["big"] == expect
+    assert abs(out["big"] - 500) / 500 < 0.5  # ~4/sqrt(64) envelope
+
+
+def test_lineitem_pricing_exact(ray_session, tmp_path):
+    """Planted lineitem rows: integer-cents sums per flag/status with
+    the shipdate cutoff applied; a row past the cutoff is excluded."""
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(["A", "A", "N"], pa.string()),
+            "l_linestatus": pa.array(["F", "F", "O"], pa.string()),
+            "l_quantity": pa.array([10.0, 5.0, 2.0], pa.float64()),
+            "l_extendedprice": pa.array([100.00, 50.50, 10.00], pa.float64()),
+            "l_discount": pa.array([0.05, 0.00, 0.10], pa.float64()),
+            "l_tax": pa.array([0.02, 0.08, 0.00], pa.float64()),
+            "l_shipdate": pa.array(
+                [_ts(0), _ts(1), dt.datetime(2031, 1, 1)], pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = ev.lineitem_pricing(str(tmp_path), cutoff="2030-01-01")
+    assert out.num_rows == 1  # the N|O row ships after the cutoff
+    r = out.to_pylist()[0]
+    assert (r["l_returnflag"], r["l_linestatus"]) == ("A", "F")
+    assert r["n_rows"] == 2 and r["sum_qty"] == 15
+    assert r["sum_base_cents"] == 10000 + 5050
+    # disc x100: 10000*(100-5) + 5050*(100-0)
+    assert r["sum_disc_cents_x100"] == 10000 * 95 + 5050 * 100
+    # charge x10k: disc * (100 + tax_pct)
+    assert r["sum_charge_cents_x10k"] == 10000 * 95 * 102 + 5050 * 100 * 108
