@@ -158,6 +158,8 @@ def run_bench() -> dict:
         ("orders_asof_events", evops.orders_asof_events),
         ("orders_events_join", evops.orders_events_join),
         ("tfidf_topk", dops.tfidf_topk),
+        ("doc_dup_ngrams", dops.doc_dup_ngrams),
+        ("lineitem_pricing", evops.lineitem_pricing),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)
