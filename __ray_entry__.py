@@ -1102,6 +1102,39 @@ ORDER BY event_type
 # Cross-document duplicated 8-gram density (the map-reduce restating
 # of exact-substring dedup): a gram occurrence is duplicated iff its
 # exact word-8-gram string occurs >= 2 times corpus-wide.
+# PII redaction: replant the identical deterministic contact trailer
+# (doc_id % 3 emails, doc_id % 2 phone numbers) and redact with the
+# SAME RE2 patterns the engine runs (dataops._PII_EMAIL_RE /
+# _PII_PHONE_RE); DuckDB's regexp functions are RE2 too, so the
+# redacted text compares byte-for-byte.
+_PII_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         text || ' '
+           || repeat('mail user' || doc_id::VARCHAR || '@mail-'
+                       || (doc_id % 20)::VARCHAR || '.example ',
+                     (doc_id % 3)::INT)
+           || ' '
+           || repeat('tel 555-'
+                       || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0')
+                       || ' ',
+                     (doc_id % 2)::INT) AS contact
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(contact,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(contact,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))::BIGINT
+         AS n_emails,
+       len(regexp_extract_all(contact, '\b555-[0-9]{4}\b'))::BIGINT
+         AS n_phones
+FROM c
+ORDER BY doc_id
+"""
+
 _DUP_NGRAMS_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 g AS (
@@ -1315,6 +1348,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-document duplicated 8-gram density: the map-reduce
         # variant of exact-substring dedup (Lee et al. 2022)
         "doc_dup_ngrams": d.doc_dup_ngrams,
+        # PII scrub pass (email/phone -> sentinel, RE2 on both sides;
+        # the data-dependent contact trailer is planted identically
+        # by engine and oracle, then redacted byte-for-byte)
+        "pii_redaction": d.pii_redaction,
     }
 
 
@@ -1398,4 +1435,5 @@ def oracle_sql() -> dict[str, str]:
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,
         "doc_dup_ngrams": _DUP_NGRAMS_SQL,
+        "pii_redaction": _PII_SQL,
     }

@@ -160,6 +160,7 @@ def run_bench() -> dict:
         ("tfidf_topk", dops.tfidf_topk),
         ("doc_dup_ngrams", dops.doc_dup_ngrams),
         ("lineitem_pricing", evops.lineitem_pricing),
+        ("pii_redaction", dops.pii_redaction),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -2515,6 +2515,86 @@ def doc_fingerprints(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# PII redaction (web-pipeline scrub pass)
+# ---------------------------------------------------------------------------
+#: RE2-compatible patterns evaluated identically by pyarrow (RE2) and
+#: the DuckDB oracle (also RE2): keep these in sync with _PII_SQL in
+#: __ray_entry__.py.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def pii_redaction(sf_dir: str) -> pa.Table:
+    """PII scrub pass over the document corpus -- the redaction step a
+    web-text pipeline runs before training (emails / phone numbers ->
+    sentinel tokens), with per-document match accounting.
+
+    The synthetic corpus contains no organic PII, so the operator
+    first plants a deterministic, data-dependent contact trailer
+    (``doc_id % 3`` e-mail addresses and ``doc_id % 2`` phone
+    numbers, values derived from ``doc_id``) and then redacts it by
+    regex -- the oracle replants the identical trailer in SQL and
+    redacts with DuckDB's ``regexp_replace(..., 'g')``.  Both engines
+    execute the same RE2 patterns (pyarrow binds RE2; DuckDB bundles
+    RE2), so the redacted text is compared byte-for-byte, not just
+    counted.
+
+    Scale shape: embarrassingly parallel single-pass ``map_batches``
+    (zero shuffle); every kernel is an Arrow compute call
+    (``binary_repeat`` / ``binary_join_element_wise`` /
+    ``count_substring_regex`` / ``replace_substring_regex``), no
+    per-row Python.  Reference parity: the reference ships records
+    through Kafka Connect SMTs for exactly this class of value scrub
+    (manifest.json SingleMessageTransforms); this is the corpus-side
+    equivalent."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.int64())
+        dn = did.combine_chunks().to_numpy(zero_copy_only=False)
+        s = pa.scalar
+        did_s = pc.cast(did, pa.string())
+        email_unit = pc.binary_join_element_wise(
+            s("mail user"), did_s, s("@mail-"),
+            pc.cast(pa.array(dn % 20), pa.string()), s(".example "), ""
+        )
+        phone_unit = pc.binary_join_element_wise(
+            s("tel 555-"),
+            pc.utf8_lpad(
+                pc.cast(pa.array((dn * 7) % 10000), pa.string()), 4, "0"
+            ),
+            s(" "), "",
+        )
+        contact = pc.binary_join_element_wise(
+            t.column("text"),
+            pc.binary_repeat(email_unit, pa.array(dn % 3, pa.int32())),
+            pc.binary_repeat(phone_unit, pa.array(dn % 2, pa.int32())),
+            " ",
+        )
+        n_emails = pc.count_substring_regex(contact, _PII_EMAIL_RE)
+        n_phones = pc.count_substring_regex(contact, _PII_PHONE_RE)
+        red = pc.replace_substring_regex(
+            pc.replace_substring_regex(contact, _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE,
+            "<PHONE>",
+        )
+        return pa.table(
+            {
+                "doc_id": did,
+                "redacted": red,
+                "n_emails": pc.cast(n_emails, pa.int64()),
+                "n_phones": pc.cast(n_phones, pa.int64()),
+            }
+        )
+
+    t = pa.Table.from_pandas(
+        ds.map_batches(scrub, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
 # Line-level exact dedup (C4 / RefinedWeb shape)
 # ---------------------------------------------------------------------------
 def line_dedup(sf_dir: str) -> pa.Table:

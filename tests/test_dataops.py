@@ -142,6 +142,27 @@ def test_lang_id_heuristic(ray_session, tmp_path):
     assert out[4] == "fr"
 
 
+def test_pii_redaction_counts_and_text(ray_session, tmp_path):
+    # doc 0: 0 emails, 0 phones; doc 1: 1 email, 1 phone;
+    # doc 2: 2 emails, 0 phones; organic PII in doc 3's text is
+    # scrubbed too.
+    sf = make_docs(
+        tmp_path, ["plain", "word", "more", "write bob@x.org or 555-1234 ok"]
+    )
+    out = {r["doc_id"]: r for r in d.pii_redaction(sf).to_pylist()}
+    assert (out[0]["n_emails"], out[0]["n_phones"]) == (0, 0)
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 1)
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (2, 0)
+    # planted trailer values derive from doc_id
+    assert "<EMAIL>" in out[1]["redacted"] and "<PHONE>" in out[1]["redacted"]
+    assert "user1@" not in out[1]["redacted"]
+    assert out[2]["redacted"].count("<EMAIL>") == 2
+    # organic matches redact alongside the planted trailer
+    assert (out[3]["n_emails"], out[3]["n_phones"]) == (1, 2)
+    assert "bob@x.org" not in out[3]["redacted"]
+    assert "555-1234" not in out[3]["redacted"]
+
+
 def test_fingerprints_stable(ray_session, tmp_path):
     sf = make_docs(tmp_path, [BASE_TEXTS[0], BASE_TEXTS[0], BASE_TEXTS[1]])
     fps = [r["fingerprint"] for r in d.doc_fingerprints(sf).to_pylist()]
