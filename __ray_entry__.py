@@ -1158,6 +1158,29 @@ ORDER BY w.doc_id
 # TPC-H Q1 pricing-summary shape in exact integer arithmetic: every
 # sum is an int64 of cents (x100 per discount/tax factor), so float
 # summation order cannot diverge between the engines.
+# Pearson-correlation base with a second moment that exceeds int64:
+# sum(price_cents^2) restated via DuckDB's HUGEINT sum, split into the
+# same base-2^62 limbs the engine's two-limb partial reassembles.
+_QP_CORR_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_qty,
+       CAST(sum(q * q) AS BIGINT) AS sum_qty_sq,
+       CAST(sum(p) AS BIGINT) AS sum_price_cents,
+       CAST(sum(q * p) AS BIGINT) AS sum_qp_cents,
+       CAST(sum(p * p) // 4611686018427387904 AS BIGINT) AS sum_price_sq_hi,
+       CAST(sum(p * p) % 4611686018427387904 AS BIGINT) AS sum_price_sq_lo
+FROM c
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
 _LINEITEM_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS n_rows,
@@ -1345,6 +1368,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q1 pricing summary in exact integer cents over the
         # lineitem fact table (pre-aggregated wide aggregate)
         "lineitem_pricing": ev.lineitem_pricing,
+        # correlation base with an int64-exceeding second moment:
+        # two-limb (base-2^25 partial, base-2^62 output) exact
+        # sum(price_cents^2), the widening events_type_moments
+        # documents for beyond-int64 domains
+        "lineitem_qp_corr": ev.lineitem_qp_corr,
         # cross-document duplicated 8-gram density: the map-reduce
         # variant of exact-substring dedup (Lee et al. 2022)
         "doc_dup_ngrams": d.doc_dup_ngrams,
@@ -1434,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,
+        "lineitem_qp_corr": _QP_CORR_SQL,
         "doc_dup_ngrams": _DUP_NGRAMS_SQL,
         "pii_redaction": _PII_SQL,
     }

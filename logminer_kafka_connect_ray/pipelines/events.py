@@ -2593,3 +2593,118 @@ def lineitem_pricing(sf_dir: str, cutoff: str = "2000-09-02") -> pa.Table:
             ],
         )
     )
+
+
+def lineitem_qp_corr(sf_dir: str) -> pa.Table:
+    """Per-``l_returnflag`` Pearson-correlation base between quantity
+    and extended price: every ingredient of
+    ``corr(q, p) = (n*Sqp - Sq*Sp) / sqrt((n*Sqq - Sq^2)(n*Spp - Sp^2))``
+    as EXACT integers, including the second moment of price --
+    ``sum(price_cents^2)`` -- which does NOT fit int64 at scale
+    (1e7-cent prices square to 1e14; 1e5 rows wrap a single int64).
+    This implements the two-limb widening the ``events_type_moments``
+    docstring points to: partials carry ``p^2`` split as
+    ``(p^2 >> 25, p^2 & (2^25-1))`` -- both limb sums stay exact in
+    int64 up to ~1e10 rows -- and the final 3-row reduce reassembles
+    the exact 128-bit total in Python ints, returned as base-2^62
+    ``(hi, lo)`` limbs that DuckDB's HUGEINT ``sum`` restates
+    directly.  Same floor-cents conversion as ``lineitem_pricing``
+    (deterministic across engines, unlike half-even rounds).
+
+    Scale shape: column-pruned read -> per-block lexsort+reduceat
+    partial (group cardinality 3) -> 3-row ``groupby.sum`` -- no
+    raw-row shuffle; the only post-aggregate work is O(groups) limb
+    carries on the driver."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    part_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("n", pa.int64()),
+            ("sum_qty", pa.int64()),
+            ("sum_qty_sq", pa.int64()),
+            ("sum_price_cents", pa.int64()),
+            ("sum_qp_cents", pa.int64()),
+            ("psq_hi25", pa.int64()),
+            ("psq_lo25", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        rf = np.asarray(t.column("l_returnflag").to_pylist(), dtype=object)
+        qty = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        p = _cents(t.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        # p*p must stay exact in int64 per row (2^25-limb split bounds
+        # the SUMS, not the square itself)
+        if p.size and int(np.abs(p).max()) >= 3_037_000_499:  # isqrt(2^63)
+            raise ValueError(
+                "lineitem_qp_corr: |price_cents| >= 3037000499 would "
+                "overflow int64 in p^2; widen to a third limb"
+            )
+        psq = p * p
+        order, starts, counts = _group_segments(rf)
+        rf_s = rf[order][starts]
+        qty, p, psq = qty[order], p[order], psq[order]
+        return pa.table(
+            {
+                "l_returnflag": pa.array(list(rf_s), pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+                "sum_qty": pa.array(np.add.reduceat(qty, starts)),
+                "sum_qty_sq": pa.array(np.add.reduceat(qty * qty, starts)),
+                "sum_price_cents": pa.array(np.add.reduceat(p, starts)),
+                "sum_qp_cents": pa.array(np.add.reduceat(qty * p, starts)),
+                "psq_hi25": pa.array(np.add.reduceat(psq >> 25, starts)),
+                "psq_lo25": pa.array(
+                    np.add.reduceat(psq & ((1 << 25) - 1), starts)
+                ),
+            },
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .sum(
+            [
+                "n", "sum_qty", "sum_qty_sq", "sum_price_cents",
+                "sum_qp_cents", "psq_hi25", "psq_lo25",
+            ]
+        )
+        .to_pandas()
+    )
+    merged.columns = [
+        "l_returnflag", "n", "sum_qty", "sum_qty_sq", "sum_price_cents",
+        "sum_qp_cents", "psq_hi25", "psq_lo25",
+    ]
+    merged = merged.sort_values("l_returnflag").reset_index(drop=True)
+    # exact 128-bit reassembly (O(groups) Python ints), then base-2^62
+    # limbs so the HUGEINT oracle restates them with // and %
+    hi62, lo62 = [], []
+    for a, b in zip(merged["psq_hi25"], merged["psq_lo25"]):
+        total = (int(a) << 25) + int(b)
+        hi62.append(total >> 62)
+        lo62.append(total & ((1 << 62) - 1))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(
+                merged["l_returnflag"].tolist(), pa.string()
+            ),
+            "n": pa.array(merged["n"].astype(np.int64)),
+            "sum_qty": pa.array(merged["sum_qty"].astype(np.int64)),
+            "sum_qty_sq": pa.array(merged["sum_qty_sq"].astype(np.int64)),
+            "sum_price_cents": pa.array(
+                merged["sum_price_cents"].astype(np.int64)
+            ),
+            "sum_qp_cents": pa.array(merged["sum_qp_cents"].astype(np.int64)),
+            "sum_price_sq_hi": pa.array(hi62, pa.int64()),
+            "sum_price_sq_lo": pa.array(lo62, pa.int64()),
+        }
+    )

@@ -6,6 +6,7 @@ with hand-computed expectations covering boundary/tie semantics.
 import datetime as dt
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -969,3 +970,46 @@ def test_lineitem_pricing_exact(ray_session, tmp_path):
     assert r["sum_disc_cents_x100"] == 10000 * 95 + 5050 * 100
     # charge x10k: disc * (100 + tax_pct)
     assert r["sum_charge_cents_x10k"] == 10000 * 95 * 102 + 5050 * 100 * 108
+
+
+def test_lineitem_qp_corr_two_limb_exact(ray_session, tmp_path):
+    """sum(price_cents^2) larger than int64 reassembles exactly via
+    the two-limb partial: 2000 rows at the maximum in-domain price
+    (|p| just under isqrt(2^63)) give sum(p^2) ~ 1.8e25 >> 2^63."""
+    n = 2000
+    price = 30_370_004.98  # floor-cents 3037000498 = isqrt(2^63) - 1
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(["A"] * n + ["R"], pa.string()),
+            "l_quantity": pa.array([3.0] * n + [7.0], pa.float64()),
+            "l_extendedprice": pa.array(
+                [price] * n + [1.00], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = {r["l_returnflag"]: r for r in ev.lineitem_qp_corr(str(tmp_path)).to_pylist()}
+    p = 3037000498
+    want = n * p * p            # exact python int, ~1.8e25
+    assert want > 2**63
+    got = (out["A"]["sum_price_sq_hi"] << 62) + out["A"]["sum_price_sq_lo"]
+    assert got == want
+    assert out["A"]["n"] == n and out["A"]["sum_qty"] == 3 * n
+    assert out["A"]["sum_qp_cents"] == 3 * p * n
+    assert out["A"]["sum_qty_sq"] == 9 * n
+    assert (out["R"]["sum_price_sq_hi"], out["R"]["sum_price_sq_lo"]) == (
+        0, 100 * 100,
+    )
+
+
+def test_lineitem_qp_corr_overflow_guard(ray_session, tmp_path):
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(["A"], pa.string()),
+            "l_quantity": pa.array([1.0], pa.float64()),
+            "l_extendedprice": pa.array([40_000_000.00], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    with pytest.raises(Exception, match=r"overflow int64 in p\^2"):
+        ev.lineitem_qp_corr(str(tmp_path))
