@@ -103,6 +103,18 @@ SELECT url, warc_ts, md5(html::VARCHAR) AS html_md5, text, lang
 FROM merged WHERE deleted = 0 ORDER BY url
 """
 
+# GDPR erasure gate: the replay oracle minus the erased urls (doc_ids
+# 3, 17, 123 -- queries.GDPR_ERASE_DOC_IDS; url pattern from
+# workload._urls).  Keys absent at a given scale factor erase as
+# no-ops on both sides.
+_GDPR_SQL = f"""
+SELECT * FROM ({_FINAL_STATE_SQL.replace("ORDER BY url", "")})
+WHERE url NOT IN ('https://site3.example/d/3',
+                  'https://site17.example/d/17',
+                  'https://site3.example/d/123')
+ORDER BY url
+"""
+
 # Materialized-view gate: the maintained per-lang aggregate must equal
 # the same aggregate recomputed over the fully replayed final state.
 _VIEW_LANG_SQL = f"""
@@ -1228,6 +1240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lake maintenance gate: repartition_lake (16->24 live
         # re-layout) + vacuum, state must survive byte-identical
         "cdc_final_state_repartitioned": q.cdc_final_state_repartitioned,
+        # GDPR right-to-erasure: targeted copy-on-write delete of
+        # <= 3 urls (only their partitions rewrite) + vacuum
+        "lake_gdpr_erasure": q.lake_gdpr_erasure,
         # dead-letter accounting gate: planted keyless rows must all
         # route to lake/dead_letters with exact per-reason counts
         "cdc_dead_letters": q.cdc_dead_letters,
@@ -1393,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_transform": _FINAL_STATE_TRANSFORM_SQL,
         "cdc_final_state_chunked": _FINAL_STATE_SQL,
         "cdc_final_state_repartitioned": _FINAL_STATE_SQL,
+        "lake_gdpr_erasure": _GDPR_SQL,
         "cdc_dead_letters": _DEAD_LETTERS_SQL,
         "cdc_view_lang_stats": _VIEW_LANG_SQL,
         "lake_host_stats": _HOST_STATS_SQL,

@@ -591,6 +591,66 @@ class Engine:
             pre_partitioned=True,
         )
 
+    def erase(self, keys: list[str]) -> Manifest:
+        """GDPR right-to-erasure: delete the given keys from the lake
+        as ONE committed copy-on-write version.
+
+        Each key becomes a delete pseudo-event stamped at
+        ``last_commit_scn + 1`` (strictly after every applied change,
+        so the LWW fold removes the key regardless of its history);
+        the events flow through the standard partition exchange, so
+        ONLY partitions holding a target key are rewritten -- the
+        untouched partitions carry their existing files forward in the
+        new manifest, and a later ``vacuum`` drops the pre-erasure
+        files, completing the physical forget.  Erasing an absent key
+        is a no-op (the delete folds against an empty group).  The CDC
+        watermark does not move: pending changelog files stay pending,
+        and a post-erasure event for the same key legitimately
+        re-creates it (new data after a forget is new data).
+
+        The reference has no sink-side analog (its sink is Kafka,
+        where erasure is the compacted-topic tombstone,
+        ConnectSchemaFactory.kt:56-163 tombstone emission); this is
+        the lake-side completion of that contract."""
+        import ray.data as rd
+
+        m = self._require_manifest()
+        if m.open_txn_spill:
+            raise RuntimeError(
+                "erase with open-txn carryover pending; replay the "
+                "committing changelog (or drain) first"
+            )
+        schema = schemas.schema_from_json(m.schema)
+        data_cols = schemas.data_columns_of(schema, self.config.key_column)
+        n = len(keys)
+        scn = m.last_commit_scn + 1
+        cols = {
+            self.config.key_column: pa.array(
+                [str(k) for k in keys], pa.string()
+            ),
+            "commit_scn": pa.array([scn] * n, pa.int64()),
+            "scn": pa.array([scn] * n, pa.int64()),
+            "row_id": pa.array([""] * n, pa.string()),
+            "op": pa.array(["d"] * n, pa.string()),
+            "set_mask": pa.array([0] * n, pa.int64()),
+        }
+        for c in data_cols:
+            ftype = schema.field(c).type
+            cols[f"a_{c}"] = pa.nulls(n, ftype)
+            cols[f"b_{c}"] = pa.nulls(n, ftype)
+        flat = rd.from_arrow(pa.table(cols))
+        return self._merge_and_publish(
+            flat,
+            version=m.version + 1,
+            phase="erase",
+            table_schema=schema,
+            schema_version=m.schema_version,
+            scn_lo=m.watermark_scn - 1,
+            scn_hi=m.watermark_scn,
+            prev=m,
+            open_spill=None,
+        )
+
     def vacuum(self, keep_versions: int = 2) -> dict:
         """Remove partition files and spills referenced only by
         manifests older than the newest ``keep_versions`` (copy-on-write

@@ -731,6 +731,33 @@ def cdc_final_state_repartitioned(sf_dir: str) -> pa.Table:
     return _digest_html(eng.to_arrow())
 
 
+#: doc_ids whose urls the GDPR gate erases -- shared between the Ray
+#: query and the SQL oracle in __ray_entry__.py (urls follow
+#: workload._urls: https://site{doc_id % 20}.example/d/{doc_id}).
+GDPR_ERASE_DOC_IDS = (3, 17, 123)
+
+
+def lake_gdpr_erasure(sf_dir: str) -> pa.Table:
+    """GDPR right-to-erasure through the lake: flagship replay, then
+    ``Engine.erase`` of three urls as one committed copy-on-write
+    version, then ``vacuum`` so the pre-erasure partition files are
+    physically gone.  Only the (<= 3) partitions holding a target key
+    are rewritten -- the erase request rides the standard partition
+    exchange, so the cost is O(touched partitions), not O(lake).  The
+    state read back must equal the replay oracle minus the erased
+    urls.  Keys absent at small scale factors (doc 123 below sf0.01)
+    erase as no-ops on both sides."""
+    d = workload.ensure_workload(sf_dir)
+    lake = d["lake"] + "-gdpr"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(EngineConfig(lake_dir=lake, num_partitions=16))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(d["changelog"])
+    eng.erase([workload.url_of(i) for i in GDPR_ERASE_DOC_IDS])
+    eng.vacuum(keep_versions=1)
+    return _digest_html(eng.to_arrow())
+
+
 def cdc_dead_letters(sf_dir: str) -> pa.Table:
     """Dead-letter accounting gate (M4/M5): replay a changelog where
     every 101st change event's key is nulled (undecodable struct row).

@@ -82,6 +82,11 @@ def _urls(doc_ids: np.ndarray) -> pa.Array:
     return _concat("https://site", doc_ids % N_HOSTS, ".example/d/", doc_ids)
 
 
+def url_of(doc_id: int) -> str:
+    """The url of one doc (scalar sibling of ``_urls``)."""
+    return f"https://site{doc_id % N_HOSTS}.example/d/{doc_id}"
+
+
 def derive_pages(sf_dir: str) -> pa.Table:
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]

@@ -153,3 +153,44 @@ def test_crash_debris_ignored_and_vacuumed(ray_session, tmp_path):
     files = set(os.listdir(parts_dir))
     assert "p00099-v99999999.parquet" not in files
     assert table_to_state(eng.to_arrow()) == before
+
+
+def test_gdpr_erase(ray_session, tmp_path):
+    eng, pages, events = build(tmp_path)
+    m_before = eng.store.load()
+    state = table_to_state(eng.to_arrow())
+    live = sorted(state)
+    # erase two live keys + one absent key (no-op on the absent one)
+    targets = [live[0], live[7], "https://absent.example/x"]
+    m = eng.erase(targets)
+
+    # final state == previous state minus the erased keys
+    got = table_to_state(eng.to_arrow())
+    want = {k: v for k, v in state.items() if k not in targets}
+    assert not state_diff(got, want)
+
+    # copy-on-write pruning: only the partitions holding a target key
+    # were rewritten; untouched partitions carry the SAME file forward
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+    import pyarrow as pa
+    touched = set(
+        partition_ids(pa.array(targets[:2]), eng.config.num_partitions)
+    )
+    assert m.metrics["partitions_rewritten"] <= len(touched)
+    before = {p.part_id: p.file for p in m_before.partitions}
+    after = {p.part_id: p.file for p in m.partitions}
+    for pid, f in after.items():
+        if pid not in touched:
+            assert f == before[pid]
+
+    # watermark unmoved; version advanced; vacuum completes the forget
+    assert m.watermark_scn == m_before.watermark_scn
+    assert m.version == m_before.version + 1
+    eng.vacuum(keep_versions=1)
+    got2 = table_to_state(eng.to_arrow())
+    assert not state_diff(got2, want)
+
+    # erasing only absent keys is a committed no-op version
+    m2 = eng.erase(["https://absent.example/y"])
+    assert m2.version == m.version + 1
+    assert not state_diff(table_to_state(eng.to_arrow()), want)
