@@ -1114,6 +1114,44 @@ ORDER BY event_type
 # Cross-document duplicated 8-gram density (the map-reduce restating
 # of exact-substring dedup): a gram occurrence is duplicated iff its
 # exact word-8-gram string occurs >= 2 times corpus-wide.
+# URL canonicalization: replant the identical dirty variants
+# (doc_id % 4 selects the flaw) and canonicalize with the SAME RE2
+# steps in the same order (fragment -> utm query -> :443 -> lowercase
+# scheme+host); DuckDB regexp_replace supports the \1 rewrite
+# backrefs RE2 defines, so every step is engine-identical.
+_URL_CANON_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 1 THEN 'HTTPS://SITE' || (doc_id % 20)::VARCHAR
+                    || '.EXAMPLE/d/' || doc_id::VARCHAR
+      WHEN 2 THEN 'https://site' || (doc_id % 20)::VARCHAR
+                    || '.example:443/d/' || doc_id::VARCHAR
+      WHEN 3 THEN 'https://site' || (doc_id % 20)::VARCHAR
+                    || '.example/d/' || doc_id::VARCHAR
+                    || '#sec' || (doc_id % 7)::VARCHAR
+      ELSE 'https://site' || (doc_id % 20)::VARCHAR
+             || '.example/d/' || doc_id::VARCHAR
+             || '?utm_source=t' || (doc_id % 5)::VARCHAR
+    END AS raw_url
+  FROM documents
+),
+s1 AS (SELECT doc_id, raw_url,
+              regexp_replace(raw_url, '#.*$', '') AS u FROM raw),
+s2 AS (SELECT doc_id, raw_url,
+              regexp_replace(u, '\?utm_[a-z]+=[A-Za-z0-9_-]*$', '') AS u
+       FROM s1),
+s3 AS (SELECT doc_id, raw_url,
+              regexp_replace(u, '^([a-zA-Z]+://[^/:]+):443(/.*)?$', '\1\2')
+                AS u
+       FROM s2)
+SELECT doc_id, raw_url,
+       lower(regexp_extract(u, '^([a-zA-Z]+://[^/]+)', 1))
+         || regexp_extract(u, '^[a-zA-Z]+://[^/]+(.*)$', 1) AS canon_url
+FROM s3
+ORDER BY doc_id
+"""
+
 # PII redaction: replant the identical deterministic contact trailer
 # (doc_id % 3 emails, doc_id % 2 phone numbers) and redact with the
 # SAME RE2 patterns the engine runs (dataops._PII_EMAIL_RE /
@@ -1395,6 +1433,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the data-dependent contact trailer is planted identically
         # by engine and oracle, then redacted byte-for-byte)
         "pii_redaction": d.pii_redaction,
+        # crawl-frontier URL canonicalization (fragment / utm /
+        # default-port / case normalization, RE2 on both sides)
+        "url_canonicalize": d.url_canonicalize,
     }
 
 
@@ -1481,4 +1522,5 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_qp_corr": _QP_CORR_SQL,
         "doc_dup_ngrams": _DUP_NGRAMS_SQL,
         "pii_redaction": _PII_SQL,
+        "url_canonicalize": _URL_CANON_SQL,
     }

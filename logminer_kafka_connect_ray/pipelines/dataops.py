@@ -2595,6 +2595,90 @@ def pii_redaction(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization (crawl-frontier normalization)
+# ---------------------------------------------------------------------------
+def url_canonicalize(sf_dir: str) -> pa.Table:
+    """Crawl-frontier URL canonicalization -- the normalization a
+    web pipeline applies before url-level dedup (Common Crawl dedups
+    on canonical URL): lowercase scheme+host, strip the fragment,
+    strip the default ``:443`` port, strip tracking-only query
+    strings (``?utm_*``).
+
+    The corpus has no dirty URLs, so each document first derives a
+    deterministic dirty variant of its canonical url (``doc_id % 4``
+    selects UPPERCASED scheme+host / explicit ``:443`` / ``#frag`` /
+    ``?utm_source=`` trailer) and the canonicalizer must recover the
+    clean form; the oracle replants the identical variants in SQL and
+    canonicalizes with the same RE2 patterns (DuckDB's regexp
+    functions are RE2, including ``\\1`` rewrite backrefs, so every
+    step is engine-identical).
+
+    Scale shape: embarrassingly parallel single-pass ``map_batches``;
+    every kernel is an Arrow regex/string call (``extract_regex`` +
+    ``replace_substring_regex``), no per-row Python."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.int64())
+        dn = did.combine_chunks().to_numpy(zero_copy_only=False)
+        s = pa.scalar
+        host = pc.cast(pa.array(dn % 20), pa.string())
+        path = pc.cast(did, pa.string())
+        base = pc.binary_join_element_wise(
+            s("https://site"), host, s(".example/d/"), path, ""
+        )
+        v = dn % 4
+        upper = pc.binary_join_element_wise(
+            s("HTTPS://SITE"), host, s(".EXAMPLE/d/"), path, ""
+        )
+        ported = pc.binary_join_element_wise(
+            s("https://site"), host, s(".example:443/d/"), path, ""
+        )
+        fragged = pc.binary_join_element_wise(
+            base,
+            pc.binary_join_element_wise(
+                s("#sec"), pc.cast(pa.array(dn % 7), pa.string()), ""
+            ),
+            "",
+        )
+        tracked = pc.binary_join_element_wise(
+            base,
+            pc.binary_join_element_wise(
+                s("?utm_source=t"), pc.cast(pa.array(dn % 5), pa.string()), ""
+            ),
+            "",
+        )
+        raw = pc.if_else(
+            pa.array(v == 1), upper,
+            pc.if_else(
+                pa.array(v == 2), ported,
+                pc.if_else(pa.array(v == 3), fragged, tracked),
+            ),
+        )
+        # --- the canonicalizer (order matters; mirrored in _URL_SQL) ---
+        u = pc.replace_substring_regex(raw, r"#.*$", "")
+        u = pc.replace_substring_regex(u, r"\?utm_[a-z]+=[A-Za-z0-9_-]*$", "")
+        u = pc.replace_substring_regex(
+            u, r"^([a-zA-Z]+://[^/:]+):443(/.*)?$", r"\1\2"
+        )
+        ex = pc.extract_regex(u, r"^(?P<pre>[a-zA-Z]+://[^/]+)(?P<rest>.*)$")
+        u = pc.binary_join_element_wise(
+            pc.utf8_lower(pc.struct_field(ex, "pre")),
+            pc.struct_field(ex, "rest"),
+            "",
+        )
+        return pa.table(
+            {"doc_id": did, "raw_url": raw, "canon_url": u}
+        )
+
+    t = pa.Table.from_pandas(
+        ds.map_batches(canon, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
 # Line-level exact dedup (C4 / RefinedWeb shape)
 # ---------------------------------------------------------------------------
 def line_dedup(sf_dir: str) -> pa.Table:

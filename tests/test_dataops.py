@@ -163,6 +163,24 @@ def test_pii_redaction_counts_and_text(ray_session, tmp_path):
     assert "555-1234" not in out[3]["redacted"]
 
 
+def test_url_canonicalize_variants(ray_session, tmp_path):
+    sf = make_docs(tmp_path, ["a", "b", "c", "d", "e"])
+    out = {r["doc_id"]: r for r in d.url_canonicalize(sf).to_pylist()}
+    # doc 1: UPPERCASED scheme+host recovers lowercase
+    assert out[1]["raw_url"].startswith("HTTPS://SITE1.EXAMPLE")
+    assert out[1]["canon_url"] == "https://site1.example/d/1"
+    # doc 2: explicit default port stripped
+    assert ":443" in out[2]["raw_url"]
+    assert out[2]["canon_url"] == "https://site2.example/d/2"
+    # doc 3: fragment stripped
+    assert "#sec3" in out[3]["raw_url"]
+    assert out[3]["canon_url"] == "https://site3.example/d/3"
+    # docs 0/4: utm-only query stripped
+    assert "?utm_source=" in out[0]["raw_url"]
+    assert out[0]["canon_url"] == "https://site0.example/d/0"
+    assert out[4]["canon_url"] == "https://site4.example/d/4"
+
+
 def test_fingerprints_stable(ray_session, tmp_path):
     sf = make_docs(tmp_path, [BASE_TEXTS[0], BASE_TEXTS[0], BASE_TEXTS[1]])
     fps = [r["fingerprint"] for r in d.doc_fingerprints(sf).to_pylist()]
