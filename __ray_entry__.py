@@ -1114,6 +1114,25 @@ ORDER BY event_type
 # Cross-document duplicated 8-gram density (the map-reduce restating
 # of exact-substring dedup): a gram occurrence is duplicated iff its
 # exact word-8-gram string occurs >= 2 times corpus-wide.
+# Document chunking: windows of 32 words, overlap 4, stride 28;
+# n_chunks = max(1, ceil((n_words - 4) / 28)).  DuckDB list slicing
+# is 1-based inclusive with clamping, so window j (0-based word s =
+# j*28) is ws[s+1 : s+32].
+_DOC_CHUNK_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, len(ws) AS n,
+         greatest(1, (len(ws) - 4 + 27) // 28) AS n_chunks, ws
+  FROM w
+)
+SELECT doc_id,
+       s.j AS chunk_idx,
+       least(32, n - s.j * 28)::BIGINT AS n_words,
+       array_to_string(ws[s.j*28 + 1 : s.j*28 + 32], ' ') AS chunk_text
+FROM c, LATERAL unnest(range(0, n_chunks)) AS s(j)
+ORDER BY doc_id, chunk_idx
+"""
+
 # URL canonicalization: replant the identical dirty variants
 # (doc_id % 4 selects the flaw) and canonicalize with the SAME RE2
 # steps in the same order (fragment -> utm query -> :443 -> lowercase
@@ -1436,6 +1455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl-frontier URL canonicalization (fragment / utm /
         # default-port / case normalization, RE2 on both sides)
         "url_canonicalize": d.url_canonicalize,
+        # training-sequence chunking: fixed word windows with
+        # overlap, fan-out vectorized per chunk ordinal
+        "doc_chunking": d.doc_chunking,
     }
 
 
@@ -1523,4 +1545,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_ngrams": _DUP_NGRAMS_SQL,
         "pii_redaction": _PII_SQL,
         "url_canonicalize": _URL_CANON_SQL,
+        "doc_chunking": _DOC_CHUNK_SQL,
     }

@@ -2595,6 +2595,88 @@ def pii_redaction(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Document chunking (training-sequence windowing)
+# ---------------------------------------------------------------------------
+def doc_chunking(sf_dir: str, chunk: int = 32, overlap: int = 4) -> pa.Table:
+    """Split every document into fixed-size word windows with overlap
+    -- the chunking step an embedding / training pipeline applies to
+    long documents (stride = ``chunk - overlap``; a window starts at
+    every stride multiple that still contains at least one word
+    beyond the previous window's overlap region, so
+    ``n_chunks = max(1, ceil((n_words - overlap) / stride))``).
+    Returns one row per chunk: ``(doc_id, chunk_idx, n_words,
+    chunk_text)``.
+
+    Scale shape: embarrassingly parallel ``map_batches``; the
+    variable fan-out is vectorized per chunk ORDINAL, not per row --
+    iteration ``j`` slices window ``j`` out of every still-long-enough
+    document at once (``list_slice`` + ``binary_join``), so the
+    per-batch Python loop runs ``max_chunks_in_batch`` times (a few
+    iterations for web-scale docs), never ``n_rows``.  split/rejoin
+    with the same separator is segment-exact, so ``chunk_text``
+    matches the SQL ``array_to_string(ws[a:b], ' ')`` byte-for-byte
+    even through repeated separators."""
+    if overlap >= chunk:
+        raise ValueError("doc_chunking: overlap must be < chunk")
+    stride = chunk - overlap
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_idx", pa.int64()),
+            ("n_words", pa.int64()),
+            ("chunk_text", pa.large_string()),
+        ]
+    )
+
+    def chunks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        text = pc.cast(t.column("text").combine_chunks(), pa.large_string())
+        ls = pc.split_pattern(text, " ")
+        n = pc.list_value_length(ls).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        did = pc.cast(t.column("doc_id"), pa.int64()).combine_chunks()
+        n_chunks = np.maximum(1, (n - overlap + stride - 1) // stride)
+        pieces = []
+        for j in range(int(n_chunks.max())):
+            sel = n_chunks > j
+            idx = pa.array(np.flatnonzero(sel))
+            sub = ls.take(idx)
+            s = j * stride
+            sliced = pc.list_slice(sub, s, s + chunk)
+            pieces.append(
+                pa.table(
+                    {
+                        "doc_id": did.take(idx),
+                        "chunk_idx": pa.array(
+                            np.full(len(idx), j, np.int64)
+                        ),
+                        "n_words": pa.array(np.minimum(chunk, n[sel] - s)),
+                        "chunk_text": pc.binary_join(
+                            sliced, pa.scalar(" ", pa.large_string())
+                        ),
+                    },
+                    schema=out_schema,
+                )
+            )
+        return pa.concat_tables(pieces)
+
+    t = pa.Table.from_pandas(
+        ds.map_batches(chunks, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    return t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[("doc_id", "ascending"), ("chunk_idx", "ascending")],
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization (crawl-frontier normalization)
 # ---------------------------------------------------------------------------
 def url_canonicalize(sf_dir: str) -> pa.Table:

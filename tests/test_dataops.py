@@ -163,6 +163,36 @@ def test_pii_redaction_counts_and_text(ray_session, tmp_path):
     assert "555-1234" not in out[3]["redacted"]
 
 
+def test_doc_chunking_windows(ray_session, tmp_path):
+    words = [f"w{i}" for i in range(70)]
+    sf = make_docs(
+        tmp_path,
+        [
+            " ".join(words),      # 70 words -> ceil(66/28)=3 chunks
+            "a b",                # short -> 1 chunk
+            "",                   # empty -> 1 chunk (single '' token)
+            "x  y",               # repeated separator survives rejoin
+        ],
+    )
+    out = d.doc_chunking(sf, chunk=32, overlap=4)
+    rows = [r for r in out.to_pylist()]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["chunk_idx"] for r in by_doc[0]] == [0, 1, 2]
+    assert by_doc[0][0]["chunk_text"] == " ".join(words[0:32])
+    assert by_doc[0][1]["chunk_text"] == " ".join(words[28:60])
+    assert by_doc[0][2]["chunk_text"] == " ".join(words[56:70])
+    assert [r["n_words"] for r in by_doc[0]] == [32, 32, 14]
+    # overlap: last 4 words of chunk j == first 4 of chunk j+1
+    assert by_doc[0][0]["chunk_text"].split()[-4:] == \
+        by_doc[0][1]["chunk_text"].split()[:4]
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "a b"
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == ""
+    assert by_doc[3][0]["chunk_text"] == "x  y"  # '' token preserved
+    assert by_doc[3][0]["n_words"] == 3
+
+
 def test_url_canonicalize_variants(ray_session, tmp_path):
     sf = make_docs(tmp_path, ["a", "b", "c", "d", "e"])
     out = {r["doc_id"]: r for r in d.url_canonicalize(sf).to_pylist()}
