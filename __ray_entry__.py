@@ -1114,6 +1114,28 @@ ORDER BY event_type
 # Cross-document duplicated 8-gram density (the map-reduce restating
 # of exact-substring dedup): a gram occurrence is duplicated iff its
 # exact word-8-gram string occurs >= 2 times corpus-wide.
+# Sequence packing: exact global prefix sum of word counts in doc_id
+# order, each doc's word span [off, off+n) expanded into the 64-word
+# training sequences it overlaps.
+_SEQ_PACKING_SQL = """
+WITH w AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n FROM documents
+),
+o AS (
+  SELECT doc_id, n,
+         COALESCE(sum(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS off
+  FROM w
+)
+SELECT doc_id,
+       s.k AS seq_idx,
+       (least((s.k + 1) * 64, off + n)
+          - greatest(s.k * 64, off))::BIGINT AS words_in_seq
+FROM o, LATERAL unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS s(k)
+ORDER BY doc_id, seq_idx
+"""
+
 # Document chunking: windows of 32 words, overlap 4, stride 28;
 # n_chunks = max(1, ceil((n_words - 4) / 28)).  DuckDB list slicing
 # is 1-based inclusive with clamping, so window j (0-based word s =
@@ -1458,6 +1480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-sequence chunking: fixed word windows with
         # overlap, fan-out vectorized per chunk ordinal
         "doc_chunking": d.doc_chunking,
+        # GPT-style concat-and-chunk packing: exact distributed
+        # global prefix sum (range partition + base offsets)
+        "seq_packing": d.seq_packing,
     }
 
 
@@ -1546,4 +1571,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": _PII_SQL,
         "url_canonicalize": _URL_CANON_SQL,
         "doc_chunking": _DOC_CHUNK_SQL,
+        "seq_packing": _SEQ_PACKING_SQL,
     }

@@ -2677,6 +2677,140 @@ def doc_chunking(sf_dir: str, chunk: int = 32, overlap: int = 4) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk across documents)
+# ---------------------------------------------------------------------------
+def seq_packing(sf_dir: str, seq_len: int = 64) -> pa.Table:
+    """GPT-style sequence packing: conceptually concatenate every
+    document's words in ``doc_id`` order and cut the stream into
+    fixed ``seq_len`` training sequences; report, for every document,
+    which sequences it lands in and how many of its words each one
+    takes -- ``(doc_id, seq_idx, words_in_seq)``.  The core of it is
+    an EXACT GLOBAL PREFIX SUM of per-document word counts, computed
+    distributed:
+
+    1. Offset pass: each block bins its docs into ``P`` contiguous
+       ``doc_id`` ranges and emits the per-range word totals (a
+       ``P``-counter vector, merged by elementwise sum on the driver
+       -- no exchange); exclusive cumsum gives each range's exact
+       base word offset.
+    2. Packing pass: blocks stamp ``(doc_id, n_words, _p)`` -- the
+       TEXT never crosses the exchange -- one explicit-boundary
+       exchange co-locates each range, and a per-block sweep sorts by
+       ``doc_id``, adds the local exclusive cumsum to the range base,
+       and expands each doc's span ``[off, off+n)`` into its
+       overlapping sequences with one ``repeat``/``arange`` fan-out.
+
+    Same range-partition + exact-base-offset shape as
+    ``events_global_rank``; ranges are doc_id-disjoint so offsets are
+    globally exact."""
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    P = _exchange_width(n_docs)
+    rng_w = max(1, -(-(n_docs) // P))  # ceil: doc_ids per range
+    gd = _new_guard_dir("packing")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _range_of(did: np.ndarray) -> np.ndarray:
+        return np.minimum(did // rng_w, P - 1).astype(np.int64)
+
+    # --- pass 1: per-range word totals -> exact base offsets ---------
+    def block_words(t: pa.Table) -> pa.Table:
+        counts = np.zeros(P, np.int64)
+        if t.num_rows:
+            text = pc.cast(
+                t.column("text").combine_chunks(), pa.large_string()
+            )
+            n = pc.list_value_length(pc.split_pattern(text, " ")).to_numpy(
+                zero_copy_only=False
+            )
+            did = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            np.add.at(counts, _range_of(did), n.astype(np.int64))
+        return pa.table({"counts": pa.array([counts.tobytes()])})
+
+    range_words = np.zeros(P, np.int64)
+    for b in ds.map_batches(
+        block_words, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for buf in b.column("counts").to_pylist():
+            range_words += np.frombuffer(buf, np.int64)
+    base = np.concatenate([[np.int64(0)], np.cumsum(range_words)[:-1]])
+
+    # --- pass 2: stamp (doc_id, n_words, _p), exchange, sweep ---------
+    stamp_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_words", pa.int64()),
+         ("_p", pa.int64())]
+    )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return stamp_schema.empty_table()
+        text = pc.cast(t.column("text").combine_chunks(), pa.large_string())
+        n = pc.list_value_length(pc.split_pattern(text, " ")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        did = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {"doc_id": pa.array(did), "n_words": pa.array(n),
+             "_p": pa.array(_range_of(did))},
+            schema=stamp_schema,
+        )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("seq_idx", pa.int64()),
+         ("words_in_seq", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        p = t.column("_p").to_numpy(zero_copy_only=False)
+        _guard_record(gd, "packing", p)
+        if not (p == p[0]).all():
+            raise RuntimeError(
+                "seq_packing sweep got a mixed-range block; base offset "
+                "would be wrong (exchange merged partitions?)"
+            )
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = t.column("n_words").to_numpy(zero_copy_only=False)
+        order = np.argsort(did, kind="stable")
+        did, n = did[order], n[order]
+        off = base[p[0]] + np.concatenate(
+            [[np.int64(0)], np.cumsum(n)[:-1]]
+        )
+        k_lo = off // seq_len
+        k_hi = (off + n - 1) // seq_len
+        reps = (k_hi - k_lo + 1).astype(np.int64)
+        rep_idx = np.repeat(np.arange(len(did)), reps)
+        # within-doc sequence ordinal: 0..reps-1 per doc
+        csum = np.concatenate([[np.int64(0)], np.cumsum(reps)[:-1]])
+        ordinal = np.arange(reps.sum()) - csum[rep_idx]
+        k = k_lo[rep_idx] + ordinal
+        lo = np.maximum(k * seq_len, off[rep_idx])
+        hi = np.minimum((k + 1) * seq_len, off[rep_idx] + n[rep_idx])
+        return pa.table(
+            {"doc_id": pa.array(did[rep_idx]), "seq_idx": pa.array(k),
+             "words_in_seq": pa.array(hi - lo)},
+            schema=out_schema,
+        )
+
+    packed = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(packed.to_pandas(), preserve_index=False)
+    t = _finalize_guard(gd, t)
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("doc_id", "ascending"), ("seq_idx", "ascending")]
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization (crawl-frontier normalization)
 # ---------------------------------------------------------------------------
 def url_canonicalize(sf_dir: str) -> pa.Table:

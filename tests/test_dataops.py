@@ -193,6 +193,27 @@ def test_doc_chunking_windows(ray_session, tmp_path):
     assert by_doc[3][0]["n_words"] == 3
 
 
+def test_seq_packing_spans(ray_session, tmp_path):
+    # word counts: 3, 5, 10, 1 -> offsets 0, 3, 8, 18 at seq_len=8:
+    # doc0 [0,3) -> seq0; doc1 [3,8) -> seq0; doc2 [8,18) -> seq1,2;
+    # doc3 [18,19) -> seq2
+    sf = make_docs(
+        tmp_path,
+        ["a b c", "d e f g h", " ".join(["w"] * 10), "z"],
+    )
+    out = d.seq_packing(sf, seq_len=8).to_pylist()
+    got = [(r["doc_id"], r["seq_idx"], r["words_in_seq"]) for r in out]
+    assert got == [
+        (0, 0, 3), (1, 0, 5), (2, 1, 8), (2, 2, 2), (3, 2, 1),
+    ]
+    # every sequence except the last is exactly full
+    import collections
+    per_seq = collections.Counter()
+    for _, k, w in got:
+        per_seq[k] += w
+    assert per_seq[0] == 8 and per_seq[1] == 8 and per_seq[2] == 3
+
+
 def test_url_canonicalize_variants(ray_session, tmp_path):
     sf = make_docs(tmp_path, ["a", "b", "c", "d", "e"])
     out = {r["doc_id"]: r for r in d.url_canonicalize(sf).to_pylist()}
