@@ -1114,6 +1114,45 @@ ORDER BY event_type
 # Cross-document duplicated 8-gram density (the map-reduce restating
 # of exact-substring dedup): a gram occurrence is duplicated iff its
 # exact word-8-gram string occurs >= 2 times corpus-wide.
+# Conversion funnel: furthest signup -> click -> purchase stage per
+# user, each stage strictly after the user's FIRST completion of the
+# previous one in (ts, event_id) order.
+_FUNNEL_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+a AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN rn END) AS fs
+  FROM r GROUP BY user_id
+),
+b AS (
+  SELECT r.user_id, min(rn) AS fc
+  FROM r JOIN a USING (user_id)
+  WHERE r.event_type = 'click' AND a.fs IS NOT NULL AND r.rn > a.fs
+  GROUP BY r.user_id
+),
+c AS (
+  SELECT r.user_id, min(rn) AS fp
+  FROM r JOIN b USING (user_id)
+  WHERE r.event_type = 'purchase' AND r.rn > b.fc
+  GROUP BY r.user_id
+)
+SELECT u.user_id,
+       (CASE WHEN c.user_id IS NOT NULL THEN 3
+             WHEN b.user_id IS NOT NULL THEN 2
+             WHEN a.fs IS NOT NULL THEN 1
+             ELSE 0 END)::BIGINT AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN a ON u.user_id = a.user_id
+LEFT JOIN b ON u.user_id = b.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+ORDER BY u.user_id
+"""
+
 # Sequence packing: exact global prefix sum of word counts in doc_id
 # order, each doc's word span [off, off+n) expanded into the 64-word
 # training sequences it overlaps.
@@ -1483,6 +1522,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GPT-style concat-and-chunk packing: exact distributed
         # global prefix sum (range partition + base offsets)
         "seq_packing": d.seq_packing,
+        # sequential-pattern funnel (signup -> click -> purchase,
+        # strictly ordered) per user
+        "events_funnel": ev.events_funnel,
     }
 
 
@@ -1572,4 +1614,5 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _URL_CANON_SQL,
         "doc_chunking": _DOC_CHUNK_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
+        "events_funnel": _FUNNEL_SQL,
     }

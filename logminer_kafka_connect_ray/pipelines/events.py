@@ -2708,3 +2708,88 @@ def lineitem_qp_corr(sf_dir: str) -> pa.Table:
             "sum_price_sq_lo": pa.array(lo62, pa.int64()),
         }
     )
+
+
+def events_funnel(sf_dir: str) -> pa.Table:
+    """Ordered conversion funnel per user: the furthest stage of
+    ``signup -> click -> purchase`` each user reaches, where every
+    later stage must occur STRICTLY AFTER the user's first completion
+    of the previous one (by ``(ts, event_id)`` order) -- the product-
+    analytics sequential-pattern query that a bag-of-events aggregate
+    cannot answer.  Returns ``(user_id, funnel_stage)`` for every
+    user, stage in 0..3.
+
+    Distributed shape: same one-hash-exchange-per-user as
+    ``events_sessionize`` -- stamp ``_p = hash(user)``, explicit-
+    boundary exchange, then a single per-block lexsort sweep where
+    each stage is one ``min.reduceat`` over positions gated by the
+    previous stage's per-segment first-completion position
+    (``repeat`` back to rows); no per-row Python, no window state."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("funnel")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("funnel_stage", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "funnel", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        et = t.column("event_type")
+        is_s = pc.equal(et, "signup").to_numpy(zero_copy_only=False)
+        is_c = pc.equal(et, "click").to_numpy(zero_copy_only=False)
+        is_p = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, is_s, is_c, is_p = u[order], is_s[order], is_c[order], is_p[order]
+        n = len(u)
+        new_u = np.concatenate([[True], u[1:] != u[:-1]])
+        starts = np.flatnonzero(new_u)
+        counts = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64)
+        BIG = np.int64(n + 1)
+        fs = np.minimum.reduceat(np.where(is_s, pos, BIG), starts)
+        fs_row = np.repeat(fs, counts)
+        fc = np.minimum.reduceat(
+            np.where(is_c & (pos > fs_row), pos, BIG), starts
+        )
+        fc_row = np.repeat(fc, counts)
+        fp = np.minimum.reduceat(
+            np.where(is_p & (pos > fc_row), pos, BIG), starts
+        )
+        stage = (
+            (fs < BIG).astype(np.int64)
+            + (fc < BIG).astype(np.int64)
+            + (fp < BIG).astype(np.int64)
+        )
+        return pa.table(
+            {"user_id": pa.array(u[starts]), "funnel_stage": pa.array(stage)},
+            schema=out_schema,
+        )
+
+    res = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+    return _finalize_guard(gd, t)

@@ -1013,3 +1013,68 @@ def test_lineitem_qp_corr_overflow_guard(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "lineitem.parquet"))
     with pytest.raises(Exception, match=r"overflow int64 in p\^2"):
         ev.lineitem_qp_corr(str(tmp_path))
+
+
+def test_events_funnel_strict_order(ray_session, tmp_path):
+    rows = [
+        # user 1: full funnel in order -> stage 3
+        (1, 1, 0.0, "signup", 0.0),
+        (2, 1, 1.0, "click", 0.0),
+        (3, 1, 2.0, "purchase", 0.0),
+        # user 2: click BEFORE signup, purchase after signup but no
+        # post-signup click -> stage 1
+        (4, 2, 0.0, "click", 0.0),
+        (5, 2, 1.0, "signup", 0.0),
+        (6, 2, 2.0, "purchase", 0.0),
+        # user 3: signup then click, purchase between them -> stage 2
+        (7, 3, 0.0, "signup", 0.0),
+        (8, 3, 1.0, "purchase", 0.0),
+        (9, 3, 2.0, "click", 0.0),
+        # user 4: never signs up -> stage 0
+        (10, 4, 0.0, "click", 0.0),
+        (11, 4, 1.0, "purchase", 0.0),
+        # user 5: same-ts tiebreak by event_id (signup id 12 < click
+        # id 13 at the same minute counts as ordered) -> stage 2
+        (12, 5, 0.0, "signup", 0.0),
+        (13, 5, 0.0, "click", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["user_id"]: r["funnel_stage"]
+           for r in ev.events_funnel(sf).to_pylist()}
+    assert out == {1: 3, 2: 1, 3: 2, 4: 0, 5: 2}
+
+
+def test_events_funnel_differential_fuzz(ray_session, tmp_path):
+    """Random event streams (dense ts to force ties) vs a brute-force
+    per-user scan: the reduceat funnel must agree exactly."""
+    import random
+
+    rng = random.Random(20260818)
+    types = ["signup", "click", "purchase", "view", "error"]
+    rows = []
+    for i in range(600):
+        rows.append(
+            (i, rng.randrange(15), float(rng.randrange(40)),
+             rng.choice(types), 0.0)
+        )
+    sf = make_events(tmp_path, rows)
+    got = {r["user_id"]: r["funnel_stage"]
+           for r in ev.events_funnel(sf).to_pylist()}
+
+    by_user = {}
+    for eid, uid, minutes, et, _ in rows:
+        by_user.setdefault(uid, []).append((minutes, eid, et))
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        stage, nxt = 0, "signup"
+        for _, _, et in evs:
+            if stage == 0 and et == "signup":
+                stage, nxt = 1, "click"
+            elif stage == 1 and et == "click":
+                stage, nxt = 2, "purchase"
+            elif stage == 2 and et == "purchase":
+                stage = 3
+                break
+        want[uid] = stage
+    assert got == want
