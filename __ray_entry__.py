@@ -1114,6 +1114,22 @@ ORDER BY event_type
 # Cross-document duplicated 8-gram density (the map-reduce restating
 # of exact-substring dedup): a gram occurrence is duplicated iff its
 # exact word-8-gram string occurs >= 2 times corpus-wide.
+# Cohort retention: epoch-week cohorts (floor(epoch_days/7), no
+# calendar ambiguity), distinct cohort users active per weeks-since.
+_COHORT_SQL = """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+),
+f AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, wk FROM w)
+SELECT f.cw AS cohort_week,
+       (a.wk - f.cw)::BIGINT AS weeks_since,
+       count(*)::BIGINT AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY f.cw, weeks_since
+ORDER BY cohort_week, weeks_since
+"""
+
 # Conversion funnel: furthest signup -> click -> purchase stage per
 # user, each stage strictly after the user's FIRST completion of the
 # previous one in (ts, event_id) order.
@@ -1525,6 +1541,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequential-pattern funnel (signup -> click -> purchase,
         # strictly ordered) per user
         "events_funnel": ev.events_funnel,
+        # cohort retention matrix (epoch-week cohorts, exact
+        # distinct users per cell)
+        "events_cohort_retention": ev.events_cohort_retention,
     }
 
 
@@ -1615,4 +1634,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunking": _DOC_CHUNK_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
         "events_funnel": _FUNNEL_SQL,
+        "events_cohort_retention": _COHORT_SQL,
     }

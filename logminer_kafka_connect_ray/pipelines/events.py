@@ -2793,3 +2793,83 @@ def events_funnel(sf_dir: str) -> pa.Table:
     t = t.cast(out_schema)
     t = t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
     return _finalize_guard(gd, t)
+
+
+def events_cohort_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention matrix: users are cohorted by the EPOCH WEEK
+    of their first event (``floor(epoch_days / 7)`` -- integer weeks,
+    no calendar ambiguity between engines), and each cell counts the
+    distinct cohort users active ``weeks_since`` weeks later --
+    ``(cohort_week, weeks_since, n_users)``.
+
+    Distributed shape: one user-hash exchange (a user's whole history
+    in one block), then a per-block sweep derives each user's cohort
+    week (``min.reduceat``), dedups (user, week) activity pairs with
+    one sort + neighbor mask, and emits per-(cohort, delta) PARTIAL
+    counts via ``np.unique`` -- distinct-user exactness is free
+    because a user lives in exactly one block; the final
+    ``groupby.sum`` is matrix-sized, not event-sized."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("cohort")
+    week_us = np.int64(7 * 24 * 3600 * _US)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    part_schema = pa.schema(
+        [("cohort_week", pa.int64()), ("weeks_since", pa.int64()),
+         ("n_users", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "cohort", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        wk = _ts_i64(t.column("ts")) // week_us
+        order = np.lexsort((wk, u))
+        u, wk = u[order], wk[order]
+        n = len(u)
+        new_u = np.concatenate([[True], u[1:] != u[:-1]])
+        starts = np.flatnonzero(new_u)
+        counts = np.diff(np.append(starts, n))
+        cw = wk[starts]  # sorted per user: first week = cohort week
+        # distinct (user, week) pairs: neighbor mask on the sorted rows
+        keep = new_u.copy()
+        keep[1:] |= wk[1:] != wk[:-1]
+        delta = wk - np.repeat(cw, counts)
+        pairs = np.stack([np.repeat(cw, counts)[keep], delta[keep]], axis=1)
+        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table(
+            {"cohort_week": pa.array(uniq[:, 0]),
+             "weeks_since": pa.array(uniq[:, 1]),
+             "n_users": pa.array(cnt.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    res = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby(["cohort_week", "weeks_since"])
+        .sum("n_users")
+    )
+    merged = res.to_pandas()
+    merged.columns = ["cohort_week", "weeks_since", "n_users"]
+    t = pa.Table.from_pandas(merged, preserve_index=False).cast(part_schema)
+    t = t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[("cohort_week", "ascending"),
+                       ("weeks_since", "ascending")],
+        )
+    )
+    return _finalize_guard(gd, t)

@@ -1078,3 +1078,29 @@ def test_events_funnel_differential_fuzz(ray_session, tmp_path):
                 break
         want[uid] = stage
     assert got == want
+
+
+def test_events_cohort_retention_matrix(ray_session, tmp_path):
+    wk = 7 * 24 * 60.0  # minutes per week
+    rows = [
+        # user 1: first event week 0, active weeks 0, 1, 3 (twice in
+        # week 1 -> still one distinct user)
+        (1, 1, 0.0, "a", 0.0),
+        (2, 1, 1 * wk + 10, "a", 0.0),
+        (3, 1, 1 * wk + 20, "a", 0.0),
+        (4, 1, 3 * wk, "a", 0.0),
+        # user 2: also cohort week 0, active weeks 0 and 1
+        (5, 2, 30.0, "a", 0.0),
+        (6, 2, 1 * wk + 5, "a", 0.0),
+        # user 3: cohort week 2, active week 2 only
+        (7, 3, 2 * wk, "a", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {(r["cohort_week"], r["weeks_since"]): r["n_users"]
+           for r in ev.events_cohort_retention(sf).to_pylist()}
+    # epoch 2024-01-01 lands mid-week; all offsets share its base week
+    base = next(k[0] for k in out)
+    rel = {(k[0] - base, k[1]): v for k, v in out.items()}
+    assert rel == {
+        (0, 0): 2, (0, 1): 2, (0, 3): 1, (2, 0): 1,
+    }
