@@ -1114,6 +1114,27 @@ ORDER BY event_type
 # Cross-document duplicated 8-gram density (the map-reduce restating
 # of exact-substring dedup): a gram occurrence is duplicated iff its
 # exact word-8-gram string occurs >= 2 times corpus-wide.
+# Budget-constrained corpus selection: docs ranked (score DESC,
+# doc_id), kept while the running token total stays within 2/5 of the
+# corpus total (strict prefix; the crossing doc is out).
+_BUDGET_SELECT_SQL = """
+WITH q AS (
+  SELECT doc_id,
+         len(list_distinct(string_split(text, ' ')))::BIGINT AS score,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q
+)
+SELECT doc_id, score, n_tokens
+FROM o
+WHERE cum <= (SELECT sum(n_tokens) * 2 // 5 FROM q)
+ORDER BY doc_id
+"""
+
 # Cohort retention: epoch-week cohorts (floor(epoch_days/7), no
 # calendar ambiguity), distinct cohort users active per weeks-since.
 _COHORT_SQL = """
@@ -1538,6 +1559,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GPT-style concat-and-chunk packing: exact distributed
         # global prefix sum (range partition + base offsets)
         "seq_packing": d.seq_packing,
+        # global quality-ranked selection under a token budget
+        # (ordered prefix sum without a global sort)
+        "corpus_budget_select": d.corpus_budget_select,
         # sequential-pattern funnel (signup -> click -> purchase,
         # strictly ordered) per user
         "events_funnel": ev.events_funnel,
@@ -1633,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _URL_CANON_SQL,
         "doc_chunking": _DOC_CHUNK_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
+        "corpus_budget_select": _BUDGET_SELECT_SQL,
         "events_funnel": _FUNNEL_SQL,
         "events_cohort_retention": _COHORT_SQL,
     }

@@ -2677,6 +2677,155 @@ def doc_chunking(sf_dir: str, chunk: int = 32, overlap: int = 4) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Budget-constrained corpus selection (quality-ranked global prefix)
+# ---------------------------------------------------------------------------
+def corpus_budget_select(
+    sf_dir: str, budget_num: int = 2, budget_den: int = 5
+) -> pa.Table:
+    """Select the best documents until a GLOBAL token budget is
+    filled -- the data-mixing primitive of corpus curation ("keep the
+    top-quality 40% of tokens"): rank all docs by
+    ``(score DESC, doc_id ASC)`` where ``score`` is the distinct-token
+    count (lexical diversity), and keep the exact prefix whose
+    cumulative token count stays within
+    ``budget = total_tokens * budget_num // budget_den`` (the doc
+    that would cross the budget, and everything after it, is out --
+    strict prefix, no back-filling).
+
+    Distributed shape -- a global ordered prefix sum WITHOUT a global
+    sort: the score domain is small (bounded by words-per-doc), so
+    (1) one scan emits per-block ``(score -> token-total)`` partials,
+    driver-merged into the exact descending cumulative -- this pins
+    the boundary score ``s*`` and the exact token mass above it;
+    (2) only the boundary COHORT (docs with ``score == s*``) ships
+    ``(doc_id, n_tokens)`` to the driver to fix the cutoff doc_id
+    (cohort-sized, never corpus-sized; raises loudly past a cap
+    instead of silently truncating); (3) a streaming filter pass
+    emits the selected docs.  Per-doc distinct counting is one
+    Arrow multi-key sort + neighbor mask + ``reduceat`` per block --
+    no per-row Python."""
+    ds = lambda: _read(sf_dir, "documents", columns=["doc_id", "text"])  # noqa: E731
+
+    score_schema = pa.schema(
+        [("doc_id", pa.int64()), ("score", pa.int64()),
+         ("n_tokens", pa.int64())]
+    )
+
+    def scores_of(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return score_schema.empty_table()
+        text = pc.cast(t.column("text").combine_chunks(), pa.large_string())
+        ls = pc.split_pattern(text, " ")
+        n_tok = pc.list_value_length(ls).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(ls)
+        parent = pc.list_parent_indices(ls)
+        pairs = pa.table({"p": parent, "w": flat})
+        idx = pc.sort_indices(
+            pairs, sort_keys=[("p", "ascending"), ("w", "ascending")]
+        )
+        p = parent.take(idx).to_numpy(zero_copy_only=False)
+        w = flat.take(idx)
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        m = len(p)
+        new = np.ones(m, bool)
+        if m > 1:
+            same_p = p[1:] == p[:-1]
+            same_w = pc.equal(w.slice(1), w.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            new[1:] = ~(same_p & same_w)
+        starts = np.flatnonzero(np.concatenate([[True], p[1:] != p[:-1]]))
+        n_dist = np.add.reduceat(new.astype(np.int64), starts)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "score": pa.array(n_dist),
+                "n_tokens": pa.array(n_tok),
+            },
+            schema=score_schema,
+        )
+
+    # --- pass 1: per-score token totals (small-domain histogram) -----
+    def score_hist(t: pa.Table) -> pa.Table:
+        s = scores_of(t)
+        sc = s.column("score").to_numpy(zero_copy_only=False)
+        tok = s.column("n_tokens").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(sc, return_inverse=True)
+        return pa.table(
+            {"score": pa.array(uniq),
+             "tok": pa.array(np.bincount(inv, weights=tok).astype(np.int64))}
+        )
+
+    hist = (
+        ds().map_batches(score_hist, batch_format="pyarrow").to_pandas()
+        .groupby("score", as_index=False)["tok"].sum()
+        .sort_values("score", ascending=False, ignore_index=True)
+    )
+    total = int(hist["tok"].sum())
+    budget = total * budget_num // budget_den  # floor, mirrors the SQL
+    cum = hist["tok"].cumsum()
+    over = cum > budget
+    if not over.any():
+        s_star, t_hi = None, 0  # everything fits
+    else:
+        i = int(over.idxmax())
+        s_star = int(hist["score"][i])
+        t_hi = int(cum[i - 1]) if i > 0 else 0
+
+    # --- pass 2: boundary cohort -> exact cutoff doc_id --------------
+    cutoff = None
+    if s_star is not None:
+        def boundary(t: pa.Table) -> pa.Table:
+            s = scores_of(t)
+            return s.filter(
+                pc.equal(s.column("score"), pa.scalar(s_star, pa.int64()))
+            ).select(["doc_id", "n_tokens"])
+
+        coh = pa.Table.from_pandas(
+            ds().map_batches(boundary, batch_format="pyarrow").to_pandas(),
+            preserve_index=False,
+        )
+        if coh.num_rows > 5_000_000:
+            raise RuntimeError(
+                f"corpus_budget_select: boundary cohort ({coh.num_rows} "
+                "docs share the cutoff score) exceeds the driver cap; "
+                "add a secondary range split on doc_id"
+            )
+        coh = coh.take(pc.sort_indices(coh, sort_keys=[("doc_id", "ascending")]))
+        ctok = np.cumsum(
+            coh.column("n_tokens").to_numpy(zero_copy_only=False)
+        ) + t_hi
+        ok = np.flatnonzero(ctok <= budget)
+        cutoff = (
+            int(coh.column("doc_id")[int(ok[-1])].as_py()) if len(ok) else -1
+        )
+
+    # --- pass 3: streaming selection filter ---------------------------
+    def select(t: pa.Table) -> pa.Table:
+        s = scores_of(t)
+        if s_star is None:
+            return s
+        sc = s.column("score")
+        keep = pc.greater(sc, pa.scalar(s_star, pa.int64()))
+        at = pc.and_(
+            pc.equal(sc, pa.scalar(s_star, pa.int64())),
+            pc.less_equal(
+                s.column("doc_id"), pa.scalar(cutoff, pa.int64())
+            ),
+        )
+        return s.filter(pc.or_(keep, at))
+
+    t = pa.Table.from_pandas(
+        ds().map_batches(select, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk across documents)
 # ---------------------------------------------------------------------------
 def seq_packing(sf_dir: str, seq_len: int = 64) -> pa.Table:

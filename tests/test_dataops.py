@@ -193,6 +193,33 @@ def test_doc_chunking_windows(ray_session, tmp_path):
     assert by_doc[3][0]["n_words"] == 3
 
 
+def test_corpus_budget_select_boundary(ray_session, tmp_path):
+    # scores (distinct tokens): doc0=4, doc1..3=3 (tied boundary
+    # cohort), doc4=1.  tokens: 4,3,3,3,5 -> total 18, budget
+    # 18*2//5 = 7.  Selection order: doc0 (cum 4), doc1 (cum 7 <= 7),
+    # doc2 (cum 10 > 7: OUT, strict prefix -> doc3/doc4 out too).
+    sf = make_docs(
+        tmp_path,
+        [
+            "a b c d",
+            "e f g",
+            "h i j",
+            "k l m",
+            "n n n n n",
+        ],
+    )
+    out = d.corpus_budget_select(sf).to_pylist()
+    assert [(r["doc_id"], r["score"], r["n_tokens"]) for r in out] == [
+        (0, 4, 4), (1, 3, 3),
+    ]
+
+
+def test_corpus_budget_select_all_fit(ray_session, tmp_path):
+    sf = make_docs(tmp_path, ["a b", "c"])
+    out = d.corpus_budget_select(sf, budget_num=1, budget_den=1)
+    assert out.num_rows == 2
+
+
 def test_seq_packing_spans(ray_session, tmp_path):
     # word counts: 3, 5, 10, 1 -> offsets 0, 3, 8, 18 at seq_len=8:
     # doc0 [0,3) -> seq0; doc1 [3,8) -> seq0; doc2 [8,18) -> seq1,2;
