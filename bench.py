@@ -161,6 +161,8 @@ def run_bench() -> dict:
         ("doc_dup_ngrams", dops.doc_dup_ngrams),
         ("lineitem_pricing", evops.lineitem_pricing),
         ("pii_redaction", dops.pii_redaction),
+        ("seq_packing", dops.seq_packing),
+        ("events_funnel", evops.events_funnel),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

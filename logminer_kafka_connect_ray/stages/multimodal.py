@@ -25,12 +25,13 @@ Codec status (round 3):
   as real BMP payloads, so the video->image handoff is byte-real.
   ``media_pipeline`` (the driver-gated query) runs on real BMP + AVI
   + WAV containers end-to-end.
-* **PNG is REAL** (8-bit truecolor): chunk walker + stdlib ``zlib``
-  inflate + numpy scanline un-filtering (None/Sub/Up vectorized, Sub
-  as an exact cumsum-mod-256; Average/Paeth per-pixel along x only)
-  -- ``encode_png`` / ``decode_png``.  Covers the dominant web PNG
-  form; palette/greyscale/16-bit/interlaced raise with the feature
-  named.
+* **PNG is REAL** (8-bit grey / truecolor / palette / +alpha): chunk
+  walker + stdlib ``zlib`` inflate + numpy scanline un-filtering
+  (None/Sub/Up vectorized, Sub as an exact cumsum-mod-256;
+  Average/Paeth per-pixel along x only); palette indices map through
+  PLTE with ``tRNS`` widening to RGBA -- ``encode_png`` /
+  ``encode_png_palette`` / ``encode_png_grey`` / ``decode_png``.
+  16-bit/interlaced raise with the feature named.
 * transform-coded formats (JPEG/WebP/MP3/H.264 ...) need codec
   libraries that are NOT in this container -> honest
   ``NotImplementedError``, with the deterministic FAKE containers
@@ -189,19 +190,78 @@ def encode_png(px: np.ndarray) -> bytes:
     )
 
 
+def encode_png_palette(
+    idx: np.ndarray, palette: np.ndarray, trns: np.ndarray | None = None
+) -> bytes:
+    """(h, w) uint8 indices + (n, 3) palette (+ optional per-entry
+    alpha) -> real color-type-3 PNG bytes (PLTE [+ tRNS] + filter-0
+    IDAT).  The fixture encoder for the palette decode path."""
+    import struct as _s
+    import zlib
+
+    idx = np.ascontiguousarray(idx, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+        raise ValueError("palette must be (n<=256, 3) uint8")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(data)) + tag + data
+            + _s.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = np.zeros((h, 1 + w), np.uint8)
+    raw[:, 1:] = idx
+    out = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette.tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", np.ascontiguousarray(trns, np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6)) + chunk(
+        b"IEND", b""
+    )
+
+
+def encode_png_grey(px: np.ndarray) -> bytes:
+    """(h, w) uint8 -> real color-type-0 (greyscale) PNG bytes."""
+    import struct as _s
+    import zlib
+
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w = px.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(data)) + tag + data
+            + _s.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = np.zeros((h, 1 + w), np.uint8)
+    raw[:, 1:] = px
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """Real PNG bytes -> (w, h, channels, (h, w, c) uint8).
 
     Pure numpy + stdlib ``zlib``: walks the chunk stream, inflates the
-    concatenated IDATs, and un-filters scanlines.  Supports the
-    dominant web form -- 8-bit depth, truecolor (color type 2) and
-    truecolor+alpha (6), non-interlaced.  Filters: None/Up are
-    vectorized whole-row ops, Sub is an exact per-row ``cumsum mod
-    256`` over pixel groups, Average/Paeth fall back to a per-PIXEL
-    loop along x only (vectorized across channels) -- the recurrence
-    on the left-neighbor reconstruction is inherently sequential.
-    Palette/greyscale/16-bit/interlaced raise ``NotImplementedError``
-    with the exact unsupported feature named."""
+    concatenated IDATs, and un-filters scanlines.  Supports the web
+    forms at 8-bit depth, non-interlaced: greyscale (color type 0,
+    returns c=1), truecolor (2), palette (3 -- indices mapped through
+    PLTE, with a ``tRNS`` chunk widening to RGBA), and
+    truecolor+alpha (6).  Filters: None/Up are vectorized whole-row
+    ops, Sub is an exact per-row ``cumsum mod 256`` over pixel
+    groups, Average/Paeth fall back to a per-PIXEL loop along x only
+    (vectorized across channels) -- the recurrence on the
+    left-neighbor reconstruction is inherently sequential.
+    16-bit/interlaced raise ``NotImplementedError`` with the exact
+    unsupported feature named."""
     import struct as _s
     import zlib
 
@@ -210,6 +270,8 @@ def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
     pos = 8
     w = h = depth = ctype = interlace = None
     idat = []
+    plte = None
+    trns = None
     while pos + 8 <= len(b):
         (ln,) = _s.unpack_from(">I", b, pos)
         tag = b[pos + 4 : pos + 8]
@@ -219,19 +281,23 @@ def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
             w, h, depth, ctype, _comp, _filt, interlace = _s.unpack(
                 ">IIBBBBB", data
             )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
         elif tag == b"IDAT":
             idat.append(data)
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+    if depth != 8 or ctype not in (0, 2, 3, 6) or interlace != 0:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={ctype} interlace={interlace} "
-            "not supported (8-bit truecolor/truecolor+alpha, "
+            "not supported (8-bit grey/truecolor/palette/truecolor+alpha, "
             "non-interlaced only)"
         )
-    c = 3 if ctype == 2 else 4
+    c = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     stride = 1 + w * c
     if len(raw) != h * stride:
@@ -269,7 +335,20 @@ def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
                 ul = bb
         else:
             raise ValueError(f"PNG filter {f} invalid")
-    return w, h, c, out.astype(np.uint8)
+    px = out.astype(np.uint8)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]  # (h, w, 3)
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return w, h, 4, np.dstack([rgb, alpha[idx]])
+        return w, h, 3, rgb
+    return w, h, c, px
 
 
 # ---------------------------------------------------------------------------

@@ -350,12 +350,64 @@ def test_png_unsupported_features_raise():
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
-    # palette (color type 3) must name the feature, not crash
+    # 16-bit depth must name the feature, not crash
     b = (b"\x89PNG\r\n\x1a\n"
-         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
          + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="color_type=3"):
+    with pytest.raises(NotImplementedError, match="depth=16"):
         mm.decode_png(b)
+    # interlaced must name the feature
+    b = (b"\x89PNG\r\n\x1a\n"
+         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+         + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="interlace=1"):
+        mm.decode_png(b)
+
+
+def test_png_palette_roundtrip():
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, (9, 5), dtype=np.uint8)
+    w, h, c, px = mm.decode_png(mm.encode_png_palette(idx, pal))
+    assert (w, h, c) == (5, 9, 3)
+    assert np.array_equal(px, pal[idx])
+
+
+def test_png_palette_trns_widens_to_rgba():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    trns = np.array([10, 200], np.uint8)  # entry 2 defaults to 255
+    idx = np.array([[0, 1, 2]], np.uint8)
+    w, h, c, px = mm.decode_png(mm.encode_png_palette(idx, pal, trns))
+    assert (w, h, c) == (3, 1, 4)
+    assert px[0, :, 3].tolist() == [10, 200, 255]
+    assert np.array_equal(px[0, :, :3], pal[[0, 1, 2]])
+
+
+def test_png_palette_missing_plte_raises():
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    raw = np.zeros((2, 3), np.uint8)
+    body = np.zeros((2, 4), np.uint8)
+    body[:, 1:] = raw
+    b = (b"\x89PNG\r\n\x1a\n"
+         + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(body.tobytes()))
+         + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="missing PLTE"):
+        mm.decode_png(b)
+
+
+def test_png_greyscale_roundtrip():
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, (6, 11), dtype=np.uint8)
+    w, h, c, out = mm.decode_png(mm.encode_png_grey(px))
+    assert (w, h, c) == (11, 6, 1)
+    assert np.array_equal(out[:, :, 0], px)
 
 
 def test_png_through_decode_and_resize_stages(ray_session):
