@@ -2324,20 +2324,29 @@ class MediaPipelineStage:
             encode_wav,
         )
 
+        from logminer_kafka_connect_ray.stages.multimodal import (
+            encode_png_palette,
+        )
+
         ids = t.column("doc_id").to_pylist()
-        pxs = [
-            np.random.default_rng(i).integers(
-                0, 256, size=(16 + i % 32, 16 + i % 48, 3), dtype=np.uint8
-            )
-            for i in ids
-        ]
-        # alternate REAL containers per doc: PNG (odd ids) / BMP (even)
-        # -- one oracle covers both codecs AND the stages' format
-        # auto-detection (PNG in -> PNG out on resize, same for BMP)
-        img = [
-            encode_png(px) if i % 2 else encode_bmp(px)
-            for i, px in zip(ids, pxs)
-        ]
+        # rotate REAL containers per doc: BMP / palette PNG (indices
+        # through a 16-color PLTE) / truecolor PNG -- one oracle
+        # covers all three codecs AND the stages' format
+        # auto-detection; the palette doc's pixels come FROM its
+        # palette so every downstream dim/count formula is unchanged
+        pxs, img = [], []
+        for i in ids:
+            rng = np.random.default_rng(i)
+            hw = (16 + i % 32, 16 + i % 48)
+            if i % 3 == 1:
+                pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+                idx = rng.integers(0, 16, hw, dtype=np.uint8)
+                pxs.append(pal[idx])
+                img.append(encode_png_palette(idx, pal))
+            else:
+                px = rng.integers(0, 256, size=hw + (3,), dtype=np.uint8)
+                pxs.append(px)
+                img.append(encode_png(px) if i % 3 == 2 else encode_bmp(px))
         vid = [encode_avi([px] * (1 + i % 4)) for i, px in zip(ids, pxs)]
         wav = [
             encode_wav(
