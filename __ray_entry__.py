@@ -1135,6 +1135,24 @@ WHERE cum <= (SELECT sum(n_tokens) * 2 // 5 FROM q)
 ORDER BY doc_id
 """
 
+# Per-user journey path: ordered string_agg of the first 20 event
+# types per user, '>'-joined, plus the uncapped event count.
+_USER_PATH_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       string_agg(event_type, '>' ORDER BY rn)
+         FILTER (WHERE rn <= 20) AS path
+FROM r
+GROUP BY user_id
+ORDER BY user_id
+"""
+
 # Cohort retention: epoch-week cohorts (floor(epoch_days/7), no
 # calendar ambiguity), distinct cohort users active per weeks-since.
 _COHORT_SQL = """
@@ -1568,6 +1586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort retention matrix (epoch-week cohorts, exact
         # distinct users per cell)
         "events_cohort_retention": ev.events_cohort_retention,
+        # per-user ordered journey path (capped string_agg)
+        "events_user_path": ev.events_user_path,
     }
 
 
@@ -1660,4 +1680,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_budget_select": _BUDGET_SELECT_SQL,
         "events_funnel": _FUNNEL_SQL,
         "events_cohort_retention": _COHORT_SQL,
+        "events_user_path": _USER_PATH_SQL,
     }

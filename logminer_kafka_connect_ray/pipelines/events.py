@@ -2873,3 +2873,87 @@ def events_cohort_retention(sf_dir: str) -> pa.Table:
         )
     )
     return _finalize_guard(gd, t)
+
+
+def events_user_path(sf_dir: str, k: int = 20) -> pa.Table:
+    """Per-user journey string: the user's first ``k`` event types in
+    ``(ts, event_id)`` order joined with ``'>'`` -- the ordered
+    ``string_agg`` shape funnel/path analytics read, plus the
+    UNCAPPED event count.  Returns ``(user_id, n_events, path)``.
+
+    Distributed shape: one user-hash exchange, then a per-block
+    lexsort sweep that materializes each user's capped prefix as ONE
+    Arrow ListArray (offsets from the segment layout, values gathered
+    with a single ``take``) joined by ``pc.binary_join`` -- the
+    string assembly never leaves Arrow."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("upath")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()),
+         ("path", pa.large_string())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "upath", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.lexsort((eid, ts, u))
+        u = u[order]
+        et = pc.cast(
+            t.column("event_type").combine_chunks(), pa.large_string()
+        ).take(pa.array(order))
+        n = len(u)
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        counts = np.diff(np.append(starts, n))
+        cap = np.minimum(counts, k)
+        # gather indices: for each segment, starts[g] .. starts[g]+cap[g]
+        rep = np.repeat(np.arange(len(starts)), cap)
+        within = np.arange(cap.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(cap)[:-1]]), cap
+        )
+        gather = np.repeat(starts, cap) + within
+        values = et.take(pa.array(gather))
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(cap)]), pa.int64()
+        )
+        lists = pa.LargeListArray.from_arrays(offsets, values)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "n_events": pa.array(counts.astype(np.int64)),
+                "path": pc.binary_join(
+                    lists, pa.scalar(">", pa.large_string())
+                ),
+            },
+            schema=out_schema,
+        )
+
+    res = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+    return _finalize_guard(gd, t)

@@ -1104,3 +1104,21 @@ def test_events_cohort_retention_matrix(ray_session, tmp_path):
     assert rel == {
         (0, 0): 2, (0, 1): 2, (0, 3): 1, (2, 0): 1,
     }
+
+
+def test_events_user_path_cap_and_order(ray_session, tmp_path):
+    rows = [
+        # user 1: 5 events, ts tie between eid 2 and 3 resolved by id
+        (1, 1, 0.0, "signup", 0.0),
+        (3, 1, 1.0, "view", 0.0),
+        (2, 1, 1.0, "click", 0.0),
+        (4, 1, 2.0, "purchase", 0.0),
+        (5, 1, 3.0, "error", 0.0),
+        # user 2: single event
+        (6, 2, 0.0, "view", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["user_id"]: r for r in ev.events_user_path(sf, k=3).to_pylist()}
+    assert out[1]["path"] == "signup>click>view"      # capped at 3
+    assert out[1]["n_events"] == 5                     # count uncapped
+    assert out[2]["path"] == "view" and out[2]["n_events"] == 1
