@@ -1114,6 +1114,30 @@ ORDER BY event_type
 # Cross-document duplicated 8-gram density (the map-reduce restating
 # of exact-substring dedup): a gram occurrence is duplicated iff its
 # exact word-8-gram string occurs >= 2 times corpus-wide.
+# Embedding int8 quantization: scale = max|x| per vector,
+# q = floor(x*127/scale + 0.5); float32->DOUBLE casts are exact and
+# the multiply-then-divide order matches numpy, so the integer
+# summaries are bit-deterministic.
+_EMBED_QUANT_SQL = """
+WITH x AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v FROM embeddings
+),
+s AS (SELECT vec_id, max(abs(v)) AS sc FROM x GROUP BY vec_id),
+q AS (
+  SELECT x.vec_id, s.sc,
+         CASE WHEN s.sc = 0 THEN 0
+              ELSE floor(v * 127.0 / s.sc + 0.5) END AS q
+  FROM x JOIN s USING (vec_id)
+)
+SELECT vec_id,
+       floor(any_value(sc) * 1000000)::BIGINT AS scale_micro,
+       sum(q)::BIGINT AS sum_q,
+       sum(q * q)::BIGINT AS sum_q_sq,
+       (count(*) FILTER (WHERE abs(q) = 127))::BIGINT AS n_sat,
+       count(*)::BIGINT AS n_dims
+FROM q GROUP BY vec_id ORDER BY vec_id
+"""
+
 # Budget-constrained corpus selection: docs ranked (score DESC,
 # doc_id), kept while the running token total stays within 2/5 of the
 # corpus total (strict prefix; the crossing doc is out).
@@ -1580,6 +1604,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global quality-ranked selection under a token budget
         # (ordered prefix sum without a global sort)
         "corpus_budget_select": d.corpus_budget_select,
+        # symmetric int8 quantization of the embedding table
+        # (ANN index build step, bit-deterministic summaries)
+        "embedding_quantize": d.embedding_quantize,
         # sequential-pattern funnel (signup -> click -> purchase,
         # strictly ordered) per user
         "events_funnel": ev.events_funnel,
@@ -1678,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunking": _DOC_CHUNK_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
         "corpus_budget_select": _BUDGET_SELECT_SQL,
+        "embedding_quantize": _EMBED_QUANT_SQL,
         "events_funnel": _FUNNEL_SQL,
         "events_cohort_retention": _COHORT_SQL,
         "events_user_path": _USER_PATH_SQL,

@@ -2686,6 +2686,74 @@ def doc_chunking(sf_dir: str, chunk: int = 32, overlap: int = 4) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Embedding int8 quantization (ANN index build step)
+# ---------------------------------------------------------------------------
+def embedding_quantize(sf_dir: str) -> pa.Table:
+    """Symmetric int8 quantization of the embedding table -- the
+    compression step an ANN index build applies before storing
+    vectors (scale = max|x| per vector, ``q = floor(x * 127 / scale
+    + 0.5)``).  Every arithmetic step is IEEE-double-identical
+    between numpy and the DuckDB oracle (float32 -> float64 casts are
+    exact; multiply-then-divide order fixed; ``floor(.. + 0.5)``
+    instead of ``round`` because numpy rounds half-even while DuckDB
+    rounds half-away).  Returns integer per-vector summaries the
+    driver can hash -- ``(vec_id, scale_micro, sum_q, sum_q_sq,
+    n_sat, n_dims)`` with ``n_sat`` counting saturated ``|q| = 127``
+    lanes; all-zero vectors quantize to zeros with ``scale_micro =
+    0``.
+
+    Scale shape: embarrassingly parallel ``map_batches``; the matrix
+    comes off the Arrow value buffer zero-copy
+    (``_embedding_matrix``), quantization is three whole-matrix numpy
+    ops."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("scale_micro", pa.int64()),
+            ("sum_q", pa.int64()),
+            ("sum_q_sq", pa.int64()),
+            ("n_sat", pa.int64()),
+            ("n_dims", pa.int64()),
+        ]
+    )
+
+    def quant(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids, m = _embedding_matrix(t)
+        s = np.abs(m).max(axis=1)
+        safe = np.where(s == 0.0, 1.0, s)
+        q = np.floor(m * 127.0 / safe[:, None] + 0.5)
+        q[s == 0.0] = 0.0
+        qi = q.astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "scale_micro": pa.array(
+                    np.floor(s * 1_000_000.0).astype(np.int64)
+                ),
+                "sum_q": pa.array(qi.sum(axis=1)),
+                "sum_q_sq": pa.array((qi * qi).sum(axis=1)),
+                "n_sat": pa.array(
+                    (np.abs(qi) == 127).sum(axis=1).astype(np.int64)
+                ),
+                "n_dims": pa.array(
+                    np.full(len(ids), m.shape[1], np.int64)
+                ),
+            },
+            schema=out_schema,
+        )
+
+    t = pa.Table.from_pandas(
+        ds.map_batches(quant, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
 # Budget-constrained corpus selection (quality-ranked global prefix)
 # ---------------------------------------------------------------------------
 def corpus_budget_select(

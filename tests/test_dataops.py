@@ -193,6 +193,31 @@ def test_doc_chunking_windows(ray_session, tmp_path):
     assert by_doc[3][0]["n_words"] == 3
 
 
+def test_embedding_quantize_values(ray_session, tmp_path):
+    mat = np.array(
+        [
+            [1.0, -0.5, 0.25, 0.0],    # scale 1.0
+            [0.0, 0.0, 0.0, 0.0],      # all-zero vector
+            [-2.0, 2.0, 1.0, -1.0],    # scale 2.0, two saturated lanes
+        ],
+        dtype=np.float32,
+    )
+    sf = make_embeddings(tmp_path, mat)
+    out = {r["vec_id"]: r for r in d.embedding_quantize(sf).to_pylist()}
+    # vec 0: q = floor([127, -63.5, 31.75, 0] + .5) = [127, -63, 32, 0]
+    assert out[0]["sum_q"] == 127 - 63 + 32 + 0
+    assert out[0]["sum_q_sq"] == 127**2 + 63**2 + 32**2
+    assert out[0]["n_sat"] == 1 and out[0]["scale_micro"] == 1_000_000
+    # vec 1: zeros
+    assert (out[1]["sum_q"], out[1]["sum_q_sq"], out[1]["scale_micro"]) == (
+        0, 0, 0,
+    )
+    # vec 2: q = floor([-127, 127, 63.5, -63.5] + .5) = [-127, 127, 64, -63]
+    assert out[2]["sum_q"] == -127 + 127 + 64 - 63
+    assert out[2]["n_sat"] == 2
+    assert out[2]["n_dims"] == 4
+
+
 def test_corpus_budget_select_boundary(ray_session, tmp_path):
     # scores (distinct tokens): doc0=4, doc1..3=3 (tied boundary
     # cohort), doc4=1.  tokens: 4,3,3,3,5 -> total 18, budget
