@@ -1159,6 +1159,24 @@ WHERE cum <= (SELECT sum(n_tokens) * 2 // 5 FROM q)
 ORDER BY doc_id
 """
 
+# Window-throttle dedup: drop an event when the same (user, type)
+# occurred within the last 10 minutes (previous occurrence, kept or
+# not; strictly-greater gaps survive).
+_DEDUP_WINDOW_SQL = """
+WITH r AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       (count(*) FILTER (WHERE gap_us IS NULL OR gap_us > 600000000))::BIGINT
+         AS n_kept
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
 # Per-user journey path: ordered string_agg of the first 20 event
 # types per user, '>'-joined, plus the uncapped event count.
 _USER_PATH_SQL = """
@@ -1615,6 +1633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": ev.events_cohort_retention,
         # per-user ordered journey path (capped string_agg)
         "events_user_path": ev.events_user_path,
+        # streaming-ETL window-throttle dedup accounting
+        "events_dedup_window": ev.events_dedup_window,
     }
 
 
@@ -1709,4 +1729,5 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "events_cohort_retention": _COHORT_SQL,
         "events_user_path": _USER_PATH_SQL,
+        "events_dedup_window": _DEDUP_WINDOW_SQL,
     }

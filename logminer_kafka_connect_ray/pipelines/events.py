@@ -2957,3 +2957,79 @@ def events_user_path(sf_dir: str, k: int = 20) -> pa.Table:
     t = t.cast(out_schema)
     t = t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
     return _finalize_guard(gd, t)
+
+
+def events_dedup_window(sf_dir: str, window_minutes: int = 10) -> pa.Table:
+    """Window-throttle dedup -- the streaming-ETL suppression rule
+    "drop an event if the SAME (user, event_type) occurred within the
+    last ``window_minutes``" (previous OCCURRENCE, kept or not, in
+    ``(ts, event_id)`` order; strictly-greater gaps survive).
+    Returns the per-type accounting ``(event_type, n_events,
+    n_kept)`` -- the throttle family's summary a pipeline alarms on.
+
+    Distributed shape: one user-hash exchange (a (user, type) pair
+    never spans blocks), per-block lexsort, neighbor-diff keep mask,
+    dimension-bounded partial counts -> tiny ``groupby.sum``."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("throttle")
+    win_us = np.int64(window_minutes * 60 * _US)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("n_events", pa.int64()),
+         ("n_kept", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "throttle", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        types, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, code, u))
+        u, ts, code = u[order], ts[order], code[order]
+        n = len(u)
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = (u[1:] == u[:-1]) & (code[1:] == code[:-1])
+        keep = np.ones(n, bool)
+        if n > 1:
+            keep[1:] = ~same[1:] | ((ts[1:] - ts[:-1]) > win_us)
+        n_ev = np.bincount(code, minlength=len(types)).astype(np.int64)
+        n_kept = np.bincount(
+            code, weights=keep.astype(np.int64), minlength=len(types)
+        ).astype(np.int64)
+        return pa.table(
+            {"event_type": pa.array(list(types), pa.string()),
+             "n_events": pa.array(n_ev), "n_kept": pa.array(n_kept)},
+            schema=part_schema,
+        )
+
+    res = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .sum(["n_events", "n_kept"])
+    )
+    merged = res.to_pandas()
+    merged.columns = ["event_type", "n_events", "n_kept"]
+    t = pa.Table.from_pandas(merged, preserve_index=False).cast(part_schema)
+    t = t.take(pc.sort_indices(t, sort_keys=[("event_type", "ascending")]))
+    return _finalize_guard(gd, t)

@@ -1122,3 +1122,24 @@ def test_events_user_path_cap_and_order(ray_session, tmp_path):
     assert out[1]["path"] == "signup>click>view"      # capped at 3
     assert out[1]["n_events"] == 5                     # count uncapped
     assert out[2]["path"] == "view" and out[2]["n_events"] == 1
+
+
+def test_events_dedup_window_throttle(ray_session, tmp_path):
+    rows = [
+        # user 1, type a: 0, 5 (suppressed), 10.0 (gap 5 <= 10:
+        # suppressed), 21 (gap 11 > 10: kept)
+        (1, 1, 0.0, "a", 0.0),
+        (2, 1, 5.0, "a", 0.0),
+        (3, 1, 10.0, "a", 0.0),
+        (4, 1, 21.0, "a", 0.0),
+        # exactly-10-min gap is NOT strictly greater: suppressed
+        (5, 1, 31.0, "a", 0.0),
+        # same user, different type: independent stream
+        (6, 1, 1.0, "b", 0.0),
+        # other user, same type: independent stream
+        (7, 2, 2.0, "a", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["event_type"]: (r["n_events"], r["n_kept"])
+           for r in ev.events_dedup_window(sf).to_pylist()}
+    assert out == {"a": (6, 3), "b": (1, 1)}
