@@ -2686,6 +2686,112 @@ def doc_chunking(sf_dir: str, chunk: int = 32, overlap: int = 4) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Resumable partitioned corpus writer
+# ---------------------------------------------------------------------------
+def curate_to_parquet(
+    sf_dir: str, out_dir: str, num_partitions: int = 16
+) -> dict:
+    """Resumable partitioned-Parquet sink for the curation pipeline:
+    curated docs hash-partition on ``doc_id`` into
+    ``part-{p:05d}.parquet`` files written tmp+rename (a reader never
+    sees a torn file), and a partition whose final file ALREADY
+    EXISTS is skipped wholesale on re-run -- read-side pruning
+    happens at plan time, so a crashed run resumes by paying only for
+    the missing partitions.  This is the dataops side of the
+    resumable-output contract the CDC lake implements with manifests
+    (never one giant output file).
+
+    Returns ``{"written": [...], "skipped": [...], "rows": {p: n}}``.
+    Scale shape: the curation filter fuses into the partition stamp
+    (one map_batches), one explicit-boundary exchange, one writer
+    task per partition."""
+    import os
+
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = {
+        int(f[5:10])
+        for f in os.listdir(out_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    }
+    todo = [p for p in range(num_partitions) if p not in done]
+    result = {
+        "written": [],
+        "skipped": sorted(done),
+        "rows": {},
+    }
+    if not todo:
+        return result
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    todo_set = frozenset(todo)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_part", pa.array([], pa.int64()))
+        lang_pred = textfn.lang_id_batch(t.column("text"))
+        q = textfn.quality_features(t.column("text"))
+        keep = pc.and_(
+            pc.equal(lang_pred, "en"), pc.greater_equal(q["n_tokens"], 5)
+        )
+        t = t.filter(keep)
+        parts = partition_ids(t.column("doc_id"), num_partitions)
+        t = t.append_column("_part", pa.array(parts))
+        # plan-time pruning: rows of already-written partitions never
+        # enter the exchange on a resume run
+        mask = np.isin(parts, np.fromiter(todo_set, np.int64))
+        return t.filter(pa.array(mask))
+
+    lineage_schema = pa.schema(
+        [("part_id", pa.int64()), ("rows", pa.int64())]
+    )
+
+    def write_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return lineage_schema.empty_table()
+        out = []
+        for p in pc.unique(t.column("_part")).to_pylist():
+            g = t.filter(pc.equal(t.column("_part"), p)).drop(["_part"])
+            g = g.take(pc.sort_indices(g, sort_keys=[("doc_id", "ascending")]))
+            final = os.path.join(out_dir, f"part-{int(p):05d}.parquet")
+            tmp = final + f".tmp-{os.getpid()}"
+            pq.write_table(g, tmp)
+            os.replace(tmp, final)  # atomic publish
+            out.append({"part_id": int(p), "rows": g.num_rows})
+        return pa.Table.from_pylist(out, schema=lineage_schema)
+
+    import pyarrow.parquet as pq  # noqa: F811
+
+    lineage = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_part", boundaries=list(range(1, num_partitions)))
+        .map_batches(write_part, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    for r in lineage.to_dict("records"):
+        result["written"].append(int(r["part_id"]))
+        result["rows"][int(r["part_id"])] = int(r["rows"])
+    result["written"].sort()
+    # empty partitions (no surviving docs hash there) still publish a
+    # typed empty file so a resume run can tell "done" from "missing"
+    sch = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("lang", pa.string())]
+    )
+    for p in todo:
+        final = os.path.join(out_dir, f"part-{p:05d}.parquet")
+        if not os.path.exists(final):
+            tmp = final + f".tmp-{os.getpid()}"
+            pq.write_table(sch.empty_table(), tmp)
+            os.replace(tmp, final)
+            result["written"].append(p)
+            result["rows"][p] = 0
+    result["written"].sort()
+    return result
+
+
+# ---------------------------------------------------------------------------
 # Embedding int8 quantization (ANN index build step)
 # ---------------------------------------------------------------------------
 def embedding_quantize(sf_dir: str) -> pa.Table:

@@ -810,3 +810,48 @@ def test_doc_dup_ngrams_planted(ray_session, tmp_path):
         assert out[i]["n_dup_grams"] == sum(1 for g in gs if grams[g] >= 2)
     assert out[3] == {"doc_id": 3, "n_grams": 0, "n_dup_grams": 0}
     assert out[2]["n_dup_grams"] >= 2  # the two copies of the span gram
+
+
+def test_curate_to_parquet_resumable(ray_session, tmp_path):
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",  # en, kept
+        "le chat est sur la table et il dort bien",           # fr, dropped
+        "a b",                                                 # too short
+    ] + [f"the and is of to in word{i} extra tokens here" for i in range(20)]
+    sf = make_docs(tmp_path, texts)
+    out_dir = str(tmp_path / "curated")
+
+    r1 = d.curate_to_parquet(sf, out_dir, num_partitions=4)
+    assert sorted(r1["written"]) == [0, 1, 2, 3] and r1["skipped"] == []
+    import os
+    files = sorted(os.listdir(out_dir))
+    assert files == [f"part-{p:05d}.parquet" for p in range(4)]
+    mtimes = {f: os.path.getmtime(os.path.join(out_dir, f)) for f in files}
+    total = sum(
+        pq.read_table(os.path.join(out_dir, f)).num_rows for f in files
+    )
+    kept_docs = {
+        r["doc_id"]
+        for f in files
+        for r in pq.read_table(os.path.join(out_dir, f)).to_pylist()
+    }
+    assert 1 not in kept_docs and 2 not in kept_docs  # fr + short dropped
+    assert 0 in kept_docs and total == len(kept_docs)
+
+    # resume with everything done: nothing rewrites
+    r2 = d.curate_to_parquet(sf, out_dir, num_partitions=4)
+    assert r2["written"] == [] and r2["skipped"] == [0, 1, 2, 3]
+    for f in files:
+        assert os.path.getmtime(os.path.join(out_dir, f)) == mtimes[f]
+
+    # delete one partition: ONLY it rewrites, content identical
+    victim = files[2]
+    before = pq.read_table(os.path.join(out_dir, victim))
+    os.remove(os.path.join(out_dir, victim))
+    r3 = d.curate_to_parquet(sf, out_dir, num_partitions=4)
+    assert r3["written"] == [2] and r3["skipped"] == [0, 1, 3]
+    after = pq.read_table(os.path.join(out_dir, victim))
+    assert after.equals(before)
+    for f in files:
+        if f != victim:
+            assert os.path.getmtime(os.path.join(out_dir, f)) == mtimes[f]
