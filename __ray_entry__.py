@@ -1114,6 +1114,84 @@ ORDER BY event_type
 # Cross-document duplicated 8-gram density (the map-reduce restating
 # of exact-substring dedup): a gram occurrence is duplicated iff its
 # exact word-8-gram string occurs >= 2 times corpus-wide.
+# Distributed k-means, 2 Lloyd iterations on an exact integer grid
+# (floor(v*2^20) points; centroid update floor(double(sum)/n) -- one
+# IEEE double division on sums << 2^53; ties to the lowest cluster;
+# emptied clusters keep their previous centroid).
+_KMEANS_SQL = """
+WITH x AS (
+  SELECT e.vec_id, s.j AS dim,
+         floor(e.embedding[s.j + 1]::DOUBLE * 1048576.0)::BIGINT AS xq
+  FROM embeddings e, LATERAL unnest(range(len(e.embedding))) AS s(j)
+),
+c0 AS (SELECT vec_id AS cluster, dim, xq AS cq FROM x WHERE vec_id < 4),
+d1 AS (
+  SELECT x.vec_id, c.cluster,
+         sum((x.xq - c.cq) * (x.xq - c.cq)) AS d2
+  FROM x JOIN c0 c ON x.dim = c.dim GROUP BY x.vec_id, c.cluster
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+             AS rn
+    FROM d1) WHERE rn = 1
+),
+u1 AS (
+  SELECT a.cluster, x.dim,
+         floor(CAST(sum(x.xq) AS DOUBLE) / count(*))::BIGINT AS cq
+  FROM x JOIN a1 a USING (vec_id) GROUP BY a.cluster, x.dim
+),
+c1 AS (
+  SELECT c0.cluster, c0.dim, COALESCE(u1.cq, c0.cq) AS cq
+  FROM c0 LEFT JOIN u1 ON u1.cluster = c0.cluster AND u1.dim = c0.dim
+),
+e2 AS (
+  SELECT x.vec_id, c.cluster,
+         sum((x.xq - c.cq) * (x.xq - c.cq)) AS d2
+  FROM x JOIN c1 c ON x.dim = c.dim GROUP BY x.vec_id, c.cluster
+),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+             AS rn
+    FROM e2) WHERE rn = 1
+),
+u2 AS (
+  SELECT a.cluster, x.dim,
+         floor(CAST(sum(x.xq) AS DOUBLE) / count(*))::BIGINT AS cq
+  FROM x JOIN a2 a USING (vec_id) GROUP BY a.cluster, x.dim
+),
+c2 AS (
+  SELECT c1.cluster, c1.dim, COALESCE(u2.cq, c1.cq) AS cq
+  FROM c1 LEFT JOIN u2 ON u2.cluster = c1.cluster AND u2.dim = c1.dim
+),
+e3 AS (
+  SELECT x.vec_id, c.cluster,
+         sum((x.xq - c.cq) * (x.xq - c.cq)) AS d2
+  FROM x JOIN c2 c ON x.dim = c.dim GROUP BY x.vec_id, c.cluster
+),
+a3 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+             AS rn
+    FROM e3) WHERE rn = 1
+),
+st AS (
+  SELECT cluster, count(*)::BIGINT AS n_assigned,
+         sum(vec_id)::BIGINT AS sum_vec_ids
+  FROM a3 GROUP BY cluster
+)
+SELECT c2.cluster AS cluster, c2.dim AS dim_idx,
+       c2.cq AS centroid_scaled,
+       COALESCE(st.n_assigned, 0)::BIGINT AS n_assigned,
+       COALESCE(st.sum_vec_ids, 0)::BIGINT AS sum_vec_ids
+FROM c2 LEFT JOIN st ON st.cluster = c2.cluster
+ORDER BY c2.cluster, dim_idx
+"""
+
 # Embedding int8 quantization: scale = max|x| per vector,
 # q = floor(x*127/scale + 0.5); float32->DOUBLE casts are exact and
 # the multiply-then-divide order matches numpy, so the integer
@@ -1625,6 +1703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # symmetric int8 quantization of the embedding table
         # (ANN index build step, bit-deterministic summaries)
         "embedding_quantize": d.embedding_quantize,
+        # iterative ML: 2 Lloyd iterations, broadcast centroids,
+        # mergeable partials, exact integer-grid arithmetic
+        "embedding_kmeans": d.embedding_kmeans,
         # sequential-pattern funnel (signup -> click -> purchase,
         # strictly ordered) per user
         "events_funnel": ev.events_funnel,
@@ -1726,6 +1807,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_packing": _SEQ_PACKING_SQL,
         "corpus_budget_select": _BUDGET_SELECT_SQL,
         "embedding_quantize": _EMBED_QUANT_SQL,
+        "embedding_kmeans": _KMEANS_SQL,
         "events_funnel": _FUNNEL_SQL,
         "events_cohort_retention": _COHORT_SQL,
         "events_user_path": _USER_PATH_SQL,

@@ -2792,6 +2792,127 @@ def curate_to_parquet(
 
 
 # ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd iterations, exact integer grid)
+# ---------------------------------------------------------------------------
+_KM_SCALE = float(1 << 20)
+
+
+def embedding_kmeans(sf_dir: str, k: int = 4, iters: int = 2) -> pa.Table:
+    """Distributed Lloyd's k-means over the embedding table with an
+    EXACTLY-mirrored oracle -- the iterative-ML pattern (broadcast
+    model -> parallel assign -> partial-sum reduce -> driver update
+    -> repeat) made bit-deterministic: points quantize once to an
+    integer grid (``floor(v * 2^20)``; float32 -> double is exact),
+    distances are exact int64 sums of squares, ties go to the lowest
+    cluster id, and each centroid update re-quantizes to the grid
+    via ``floor(double(sum) / n)`` (sums stay far below 2^53, so the
+    one double division is the same IEEE op on both engines; an
+    emptied cluster keeps its previous centroid).  Init: the first
+    ``k`` vectors.  After ``iters`` updates a final assignment pass
+    reports per-cluster stats.
+
+    Returns one row per (cluster, dim): ``(cluster, dim_idx,
+    centroid_scaled, n_assigned, sum_vec_ids)``.
+
+    Scale shape: centroids broadcast into every task (k x d int64 --
+    tiny); each block emits ONE mergeable partial (count vector +
+    sum-matrix bytes, same driver-merge pattern as the histogram
+    ops); the driver touches only O(k x d) state per iteration.
+    ``iters + 1`` streaming scans total."""
+    import pyarrow.parquet as _pq
+
+    # init: the first k vectors, quantized (k rows -- a driver read)
+    head = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    ids0, m0 = _embedding_matrix(head)
+    order0 = np.argsort(ids0)
+    C = np.floor(m0[order0] * _KM_SCALE).astype(np.int64)  # (k, d)
+    d = C.shape[1]
+
+    def assign_of(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        X = np.floor(m * _KM_SCALE).astype(np.int64)
+        # (n, k) exact int64 distances; argmin takes the FIRST min ->
+        # lowest cluster id on ties
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return X, np.argmin(d2, axis=1)
+
+    for _ in range(iters):
+        cent = C.copy()
+
+        def partial(t: pa.Table, _c=cent) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"blob": pa.array([], pa.binary())})
+            _, m = _embedding_matrix(t)
+            X, a = assign_of(m, _c)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.zeros((k, d), np.int64)
+            np.add.at(sums, a, X)
+            return pa.table(
+                {"blob": pa.array(
+                    [counts.tobytes() + sums.tobytes()], pa.binary()
+                )}
+            )
+
+        tot_n = np.zeros(k, np.int64)
+        tot_s = np.zeros((k, d), np.int64)
+        for b in (
+            _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+            .map_batches(partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            for blob in b.column("blob").to_pylist():
+                tot_n += np.frombuffer(blob[: k * 8], np.int64)
+                tot_s += np.frombuffer(blob[k * 8 :], np.int64).reshape(k, d)
+        nz = tot_n > 0
+        upd = np.floor(
+            tot_s[nz].astype(np.float64) / tot_n[nz, None]
+        ).astype(np.int64)
+        C = C.copy()
+        C[nz] = upd  # emptied clusters keep the previous centroid
+
+    # final assignment pass with the final centroids
+    centF = C.copy()
+
+    def final_partial(t: pa.Table, _c=centF) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"blob": pa.array([], pa.binary())})
+        ids, m = _embedding_matrix(t)
+        _, a = assign_of(m, _c)
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        idsum = np.zeros(k, np.int64)
+        np.add.at(idsum, a, ids.astype(np.int64))
+        return pa.table(
+            {"blob": pa.array([counts.tobytes() + idsum.tobytes()],
+                              pa.binary())}
+        )
+
+    n_fin = np.zeros(k, np.int64)
+    id_fin = np.zeros(k, np.int64)
+    for b in (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(final_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for blob in b.column("blob").to_pylist():
+            n_fin += np.frombuffer(blob[: k * 8], np.int64)
+            id_fin += np.frombuffer(blob[k * 8 :], np.int64)
+
+    cl = np.repeat(np.arange(k, dtype=np.int64), d)
+    return pa.table(
+        {
+            "cluster": pa.array(cl),
+            "dim_idx": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "centroid_scaled": pa.array(C.reshape(-1)),
+            "n_assigned": pa.array(np.repeat(n_fin, d)),
+            "sum_vec_ids": pa.array(np.repeat(id_fin, d)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding int8 quantization (ANN index build step)
 # ---------------------------------------------------------------------------
 def embedding_quantize(sf_dir: str) -> pa.Table:

@@ -855,3 +855,47 @@ def test_curate_to_parquet_resumable(ray_session, tmp_path):
     for f in files:
         if f != victim:
             assert os.path.getmtime(os.path.join(out_dir, f)) == mtimes[f]
+
+
+def test_embedding_kmeans_planted_clusters(ray_session, tmp_path):
+    """Two tight planted clusters; init takes the first k=4 vectors
+    (two from each cluster), so after 2 iterations two centroids own
+    the mass and the duplicated-init centroids keep tracking their
+    cluster; assignments must match a numpy reference exactly."""
+    rng = np.random.default_rng(7)
+    a = np.array([5.0] * 6, np.float32)
+    b = np.array([-5.0] * 6, np.float32)
+    rows = [a + 0.01 * rng.standard_normal(6).astype(np.float32)
+            if i % 2 == 0 else
+            b + 0.01 * rng.standard_normal(6).astype(np.float32)
+            for i in range(40)]
+    mat = np.array(rows, np.float32)
+    sf = make_embeddings(tmp_path, mat)
+    out = d.embedding_kmeans(sf, k=4, iters=2)
+    got = {}
+    for r in out.to_pylist():
+        got[r["cluster"]] = (r["n_assigned"], r["sum_vec_ids"])
+    # numpy reference of the exact same integer-grid algorithm
+    S = float(1 << 20)
+    X = np.floor(mat.astype(np.float64) * S).astype(np.int64)
+    C = X[:4].copy()
+    for _ in range(2):
+        d2 = ((X[:, None, :] - C[None]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(4):
+            sel = assign == c
+            if sel.any():
+                C[c] = np.floor(
+                    X[sel].sum(axis=0).astype(np.float64) / sel.sum()
+                ).astype(np.int64)
+    d2 = ((X[:, None, :] - C[None]) ** 2).sum(axis=2)
+    assign = np.argmin(d2, axis=1)
+    for c in range(4):
+        sel = assign == c
+        want = (int(sel.sum()), int(np.flatnonzero(sel).sum()))
+        assert got[c] == want, (c, got[c], want)
+    cent = {r["cluster"]: {} for r in out.to_pylist()}
+    for r in out.to_pylist():
+        cent[r["cluster"]][r["dim_idx"]] = r["centroid_scaled"]
+    for c in range(4):
+        assert [cent[c][j] for j in range(6)] == C[c].tolist()
