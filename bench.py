@@ -163,6 +163,8 @@ def run_bench() -> dict:
         ("pii_redaction", dops.pii_redaction),
         ("seq_packing", dops.seq_packing),
         ("events_funnel", evops.events_funnel),
+        ("doc_chunking", dops.doc_chunking),
+        ("embedding_kmeans", dops.embedding_kmeans),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)
