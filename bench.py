@@ -134,7 +134,10 @@ def run_bench() -> dict:
         eng_st, changelog, num_shards=8, poll_interval=0.01,
         batch_size=1_000_000,
     )
-    stream.run(max_polls=400)
+    # idle_polls_limit: a finite-backlog drain -- stop once the
+    # backlog is exhausted instead of idling out the remaining polls
+    # (the idle tail measured ~4s of pure sleep at this volume)
+    stream.run(max_polls=400, idle_polls_limit=3)
     stream.shutdown()
     stream_s = time.monotonic() - t0
     timings["replay_streaming"] = round(stream_s, 3)

@@ -812,9 +812,15 @@ class StreamingEngine:
             self._env_stage = cached
         return cached[1](batch)
 
-    def run(self, max_polls: int = 10) -> int:
+    def run(self, max_polls: int = 10,
+            idle_polls_limit: int | None = None) -> int:
         """Poll loop applying released rows to the lake; returns rows
         applied.  Pacing per reference SourceTask.kt:142-146.
+
+        ``idle_polls_limit``: stop after this many CONSECUTIVE polls
+        that released nothing (a finite-backlog drain, e.g. catch-up
+        or benchmark runs); ``None`` (default) polls to ``max_polls``
+        like the reference's forever-task.
 
         The lake apply is ORDER-FREE: the LWW fold in the merge path
         orders per key by (commit_scn, scn, row_id), so released refs
@@ -829,6 +835,7 @@ class StreamingEngine:
         import ray.data as rd
 
         applied = 0
+        idle = 0
         for _ in range(max_polls):
             released, hi_commit = self._ingest()
             # drain any backlog left by interleaved poll() usage first
@@ -837,14 +844,21 @@ class StreamingEngine:
                 if n:
                     released.append(batch_ref)
             if not released:
+                idle += 1
+                if idle_polls_limit is not None and idle >= idle_polls_limit:
+                    break
                 time.sleep(self.poll_interval)
                 continue
             counts = ray.get([self._count.remote(r) for r in released])
             live = [r for r, c in zip(released, counts) if c]
             n = int(sum(counts))
             if not n:
+                idle += 1
+                if idle_polls_limit is not None and idle >= idle_polls_limit:
+                    break
                 time.sleep(self.poll_interval)
                 continue
+            idle = 0
             applied += n
             prev = self.engine.store.load()
             # Conservative resumable watermark (reference holds the

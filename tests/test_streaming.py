@@ -660,3 +660,29 @@ def test_streaming_maintains_views(ray_session, tmp_path):
     got = {r["lang"]: (r["n_rows"], r["sum_text_chars"])
            for r in eng.view("v").to_pylist()}
     assert got == {g: (n[g], ch[g]) for g in n}
+
+
+def test_run_idle_polls_limit_drains_and_exits(streamed_setup, tmp_path):
+    """idle_polls_limit stops a finite-backlog drain once consecutive
+    polls release nothing, without losing rows; default behavior
+    (None) is unchanged (polls to max_polls)."""
+    import time as _t
+
+    eng, pages, events, changelog = streamed_setup
+    write_event_batches(events, changelog, events_per_file=40)
+    stream = StreamingEngine(eng, changelog, num_shards=2, poll_interval=0.25)
+    applied = stream.run(max_polls=200, idle_polls_limit=2)
+    assert applied > 0
+    # backlog fully applied: state matches the oracle
+    base = {r["url"]: {k: v for k, v in r.items() if k != "url"}
+            for r in pages.to_pylist()}
+    want = replay_oracle(base, events)
+    got = table_to_state(eng.to_arrow())
+    assert not state_diff(got, want), state_diff(got, want)
+    # a drained changelog exits on the idle limit, far before
+    # max_polls x poll_interval (50 x 0.25 s = 12.5 s)
+    t0 = _t.monotonic()
+    again = stream.run(max_polls=50, idle_polls_limit=2)
+    wall = _t.monotonic() - t0
+    stream.shutdown()
+    assert again == 0 and wall < 6.0
