@@ -1114,6 +1114,47 @@ ORDER BY event_type
 # Cross-document duplicated 8-gram density (the map-reduce restating
 # of exact-substring dedup): a gram occurrence is duplicated iff its
 # exact word-8-gram string occurs >= 2 times corpus-wide.
+# PageRank, 2 scatter-gather iterations over the deterministic
+# 3-out-degree link graph, exact integer ranks (scale 1e12; damped
+# update (15*(R//N))//100 + (85*in_sum)//100, all floor ops).
+_PAGERANK_SQL = """
+WITH n AS (SELECT count(*)::BIGINT AS nn FROM documents),
+docs AS (SELECT doc_id FROM documents),
+r0 AS (
+  SELECT doc_id, (1000000000000 // nn)::BIGINT AS r
+  FROM docs CROSS JOIN n
+),
+e AS (
+  SELECT doc_id AS src, ((7 * doc_id + 1) % nn)::BIGINT AS dst
+  FROM docs CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, ((13 * doc_id + 5) % nn)::BIGINT FROM docs CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, ((31 * doc_id + 11) % nn)::BIGINT FROM docs CROSS JOIN n
+),
+s1 AS (
+  SELECT e.dst AS doc_id, sum(r0.r // 3)::BIGINT AS s
+  FROM e JOIN r0 ON r0.doc_id = e.src GROUP BY e.dst
+),
+r1 AS (
+  SELECT d.doc_id,
+         ((15 * (1000000000000 // n.nn)) // 100
+            + (85 * COALESCE(s1.s, 0)) // 100)::BIGINT AS r
+  FROM docs d CROSS JOIN n LEFT JOIN s1 ON s1.doc_id = d.doc_id
+),
+s2 AS (
+  SELECT e.dst AS doc_id, sum(r1.r // 3)::BIGINT AS s
+  FROM e JOIN r1 ON r1.doc_id = e.src GROUP BY e.dst
+),
+r2 AS (
+  SELECT d.doc_id,
+         ((15 * (1000000000000 // n.nn)) // 100
+            + (85 * COALESCE(s2.s, 0)) // 100)::BIGINT AS r
+  FROM docs d CROSS JOIN n LEFT JOIN s2 ON s2.doc_id = d.doc_id
+)
+SELECT doc_id, r FROM r2 ORDER BY doc_id
+"""
+
 # Distributed k-means, 2 Lloyd iterations on an exact integer grid
 # (floor(v*2^20) points; centroid update floor(double(sum)/n) -- one
 # IEEE double division on sums << 2^53; ties to the lowest cluster;
@@ -1706,6 +1747,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative ML: 2 Lloyd iterations, broadcast centroids,
         # mergeable partials, exact integer-grid arithmetic
         "embedding_kmeans": d.embedding_kmeans,
+        # graph analytics: 2 PageRank scatter-gather iterations,
+        # exact integer ranks
+        "doc_pagerank": d.doc_pagerank,
         # sequential-pattern funnel (signup -> click -> purchase,
         # strictly ordered) per user
         "events_funnel": ev.events_funnel,
@@ -1808,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_budget_select": _BUDGET_SELECT_SQL,
         "embedding_quantize": _EMBED_QUANT_SQL,
         "embedding_kmeans": _KMEANS_SQL,
+        "doc_pagerank": _PAGERANK_SQL,
         "events_funnel": _FUNNEL_SQL,
         "events_cohort_retention": _COHORT_SQL,
         "events_user_path": _USER_PATH_SQL,

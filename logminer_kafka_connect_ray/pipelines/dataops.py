@@ -2792,6 +2792,108 @@ def curate_to_parquet(
 
 
 # ---------------------------------------------------------------------------
+# PageRank (scatter-gather graph iterations, exact integer ranks)
+# ---------------------------------------------------------------------------
+_PR_SCALE = 10**12
+
+
+def doc_pagerank(sf_dir: str, iters: int = 2) -> pa.Table:
+    """PageRank over a deterministic doc-link graph -- the
+    scatter-gather graph-analytics pattern (emit shares along edges
+    -> exchange on destination -> gather-sum -> damped update) with
+    EXACT integer ranks, so the SQL oracle reproduces every rank
+    bit-for-bit: ranks live at scale 1e12, shares are ``r // 3``
+    (every node has out-degree 3: ``d -> (7d+1, 13d+5, 31d+11) mod
+    N``, multi-edges kept), and the damped update is
+    ``(15 * (R//N)) // 100 + (85 * in_sum) // 100`` -- all floor
+    integer ops, identical in numpy and DuckDB.
+
+    Scale shape: each iteration is one ``map_batches`` over the rank
+    table (emits 3 share rows + a zero self-row per doc, so sinks
+    keep their base rank), one explicit-boundary exchange on the
+    destination hash, and a per-block segment-sum sweep -- the rank
+    state never touches the driver; ``iters`` chained stages execute
+    as one streaming pipeline."""
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    R = _PR_SCALE
+    base = (15 * (R // n_docs)) // 100
+    P = _exchange_width(n_docs * 4)
+    r0 = R // n_docs
+
+    rank_schema = pa.schema([("doc_id", pa.int64()), ("r", pa.int64())])
+    share_schema = pa.schema(
+        [("dst", pa.int64()), ("share", pa.int64()), ("_p", pa.int64())]
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "r": pa.array(np.full(t.num_rows, r0, np.int64))},
+            schema=rank_schema,
+        ),
+        batch_format="pyarrow",
+    )
+
+    guards = []
+    for it in range(iters):
+        gd = _new_guard_dir(f"pagerank{it}")
+        guards.append(gd)
+
+        def shares(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return share_schema.empty_table()
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            r = t.column("r").to_numpy(zero_copy_only=False)
+            sh = r // 3
+            dst = np.concatenate(
+                [(7 * d + 1) % n_docs, (13 * d + 5) % n_docs,
+                 (31 * d + 11) % n_docs, d]
+            )
+            share = np.concatenate([sh, sh, sh, np.zeros(len(d), np.int64)])
+            return pa.table(
+                {"dst": pa.array(dst), "share": pa.array(share),
+                 "_p": pa.array(partition_ids(pa.array(dst), P))},
+                schema=share_schema,
+            )
+
+        def gather(t: pa.Table, _gd=gd, _it=it) -> pa.Table:
+            if t.num_rows == 0:
+                return rank_schema.empty_table()
+            _guard_record(
+                _gd, f"pr{_it}",
+                t.column("_p").to_numpy(zero_copy_only=False),
+            )
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            share = t.column("share").to_numpy(zero_copy_only=False)
+            order = np.argsort(dst, kind="stable")
+            dst, share = dst[order], share[order]
+            n = len(dst)
+            starts = np.flatnonzero(
+                np.concatenate([[True], dst[1:] != dst[:-1]])
+            )
+            sums = np.add.reduceat(share, starts)
+            return pa.table(
+                {"doc_id": pa.array(dst[starts]),
+                 "r": pa.array(base + (85 * sums) // 100)},
+                schema=rank_schema,
+            )
+
+        ds = (
+            ds.map_batches(shares, batch_format="pyarrow")
+            .sort("_p", boundaries=list(range(1, P)))
+            .map_batches(gather, batch_format="pyarrow", batch_size=None)
+        )
+
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    t = t.cast(rank_schema)
+    for gd in guards:
+        t = _finalize_guard(gd, t)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
 # Distributed k-means (Lloyd iterations, exact integer grid)
 # ---------------------------------------------------------------------------
 _KM_SCALE = float(1 << 20)

@@ -899,3 +899,23 @@ def test_embedding_kmeans_planted_clusters(ray_session, tmp_path):
         cent[r["cluster"]][r["dim_idx"]] = r["centroid_scaled"]
     for c in range(4):
         assert [cent[c][j] for j in range(6)] == C[c].tolist()
+
+
+def test_doc_pagerank_exact_reference(ray_session, tmp_path):
+    n = 7
+    sf = make_docs(tmp_path, [f"doc {i}" for i in range(n)])
+    out = {r["doc_id"]: r["r"] for r in d.doc_pagerank(sf, iters=2).to_pylist()}
+    R = 10**12
+    base = (15 * (R // n)) // 100
+    r = np.full(n, R // n, np.int64)
+    for _ in range(2):
+        s = np.zeros(n, np.int64)
+        for src in range(n):
+            sh = r[src] // 3
+            for dst in ((7 * src + 1) % n, (13 * src + 5) % n,
+                        (31 * src + 11) % n):
+                s[dst] += sh
+        r = base + (85 * s) // 100
+    assert out == {i: int(r[i]) for i in range(n)}
+    # ranks vary across docs (the graph is not symmetric)
+    assert len(set(out.values())) > 1
