@@ -25,8 +25,17 @@ import sys
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="logminer-kafka-connect-ray")
     p.add_argument(
-        "command", choices=["snapshot", "replay", "stream", "show", "query"]
+        "command",
+        choices=["snapshot", "replay", "stream", "show", "history",
+                 "vacuum", "erase", "query"],
     )
+    p.add_argument("--keep", type=int, default=2,
+                   help="vacuum: versions to retain")
+    p.add_argument("--keys", default="",
+                   help="erase: comma-separated record keys (urls) to "
+                        "delete as one copy-on-write version (GDPR "
+                        "right-to-erasure; vacuum afterwards completes "
+                        "the physical forget)")
     p.add_argument("--lake", help="lake dir (required except for query)")
     p.add_argument("--name", help="query: registered pipeline name "
                                   "(see __ray_entry__.queries())")
@@ -164,6 +173,35 @@ def main(argv=None) -> int:
         print(json.dumps({"applied_rows": applied, "version": m.version if m else None}))
         ray.shutdown()
         return 0
+    elif args.command == "history":
+        latest = eng.store.latest_version()
+        if latest is None:
+            print(json.dumps({"error": "no manifest"}))
+            ray.shutdown()
+            return 1
+        for v in range(1, latest + 1):
+            mv = eng.store.load(v)
+            if mv is None:
+                continue  # vacuumed
+            print(json.dumps({
+                "version": mv.version, "phase": mv.phase,
+                "watermark_scn": mv.watermark_scn,
+                "schema_version": mv.schema_version,
+                "rows": sum(x.rows for x in mv.partitions),
+                "metrics": mv.metrics,
+            }))
+        ray.shutdown()
+        return 0
+    elif args.command == "vacuum":
+        stats = eng.vacuum(keep_versions=args.keep)
+        print(json.dumps(stats))
+        ray.shutdown()
+        return 0
+    elif args.command == "erase":
+        keys = [k for k in args.keys.split(",") if k]
+        if not keys:
+            p.error("erase requires --keys")
+        m = eng.erase(keys)
     else:  # show
         m = eng.store.load()
         if m is None:

@@ -1,0 +1,58 @@
+"""CLI surface test: the ray-job-submit entry drives the full lake
+lifecycle (snapshot -> replay -> erase -> vacuum -> history/show)."""
+
+import json
+
+import pyarrow.parquet as pq
+
+from logminer_kafka_connect_ray import cli
+from logminer_kafka_connect_ray.testing.gen import (
+    ChangeGenConfig,
+    gen_changes,
+    gen_pages,
+    write_event_batches,
+)
+
+
+def test_cli_lifecycle(ray_session, tmp_path, monkeypatch, capsys):
+    # the session fixture owns Ray: the CLI's shutdown must not kill it
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+
+    pages = gen_pages(20)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(pages, ChangeGenConfig(n_events=120, seed=9))
+    changelog = str(tmp_path / "clog")
+    write_event_batches(events, changelog, events_per_file=60)
+    lake = str(tmp_path / "lake")
+
+    assert cli.main(["snapshot", "--lake", lake, "--base", pages_path,
+                     "--scn", "999", "--partitions", "3"]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["version"] == 1 and out1["rows"] == 20
+
+    assert cli.main(["replay", "--lake", lake, "--changelog", changelog,
+                     "--partitions", "3"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["version"] >= 2
+
+    url = pages.column("url")[0].as_py()
+    assert cli.main(["erase", "--lake", lake, "--keys", url,
+                     "--partitions", "3"]) == 0
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["phase"] == "erase"
+
+    assert cli.main(["vacuum", "--lake", lake, "--keep", "1",
+                     "--partitions", "3"]) == 0
+    out4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out4["removed_manifests"] == out3["version"] - 1
+
+    assert cli.main(["history", "--lake", lake, "--partitions", "3"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 1 and lines[0]["version"] == out3["version"]
+
+    assert cli.main(["show", "--lake", lake, "--partitions", "3"]) == 0
+    shown = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert shown["version"] == out3["version"]
