@@ -1314,6 +1314,24 @@ GROUP BY user_id
 ORDER BY user_id
 """
 
+# Continuous (interpolated) quartiles, integer-exact via the x4
+# representation: h=(n-1)k/4=m+r/4 -> 4*v[m] + r*(v[m+1]-v[m]).
+_QUANT_CONT_SQL = """
+WITH c AS (SELECT floor(value * 100)::BIGINT AS cents FROM events),
+n AS (SELECT count(*)::BIGINT AS nn FROM c),
+o AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS pos FROM c),
+pick AS (
+  SELECT k, ((nn - 1) * k) // 4 AS m, ((nn - 1) * k) % 4 AS r, nn
+  FROM (SELECT unnest([1, 2, 3]) AS k) CROSS JOIN n
+)
+SELECT (pick.k * 25)::BIGINT AS q_pct,
+       (4 * lo.cents + pick.r * (hi.cents - lo.cents))::BIGINT AS cont_x4
+FROM pick
+JOIN o lo ON lo.pos = pick.m
+JOIN o hi ON hi.pos = least(pick.m + 1, pick.nn - 1)
+ORDER BY q_pct
+"""
+
 # Cohort retention: epoch-week cohorts (floor(epoch_days/7), no
 # calendar ambiguity), distinct cohort users active per weeks-since.
 _COHORT_SQL = """
@@ -1760,6 +1778,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_path": ev.events_user_path,
         # streaming-ETL window-throttle dedup accounting
         "events_dedup_window": ev.events_dedup_window,
+        # exact interpolated quartiles (percentile_cont, x4 ints)
+        "events_value_quantiles_cont": ev.events_value_quantiles_cont,
     }
 
 
@@ -1857,4 +1877,5 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_retention": _COHORT_SQL,
         "events_user_path": _USER_PATH_SQL,
         "events_dedup_window": _DEDUP_WINDOW_SQL,
+        "events_value_quantiles_cont": _QUANT_CONT_SQL,
     }

@@ -1000,6 +1000,66 @@ def events_value_quantiles(
     )
 
 
+def events_value_quantiles_cont(
+    sf_dir: str, ks: tuple[int, ...] = (1, 2, 3)
+) -> pa.Table:
+    """EXACT continuous (interpolated) quartiles of ``floor(value *
+    100)`` cents -- ``percentile_cont`` semantics at ``q = k/4``,
+    kept integer-exact by reporting ``4x`` the interpolated value:
+    with ``h = (n-1) * k / 4 = m + r/4``, the result is
+    ``cont_x4 = 4 * v[m] + r * (v[m+1] - v[m])`` (order statistics
+    0-based; ``v[m+1]`` clamps at the max).  The discrete sibling is
+    ``events_value_quantiles``; this completes the family
+    (disc / per-group disc / HDR-approx / cont).
+
+    Same distributed counting-sort shape: per-block distinct
+    ``(cents, count)`` partials -> ``groupby.sum`` -> the driver
+    walks the DISTINCT-value cumulative only (domain-bounded, never
+    row-bounded)."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"cents": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        c = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        vals, counts = np.unique(c, return_counts=True)
+        return pa.table(
+            {"cents": pa.array(vals), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cents")
+        .sum("n")
+    )
+    t = pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+    vals = t.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vals)
+    vals, counts = vals[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+
+    def v_at(pos: int) -> int:  # 0-based order statistic
+        return int(vals[int(np.searchsorted(cum, pos + 1))])
+
+    out_q, out_v = [], []
+    for k in ks:
+        h = (n - 1) * k
+        m, r = h // 4, h % 4
+        lo = v_at(m)
+        hi = v_at(min(m + 1, n - 1))
+        out_q.append(k * 25)
+        out_v.append(4 * lo + r * (hi - lo))
+    return pa.table(
+        {"q_pct": pa.array(out_q, pa.int64()),
+         "cont_x4": pa.array(out_v, pa.int64())}
+    )
+
+
 def events_type_quantiles(
     sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9)
 ) -> pa.Table:

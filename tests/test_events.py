@@ -1143,3 +1143,24 @@ def test_events_dedup_window_throttle(ray_session, tmp_path):
     out = {r["event_type"]: (r["n_events"], r["n_kept"])
            for r in ev.events_dedup_window(sf).to_pylist()}
     assert out == {"a": (6, 3), "b": (1, 1)}
+
+
+def test_events_value_quantiles_cont_interpolation(ray_session, tmp_path):
+    # cents [100, 200, 300, 400]: n=4, h=(3k)/4
+    # k=1: h=0.75 -> m=0, r=3 -> 4*100 + 3*(200-100) = 700
+    # k=2: h=1.5  -> m=1, r=2 -> 4*200 + 2*(300-200) = 1000
+    # k=3: h=2.25 -> m=2, r=1 -> 4*300 + 1*(400-300) = 1300
+    sf = make_events(
+        tmp_path,
+        [(i, 1, float(i), "a", v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0])],
+    )
+    out = {r["q_pct"]: r["cont_x4"]
+           for r in ev.events_value_quantiles_cont(sf).to_pylist()}
+    assert out == {25: 700, 50: 1000, 75: 1300}
+    # cross-check vs numpy percentile (x4)
+    import numpy as np
+    for k in (1, 2, 3):
+        assert out[k * 25] == int(
+            round(4 * np.percentile([100, 200, 300, 400], k * 25,
+                                    method="linear"))
+        )
