@@ -1114,6 +1114,54 @@ ORDER BY event_type
 # Cross-document duplicated 8-gram density (the map-reduce restating
 # of exact-substring dedup): a gram occurrence is duplicated iff its
 # exact word-8-gram string occurs >= 2 times corpus-wide.
+# BFS hop distance from seeds {doc_id < 3}, 3 bounded min-propagation
+# rounds over the same 3-out-degree graph; INF = 2^40, unreached -> -1.
+_BFS_SQL = """
+WITH n AS (SELECT count(*)::BIGINT AS nn FROM documents),
+docs AS (SELECT doc_id FROM documents),
+e AS (
+  SELECT doc_id AS src, ((7 * doc_id + 1) % nn)::BIGINT AS dst
+  FROM docs CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, ((13 * doc_id + 5) % nn)::BIGINT FROM docs CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, ((31 * doc_id + 11) % nn)::BIGINT FROM docs CROSS JOIN n
+),
+d0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 3 THEN 0 ELSE 1099511627776 END AS dist
+  FROM docs
+),
+o1 AS (
+  SELECT e.dst AS doc_id, min(least(d0.dist + 1, 1099511627776)) AS mo
+  FROM e JOIN d0 ON d0.doc_id = e.src GROUP BY e.dst
+),
+d1 AS (
+  SELECT d0.doc_id, least(d0.dist, COALESCE(o1.mo, 1099511627776)) AS dist
+  FROM d0 LEFT JOIN o1 USING (doc_id)
+),
+o2 AS (
+  SELECT e.dst AS doc_id, min(least(d1.dist + 1, 1099511627776)) AS mo
+  FROM e JOIN d1 ON d1.doc_id = e.src GROUP BY e.dst
+),
+d2 AS (
+  SELECT d1.doc_id, least(d1.dist, COALESCE(o2.mo, 1099511627776)) AS dist
+  FROM d1 LEFT JOIN o2 USING (doc_id)
+),
+o3 AS (
+  SELECT e.dst AS doc_id, min(least(d2.dist + 1, 1099511627776)) AS mo
+  FROM e JOIN d2 ON d2.doc_id = e.src GROUP BY e.dst
+),
+d3 AS (
+  SELECT d2.doc_id, least(d2.dist, COALESCE(o3.mo, 1099511627776)) AS dist
+  FROM d2 LEFT JOIN o3 USING (doc_id)
+)
+SELECT doc_id,
+       (CASE WHEN dist >= 1099511627776 THEN -1 ELSE dist END)::BIGINT
+         AS dist
+FROM d3 ORDER BY doc_id
+"""
+
 # PageRank, 2 scatter-gather iterations over the deterministic
 # 3-out-degree link graph, exact integer ranks (scale 1e12; damped
 # update (15*(R//N))//100 + (85*in_sum)//100, all floor ops).
@@ -1768,6 +1816,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph analytics: 2 PageRank scatter-gather iterations,
         # exact integer ranks
         "doc_pagerank": d.doc_pagerank,
+        # BFS hop distance (bounded min-propagation, the graph
+        # family's frontier sibling)
+        "doc_bfs_levels": d.doc_bfs_levels,
         # sequential-pattern funnel (signup -> click -> purchase,
         # strictly ordered) per user
         "events_funnel": ev.events_funnel,
@@ -1873,6 +1924,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": _EMBED_QUANT_SQL,
         "embedding_kmeans": _KMEANS_SQL,
         "doc_pagerank": _PAGERANK_SQL,
+        "doc_bfs_levels": _BFS_SQL,
         "events_funnel": _FUNNEL_SQL,
         "events_cohort_retention": _COHORT_SQL,
         "events_user_path": _USER_PATH_SQL,

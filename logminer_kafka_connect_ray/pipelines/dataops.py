@@ -2894,6 +2894,114 @@ def doc_pagerank(sf_dir: str, iters: int = 2) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# BFS hop distance (bounded frontier min-propagation)
+# ---------------------------------------------------------------------------
+def doc_bfs_levels(sf_dir: str, hops: int = 3) -> pa.Table:
+    """Hop distance from the seed set ``{doc_id < 3}`` over the same
+    deterministic 3-out-degree link graph ``doc_pagerank`` walks --
+    the bounded-iteration MIN-propagation pattern (BFS / shortest
+    path / reachability) that complements PageRank's sum-propagation:
+    each round every node sends ``dist + 1`` along its out-edges, the
+    gather keeps the MIN of incoming offers and its own distance, and
+    nodes unreached after ``hops`` rounds report ``-1``.
+
+    Returns ``(doc_id, dist)`` with ``dist in {0..hops, -1}``.
+
+    Scale shape: identical to ``doc_pagerank`` -- per round one
+    ``map_batches`` (3 offers + a keep-self row per node), one
+    explicit-boundary exchange on the destination hash, one
+    per-block segment-min sweep; state never on the driver, rounds
+    chain as one streaming pipeline."""
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    P = _exchange_width(n_docs * 4)
+    INF = np.int64(1 << 40)
+
+    dist_schema = pa.schema([("doc_id", pa.int64()), ("dist", pa.int64())])
+    offer_schema = pa.schema(
+        [("dst", pa.int64()), ("offer", pa.int64()), ("_p", pa.int64())]
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "dist": pa.array(
+                    np.where(
+                        pc.cast(t.column("doc_id"), pa.int64())
+                        .to_numpy(zero_copy_only=False) < 3,
+                        np.int64(0), INF,
+                    )
+                ),
+            },
+            schema=dist_schema,
+        ),
+        batch_format="pyarrow",
+    )
+
+    guards = []
+    for it in range(hops):
+        gd = _new_guard_dir(f"bfs{it}")
+        guards.append(gd)
+
+        def offers(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return offer_schema.empty_table()
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            dist = t.column("dist").to_numpy(zero_copy_only=False)
+            dst = np.concatenate(
+                [(7 * d + 1) % n_docs, (13 * d + 5) % n_docs,
+                 (31 * d + 11) % n_docs, d]
+            )
+            # offers along edges are dist+1 (INF stays INF); the self
+            # row keeps the node's own distance in the gather
+            out_offer = np.minimum(dist + 1, INF)
+            offer = np.concatenate([out_offer, out_offer, out_offer, dist])
+            return pa.table(
+                {"dst": pa.array(dst), "offer": pa.array(offer),
+                 "_p": pa.array(partition_ids(pa.array(dst), P))},
+                schema=offer_schema,
+            )
+
+        def gather(t: pa.Table, _gd=gd, _it=it) -> pa.Table:
+            if t.num_rows == 0:
+                return dist_schema.empty_table()
+            _guard_record(
+                _gd, f"bfs{_it}",
+                t.column("_p").to_numpy(zero_copy_only=False),
+            )
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            offer = t.column("offer").to_numpy(zero_copy_only=False)
+            order = np.argsort(dst, kind="stable")
+            dst, offer = dst[order], offer[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], dst[1:] != dst[:-1]])
+            )
+            return pa.table(
+                {"doc_id": pa.array(dst[starts]),
+                 "dist": pa.array(np.minimum.reduceat(offer, starts))},
+                schema=dist_schema,
+            )
+
+        ds = (
+            ds.map_batches(offers, batch_format="pyarrow")
+            .sort("_p", boundaries=list(range(1, P)))
+            .map_batches(gather, batch_format="pyarrow", batch_size=None)
+        )
+
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    t = t.cast(dist_schema)
+    for gd in guards:
+        t = _finalize_guard(gd, t)
+    dist = t.column("dist").to_numpy(zero_copy_only=False)
+    t = t.set_column(
+        1, "dist", pa.array(np.where(dist >= INF, np.int64(-1), dist))
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
 # Distributed k-means (Lloyd iterations, exact integer grid)
 # ---------------------------------------------------------------------------
 _KM_SCALE = float(1 << 20)

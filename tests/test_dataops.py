@@ -919,3 +919,26 @@ def test_doc_pagerank_exact_reference(ray_session, tmp_path):
     assert out == {i: int(r[i]) for i in range(n)}
     # ranks vary across docs (the graph is not symmetric)
     assert len(set(out.values())) > 1
+
+
+def test_doc_bfs_levels_reference(ray_session, tmp_path):
+    n = 9
+    sf = make_docs(tmp_path, [f"doc {i}" for i in range(n)])
+    out = {r["doc_id"]: r["dist"]
+           for r in d.doc_bfs_levels(sf, hops=3).to_pylist()}
+    # brute-force BFS over the same derived graph
+    INF = float("inf")
+    dist = [0 if i < 3 else INF for i in range(n)]
+    edges = [
+        (s, t) for s in range(n)
+        for t in ((7 * s + 1) % n, (13 * s + 5) % n, (31 * s + 11) % n)
+    ]
+    for _ in range(3):
+        nd = dist[:]
+        for s, t in edges:
+            if dist[s] + 1 < nd[t]:
+                nd[t] = dist[s] + 1
+        dist = nd
+    want = {i: (int(x) if x != INF else -1) for i, x in enumerate(dist)}
+    assert out == want
+    assert set(out.values()) >= {0}  # seeds present
