@@ -987,6 +987,16 @@ FROM orders o JOIN events e ON e.user_id = o.o_custkey
 ORDER BY o.o_orderkey, e.event_id
 """
 
+_CUBE_SQL = """
+SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY CUBE(event_type, CAST(user_id % 10 AS BIGINT))
+ORDER BY event_type NULLS LAST, user_bucket NULLS LAST
+"""
+
 _ROLLUP_SQL = """
 SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -1738,6 +1748,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_custkey_set_ops": ev.user_custkey_set_ops,
         # ROLLUP(event_type, user_bucket) grouping-sets aggregate
         "events_rollup": ev.events_rollup,
+        # CUBE grouping sets (rollup + the bucket-only marginal)
+        "events_cube": ev.events_cube,
         # fact-to-fact shuffle hash join (general case: neither side
         # broadcastable; partitioned searchsorted+repeat sweep)
         "orders_events_join": ev.orders_events_join,
@@ -1899,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pivot": _TYPE_PIVOT_SQL,
         "user_custkey_set_ops": _SET_OPS_SQL,
         "events_rollup": _ROLLUP_SQL,
+        "events_cube": _CUBE_SQL,
         "orders_events_join": _HASH_JOIN_SQL,
         "orders_events_join_left": _HASH_JOIN_LEFT_SQL,
         "orders_events_join_full": _HASH_JOIN_FULL_SQL,

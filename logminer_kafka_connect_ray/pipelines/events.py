@@ -2360,6 +2360,61 @@ def events_rollup(sf_dir: str) -> pa.Table:
     )
 
 
+def events_cube(sf_dir: str) -> pa.Table:
+    """CUBE(event_type, user_bucket): all FOUR grouping sets --
+    (type, bucket), (type), (bucket), () -- from one distributed
+    finest-level pass (``events_rollup``'s superset: CUBE adds the
+    bucket-only marginal ROLLUP omits).  Same
+    rollup-from-finest push-down: every coarser level derives from
+    the merged finest table on the driver (group-count-sized);
+    NULL group columns mark the aggregated dimensions exactly as SQL
+    CUBE does."""
+    import pandas as pd
+
+    # finest level via the identical distributed pass events_rollup
+    # runs; coarser levels are pandas folds of its group-sized result
+    fine_tbl = events_rollup(sf_dir)
+    fine = fine_tbl.to_pandas()
+    fine = fine[fine["event_type"].notna() & fine["user_bucket"].notna()]
+    by_type = (
+        fine.groupby("event_type", as_index=False)[
+            ["n_events", "sum_value_cents"]].sum()
+    )
+    by_type["user_bucket"] = None
+    by_bucket = (
+        fine.groupby("user_bucket", as_index=False)[
+            ["n_events", "sum_value_cents"]].sum()
+    )
+    by_bucket["event_type"] = None
+    total = pd.DataFrame(
+        {"event_type": [None], "user_bucket": [None],
+         "n_events": [fine["n_events"].sum()],
+         "sum_value_cents": [fine["sum_value_cents"].sum()]}
+    )
+    allp = pd.concat(
+        [fine, by_type, by_bucket, total], ignore_index=True
+    )[["event_type", "user_bucket", "n_events", "sum_value_cents"]]
+    out = pa.table(
+        {
+            "event_type": pa.array(allp["event_type"], pa.string()),
+            "user_bucket": pa.array(
+                allp["user_bucket"].astype("Int64"), pa.int64()
+            ),
+            "n_events": pa.array(allp["n_events"].astype(np.int64)),
+            "sum_value_cents": pa.array(
+                allp["sum_value_cents"].astype(np.int64)
+            ),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("event_type", "ascending"),
+                       ("user_bucket", "ascending")],
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact per-group COUNT(DISTINCT) -- the cardinality aggregate
 # ---------------------------------------------------------------------------

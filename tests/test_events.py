@@ -1164,3 +1164,24 @@ def test_events_value_quantiles_cont_interpolation(ray_session, tmp_path):
             round(4 * np.percentile([100, 200, 300, 400], k * 25,
                                     method="linear"))
         )
+
+
+def test_events_cube_grouping_sets(ray_session, tmp_path):
+    rows = [
+        (1, 10, 0.0, "a", 1.00),   # bucket 0
+        (2, 11, 0.0, "a", 2.00),   # bucket 1
+        (3, 11, 0.0, "b", 4.00),   # bucket 1
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {(r["event_type"], r["user_bucket"]): (r["n_events"],
+                                                 r["sum_value_cents"])
+           for r in ev.events_cube(sf).to_pylist()}
+    assert out[("a", 0)] == (1, 100)
+    assert out[("a", 1)] == (1, 200)
+    assert out[("b", 1)] == (1, 400)
+    assert out[("a", None)] == (2, 300)      # type marginal
+    assert out[("b", None)] == (1, 400)
+    assert out[(None, 0)] == (1, 100)        # bucket marginal (CUBE-only)
+    assert out[(None, 1)] == (2, 600)
+    assert out[(None, None)] == (3, 700)     # grand total
+    assert len(out) == 8
