@@ -1336,6 +1336,30 @@ WHERE cum <= (SELECT sum(n_tokens) * 2 // 5 FROM q)
 ORDER BY doc_id
 """
 
+# Time-series densification: hourly counts resampled onto the full
+# global hour range per type, zeros on gap hours, running cumulative.
+_RESAMPLE_SQL = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour FROM events
+),
+b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+grid AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT DISTINCT event_type FROM h) t
+  CROSS JOIN b, LATERAL unnest(range(b.lo, b.hi + 1)) AS g(hour)
+),
+c AS (
+  SELECT event_type, hour, count(*)::BIGINT AS n FROM h GROUP BY 1, 2
+)
+SELECT grid.event_type, grid.hour,
+       COALESCE(c.n, 0)::BIGINT AS n_events,
+       (sum(COALESCE(c.n, 0)) OVER (
+          PARTITION BY grid.event_type ORDER BY grid.hour))::BIGINT
+         AS cum_events
+FROM grid LEFT JOIN c USING (event_type, hour)
+ORDER BY event_type, hour
+"""
+
 # Window-throttle dedup: drop an event when the same (user, type)
 # occurred within the last 10 minutes (previous occurrence, kept or
 # not; strictly-greater gaps survive).
@@ -1750,6 +1774,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": ev.events_rollup,
         # CUBE grouping sets (rollup + the bucket-only marginal)
         "events_cube": ev.events_cube,
+        # time-series densification (gap-fill resample + running
+        # cumulative per series)
+        "events_resample_ffill": ev.events_resample_ffill,
         # fact-to-fact shuffle hash join (general case: neither side
         # broadcastable; partitioned searchsorted+repeat sweep)
         "orders_events_join": ev.orders_events_join,
@@ -1912,6 +1939,7 @@ def oracle_sql() -> dict[str, str]:
         "user_custkey_set_ops": _SET_OPS_SQL,
         "events_rollup": _ROLLUP_SQL,
         "events_cube": _CUBE_SQL,
+        "events_resample_ffill": _RESAMPLE_SQL,
         "orders_events_join": _HASH_JOIN_SQL,
         "orders_events_join_left": _HASH_JOIN_LEFT_SQL,
         "orders_events_join_full": _HASH_JOIN_FULL_SQL,

@@ -3148,3 +3148,75 @@ def events_dedup_window(sf_dir: str, window_minutes: int = 10) -> pa.Table:
     t = pa.Table.from_pandas(merged, preserve_index=False).cast(part_schema)
     t = t.take(pc.sort_indices(t, sort_keys=[("event_type", "ascending")]))
     return _finalize_guard(gd, t)
+
+
+def events_resample_ffill(sf_dir: str) -> pa.Table:
+    """Time-series densification: resample each event type's hourly
+    event counts onto the FULL global hour range (dense output over
+    sparse input) with forward-fill semantics for the running count
+    -- the gap-filling step a monitoring/ETL pipeline applies before
+    charting or joining series.  Per ``(event_type, hour)`` over
+    every hour between the corpus-wide min and max (inclusive):
+    ``n_events`` (0 on gap hours) and ``cum_events`` (running total,
+    which forward-fills through gaps by construction).
+
+    Distributed shape: per-block ``(type, hour) -> count`` partials
+    (lexsort + reduceat) -> dim-bounded ``groupby.sum``; the dense
+    expansion + cumulative fold happen on the type x hour-range
+    GRID (series-sized, never event-sized), vectorized with one
+    searchsorted scatter per type."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    hour_us = np.int64(3600 * _US)
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        hr = _ts_i64(t.column("ts")) // hour_us
+        order = np.lexsort((hr, et))
+        et, hr = et[order], hr[order]
+        brk = np.concatenate([[True], (et[1:] != et[:-1]) | (hr[1:] != hr[:-1])])
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, len(et)))
+        return pa.table(
+            {"event_type": pa.array(list(et[starts]), pa.string()),
+             "hour": pa.array(hr[starts]),
+             "n": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum("n")
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "hour", "n"]
+    lo, hi = int(merged["hour"].min()), int(merged["hour"].max())
+    hours = np.arange(lo, hi + 1, dtype=np.int64)
+    types = sorted(merged["event_type"].unique())
+    out_t, out_h, out_n, out_c = [], [], [], []
+    for ty in types:
+        g = merged[merged["event_type"] == ty].sort_values("hour")
+        dense = np.zeros(len(hours), np.int64)
+        idx = (g["hour"].to_numpy() - lo).astype(np.int64)
+        dense[idx] = g["n"].to_numpy()
+        out_t.append(np.full(len(hours), ty, object))
+        out_h.append(hours)
+        out_n.append(dense)
+        out_c.append(np.cumsum(dense))
+    return pa.table(
+        {
+            "event_type": pa.array(
+                list(np.concatenate(out_t)), pa.string()
+            ),
+            "hour": pa.array(np.concatenate(out_h)),
+            "n_events": pa.array(np.concatenate(out_n)),
+            "cum_events": pa.array(np.concatenate(out_c)),
+        }
+    )

@@ -1185,3 +1185,30 @@ def test_events_cube_grouping_sets(ray_session, tmp_path):
     assert out[(None, 1)] == (2, 600)
     assert out[(None, None)] == (3, 700)     # grand total
     assert len(out) == 8
+
+
+def test_events_resample_ffill_gaps(ray_session, tmp_path):
+    # type a: events in hours 0 and 3; type b: hour 1 only.
+    # global range hours 0..3 -> 4 rows per type, zeros on gaps,
+    # cumulative forward-fills through them.
+    h = 60.0
+    rows = [
+        (1, 1, 0.5 * h, "a", 0.0),
+        (2, 1, 0.6 * h, "a", 0.0),
+        (3, 1, 3.5 * h, "a", 0.0),
+        (4, 2, 1.5 * h, "b", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_resample_ffill(sf).to_pylist()
+    base = out[0]["hour"]  # epoch hour of 2024-01-01 00:xx
+    got = {(r["event_type"], r["hour"] - base): (r["n_events"],
+                                                 r["cum_events"])
+           for r in out}
+    assert got[("a", 0)] == (2, 2)
+    assert got[("a", 1)] == (0, 2)   # gap hour: 0 new, cum carried
+    assert got[("a", 2)] == (0, 2)
+    assert got[("a", 3)] == (1, 3)
+    assert got[("b", 0)] == (0, 0)
+    assert got[("b", 1)] == (1, 1)
+    assert got[("b", 3)] == (0, 1)
+    assert len(out) == 8
