@@ -1124,6 +1124,32 @@ ORDER BY event_type
 # Cross-document duplicated 8-gram density (the map-reduce restating
 # of exact-substring dedup): a gram occurrence is duplicated iff its
 # exact word-8-gram string occurs >= 2 times corpus-wide.
+# Weighted deterministic sampling: fmix64(doc_id) restated in
+# UHUGEINT arithmetic (same idiom as the KMV oracle), kept iff
+# coin < min(999999, n_chars * 500).
+_WEIGHTED_SAMPLE_SQL = """
+WITH m0 AS (SELECT doc_id, n_chars, CAST(doc_id AS UHUGEINT) AS h
+            FROM documents),
+m1 AS (SELECT doc_id, n_chars,
+              xor(h, h // CAST(8589934592 AS UHUGEINT)) AS h FROM m0),
+m2 AS (SELECT doc_id, n_chars,
+              (h * CAST('18397679294719823053' AS UHUGEINT))
+                % CAST('18446744073709551616' AS UHUGEINT) AS h FROM m1),
+m3 AS (SELECT doc_id, n_chars,
+              xor(h, h // CAST(8589934592 AS UHUGEINT)) AS h FROM m2),
+m4 AS (SELECT doc_id, n_chars,
+              (h * CAST('14181476777654086739' AS UHUGEINT))
+                % CAST('18446744073709551616' AS UHUGEINT) AS h FROM m3),
+m5 AS (SELECT doc_id, n_chars,
+              xor(h, h // CAST(8589934592 AS UHUGEINT)) AS h FROM m4)
+SELECT doc_id, n_chars::BIGINT AS n_chars,
+       CAST(h % CAST(1000000 AS UHUGEINT) AS BIGINT) AS coin
+FROM m5
+WHERE CAST(h % CAST(1000000 AS UHUGEINT) AS BIGINT)
+        < least(999999, n_chars * 500)
+ORDER BY doc_id
+"""
+
 # BFS hop distance from seeds {doc_id < 3}, 3 bounded min-propagation
 # rounds over the same 3-out-degree graph; INF = 2^40, unreached -> -1.
 _BFS_SQL = """
@@ -1858,6 +1884,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BFS hop distance (bounded min-propagation, the graph
         # family's frontier sibling)
         "doc_bfs_levels": d.doc_bfs_levels,
+        # size-biased deterministic sampling (hash coin, weighted)
+        "docs_weighted_sample": d.docs_weighted_sample,
         # sequential-pattern funnel (signup -> click -> purchase,
         # strictly ordered) per user
         "events_funnel": ev.events_funnel,
@@ -1966,6 +1994,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": _KMEANS_SQL,
         "doc_pagerank": _PAGERANK_SQL,
         "doc_bfs_levels": _BFS_SQL,
+        "docs_weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "events_funnel": _FUNNEL_SQL,
         "events_cohort_retention": _COHORT_SQL,
         "events_user_path": _USER_PATH_SQL,

@@ -2894,6 +2894,64 @@ def doc_pagerank(sf_dir: str, iters: int = 2) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Weighted deterministic sampling (hash-threshold, probability ∝ size)
+# ---------------------------------------------------------------------------
+def docs_weighted_sample(sf_dir: str, rate_per_char: int = 500) -> pa.Table:
+    """Deterministic WEIGHTED sampling: keep each document with
+    probability proportional to its length --
+    ``fmix64(doc_id) % 1e6 < min(999999, n_chars * rate_per_char)``
+    -- the size-biased sampling a corpus-inspection pipeline uses
+    (longer docs are likelier picks), reproducible across runs and
+    engines because the coin is a hash, not an RNG.  Completes the
+    sampling family: uniform hash (``events_sample_hash``),
+    stratified per-class (``events_stratified_sample``), weighted
+    (this).
+
+    Embarrassingly parallel one-pass filter; the mixer is murmur3's
+    fmix64 (shared with the HLL/KMV sketches), restated in UHUGEINT
+    arithmetic by the oracle."""
+    from logminer_kafka_connect_ray.functions.hashing import fmix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.int64())
+        h = fmix64(
+            did.combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        coin = (h % np.uint64(1_000_000)).astype(np.int64)
+        nch = pc.cast(t.column("n_chars"), pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        thr = np.minimum(999_999, nch * rate_per_char)
+        keep = coin < thr
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    did.combine_chunks().to_numpy(
+                        zero_copy_only=False
+                    )[keep]
+                ),
+                "n_chars": pa.array(nch[keep]),
+                "coin": pa.array(coin[keep]),
+            }
+        )
+
+    t = pa.Table.from_pandas(
+        ds.map_batches(pick, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    t = pa.table(
+        {
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+            "coin": pc.cast(t.column("coin"), pa.int64()),
+        }
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
 # BFS hop distance (bounded frontier min-propagation)
 # ---------------------------------------------------------------------------
 def doc_bfs_levels(sf_dir: str, hops: int = 3) -> pa.Table:

@@ -942,3 +942,21 @@ def test_doc_bfs_levels_reference(ray_session, tmp_path):
     want = {i: (int(x) if x != INF else -1) for i, x in enumerate(dist)}
     assert out == want
     assert set(out.values()) >= {0}  # seeds present
+
+
+def test_docs_weighted_sample_threshold(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.functions.hashing import fmix64
+    # n_chars: 0 (never kept), 3000 (threshold caps at 999999: always
+    # kept), and two mid-size docs decided by the hash coin
+    texts = ["", "x" * 3000, "y" * 500, "z" * 1200]
+    sf = make_docs(tmp_path, texts)
+    out = {r["doc_id"]: r for r in d.docs_weighted_sample(sf).to_pylist()}
+    assert 0 not in out          # zero weight
+    assert 1 in out              # capped threshold = always kept
+    coins = fmix64(np.arange(4, dtype=np.uint64)) % np.uint64(1_000_000)
+    for i, txt in enumerate(texts):
+        want = int(coins[i]) < min(999_999, len(txt) * 500)
+        assert (i in out) == want, (i, int(coins[i]), len(txt))
+        if i in out:
+            assert out[i]["coin"] == int(coins[i])
+            assert out[i]["n_chars"] == len(txt)
