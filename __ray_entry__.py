@@ -1386,6 +1386,62 @@ FROM grid LEFT JOIN c USING (event_type, hour)
 ORDER BY event_type, hour
 """
 
+# TPC-H Q3 shape: broadcast dim filter + partitioned fact-fact hash
+# join + per-block final aggregate + distributed top-k.  Revenue in
+# exact per-row floor-cents so both engines sum identical integers.
+_Q3_SQL = """
+SELECT o.o_orderkey, o.o_orderdate,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2
+ORDER BY revenue_cents DESC, o.o_orderkey
+LIMIT 10
+"""
+
+# First-order Markov transition matrix over per-user journeys:
+# consecutive same-user pairs in (ts, event_id) order; integer
+# counts plus the per-source denominator (no float probabilities).
+_MARKOV_SQL = """
+WITH ord AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS src_type, nxt AS dst_type,
+         count(*)::BIGINT AS n_pairs
+  FROM ord WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT src_type, dst_type, n_pairs,
+       (sum(n_pairs) OVER (PARTITION BY src_type))::BIGINT AS n_from_src
+FROM pairs ORDER BY src_type, dst_type
+"""
+
+# Hourly OHLC bars per event type: open/close are value-at-first /
+# value-at-last by (ts, event_id); all values in exact floor-cents.
+_OHLC_SQL = """
+SELECT event_type,
+       epoch_us(ts) // 3600000000 AS hour,
+       first(CAST(floor(value * 100) AS BIGINT) ORDER BY ts, event_id)
+         AS open_cents,
+       max(CAST(floor(value * 100) AS BIGINT)) AS high_cents,
+       min(CAST(floor(value * 100) AS BIGINT)) AS low_cents,
+       last(CAST(floor(value * 100) AS BIGINT) ORDER BY ts, event_id)
+         AS close_cents,
+       count(*)::BIGINT AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, hour
+"""
+
 # Window-throttle dedup: drop an event when the same (user, type)
 # occurred within the last 10 minutes (previous occurrence, kept or
 # not; strictly-greater gaps survive).
@@ -1803,6 +1859,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-series densification (gap-fill resample + running
         # cumulative per series)
         "events_resample_ffill": ev.events_resample_ffill,
+        # first-order Markov transition matrix over user journeys
+        # (user-hash exchange + neighbor-shift bincount sweep)
+        "events_markov_transitions": ev.events_markov_transitions,
+        # hourly OHLC bars (value-at-first/last per bucket; pure
+        # combiner aggregation, dim-bounded partials, no exchange)
+        "events_ohlc": ev.events_ohlc,
+        # TPC-H Q3 shape: broadcast dim + fact-fact hash join +
+        # per-block final aggregate + P*k top-k merge
+        "customer_revenue_topk": ev.customer_revenue_topk,
         # fact-to-fact shuffle hash join (general case: neither side
         # broadcastable; partitioned searchsorted+repeat sweep)
         "orders_events_join": ev.orders_events_join,
@@ -1968,6 +2033,9 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _ROLLUP_SQL,
         "events_cube": _CUBE_SQL,
         "events_resample_ffill": _RESAMPLE_SQL,
+        "events_markov_transitions": _MARKOV_SQL,
+        "events_ohlc": _OHLC_SQL,
+        "customer_revenue_topk": _Q3_SQL,
         "orders_events_join": _HASH_JOIN_SQL,
         "orders_events_join_left": _HASH_JOIN_LEFT_SQL,
         "orders_events_join_full": _HASH_JOIN_FULL_SQL,

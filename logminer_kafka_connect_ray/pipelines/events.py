@@ -3220,3 +3220,364 @@ def events_resample_ffill(sf_dir: str) -> pa.Table:
             "cum_events": pa.array(np.concatenate(out_c)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event journeys
+# ---------------------------------------------------------------------------
+def events_markov_transitions(sf_dir: str) -> pa.Table:
+    """First-order Markov transition counts over user journeys: for
+    every consecutive event pair of the SAME user in ``(ts,
+    event_id)`` order, count ``src_type -> dst_type`` transitions
+    globally, plus the per-source row total (the denominator of the
+    transition probability, kept as an exact integer so the gate
+    needs no float division).  Returns ``(src_type, dst_type,
+    n_pairs, n_from_src)`` -- the journey-analytics matrix funnel /
+    next-action models start from.
+
+    Distributed shape: one user-hash exchange (a user's events never
+    span blocks), a per-block lexsort + neighbor-shift sweep codes
+    each adjacent same-user pair as ``src_code * T + dst_code`` and
+    bincounts it -- per-block output is at most T^2 rows (T = event
+    types), so the final ``groupby.sum`` is dimension-bounded and the
+    driver only ever touches the T x T matrix."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("markov")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    part_schema = pa.schema(
+        [("src_type", pa.string()), ("dst_type", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "markov", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        types, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, u))
+        u, code = u[order], code[order]
+        same = u[1:] == u[:-1]
+        src, dst = code[:-1][same], code[1:][same]
+        if len(src) == 0:
+            return part_schema.empty_table()
+        T = len(types)
+        flat = np.bincount(src * T + dst, minlength=T * T)
+        nz = np.flatnonzero(flat)
+        return pa.table(
+            {"src_type": pa.array(list(types[nz // T]), pa.string()),
+             "dst_type": pa.array(list(types[nz % T]), pa.string()),
+             "n": pa.array(flat[nz].astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby(["src_type", "dst_type"])
+        .sum("n")
+        .to_pandas()
+    )
+    merged.columns = ["src_type", "dst_type", "n_pairs"]
+    merged["n_pairs"] = merged["n_pairs"].astype("int64")
+    # per-source denominators on the T x T matrix (driver-side, tiny)
+    merged["n_from_src"] = (
+        merged.groupby("src_type")["n_pairs"].transform("sum").astype("int64")
+    )
+    merged = merged.sort_values(["src_type", "dst_type"], ignore_index=True)
+    out = pa.Table.from_pandas(merged, preserve_index=False)
+    return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling (value-at-first / value-at-last per time bucket)
+# ---------------------------------------------------------------------------
+def events_ohlc(sf_dir: str) -> pa.Table:
+    """Hourly OHLC bars per event type: for each ``(event_type,
+    hour)`` bucket, ``open`` = value of the FIRST event (by ``ts,
+    event_id``), ``close`` = value of the LAST, ``high``/``low`` =
+    max/min, plus the event count -- the time-series downsampling
+    shape a metrics/feature pipeline emits.  All values in exact
+    floor-cents (``floor(value*100)``; see module header).
+
+    Distributed shape: NO exchange -- this is a pure combiner-style
+    aggregation.  Each block computes per-``(type, hour)`` partial
+    bars carrying (first_ts, first_eid, open) / (last_ts, last_eid,
+    close) witness keys via lexsort + ``reduceat``; partials are
+    bar-dimension-bounded (types x hours, never event count), so the
+    final cross-block combine is a tiny driver-side lexsort that
+    resolves open/close by the witness keys -- the same
+    "dim-bounded partials -> tiny final" shape as
+    ``events_dedup_window``."""
+    hour_us = np.int64(3600 * _US)
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "event_id",
+                                          "value"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("first_ts", pa.int64()), ("first_eid", pa.int64()),
+         ("open_cents", pa.int64()),
+         ("last_ts", pa.int64()), ("last_eid", pa.int64()),
+         ("close_cents", pa.int64()),
+         ("high_cents", pa.int64()), ("low_cents", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        types, code = np.unique(et, return_inverse=True)
+        ts = _ts_i64(t.column("ts"))
+        hr = ts // hour_us
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, ts, hr, code))
+        code, hr, ts, eid, cents = (
+            code[order], hr[order], ts[order], eid[order], cents[order]
+        )
+        brk = np.concatenate(
+            [[True], (code[1:] != code[:-1]) | (hr[1:] != hr[:-1])]
+        )
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(code)) - 1
+        return pa.table(
+            {"event_type": pa.array(list(types[code[starts]]), pa.string()),
+             "hour": pa.array(hr[starts]),
+             "first_ts": pa.array(ts[starts]),
+             "first_eid": pa.array(eid[starts]),
+             "open_cents": pa.array(cents[starts]),
+             "last_ts": pa.array(ts[ends]),
+             "last_eid": pa.array(eid[ends]),
+             "close_cents": pa.array(cents[ends]),
+             "high_cents": pa.array(np.maximum.reduceat(cents, starts)),
+             "low_cents": pa.array(np.minimum.reduceat(cents, starts)),
+             "n": pa.array((ends - starts + 1).astype(np.int64))},
+            schema=part_schema,
+        )
+
+    parts = pa.Table.from_pandas(
+        ds.map_batches(partial, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    ).cast(part_schema)
+    if parts.num_rows == 0:
+        return pa.schema(
+            [("event_type", pa.string()), ("hour", pa.int64()),
+             ("open_cents", pa.int64()), ("high_cents", pa.int64()),
+             ("low_cents", pa.int64()), ("close_cents", pa.int64()),
+             ("n_events", pa.int64())]
+        ).empty_table()
+    # cross-block combine on the bar-dimension-bounded partial table
+    et = np.asarray(parts.column("event_type").to_pylist(), dtype=object)
+    types, code = np.unique(et, return_inverse=True)
+    hr = parts.column("hour").to_numpy()
+    f_ts = parts.column("first_ts").to_numpy()
+    f_eid = parts.column("first_eid").to_numpy()
+    l_ts = parts.column("last_ts").to_numpy()
+    l_eid = parts.column("last_eid").to_numpy()
+    op = parts.column("open_cents").to_numpy()
+    cl = parts.column("close_cents").to_numpy()
+    hi = parts.column("high_cents").to_numpy()
+    lo = parts.column("low_cents").to_numpy()
+    n = parts.column("n").to_numpy()
+    # open: earliest (first_ts, first_eid) witness per (type, hour)
+    o1 = np.lexsort((f_eid, f_ts, hr, code))
+    brk = np.concatenate(
+        [[True], (code[o1][1:] != code[o1][:-1]) | (hr[o1][1:] != hr[o1][:-1])]
+    )
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], len(o1)) - 1
+    g_code, g_hr = code[o1][starts], hr[o1][starts]
+    g_open = op[o1][starts]
+    # close: latest (last_ts, last_eid) witness; same group layout
+    # because the sort keys (code, hr) break groups identically
+    o2 = np.lexsort((l_eid, l_ts, hr, code))
+    g_close = cl[o2][ends]
+    g_hi = np.maximum.reduceat(hi[o1], starts)
+    g_lo = np.minimum.reduceat(lo[o1], starts)
+    g_n = np.add.reduceat(n[o1], starts)
+    return pa.table(
+        {"event_type": pa.array(list(types[g_code]), pa.string()),
+         "hour": pa.array(g_hr),
+         "open_cents": pa.array(g_open),
+         "high_cents": pa.array(g_hi),
+         "low_cents": pa.array(g_lo),
+         "close_cents": pa.array(g_close),
+         "n_events": pa.array(g_n.astype(np.int64))}
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: 3-way join -> aggregate -> global top-k
+# ---------------------------------------------------------------------------
+def customer_revenue_topk(
+    sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> pa.Table:
+    """Unshipped-revenue report (the TPC-H Q3 shape): the ``k``
+    orders with the highest outstanding revenue -- orders placed by
+    ``segment`` customers BEFORE ``cutoff`` whose line items shipped
+    AFTER it -- as ``(o_orderkey, o_orderdate, revenue_cents)``,
+    revenue summed as exact per-row ``floor(extprice * (1-disc) *
+    100)`` cents.  One query, three join strategies composed the way
+    a 100 TB plan would pick them:
+
+    * customer (dim side) never shuffles: the segment's custkeys
+      become a ``ray.put`` bitmap probed inside the orders scan --
+      the broadcast join.
+    * orders x lineitem (two fact sides) meet in ONE partitioned
+      hash exchange on ``o_orderkey`` -- both sides pre-filtered and
+      pre-projected at the read, so only surviving join keys ship.
+    * the aggregate needs no second shuffle: the exchange co-locates
+      each order key, so a per-block segment-sum IS the final
+      per-order revenue, and each block emits only its local top-k
+      -- the driver merges P*k candidate rows, never the join.
+    """
+    import ray
+
+    cutoff_us = np.datetime64(cutoff, "us").astype(np.int64)
+    n_li, _ = _table_meta(sf_dir, "lineitem")
+    n_or, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_li + n_or)
+    gd = _new_guard_dir("q3")
+
+    # -- broadcast dim side: segment custkeys as a bitmap ------------
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("c_mktsegment"), segment)
+        keys = t.filter(m).column("c_custkey").cast(pa.int64())
+        return pa.table({"k": keys})
+
+    keys = (
+        cust.map_batches(seg_keys, batch_format="pyarrow")
+        .groupby("k").count().to_pandas()["k"].to_numpy()
+    )
+    bitmap = np.zeros((int(keys.max()) + 2) if len(keys) else 1, bool)
+    bitmap[keys] = True
+    bm_ref = ray.put(bitmap)
+
+    rel_schema = pa.schema(
+        [("_k", pa.int64()), ("_side", pa.int8()),
+         ("_date", pa.int64()), ("_rev", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def pad_orders(t: pa.Table) -> pa.Table:
+        bm = ray.get(bm_ref)
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        od = _ts_i64(t.column("o_orderdate"))
+        keep = (od < cutoff_us) & (ck < len(bm)) & bm[np.clip(ck, 0, len(bm) - 1)]
+        if not keep.any():
+            return rel_schema.empty_table()
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[keep]
+        return pa.table(
+            {"_k": pa.array(ok),
+             "_side": pa.array(np.zeros(len(ok), np.int8)),
+             "_date": pa.array(od[keep]),
+             "_rev": pa.array(np.zeros(len(ok), np.int64)),
+             "_p": pa.array(partition_ids(pa.array(ok), P))},
+            schema=rel_schema,
+        )
+
+    def pad_lineitem(t: pa.Table) -> pa.Table:
+        sd = _ts_i64(t.column("l_shipdate"))
+        keep = sd > cutoff_us
+        if not keep.any():
+            return rel_schema.empty_table()
+        lk = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[keep]
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        rev = np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
+        return pa.table(
+            {"_k": pa.array(lk),
+             "_side": pa.array(np.ones(len(lk), np.int8)),
+             "_date": pa.array(np.zeros(len(lk), np.int64)),
+             "_rev": pa.array(rev),
+             "_p": pa.array(partition_ids(pa.array(lk), P))},
+            schema=rel_schema,
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(pad_orders, batch_format="pyarrow")
+    items = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(pad_lineitem, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+         ("revenue_cents", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(gd, "q3", t.column("_p").to_numpy(zero_copy_only=False))
+        kcol = t.column("_k").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        dt = t.column("_date").to_numpy(zero_copy_only=False)
+        rev = t.column("_rev").to_numpy(zero_copy_only=False)
+        bk, bd = kcol[side == 0], dt[side == 0]
+        pk, pr = kcol[side == 1], rev[side == 1]
+        if len(bk) == 0 or len(pk) == 0:
+            return out_schema.empty_table()
+        bo = np.argsort(bk, kind="stable")
+        bk, bd = bk[bo], bd[bo]
+        pos = np.searchsorted(bk, pk)
+        hit = (pos < len(bk)) & (bk[np.clip(pos, 0, len(bk) - 1)] == pk)
+        if not hit.any():
+            return out_schema.empty_table()
+        pk, pr, pos = pk[hit], pr[hit], pos[hit]
+        po = np.argsort(pk, kind="stable")
+        pk, pr, pos = pk[po], pr[po], pos[po]
+        starts = np.flatnonzero(np.concatenate([[True], pk[1:] != pk[:-1]]))
+        sums = np.add.reduceat(pr, starts)
+        okeys, odates = pk[starts], bd[pos[starts]]
+        # local top-k by (revenue desc, orderkey asc)
+        top = np.lexsort((okeys, -sums))[:k]
+        return pa.table(
+            {"o_orderkey": pa.array(okeys[top]),
+             "o_orderdate": pa.array(odates[top]).cast(pa.timestamp("us")),
+             "revenue_cents": pa.array(sums[top])},
+            schema=out_schema,
+        )
+
+    res = (
+        orders.union(items)
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    cand = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    cand = cand.cast(out_schema)
+    ok = cand.column("o_orderkey").to_numpy()
+    rv = cand.column("revenue_cents").to_numpy()
+    top = np.lexsort((ok, -rv))[:k]
+    out = cand.take(pa.array(top))
+    return _finalize_guard(gd, out)

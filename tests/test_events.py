@@ -1212,3 +1212,102 @@ def test_events_resample_ffill_gaps(ray_session, tmp_path):
     assert got[("b", 1)] == (1, 1)
     assert got[("b", 3)] == (0, 1)
     assert len(out) == 8
+
+
+def test_events_markov_transitions_counts(ray_session, tmp_path):
+    rows = [
+        # user 1 journey: a > b > a > a  (ts tie at 1.0 broken by id:
+        # eid 2 before eid 3)
+        (1, 1, 0.0, "a", 0.0),
+        (3, 1, 1.0, "a", 0.0),
+        (2, 1, 1.0, "b", 0.0),
+        (4, 1, 2.0, "a", 0.0),
+        # user 2 journey: b > a
+        (5, 2, 0.0, "b", 0.0),
+        (6, 2, 1.0, "a", 0.0),
+        # user 3: single event, no transition
+        (7, 3, 0.0, "a", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {(r["src_type"], r["dst_type"]): (r["n_pairs"], r["n_from_src"])
+           for r in ev.events_markov_transitions(sf).to_pylist()}
+    # user 1 pairs: (a,b), (b,a), (a,a); user 2: (b,a)
+    assert out == {
+        ("a", "a"): (1, 2),
+        ("a", "b"): (1, 2),
+        ("b", "a"): (2, 2),
+    }
+
+
+def test_events_ohlc_witness_order(ray_session, tmp_path):
+    h = 60.0
+    rows = [
+        # type a, hour 0: ts tie at 0.2h between eid 2/3 -> open is
+        # eid 2's value; close is the max-(ts, eid) witness (eid 4)
+        (3, 1, 0.2 * h, "a", 5.00),
+        (2, 1, 0.2 * h, "a", 1.00),
+        (4, 1, 0.9 * h, "a", 2.00),
+        # type a, hour 2 (gap hour 1 emits no bar): single event
+        (5, 1, 2.1 * h, "a", 7.50),
+        # type b, hour 0
+        (6, 2, 0.5 * h, "b", -1.25),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_ohlc(sf).to_pylist()
+    base = min(r["hour"] for r in out)
+    got = {(r["event_type"], r["hour"] - base):
+           (r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n_events"]) for r in out}
+    assert got[("a", 0)] == (100, 500, 100, 200, 3)
+    assert got[("a", 2)] == (750, 750, 750, 750, 1)
+    # floor(-1.25 * 100) = -125 exactly
+    assert got[("b", 0)] == (-125, -125, -125, -125, 1)
+    assert len(out) == 3
+
+
+def test_customer_revenue_topk_q3_semantics(ray_session, tmp_path):
+    day = 1440.0
+    pq.write_table(
+        pa.table(
+            {"c_custkey": pa.array([1, 2], pa.int64()),
+             "c_name": pa.array(["a", "b"], pa.string()),
+             "c_nationkey": pa.array([0, 0], pa.int32()),
+             "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+             "c_mktsegment": pa.array(["BUILDING", "AUTOMOBILE"],
+                                      pa.string())}
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([10, 11, 12], pa.int64()),
+             "o_custkey": pa.array([1, 1, 2], pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+             "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+             # order 11 placed AFTER the cutoff -> excluded;
+             # order 12 is the wrong segment -> excluded
+             "o_orderdate": pa.array([_ts(0), _ts(3 * day), _ts(0)],
+                                     pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 3, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    li = {
+        "l_orderkey": pa.array([10, 10, 10, 11, 12], pa.int64()),
+        "l_extendedprice": pa.array([10.0, 5.0, 99.0, 7.0, 7.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.1, 0.0, 0.0, 0.0, 0.0], pa.float64()),
+        # third item of order 10 shipped BEFORE the cutoff -> excluded
+        "l_shipdate": pa.array(
+            [_ts(3 * day), _ts(3 * day), _ts(0), _ts(3 * day), _ts(3 * day)],
+            pa.timestamp("us"),
+        ),
+    }
+    pq.write_table(pa.table(li), str(tmp_path / "lineitem.parquet"))
+    out = ev.customer_revenue_topk(
+        str(tmp_path), cutoff="2024-01-02"
+    ).to_pylist()
+    # only order 10 survives all three predicates; revenue =
+    # floor(10*0.9*100) + floor(5*1.0*100) = 900 + 500
+    assert [(r["o_orderkey"], r["revenue_cents"]) for r in out] == [(10, 1400)]
+    assert out[0]["o_orderdate"] == _ts(0)
