@@ -1386,6 +1386,33 @@ FROM grid LEFT JOIN c USING (event_type, hour)
 ORDER BY event_type, hour
 """
 
+# Collocation mining: top-k adjacent word bigrams with both unigram
+# marginals (exact integer PMI/lift ingredients, no transcendentals).
+_BIGRAM_SQL = """
+WITH ws AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+bg AS (
+  SELECT unnest(
+    list_transform(range(1, len(w)), i -> w[i] || chr(0) || w[i+1])
+  ) AS p
+  FROM ws WHERE len(w) > 1
+),
+pairs AS (
+  SELECT split_part(p, chr(0), 1) AS w1, split_part(p, chr(0), 2) AS w2,
+         count(*)::BIGINT AS n_pair
+  FROM bg GROUP BY 1, 2
+),
+uc AS (
+  SELECT word, count(*)::BIGINT AS n
+  FROM (SELECT unnest(w) AS word FROM ws) GROUP BY 1
+)
+SELECT w1, w2, n_pair, u1.n AS n_w1, u2.n AS n_w2
+FROM pairs JOIN uc u1 ON u1.word = w1 JOIN uc u2 ON u2.word = w2
+ORDER BY n_pair DESC, w1, w2
+LIMIT 40
+"""
+
 # TPC-H Q3 shape: broadcast dim filter + partitioned fact-fact hash
 # join + per-block final aggregate + distributed top-k.  Revenue in
 # exact per-row floor-cents so both engines sum identical integers.
@@ -1793,6 +1820,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": d.dedup_ngram_jaccard,  # exact verify kernel
         "dedup_cluster_canonical": d.dedup_cluster_canonical,  # CC canonicalization (SQL)
         "word_freq_topk": d.word_freq_topk,  # vocabulary top-k (SQL)
+        # collocation mining: top-k bigrams + unigram marginals via
+        # one tagged gram relation and a distributed sort+limit
+        "word_bigram_topk": d.word_bigram_topk,
         # unigram LM quality score (CCNet-shape perplexity filter;
         # integer micro-nat arithmetic -> exact SQL gate)
         "doc_lm_score": d.doc_lm_score,
@@ -2036,6 +2066,7 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_transitions": _MARKOV_SQL,
         "events_ohlc": _OHLC_SQL,
         "customer_revenue_topk": _Q3_SQL,
+        "word_bigram_topk": _BIGRAM_SQL,
         "orders_events_join": _HASH_JOIN_SQL,
         "orders_events_join_left": _HASH_JOIN_LEFT_SQL,
         "orders_events_join_full": _HASH_JOIN_FULL_SQL,

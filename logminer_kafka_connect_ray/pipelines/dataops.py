@@ -1692,6 +1692,80 @@ def word_freq_topk(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(df.head(k), preserve_index=False)
 
 
+def word_bigram_topk(sf_dir: str, k: int = 40) -> pa.Table:
+    """Collocation mining: the top-``k`` word BIGRAMS across
+    ``documents.text`` (within-document adjacent token pairs, shared
+    tokenizer), each with its pair count AND both unigram marginals
+    -- the integer ingredients of every association score (PMI,
+    lift, chi-square), kept as exact counts so the gate needs no
+    transcendental arithmetic.  Returns ``(w1, w2, n_pair, n_w1,
+    n_w2)`` ordered by ``(n_pair desc, w1, w2)``.
+
+    Distributed shape: ONE documents pass emits both gram kinds into
+    one tagged partial relation (``b:`` bigrams / ``u:`` unigrams,
+    NUL-joined -- the token alphabet excludes NUL), per-batch
+    ``np.unique`` combiners bound each block's output by its distinct
+    grams, one ``groupby.sum`` merges them, and the top-k is a
+    DISTRIBUTED sort+limit over the gram-vocabulary-sized aggregate
+    -- the driver only ever holds the k winners plus their <=2k
+    marginal lookups (probed from the same aggregate with a broadcast
+    membership filter), never the vocabulary."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+    gram_schema = pa.schema([("g", pa.string()), ("n", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for s in t.column("text").to_pylist():
+            toks = _WORD.findall((s or "").lower())
+            grams.extend("u:" + w for w in toks)
+            grams.extend(
+                "b:" + a + "\x00" + b for a, b in zip(toks, toks[1:])
+            )
+        if not grams:
+            return gram_schema.empty_table()
+        uniq, counts = np.unique(np.asarray(grams, dtype=object),
+                                 return_counts=True)
+        return pa.table(
+            {"g": pa.array(list(uniq), pa.string()),
+             "n": pa.array(counts.astype(np.int64))},
+            schema=gram_schema,
+        )
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").groupby("g").sum("n")
+
+    def only_pairs(t: pa.Table) -> pa.Table:
+        return t.filter(pc.starts_with(t.column("g"), "b:"))
+
+    top = (
+        agg.map_batches(only_pairs, batch_format="pyarrow")
+        .sort(["sum(n)", "g"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    pairs = [g[2:].split("\x00") for g in top["g"]]
+    need = sorted({w for p in pairs for w in p})
+
+    def probe(t: pa.Table, _need=frozenset("u:" + w for w in need)) -> pa.Table:
+        mask = pc.is_in(
+            t.column("g"), value_set=pa.array(list(_need), pa.string())
+        )
+        return t.filter(mask)
+
+    uni = agg.map_batches(probe, batch_format="pyarrow").to_pandas()
+    un = {g[2:]: int(n) for g, n in zip(uni["g"], uni["sum(n)"])}
+    return pa.table(
+        {
+            "w1": pa.array([p[0] for p in pairs], pa.string()),
+            "w2": pa.array([p[1] for p in pairs], pa.string()),
+            "n_pair": pa.array(
+                top["sum(n)"].astype("int64").to_numpy(), pa.int64()
+            ),
+            "n_w1": pa.array([un[p[0]] for p in pairs], pa.int64()),
+            "n_w2": pa.array([un[p[1]] for p in pairs], pa.int64()),
+        }
+    )
+
+
 class _UnigramScorer:
     """Actor-pool stage for ``doc_lm_score``: holds the broadcast
     (sorted vocab, micro-nat log-prob) arrays, scores each batch's

@@ -960,3 +960,25 @@ def test_docs_weighted_sample_threshold(ray_session, tmp_path):
         if i in out:
             assert out[i]["coin"] == int(coins[i])
             assert out[i]["n_chars"] == len(txt)
+
+
+def test_word_bigram_topk_counts_and_marginals(ray_session, tmp_path):
+    sf = make_docs(
+        tmp_path,
+        [
+            "the cat sat",            # (the,cat) (cat,sat)
+            "the cat ran. The cat!",  # (the,cat) x2, (cat,ran), (ran,the)
+            "dog",                    # no bigram
+        ],
+    )
+    out = d.word_bigram_topk(sf, k=3).to_pylist()
+    assert [(r["w1"], r["w2"], r["n_pair"]) for r in out] == [
+        ("the", "cat", 3),
+        ("cat", "ran", 1),   # n_pair tie broken by (w1, w2) lexically
+        ("cat", "sat", 1),
+    ]
+    # unigram marginals: the=3, cat=3, ran=1, sat=1
+    m = {(r["w1"], r["w2"]): (r["n_w1"], r["n_w2"]) for r in out}
+    assert m[("the", "cat")] == (3, 3)
+    assert m[("cat", "ran")] == (3, 1)
+    assert m[("cat", "sat")] == (3, 1)
