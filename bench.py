@@ -168,6 +168,10 @@ def run_bench() -> dict:
         ("events_funnel", evops.events_funnel),
         ("doc_chunking", dops.doc_chunking),
         ("embedding_kmeans", dops.embedding_kmeans),
+        ("events_markov_transitions", evops.events_markov_transitions),
+        ("events_ohlc", evops.events_ohlc),
+        ("customer_revenue_topk", evops.customer_revenue_topk),
+        ("word_bigram_topk", dops.word_bigram_topk),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)
