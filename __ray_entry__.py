@@ -1386,6 +1386,76 @@ FROM grid LEFT JOIN c USING (event_type, hour)
 ORDER BY event_type, hour
 """
 
+# Robust anomaly screen: exact lower-median + MAD per type, strict
+# k*MAD outlier counts; rank = ceil(n/2) on both sides.
+_MAD_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+),
+s AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+med AS (
+  SELECT event_type, cents AS med FROM s
+  WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
+),
+d AS (
+  SELECT c.event_type, abs(c.cents - m.med) AS dev, m.med
+  FROM c JOIN med m USING (event_type)
+),
+ds_ AS (
+  SELECT event_type, dev, med,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (
+  SELECT event_type, med, dev AS mad FROM ds_
+  WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
+)
+SELECT m.event_type, m.med AS median_cents, m.mad AS mad_cents,
+       CAST(sum(CASE WHEN abs(c.cents - m.med) > 3 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       count(*)::BIGINT AS n_events
+FROM c JOIN mad m USING (event_type)
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+# TPC-H Q14 shape: promo vs total revenue per ship month; the part
+# dimension folds to a broadcast bit per (dense) partkey on the Ray
+# side, so the oracle's LEFT JOIN mirrors the probe exactly even for
+# lineitem rows whose partkey has no part row.
+_Q14_SQL = """
+SELECT CAST((date_part('year', l.l_shipdate) - 1970) * 12
+            + date_part('month', l.l_shipdate) - 1 AS BIGINT) AS ship_month,
+       CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS total_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+# TPC-H Q5 shape: region <- nation <- customer dimension chain
+# collapsed to one broadcast custkey -> region lookup; orders stream
+# through a single pass (inner-join semantics: unmatched keys drop).
+_Q5_SQL = """
+SELECT r.r_name,
+       count(*)::BIGINT AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_total_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1 ORDER BY 1
+"""
+
 # Collocation mining: top-k adjacent word bigrams with both unigram
 # marginals (exact integer PMI/lift ingredients, no transcendentals).
 _BIGRAM_SQL = """
@@ -1898,6 +1968,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q3 shape: broadcast dim + fact-fact hash join +
         # per-block final aggregate + P*k top-k merge
         "customer_revenue_topk": ev.customer_revenue_topk,
+        # TPC-H Q14 shape: broadcast promo bitmap over a dense key
+        # domain; month-bounded partials
+        "part_promo_revenue": ev.part_promo_revenue,
+        # TPC-H Q5 shape: three-dim broadcast chain, zero shuffles
+        "region_orders_rollup": ev.region_orders_rollup,
+        # robust median/MAD anomaly screen (one histogram pass;
+        # deviation histogram derived driver-side)
+        "events_anomaly_mad": ev.events_anomaly_mad,
         # fact-to-fact shuffle hash join (general case: neither side
         # broadcastable; partitioned searchsorted+repeat sweep)
         "orders_events_join": ev.orders_events_join,
@@ -2067,6 +2145,9 @@ def oracle_sql() -> dict[str, str]:
         "events_ohlc": _OHLC_SQL,
         "customer_revenue_topk": _Q3_SQL,
         "word_bigram_topk": _BIGRAM_SQL,
+        "part_promo_revenue": _Q14_SQL,
+        "region_orders_rollup": _Q5_SQL,
+        "events_anomaly_mad": _MAD_SQL,
         "orders_events_join": _HASH_JOIN_SQL,
         "orders_events_join_left": _HASH_JOIN_LEFT_SQL,
         "orders_events_join_full": _HASH_JOIN_FULL_SQL,

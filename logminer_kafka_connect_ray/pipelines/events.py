@@ -3581,3 +3581,271 @@ def customer_revenue_topk(
     top = np.lexsort((ok, -rv))[:k]
     out = cand.take(pa.array(top))
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share per ship month
+# ---------------------------------------------------------------------------
+def part_promo_revenue(sf_dir: str) -> pa.Table:
+    """Promotion-effect report (the TPC-H Q14 shape): per ship MONTH
+    (integer months since 1970-01), the revenue from parts of type
+    ``PROMO`` next to total revenue and item count -- the
+    numerator/denominator pair Q14's percentage derives from, kept as
+    exact floor-cents integers.  Returns ``(ship_month, promo_cents,
+    total_cents, n_items)``.
+
+    Distributed shape: the part dimension never shuffles -- its
+    ``l_partkey`` key domain is dense, so "is this part PROMO" packs
+    into ONE broadcast bit per key (``ray.put`` once, read per task);
+    the lineitem scan stays a single pruned pass emitting per-block
+    month partials (month cardinality is tiny) into a dim-bounded
+    ``groupby.sum``.  With a sparse/huge key domain the bitmap
+    becomes the same partitioned hash exchange ``customer_revenue_topk``
+    uses -- the bitmap is the dense-key fast path, not the only path."""
+    import ray
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def promo_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("p_type"), "PROMO")
+        return pa.table(
+            {"k": t.filter(m).column("p_partkey").cast(pa.int64())}
+        )
+
+    keys = (
+        part.map_batches(promo_keys, batch_format="pyarrow")
+        .to_pandas()["k"]
+        .to_numpy()
+    )
+    # non-promo keys above the max promo key probe past the bitmap
+    # and are (correctly) treated as not-promo by the bounds check
+    bitmap = np.zeros((int(keys.max()) + 2) if len(keys) else 1, bool)
+    bitmap[keys] = True
+    bm_ref = ray.put(bitmap)
+
+    part_schema = pa.schema(
+        [("ship_month", pa.int64()), ("promo_cents", pa.int64()),
+         ("total_cents", pa.int64()), ("n_items", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        bm = ray.get(bm_ref)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
+        promo = (pk < len(bm)) & bm[np.clip(pk, 0, len(bm) - 1)]
+        month = (
+            _ts_i64(t.column("l_shipdate"))
+            .astype("datetime64[us]")
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        order = np.argsort(month, kind="stable")
+        month, rev, promo = month[order], rev[order], promo[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], month[1:] != month[:-1]])
+        )
+        counts = np.diff(np.append(starts, len(month)))
+        return pa.table(
+            {"ship_month": pa.array(month[starts]),
+             "promo_cents": pa.array(
+                 np.add.reduceat(np.where(promo, rev, 0), starts)
+             ),
+             "total_cents": pa.array(np.add.reduceat(rev, starts)),
+             "n_items": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                       "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ship_month")
+        .sum(["promo_cents", "total_cents", "n_items"])
+        .to_pandas()
+    )
+    merged.columns = ["ship_month", "promo_cents", "total_cents", "n_items"]
+    merged = merged.sort_values("ship_month", ignore_index=True)
+    for c in merged.columns:
+        merged[c] = merged[c].astype("int64")
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: broadcast dimension chain -> per-region rollup
+# ---------------------------------------------------------------------------
+def region_orders_rollup(sf_dir: str) -> pa.Table:
+    """Per-region order rollup (the TPC-H Q5 dimension-chain shape):
+    every order attributed to its customer's nation's REGION, with
+    order count and exact total-price cents -- ``(r_name, n_orders,
+    sum_total_cents)``.
+
+    Distributed shape: the THREE dimension tables (region <- nation
+    <- customer) collapse into one broadcast custkey -> region-code
+    array built dim-side (region and nation are tiny; customer is
+    the classic broadcast side), shipped once via ``ray.put``; the
+    orders fact table streams through a single pruned pass emitting
+    region-bounded partials -- no shuffle anywhere, the canonical
+    star-schema plan."""
+    import ray
+
+    reg = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    nat = _read(
+        sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    n2r = np.full(int(nat["n_nationkey"].max()) + 2, -1, np.int64)
+    n2r[nat["n_nationkey"].to_numpy()] = nat["n_regionkey"].to_numpy()
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cust_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": t.column("c_custkey").cast(pa.int64()),
+             "r": pa.array(
+                 n2r[t.column("c_nationkey").to_numpy(zero_copy_only=False)]
+             )}
+        )
+
+    cdf = cust.map_batches(cust_pairs, batch_format="pyarrow").to_pandas()
+    c2r = np.full(int(cdf["k"].max()) + 2, -1, np.int64)
+    c2r[cdf["k"].to_numpy()] = cdf["r"].to_numpy()
+    c2r_ref = ray.put(c2r)
+
+    part_schema = pa.schema(
+        [("r_regionkey", pa.int64()), ("n_orders", pa.int64()),
+         ("sum_total_cents", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        lut = ray.get(c2r_ref)
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        r = lut[np.clip(ck, 0, len(lut) - 1)]
+        cents = _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
+        order = np.argsort(r, kind="stable")
+        rs, cs = r[order], cents[order]
+        keep = rs >= 0
+        rs, cs = rs[keep], cs[keep]
+        if len(rs) == 0:
+            return part_schema.empty_table()
+        starts = np.flatnonzero(np.concatenate([[True], rs[1:] != rs[:-1]]))
+        counts = np.diff(np.append(starts, len(rs)))
+        return pa.table(
+            {"r_regionkey": pa.array(rs[starts]),
+             "n_orders": pa.array(counts.astype(np.int64)),
+             "sum_total_cents": pa.array(np.add.reduceat(cs, starts))},
+            schema=part_schema,
+        )
+
+    merged = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("r_regionkey")
+        .sum(["n_orders", "sum_total_cents"])
+        .to_pandas()
+    )
+    merged.columns = ["r_regionkey", "n_orders", "sum_total_cents"]
+    name = {int(k): v for k, v in zip(reg["r_regionkey"], reg["r_name"])}
+    merged["r_name"] = [name[int(k)] for k in merged["r_regionkey"]]
+    merged = merged.sort_values("r_name", ignore_index=True)
+    return pa.table(
+        {"r_name": pa.array(list(merged["r_name"]), pa.string()),
+         "n_orders": pa.array(merged["n_orders"].astype("int64").to_numpy()),
+         "sum_total_cents": pa.array(
+             merged["sum_total_cents"].astype("int64").to_numpy()
+         )}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection: median / MAD outlier counts per group
+# ---------------------------------------------------------------------------
+def events_anomaly_mad(sf_dir: str, k_sigma: int = 3) -> pa.Table:
+    """Robust per-type outlier report: for every ``event_type``, the
+    exact lower-median of ``floor(value*100)`` cents, the median
+    absolute deviation (MAD, same lower-median rule), and how many
+    events sit strictly beyond ``k_sigma`` MADs from the median --
+    the classic heavy-tail-safe anomaly screen (mean/std break on the
+    outliers themselves; median/MAD don't).  Returns ``(event_type,
+    median_cents, mad_cents, n_outliers, n_events)``.
+
+    Distributed shape: ONE pass -- the same per-block ``(type, cents,
+    count)`` counting-sort partials as `events_type_quantiles` merged
+    by ``groupby.sum``; median, the DERIVED deviation histogram, MAD
+    and the outlier count are all cumulative walks over that
+    histogram on the driver (bounded by groups x distinct values,
+    never row count).  No second data pass: ``|c - med|`` of a
+    histogram is a histogram transform."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("cents", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        types, codes = np.unique(et, return_inverse=True)
+        c = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        span = (c.max() - c.min() + 1) if len(c) else 1
+        comp = codes.astype(np.int64) * span + (c - c.min())
+        uniq, counts = np.unique(comp, return_counts=True)
+        return pa.table(
+            {"event_type": pa.array(list(types[uniq // span]), pa.string()),
+             "cents": pa.array((uniq % span + c.min()).astype(np.int64)),
+             "n": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .sum("n")
+        .to_pandas()
+    )
+    df.columns = ["event_type", "cents", "n"]
+
+    def lower_median(vals: np.ndarray, counts: np.ndarray) -> int:
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        target = max(1, int(np.ceil(0.5 * n)))
+        return int(vals[int(np.searchsorted(cum, target))])
+
+    rows = []
+    for et, grp in df.groupby("event_type"):
+        vals = grp["cents"].to_numpy().astype(np.int64)
+        counts = grp["n"].to_numpy().astype(np.int64)
+        order = np.argsort(vals)
+        vals, counts = vals[order], counts[order]
+        med = lower_median(vals, counts)
+        # deviation histogram = |vals - med| re-aggregated
+        dev = np.abs(vals - med)
+        do = np.argsort(dev, kind="stable")
+        dvals, dcounts = dev[do], counts[do]
+        starts = np.flatnonzero(
+            np.concatenate([[True], dvals[1:] != dvals[:-1]])
+        )
+        dvals = dvals[starts]
+        dcounts = np.add.reduceat(dcounts, starts)
+        mad = lower_median(dvals, dcounts)
+        n_out = int(counts[np.abs(vals - med) > k_sigma * mad].sum())
+        rows.append((et, med, mad, n_out, int(counts.sum())))
+    rows.sort()
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "median_cents": pa.array([r[1] for r in rows], pa.int64()),
+         "mad_cents": pa.array([r[2] for r in rows], pa.int64()),
+         "n_outliers": pa.array([r[3] for r in rows], pa.int64()),
+         "n_events": pa.array([r[4] for r in rows], pa.int64())}
+    )

@@ -1311,3 +1311,100 @@ def test_customer_revenue_topk_q3_semantics(ray_session, tmp_path):
     # floor(10*0.9*100) + floor(5*1.0*100) = 900 + 500
     assert [(r["o_orderkey"], r["revenue_cents"]) for r in out] == [(10, 1400)]
     assert out[0]["o_orderdate"] == _ts(0)
+
+
+def test_part_promo_revenue_months_and_unmatched_part(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {"p_partkey": pa.array([0, 1], pa.int64()),
+             "p_type": pa.array(["PROMO", "STANDARD"], pa.string())}
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    day = 1440.0
+    pq.write_table(
+        pa.table(
+            {"l_partkey": pa.array([0, 1, 0, 7], pa.int64()),
+             # Jan 2024, Jan 2024, Feb 2024, Feb 2024; partkey 7 has
+             # NO part row: counted in total, never promo
+             "l_shipdate": pa.array(
+                 [_ts(0), _ts(day), _ts(32 * day), _ts(33 * day)],
+                 pa.timestamp("us"),
+             ),
+             "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0],
+                                         pa.float64()),
+             "l_discount": pa.array([0.1, 0.0, 0.0, 0.5], pa.float64())}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = ev.part_promo_revenue(str(tmp_path)).to_pylist()
+    jan = (2024 - 1970) * 12  # months since 1970-01
+    assert [(r["ship_month"], r["promo_cents"], r["total_cents"],
+             r["n_items"]) for r in out] == [
+        (jan, 900, 2900, 2),        # floor(10*0.9*100)=900; +2000
+        (jan + 1, 3000, 5000, 2),   # 3000 promo; +floor(40*0.5*100)
+    ]
+
+
+def test_region_orders_rollup_dimension_chain(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {"r_regionkey": pa.array([0, 1], pa.int32()),
+             "r_name": pa.array(["ASIA", "EUROPE"], pa.string())}
+        ),
+        str(tmp_path / "region.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"n_nationkey": pa.array([5, 6], pa.int32()),
+             "n_name": pa.array(["JP", "FR"], pa.string()),
+             "n_regionkey": pa.array([0, 1], pa.int32())}
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"c_custkey": pa.array([1, 2, 3], pa.int64()),
+             "c_nationkey": pa.array([5, 5, 6], pa.int32())}
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"o_custkey": pa.array([1, 2, 3, 99], pa.int64()),
+             # custkey 99 has no customer row -> dropped (inner join)
+             "o_totalprice": pa.array([10.0, 20.5, 40.0, 1000.0],
+                                      pa.float64())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = ev.region_orders_rollup(str(tmp_path)).to_pylist()
+    assert [(r["r_name"], r["n_orders"], r["sum_total_cents"])
+            for r in out] == [("ASIA", 2, 3050), ("EUROPE", 1, 4000)]
+
+
+def test_events_anomaly_mad_lower_median_and_strict_threshold(
+    ray_session, tmp_path
+):
+    # type a cents: [100, 100, 200, 300, 10000]
+    # lower-median (rank ceil(5/2)=3) = 200
+    # deviations: [100, 100, 0, 100, 9800] -> sorted [0,100,100,100,9800]
+    # MAD (rank 3) = 100; threshold 3*100=300 strict -> only 9800
+    rows = [
+        (1, 1, 0.0, "a", 1.00),
+        (2, 1, 1.0, "a", 1.00),
+        (3, 1, 2.0, "a", 2.00),
+        (4, 1, 3.0, "a", 3.00),
+        (5, 1, 4.0, "a", 100.00),
+        # type b: two events; lower-median of [100, 200] (rank 1) = 100
+        # deviations [0, 100] -> MAD (rank 1) = 0; any dev > 0 is an
+        # outlier under a zero MAD
+        (6, 2, 0.0, "b", 1.00),
+        (7, 2, 1.0, "b", 2.00),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["event_type"]: (r["median_cents"], r["mad_cents"],
+                             r["n_outliers"], r["n_events"])
+           for r in ev.events_anomaly_mad(sf).to_pylist()}
+    assert out["a"] == (200, 100, 1, 5)
+    assert out["b"] == (100, 0, 1, 2)
