@@ -1386,6 +1386,46 @@ FROM grid LEFT JOIN c USING (event_type, hour)
 ORDER BY event_type, hour
 """
 
+# Inverted-index build: per top-df word, the capped ascending
+# posting-list prefix (comma-joined) + full document frequency.
+_INVIDX_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+),
+wd AS (SELECT DISTINCT word, doc_id FROM tok),
+df AS (SELECT word, count(*)::BIGINT AS df FROM wd GROUP BY 1),
+top AS (SELECT word, df FROM df ORDER BY df DESC, word LIMIT 30),
+pk AS (
+  SELECT word, doc_id,
+         row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+  FROM wd
+),
+post AS (
+  SELECT word,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+  FROM pk WHERE rn <= 10 GROUP BY word
+)
+SELECT t.word, t.df, p.postings
+FROM top t JOIN post p USING (word)
+ORDER BY t.df DESC, t.word
+"""
+
+# TPC-H Q4 shape: fact-vs-fact EXISTS semi-join -- orders with at
+# least one line item shipped > 90 days after the order date.
+_Q4_SQL = """
+SELECT o.o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       CAST(sum(CASE WHEN EXISTS (
+         SELECT 1 FROM lineitem l
+         WHERE l.l_orderkey = o.o_orderkey
+           AND epoch_us(l.l_shipdate) >
+               epoch_us(o.o_orderdate) + 7776000000000
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM orders o GROUP BY 1 ORDER BY 1
+"""
+
 # Robust anomaly screen: exact lower-median + MAD per type, strict
 # k*MAD outlier counts; rank = ceil(n/2) on both sides.
 _MAD_SQL = """
@@ -1893,6 +1933,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # collocation mining: top-k bigrams + unigram marginals via
         # one tagged gram relation and a distributed sort+limit
         "word_bigram_topk": d.word_bigram_topk,
+        # inverted-index build: word-hash exchange, per-block df +
+        # capped posting prefix, local top-n -> P*n driver merge
+        "inverted_index_topdocs": d.inverted_index_topdocs,
         # unigram LM quality score (CCNet-shape perplexity filter;
         # integer micro-nat arithmetic -> exact SQL gate)
         "doc_lm_score": d.doc_lm_score,
@@ -1976,6 +2019,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # robust median/MAD anomaly screen (one histogram pass;
         # deviation histogram derived driver-side)
         "events_anomaly_mad": ev.events_anomaly_mad,
+        # TPC-H Q4 shape: fact-vs-fact EXISTS (late shipments);
+        # only (order, any_late) bits leave the sweep
+        "orders_late_shipment": ev.orders_late_shipment,
         # fact-to-fact shuffle hash join (general case: neither side
         # broadcastable; partitioned searchsorted+repeat sweep)
         "orders_events_join": ev.orders_events_join,
@@ -2148,6 +2194,8 @@ def oracle_sql() -> dict[str, str]:
         "part_promo_revenue": _Q14_SQL,
         "region_orders_rollup": _Q5_SQL,
         "events_anomaly_mad": _MAD_SQL,
+        "orders_late_shipment": _Q4_SQL,
+        "inverted_index_topdocs": _INVIDX_SQL,
         "orders_events_join": _HASH_JOIN_SQL,
         "orders_events_join_left": _HASH_JOIN_LEFT_SQL,
         "orders_events_join_full": _HASH_JOIN_FULL_SQL,

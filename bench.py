@@ -172,6 +172,8 @@ def run_bench() -> dict:
         ("events_ohlc", evops.events_ohlc),
         ("customer_revenue_topk", evops.customer_revenue_topk),
         ("word_bigram_topk", dops.word_bigram_topk),
+        ("orders_late_shipment", evops.orders_late_shipment),
+        ("inverted_index_topdocs", dops.inverted_index_topdocs),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -3967,3 +3967,109 @@ def doc_dup_ngrams(sf_dir: str, n: int = 8) -> pa.Table:
     )
     t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
     return _finalize_guard(gd, t)
+
+
+def inverted_index_topdocs(
+    sf_dir: str, n_words: int = 30, k: int = 10
+) -> pa.Table:
+    """Search-index construction: for the ``n_words`` highest
+    document-frequency words, the head of the word's POSTING LIST --
+    the first ``k`` containing ``doc_id``s ascending, comma-joined --
+    plus the full document frequency.  Returns ``(word, df,
+    postings)`` ordered by ``(df desc, word)``; the artifact shape an
+    inverted-index build job writes per term shard.
+
+    Distributed shape: each documents block emits its per-doc
+    DISTINCT ``(word, doc_id)`` pairs (globally distinct for free --
+    a document lives in exactly one block), one word-hash exchange
+    co-locates each term's postings, and the per-block sweep computes
+    df + the capped ascending posting prefix with the segment-gather
+    + ``binary_join`` layout `events_user_path` uses -- then emits
+    only its LOCAL top-``n_words``, so the driver merges P x n rows,
+    never the vocabulary."""
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    # pair volume ~ tokens-per-doc x docs; words dominate the exchange
+    P = _exchange_width(n_docs * 64)
+    gd = _new_guard_dir("invidx")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    pair_schema = pa.schema(
+        [("word", pa.string()), ("doc_id", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        words: list[str] = []
+        docs: list[int] = []
+        ids = t.column("doc_id").to_pylist()
+        for did, s in zip(ids, t.column("text").to_pylist()):
+            uniq = set(_WORD.findall((s or "").lower()))
+            words.extend(uniq)
+            docs.extend([did] * len(uniq))
+        if not words:
+            return pair_schema.empty_table()
+        warr = pa.array(words, pa.string())
+        return pa.table(
+            {"word": warr,
+             "doc_id": pa.array(docs, pa.int64()),
+             "_p": pa.array(partition_ids(warr, P))},
+            schema=pair_schema,
+        )
+
+    out_schema = pa.schema(
+        [("word", pa.large_string()), ("df", pa.int64()),
+         ("postings", pa.large_string())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "invidx", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        w = np.asarray(t.column("word").to_pylist(), dtype=object)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, w))
+        w, d = w[order], d[order]
+        starts = np.flatnonzero(np.concatenate([[True], w[1:] != w[:-1]]))
+        df = np.diff(np.append(starts, len(w))).astype(np.int64)
+        # capped ascending posting prefix per segment
+        cap = np.minimum(df, k)
+        rep = np.repeat(starts, cap)
+        within = np.arange(cap.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(cap)[:-1]]), cap
+        )
+        gathered = d[rep + within]
+        values = pc.cast(pa.array(gathered), pa.large_string())
+        offsets = pa.array(np.concatenate([[0], np.cumsum(cap)]), pa.int64())
+        lists = pa.LargeListArray.from_arrays(offsets, values)
+        postings = pc.binary_join(lists, pa.scalar(",", pa.large_string()))
+        words_out = pa.array(list(w[starts]), pa.large_string())
+        # local top-n by (df desc, word asc): complete per word here,
+        # so the global top-n is contained in the union of local ones
+        neg = -df
+        top = np.lexsort((np.asarray(w[starts], dtype=object), neg))[:n_words]
+        idx = pa.array(top)
+        return pa.table(
+            {"word": words_out.take(idx),
+             "df": pa.array(df, pa.int64()).take(idx),
+             "postings": postings.take(idx)},
+            schema=out_schema,
+        )
+
+    res = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    cand = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    cand = cand.cast(out_schema)
+    wv = np.asarray(cand.column("word").to_pylist(), dtype=object)
+    dfv = cand.column("df").to_numpy()
+    top = np.lexsort((wv, -dfv))[:n_words]
+    out = cand.take(pa.array(top)).cast(
+        pa.schema([("word", pa.string()), ("df", pa.int64()),
+                   ("postings", pa.string())])
+    )
+    return _finalize_guard(gd, out)

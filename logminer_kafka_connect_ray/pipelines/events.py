@@ -3849,3 +3849,125 @@ def events_anomaly_mad(sf_dir: str, k_sigma: int = 3) -> pa.Table:
          "n_outliers": pa.array([r[3] for r in rows], pa.int64()),
          "n_events": pa.array([r[4] for r in rows], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: fact-vs-fact EXISTS semi-join
+# ---------------------------------------------------------------------------
+def orders_late_shipment(sf_dir: str, grace_days: int = 90) -> pa.Table:
+    """Late-shipment report (the TPC-H Q4 shape): per
+    ``o_orderpriority``, how many orders have AT LEAST ONE line item
+    shipped more than ``grace_days`` after the order date -- the
+    EXISTS predicate where BOTH sides are fact tables, completing the
+    semi-join family (`customer_order_presence` handles the
+    dim-vs-fact case with a broadcast bitmap; here neither side
+    broadcasts).  Returns ``(o_orderpriority, n_orders, n_late)``.
+
+    Distributed shape: one orderkey hash exchange co-locates each
+    order with its line items; the per-block sweep sorts the build
+    side, maps every probe row to its order with ONE searchsorted,
+    and reduces the lateness predicate per order with
+    ``logical_or.reduceat`` -- priority-bounded partials (<= 5 rows
+    per block) then a tiny ``groupby.sum``.  The EXISTS never
+    materializes joined rows: only (order, any_late) bits leave the
+    sweep, so join fan-out cannot inflate the exchange output."""
+    n_li, _ = _table_meta(sf_dir, "lineitem")
+    n_or, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_li + n_or)
+    gd = _new_guard_dir("q4")
+    grace_us = np.int64(grace_days) * 86_400 * _US
+
+    rel_schema = pa.schema(
+        [("_k", pa.int64()), ("_side", pa.int8()), ("_ts", pa.int64()),
+         ("_prio", pa.string()), ("_p", pa.int64())]
+    )
+
+    def pad_orders(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return rel_schema.empty_table()
+        ok = t.column("o_orderkey").cast(pa.int64())
+        return pa.table(
+            {"_k": ok,
+             "_side": pa.array(np.zeros(t.num_rows, np.int8)),
+             "_ts": pa.array(_ts_i64(t.column("o_orderdate"))),
+             "_prio": pc.cast(t.column("o_orderpriority"), pa.string()),
+             "_p": pa.array(partition_ids(ok, P))},
+            schema=rel_schema,
+        )
+
+    def pad_items(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return rel_schema.empty_table()
+        lk = t.column("l_orderkey").cast(pa.int64())
+        return pa.table(
+            {"_k": lk,
+             "_side": pa.array(np.ones(t.num_rows, np.int8)),
+             "_ts": pa.array(_ts_i64(t.column("l_shipdate"))),
+             "_prio": pa.array([""] * t.num_rows, pa.string()),
+             "_p": pa.array(partition_ids(lk, P))},
+            schema=rel_schema,
+        )
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(pad_orders, batch_format="pyarrow")
+    items = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(pad_items, batch_format="pyarrow")
+
+    part_schema = pa.schema(
+        [("o_orderpriority", pa.string()), ("n_orders", pa.int64()),
+         ("n_late", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(gd, "q4", t.column("_p").to_numpy(zero_copy_only=False))
+        k = t.column("_k").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        ts = t.column("_ts").to_numpy(zero_copy_only=False)
+        prio = np.asarray(t.column("_prio").to_pylist(), dtype=object)
+        b = side == 0
+        bk, bd, bp = k[b], ts[b], prio[b]
+        pk, ps = k[~b], ts[~b]
+        if len(bk) == 0:
+            return part_schema.empty_table()
+        bo = np.argsort(bk, kind="stable")
+        bk, bd, bp = bk[bo], bd[bo], bp[bo]
+        late = np.zeros(len(bk), bool)
+        if len(pk):
+            pos = np.searchsorted(bk, pk)
+            ok = (pos < len(bk)) & (bk[np.clip(pos, 0, len(bk) - 1)] == pk)
+            pos, ps = pos[ok], ps[ok]
+            is_late = ps > bd[pos] + grace_us
+            late[pos[is_late]] = True
+        prios, code = np.unique(bp, return_inverse=True)
+        n_orders = np.bincount(code, minlength=len(prios))
+        n_late = np.bincount(code[late], minlength=len(prios))
+        return pa.table(
+            {"o_orderpriority": pa.array(list(prios), pa.string()),
+             "n_orders": pa.array(n_orders.astype(np.int64)),
+             "n_late": pa.array(n_late.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        orders.union(items)
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("o_orderpriority")
+        .sum(["n_orders", "n_late"])
+        .to_pandas()
+    )
+    merged.columns = ["o_orderpriority", "n_orders", "n_late"]
+    merged = merged.sort_values("o_orderpriority", ignore_index=True)
+    out = pa.table(
+        {"o_orderpriority": pa.array(
+            list(merged["o_orderpriority"]), pa.string()
+        ),
+         "n_orders": pa.array(merged["n_orders"].astype("int64").to_numpy()),
+         "n_late": pa.array(merged["n_late"].astype("int64").to_numpy())}
+    )
+    return _finalize_guard(gd, out)

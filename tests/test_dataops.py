@@ -982,3 +982,22 @@ def test_word_bigram_topk_counts_and_marginals(ray_session, tmp_path):
     assert m[("the", "cat")] == (3, 3)
     assert m[("cat", "ran")] == (3, 1)
     assert m[("cat", "sat")] == (3, 1)
+
+
+def test_inverted_index_topdocs_postings_and_cap(ray_session, tmp_path):
+    sf = make_docs(
+        tmp_path,
+        [
+            "apple banana",          # doc 0
+            "apple apple cherry",    # doc 1 (dup word counts once)
+            "apple banana",          # doc 2
+            "cherry",                # doc 3
+        ],
+    )
+    out = d.inverted_index_topdocs(sf, n_words=2, k=2).to_pylist()
+    # df: apple=3, banana=2, cherry=2 -> top-2 = apple, banana (tie
+    # banana < cherry); postings capped at first 2 ascending doc_ids
+    assert [(r["word"], r["df"], r["postings"]) for r in out] == [
+        ("apple", 3, "0,1"),
+        ("banana", 2, "0,2"),
+    ]

@@ -1408,3 +1408,65 @@ def test_events_anomaly_mad_lower_median_and_strict_threshold(
            for r in ev.events_anomaly_mad(sf).to_pylist()}
     assert out["a"] == (200, 100, 1, 5)
     assert out["b"] == (100, 0, 1, 2)
+
+
+def test_orders_late_shipment_exists_semantics(ray_session, tmp_path):
+    day = 1440.0
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+             "o_custkey": pa.array([1, 1, 1], pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+             "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+             "o_orderdate": pa.array([_ts(0)] * 3, pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "5-LOW"],
+                                         pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"l_orderkey": pa.array([1, 1, 2, 3, 99], pa.int64()),
+             # order 1: one on-time (day 10) + one late (day 91) ->
+             # late, counted ONCE; order 2: exactly day 90 is NOT
+             # strictly greater -> on time; order 3: late; orderkey
+             # 99 has no order row -> ignored
+             "l_shipdate": pa.array(
+                 [_ts(10 * day), _ts(91 * day), _ts(90 * day),
+                  _ts(91 * day), _ts(200 * day)],
+                 pa.timestamp("us"),
+             )}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = ev.orders_late_shipment(str(tmp_path)).to_pylist()
+    assert [(r["o_orderpriority"], r["n_orders"], r["n_late"])
+            for r in out] == [("1-URGENT", 2, 1), ("5-LOW", 1, 1)]
+
+
+def test_events_markov_transitions_differential_fuzz(ray_session, tmp_path):
+    """Random dense-ts event streams vs a brute-force per-user scan:
+    the exchange + neighbor-shift sweep must count identically."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(20260818)
+    types = ["a", "b", "c", "d"]
+    rows = [
+        (i, rng.randrange(12), float(rng.randrange(30)),
+         rng.choice(types), 0.0)
+        for i in range(500)
+    ]
+    sf = make_events(tmp_path, rows)
+    got = {(r["src_type"], r["dst_type"]): r["n_pairs"]
+           for r in ev.events_markov_transitions(sf).to_pylist()}
+
+    by_user = {}
+    for eid, uid, minutes, et, _ in rows:
+        by_user.setdefault(uid, []).append((minutes, eid, et))
+    want = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, s), (_, _, d) in zip(evs, evs[1:]):
+            want[(s, d)] += 1
+    assert got == dict(want)
