@@ -1470,3 +1470,39 @@ def test_events_markov_transitions_differential_fuzz(ray_session, tmp_path):
         for (_, _, s), (_, _, d) in zip(evs, evs[1:]):
             want[(s, d)] += 1
     assert got == dict(want)
+
+
+def test_events_ohlc_differential_fuzz(ray_session, tmp_path):
+    """Random dense-ts events vs a brute-force pandas reference: the
+    witness-key partial combine must resolve open/close identically."""
+    import random
+
+    rng = random.Random(20260819)
+    types = ["a", "b", "c"]
+    rows = [
+        (i, rng.randrange(8), float(rng.randrange(300)),
+         rng.choice(types), round(rng.uniform(-50, 50), 2))
+        for i in range(400)
+    ]
+    sf = make_events(tmp_path, rows)
+    got = {(r["event_type"], r["hour"]):
+           (r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n_events"])
+           for r in ev.events_ohlc(sf).to_pylist()}
+
+    import math
+    buckets = {}
+    for eid, _, minutes, et, val in rows:
+        ts_us = int(minutes * 60 * 1_000_000)
+        hour = ts_us // 3_600_000_000
+        cents = math.floor(val * 100.0)
+        buckets.setdefault((et, hour + 473352), []).append(
+            (ts_us, eid, cents)
+        )  # 473352 = epoch hours of 2024-01-01
+    want = {}
+    for key, evs in buckets.items():
+        evs.sort()
+        cents = [c for _, _, c in evs]
+        want[key] = (evs[0][2], max(cents), min(cents), evs[-1][2],
+                     len(evs))
+    assert got == want
