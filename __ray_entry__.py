@@ -1386,6 +1386,25 @@ FROM grid LEFT JOIN c USING (event_type, hour)
 ORDER BY event_type, hour
 """
 
+# Sliding-window COUNT DISTINCT: per epoch day, exact distinct
+# users active that day (dau) and in the trailing 7 days (wau);
+# forward expansion over the per-user distinct-day relation.
+_WAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+expand AS (
+  SELECT DISTINCT user_id, day + i AS day
+  FROM ud, LATERAL unnest(range(0, 7)) AS t(i)
+),
+wau AS (SELECT day, count(*)::BIGINT AS wau FROM expand GROUP BY 1),
+dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1)
+SELECT w.day, COALESCE(d.dau, 0)::BIGINT AS dau, w.wau
+FROM wau w LEFT JOIN dau d USING (day)
+WHERE w.day <= (SELECT max(day) FROM ud)
+ORDER BY w.day
+"""
+
 # Inverted-index build: per top-df word, the capped ascending
 # posting-list prefix (comma-joined) + full document frequency.
 _INVIDX_SQL = """
@@ -2022,6 +2041,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q4 shape: fact-vs-fact EXISTS (late shipments);
         # only (order, any_late) bits leave the sweep
         "orders_late_shipment": ev.orders_late_shipment,
+        # sliding-window exact COUNT DISTINCT (trailing-7d actives)
+        "events_wau": ev.events_wau,
         # fact-to-fact shuffle hash join (general case: neither side
         # broadcastable; partitioned searchsorted+repeat sweep)
         "orders_events_join": ev.orders_events_join,
@@ -2196,6 +2217,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly_mad": _MAD_SQL,
         "orders_late_shipment": _Q4_SQL,
         "inverted_index_topdocs": _INVIDX_SQL,
+        "events_wau": _WAU_SQL,
         "orders_events_join": _HASH_JOIN_SQL,
         "orders_events_join_left": _HASH_JOIN_LEFT_SQL,
         "orders_events_join_full": _HASH_JOIN_FULL_SQL,

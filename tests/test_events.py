@@ -1506,3 +1506,31 @@ def test_events_ohlc_differential_fuzz(ray_session, tmp_path):
         want[key] = (evs[0][2], max(cents), min(cents), evs[-1][2],
                      len(evs))
     assert got == want
+
+
+def test_events_wau_trailing_distinct(ray_session, tmp_path):
+    day = 1440.0
+    rows = [
+        # user 1 active on days 0 and 1 (two events on day 0: distinct
+        # days dedup); user 2 active on day 0 only; user 3 on day 9
+        (1, 1, 0.1 * day, "a", 0.0),
+        (2, 1, 0.2 * day, "a", 0.0),
+        (3, 1, 1.5 * day, "a", 0.0),
+        (4, 2, 0.7 * day, "a", 0.0),
+        (5, 3, 9.5 * day, "a", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_wau(sf).to_pylist()
+    base = out[0]["day"]
+    got = {r["day"] - base: (r["dau"], r["wau"]) for r in out}
+    # day 0: dau {1,2}; wau {1,2}
+    # day 1: dau {1}; wau {1,2}
+    # days 2-6: dau 0; wau {1,2} (u1 day1 covers through day 7)
+    # day 7: wau {1} (only u1's day-1 activity still in window)
+    # day 8: nobody's window covers -> no row
+    # day 9: dau {3}; wau {3}; days 10+ trimmed (past last active day)
+    assert got == {
+        0: (2, 2), 1: (1, 2), 2: (0, 2), 3: (0, 2), 4: (0, 2),
+        5: (0, 2), 6: (0, 2), 7: (0, 1), 9: (1, 1),
+    }
+    assert 8 not in got and max(got) == 9
