@@ -1386,6 +1386,49 @@ FROM grid LEFT JOIN c USING (event_type, hour)
 ORDER BY event_type, hour
 """
 
+# ANALYZE-style table statistics over events: exact per-column
+# row/null/NDV/min/max on the canonical domain (ints raw, ts as
+# epoch-us, doubles as floor-cents, strings raw).
+_PROFILE_SQL = """
+WITH c AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents, props
+  FROM events
+)
+SELECT 'event_id' AS "column", count(*)::BIGINT AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+       count(DISTINCT event_id)::BIGINT AS n_distinct,
+       min(event_id)::BIGINT AS min_num, max(event_id)::BIGINT AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM c
+UNION ALL
+SELECT 'ts', count(*)::BIGINT, CAST(count(*) - count(ts_us) AS BIGINT),
+       count(DISTINCT ts_us)::BIGINT, min(ts_us)::BIGINT,
+       max(ts_us)::BIGINT, NULL, NULL
+FROM c
+UNION ALL
+SELECT 'user_id', count(*)::BIGINT, CAST(count(*) - count(user_id) AS BIGINT),
+       count(DISTINCT user_id)::BIGINT, min(user_id)::BIGINT,
+       max(user_id)::BIGINT, NULL, NULL
+FROM c
+UNION ALL
+SELECT 'value', count(*)::BIGINT, CAST(count(*) - count(cents) AS BIGINT),
+       count(DISTINCT cents)::BIGINT, min(cents)::BIGINT,
+       max(cents)::BIGINT, NULL, NULL
+FROM c
+UNION ALL
+SELECT 'event_type', count(*)::BIGINT,
+       CAST(count(*) - count(event_type) AS BIGINT),
+       count(DISTINCT event_type)::BIGINT, NULL, NULL,
+       min(event_type), max(event_type)
+FROM c
+UNION ALL
+SELECT 'props', count(*)::BIGINT, CAST(count(*) - count(props) AS BIGINT),
+       count(DISTINCT props)::BIGINT, NULL, NULL, min(props), max(props)
+FROM c
+ORDER BY "column"
+"""
+
 # Sliding-window COUNT DISTINCT: per epoch day, exact distinct
 # users active that day (dau) and in the trailing 7 days (wau);
 # forward expansion over the per-user distinct-day relation.
@@ -2043,6 +2086,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_late_shipment": ev.orders_late_shipment,
         # sliding-window exact COUNT DISTINCT (trailing-7d actives)
         "events_wau": ev.events_wau,
+        # ANALYZE-style stats collection: exact NDV/min/max/null per
+        # column in one pass (pair exchange = the NDV combiner)
+        "table_profile": ev.table_profile,
         # fact-to-fact shuffle hash join (general case: neither side
         # broadcastable; partitioned searchsorted+repeat sweep)
         "orders_events_join": ev.orders_events_join,
@@ -2218,6 +2264,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_late_shipment": _Q4_SQL,
         "inverted_index_topdocs": _INVIDX_SQL,
         "events_wau": _WAU_SQL,
+        "table_profile": _PROFILE_SQL,
         "orders_events_join": _HASH_JOIN_SQL,
         "orders_events_join_left": _HASH_JOIN_LEFT_SQL,
         "orders_events_join_full": _HASH_JOIN_FULL_SQL,

@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from pandas import isna as pd_isna
 
 from logminer_kafka_connect_ray.functions.hashing import partition_ids
 from logminer_kafka_connect_ray.pipelines.dataops import (
@@ -4064,3 +4065,189 @@ def events_wau(sf_dir: str, window_days: int = 7) -> pa.Table:
          "wau": pa.array(merged["wau"].astype("int64").to_numpy())}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style statistics collection (optimizer table profile)
+# ---------------------------------------------------------------------------
+def table_profile(sf_dir: str) -> pa.Table:
+    """ANALYZE-style table statistics over ``events``: per column,
+    exact row count, null count, EXACT distinct-value count, and
+    min/max -- the optimizer/statistics pass every engine runs before
+    planning.  Columns are profiled on a canonical domain so the
+    oracle is bit-exact: integers as themselves, timestamps as
+    epoch-microseconds, doubles as floor-cents, strings raw.
+    Returns ``(column, n_rows, n_null, n_distinct, min_num, max_num,
+    min_str, max_str)`` (num stats null for string columns and vice
+    versa).
+
+    Distributed shape: ONE events pass emits (a) tiny per-block
+    ``(column, n, n_null)`` count partials and (b) per-block DISTINCT
+    ``(column, value)`` pairs -- the NDV combiner, bounded by local
+    distincts, never rows.  The pair relation exchanges on the
+    (column, value) hash (a hot column spreads over ALL partitions,
+    same anti-skew argument as `events_user_distinct`), then a
+    per-block sweep counts the now-globally-distinct pairs and takes
+    per-column partial min/max; one group-bounded ``groupby`` merge
+    each.  At 100 TB the NDV exchange carries only global-distinct
+    volume per column."""
+    P = _exchange_width(_table_meta(sf_dir, "events")[0])
+    gd = _new_guard_dir("profile")
+    ds = _read(
+        sf_dir, "events",
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+
+    NUM_COLS = ("event_id", "ts", "user_id", "value")
+    STR_COLS = ("event_type", "props")
+
+    def canon_num(t: pa.Table, name: str) -> np.ndarray:
+        if name == "ts":
+            return _ts_i64(t.column("ts"))
+        if name == "value":
+            return _cents(t.column("value").to_numpy(zero_copy_only=False))
+        return t.column(name).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    counts_schema = pa.schema(
+        [("column", pa.string()), ("n_rows", pa.int64()),
+         ("n_null", pa.int64())]
+    )
+    pair_schema = pa.schema(
+        [("column", pa.string()), ("v_num", pa.int64()),
+         ("v_str", pa.string()), ("_p", pa.int64())]
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return counts_schema.empty_table()
+        cols, nr, nn = [], [], []
+        for name in NUM_COLS + STR_COLS:
+            cols.append(name)
+            nr.append(t.num_rows)
+            nn.append(t.column(name).null_count)
+        return pa.table(
+            {"column": pa.array(cols, pa.string()),
+             "n_rows": pa.array(nr, pa.int64()),
+             "n_null": pa.array(nn, pa.int64())},
+            schema=counts_schema,
+        )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        cols, vnum, vstr, route = [], [], [], []
+        for name in NUM_COLS:
+            col = t.column(name)
+            v = canon_num(t, name)
+            if col.null_count:
+                v = v[~np.asarray(pc.is_null(col.combine_chunks()))]
+            u = np.unique(v)
+            cols.extend([name] * len(u))
+            vnum.extend(u.tolist())
+            vstr.extend([None] * len(u))
+            route.extend((name + ":" + s for s in u.astype(str)))
+        for name in STR_COLS:
+            vals = [x for x in t.column(name).to_pylist() if x is not None]
+            u = sorted(set(vals))
+            cols.extend([name] * len(u))
+            vnum.extend([None] * len(u))
+            vstr.extend(u)
+            route.extend((name + ":" + s for s in u))
+        rarr = pa.array(route, pa.string())
+        return pa.table(
+            {"column": pa.array(cols, pa.string()),
+             "v_num": pa.array(vnum, pa.int64()),
+             "v_str": pa.array(vstr, pa.string()),
+             "_p": pa.array(partition_ids(rarr, P))},
+            schema=pair_schema,
+        )
+
+    stat_schema = pa.schema(
+        [("column", pa.string()), ("n_distinct", pa.int64()),
+         ("min_num", pa.int64()), ("max_num", pa.int64()),
+         ("min_str", pa.string()), ("max_str", pa.string())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return stat_schema.empty_table()
+        _guard_record(
+            gd, "profile", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        cols = np.asarray(t.column("column").to_pylist(), dtype=object)
+        vnum = t.column("v_num")
+        vstr = t.column("v_str")
+        out = []
+        for name in NUM_COLS + STR_COLS:
+            m = cols == name
+            k = int(m.sum())
+            if not k:
+                continue
+            idx = pa.array(np.flatnonzero(m))
+            if name in NUM_COLS:
+                vals = vnum.take(idx).to_numpy(zero_copy_only=False)
+                # pairs were deduped per block but distinct blocks can
+                # re-emit the same value: dedup within the co-located
+                # partition (global for this hash range)
+                vals = np.unique(vals)
+                out.append((name, len(vals), int(vals.min()),
+                            int(vals.max()), None, None))
+            else:
+                vals = sorted(set(vstr.take(idx).to_pylist()))
+                out.append((name, len(vals), None, None, vals[0],
+                            vals[-1]))
+        return pa.table(
+            {"column": pa.array([r[0] for r in out], pa.string()),
+             "n_distinct": pa.array([r[1] for r in out], pa.int64()),
+             "min_num": pa.array([r[2] for r in out], pa.int64()),
+             "max_num": pa.array([r[3] for r in out], pa.int64()),
+             "min_str": pa.array([r[4] for r in out], pa.string()),
+             "max_str": pa.array([r[5] for r in out], pa.string())},
+            schema=stat_schema,
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("column")
+        .sum(["n_rows", "n_null"])
+        .to_pandas()
+    )
+    counts.columns = ["column", "n_rows", "n_null"]
+
+    stats = pa.Table.from_pandas(
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .to_pandas(),
+        preserve_index=False,
+    ).cast(stat_schema).to_pandas()
+    # merge the per-partition stat partials (group-bounded)
+    agg = stats.groupby("column", as_index=False).agg(
+        n_distinct=("n_distinct", "sum"),
+        min_num=("min_num", "min"), max_num=("max_num", "max"),
+        min_str=("min_str", "min"), max_str=("max_str", "max"),
+    )
+    df = counts.merge(agg, on="column").sort_values(
+        "column", ignore_index=True
+    )
+    return pa.table(
+        {"column": pa.array(list(df["column"]), pa.string()),
+         "n_rows": pa.array(df["n_rows"].astype("int64").to_numpy()),
+         "n_null": pa.array(df["n_null"].astype("int64").to_numpy()),
+         "n_distinct": pa.array(df["n_distinct"].astype("int64").to_numpy()),
+         "min_num": pa.array(
+             [None if pd_isna(x) else int(x) for x in df["min_num"]],
+             pa.int64(),
+         ),
+         "max_num": pa.array(
+             [None if pd_isna(x) else int(x) for x in df["max_num"]],
+             pa.int64(),
+         ),
+         "min_str": pa.array(
+             [None if pd_isna(x) else x for x in df["min_str"]], pa.string()
+         ),
+         "max_str": pa.array(
+             [None if pd_isna(x) else x for x in df["max_str"]], pa.string()
+         )}
+    )

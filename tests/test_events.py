@@ -1534,3 +1534,28 @@ def test_events_wau_trailing_distinct(ray_session, tmp_path):
         5: (0, 2), 6: (0, 2), 7: (0, 1), 9: (1, 1),
     }
     assert 8 not in got and max(got) == 9
+
+
+def test_table_profile_exact_stats(ray_session, tmp_path):
+    rows = [
+        (1, 10, 0.0, "a", 1.50),
+        (2, 10, 1.0, "a", -2.25),   # floor(-225.0) = -225
+        (3, 20, 1.0, "b", 1.50),    # duplicate cents with event 1
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["column"]: r for r in ev.table_profile(sf).to_pylist()}
+    assert out["event_id"]["n_rows"] == 3
+    assert out["event_id"]["n_distinct"] == 3
+    assert (out["event_id"]["min_num"], out["event_id"]["max_num"]) == (1, 3)
+    assert out["user_id"]["n_distinct"] == 2
+    assert out["value"]["n_distinct"] == 2          # {150, -225}
+    assert out["value"]["min_num"] == -225
+    assert out["value"]["max_num"] == 150
+    assert out["event_type"]["n_distinct"] == 2
+    assert (out["event_type"]["min_str"], out["event_type"]["max_str"]) == (
+        "a", "b"
+    )
+    assert out["event_type"]["min_num"] is None
+    assert out["props"]["n_distinct"] == 1          # all "{}"
+    assert out["ts"]["n_distinct"] == 2             # two distinct ts
+    assert all(r["n_null"] == 0 for r in out.values())
