@@ -174,6 +174,8 @@ def run_bench() -> dict:
         ("word_bigram_topk", dops.word_bigram_topk),
         ("orders_late_shipment", evops.orders_late_shipment),
         ("inverted_index_topdocs", dops.inverted_index_topdocs),
+        ("events_wau", evops.events_wau),
+        ("table_profile", evops.table_profile),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)
