@@ -1429,6 +1429,36 @@ FROM c
 ORDER BY "column"
 """
 
+# 2-D Pareto frontier over orders: keep (price, day) points not
+# dominated (>= both dims, > one) by any other order.  Window form:
+# per-price max day, then a strictly-greater-price suffix-max test
+# (prices in pm are distinct, so the DESC frame is exactly "strictly
+# greater prices") -- O(n log n), matching the engine's suffix-max
+# kernel instead of the O(n^2) NOT EXISTS restatement.
+_SKYLINE_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+),
+pm AS (SELECT price_cents, max(day) AS day FROM o GROUP BY 1),
+sky AS (
+  SELECT price_cents, day,
+         max(day) OVER (ORDER BY price_cents DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS best_prev
+  FROM pm
+)
+SELECT s.price_cents, s.day, count(*)::BIGINT AS n_orders,
+       min(o.o_orderkey) AS min_orderkey
+FROM sky s
+JOIN o ON o.price_cents = s.price_cents AND o.day = s.day
+WHERE s.best_prev IS NULL OR s.day > s.best_prev
+GROUP BY 1, 2
+ORDER BY s.price_cents DESC
+"""
+
 # Sliding-window COUNT DISTINCT: per epoch day, exact distinct
 # users active that day (dau) and in the trailing 7 days (wau);
 # forward expansion over the per-user distinct-day relation.
@@ -2084,6 +2114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q4 shape: fact-vs-fact EXISTS (late shipments);
         # only (order, any_late) bits leave the sweep
         "orders_late_shipment": ev.orders_late_shipment,
+        # 2-D Pareto frontier (skyline): local per-block frontiers,
+        # transitive-dominance merge in one single-block sweep
+        "orders_skyline": ev.orders_skyline,
         # sliding-window exact COUNT DISTINCT (trailing-7d actives)
         "events_wau": ev.events_wau,
         # ANALYZE-style stats collection: exact NDV/min/max/null per
@@ -2263,6 +2296,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly_mad": _MAD_SQL,
         "orders_late_shipment": _Q4_SQL,
         "inverted_index_topdocs": _INVIDX_SQL,
+        "orders_skyline": _SKYLINE_SQL,
         "events_wau": _WAU_SQL,
         "table_profile": _PROFILE_SQL,
         "orders_events_join": _HASH_JOIN_SQL,

@@ -175,6 +175,7 @@ def run_bench() -> dict:
         ("orders_late_shipment", evops.orders_late_shipment),
         ("inverted_index_topdocs", dops.inverted_index_topdocs),
         ("events_wau", evops.events_wau),
+        ("orders_skyline", evops.orders_skyline),
         ("table_profile", evops.table_profile),
     ]:
         t0 = time.monotonic()

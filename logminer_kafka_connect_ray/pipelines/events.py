@@ -4251,3 +4251,100 @@ def table_profile(sf_dir: str) -> pa.Table:
              [None if pd_isna(x) else x for x in df["max_str"]], pa.string()
          )}
     )
+
+
+def orders_skyline(sf_dir: str) -> pa.Table:
+    """2-D Pareto frontier (skyline) over ``orders``: the maximal set
+    under joint (price_cents, day) dominance -- "no other order is at
+    least as expensive AND at least as recent, strictly better in
+    one".  The multi-objective filter behind best-offer search and
+    data-curation frontier selection; Ray Data has no skyline
+    primitive, so it composes from the repo's partial-aggregate
+    pattern.  Output is one row per surviving DISTINCT (price, day)
+    point with its order count and min orderkey, price-descending.
+
+    Distributed shape: per-block (price, day) aggregation + LOCAL
+    skyline filter.  Dominance is transitive, so a block's skyline
+    dominates everything the block dropped -- a locally dominated
+    point is globally dominated, and a globally surviving point is
+    dropped by NO block, so its count partials all reach the merge
+    (exactness argument the test pins).  Local skylines are
+    frontier-sized (O(log n) expected on independent dims), so the
+    final merge is one single-block sweep over tiny partials
+    (``repartition(1)``), never a driver loop."""
+    day_us = np.int64(86_400 * _US)
+
+    part_schema = pa.schema(
+        [("price_cents", pa.int64()), ("day", pa.int64()),
+         ("n_orders", pa.int64()), ("min_orderkey", pa.int64())]
+    )
+
+    # day < 2^21 (epoch days ~2e4) and price_cents < 2^26 (TPC-H
+    # totalprice tops out ~6e7 cents): the packed key fits int64.
+    _DAY_BITS = 21
+
+    def kernel(price, day, cnt, mk):
+        """Aggregate per (price, day) then keep the Pareto frontier.
+        Returns (price, day, count, min_orderkey) arrays."""
+        comb = price * (np.int64(1) << _DAY_BITS) + day
+        order = np.argsort(comb, kind="stable")
+        comb_s = comb[order]
+        starts = np.flatnonzero(np.r_[True, comb_s[1:] != comb_s[:-1]])
+        n = np.add.reduceat(cnt[order], starts)
+        k = np.minimum.reduceat(mk[order], starts)
+        u = comb_s[starts]
+        up = u >> _DAY_BITS
+        ud = u & ((np.int64(1) << _DAY_BITS) - 1)
+        # prices ascending, days ascending within a price group: the
+        # group's last element is its max day; lower days in the same
+        # group are dominated by it
+        pstarts = np.flatnonzero(np.r_[True, up[1:] != up[:-1]])
+        pend = np.r_[pstarts[1:], len(up)] - 1
+        maxd = ud[pend]
+        # survivor test vs strictly greater prices: suffix max of day
+        nxt = np.r_[
+            np.maximum.accumulate(maxd[::-1])[::-1][1:], np.int64(-1)
+        ]
+        keep = pend[maxd > nxt]
+        return up[keep], ud[keep], n[keep], k[keep]
+
+    def to_table(p, d, n, k) -> pa.Table:
+        return pa.table(
+            {"price_cents": pa.array(p), "day": pa.array(d),
+             "n_orders": pa.array(n), "min_orderkey": pa.array(k)},
+            schema=part_schema,
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        price = _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
+        day = _ts_i64(t.column("o_orderdate")) // day_us
+        mk = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return to_table(
+            *kernel(price, day, np.ones(t.num_rows, np.int64), mk)
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        return to_table(*kernel(
+            t.column("price_cents").to_numpy(zero_copy_only=False),
+            t.column("day").to_numpy(zero_copy_only=False),
+            t.column("n_orders").to_numpy(zero_copy_only=False),
+            t.column("min_orderkey").to_numpy(zero_copy_only=False),
+        ))
+
+    df = (
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    df = df.sort_values("price_cents", ascending=False, ignore_index=True)
+    return pa.table(
+        {c: pa.array(df[c].astype("int64").to_numpy())
+         for c in ("price_cents", "day", "n_orders", "min_orderkey")}
+    )

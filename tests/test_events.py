@@ -1559,3 +1559,50 @@ def test_table_profile_exact_stats(ray_session, tmp_path):
     assert out["props"]["n_distinct"] == 1          # all "{}"
     assert out["ts"]["n_distinct"] == 2             # two distinct ts
     assert all(r["n_null"] == 0 for r in out.values())
+
+
+def make_priced_orders(tmp_path, rows):
+    """rows: (o_orderkey, price_dollars, day_from_epoch)."""
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([1] * len(rows), pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [_ts(r[2] * 1440.0) for r in rows], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_orders_skyline_dominance_and_ties(ray_session, tmp_path):
+    base = 19723  # 2024-01-01 in epoch days (EPOCH fixture)
+    rows = [
+        (1, 5.00, 10),   # frontier: max price
+        (2, 5.00, 3),    # same price, older day: dominated by 1
+        (3, 3.00, 10),   # equal day, lower price than 1: dominated
+        (4, 3.00, 12),   # frontier: newer than everything pricier
+        (5, 3.00, 12),   # identical point as 4: same frontier row
+        (6, 1.00, 12),   # dominated by 4 (equal day, lower price)
+        (7, 1.00, 20),   # frontier: newest overall
+        (8, 0.50, 19),   # dominated by 7
+    ]
+    sf = make_priced_orders(tmp_path, rows)
+    out = [
+        (r["price_cents"], r["day"] - base, r["n_orders"],
+         r["min_orderkey"])
+        for r in ev.orders_skyline(sf).to_pylist()
+    ]
+    assert out == [(500, 10, 1, 1), (300, 12, 2, 4), (100, 20, 1, 7)]
+
+
+def test_orders_skyline_single_point_duplicates(ray_session, tmp_path):
+    # all orders identical: one frontier row carrying every count
+    sf = make_priced_orders(tmp_path, [(i, 2.0, 5) for i in range(1, 6)])
+    out = ev.orders_skyline(sf).to_pylist()
+    assert len(out) == 1
+    assert (out[0]["n_orders"], out[0]["min_orderkey"]) == (5, 1)
