@@ -1429,6 +1429,37 @@ FROM c
 ORDER BY "column"
 """
 
+# Edit-distance-1 fuzzy vocabulary self-join (FastSS deletion
+# neighborhoods).  The plant (first token minus first char on
+# doc_id % 5 == 0 docs) is restated verbatim; the deletion-key
+# candidate generation is complete for ed<=1 (substitution shares
+# the deletion at the mismatch position; insert/delete shares the
+# shorter word itself), so filtering candidates by exact
+# levenshtein == 1 equals the full quadratic join.
+_FUZZY_JOIN_SQL = """
+WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+tok AS (
+  SELECT unnest(regexp_extract_all(t, '[a-z0-9]+')) AS w FROM base
+  UNION ALL
+  SELECT substr(regexp_extract(t, '[a-z0-9]+'), 2) AS w
+  FROM base WHERE doc_id % 5 = 0
+),
+v AS (SELECT DISTINCT w FROM tok WHERE length(w) BETWEEN 3 AND 20),
+dels AS (
+  SELECT w, w AS k FROM v
+  UNION
+  SELECT w, substr(w, 1, i) || substr(w, i + 2) AS k
+  FROM v, LATERAL unnest(range(0, length(w))) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.w AS word1, b.w AS word2
+  FROM dels a JOIN dels b ON a.k = b.k AND a.w < b.w
+)
+SELECT word1, word2 FROM cand
+WHERE levenshtein(word1, word2) = 1
+ORDER BY word1, word2
+"""
+
 # 2-D Pareto frontier over orders: keep (price, day) points not
 # dominated (>= both dims, > one) by any other order.  Window form:
 # per-price max day, then a strictly-greater-price suffix-max test
@@ -2028,6 +2059,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inverted-index build: word-hash exchange, per-block df +
         # capped posting prefix, local top-n -> P*n driver merge
         "inverted_index_topdocs": d.inverted_index_topdocs,
+        # edit-distance-1 fuzzy vocabulary self-join (FastSS deletion
+        # neighborhoods; alphabet-bounded buckets, exact ed verify)
+        "vocab_fuzzy_join": d.vocab_fuzzy_join,
         # unigram LM quality score (CCNet-shape perplexity filter;
         # integer micro-nat arithmetic -> exact SQL gate)
         "doc_lm_score": d.doc_lm_score,
@@ -2296,6 +2330,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly_mad": _MAD_SQL,
         "orders_late_shipment": _Q4_SQL,
         "inverted_index_topdocs": _INVIDX_SQL,
+        "vocab_fuzzy_join": _FUZZY_JOIN_SQL,
         "orders_skyline": _SKYLINE_SQL,
         "events_wau": _WAU_SQL,
         "table_profile": _PROFILE_SQL,

@@ -176,6 +176,7 @@ def run_bench() -> dict:
         ("inverted_index_topdocs", dops.inverted_index_topdocs),
         ("events_wau", evops.events_wau),
         ("orders_skyline", evops.orders_skyline),
+        ("vocab_fuzzy_join", dops.vocab_fuzzy_join),
         ("table_profile", evops.table_profile),
     ]:
         t0 = time.monotonic()

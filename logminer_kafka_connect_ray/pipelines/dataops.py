@@ -4073,3 +4073,165 @@ def inverted_index_topdocs(
                    ("postings", pa.string())])
     )
     return _finalize_guard(gd, out)
+
+
+def _ed_is_1(a: str, b: str) -> bool:
+    """Exact edit-distance==1 check for candidate pairs whose lengths
+    differ by at most 1 (guaranteed by the deletion-key generator)."""
+    if len(a) == len(b):
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if len(a) > len(b):
+        a, b = b, a
+    i = 0
+    while i < len(a) and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def vocab_fuzzy_join(sf_dir: str) -> pa.Table:
+    """Edit-distance-1 fuzzy self-join over the corpus vocabulary
+    (FastSS deletion neighborhoods, Bocek et al. 2007): every pair of
+    distinct words within one insert/delete/substitute of each other
+    -- the spelling-variant miner behind query correction and OCR /
+    typo normalization.  The driver corpus draws from a ~31-word list
+    with no natural ed-1 pairs, so (pii_redaction precedent) a typo
+    variant is PLANTED identically on both sides: docs with ``doc_id
+    % 5 == 0`` contribute their first token minus its first character
+    as an extra vocabulary word; the oracle restates the plant and
+    then computes the exact join, so incidental pairs are covered
+    either way.
+
+    Distributed shape: three bounded exchanges, no driver loops.
+    (1) per-block DISTINCT words (len 3..20) emit (key, word) rows
+    for key = the word itself plus each single-character deletion,
+    stamped by key hash; (2) per delivered block, bucket words by
+    key and pair within buckets -- a deletion-key bucket is bounded
+    by the ALPHABET (at most ~37*(L+1) insertions map to one key),
+    never by vocabulary size, so the quadratic stays constant-sized;
+    candidate pairs are verified with the exact two-pointer ed==1
+    check (shared-key is necessary, not sufficient: del(w1,i) ==
+    del(w2,j), i != j can be ed 2); (3) verified pairs exchange on
+    the pair hash for global dedup (one pair is discoverable under
+    several shared keys).  Exchange widths derive from corpus size
+    via `_exchange_width`; the block-split guard fails loudly."""
+    n_rows, _ = _table_meta(sf_dir, "documents")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("fuzzy")
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    key_schema = pa.schema(
+        [("k", pa.string()), ("w", pa.string()), ("_p", pa.int64())]
+    )
+
+    def del_keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return key_schema.empty_table()
+        low = pc.utf8_lower(t.column("text").combine_chunks())
+        words: set[str] = set()
+        for s in low.to_pylist():
+            words.update(_WORD.findall(s or ""))
+        # the planted typo stream: first token minus first char for
+        # doc_id % 5 == 0 (restated verbatim in the SQL oracle)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(did % 5 == 0)
+        if len(sel):
+            first = pc.extract_regex(
+                low.take(pa.array(sel)), r"(?P<w>[a-z0-9]+)"
+            )
+            for item in first.to_pylist():
+                if item and item["w"]:
+                    words.add(item["w"][1:])
+        ks, ws = [], []
+        for w in words:
+            if not (3 <= len(w) <= 20):
+                continue
+            ks.append(w)
+            ws.append(w)
+            for i in range(len(w)):
+                ks.append(w[:i] + w[i + 1 :])
+                ws.append(w)
+        karr = pa.array(ks, pa.string())
+        return pa.table(
+            {"k": karr, "w": pa.array(ws, pa.string()),
+             "_p": pa.array(partition_ids(karr, P))},
+            schema=key_schema,
+        )
+
+    pair_schema = pa.schema(
+        [("word1", pa.string()), ("word2", pa.string()),
+         ("_p", pa.int64())]
+    )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        _guard_record(gd, "fuzzy-key",
+                      t.column("_p").to_numpy(zero_copy_only=False))
+        ks = np.asarray(t.column("k").to_pylist(), dtype=object)
+        ws = np.asarray(t.column("w").to_pylist(), dtype=object)
+        # dedup (key, word): the same pair arrives from every block
+        # that saw the word
+        kw = np.char.add(np.char.add(ks.astype(str), "\x00"),
+                         ws.astype(str))
+        _, first = np.unique(kw, return_index=True)
+        ks, ws = ks[first], ws[first]
+        order = np.argsort(ks, kind="stable")
+        ks, ws = ks[order], ws[order]
+        starts, counts = _segment_starts(ks)
+        p1, p2 = [], []
+        for s, c in zip(starts, counts):
+            if c < 2:
+                continue
+            bucket = sorted(ws[s : s + c])
+            for i in range(len(bucket) - 1):
+                for j in range(i + 1, len(bucket)):
+                    a, b = bucket[i], bucket[j]
+                    if a != b and _ed_is_1(a, b):
+                        p1.append(a)
+                        p2.append(b)
+        if not p1:
+            return pair_schema.empty_table()
+        a1 = pa.array(p1, pa.string())
+        a2 = pa.array(p2, pa.string())
+        return pa.table(
+            {"word1": a1, "word2": a2,
+             "_p": pa.array(partition_ids(
+                 pc.binary_join_element_wise(a1, a2, "\x00"), P))},
+            schema=pair_schema,
+        )
+
+    out_schema = pa.schema(
+        [("word1", pa.string()), ("word2", pa.string())]
+    )
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(gd, "fuzzy-pair",
+                      t.column("_p").to_numpy(zero_copy_only=False))
+        w1 = np.asarray(t.column("word1").to_pylist(), dtype=object)
+        w2 = np.asarray(t.column("word2").to_pylist(), dtype=object)
+        comb = np.char.add(np.char.add(w1.astype(str), "\x00"),
+                           w2.astype(str))
+        _, first = np.unique(comb, return_index=True)
+        return pa.table(
+            {"word1": pa.array(list(w1[first]), pa.string()),
+             "word2": pa.array(list(w2[first]), pa.string())},
+            schema=out_schema,
+        )
+
+    df = (
+        ds.map_batches(del_keys, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(dedup_pairs, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    df = df.sort_values(["word1", "word2"], ignore_index=True)
+    out = pa.table(
+        {"word1": pa.array(list(df["word1"]), pa.string()),
+         "word2": pa.array(list(df["word2"]), pa.string())}
+    )
+    return _finalize_guard(gd, out)

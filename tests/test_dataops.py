@@ -1001,3 +1001,34 @@ def test_inverted_index_topdocs_postings_and_cap(ray_session, tmp_path):
         ("apple", 3, "0,1"),
         ("banana", 2, "0,2"),
     ]
+
+
+def test_vocab_fuzzy_join_ed1_semantics(ray_session, tmp_path):
+    sf = make_docs(
+        tmp_path,
+        [
+            "zebra cat",     # doc 0: plants "ebra" (first token - 1st char)
+            "hello helo",    # insert/delete pair
+            "house mouse",   # substitution pair
+            "abc bca",       # shared deletion key "bc" but ed=2: NOT a pair
+            "world",
+        ],
+    )
+    out = d.vocab_fuzzy_join(sf)
+    got = [(r["word1"], r["word2"]) for r in out.to_pylist()]
+    assert got == [
+        ("ebra", "zebra"),
+        ("hello", "helo"),  # 'l' < 'o' at index 3
+        ("house", "mouse"),
+    ]
+    meta = out.schema.metadata or {}
+    assert meta.get(b"overflow_buckets") == b"0"
+
+
+def test_ed_is_1_kernel():
+    assert d._ed_is_1("cat", "cut")          # substitution
+    assert d._ed_is_1("cat", "cart")         # insertion
+    assert d._ed_is_1("cart", "cat")         # deletion (swapped args)
+    assert not d._ed_is_1("abc", "bca")      # rotation: ed 2
+    assert not d._ed_is_1("cat", "cat")      # identical: ed 0
+    assert not d._ed_is_1("ab", "axc")       # sub+insert: ed 2
