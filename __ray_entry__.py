@@ -1490,6 +1490,33 @@ GROUP BY 1, 2
 ORDER BY s.price_cents DESC
 """
 
+# Z-order clustering layout: the Morton interleave restated as a
+# 32-term bit expression (even positions = custkey bits, odd =
+# epoch-day bits), generated programmatically below.
+_Z_X = " + ".join(f"(((cx >> {i}) & 1) << {2 * i})" for i in range(16))
+_Z_Y = " + ".join(f"(((dy >> {i}) & 1) << {2 * i + 1})" for i in range(16))
+_ZORDER_SQL = f"""
+WITH raw AS (
+  SELECT o_custkey AS c,
+         epoch_us(o_orderdate) // 86400000000 AS d
+  FROM orders
+),
+b AS (
+  SELECT min(c) AS lc, max(c) AS hc, min(d) AS ld, max(d) AS hd FROM raw
+),
+o AS (
+  SELECT ((c - lc) * 65535) // greatest(hc - lc, 1) AS cx,
+         ((d - ld) * 65535) // greatest(hd - ld, 1) AS dy
+  FROM raw, b
+),
+z AS (SELECT cx, dy, ({_Z_X} + {_Z_Y}) AS morton FROM o)
+SELECT (morton >> 28)::BIGINT AS zbucket, count(*)::BIGINT AS n_orders,
+       min(cx)::BIGINT AS min_cx, max(cx)::BIGINT AS max_cx,
+       min(dy)::BIGINT AS min_dy, max(dy)::BIGINT AS max_dy,
+       min(morton)::BIGINT AS min_z, max(morton)::BIGINT AS max_z
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
 # Sliding-window COUNT DISTINCT: per epoch day, exact distinct
 # users active that day (dau) and in the trailing 7 days (wau);
 # forward expansion over the per-user distinct-day relation.
@@ -2151,6 +2178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 2-D Pareto frontier (skyline): local per-block frontiers,
         # transitive-dominance merge in one single-block sweep
         "orders_skyline": ev.orders_skyline,
+        # Z-order (Morton) clustering layout with per-Z-file
+        # dimension min/max -- the OPTIMIZE ZORDER primitive
+        "orders_zorder_layout": ev.orders_zorder_layout,
         # sliding-window exact COUNT DISTINCT (trailing-7d actives)
         "events_wau": ev.events_wau,
         # ANALYZE-style stats collection: exact NDV/min/max/null per
@@ -2332,6 +2362,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_topdocs": _INVIDX_SQL,
         "vocab_fuzzy_join": _FUZZY_JOIN_SQL,
         "orders_skyline": _SKYLINE_SQL,
+        "orders_zorder_layout": _ZORDER_SQL,
         "events_wau": _WAU_SQL,
         "table_profile": _PROFILE_SQL,
         "orders_events_join": _HASH_JOIN_SQL,

@@ -177,6 +177,7 @@ def run_bench() -> dict:
         ("events_wau", evops.events_wau),
         ("orders_skyline", evops.orders_skyline),
         ("vocab_fuzzy_join", dops.vocab_fuzzy_join),
+        ("orders_zorder_layout", evops.orders_zorder_layout),
         ("table_profile", evops.table_profile),
     ]:
         t0 = time.monotonic()

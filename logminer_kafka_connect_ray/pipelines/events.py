@@ -4348,3 +4348,115 @@ def orders_skyline(sf_dir: str) -> pa.Table:
         {c: pa.array(df[c].astype("int64").to_numpy())
          for c in ("price_cents", "day", "n_orders", "min_orderkey")}
     )
+
+
+def _spread16(x: np.ndarray) -> np.ndarray:
+    """Spread each of the low 16 bits of ``x`` to the even bit
+    positions of a 32-bit word (Morton interleave half)."""
+    x = x.astype(np.int64) & np.int64(0xFFFF)
+    x = (x | (x << 8)) & np.int64(0x00FF00FF)
+    x = (x | (x << 4)) & np.int64(0x0F0F0F0F)
+    x = (x | (x << 2)) & np.int64(0x33333333)
+    x = (x | (x << 1)) & np.int64(0x55555555)
+    return x
+
+
+def orders_zorder_layout(sf_dir: str, prefix_bits: int = 4) -> pa.Table:
+    """Z-order (Morton-curve) clustering layout over ``orders`` --
+    the OPTIMIZE ZORDER BY (custkey, orderdate) primitive of
+    copy-on-write lakes: min-max scale both clustering dimensions to
+    the full 16-bit domain (raw values share their high bits, which
+    would collapse every row into one Z-range -- scaling is what real
+    Z-ordering does too), interleave them into a 32-bit Morton code,
+    assign each row to one of ``2**prefix_bits`` Z-range files (the
+    code's top bits), and report per-file locality stats (row count,
+    min/max of each scaled dimension and of the code itself).  Tight
+    per-bucket dimension ranges are exactly what makes later range
+    queries prune files on EITHER dimension -- the property the
+    gate's min/max columns pin.
+
+    Distributed shape: a tiny bounds pass (per-block 4-int min/max
+    partials, driver-merged) then one layout pass; the scaling is
+    exact integer arithmetic (``(v - lo) * 65535 // range``, floor
+    division restated verbatim in the oracle), the Morton interleave
+    is five shift-mask numpy ops per dimension, partials are
+    bucket-bounded (<= 2**prefix_bits rows per block), merged
+    driver-side like `table_profile` (group-bounded, never
+    row-bounded)."""
+    day_us = np.int64(86_400 * _US)
+    shift = np.int64(32 - prefix_bits)
+
+    def dims(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        return (
+            t.column("o_custkey").to_numpy(zero_copy_only=False),
+            _ts_i64(t.column("o_orderdate")) // day_us,
+        )
+
+    bounds_schema = pa.schema(
+        [("min_c", pa.int64()), ("max_c", pa.int64()),
+         ("min_d", pa.int64()), ("max_d", pa.int64())]
+    )
+
+    def bounds_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return bounds_schema.empty_table()
+        c, dy = dims(t)
+        return pa.table(
+            {"min_c": pa.array([int(c.min())]),
+             "max_c": pa.array([int(c.max())]),
+             "min_d": pa.array([int(dy.min())]),
+             "max_d": pa.array([int(dy.max())])},
+            schema=bounds_schema,
+        )
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    b = ds.map_batches(bounds_partial, batch_format="pyarrow").to_pandas()
+    lo_c, hi_c = int(b["min_c"].min()), int(b["max_c"].max())
+    lo_d, hi_d = int(b["min_d"].min()), int(b["max_d"].max())
+    rng_c = np.int64(max(hi_c - lo_c, 1))
+    rng_d = np.int64(max(hi_d - lo_d, 1))
+
+    part_schema = pa.schema(
+        [("zbucket", pa.int64()), ("n_orders", pa.int64()),
+         ("min_cx", pa.int64()), ("max_cx", pa.int64()),
+         ("min_dy", pa.int64()), ("max_dy", pa.int64()),
+         ("min_z", pa.int64()), ("max_z", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        c, dy0 = dims(t)
+        cx = (c - np.int64(lo_c)) * np.int64(65535) // rng_c
+        dy = (dy0 - np.int64(lo_d)) * np.int64(65535) // rng_d
+        z = _spread16(cx) | (_spread16(dy) << 1)
+        bk = z >> shift
+        order = np.argsort(bk, kind="stable")
+        bs, zs = bk[order], z[order]
+        cxs, dys = cx[order], dy[order]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        ends = np.r_[starts[1:], len(bs)]
+        return pa.table(
+            {"zbucket": pa.array(bs[starts]),
+             "n_orders": pa.array(ends - starts),
+             "min_cx": pa.array(np.minimum.reduceat(cxs, starts)),
+             "max_cx": pa.array(np.maximum.reduceat(cxs, starts)),
+             "min_dy": pa.array(np.minimum.reduceat(dys, starts)),
+             "max_dy": pa.array(np.maximum.reduceat(dys, starts)),
+             "min_z": pa.array(np.minimum.reduceat(zs, starts)),
+             "max_z": pa.array(np.maximum.reduceat(zs, starts))},
+            schema=part_schema,
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("zbucket", as_index=False).agg(
+        n_orders=("n_orders", "sum"),
+        min_cx=("min_cx", "min"), max_cx=("max_cx", "max"),
+        min_dy=("min_dy", "min"), max_dy=("max_dy", "max"),
+        min_z=("min_z", "min"), max_z=("max_z", "max"),
+    ).sort_values("zbucket", ignore_index=True)
+    return pa.table(
+        {c: pa.array(agg[c].astype("int64").to_numpy())
+         for c in ("zbucket", "n_orders", "min_cx", "max_cx",
+                   "min_dy", "max_dy", "min_z", "max_z")}
+    )

@@ -1606,3 +1606,32 @@ def test_orders_skyline_single_point_duplicates(ray_session, tmp_path):
     out = ev.orders_skyline(sf).to_pylist()
     assert len(out) == 1
     assert (out[0]["n_orders"], out[0]["min_orderkey"]) == (5, 1)
+
+
+def test_spread16_bit_interleave():
+    x = np.array([0, 1, 0xFFFF, 0b1010], np.int64)
+    out = ev._spread16(x)
+    assert list(out) == [0, 1, 0x55555555, 0b01000100]
+
+
+def test_orders_zorder_layout_corners(ray_session, tmp_path):
+    # four orders at the corners of the (custkey, day) domain scale
+    # to (0,0), (0,65535), (65535,0), (65535,65535): morton codes
+    # 0x0, 0xAAAAAAAA, 0x55555555, 0xFFFFFFFF -> buckets 0, 10, 5, 15
+    sf = make_orders(
+        tmp_path,
+        [
+            (1, 100, 0.0),            # (min c, min d)
+            (2, 100, 63.0 * 1440),    # (min c, max d)
+            (3, 500, 0.0),            # (max c, min d)
+            (4, 500, 63.0 * 1440),    # (max c, max d)
+        ],
+    )
+    out = {r["zbucket"]: r for r in ev.orders_zorder_layout(sf).to_pylist()}
+    assert sorted(out) == [0, 5, 10, 15]
+    assert (out[0]["min_z"], out[0]["max_z"]) == (0, 0)
+    assert out[10]["min_z"] == 0xAAAAAAAA
+    assert out[5]["min_z"] == 0x55555555
+    assert out[15]["max_z"] == 0xFFFFFFFF
+    assert (out[15]["min_cx"], out[15]["min_dy"]) == (65535, 65535)
+    assert all(r["n_orders"] == 1 for r in out.values())
