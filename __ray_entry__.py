@@ -1490,6 +1490,42 @@ GROUP BY 1, 2
 ORDER BY s.price_cents DESC
 """
 
+# Bounded-frame window aggregate: trailing 3-row COUNT/SUM/MAX of
+# cents per user (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).
+_FRAME_AGG_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       count(*) OVER w AS n_in_frame,
+       CAST(sum(cents) OVER w AS BIGINT) AS frame_sum_cents,
+       max(cents) OVER w AS frame_max_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+# Last-touch attribution: purchases credited to the most recent
+# strictly-preceding non-purchase event type of the same user.
+_LAST_TOUCH_SQL = """
+WITH w AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS src
+  FROM events
+)
+SELECT COALESCE(src, 'none') AS src_event_type,
+       count(*)::BIGINT AS n_purchases
+FROM w WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+"""
+
 # Z-order clustering layout: the Morton interleave restated as a
 # 32-term bit expression (even positions = custkey bits, odd =
 # epoch-day bits), generated programmatically below.
@@ -2212,6 +2248,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": d.label_centroids,
         # offset window function (LAG deltas per key)
         "events_lag_delta": ev.events_lag_delta,
+        # bounded-frame window aggregate (trailing 3-row sum/max)
+        "events_frame_agg": ev.events_frame_agg,
+        # last-touch attribution (latest preceding non-purchase src)
+        "events_last_touch": ev.events_last_touch,
         # exact per-group quantiles (grouped distributed counting sort)
         "events_type_quantiles": ev.events_type_quantiles,
         # per-class deterministic capped sampling (combiner-bounded)
@@ -2373,6 +2413,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": _CONTAMINATION_SQL,
         "label_centroids": _LABEL_CENTROIDS_SQL,
         "events_lag_delta": _LAG_DELTA_SQL,
+        "events_frame_agg": _FRAME_AGG_SQL,
+        "events_last_touch": _LAST_TOUCH_SQL,
         "events_type_quantiles": _TYPE_QUANTILES_SQL,
         "events_stratified_sample": _STRATIFIED_SQL,
         "events_props_stats": _PROPS_STATS_SQL,

@@ -178,6 +178,8 @@ def run_bench() -> dict:
         ("orders_skyline", evops.orders_skyline),
         ("vocab_fuzzy_join", dops.vocab_fuzzy_join),
         ("orders_zorder_layout", evops.orders_zorder_layout),
+        ("events_frame_agg", evops.events_frame_agg),
+        ("events_last_touch", evops.events_last_touch),
         ("table_profile", evops.table_profile),
     ]:
         t0 = time.monotonic()

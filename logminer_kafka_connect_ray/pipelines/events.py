@@ -4460,3 +4460,161 @@ def orders_zorder_layout(sf_dir: str, prefix_bits: int = 4) -> pa.Table:
          for c in ("zbucket", "n_orders", "min_cx", "max_cx",
                    "min_dy", "max_dy", "min_z", "max_z")}
     )
+
+
+def events_frame_agg(sf_dir: str, frame: int = 3) -> pa.Table:
+    """Frame-window aggregate: per event, the COUNT/SUM/MAX of value
+    cents over the trailing ``frame``-row window (``ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW`` per user, ordered by ts then
+    event_id) -- the bounded-frame member of the window family
+    (cumulative = `events_running_total`, offset = `events_lag_delta`,
+    rank = `events_global_rank`).
+
+    Same distributed shape as lag: ONE user-hash exchange, per-block
+    lexsort, then the frame is a cumsum difference (``cs[i] -
+    cs[i-w]`` with w clamped to the segment-local position) and a
+    max over ``frame`` shifted copies -- O(frame) vectorized ops,
+    no per-row loop."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("frame")
+    F = int(frame)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("n_in_frame", pa.int64()), ("frame_sum_cents", pa.int64()),
+         ("frame_max_cents", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(gd, "frame",
+                      t.column("_p").to_numpy(zero_copy_only=False))
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, ts, u))
+        u, eid, cents = u[order], eid[order], cents[order]
+        n = len(u)
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        seg_id = np.cumsum(first) - 1
+        base = np.flatnonzero(first)[seg_id]
+        idx = np.arange(n, dtype=np.int64)
+        pos = idx - base
+        w = np.minimum(pos + 1, F)
+        cs = np.cumsum(cents)
+        prev = idx - w
+        sum_f = cs - np.where(prev >= 0, cs[np.maximum(prev, 0)], 0)
+        max_f = cents.copy()
+        for k in range(1, F):
+            shifted = np.empty(n, np.int64)
+            shifted[k:] = cents[:-k]
+            shifted[:k] = np.iinfo(np.int64).min
+            np.maximum(max_f, np.where(pos >= k, shifted, max_f), out=max_f)
+        return pa.table(
+            {"event_id": pa.array(eid), "user_id": pa.array(u),
+             "n_in_frame": pa.array(w), "frame_sum_cents": pa.array(sum_f),
+             "frame_max_cents": pa.array(max_f)},
+            schema=out_schema,
+        )
+
+    res = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False).cast(
+        out_schema
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
+    return _finalize_guard(gd, t)
+
+
+def events_last_touch(sf_dir: str) -> pa.Table:
+    """Last-touch attribution: every ``purchase`` event is credited
+    to the same user's most recent STRICTLY-preceding non-purchase
+    event type ('none' when the purchase is the user's first
+    activity); returns per-source purchase counts -- the marketing
+    attribution primitive downstream of the funnel gate.
+
+    Distributed shape: user-hash exchange, per-block lexsort, then a
+    segment-reset ``maximum.accumulate`` over non-purchase positions
+    resolves each row's latest preceding source in O(n); per-block
+    partials are source-type-bounded and merged by one tiny
+    ``groupby.sum``."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("touch")
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    part_schema = pa.schema(
+        [("src_event_type", pa.string()), ("n_purchases", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(gd, "touch",
+                      t.column("_p").to_numpy(zero_copy_only=False))
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        n = len(u)
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        base = np.flatnonzero(first)[np.cumsum(first) - 1]
+        is_p = et == "purchase"
+        pos_np = np.where(~is_p, np.arange(n, dtype=np.int64), -1)
+        last = np.maximum.accumulate(pos_np)
+        # a purchase row is never its own source (pos_np = -1 there),
+        # so `last` at a purchase is strictly preceding; resets at
+        # user boundaries via the base comparison
+        valid = last >= base
+        src = np.where(valid, et[np.maximum(last, 0)], "none")[is_p]
+        uniq, counts = np.unique(src.astype(str), return_counts=True)
+        return pa.table(
+            {"src_event_type": pa.array(list(uniq), pa.string()),
+             "n_purchases": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    df = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("src_event_type")
+        .sum("n_purchases")
+        .to_pandas()
+    )
+    df.columns = ["src_event_type", "n_purchases"]
+    df = df.sort_values("src_event_type", ignore_index=True)
+    out = pa.table(
+        {"src_event_type": pa.array(list(df["src_event_type"]), pa.string()),
+         "n_purchases": pa.array(df["n_purchases"].astype("int64").to_numpy())}
+    )
+    return _finalize_guard(gd, out)

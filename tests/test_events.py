@@ -1635,3 +1635,46 @@ def test_orders_zorder_layout_corners(ray_session, tmp_path):
     assert out[15]["max_z"] == 0xFFFFFFFF
     assert (out[15]["min_cx"], out[15]["min_dy"]) == (65535, 65535)
     assert all(r["n_orders"] == 1 for r in out.values())
+
+
+def test_events_frame_agg_trailing_window(ray_session, tmp_path):
+    rows = [
+        # user 1: cents 100, 300, 200, 500 in ts order
+        (1, 1, 0.0, "a", 1.00),
+        (2, 1, 1.0, "a", 3.00),
+        (3, 1, 2.0, "a", 2.00),
+        (4, 1, 3.0, "a", 5.00),
+        # user 2: single event
+        (5, 2, 0.0, "a", 9.00),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {
+        r["event_id"]: (r["n_in_frame"], r["frame_sum_cents"],
+                        r["frame_max_cents"])
+        for r in ev.events_frame_agg(sf).to_pylist()
+    }
+    assert out == {
+        1: (1, 100, 100),
+        2: (2, 400, 300),
+        3: (3, 600, 300),
+        4: (3, 1000, 500),   # window slides past event 1
+        5: (1, 900, 900),    # frame never crosses users
+    }
+
+
+def test_events_last_touch_attribution(ray_session, tmp_path):
+    rows = [
+        (1, 1, 0.0, "click", 0.0),
+        (2, 1, 1.0, "purchase", 0.0),   # attributed to click
+        (3, 1, 2.0, "view", 0.0),
+        (4, 1, 3.0, "purchase", 0.0),   # attributed to view
+        (5, 2, 0.0, "purchase", 0.0),   # first activity: none
+        (6, 2, 1.0, "purchase", 0.0),   # preceding is a purchase: none
+        (7, 3, 0.0, "click", 0.0),      # no purchase for user 3
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {
+        r["src_event_type"]: r["n_purchases"]
+        for r in ev.events_last_touch(sf).to_pylist()
+    }
+    assert out == {"click": 1, "view": 1, "none": 2}
