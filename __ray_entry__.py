@@ -1490,6 +1490,75 @@ GROUP BY 1, 2
 ORDER BY s.price_cents DESC
 """
 
+# Count-Min sketch over per-user event counts: the seed-prefixed
+# FNV-1a row hashes restated via the recursive byte fold (the
+# events_sample_hash precedent), counters as collision sums, the
+# estimate as the min over depth rows -- hash-deterministic, so the
+# sketch's overcount reproduces bit-for-bit.
+_USER_CMS_SQL = """
+WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM events),
+su AS (
+  SELECT s.seed, u.user_id,
+         CAST(s.seed AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR) AS st
+  FROM (SELECT unnest(range(0, 4)) AS seed) s, users u
+),
+eb AS (
+  SELECT seed, user_id, hex(encode(st)) AS hx,
+         octet_length(encode(st)) AS n
+  FROM su
+),
+fnv AS (
+  SELECT seed, user_id, n, 0 AS i,
+         CAST('14695981039346656037' AS UHUGEINT) AS h FROM eb
+  UNION ALL
+  SELECT f.seed, f.user_id, f.n, f.i + 1,
+         (xor(f.h, CAST(CAST('0x' || substr(eb.hx, 2*f.i+1, 2) AS INT)
+                        AS UHUGEINT))
+          * CAST(1099511628211 AS UHUGEINT))
+           % CAST('18446744073709551616' AS UHUGEINT)
+  FROM fnv f JOIN eb ON eb.seed = f.seed AND eb.user_id = f.user_id
+  WHERE f.i < f.n
+),
+hb AS (
+  SELECT seed, user_id, CAST(h % 64 AS BIGINT) AS bucket
+  FROM fnv WHERE i = n
+),
+counts AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1),
+counters AS (
+  SELECT hb.seed, hb.bucket, CAST(sum(c.n) AS BIGINT) AS cnt
+  FROM hb JOIN counts c USING (user_id) GROUP BY 1, 2
+),
+est AS (
+  SELECT hb.user_id, min(ct.cnt) AS cms
+  FROM hb JOIN counters ct ON ct.seed = hb.seed AND ct.bucket = hb.bucket
+  GROUP BY 1
+)
+SELECT c.user_id, c.n AS n_events, CAST(e.cms AS BIGINT) AS cms_estimate
+FROM counts c JOIN est e USING (user_id)
+WHERE c.user_id % 13 = 0
+ORDER BY c.user_id
+"""
+
+# Interval-union coverage: per user, microseconds covered by the
+# union of [ts, ts+300s) windows (gaps-and-islands shifted-max).
+_ACTIVE_TIME_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events
+),
+w AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pe
+  FROM e
+)
+SELECT user_id,
+       CAST(sum(greatest(e - greatest(s, COALESCE(pe, s)), 0))
+            AS BIGINT) AS active_us
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
 # Bounded-frame window aggregate: trailing 3-row COUNT/SUM/MAX of
 # cents per user (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).
 _FRAME_AGG_SQL = """
@@ -2252,6 +2321,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_frame_agg": ev.events_frame_agg,
         # last-touch attribution (latest preceding non-purchase src)
         "events_last_touch": ev.events_last_touch,
+        # Count-Min sketch (mergeable counter partials; the KMV
+        # precedent: deterministic, so the estimate gates exactly)
+        "events_user_cms": ev.events_user_cms,
+        # interval-union coverage (gaps-and-islands merge)
+        "events_active_time": ev.events_active_time,
         # exact per-group quantiles (grouped distributed counting sort)
         "events_type_quantiles": ev.events_type_quantiles,
         # per-class deterministic capped sampling (combiner-bounded)
@@ -2415,6 +2489,8 @@ def oracle_sql() -> dict[str, str]:
         "events_lag_delta": _LAG_DELTA_SQL,
         "events_frame_agg": _FRAME_AGG_SQL,
         "events_last_touch": _LAST_TOUCH_SQL,
+        "events_user_cms": _USER_CMS_SQL,
+        "events_active_time": _ACTIVE_TIME_SQL,
         "events_type_quantiles": _TYPE_QUANTILES_SQL,
         "events_stratified_sample": _STRATIFIED_SQL,
         "events_props_stats": _PROPS_STATS_SQL,

@@ -180,6 +180,8 @@ def run_bench() -> dict:
         ("orders_zorder_layout", evops.orders_zorder_layout),
         ("events_frame_agg", evops.events_frame_agg),
         ("events_last_touch", evops.events_last_touch),
+        ("events_user_cms", evops.events_user_cms),
+        ("events_active_time", evops.events_active_time),
         ("table_profile", evops.table_profile),
     ]:
         t0 = time.monotonic()

@@ -4618,3 +4618,169 @@ def events_last_touch(sf_dir: str) -> pa.Table:
          "n_purchases": pa.array(df["n_purchases"].astype("int64").to_numpy())}
     )
     return _finalize_guard(gd, out)
+
+
+def events_user_cms(
+    sf_dir: str, depth: int = 4, width: int = 64, probe_mod: int = 13
+) -> pa.Table:
+    """Count-Min sketch over per-user event counts: a ``depth x
+    width`` counter matrix (FNV-1a row hashes, seed-prefixed) built
+    as MERGEABLE per-block partials -- the sketch property that makes
+    it a streaming/distributed primitive -- then probed for every
+    user with ``user_id % probe_mod == 0``.  Returns ``(user_id,
+    n_events, cms_estimate)``: the exact count next to the sketch
+    estimate, whose overcount is the classic CMS collision bias (the
+    driver domain packs ~150-1500 users into 64 buckets, so
+    collisions are real, and -- like the KMV gate -- the estimate is
+    hash-deterministic, so the oracle reproduces it bit-for-bit via
+    the same recursive FNV fold).
+
+    Distributed shape: ONE events pass emits (a) d*w-bounded counter
+    partials and (b) probe-user exact-count partials; both merge by
+    tiny ``groupby.sum``; the probe resolution is probes x depth
+    driver arithmetic over the merged counters."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    from logminer_kafka_connect_ray.functions.hashing import fnv1a_u64
+
+    D, W = int(depth), int(width)
+
+    ctr_schema = pa.schema(
+        [("seed", pa.int64()), ("bucket", pa.int64()), ("n", pa.int64())]
+    )
+    probe_schema = pa.schema(
+        [("user_id", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return ctr_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, counts = np.unique(u, return_counts=True)
+        seeds, buckets, ns = [], [], []
+        for s in range(D):
+            h = fnv1a_u64([f"{s}:{x}" for x in uu]) % np.uint64(W)
+            b = h.astype(np.int64)
+            order = np.argsort(b, kind="stable")
+            bs = b[order]
+            starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+            seeds.extend([s] * len(starts))
+            buckets.extend(bs[starts].tolist())
+            ns.extend(np.add.reduceat(counts[order], starts).tolist())
+        return pa.table(
+            {"seed": pa.array(seeds, pa.int64()),
+             "bucket": pa.array(buckets, pa.int64()),
+             "n": pa.array(ns, pa.int64())},
+            schema=ctr_schema,
+        )
+
+    def probe_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return probe_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = u[u % probe_mod == 0]
+        if not len(u):
+            return probe_schema.empty_table()
+        uu, counts = np.unique(u, return_counts=True)
+        return pa.table(
+            {"user_id": pa.array(uu), "n": pa.array(counts)},
+            schema=probe_schema,
+        )
+
+    ctr = ds.map_batches(partials, batch_format="pyarrow").groupby(
+        ["seed", "bucket"]
+    ).sum("n").to_pandas()
+    ctr.columns = ["seed", "bucket", "n"]
+    cm = np.zeros((D, W), np.int64)
+    cm[ctr["seed"].to_numpy(), ctr["bucket"].to_numpy()] = ctr[
+        "n"
+    ].to_numpy()
+
+    probes = ds.map_batches(probe_partials, batch_format="pyarrow").groupby(
+        "user_id"
+    ).sum("n").to_pandas()
+    probes.columns = ["user_id", "n"]
+    probes = probes.sort_values("user_id", ignore_index=True)
+    pu = probes["user_id"].astype("int64").to_numpy()
+    est = np.full(len(pu), np.iinfo(np.int64).max)
+    for s in range(D):
+        b = (fnv1a_u64([f"{s}:{x}" for x in pu]) % np.uint64(W)).astype(
+            np.int64
+        )
+        np.minimum(est, cm[s, b], out=est)
+    return pa.table(
+        {"user_id": pa.array(pu),
+         "n_events": pa.array(probes["n"].astype("int64").to_numpy()),
+         "cms_estimate": pa.array(est)}
+    )
+
+
+def events_active_time(sf_dir: str, window_s: int = 300) -> pa.Table:
+    """Interval-union coverage: per user, the total microseconds
+    covered by the UNION of ``[ts, ts + window_s)`` activity
+    intervals -- the "time actually active" metric sessionization
+    approximates; overlapping intervals must not double-count, which
+    makes it the interval-merge (gaps-and-islands) primitive rather
+    than a plain aggregate.
+
+    Distributed shape: user-hash exchange, per-block lexsort, then
+    union length = sum of ``max(0, end_i - max(start_i, max_prev_end))``
+    with a segment-reset shifted cummax -- one vectorized pass, exact
+    in integer microseconds (tie order is irrelevant: an interval
+    starting at a covered point contributes its uncovered suffix
+    only, which is order-independent for fixed-width windows)."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("active")
+    win_us = np.int64(window_s) * _US
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("active_us", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(gd, "active",
+                      t.column("_p").to_numpy(zero_copy_only=False))
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = _ts_i64(t.column("ts"))
+        order = np.lexsort((s, u))
+        u, s = u[order], s[order]
+        e = s + win_us
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        # previous max end within the user segment: the FIXED window
+        # width makes ends co-sorted with starts, so the previous end
+        # IS the running max (variable widths would need a
+        # segment-local cummax instead)
+        prev = np.empty(len(e), np.int64)
+        prev[1:] = e[:-1]
+        prev[first] = 0  # segment reset: first interval fully counts
+        cover = np.maximum(e - np.maximum(s, prev), 0)
+        cover[first] = win_us
+        starts = np.flatnonzero(first)
+        return pa.table(
+            {"user_id": pa.array(u[starts]),
+             "active_us": pa.array(np.add.reduceat(cover, starts))},
+            schema=out_schema,
+        )
+
+    df = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    df = df.sort_values("user_id", ignore_index=True)
+    out = pa.table(
+        {"user_id": pa.array(df["user_id"].astype("int64").to_numpy()),
+         "active_us": pa.array(df["active_us"].astype("int64").to_numpy())}
+    )
+    return _finalize_guard(gd, out)

@@ -1678,3 +1678,41 @@ def test_events_last_touch_attribution(ray_session, tmp_path):
         for r in ev.events_last_touch(sf).to_pylist()
     }
     assert out == {"click": 1, "view": 1, "none": 2}
+
+
+def test_events_user_cms_overcount_never_under(ray_session, tmp_path):
+    # users 0, 13, 26 are probes (% 13 == 0); others add collision mass
+    rows = []
+    eid = 1
+    for uid, n in [(0, 5), (13, 3), (26, 7)] + [(u, 2) for u in range(1, 12)]:
+        for _ in range(n):
+            rows.append((eid, uid, float(eid), "a", 0.0))
+            eid += 1
+    sf = make_events(tmp_path, rows)
+    out = ev.events_user_cms(sf).to_pylist()
+    assert [r["user_id"] for r in out] == [0, 13, 26]
+    assert [r["n_events"] for r in out] == [5, 3, 7]
+    # CMS never undercounts
+    assert all(r["cms_estimate"] >= r["n_events"] for r in out)
+
+
+def test_events_user_cms_single_user_exact(ray_session, tmp_path):
+    sf = make_events(
+        tmp_path, [(i, 0, float(i), "a", 0.0) for i in range(1, 9)]
+    )
+    out = ev.events_user_cms(sf).to_pylist()
+    assert out == [{"user_id": 0, "n_events": 8, "cms_estimate": 8}]
+
+
+def test_events_active_time_interval_union(ray_session, tmp_path):
+    rows = [
+        (1, 1, 0.0, "a", 0.0),    # [0, 5min)
+        (2, 1, 2.0, "a", 0.0),    # [2, 7min): overlaps -> extends to 7
+        (3, 1, 10.0, "a", 0.0),   # [10, 15min): disjoint
+        (4, 2, 0.0, "a", 0.0),    # single event: exactly 300 s
+        (5, 1, 10.0, "a", 0.0),   # duplicate ts: fully covered, adds 0
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["user_id"]: r["active_us"] for r in
+           ev.events_active_time(sf).to_pylist()}
+    assert out == {1: (7 + 5) * 60 * 1_000_000, 2: 300 * 1_000_000}
