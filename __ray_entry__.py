@@ -1490,6 +1490,29 @@ GROUP BY 1, 2
 ORDER BY s.price_cents DESC
 """
 
+# Triangle counting over the deterministic ring+chord doc graph:
+# low->high orientation finds each triangle x<y<z exactly once
+# (wedge at x, closing edge (y,z)).
+_TRIANGLES_SQL = """
+WITH n AS (SELECT count(*)::BIGINT AS nn FROM documents),
+d AS (SELECT doc_id AS u FROM documents),
+raw AS (
+  SELECT u, (u + 1) % nn AS v FROM d, n
+  UNION ALL SELECT u, (u + 2) % nn FROM d, n
+  UNION ALL SELECT u, (7 * u + 1) % nn FROM d, n
+),
+e AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v
+)
+SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       (SELECT count(*) FROM e e1
+        JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b)::BIGINT AS n_wedges,
+       (SELECT count(*) FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)::BIGINT AS n_triangles
+"""
+
 # Count-Min sketch over per-user event counts: the seed-prefixed
 # FNV-1a row hashes restated via the recursive byte fold (the
 # events_sample_hash precedent), counters as collision sums, the
@@ -2381,6 +2404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BFS hop distance (bounded min-propagation, the graph
         # family's frontier sibling)
         "doc_bfs_levels": d.doc_bfs_levels,
+        # triangle counting (two-round MR wedges + closure join)
+        "doc_triangles": d.doc_triangles,
         # size-biased deterministic sampling (hash coin, weighted)
         "docs_weighted_sample": d.docs_weighted_sample,
         # sequential-pattern funnel (signup -> click -> purchase,
@@ -2509,6 +2534,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": _KMEANS_SQL,
         "doc_pagerank": _PAGERANK_SQL,
         "doc_bfs_levels": _BFS_SQL,
+        "doc_triangles": _TRIANGLES_SQL,
         "docs_weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "events_funnel": _FUNNEL_SQL,
         "events_cohort_retention": _COHORT_SQL,

@@ -182,6 +182,7 @@ def run_bench() -> dict:
         ("events_last_touch", evops.events_last_touch),
         ("events_user_cms", evops.events_user_cms),
         ("events_active_time", evops.events_active_time),
+        ("doc_triangles", dops.doc_triangles),
         ("table_profile", evops.table_profile),
     ]:
         t0 = time.monotonic()

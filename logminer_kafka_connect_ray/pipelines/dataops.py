@@ -4235,3 +4235,151 @@ def vocab_fuzzy_join(sf_dir: str) -> pa.Table:
          "word2": pa.array(list(df["word2"]), pa.string())}
     )
     return _finalize_guard(gd, out)
+
+
+def doc_triangles(sf_dir: str) -> pa.Table:
+    """Distributed triangle counting over the deterministic doc-link
+    graph (ring + chord: ``u -> (u+1, u+2, 7u+1) mod N``, undirected,
+    deduped, self-loops dropped) -- the classic two-round MapReduce
+    graph pattern (Suri & Vassilvitskii 2011) completing the graph
+    family next to `doc_pagerank` (scatter-gather) and
+    `doc_bfs_levels` (frontier propagation).  Returns one witness row
+    ``(n_edges, n_wedges, n_triangles)``; with every edge oriented
+    low->high, each triangle x<y<z is found exactly once (wedge at x
+    = (y,z), closed by edge (y,z)).
+
+    Distributed shape: three explicit-boundary exchanges.  (1) raw
+    generator edges dedup on the edge hash (the same undirected edge
+    arises from both endpoints' generators); (2) unique edges
+    co-locate on the LOW endpoint, per-block adjacency pairing emits
+    wedges -- bounded by sum(deg^2), degree <= 6 here by
+    construction; (3) wedges union edges, co-located on the (x,y)
+    pair hash, one sorted-membership sweep counts closures.  Only
+    three counters reach the driver."""
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    N = np.int64(n_docs)
+    P = _exchange_width(n_docs * 3)
+    gd = _new_guard_dir("tri")
+
+    edge_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def _pair_stamp(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # packed int key (b < N) -> canonical string inside
+        # partition_ids; fully vectorized
+        return partition_ids(pa.array(a * (N + 1) + b), P)
+
+    def gen_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        u = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([u, u, u])
+        dst = np.concatenate(
+            [(u + 1) % N, (u + 2) % N, (7 * u + 1) % N]
+        )
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b),
+             "_p": pa.array(_pair_stamp(a, b))},
+            schema=edge_schema,
+        )
+
+    def dedup_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        _guard_record(gd, "tri-edge",
+                      t.column("_p").to_numpy(zero_copy_only=False))
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        comb = a * (N + 1) + b
+        _, first = np.unique(comb, return_index=True)
+        a, b = a[first], b[first]
+        # restamp by the low endpoint for the adjacency exchange
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b),
+             "_p": pa.array(partition_ids(
+                 pa.array(a.astype(str), pa.string()), P))},
+            schema=edge_schema,
+        )
+
+    # kind 0 = edge (x,y); kind 1 = wedge needing closure edge (x,y)
+    mix_schema = pa.schema(
+        [("x", pa.int64()), ("y", pa.int64()), ("kind", pa.int64()),
+         ("_p", pa.int64())]
+    )
+
+    def wedges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mix_schema.empty_table()
+        _guard_record(gd, "tri-adj",
+                      t.column("_p").to_numpy(zero_copy_only=False))
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts, counts = _segment_starts(a)
+        wx, wy = [], []
+        for s, c in zip(starts, counts):
+            if c < 2:
+                continue
+            nb = b[s : s + c]  # ascending within the group
+            for i in range(len(nb) - 1):
+                wx.extend([nb[i]] * (len(nb) - 1 - i))
+                wy.extend(nb[i + 1 :])
+        wx_arr = np.asarray(wx, np.int64)
+        wy_arr = np.asarray(wy, np.int64)
+        x = np.concatenate([a, wx_arr])
+        y = np.concatenate([b, wy_arr])
+        kind = np.concatenate(
+            [np.zeros(len(a), np.int64), np.ones(len(wx_arr), np.int64)]
+        )
+        return pa.table(
+            {"x": pa.array(x), "y": pa.array(y), "kind": pa.array(kind),
+             "_p": pa.array(_pair_stamp(x, y))},
+            schema=mix_schema,
+        )
+
+    out_schema = pa.schema(
+        [("n_edges", pa.int64()), ("n_wedges", pa.int64()),
+         ("n_triangles", pa.int64())]
+    )
+
+    def close_count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(gd, "tri-close",
+                      t.column("_p").to_numpy(zero_copy_only=False))
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        comb = x * (N + 1) + y
+        edges = np.unique(comb[kind == 0])
+        wedge = comb[kind == 1]
+        closed = int(np.isin(wedge, edges).sum())
+        return pa.table(
+            {"n_edges": pa.array([int(len(edges))]),
+             "n_wedges": pa.array([int(len(wedge))]),
+             "n_triangles": pa.array([closed])},
+            schema=out_schema,
+        )
+
+    df = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(gen_edges, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(dedup_edges, batch_format="pyarrow", batch_size=None)
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(wedges, batch_format="pyarrow", batch_size=None)
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(close_count, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    out = pa.table(
+        {c: pa.array([int(df[c].sum())], pa.int64())
+         for c in ("n_edges", "n_wedges", "n_triangles")}
+    )
+    return _finalize_guard(gd, out)

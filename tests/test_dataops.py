@@ -1032,3 +1032,31 @@ def test_ed_is_1_kernel():
     assert not d._ed_is_1("abc", "bca")      # rotation: ed 2
     assert not d._ed_is_1("cat", "cat")      # identical: ed 0
     assert not d._ed_is_1("ab", "axc")       # sub+insert: ed 2
+
+
+def test_doc_triangles_known_graph(ray_session, tmp_path):
+    # N = 6 docs; ring+chord generator:
+    #   u+1 edges: (0,1)(1,2)(2,3)(3,4)(4,5)(5,0)
+    #   u+2 edges: (0,2)(1,3)(2,4)(3,5)(4,0)(5,1)
+    #   7u+1 mod 6: 0->1 dup, 1->2 dup, 2->3 dup, 3->4 dup,
+    #               4->5 dup, 5->0 dup  (7u+1 = u+1 mod 6)
+    # unique edges: 12; triangles = 6 consecutive triples (u, u+1,
+    # u+2) plus the two +2-chord triples (0,2,4) and (1,3,5)
+    sf = make_docs(tmp_path, ["x"] * 6)
+    out = d.doc_triangles(sf).to_pylist()[0]
+    assert out["n_edges"] == 12
+    assert out["n_triangles"] == 8
+    # brute-force cross-check over the same generator
+    N = 6
+    edges = set()
+    for u in range(N):
+        for v in ((u + 1) % N, (u + 2) % N, (7 * u + 1) % N):
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+    brute = sum(
+        1
+        for x in range(N) for y in range(x + 1, N) for z in range(y + 1, N)
+        if {(x, y), (x, z), (y, z)} <= edges
+    )
+    assert out["n_triangles"] == brute == 8
+    assert out["n_edges"] == len(edges)
