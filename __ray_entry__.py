@@ -155,6 +155,34 @@ WINDOW w AS (PARTITION BY url ORDER BY o1, vscn)
 ORDER BY url, ver
 """
 
+# Point-in-time (AS OF) lookup against the SCD2 history: per probe
+# SCN, each url's version valid at that SCN (interval containment
+# over the same version relation as _SCD2_SQL).
+_PIT_SQL = f"""
+WITH {_BASE_CTE.strip()},
+{_CH_CTE.strip()},
+vers AS (
+  SELECT url, 'r' AS op, 1999 AS vscn, 1999 AS o1 FROM base
+  UNION ALL
+  SELECT url, op, scn AS vscn, cscn AS o1 FROM comm
+),
+iv AS (
+  SELECT url, CAST(row_number() OVER w AS BIGINT) AS ver, op,
+         CAST(vscn AS BIGINT) AS vfrom,
+         CAST(lead(vscn) OVER w AS BIGINT) AS vto
+  FROM vers
+  WINDOW w AS (PARTITION BY url ORDER BY o1, vscn)
+),
+probes AS (
+  SELECT unnest([2000 + ne // 2, 2000 + ne, 2000 + 2 * ne]) AS s
+  FROM (SELECT count(*) AS ne FROM events)
+)
+SELECT iv.url, CAST(p.s AS BIGINT) AS asof_scn, iv.ver, iv.op
+FROM probes p
+JOIN iv ON iv.vfrom <= p.s AND (iv.vto IS NULL OR p.s < iv.vto)
+ORDER BY iv.url, asof_scn
+"""
+
 # Dead-letter accounting gate: the corrupt changelog nulls the key of
 # every 101st change event (workload.derive_changelog_corrupt); each
 # such row must appear in dead_letters exactly once as missing_key.
@@ -2187,6 +2215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SCD Type-2 history sink: every version with its validity
         # interval (url-hash exchange -> per-block segment window)
         "cdc_history_scd2": q.cdc_history_scd2,
+        # temporal AS-OF probe join against the SCD2 history
+        "cdc_pit_lookup": q.cdc_pit_lookup,
         # partition-aligned zero-shuffle reconciliation diff between
         # lake versions (copy-on-write pruning: unchanged files unread)
         "lake_version_diff": q.lake_version_diff,
@@ -2438,6 +2468,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_view_lang_stats": _VIEW_LANG_SQL,
         "lake_host_stats": _HOST_STATS_SQL,
         "cdc_history_scd2": _SCD2_SQL,
+        "cdc_pit_lookup": _PIT_SQL,
         "lake_version_diff": _LAKE_DIFF_SQL,
         "cdc_snapshot_state": _SNAPSHOT_SQL,
         "cdc_time_travel": _SNAPSHOT_SQL,

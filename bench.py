@@ -183,6 +183,7 @@ def run_bench() -> dict:
         ("events_user_cms", evops.events_user_cms),
         ("events_active_time", evops.events_active_time),
         ("doc_triangles", dops.doc_triangles),
+        ("cdc_pit_lookup", q.cdc_pit_lookup),
         ("table_profile", evops.table_profile),
     ]:
         t0 = time.monotonic()

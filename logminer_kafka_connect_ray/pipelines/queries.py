@@ -791,3 +791,173 @@ def cdc_dead_letters(sf_dir: str) -> pa.Table:
         }
     )
     return t.take(pc.sort_indices(t, sort_keys=[("reason", "ascending")]))
+
+
+def cdc_pit_lookup(sf_dir: str) -> pa.Table:
+    """Point-in-time (AS OF) lookup join against the SCD2 history:
+    for three deterministic probe SCNs spanning the change range
+    (``2000 + n_ev // 2``, ``2000 + n_ev``, ``2000 + 2 * n_ev``),
+    resolve the version of EVERY url valid at that SCN -- the
+    temporal-join consumers run against a CDC history table
+    ("what did the row look like when this fact happened"), probing
+    many as-of points in one pass where `cdc_time_travel` rebuilds a
+    single global snapshot.  Urls first inserted after a probe SCN
+    emit no row for it."""
+    import ray.data as rd
+
+    from logminer_kafka_connect_ray.pipelines.dataops import _exchange_width
+
+    d = workload.ensure_workload(sf_dir)
+    decoded, ref = _decoded_committed(sf_dir)
+    committed = decoded.map_batches(
+        CommitResolver(ref, "committed"), batch_format="pyarrow"
+    )
+    base = rd.read_parquet(d["pages"], columns=["url"])
+    n_ev = _n_events(sf_dir)
+    probes = [2000 + n_ev // 2, 2000 + n_ev, 2000 + 2 * n_ev]
+    return pit_lookup(
+        committed, base, workload.SNAPSHOT_SCN,
+        _exchange_width(n_ev), probes,
+    )
+
+
+def pit_lookup(
+    committed, base, snap_scn: int, P: int, probe_scns: list[int]
+) -> pa.Table:
+    """Distributed PIT core: same version relation as `scd2_history`
+    (committed change rows + snapshot 'r' rows, url-hash exchange,
+    per-block (url, o1, vscn) sort), but instead of materializing
+    intervals, each probe SCN resolves per url segment via one
+    vectorized prefix count (#versions with vscn <= probe = the
+    1-based version number; the workload's commit order makes vscn
+    ascending within a url, the same monotonicity `scd2_history`'s
+    lead() interval relies on).  Output is probe-bounded:
+    |urls| x |probes| rows, never |changes|."""
+    import numpy as np
+
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        _finalize_guard,
+        _guard_record,
+        _new_guard_dir,
+    )
+
+    vers_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("op", pa.string()),
+            ("o1", pa.int64()),
+            ("vscn", pa.int64()),
+        ]
+    )
+
+    def ch_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pc.cast(t.column("url"), pa.string()),
+                "op": pc.cast(t.column("op"), pa.string()),
+                "o1": pc.cast(t.column("commit_scn"), pa.int64()),
+                "vscn": pc.cast(t.column("scn"), pa.int64()),
+            },
+            schema=vers_schema,
+        )
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "url": pc.cast(t.column("url"), pa.string()),
+                "op": pa.array(["r"] * n, pa.string()),
+                "o1": pa.array(np.full(n, snap_scn, np.int64)),
+                "vscn": pa.array(np.full(n, snap_scn, np.int64)),
+            },
+            schema=vers_schema,
+        )
+
+    vers = committed.map_batches(ch_rows, batch_format="pyarrow").union(
+        base.map_batches(base_rows, batch_format="pyarrow")
+    )
+    gd = _new_guard_dir("pit")
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("url"), P))
+        )
+
+    out_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("asof_scn", pa.int64()),
+            ("ver", pa.int64()),
+            ("op", pa.string()),
+        ]
+    )
+    probe_arr = np.asarray(sorted(probe_scns), np.int64)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "pit", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("url", "ascending"),
+                    ("o1", "ascending"),
+                    ("vscn", "ascending"),
+                ],
+            )
+        )
+        n = t.num_rows
+        urls = t.column("url").combine_chunks()
+        ue = pc.equal(urls.slice(1, n - 1), urls.slice(0, n - 1))
+        first = np.concatenate(
+            [[True], ~ue.to_numpy(zero_copy_only=False)]
+        )
+        vscn = t.column("vscn").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ops = t.column("op").combine_chunks()
+        starts = np.flatnonzero(first)
+        counts = np.r_[starts[1:], n] - starts
+        out = []
+        for s in probe_arr:
+            # versions visible at s, per segment (prefix count)
+            vis = (vscn <= s).astype(np.int64)
+            k = np.add.reduceat(vis, starts)
+            has = k > 0
+            row = starts[has] + k[has] - 1
+            out.append(
+                pa.table(
+                    {
+                        "url": urls.take(pa.array(starts[has])),
+                        "asof_scn": pa.array(
+                            np.full(int(has.sum()), s, np.int64)
+                        ),
+                        "ver": pa.array(k[has]),
+                        "op": ops.take(pa.array(row)),
+                    },
+                    schema=out_schema,
+                )
+            )
+        return pa.concat_tables(out)
+
+    res = (
+        vers.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False).cast(
+        out_schema
+    )
+    t = t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[("url", "ascending"), ("asof_scn", "ascending")],
+        )
+    )
+    return _finalize_guard(gd, t)

@@ -681,3 +681,37 @@ def test_lake_diff(ray_session, tmp_path):
     # same version on both sides: every partition file identical ->
     # all pruned, empty result without reading anything
     assert eng.diff(m.version, m.version).count() == 0
+
+
+def test_pit_lookup_asof_versions(ray_session, tmp_path):
+    """AS-OF probe join: each probe SCN resolves the version valid at
+    that point; urls inserted after a probe emit no row for it, and
+    deletes surface as op='d' (explicit, not absent)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logminer_kafka_connect_ray.pipelines.queries import pit_lookup
+
+    committed_rows = [
+        {"url": "A", "op": "u", "commit_scn": 650, "scn": 600},
+        {"url": "A", "op": "d", "commit_scn": 750, "scn": 700},
+        {"url": "C", "op": "i", "commit_scn": 850, "scn": 800},
+    ]
+    base = pa.table({"url": pa.array(["A", "B"], pa.string())})
+    got = pit_lookup(
+        rd.from_arrow(pa.Table.from_pylist(committed_rows)),
+        rd.from_arrow(base),
+        snap_scn=500,
+        P=4,
+        probe_scns=[550, 720, 900],
+    ).to_pylist()
+    want = [
+        {"url": "A", "asof_scn": 550, "ver": 1, "op": "r"},
+        {"url": "A", "asof_scn": 720, "ver": 3, "op": "d"},
+        {"url": "A", "asof_scn": 900, "ver": 3, "op": "d"},
+        {"url": "B", "asof_scn": 550, "ver": 1, "op": "r"},
+        {"url": "B", "asof_scn": 720, "ver": 1, "op": "r"},
+        {"url": "B", "asof_scn": 900, "ver": 1, "op": "r"},
+        {"url": "C", "asof_scn": 900, "ver": 1, "op": "i"},
+    ]
+    assert got == want
