@@ -2171,6 +2171,37 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
+# Market-basket association rules: baskets = orders, items =
+# l_partkey % 97 classes, deduped within basket; pair/item/basket
+# counts are exact BIGINTs and every float metric is ONE IEEE
+# division of those ints (bit-identical on both engines).
+_BASKET_RULES_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, (l_partkey % 97)::BIGINT AS item
+  FROM lineitem
+),
+n AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM li),
+ic AS (SELECT item, count(*)::BIGINT AS n_item FROM li GROUP BY item),
+pr AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS pair_count
+  FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.pair_count,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       p.pair_count::DOUBLE / n.n_orders::DOUBLE AS support,
+       p.pair_count::DOUBLE / ia.n_item::DOUBLE AS conf_ab,
+       p.pair_count::DOUBLE / ib.n_item::DOUBLE AS conf_ba,
+       (p.pair_count * n.n_orders)::DOUBLE
+         / (ia.n_item * ib.n_item)::DOUBLE AS lift
+FROM pr p
+JOIN ic ia ON ia.item = p.item_a
+JOIN ic ib ON ib.item = p.item_b
+CROSS JOIN n
+WHERE p.pair_count >= 5
+ORDER BY p.item_a, p.item_b
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full CDC replay."""
@@ -2379,6 +2410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_cms": ev.events_user_cms,
         # interval-union coverage (gaps-and-islands merge)
         "events_active_time": ev.events_active_time,
+        # market-basket association rules (a-priori pair counting;
+        # support/confidence/lift from exact int64 counts)
+        "basket_pair_rules": ev.basket_pair_rules,
         # exact per-group quantiles (grouped distributed counting sort)
         "events_type_quantiles": ev.events_type_quantiles,
         # per-class deterministic capped sampling (combiner-bounded)
@@ -2547,6 +2581,7 @@ def oracle_sql() -> dict[str, str]:
         "events_last_touch": _LAST_TOUCH_SQL,
         "events_user_cms": _USER_CMS_SQL,
         "events_active_time": _ACTIVE_TIME_SQL,
+        "basket_pair_rules": _BASKET_RULES_SQL,
         "events_type_quantiles": _TYPE_QUANTILES_SQL,
         "events_stratified_sample": _STRATIFIED_SQL,
         "events_props_stats": _PROPS_STATS_SQL,

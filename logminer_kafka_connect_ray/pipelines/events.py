@@ -4784,3 +4784,151 @@ def events_active_time(sf_dir: str, window_s: int = 300) -> pa.Table:
          "active_us": pa.array(df["active_us"].astype("int64").to_numpy())}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (pair support / confidence / lift)
+# ---------------------------------------------------------------------------
+def basket_pair_rules(
+    sf_dir: str, n_items: int = 97, min_pairs: int = 5
+) -> pa.Table:
+    """Association-rule mining over order baskets: each order is a
+    basket of item classes (``l_partkey % n_items``), and for every
+    unordered item pair ``(a < b)`` that co-occurs in a basket we
+    report exact ``pair_count`` / per-item basket counts plus the
+    classic rule metrics -- ``support = pairs/N``, ``conf_ab =
+    pairs/n_a``, ``conf_ba = pairs/n_b``, ``lift = pairs*N /
+    (n_a*n_b)`` -- filtered at ``pair_count >= min_pairs``.  The
+    float metrics are single IEEE divisions of exact int64 counts, so
+    both engines produce bit-identical doubles (no float SUM anywhere).
+
+    Distributed shape (the a-priori counting pass): one orderkey-hash
+    exchange so a basket never spans blocks; the per-block sweep
+    lexsorts ``(order, item)``, dedupes within-basket repeats,
+    generates the pairs of each basket with a repeat/offset
+    vectorization (no Python loop), and bincounts them into the
+    ``n_items x n_items`` upper triangle.  Per-block partials are
+    dimension-bounded (<= T^2 + T + 1 rows with T = n_items), so the
+    final ``groupby.sum`` and the driver-side metric arithmetic touch
+    only the bounded rule matrix, never the baskets.  Item-class
+    vocabularies beyond driver size would swap the marker-row partials
+    for a second key-hash exchange (same pattern as ``word_freq_topk``).
+    """
+    n_rows, _ = _table_meta(sf_dir, "lineitem")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("basket")
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("l_orderkey"), P))
+        )
+
+    part_schema = pa.schema(
+        [("item_a", pa.int64()), ("item_b", pa.int64()), ("n", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "basket", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        item = (
+            t.column("l_partkey").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            % n_items
+        )
+        order = np.lexsort((item, ok))
+        ok, item = ok[order], item[order]
+        # drop within-basket repeats of the same item class
+        keep = np.concatenate(
+            [[True], (ok[1:] != ok[:-1]) | (item[1:] != item[:-1])]
+        )
+        ok, item = ok[keep], item[keep]
+        starts, lens = _segment_starts(ok)
+        # all in-basket pairs, vectorized: element at position p with
+        # cpe[p] following basket-mates contributes cpe[p] pairs
+        pos = np.arange(len(ok), dtype=np.int64)
+        ends = np.repeat(starts + lens, lens)
+        cpe = ends - pos - 1
+        tot = int(cpe.sum())
+        T = n_items
+        rows = {"item_a": [], "item_b": [], "n": []}
+        if tot > 0:
+            a_idx = np.repeat(pos, cpe)
+            run_starts = np.cumsum(cpe) - cpe
+            off = np.arange(tot, dtype=np.int64) - np.repeat(
+                run_starts, cpe
+            ) + 1
+            b_idx = a_idx + off
+            # items ascend within a basket, so item[a_idx] < item[b_idx]
+            flat = np.bincount(
+                item[a_idx] * T + item[b_idx], minlength=T * T
+            )
+            nz = np.flatnonzero(flat)
+            rows["item_a"].append(nz // T)
+            rows["item_b"].append(nz % T)
+            rows["n"].append(flat[nz].astype(np.int64))
+        # marker partials: per-item basket counts (item_b = -1) and
+        # the basket total (item_a = item_b = -2)
+        icnt = np.bincount(item, minlength=T)
+        inz = np.flatnonzero(icnt)
+        rows["item_a"].append(inz.astype(np.int64))
+        rows["item_b"].append(np.full(len(inz), -1, np.int64))
+        rows["n"].append(icnt[inz].astype(np.int64))
+        rows["item_a"].append(np.array([-2], np.int64))
+        rows["item_b"].append(np.array([-2], np.int64))
+        rows["n"].append(np.array([len(starts)], np.int64))
+        return pa.table(
+            {k: pa.array(np.concatenate(v)) for k, v in rows.items()},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby(["item_a", "item_b"])
+        .sum("n")
+        .to_pandas()
+    )
+    merged.columns = ["item_a", "item_b", "n"]
+    n_orders = int(merged.loc[merged["item_a"] == -2, "n"].iloc[0])
+    ic = merged[merged["item_b"] == -1].set_index("item_a")["n"]
+    pairs = merged[(merged["item_a"] >= 0) & (merged["item_b"] >= 0)].copy()
+    pairs = pairs[pairs["n"] >= min_pairs]
+    a = pairs["item_a"].astype("int64").to_numpy()
+    b = pairs["item_b"].astype("int64").to_numpy()
+    n = pairs["n"].astype("int64").to_numpy()
+    n_a = ic.reindex(a).astype("int64").to_numpy()
+    n_b = ic.reindex(b).astype("int64").to_numpy()
+    out = pa.table(
+        {
+            "item_a": pa.array(a),
+            "item_b": pa.array(b),
+            "pair_count": pa.array(n),
+            "n_a": pa.array(n_a),
+            "n_b": pa.array(n_b),
+            "support": pa.array(n.astype(np.float64) / float(n_orders)),
+            "conf_ab": pa.array(n.astype(np.float64) / n_a.astype(np.float64)),
+            "conf_ba": pa.array(n.astype(np.float64) / n_b.astype(np.float64)),
+            "lift": pa.array(
+                (n * n_orders).astype(np.float64)
+                / (n_a * n_b).astype(np.float64)
+            ),
+        }
+    )
+    out = out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("item_a", "ascending"), ("item_b", "ascending")],
+        )
+    )
+    return _finalize_guard(gd, out)

@@ -1716,3 +1716,39 @@ def test_events_active_time_interval_union(ray_session, tmp_path):
     out = {r["user_id"]: r["active_us"] for r in
            ev.events_active_time(sf).to_pylist()}
     assert out == {1: (7 + 5) * 60 * 1_000_000, 2: 300 * 1_000_000}
+
+
+def test_basket_pair_rules_exact(ray_session, tmp_path):
+    """Planted baskets: pair counts dedupe within-basket repeats,
+    metrics are exact int ratios, min_pairs filters."""
+    # items chosen < 97 so item class == partkey
+    rows = [
+        # basket 10: items {1, 2, 3} (item 2 repeated -> deduped)
+        (10, 1), (10, 2), (10, 2), (10, 3),
+        # basket 20: items {1, 2}
+        (20, 1), (20, 2),
+        # basket 30: items {1, 2}
+        (30, 2), (30, 1),
+        # basket 40: single item, contributes no pair
+        (40, 3),
+    ]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = ev.basket_pair_rules(str(tmp_path), min_pairs=1).to_pylist()
+    got = {(r["item_a"], r["item_b"]): r for r in out}
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    r = got[(1, 2)]
+    # pair in baskets 10/20/30; n_1 = 3 baskets, n_2 = 3, N = 4
+    assert (r["pair_count"], r["n_a"], r["n_b"]) == (3, 3, 3)
+    assert r["support"] == 3 / 4
+    assert r["conf_ab"] == 1.0 and r["conf_ba"] == 1.0
+    assert r["lift"] == (3 * 4) / (3 * 3)
+    assert got[(1, 3)]["pair_count"] == 1
+    # min_pairs filter drops singletons
+    out2 = ev.basket_pair_rules(str(tmp_path), min_pairs=2).to_pylist()
+    assert {(r["item_a"], r["item_b"]) for r in out2} == {(1, 2)}
