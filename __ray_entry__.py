@@ -2202,6 +2202,31 @@ WHERE p.pair_count >= 5
 ORDER BY p.item_a, p.item_b
 """
 
+# RFM segmentation: recency days vs the corpus-max order date,
+# frequency, exact cents monetary, each NTILE(4)-scored under
+# (metric, custkey) order — all-integer, so the gate is exact.
+_RFM_SQL = """
+WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+base AS (
+  SELECT o_custkey AS custkey,
+         ((epoch_us((SELECT m FROM mx)) - epoch_us(max(o_orderdate)))
+            // 86400000000)::BIGINT AS r_days,
+         count(*)::BIGINT AS freq,
+         sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS monet_cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT custkey, r_days, freq, monet_cents,
+         ntile(4) OVER (ORDER BY r_days, custkey)::BIGINT AS r_quart,
+         ntile(4) OVER (ORDER BY freq, custkey)::BIGINT AS f_quart,
+         ntile(4) OVER (ORDER BY monet_cents, custkey)::BIGINT AS m_quart
+  FROM base
+)
+SELECT custkey, r_days, freq, monet_cents, r_quart, f_quart, m_quart,
+       (r_quart * 100 + f_quart * 10 + m_quart)::BIGINT AS rfm_code
+FROM scored ORDER BY custkey
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full CDC replay."""
@@ -2413,6 +2438,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # market-basket association rules (a-priori pair counting;
         # support/confidence/lift from exact int64 counts)
         "basket_pair_rules": ev.basket_pair_rules,
+        # RFM segmentation: three exact distributed NTILE(4) passes
+        # (histogram range planner, no global sort)
+        "customer_rfm_segments": ev.customer_rfm_segments,
         # exact per-group quantiles (grouped distributed counting sort)
         "events_type_quantiles": ev.events_type_quantiles,
         # per-class deterministic capped sampling (combiner-bounded)
@@ -2582,6 +2610,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_cms": _USER_CMS_SQL,
         "events_active_time": _ACTIVE_TIME_SQL,
         "basket_pair_rules": _BASKET_RULES_SQL,
+        "customer_rfm_segments": _RFM_SQL,
         "events_type_quantiles": _TYPE_QUANTILES_SQL,
         "events_stratified_sample": _STRATIFIED_SQL,
         "events_props_stats": _PROPS_STATS_SQL,

@@ -4932,3 +4932,277 @@ def basket_pair_rules(
         )
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Customer RFM segmentation (distributed NTILE over derived metrics)
+# ---------------------------------------------------------------------------
+def _ntile_bucket(rank0: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) from exact 0-based global ranks: the first
+    ``n % k`` buckets hold ``n//k + 1`` rows, the rest ``n//k``."""
+    big = n // k + 1
+    n_big = n % k
+    small = max(n // k, 1)
+    return np.where(
+        rank0 < n_big * big,
+        rank0 // big,
+        n_big + (rank0 - n_big * big) // small,
+    ).astype(np.int64) + 1
+
+
+def customer_rfm_segments(sf_dir: str, k: int = 4) -> pa.Table:
+    """RFM segmentation -- the classic customer-scoring pipeline: per
+    customer, recency (days since last order, vs the corpus-max order
+    date), frequency (order count) and monetary (exact cents sum),
+    each scored into NTILE(k) quartiles under ``(metric, custkey)``
+    order, plus the combined ``rfm_code = r*100 + f*10 + m``.
+
+    Distributed shape (three exact global NTILEs without a global
+    sort):
+
+    1. one custkey-hash exchange folds orders into the per-customer
+       metric rows (a customer never spans blocks);
+    2. per metric, the HDR-histogram range planner from
+       ``events_global_rank`` assigns value-disjoint ranges with exact
+       base offsets (32 KB sketch per block, merged on the driver --
+       no exchange), one boundary exchange co-locates each range, and
+       the per-block lexsort turns base+local position into the exact
+       global rank -> NTILE bucket (bucket sizes derived from the
+       exact customer count);
+    3. one final custkey exchange pivots the three (custkey, quart)
+       streams back onto the metric rows.
+
+    The metric table is ``materialize()``d between passes -- it is
+    dimension-sized (one row per active customer) and stays in the
+    object store, never on the driver."""
+    n_orders, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_orders)
+    gd = _new_guard_dir("rfm_fold")
+    _DAY_US = 86_400_000_000
+
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("o_custkey"), P))
+        )
+
+    fold_schema = pa.schema(
+        [("custkey", pa.int64()), ("last_us", pa.int64()),
+         ("freq", pa.int64()), ("monet_cents", pa.int64())]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return fold_schema.empty_table()
+        _guard_record(
+            gd, "rfm_fold", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ts = _ts_i64(t.column("o_orderdate"))
+        cents = _cents(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(ck, kind="stable")
+        ck, ts, cents = ck[order], ts[order], cents[order]
+        starts, lens = _segment_starts(ck)
+        return pa.table(
+            {"custkey": pa.array(ck[starts]),
+             "last_us": pa.array(np.maximum.reduceat(ts, starts)),
+             "freq": pa.array(lens.astype(np.int64)),
+             "monet_cents": pa.array(np.add.reduceat(cents, starts))},
+            schema=fold_schema,
+        )
+
+    metrics = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    mx_us = int(metrics.max("last_us"))
+    n_cust = int(metrics.count())
+    Pc = _exchange_width(n_cust)
+
+    met_schema = pa.schema(
+        [("custkey", pa.int64()), ("r_days", pa.int64()),
+         ("freq", pa.int64()), ("monet_cents", pa.int64())]
+    )
+
+    def with_recency(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return met_schema.empty_table()
+        last = t.column("last_us").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"custkey": t.column("custkey"),
+             "r_days": pa.array((mx_us - last) // _DAY_US),
+             "freq": t.column("freq"),
+             "monet_cents": t.column("monet_cents")},
+            schema=met_schema,
+        )
+
+    met = metrics.map_batches(with_recency, batch_format="pyarrow")
+
+    wide_schema = pa.schema(
+        [("custkey", pa.int64()), ("code", pa.int64()),
+         ("v1", pa.int64()), ("v2", pa.int64()), ("v3", pa.int64()),
+         ("_p", pa.int64())]
+    )
+
+    def ntile_pass(col: str, code: int):
+        """(custkey, code, quart) rows for one metric's NTILE(k)."""
+        gdn = _new_guard_dir(f"rfm_nt{code}")
+        # exact int64 histogram: bin the metric itself (NOT via the
+        # float cents round-trip of _merged_value_histogram) so the
+        # planner's counts and the stamp pass agree bit-for-bit
+        NB = 64 * (1 << _QSK_MBITS)
+
+        def block_sketch(t: pa.Table, _c=col) -> pa.Table:
+            counts = np.zeros(NB, np.int64)
+            if t.num_rows:
+                v = t.column(_c).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                np.add.at(counts, _qsketch_bins(v), 1)
+            return pa.table({"counts": pa.array([counts.tobytes()])})
+
+        merged = np.zeros(NB, np.int64)
+        for b in met.map_batches(
+            block_sketch, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for buf in b.column("counts").to_pylist():
+                merged += np.frombuffer(buf, np.int64)
+        total = int(merged.sum())
+        target = max(1, -(-total // Pc))
+        cum_excl = np.concatenate([[np.int64(0)], np.cumsum(merged)[:-1]])
+        bin_range = np.minimum(cum_excl // target, Pc - 1).astype(np.int64)
+        # base[r] = rows in LOWER-value ranges (ascending rank order)
+        range_counts = np.bincount(
+            bin_range, weights=merged, minlength=Pc
+        ).astype(np.int64)
+        base = np.concatenate([[np.int64(0)], np.cumsum(range_counts)[:-1]])
+
+        def nstamp(t: pa.Table, _c=col) -> pa.Table:
+            if t.num_rows == 0:
+                return wide_schema.empty_table()
+            v = t.column(_c).to_numpy(zero_copy_only=False).astype(np.int64)
+            z = pa.array(np.zeros(t.num_rows, np.int64))
+            return pa.table(
+                {"custkey": t.column("custkey"), "code": z,
+                 "v1": pa.array(v), "v2": z, "v3": z,
+                 "_p": pa.array(bin_range[_qsketch_bins(v)])},
+                schema=wide_schema,
+            )
+
+        def nsweep(t: pa.Table, _code=code, _gd=gdn) -> pa.Table:
+            if t.num_rows == 0:
+                return wide_schema.empty_table()
+            p = t.column("_p").to_numpy(zero_copy_only=False)
+            _guard_record(_gd, f"rfm_nt{_code}", p)
+            if not (p == p[0]).all():
+                raise RuntimeError(
+                    "rfm ntile sweep got a mixed-range block"
+                )
+            ck = t.column("custkey").to_numpy(zero_copy_only=False)
+            v = t.column("v1").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ck, v))
+            rank0 = np.empty(len(ck), np.int64)
+            rank0[order] = int(base[int(p[0])]) + np.arange(
+                len(ck), dtype=np.int64
+            )
+            quart = _ntile_bucket(rank0, n_cust, k)
+            z = pa.array(np.zeros(len(ck), np.int64))
+            return pa.table(
+                {"custkey": pa.array(ck),
+                 "code": pa.array(np.full(len(ck), _code, np.int64)),
+                 "v1": pa.array(quart), "v2": z, "v3": z,
+                 "_p": pa.array(
+                     partition_ids(pa.array(ck.astype(np.int64)), Pc)
+                 )},
+                schema=wide_schema,
+            )
+
+        out = (
+            met.map_batches(nstamp, batch_format="pyarrow")
+            .sort("_p", boundaries=list(range(1, Pc)))
+            .map_batches(nsweep, batch_format="pyarrow", batch_size=None)
+        )
+        return out, gdn
+
+    r_ds, gd_r = ntile_pass("r_days", 1)
+    f_ds, gd_f = ntile_pass("freq", 2)
+    m_ds, gd_m = ntile_pass("monet_cents", 3)
+
+    def met_wide(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return wide_schema.empty_table()
+        return pa.table(
+            {"custkey": t.column("custkey"),
+             "code": pa.array(np.zeros(t.num_rows, np.int64)),
+             "v1": t.column("r_days"), "v2": t.column("freq"),
+             "v3": t.column("monet_cents"),
+             "_p": pa.array(partition_ids(t.column("custkey"), Pc))},
+            schema=wide_schema,
+        )
+
+    gd_fin = _new_guard_dir("rfm_pivot")
+    out_schema = pa.schema(
+        [("custkey", pa.int64()), ("r_days", pa.int64()),
+         ("freq", pa.int64()), ("monet_cents", pa.int64()),
+         ("r_quart", pa.int64()), ("f_quart", pa.int64()),
+         ("m_quart", pa.int64()), ("rfm_code", pa.int64())]
+    )
+
+    def pivot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd_fin, "rfm_pivot",
+            t.column("_p").to_numpy(zero_copy_only=False),
+        )
+        ck = t.column("custkey").to_numpy(zero_copy_only=False)
+        code = t.column("code").to_numpy(zero_copy_only=False)
+        v1 = t.column("v1").to_numpy(zero_copy_only=False)
+        v2 = t.column("v2").to_numpy(zero_copy_only=False)
+        v3 = t.column("v3").to_numpy(zero_copy_only=False)
+        order = np.lexsort((code, ck))
+        ck, code, v1, v2, v3 = (
+            ck[order], code[order], v1[order], v2[order], v3[order]
+        )
+        starts, lens = _segment_starts(ck)
+        if not (lens == 4).all():
+            raise RuntimeError(
+                "rfm pivot expects exactly 4 rows per customer "
+                f"(metrics + 3 quarts); got lens {np.unique(lens)}"
+            )
+        # rows per customer arrive code-sorted: 0=metrics, 1=r, 2=f, 3=m
+        met_i, r_i, f_i, m_i = starts, starts + 1, starts + 2, starts + 3
+        rq, fq, mq = v1[r_i], v1[f_i], v1[m_i]
+        return pa.table(
+            {"custkey": pa.array(ck[met_i]),
+             "r_days": pa.array(v1[met_i]), "freq": pa.array(v2[met_i]),
+             "monet_cents": pa.array(v3[met_i]),
+             "r_quart": pa.array(rq), "f_quart": pa.array(fq),
+             "m_quart": pa.array(mq),
+             "rfm_code": pa.array(rq * 100 + fq * 10 + mq)},
+            schema=out_schema,
+        )
+
+    combined = (
+        met.map_batches(met_wide, batch_format="pyarrow")
+        .union(r_ds, f_ds, m_ds)
+        .sort("_p", boundaries=list(range(1, Pc)))
+        .map_batches(pivot, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(combined.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    for g in (gd, gd_r, gd_f, gd_m, gd_fin):
+        t = _finalize_guard(g, t)
+    return t.take(pc.sort_indices(t, sort_keys=[("custkey", "ascending")]))

@@ -1752,3 +1752,45 @@ def test_basket_pair_rules_exact(ray_session, tmp_path):
     # min_pairs filter drops singletons
     out2 = ev.basket_pair_rules(str(tmp_path), min_pairs=2).to_pylist()
     assert {(r["item_a"], r["item_b"]) for r in out2} == {(1, 2)}
+
+
+def test_ntile_bucket_matches_sql_semantics():
+    """First n%k buckets get ceil(n/k) rows (SQL NTILE)."""
+    # n=10, k=4 -> sizes 3,3,2,2
+    r = np.arange(10)
+    assert list(ev._ntile_bucket(r, 10, 4)) == [
+        1, 1, 1, 2, 2, 2, 3, 3, 4, 4
+    ]
+    # n=4, k=4 -> one row per bucket
+    assert list(ev._ntile_bucket(np.arange(4), 4, 4)) == [1, 2, 3, 4]
+    # n=3, k=4 -> buckets 1..3 (no empty bucket in the middle)
+    assert list(ev._ntile_bucket(np.arange(3), 3, 4)) == [1, 2, 3]
+
+
+def test_customer_rfm_segments_planted(ray_session, tmp_path):
+    """8 customers with strictly increasing recency / frequency /
+    monetary: quartiles are 2-per-bucket and tie-break on custkey."""
+    rows = []
+    okey = 1
+    for ck in range(1, 9):
+        # customer ck: ck orders, last at day ck, each 10*ck dollars
+        for j in range(ck):
+            rows.append((okey, ck, (ck - 1) * 24 * 60.0))
+            okey += 1
+    sf = make_orders(tmp_path, rows)
+    out = {r["custkey"]: r for r in
+           ev.customer_rfm_segments(sf).to_pylist()}
+    assert len(out) == 8
+    # recency: custkey 8 ordered last (r_days=0 -> bucket 1),
+    # custkey 1 first (max days -> bucket 4); freq ascends with ck
+    assert out[8]["r_days"] == 0 and out[8]["r_quart"] == 1
+    assert out[1]["r_quart"] == 4 and out[1]["f_quart"] == 1
+    assert out[8]["f_quart"] == 4
+    assert [out[ck]["f_quart"] for ck in range(1, 9)] == [
+        1, 1, 2, 2, 3, 3, 4, 4
+    ]
+    # monetary = freq * $1 each (make_orders prices every order 1.0),
+    # so m_quart tracks f_quart
+    assert all(out[ck]["m_quart"] == out[ck]["f_quart"]
+               for ck in range(1, 9))
+    assert out[1]["rfm_code"] == 411
