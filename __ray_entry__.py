@@ -2227,6 +2227,38 @@ SELECT custkey, r_days, freq, monet_cents, r_quart, f_quart, m_quart,
 FROM scored ORDER BY custkey
 """
 
+# Connected components of the deterministic in-block link graph
+# (_cc_block_edges): comp = MIN doc_id reachable in the undirected
+# closure, restated as a recursive CTE (components are block-bounded,
+# so the reachability set stays O(n * 64)).
+_CC_SQL = """
+WITH RECURSIVE
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+d AS (SELECT doc_id AS id FROM documents),
+e0 AS (
+  SELECT id AS u,
+         ((id // 64) * 64
+          + ((3 * (id % 64) + 7) % least(64, n - (id // 64) * 64)))::BIGINT
+           AS v
+  FROM d CROSS JOIN nn
+  UNION ALL
+  SELECT id,
+         ((id // 64) * 64
+          + (((id % 64) + 13) % least(64, n - (id // 64) * 64)))::BIGINT
+  FROM d CROSS JOIN nn
+  WHERE (id % 64) % 5 = 2
+),
+e1 AS (SELECT u, v FROM e0 WHERE u <> v),
+e AS (SELECT u, v FROM e1 UNION SELECT v, u FROM e1),
+r AS (
+  SELECT id, id AS lab FROM d
+  UNION
+  SELECT e.v AS id, r.lab FROM r JOIN e ON e.u = r.id
+)
+SELECT id AS doc_id, min(lab)::BIGINT AS comp
+FROM r GROUP BY id ORDER BY doc_id
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full CDC replay."""
@@ -2498,6 +2530,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bfs_levels": d.doc_bfs_levels,
         # triangle counting (two-round MR wedges + closure join)
         "doc_triangles": d.doc_triangles,
+        # connected components (min-label propagation + pointer
+        # jumping, exact fixpoint detection)
+        "doc_connected_components": d.doc_connected_components,
         # size-biased deterministic sampling (hash coin, weighted)
         "docs_weighted_sample": d.docs_weighted_sample,
         # sequential-pattern funnel (signup -> click -> purchase,
@@ -2611,6 +2646,7 @@ def oracle_sql() -> dict[str, str]:
         "events_active_time": _ACTIVE_TIME_SQL,
         "basket_pair_rules": _BASKET_RULES_SQL,
         "customer_rfm_segments": _RFM_SQL,
+        "doc_connected_components": _CC_SQL,
         "events_type_quantiles": _TYPE_QUANTILES_SQL,
         "events_stratified_sample": _STRATIFIED_SQL,
         "events_props_stats": _PROPS_STATS_SQL,

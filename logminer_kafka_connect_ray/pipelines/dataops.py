@@ -4383,3 +4383,267 @@ def doc_triangles(sf_dir: str) -> pa.Table:
          for c in ("n_edges", "n_wedges", "n_triangles")}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Connected components (min-label propagation + pointer jumping)
+# ---------------------------------------------------------------------------
+def _cc_block_edges(d: np.ndarray, n: int, B: int = 64):
+    """Deterministic sparse multi-component graph over doc ids:
+    within each ``B``-block (size ``m = min(B, n - blk*B)``) node
+    ``i = d % B`` links to ``(3i+7) % m`` always and to ``(i+13) % m``
+    when ``i % 5 == 2``; self-loops dropped.  Block-bounded components
+    keep the oracle's reachability closure O(n * B) while the ids
+    still hash-scatter across every exchange partition."""
+    blk = d // B
+    base = blk * B
+    m = np.minimum(B, n - base)
+    i = d - base
+    v1 = base + (3 * i + 7) % m
+    u = [d[v1 != d]]
+    v = [v1[v1 != d]]
+    sel = i % 5 == 2
+    v2 = base[sel] + (i[sel] + 13) % m[sel]
+    keep = v2 != d[sel]
+    u.append(d[sel][keep])
+    v.append(v2[keep])
+    uu = np.concatenate(u)
+    vv = np.concatenate(v)
+    # undirected: both directions
+    return np.concatenate([uu, vv]), np.concatenate([vv, uu])
+
+
+def doc_connected_components(sf_dir: str, max_rounds: int = 40) -> pa.Table:
+    """Exact connected components of the deterministic in-block link
+    graph (``_cc_block_edges``): every doc gets ``comp`` = the MINIMUM
+    doc_id reachable from it.  The classic PRAM/MapReduce recipe
+    (Shiloach-Vishkin style label propagation accelerated by pointer
+    jumping, the same convergence trick as the Kiveris et al. 2014
+    star-contraction family): each round
+
+    1. RELAX -- two exchanges: scatter each node's label along its
+       out-edges (join labels to the static edge list on the source
+       id), then gather ``L1(d) = min(L(d), min of offered neighbor
+       labels)``;
+    2. JUMP -- one exchange: every node asks the node its label points
+       at for THAT node's label (``L2(d) = L1(L1(d))``), which halves
+       pointer chains and turns the O(diameter) propagation into
+       O(log n) rounds.
+
+    Labels are monotone non-increasing and always name a node inside
+    the same component, so ``changed == 0`` (an exact per-round
+    aggregate, not a heuristic) is the true fixpoint: per-edge label
+    equality => per-component constant => the component minimum.
+
+    Scale shape: per-round state is one (node, label) row per doc,
+    ``materialize()``d into the object store between rounds (same
+    footprint as ``doc_pagerank``'s rank vector); every sweep is a
+    lexsort + reduceat/repeat numpy pass; the driver sees only the
+    per-round changed COUNT.  Rounds are bounded by ``max_rounds``
+    with a loud failure, never a silent partial answer."""
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    P = _exchange_width(n_docs * 3)
+
+    msg_schema = pa.schema(
+        [("key", pa.int64()), ("tag", pa.int64()), ("val", pa.int64()),
+         ("aux", pa.int64()), ("_p", pa.int64())]
+    )
+    lab_schema = pa.schema(
+        [("node", pa.int64()), ("lab", pa.int64()), ("old0", pa.int64()),
+         ("chg", pa.int64())]
+    )
+
+    def _stamp(key: np.ndarray) -> pa.Array:
+        return pa.array(partition_ids(pa.array(key.astype(np.int64)), P))
+
+    # round 0 labels: L(d) = d
+    def init_labels(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        z = np.zeros(len(did), np.int64)
+        return pa.table(
+            {"node": pa.array(did), "lab": pa.array(did),
+             "old0": pa.array(did), "chg": pa.array(z)},
+            schema=lab_schema,
+        )
+
+    labels = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def edges_stream(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        eu, ev = _cc_block_edges(did, n_docs)
+        z = np.zeros(len(eu), np.int64)
+        return pa.table(
+            {"key": pa.array(eu), "tag": pa.array(z + 1),
+             "val": pa.array(ev), "aux": pa.array(z), "_p": _stamp(eu)},
+            schema=msg_schema,
+        )
+
+    def self_stream(t: pa.Table, reset_old0: bool) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        lab = t.column("lab").to_numpy(zero_copy_only=False)
+        old0 = lab if reset_old0 else t.column("old0").to_numpy(
+            zero_copy_only=False
+        )
+        z = np.zeros(len(node), np.int64)
+        return pa.table(
+            {"key": pa.array(node), "tag": pa.array(z),
+             "val": pa.array(lab), "aux": pa.array(old0),
+             "_p": _stamp(node)},
+            schema=msg_schema,
+        )
+
+    def _grouped(t: pa.Table):
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        tag = t.column("tag").to_numpy(zero_copy_only=False)
+        val = t.column("val").to_numpy(zero_copy_only=False)
+        aux = t.column("aux").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tag, key))
+        key, tag, val, aux = key[order], tag[order], val[order], aux[order]
+        starts, lens = _segment_starts(key)
+        if tag[starts].any():
+            raise RuntimeError(
+                "cc sweep group without its tag-0 self row "
+                "(exchange split a key across blocks?)"
+            )
+        return key, tag, val, aux, starts, lens
+
+    guard_dirs: list[str] = []
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        gd1 = _new_guard_dir(f"cc_scatter{rounds}")
+        gd2 = _new_guard_dir(f"cc_gather{rounds}")
+        gd3 = _new_guard_dir(f"cc_jump{rounds}")
+
+        def scatter(t: pa.Table, _gd=gd1) -> pa.Table:
+            if t.num_rows == 0:
+                return msg_schema.empty_table()
+            _guard_record(
+                _gd, "cc_scatter",
+                t.column("_p").to_numpy(zero_copy_only=False),
+            )
+            key, tag, val, aux, starts, lens = _grouped(t)
+            lab_row = np.repeat(val[starts], lens)
+            old_row = np.repeat(aux[starts], lens)
+            em = tag == 1  # edge rows: offer lab(u) to neighbor v
+            off_key = val[em]
+            z = np.zeros(em.sum(), np.int64)
+            offers = {
+                "key": off_key, "tag": z + 1, "val": lab_row[em],
+                "aux": z,
+            }
+            selfs = {
+                "key": key[starts], "tag": np.zeros(len(starts), np.int64),
+                "val": val[starts], "aux": aux[starts],
+            }
+            out = {
+                k: np.concatenate([selfs[k], offers[k]])
+                for k in ("key", "tag", "val", "aux")
+            }
+            return pa.table(
+                {**{k: pa.array(v) for k, v in out.items()},
+                 "_p": _stamp(out["key"])},
+                schema=msg_schema,
+            )
+
+        def gather(t: pa.Table, _gd=gd2) -> pa.Table:
+            if t.num_rows == 0:
+                return lab_schema.empty_table()
+            _guard_record(
+                _gd, "cc_gather",
+                t.column("_p").to_numpy(zero_copy_only=False),
+            )
+            key, tag, val, aux, starts, lens = _grouped(t)
+            new_lab = np.minimum.reduceat(val, starts)
+            z = np.zeros(len(starts), np.int64)
+            return pa.table(
+                {"node": pa.array(key[starts]), "lab": pa.array(new_lab),
+                 "old0": pa.array(aux[starts]), "chg": pa.array(z)},
+                schema=lab_schema,
+            )
+
+        l1 = (
+            labels.map_batches(
+                lambda t: self_stream(t, reset_old0=True),
+                batch_format="pyarrow",
+            )
+            .union(
+                _read(sf_dir, "documents", columns=["doc_id"])
+                .map_batches(edges_stream, batch_format="pyarrow")
+            )
+            .sort("_p", boundaries=list(range(1, P)))
+            .map_batches(scatter, batch_format="pyarrow", batch_size=None)
+            .sort("_p", boundaries=list(range(1, P)))
+            .map_batches(gather, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+
+        def req_stream(t: pa.Table) -> pa.Table:
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            lab = t.column("lab").to_numpy(zero_copy_only=False)
+            old0 = t.column("old0").to_numpy(zero_copy_only=False)
+            z = np.zeros(len(node), np.int64)
+            return pa.table(
+                {"key": pa.array(lab), "tag": pa.array(z + 1),
+                 "val": pa.array(node), "aux": pa.array(old0),
+                 "_p": _stamp(lab)},
+                schema=msg_schema,
+            )
+
+        def jump(t: pa.Table, _gd=gd3) -> pa.Table:
+            if t.num_rows == 0:
+                return lab_schema.empty_table()
+            _guard_record(
+                _gd, "cc_jump",
+                t.column("_p").to_numpy(zero_copy_only=False),
+            )
+            key, tag, val, aux, starts, lens = _grouped(t)
+            la_row = np.repeat(val[starts], lens)
+            rm = tag == 1  # request rows: d = val, old0 = aux
+            node = val[rm]
+            lab2 = la_row[rm]
+            old0 = aux[rm]
+            return pa.table(
+                {"node": pa.array(node), "lab": pa.array(lab2),
+                 "old0": pa.array(old0),
+                 "chg": pa.array((lab2 != old0).astype(np.int64))},
+                schema=lab_schema,
+            )
+
+        labels = (
+            l1.map_batches(
+                lambda t: self_stream(t, reset_old0=False),
+                batch_format="pyarrow",
+            )
+            .union(l1.map_batches(req_stream, batch_format="pyarrow"))
+            .sort("_p", boundaries=list(range(1, P)))
+            .map_batches(jump, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        changed = int(labels.sum("chg"))
+        guard_dirs.extend((gd1, gd2, gd3))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"doc_connected_components did not converge in "
+            f"{max_rounds} rounds"
+        )
+
+    t = pa.Table.from_pandas(labels.to_pandas(), preserve_index=False)
+    out = pa.table(
+        {"doc_id": pc.cast(t.column("node"), pa.int64()),
+         "comp": pc.cast(t.column("lab"), pa.int64())}
+    )
+    for gdx in guard_dirs:
+        out = _finalize_guard(gdx, out)
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("doc_id", "ascending")])
+    )

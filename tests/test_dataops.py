@@ -1060,3 +1060,57 @@ def test_doc_triangles_known_graph(ray_session, tmp_path):
     )
     assert out["n_triangles"] == brute == 8
     assert out["n_edges"] == len(edges)
+
+
+def test_cc_block_edges_deterministic_and_block_bounded():
+    n = 150
+    d_ids = np.arange(n, dtype=np.int64)
+    u, v = d.doc_connected_components.__globals__["_cc_block_edges"](
+        d_ids, n
+    )
+    assert (u != v).all()
+    # block-bounded: both endpoints in the same 64-block
+    assert (u // 64 == v // 64).all()
+    # symmetric: every directed edge has its reverse
+    fwd = set(zip(u.tolist(), v.tolist()))
+    assert all((b, a) in fwd for a, b in fwd)
+
+
+def test_doc_connected_components_vs_union_find(ray_session, tmp_path):
+    """Exact comparison against a driver-side union-find on the same
+    deterministic graph (n = 150 spans two full blocks + a ragged
+    22-node tail block)."""
+    n = 150
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array(np.ones(n, np.int64)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = d.doc_connected_components(str(tmp_path)).to_pylist()
+    assert len(out) == n
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    u, v = d.doc_connected_components.__globals__["_cc_block_edges"](
+        np.arange(n, dtype=np.int64), n
+    )
+    for a, b in zip(u.tolist(), v.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in range(n)}
+    got = {r["doc_id"]: r["comp"] for r in out}
+    assert got == expect
+    # sanity: the graph actually has multiple components
+    assert len(set(expect.values())) > 1
