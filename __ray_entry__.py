@@ -2259,6 +2259,56 @@ SELECT id AS doc_id, min(lab)::BIGINT AS comp
 FROM r GROUP BY id ORDER BY doc_id
 """
 
+# Weighted shortest path: 3 Bellman-Ford relaxation rounds over the
+# 3-out-degree graph, edge weight 1 + (src + 2*dst) % 7, INF-capped
+# exactly like the engine (cheapest path using <= 3 edges).
+_SSSP_SQL = """
+WITH n AS (SELECT count(*)::BIGINT AS nn FROM documents),
+docs AS (SELECT doc_id FROM documents),
+e AS (
+  SELECT doc_id AS src, ((7 * doc_id + 1) % nn)::BIGINT AS dst
+  FROM docs CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, ((13 * doc_id + 5) % nn)::BIGINT FROM docs CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, ((31 * doc_id + 11) % nn)::BIGINT FROM docs CROSS JOIN n
+),
+ew AS (SELECT src, dst, (1 + (src + 2 * dst) % 7)::BIGINT AS w FROM e),
+d0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 3 THEN 0 ELSE 1099511627776 END AS dist
+  FROM docs
+),
+o1 AS (
+  SELECT ew.dst AS doc_id, min(least(d0.dist + ew.w, 1099511627776)) AS mo
+  FROM ew JOIN d0 ON d0.doc_id = ew.src GROUP BY ew.dst
+),
+d1 AS (
+  SELECT d0.doc_id, least(d0.dist, COALESCE(o1.mo, 1099511627776)) AS dist
+  FROM d0 LEFT JOIN o1 USING (doc_id)
+),
+o2 AS (
+  SELECT ew.dst AS doc_id, min(least(d1.dist + ew.w, 1099511627776)) AS mo
+  FROM ew JOIN d1 ON d1.doc_id = ew.src GROUP BY ew.dst
+),
+d2 AS (
+  SELECT d1.doc_id, least(d1.dist, COALESCE(o2.mo, 1099511627776)) AS dist
+  FROM d1 LEFT JOIN o2 USING (doc_id)
+),
+o3 AS (
+  SELECT ew.dst AS doc_id, min(least(d2.dist + ew.w, 1099511627776)) AS mo
+  FROM ew JOIN d2 ON d2.doc_id = ew.src GROUP BY ew.dst
+),
+d3 AS (
+  SELECT d2.doc_id, least(d2.dist, COALESCE(o3.mo, 1099511627776)) AS dist
+  FROM d2 LEFT JOIN o3 USING (doc_id)
+)
+SELECT doc_id,
+       (CASE WHEN dist >= 1099511627776 THEN -1 ELSE dist END)::BIGINT
+         AS dist
+FROM d3 ORDER BY doc_id
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full CDC replay."""
@@ -2533,6 +2583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components (min-label propagation + pointer
         # jumping, exact fixpoint detection)
         "doc_connected_components": d.doc_connected_components,
+        # weighted shortest path (bounded Bellman-Ford relaxation)
+        "doc_shortest_path": d.doc_shortest_path,
         # size-biased deterministic sampling (hash coin, weighted)
         "docs_weighted_sample": d.docs_weighted_sample,
         # sequential-pattern funnel (signup -> click -> purchase,
@@ -2647,6 +2699,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_pair_rules": _BASKET_RULES_SQL,
         "customer_rfm_segments": _RFM_SQL,
         "doc_connected_components": _CC_SQL,
+        "doc_shortest_path": _SSSP_SQL,
         "events_type_quantiles": _TYPE_QUANTILES_SQL,
         "events_stratified_sample": _STRATIFIED_SQL,
         "events_props_stats": _PROPS_STATS_SQL,

@@ -4647,3 +4647,109 @@ def doc_connected_components(sf_dir: str, max_rounds: int = 40) -> pa.Table:
     return out.take(
         pc.sort_indices(out, sort_keys=[("doc_id", "ascending")])
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest path (bounded Bellman-Ford relaxation)
+# ---------------------------------------------------------------------------
+def doc_shortest_path(sf_dir: str, hops: int = 3) -> pa.Table:
+    """Weighted single-source-set shortest path, the Bellman-Ford
+    sibling of ``doc_bfs_levels``: same deterministic 3-out-degree
+    link graph and seed set (``doc_id < 3`` at distance 0), but each
+    edge ``u -> v`` carries integer weight ``1 + (u + 2*v) % 7`` and
+    every round relaxes ``dist(v) = min(dist(v), dist(u) + w(u,v))``.
+    After ``hops`` rounds the result is exactly the cheapest path
+    using at most ``hops`` edges (the bounded-relaxation semantic a
+    k-unrolled SQL oracle states verbatim); unreached nodes report
+    ``-1``.
+
+    Scale shape: identical to ``doc_bfs_levels`` -- per round one
+    ``map_batches`` (3 weighted offers + a keep-self row per node),
+    one explicit-boundary exchange on the destination hash, one
+    per-block segment-min sweep; rounds chain as one lazy streaming
+    pipeline and state never lands on the driver."""
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    P = _exchange_width(n_docs * 4)
+    INF = np.int64(1 << 40)
+
+    dist_schema = pa.schema([("doc_id", pa.int64()), ("dist", pa.int64())])
+    offer_schema = pa.schema(
+        [("dst", pa.int64()), ("offer", pa.int64()), ("_p", pa.int64())]
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "dist": pa.array(
+                    np.where(
+                        pc.cast(t.column("doc_id"), pa.int64())
+                        .to_numpy(zero_copy_only=False) < 3,
+                        np.int64(0), INF,
+                    )
+                ),
+            },
+            schema=dist_schema,
+        ),
+        batch_format="pyarrow",
+    )
+
+    guards = []
+    for it in range(hops):
+        gd = _new_guard_dir(f"sssp{it}")
+        guards.append(gd)
+
+        def offers(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return offer_schema.empty_table()
+            d_ = t.column("doc_id").to_numpy(zero_copy_only=False)
+            dist = t.column("dist").to_numpy(zero_copy_only=False)
+            dsts = [(7 * d_ + 1) % n_docs, (13 * d_ + 5) % n_docs,
+                    (31 * d_ + 11) % n_docs]
+            outs = [np.minimum(dist + 1 + (d_ + 2 * dv) % 7, INF)
+                    for dv in dsts]
+            dst = np.concatenate(dsts + [d_])
+            offer = np.concatenate(outs + [dist])
+            return pa.table(
+                {"dst": pa.array(dst), "offer": pa.array(offer),
+                 "_p": pa.array(partition_ids(pa.array(dst), P))},
+                schema=offer_schema,
+            )
+
+        def gather(t: pa.Table, _gd=gd, _it=it) -> pa.Table:
+            if t.num_rows == 0:
+                return dist_schema.empty_table()
+            _guard_record(
+                _gd, f"sssp{_it}",
+                t.column("_p").to_numpy(zero_copy_only=False),
+            )
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            offer = t.column("offer").to_numpy(zero_copy_only=False)
+            order = np.argsort(dst, kind="stable")
+            dst, offer = dst[order], offer[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], dst[1:] != dst[:-1]])
+            )
+            return pa.table(
+                {"doc_id": pa.array(dst[starts]),
+                 "dist": pa.array(np.minimum.reduceat(offer, starts))},
+                schema=dist_schema,
+            )
+
+        ds = (
+            ds.map_batches(offers, batch_format="pyarrow")
+            .sort("_p", boundaries=list(range(1, P)))
+            .map_batches(gather, batch_format="pyarrow", batch_size=None)
+        )
+
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    t = t.cast(dist_schema)
+    for gd in guards:
+        t = _finalize_guard(gd, t)
+    dist = t.column("dist").to_numpy(zero_copy_only=False)
+    t = t.set_column(
+        1, "dist", pa.array(np.where(dist >= INF, np.int64(-1), dist))
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
