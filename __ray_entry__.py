@@ -956,6 +956,87 @@ SELECT event_type,
 FROM c GROUP BY event_type ORDER BY event_type
 """
 
+# Grouped OLS trend: exact integer sufficient statistics + HUGEINT
+# floor-division slope/intercept (DuckDB // truncates toward zero, so
+# negative numerators need the explicit floor CASE; denominators are
+# positive).  x = hours since _TREND_H0 (473000), y = floor-cents.
+_TYPE_TREND_SQL = """
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000 - 473000)::BIGINT AS x,
+         CAST(floor(value * 100) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sum_x,
+         sum(y)::BIGINT AS sum_y,
+         sum(x::HUGEINT * y) AS sxy,
+         sum(x::HUGEINT * x) AS sxx
+  FROM b GROUP BY event_type
+),
+d AS (
+  SELECT *,
+         (n::HUGEINT * sxy - sum_x::HUGEINT * sum_y) AS num,
+         (n::HUGEINT * sxx - sum_x::HUGEINT * sum_x) AS den,
+         (sum_y::HUGEINT * sxx - sum_x::HUGEINT * sxy) AS inum
+  FROM s
+)
+SELECT event_type, n, sum_x, sum_y,
+       sxy::BIGINT AS sum_xy, sxx::BIGINT AS sum_xx,
+       (CASE WHEN den = 0 THEN 0
+             WHEN (num * 1000000000) % den <> 0 AND num < 0
+               THEN (num * 1000000000) // den - 1
+             ELSE (num * 1000000000) // den END)::BIGINT AS slope_e9,
+       (CASE WHEN den = 0 THEN 0
+             WHEN (inum * 1000000) % den <> 0 AND inum < 0
+               THEN (inum * 1000000) // den - 1
+             ELSE (inum * 1000000) // den END)::BIGINT AS intercept_e6
+FROM d ORDER BY event_type
+"""
+
+# Grouped MODE with deterministic tie-break (count desc, type asc).
+_USER_MODE_SQL = """
+WITH c AS (
+  SELECT user_id::BIGINT AS user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY n DESC, event_type ASC
+         ) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_type, n AS mode_n
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+# Chi-square contingency cells: exact integer-scaled contribution
+# floor(1e6 * (O*N - R*C)^2 / (R*C*N)); every term nonnegative, so
+# truncating HUGEINT // equals floor.
+_HOUR_CHI2_SQL = """
+WITH c AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000 % 24)::BIGINT AS hour,
+         count(*)::BIGINT AS n_obs
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT c.*,
+         sum(n_obs) OVER ()::HUGEINT AS total,
+         sum(n_obs) OVER (PARTITION BY event_type)::HUGEINT AS row_tot,
+         sum(n_obs) OVER (PARTITION BY hour)::HUGEINT AS col_tot
+  FROM c
+)
+SELECT event_type, hour, n_obs,
+       (((n_obs * total - row_tot * col_tot)
+         * (n_obs * total - row_tot * col_tot) * 1000000)
+        // (row_tot * col_tot * total))::BIGINT AS chi2_cell_e6
+FROM t ORDER BY event_type, hour
+"""
+
 _CONTAMINATION_SQL = """
 WITH needles AS (
   SELECT doc_id AS src_id, substr(text, 21, 32) AS needle
@@ -2532,6 +2613,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": ev.events_props_stats,
         # distributive integer moments (variance/stddev/corr base)
         "events_type_moments": ev.events_type_moments,
+        # grouped OLS trend from exact two-limb sufficient statistics
+        "events_type_trend": ev.events_type_trend,
+        # grouped MODE with deterministic tie-break (exchange+argmax)
+        "events_user_mode": ev.events_user_mode,
+        # chi-square contingency cells, exact integer-scaled
+        "events_hour_chi2": ev.events_hour_chi2,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -2704,6 +2791,9 @@ def oracle_sql() -> dict[str, str]:
         "events_stratified_sample": _STRATIFIED_SQL,
         "events_props_stats": _PROPS_STATS_SQL,
         "events_type_moments": _TYPE_MOMENTS_SQL,
+        "events_type_trend": _TYPE_TREND_SQL,
+        "events_user_mode": _USER_MODE_SQL,
+        "events_hour_chi2": _HOUR_CHI2_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

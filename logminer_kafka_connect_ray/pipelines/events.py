@@ -5206,3 +5206,280 @@ def customer_rfm_segments(sf_dir: str, k: int = 4) -> pa.Table:
     for g in (gd, gd_r, gd_f, gd_m, gd_fin):
         t = _finalize_guard(g, t)
     return t.take(pc.sort_indices(t, sort_keys=[("custkey", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend (exact integer sufficient statistics)
+# ---------------------------------------------------------------------------
+#: Hour-index origin for the trend regressor: hours-since-epoch of
+#: 2023-12-19 00:00 UTC.  Subtracting a fixed origin keeps x small
+#: (and x*y / x*x limb-safe) without a pre-pass over the data; the
+#: DuckDB oracle subtracts the same constant.
+_TREND_H0 = 473_000
+_LIMB = 1 << 25  # same base-2^25 limb split as lineitem_qp_corr
+
+
+def events_type_trend(sf_dir: str) -> pa.Table:
+    """Per-``event_type`` ordinary-least-squares trend of value cents
+    against event time (hour granularity): the grouped
+    ``regr_slope`` / ``regr_intercept`` pair, computed from EXACT
+    integer sufficient statistics ``(n, Sx, Sy, Sxy, Sxx)`` so the
+    two engines cannot diverge on float summation order.  ``x`` is
+    hours since ``_TREND_H0``, ``y`` is floor-cents.
+
+    ``Sxy`` and ``Sxx`` use the ``lineitem_qp_corr`` two-limb
+    widening (``v >> 25`` / ``v & (2^25-1)`` partial sums, exact past
+    1e10 rows); ``slope_e9 = floor(1e9 * (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2))`` and ``intercept_e6 = floor(1e6 *
+    (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2))`` are reassembled from the
+    limbs in arbitrary-precision Python ints on the driver (one row
+    per type) and restated in DuckDB HUGEINT with an explicit
+    floor-division CASE (DuckDB ``//`` truncates toward zero; Python
+    floors).  Degenerate groups (zero x-variance) report 0/0.
+
+    Domain contract (loud, never silent): ``0 <= x < 2^20`` (about
+    120 years of data from the origin) and ``0 <= y < 2^26`` --
+    negative cents would flip the limb-split floor/trunc parity
+    between numpy ``>>`` and DuckDB ``//``; out-of-range data raises.
+
+    Scale shape: column-pruned read -> per-block lexsort+reduceat
+    partial (one row per type per block) -> dim-bounded
+    ``groupby.sum`` -> O(types) driver math.  No raw-row shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("n", pa.int64()),
+         ("sum_x", pa.int64()), ("sum_y", pa.int64()),
+         ("sxy_hi", pa.int64()), ("sxy_lo", pa.int64()),
+         ("sxx_hi", pa.int64()), ("sxx_lo", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        x = _ts_i64(t.column("ts")) // 3_600_000_000 - _TREND_H0
+        y = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        if x.size and not (
+            0 <= int(x.min()) and int(x.max()) < (1 << 20)
+            and 0 <= int(y.min()) and int(y.max()) < (1 << 26)
+        ):
+            raise ValueError(
+                "events_type_trend domain: need 0 <= hour-_TREND_H0 < 2^20 "
+                "and 0 <= cents < 2^26 (limb split is unsigned); widen the "
+                "limbs for data outside this window"
+            )
+        xy = x * y
+        xx = x * x
+        order, starts, counts = _group_segments(et)
+        et, xy, xx = et[order], xy[order], xx[order]
+        xs, ys = x[order], y[order]
+        return pa.table(
+            {"event_type": pa.array(list(et[starts]), pa.string()),
+             "n": pa.array(counts.astype(np.int64)),
+             "sum_x": pa.array(np.add.reduceat(xs, starts)),
+             "sum_y": pa.array(np.add.reduceat(ys, starts)),
+             "sxy_hi": pa.array(np.add.reduceat(xy >> 25, starts)),
+             "sxy_lo": pa.array(np.add.reduceat(xy & (_LIMB - 1), starts)),
+             "sxx_hi": pa.array(np.add.reduceat(xx >> 25, starts)),
+             "sxx_lo": pa.array(np.add.reduceat(xx & (_LIMB - 1), starts))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n", "sum_x", "sum_y", "sxy_hi", "sxy_lo", "sxx_hi", "sxx_lo"])
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "n", "sum_x", "sum_y",
+                      "sxy_hi", "sxy_lo", "sxx_hi", "sxx_lo"]
+
+    rows = {k: [] for k in ("event_type", "n", "sum_x", "sum_y",
+                            "sum_xy", "sum_xx", "slope_e9", "intercept_e6")}
+    for r in merged.itertuples(index=False):
+        n, sx, sy = int(r.n), int(r.sum_x), int(r.sum_y)
+        sxy = int(r.sxy_hi) * _LIMB + int(r.sxy_lo)
+        sxx = int(r.sxx_hi) * _LIMB + int(r.sxx_lo)
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) * 10**9 // den if den else 0
+        icpt = (sy * sxx - sx * sxy) * 10**6 // den if den else 0
+        for k, v in (("event_type", r.event_type), ("n", n), ("sum_x", sx),
+                     ("sum_y", sy), ("sum_xy", sxy), ("sum_xx", sxx),
+                     ("slope_e9", slope), ("intercept_e6", icpt)):
+            rows[k].append(v)
+    out = pa.table(
+        {"event_type": pa.array(rows["event_type"], pa.string()),
+         **{k: pa.array(rows[k], pa.int64()) for k in
+            ("n", "sum_x", "sum_y", "sum_xy", "sum_xx",
+             "slope_e9", "intercept_e6")}}
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("event_type", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# Per-user modal event type (grouped argmax with deterministic ties)
+# ---------------------------------------------------------------------------
+def events_user_mode(sf_dir: str) -> pa.Table:
+    """Per-user modal ``event_type`` -- the grouped MODE aggregate
+    with a deterministic tie-break (highest count, then
+    lexicographically smallest type), i.e. the distributed analog of
+    ``row_number() OVER (PARTITION BY user ORDER BY n DESC, type)``.
+
+    Scale shape: per-block (user, type) count partials (lexsort +
+    reduceat -- the raw rows never shuffle), ONE hash exchange of the
+    partials on ``user_id``, then a per-block sweep that merges the
+    partials and takes each user's argmax row.  Exchange integrity is
+    covered by the standard guard; width derives from input size."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("usermode")
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    part_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()),
+         ("n", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((et, u))
+        u, et = u[order], et[order]
+        brk = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (et[1:] != et[:-1])]
+        )
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, len(u)))
+        uu = u[starts]
+        return pa.table(
+            {"user_id": pa.array(uu),
+             "event_type": pa.array(list(et[starts]), pa.string()),
+             "n": pa.array(counts.astype(np.int64)),
+             "_p": pa.array(partition_ids(pa.array(uu), P))},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("mode_type", pa.string()),
+         ("mode_n", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "mode", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        # merge cross-block partials for the same (user, type)
+        order = np.lexsort((et, u))
+        u, et, n = u[order], et[order], n[order]
+        brk = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (et[1:] != et[:-1])]
+        )
+        starts = np.flatnonzero(brk)
+        u, et = u[starts], et[starts]
+        n = np.add.reduceat(n, starts)
+        # per-user argmax: sort by (user, -n, type); first row per user
+        order = np.lexsort((et, -n, u))
+        u, et, n = u[order], et[order], n[order]
+        first = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        return pa.table(
+            {"user_id": pa.array(u[first]),
+             "mode_type": pa.array(list(et[first]), pa.string()),
+             "mode_n": pa.array(n[first])},
+            schema=out_schema,
+        )
+
+    res = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = _finalize_guard(gd, t)
+    return t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# Chi-square contingency screen (exact rational, integer-scaled)
+# ---------------------------------------------------------------------------
+def events_hour_chi2(sf_dir: str) -> pa.Table:
+    """Chi-square independence screen between ``event_type`` and
+    hour-of-day: the full contingency table plus each cell's exact
+    chi-square contribution ``floor(1e6 * (O*N - R*C)^2 /
+    (R*C*N))`` -- i.e. ``1e6 * (O-E)^2/E`` cleared of the rational
+    expected value ``E = R*C/N`` so both engines compute ONE integer
+    floor division instead of accumulating float error.  All terms
+    are nonnegative, so DuckDB's truncating HUGEINT ``//`` equals
+    Python's floor ``//`` (the engine uses arbitrary-precision ints;
+    the HUGEINT restatement is exact to ~1e9-row cells -- past that
+    ``(O*N)^2`` exceeds 128 bits and the oracle, not the engine,
+    would need a gcd reduction).
+
+    Scale shape: one per-block lexsort+reduceat partial over
+    (type, hour) -> dim-bounded ``groupby.sum`` (types x 24 cells) ->
+    O(cells) exact driver math.  The raw rows never shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("n_obs", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        hr = _ts_i64(t.column("ts")) // 3_600_000_000 % 24
+        key = np.asarray([f"{e}\x00{h}" for e, h in zip(et, hr)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        et, hr = et[order][starts], hr[order][starts]
+        return pa.table(
+            {"event_type": pa.array(list(et), pa.string()),
+             "hour": pa.array(hr),
+             "n_obs": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum("n_obs")
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "hour", "n_obs"]
+    et = merged["event_type"].to_numpy(dtype=object)
+    hr = merged["hour"].to_numpy(dtype=np.int64)
+    obs = merged["n_obs"].to_numpy(dtype=np.int64)
+    total = int(obs.sum())
+    row_tot = {k: 0 for k in set(et)}
+    col_tot = {int(h): 0 for h in set(hr)}
+    for e, h, o in zip(et, hr, obs):
+        row_tot[e] += int(o)
+        col_tot[int(h)] += int(o)
+    chi = [
+        (int(o) * total - row_tot[e] * col_tot[int(h)]) ** 2 * 10**6
+        // (row_tot[e] * col_tot[int(h)] * total)
+        for e, h, o in zip(et, hr, obs)
+    ]
+    out = pa.table(
+        {"event_type": pa.array(list(et), pa.string()),
+         "hour": pa.array(hr),
+         "n_obs": pa.array(obs),
+         "chi2_cell_e6": pa.array(chi, pa.int64())}
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("event_type", "ascending"), ("hour", "ascending")],
+        )
+    )

@@ -1794,3 +1794,68 @@ def test_customer_rfm_segments_planted(ray_session, tmp_path):
     assert all(out[ck]["m_quart"] == out[ck]["f_quart"]
                for ck in range(1, 9))
     assert out[1]["rfm_code"] == 411
+
+
+def test_events_type_trend_exact(ray_session, tmp_path):
+    """Planted perfect line: 100 cents/hour over 3 hourly points gives
+    an exact integer slope; a single-point group is degenerate (0/0);
+    sufficient statistics match the hand computation."""
+    sf = make_events(
+        tmp_path,
+        [
+            (1, 1, 0.0, "a", 1.00),     # x=352, y=100
+            (2, 1, 60.0, "a", 2.00),    # x=353, y=200
+            (3, 1, 120.0, "a", 3.00),   # x=354, y=300
+            (4, 2, 0.0, "b", 5.00),     # lone point -> den=0
+        ],
+    )
+    out = {r["event_type"]: r for r in ev.events_type_trend(sf).to_pylist()}
+    a = out["a"]
+    assert (a["n"], a["sum_x"], a["sum_y"]) == (3, 1059, 600)
+    assert a["sum_xy"] == 352 * 100 + 353 * 200 + 354 * 300
+    assert a["sum_xx"] == 352**2 + 353**2 + 354**2
+    assert a["slope_e9"] == 100 * 10**9
+    assert a["intercept_e6"] == -35_100 * 10**6
+    assert out["b"]["slope_e9"] == 0 and out["b"]["intercept_e6"] == 0
+
+
+def test_events_type_trend_domain_raises(ray_session, tmp_path):
+    """Negative cents would break the unsigned limb split -- loud."""
+    import pytest as _pt
+
+    sf = make_events(tmp_path, [(1, 1, 0.0, "a", -1.00)])
+    with _pt.raises(Exception, match="events_type_trend domain"):
+        ev.events_type_trend(sf)
+
+
+def test_events_user_mode_tie_break(ray_session, tmp_path):
+    """Tied counts resolve to the lexicographically smallest type;
+    otherwise the max-count type wins."""
+    rows = [
+        (1, 1, 0.0, "b", 1.0), (2, 1, 1.0, "b", 1.0),
+        (3, 1, 2.0, "a", 1.0), (4, 1, 3.0, "a", 1.0),  # tie a/b -> a
+        (5, 2, 4.0, "b", 1.0), (6, 2, 5.0, "b", 1.0),
+        (7, 2, 6.0, "b", 1.0), (8, 2, 7.0, "a", 1.0),  # b wins 3-1
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["user_id"]: (r["mode_type"], r["mode_n"])
+           for r in ev.events_user_mode(sf).to_pylist()}
+    assert out == {1: ("a", 2), 2: ("b", 3)}
+
+
+def test_events_hour_chi2_exact(ray_session, tmp_path):
+    """2x2 planted contingency with E=2 everywhere: each cell's exact
+    contribution is (O-E)^2/E scaled by 1e6."""
+    rows = []
+    eid = 1
+    for hour_min, typ, n in ((0.0, "a", 3), (60.0, "a", 1),
+                             (0.0, "b", 1), (60.0, "b", 3)):
+        for _ in range(n):
+            rows.append((eid, 1, hour_min, typ, 1.0))
+            eid += 1
+    sf = make_events(tmp_path, rows)
+    out = {(r["event_type"], r["hour"]): r["chi2_cell_e6"]
+           for r in ev.events_hour_chi2(sf).to_pylist()}
+    # (3-2)^2/2 = 0.5 for every cell
+    assert out == {("a", 0): 500_000, ("a", 1): 500_000,
+                   ("b", 0): 500_000, ("b", 1): 500_000}
