@@ -1013,6 +1013,19 @@ SELECT user_id, event_type AS mode_type, n AS mode_n
 FROM r WHERE rn = 1 ORDER BY user_id
 """
 
+# Windowed stream-stream self-join: ordered same-user event pairs
+# within 5 minutes, (ts, event_id)-lexicographic so ties pair in one
+# deterministic direction and rows never pair with themselves.
+_COOCCUR_SQL = """
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 # Chi-square contingency cells: exact integer-scaled contribution
 # floor(1e6 * (O*N - R*C)^2 / (R*C*N)); every term nonnegative, so
 # truncating HUGEINT // equals floor.
@@ -2619,6 +2632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_mode": ev.events_user_mode,
         # chi-square contingency cells, exact integer-scaled
         "events_hour_chi2": ev.events_hour_chi2,
+        # windowed stream-stream self-join (bounded theta join)
+        "events_cooccurrence": ev.events_cooccurrence,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -2794,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_trend": _TYPE_TREND_SQL,
         "events_user_mode": _USER_MODE_SQL,
         "events_hour_chi2": _HOUR_CHI2_SQL,
+        "events_cooccurrence": _COOCCUR_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -185,6 +185,15 @@ def run_bench() -> dict:
         ("doc_triangles", dops.doc_triangles),
         ("cdc_pit_lookup", q.cdc_pit_lookup),
         ("table_profile", evops.table_profile),
+        ("doc_pagerank", dops.doc_pagerank),
+        ("doc_connected_components", dops.doc_connected_components),
+        ("doc_shortest_path", dops.doc_shortest_path),
+        ("customer_rfm_segments", evops.customer_rfm_segments),
+        ("basket_pair_rules", evops.basket_pair_rules),
+        ("events_anomaly_mad", evops.events_anomaly_mad),
+        ("events_type_trend", evops.events_type_trend),
+        ("events_user_mode", evops.events_user_mode),
+        ("events_hour_chi2", evops.events_hour_chi2),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -5483,3 +5483,136 @@ def events_hour_chi2(sf_dir: str) -> pa.Table:
             sort_keys=[("event_type", "ascending"), ("hour", "ascending")],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed co-occurrence (stream-stream self-join within a time bound)
+# ---------------------------------------------------------------------------
+def events_cooccurrence(sf_dir: str, window_minutes: int = 5) -> pa.Table:
+    """Per ordered type pair ``(type_a, type_b)``: how many event
+    pairs of the SAME user have ``b`` at-or-after ``a`` within
+    ``window_minutes`` -- the bounded stream-stream self-join every
+    "what follows what" analysis needs (a windowed theta join, not an
+    equi/as-of join: one left row matches a RANGE of right rows).
+    Pair order is ``(ts, event_id)`` lexicographic, so simultaneous
+    events pair in one deterministic direction; a row never pairs
+    with itself.
+
+    Scale shape: ONE hash exchange on ``user_id``, then a per-block
+    vectorized sweep: sort the block by (user, ts, event_id), find
+    each row's window end with ``np.searchsorted`` capped at its user
+    segment end, expand the (start, end) ranges with the standard
+    repeat+arange trick (no Python loop over rows or pairs), encode
+    pairs as ``code_a * K + code_b`` over block-local factorized
+    types, and ``bincount``.  Per-block pair counts are tiny
+    (types x types); the final cross-block reduce is a dim-bounded
+    ``groupby.sum``.  Pair volume is bounded by the window width --
+    the block never materializes the O(n^2) unwindowed join."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    win_us = np.int64(window_minutes * 60 * _US)
+    gd = _new_guard_dir("cooccur")
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    part_schema = pa.schema(
+        [("type_a", pa.string()), ("type_b", pa.string()),
+         ("n_pairs", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "cooc", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        n = len(u)
+        # window end per row: first index past ts_i + W, capped at the
+        # user segment end (searchsorted over the block-sorted ts is
+        # valid within a segment because ts is the second sort key)
+        seg_starts = np.flatnonzero(
+            np.concatenate([[True], u[1:] != u[:-1]])
+        )
+        seg_lens = np.diff(np.append(seg_starts, n))
+        seg_ends = np.append(seg_starts[1:], n)
+        row_seg_end = np.repeat(seg_ends, seg_lens)
+        # ts is piecewise-sorted (per user segment).  Lift each
+        # segment onto a disjoint, increasing key range -- key =
+        # seg_idx * stride + (ts - min) -- so ONE global searchsorted
+        # answers every segment at once; fall back to a per-segment
+        # loop (still a vectorized searchsorted per user) only if the
+        # composite key cannot fit int64.
+        rel = ts - ts.min()
+        stride = int(rel.max()) + int(win_us) + 1
+        seg_idx = np.repeat(
+            np.arange(len(seg_starts), dtype=np.int64), seg_lens
+        )
+        if len(seg_starts) * stride < (1 << 62):
+            key = seg_idx * stride + rel
+            win_end = np.searchsorted(key, key + win_us, side="right")
+        else:
+            win_end = np.empty(n, dtype=np.int64)
+            for s, e in zip(seg_starts, seg_ends):
+                win_end[s:e] = s + np.searchsorted(
+                    ts[s:e], ts[s:e] + win_us, side="right"
+                )
+        win_end = np.minimum(win_end, row_seg_end)
+        starts = np.arange(n, dtype=np.int64) + 1
+        counts = np.maximum(win_end - starts, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return part_schema.empty_table()
+        # expand ranges: j = start_i + offset within each range
+        i_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        j_idx = starts[i_idx] + offs
+        types, codes = np.unique(et, return_inverse=True)
+        k = len(types)
+        pair_code = codes[i_idx] * k + codes[j_idx]
+        cnt = np.bincount(pair_code, minlength=k * k).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"type_a": pa.array([str(types[c // k]) for c in nz],
+                                pa.string()),
+             "type_b": pa.array([str(types[c % k]) for c in nz],
+                                pa.string()),
+             "n_pairs": pa.array(cnt[nz])},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby(["type_a", "type_b"])
+        .sum("n_pairs")
+        .to_pandas()
+    )
+    merged.columns = ["type_a", "type_b", "n_pairs"]
+    out = pa.table(
+        {"type_a": pa.array(merged["type_a"], pa.string()),
+         "type_b": pa.array(merged["type_b"], pa.string()),
+         "n_pairs": pa.array(merged["n_pairs"].astype(np.int64))}
+    )
+    out = _finalize_guard(gd, out)
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("type_a", "ascending"), ("type_b", "ascending")]
+        )
+    )

@@ -1859,3 +1859,22 @@ def test_events_hour_chi2_exact(ray_session, tmp_path):
     # (3-2)^2/2 = 0.5 for every cell
     assert out == {("a", 0): 500_000, ("a", 1): 500_000,
                    ("b", 0): 500_000, ("b", 1): 500_000}
+
+
+def test_events_cooccurrence_window_and_ties(ray_session, tmp_path):
+    """Pairs only within the window, same user, (ts, event_id) order:
+    simultaneous events pair once in eid order; cross-user and
+    out-of-window pairs are excluded."""
+    rows = [
+        (1, 1, 0.0, "a", 1.0),
+        (2, 1, 2.0, "b", 1.0),    # a->b (2 min)
+        (3, 1, 2.0, "c", 1.0),    # a->c, b->c (tie: eid 2 < 3)
+        (4, 1, 30.0, "a", 1.0),   # outside the 5-min window of all
+        (5, 2, 2.0, "b", 1.0),    # other user: no cross pairs
+        (6, 1, 31.0, "a", 1.0),   # a->a (1 min after eid 4)
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {(r["type_a"], r["type_b"]): r["n_pairs"]
+           for r in ev.events_cooccurrence(sf, window_minutes=5).to_pylist()}
+    assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1,
+                   ("a", "a"): 1}
