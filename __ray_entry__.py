@@ -1013,6 +1013,32 @@ SELECT user_id, event_type AS mode_type, n AS mode_n
 FROM r WHERE rn = 1 ORDER BY user_id
 """
 
+# Grouped weighted lower median: smallest cents whose cumulative
+# quantity-weight reaches half the group total.
+_WMEDIAN_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(floor(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag, cents, sum(w)::BIGINT AS w
+  FROM c GROUP BY 1, 2
+),
+cw AS (
+  SELECT l_returnflag, cents,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents)::BIGINT
+           AS cum,
+         sum(w) OVER (PARTITION BY l_returnflag)::BIGINT AS tot
+  FROM g
+)
+SELECT l_returnflag, tot AS total_w,
+       min(cents)::BIGINT AS wmedian_cents
+FROM cw WHERE 2 * cum >= tot
+GROUP BY l_returnflag, tot ORDER BY l_returnflag
+"""
+
 # Windowed stream-stream self-join: ordered same-user event pairs
 # within 5 minutes, (ts, event_id)-lexicographic so ties pair in one
 # deterministic direction and rows never pair with themselves.
@@ -2634,6 +2660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_chi2": ev.events_hour_chi2,
         # windowed stream-stream self-join (bounded theta join)
         "events_cooccurrence": ev.events_cooccurrence,
+        # grouped weighted lower median (order statistic under weights)
+        "lineitem_weighted_median": ev.lineitem_weighted_median,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -2810,6 +2838,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_mode": _USER_MODE_SQL,
         "events_hour_chi2": _HOUR_CHI2_SQL,
         "events_cooccurrence": _COOCCUR_SQL,
+        "lineitem_weighted_median": _WMEDIAN_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -5616,3 +5616,115 @@ def events_cooccurrence(sf_dir: str, window_minutes: int = 5) -> pa.Table:
             out, sort_keys=[("type_a", "ascending"), ("type_b", "ascending")]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped weighted median (exact order statistic under weights)
+# ---------------------------------------------------------------------------
+def lineitem_weighted_median(sf_dir: str) -> pa.Table:
+    """Per-``l_returnflag`` WEIGHTED lower median of extended-price
+    cents, weighted by (floored) quantity: the smallest price ``y``
+    whose cumulative weight reaches half the group's total
+    (``2*cumw(y) >= totw``) -- the exact grouped order statistic
+    under weights, which no single-pass aggregate expresses.
+
+    Scale shape: per-block (flag, cents) weight partials (lexsort +
+    reduceat over a composite sort -- raw rows never shuffle), ONE
+    hash exchange of the partials on the group key, then a per-block
+    sweep that merges duplicate cells, prefix-sums each group's
+    weight histogram in cents order, and picks the crossing cell.
+    The value domain (distinct cents per group) bounds partial size,
+    not the row count."""
+    n_rows, _ = _table_meta(sf_dir, "lineitem")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("wmedian")
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    part_schema = pa.schema(
+        [("l_returnflag", pa.string()), ("cents", pa.int64()),
+         ("w", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        rf = np.asarray(t.column("l_returnflag").to_pylist(), dtype=object)
+        cents = _cents(t.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        w = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        order = np.lexsort((cents, rf))
+        rf, cents, w = rf[order], cents[order], w[order]
+        brk = np.concatenate(
+            [[True], (rf[1:] != rf[:-1]) | (cents[1:] != cents[:-1])]
+        )
+        starts = np.flatnonzero(brk)
+        rfs = rf[starts]
+        return pa.table(
+            {"l_returnflag": pa.array(list(rfs), pa.string()),
+             "cents": pa.array(cents[starts]),
+             "w": pa.array(np.add.reduceat(w, starts)),
+             "_p": pa.array(
+                 partition_ids(pa.array(list(rfs), pa.string()), P)
+             )},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("l_returnflag", pa.string()), ("total_w", pa.int64()),
+         ("wmedian_cents", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "wmed", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        rf = np.asarray(t.column("l_returnflag").to_pylist(), dtype=object)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, rf))
+        rf, cents, w = rf[order], cents[order], w[order]
+        brk = np.concatenate(
+            [[True], (rf[1:] != rf[:-1]) | (cents[1:] != cents[:-1])]
+        )
+        starts = np.flatnonzero(brk)
+        rf, cents = rf[starts], cents[starts]
+        w = np.add.reduceat(w, starts)
+        # per-group prefix sums and totals over the merged histogram
+        gstarts = np.flatnonzero(
+            np.concatenate([[True], rf[1:] != rf[:-1]])
+        )
+        glens = np.diff(np.append(gstarts, len(rf)))
+        cum = np.cumsum(w)
+        base = np.repeat(cum[gstarts] - w[gstarts], glens)
+        cum = cum - base
+        tot = np.repeat(np.add.reduceat(w, gstarts), glens)
+        hit = 2 * cum >= tot
+        # first crossing cell per group = argmax of hit within group
+        first_hit = np.zeros(len(gstarts), dtype=np.int64)
+        for gi, (s, ln) in enumerate(zip(gstarts, glens)):  # O(groups)
+            first_hit[gi] = s + int(np.argmax(hit[s:s + ln]))
+        return pa.table(
+            {"l_returnflag": pa.array(list(rf[gstarts]), pa.string()),
+             "total_w": pa.array(tot[gstarts]),
+             "wmedian_cents": pa.array(cents[first_hit])},
+            schema=out_schema,
+        )
+
+    res = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = _finalize_guard(gd, t)
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("l_returnflag", "ascending")])
+    )

@@ -1878,3 +1878,24 @@ def test_events_cooccurrence_window_and_ties(ray_session, tmp_path):
            for r in ev.events_cooccurrence(sf, window_minutes=5).to_pylist()}
     assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1,
                    ("a", "a"): 1}
+
+
+def test_lineitem_weighted_median_exact(ray_session, tmp_path):
+    """Planted histogram: median cell is the first whose cumulative
+    weight reaches half the total; a heavy low-price row dominates."""
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(["A", "A", "A", "N"], pa.string()),
+            "l_quantity": pa.array([6.0, 1.0, 1.0, 2.0], pa.float64()),
+            "l_extendedprice": pa.array([1.00, 2.00, 3.00, 9.00],
+                                        pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = {r["l_returnflag"]: r
+           for r in ev.lineitem_weighted_median(str(tmp_path)).to_pylist()}
+    # A: weights 6@100c,1@200c,1@300c -> tot 8, cum(100)=6 >= 4 -> 100
+    assert out["A"] == {"l_returnflag": "A", "total_w": 8,
+                        "wmedian_cents": 100}
+    assert out["N"] == {"l_returnflag": "N", "total_w": 2,
+                        "wmedian_cents": 900}
