@@ -1013,6 +1013,64 @@ SELECT user_id, event_type AS mode_type, n AS mode_n
 FROM r WHERE rn = 1 ORDER BY user_id
 """
 
+def _build_kcore_sql(k: int = 6, rounds: int = 5) -> str:
+    """Unrolled k-core peel oracle: same variable-degree multigraph
+    (5 hash families gated by src%5, 4 ring chords on src%10==0,
+    self-loops dropped, parallel edges counted), ``rounds`` rounds of
+    'drop active nodes whose active-degree < k'.  rounds=5 >= the
+    fixpoint depth on the driver tables (measured: 4), so the bounded
+    peel equals the true k-core here."""
+    head = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+docs AS (SELECT doc_id::BIGINT AS doc_id FROM documents),
+e0 AS (
+  SELECT doc_id AS src, ((7*doc_id+1) % n)::BIGINT AS dst, 0 AS i
+  FROM docs CROSS JOIN nn
+  UNION ALL SELECT doc_id, ((13*doc_id+5) % n)::BIGINT, 1
+  FROM docs CROSS JOIN nn
+  UNION ALL SELECT doc_id, ((31*doc_id+11) % n)::BIGINT, 2
+  FROM docs CROSS JOIN nn
+  UNION ALL SELECT doc_id, ((17*doc_id+3) % n)::BIGINT, 3
+  FROM docs CROSS JOIN nn
+  UNION ALL SELECT doc_id, ((23*doc_id+9) % n)::BIGINT, 4
+  FROM docs CROSS JOIN nn
+  UNION ALL SELECT doc_id, ((doc_id+10) % n)::BIGINT, 10
+  FROM docs CROSS JOIN nn WHERE doc_id % 10 = 0
+  UNION ALL SELECT doc_id, ((doc_id+20) % n)::BIGINT, 11
+  FROM docs CROSS JOIN nn WHERE doc_id % 10 = 0
+  UNION ALL SELECT doc_id, ((doc_id+30) % n)::BIGINT, 12
+  FROM docs CROSS JOIN nn WHERE doc_id % 10 = 0
+  UNION ALL SELECT doc_id, ((doc_id+40) % n)::BIGINT, 13
+  FROM docs CROSS JOIN nn WHERE doc_id % 10 = 0
+),
+ee AS (
+  SELECT src, dst FROM e0 WHERE src <> dst AND (i >= 10 OR (src % 5) >= i)
+),
+a0 AS (SELECT doc_id, 1::BIGINT AS act FROM docs)"""
+    rounds_sql = []
+    for r in range(rounds):
+        rounds_sql.append(f""",
+d{r + 1} AS (
+  SELECT x.id, sum(x.c)::BIGINT AS deg FROM (
+    SELECT ee.src AS id, a.act AS c FROM ee JOIN a{r} a ON a.doc_id = ee.dst
+    UNION ALL
+    SELECT ee.dst, a.act FROM ee JOIN a{r} a ON a.doc_id = ee.src
+  ) x GROUP BY x.id
+),
+a{r + 1} AS (
+  SELECT d.doc_id,
+         (CASE WHEN a.act = 1 AND coalesce(g.deg, 0) >= {k}
+               THEN 1 ELSE 0 END)::BIGINT AS act
+  FROM docs d JOIN a{r} a USING (doc_id)
+  LEFT JOIN d{r + 1} g ON g.id = d.doc_id
+)""")
+    tail = f"""
+SELECT doc_id, act AS in_core FROM a{rounds} ORDER BY doc_id"""
+    return head + "".join(rounds_sql) + tail
+
+
+_KCORE_SQL = _build_kcore_sql()
+
 # Grouped weighted lower median: smallest cents whose cumulative
 # quantity-weight reaches half the group total.
 _WMEDIAN_SQL = """
@@ -2715,6 +2773,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_connected_components": d.doc_connected_components,
         # weighted shortest path (bounded Bellman-Ford relaxation)
         "doc_shortest_path": d.doc_shortest_path,
+        # k-core peel (iterative active-degree removal, 2-exchange
+        # message passing per round)
+        "doc_kcore": d.doc_kcore,
         # size-biased deterministic sampling (hash coin, weighted)
         "docs_weighted_sample": d.docs_weighted_sample,
         # sequential-pattern funnel (signup -> click -> purchase,
@@ -2830,6 +2891,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_rfm_segments": _RFM_SQL,
         "doc_connected_components": _CC_SQL,
         "doc_shortest_path": _SSSP_SQL,
+        "doc_kcore": _KCORE_SQL,
         "events_type_quantiles": _TYPE_QUANTILES_SQL,
         "events_stratified_sample": _STRATIFIED_SQL,
         "events_props_stats": _PROPS_STATS_SQL,

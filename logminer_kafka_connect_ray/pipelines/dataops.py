@@ -4753,3 +4753,191 @@ def doc_shortest_path(sf_dir: str, hops: int = 3) -> pa.Table:
         1, "dist", pa.array(np.where(dist >= INF, np.int64(-1), dist))
     )
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded-round iterative peel)
+# ---------------------------------------------------------------------------
+#: (multiplier, offset, min src%5) per generated edge family; the last
+#: four are the dense ring chords (src % 10 == 0 -> src + 10..40) that
+#: keep a nontrivial core alive after the sparse periphery peels.
+_KCORE_EDGE_FAMILIES = ((7, 1, 0), (13, 5, 1), (31, 11, 2),
+                        (17, 3, 3), (23, 9, 4))
+
+
+def _kcore_edges(d: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Out-edges generated locally from node ids ``d``: variable
+    out-degree 1..5 (family i active when ``w % 5 >= i``) plus 4 ring
+    chords for ``w % 10 == 0``; self-loops dropped.  Returns
+    ``(src_idx, dst)`` with src_idx indexing into ``d`` so the caller
+    can gather per-source state (act) with one vectorized take."""
+    all_idx = np.arange(len(d), dtype=np.int64)
+    idxs, dsts = [], []
+    for mul, off, lvl in _KCORE_EDGE_FAMILIES:
+        m = (d % 5) >= lvl
+        idxs.append(all_idx[m])
+        dsts.append((mul * d[m] + off) % n)
+    ring_m = d % 10 == 0
+    for step in (10, 20, 30, 40):
+        idxs.append(all_idx[ring_m])
+        dsts.append((d[ring_m] + step) % n)
+    src_idx = np.concatenate(idxs)
+    u = np.concatenate(dsts)
+    keep = d[src_idx] != u
+    return src_idx[keep], u[keep]
+
+
+def doc_kcore(sf_dir: str, k: int = 6, rounds: int = 5) -> pa.Table:
+    """Bounded-round k-core peel over a deterministic variable-degree
+    multigraph on the documents (undirected degree = in + out edge
+    instances, self-loops removed, parallel edges counted): each round
+    drops every still-active node whose degree AMONG ACTIVE nodes is
+    below ``k``; after ``rounds`` rounds (>= the fixpoint depth on
+    the driver tables, asserted by the oracle equality) the survivors
+    are the k-core.  This is the iterative peel family (k-core /
+    degeneracy ordering) -- propagation ops (BFS/SSSP/CC/PageRank)
+    push values OUT along edges, a peel needs each node to learn the
+    CURRENT state of both endpoints of every incident edge.
+
+    Scale shape, per round: node states emit locally-generatable edge
+    rows (the in-contribution ``act(w)`` rides along, the
+    out-contribution is a query for ``act(u)``), exchange 1 keyed by
+    the out-neighbor resolves queries against its state row and
+    pre-sums in-contributions, exchange 2 keyed by the asker gathers
+    both contribution streams and applies ``act AND deg >= k``.  Two
+    explicit-boundary exchanges of O(edges) rows per round, one
+    vectorized sweep each, state never on the driver."""
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    P = _exchange_width(n_docs * 18)
+
+    st_schema = pa.schema([("doc_id", pa.int64()), ("act", pa.int64())])
+    # kind 0 = state row (key=node, c=act); kind 1 = edge row
+    # (key=u, other=w, c=act_w); kind 2 = degree contribution
+    # (key=node, c=count)
+    msg_schema = pa.schema(
+        [("key", pa.int64()), ("other", pa.int64()), ("c", pa.int64()),
+         ("kind", pa.int64()), ("_p", pa.int64())]
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "act": pa.array(
+                 np.ones(t.num_rows, dtype=np.int64))},
+            schema=st_schema,
+        ),
+        batch_format="pyarrow",
+    )
+
+    guards = []
+    for it in range(rounds):
+        gd_a = _new_guard_dir(f"kcore{it}a")
+        gd_b = _new_guard_dir(f"kcore{it}b")
+        guards += [gd_a, gd_b]
+
+        def emit(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return msg_schema.empty_table()
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            act = t.column("act").to_numpy(zero_copy_only=False)
+            src_idx, u = _kcore_edges(d, n_docs)
+            w = d[src_idx]
+            act_w = act[src_idx]
+            key = np.concatenate([d, u])
+            other = np.concatenate([np.full(len(d), -1, dtype=np.int64), w])
+            c = np.concatenate([act, act_w])
+            kind = np.concatenate(
+                [np.zeros(len(d), dtype=np.int64),
+                 np.ones(len(u), dtype=np.int64)]
+            )
+            return pa.table(
+                {"key": pa.array(key), "other": pa.array(other),
+                 "c": pa.array(c), "kind": pa.array(kind),
+                 "_p": pa.array(partition_ids(pa.array(key), P))},
+                schema=msg_schema,
+            )
+
+        def resolve(t: pa.Table, _gd=gd_a, _it=it) -> pa.Table:
+            if t.num_rows == 0:
+                return msg_schema.empty_table()
+            _guard_record(
+                _gd, f"kca{_it}",
+                t.column("_p").to_numpy(zero_copy_only=False),
+            )
+            key = t.column("key").to_numpy(zero_copy_only=False)
+            other = t.column("other").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            kind = t.column("kind").to_numpy(zero_copy_only=False)
+            order = np.lexsort((kind, key))  # state row first per key
+            key, other, c, kind = (key[order], other[order], c[order],
+                                   kind[order])
+            starts, lens = _segment_starts(key)
+            if not (kind[starts] == 0).all():
+                raise RuntimeError("kcore: key missing its state row")
+            seg_id = np.repeat(np.arange(len(starts)), lens)
+            act_u = c[starts][seg_id]  # state act broadcast to rows
+            edge = kind == 1
+            # in-contribution partial per key: sum of act_w over edges
+            deg_in = np.zeros(len(starts), dtype=np.int64)
+            np.add.at(deg_in, seg_id[edge], c[edge])
+            out_key = np.concatenate(
+                [key[starts], key[starts], other[edge]]
+            )
+            out_c = np.concatenate([c[starts], deg_in, act_u[edge]])
+            out_kind = np.concatenate(
+                [np.zeros(len(starts), dtype=np.int64),
+                 np.full(len(starts), 2, dtype=np.int64),
+                 np.full(int(edge.sum()), 2, dtype=np.int64)]
+            )
+            return pa.table(
+                {"key": pa.array(out_key),
+                 "other": pa.array(np.full(len(out_key), -1, dtype=np.int64)),
+                 "c": pa.array(out_c), "kind": pa.array(out_kind),
+                 "_p": pa.array(partition_ids(pa.array(out_key), P))},
+                schema=msg_schema,
+            )
+
+        def gather(t: pa.Table, _gd=gd_b, _it=it, _k=k) -> pa.Table:
+            if t.num_rows == 0:
+                return st_schema.empty_table()
+            _guard_record(
+                _gd, f"kcb{_it}",
+                t.column("_p").to_numpy(zero_copy_only=False),
+            )
+            key = t.column("key").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            kind = t.column("kind").to_numpy(zero_copy_only=False)
+            order = np.lexsort((kind, key))
+            key, c, kind = key[order], c[order], kind[order]
+            starts, lens = _segment_starts(key)
+            if not (kind[starts] == 0).all():
+                raise RuntimeError("kcore: node missing its state row")
+            seg_id = np.repeat(np.arange(len(starts)), lens)
+            deg = np.zeros(len(starts), dtype=np.int64)
+            contrib = kind == 2
+            np.add.at(deg, seg_id[contrib], c[contrib])
+            act = c[starts]
+            return pa.table(
+                {"doc_id": pa.array(key[starts]),
+                 "act": pa.array(
+                     ((act == 1) & (deg >= _k)).astype(np.int64))},
+                schema=st_schema,
+            )
+
+        ds = (
+            ds.map_batches(emit, batch_format="pyarrow")
+            .sort("_p", boundaries=list(range(1, P)))
+            .map_batches(resolve, batch_format="pyarrow", batch_size=None)
+            .sort("_p", boundaries=list(range(1, P)))
+            .map_batches(gather, batch_format="pyarrow", batch_size=None)
+        )
+
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    t = t.cast(st_schema).rename_columns(["doc_id", "in_core"])
+    for gd in guards:
+        t = _finalize_guard(gd, t)
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+    )

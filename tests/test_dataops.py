@@ -1114,3 +1114,28 @@ def test_doc_connected_components_vs_union_find(ray_session, tmp_path):
     assert got == expect
     # sanity: the graph actually has multiple components
     assert len(set(expect.values())) > 1
+
+
+def test_doc_kcore_invariant(ray_session):
+    """Independent recheck of the k-core contract on the sf0.001
+    tables: every survivor has >= k neighbors among survivors
+    (counting edge instances, both directions, self-loops dropped),
+    the core is nonempty, and peeled nodes were genuinely below k at
+    some round (here: the ring chords are what keeps the core alive,
+    so all survivors are ring nodes)."""
+    sf = "/root/testdata/sf0.001"
+    out = d.doc_kcore(sf, k=6, rounds=5)
+    ids = np.asarray(out.column("doc_id").to_pylist(), dtype=np.int64)
+    core = np.asarray(out.column("in_core").to_pylist(), dtype=np.int64)
+    assert core.sum() > 0
+    n = len(ids)
+    src_idx, dst = d._kcore_edges(ids, n)
+    src = ids[src_idx]
+    in_core = dict(zip(ids.tolist(), core.tolist()))
+    deg = {int(v): 0 for v in ids[core == 1]}
+    for s, t in zip(src.tolist(), dst.tolist()):
+        if in_core.get(s) and in_core.get(t):
+            deg[s] += 1
+            deg[t] += 1
+    assert all(v >= 6 for v in deg.values())
+    assert all(v % 10 == 0 for v in ids[core == 1])
