@@ -1071,6 +1071,33 @@ SELECT doc_id, act AS in_core FROM a{rounds} ORDER BY doc_id"""
 
 _KCORE_SQL = _build_kcore_sql()
 
+# UNPIVOT: four measures to long form, uniform floor(v*1e4)
+# fixed-point, deterministic 1-in-31 orderkey sample.
+_MELT_SQL = """
+WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 31 = 0)
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+       'quantity' AS measure,
+       CAST(floor(l_quantity * 10000) AS BIGINT) AS value_e4 FROM f
+UNION ALL
+SELECT l_orderkey, l_linenumber::BIGINT, 'extendedprice',
+       CAST(floor(l_extendedprice * 10000) AS BIGINT) FROM f
+UNION ALL
+SELECT l_orderkey, l_linenumber::BIGINT, 'discount',
+       CAST(floor(l_discount * 10000) AS BIGINT) FROM f
+UNION ALL
+SELECT l_orderkey, l_linenumber::BIGINT, 'tax',
+       CAST(floor(l_tax * 10000) AS BIGINT) FROM f
+ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+# Equi-width histogram: bin = min(floor(value/50), 9), nonempty bins.
+_VALUE_HIST_SQL = """
+SELECT event_type,
+       least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin,
+       count(*)::BIGINT AS n_obs
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 # Grouped weighted lower median: smallest cents whose cumulative
 # quantity-weight reaches half the group total.
 _WMEDIAN_SQL = """
@@ -2720,6 +2747,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cooccurrence": ev.events_cooccurrence,
         # grouped weighted lower median (order statistic under weights)
         "lineitem_weighted_median": ev.lineitem_weighted_median,
+        # UNPIVOT reshape (wide measures -> long form)
+        "lineitem_melt": ev.lineitem_melt,
+        # grouped equi-width histogram (fixed-bin counts)
+        "events_value_histogram": ev.events_value_histogram,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -2901,6 +2932,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hour_chi2": _HOUR_CHI2_SQL,
         "events_cooccurrence": _COOCCUR_SQL,
         "lineitem_weighted_median": _WMEDIAN_SQL,
+        "lineitem_melt": _MELT_SQL,
+        "events_value_histogram": _VALUE_HIST_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

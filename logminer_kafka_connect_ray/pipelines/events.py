@@ -5728,3 +5728,132 @@ def lineitem_weighted_median(sf_dir: str) -> pa.Table:
     return t.take(
         pc.sort_indices(t, sort_keys=[("l_returnflag", "ascending")])
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide -> long reshape)
+# ---------------------------------------------------------------------------
+_MELT_MEASURES = (("quantity", "l_quantity"), ("extendedprice",
+                  "l_extendedprice"), ("discount", "l_discount"),
+                  ("tax", "l_tax"))
+
+
+def lineitem_melt(sf_dir: str, one_in: int = 31) -> pa.Table:
+    """UNPIVOT: reshape the four lineitem measures into long form
+    ``(l_orderkey, l_linenumber, measure, value_e4)`` -- the inverse
+    of ``events_type_pivot`` and the reshape every
+    one-metric-per-row ingestion needs.  Values are uniform
+    ``floor(v * 1e4)`` fixed-point so rates (4 decimal digits) and
+    prices share one exact integer column.  Deterministic 1-in-``N``
+    orderkey sampling keeps the long output result-sized at any
+    scale (the reshape itself is per-row and embarrassingly
+    parallel; a full melt would just be this without the filter).
+
+    Scale shape: column-pruned read -> one vectorized map_batches
+    (filter + 4-way concatenate); no shuffle at all -- melt is the
+    rare reshape that never moves a row between workers."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber"] +
+                [c for _, c in _MELT_MEASURES],
+    )
+
+    out_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("l_linenumber", pa.int64()),
+         ("measure", pa.string()), ("value_e4", pa.int64())]
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        m = ok % one_in == 0
+        if not m.any():
+            return out_schema.empty_table()
+        ok = ok[m].astype(np.int64)
+        ln = t.column("l_linenumber").to_numpy(
+            zero_copy_only=False)[m].astype(np.int64)
+        k = len(ok)
+        names, vals = [], []
+        for mname, col in _MELT_MEASURES:
+            v = t.column(col).to_numpy(zero_copy_only=False)[m]
+            names += [mname] * k
+            vals.append(np.floor(v * 10000.0).astype(np.int64))
+        return pa.table(
+            {"l_orderkey": pa.array(np.tile(ok, len(_MELT_MEASURES))),
+             "l_linenumber": pa.array(np.tile(ln, len(_MELT_MEASURES))),
+             "measure": pa.array(names, pa.string()),
+             "value_e4": pa.array(np.concatenate(vals))},
+            schema=out_schema,
+        )
+
+    t = pa.Table.from_pandas(
+        ds.map_batches(melt, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    ).cast(out_schema)
+    return t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[("l_orderkey", "ascending"),
+                       ("l_linenumber", "ascending"),
+                       ("measure", "ascending")],
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (grouped fixed-bin counts)
+# ---------------------------------------------------------------------------
+def events_value_histogram(
+    sf_dir: str, bin_width: int = 50, n_bins: int = 10
+) -> pa.Table:
+    """Per-``event_type`` equi-width histogram of ``value``:
+    ``bin = min(floor(value / bin_width), n_bins - 1)`` (top bin
+    open).  The fixed-bin profile every numeric-column monitor wants
+    -- and, unlike the quantile queries, a pure single-pass
+    distributive aggregate.
+
+    Scale shape: per-block lexsort+reduceat partial over the composite
+    (type, bin) key -> dim-bounded ``groupby.sum``; only nonempty
+    bins are emitted."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("bin", pa.int64()),
+         ("n_obs", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.minimum(
+            np.floor(v / float(bin_width)).astype(np.int64), n_bins - 1
+        )
+        key = np.asarray([f"{e}\x00{x:03d}" for e, x in zip(et, b)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "bin": pa.array(b[order][starts]),
+             "n_obs": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .sum("n_obs")
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "bin", "n_obs"]
+    out = pa.table(
+        {"event_type": pa.array(merged["event_type"], pa.string()),
+         "bin": pa.array(merged["bin"].astype(np.int64)),
+         "n_obs": pa.array(merged["n_obs"].astype(np.int64))}
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("event_type", "ascending"), ("bin", "ascending")],
+        )
+    )

@@ -1899,3 +1899,38 @@ def test_lineitem_weighted_median_exact(ray_session, tmp_path):
                         "wmedian_cents": 100}
     assert out["N"] == {"l_returnflag": "N", "total_w": 2,
                         "wmedian_cents": 900}
+
+
+def test_lineitem_melt_long_form(ray_session, tmp_path):
+    """Sampled keys melt to exactly 4 rows each with uniform e4
+    fixed-point values; unsampled keys are dropped."""
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([31, 32], pa.int64()),
+            "l_linenumber": pa.array([1, 1], pa.int32()),
+            "l_quantity": pa.array([2.0, 3.0], pa.float64()),
+            "l_extendedprice": pa.array([10.50, 1.00], pa.float64()),
+            "l_discount": pa.array([0.05, 0.0], pa.float64()),
+            "l_tax": pa.array([0.08, 0.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = ev.lineitem_melt(str(tmp_path), one_in=31).to_pylist()
+    assert len(out) == 4  # only orderkey 31
+    got = {r["measure"]: r["value_e4"] for r in out}
+    assert got == {"quantity": 20000, "extendedprice": 105000,
+                   "discount": 500, "tax": 800}
+
+
+def test_events_value_histogram_bins(ray_session, tmp_path):
+    """Bin edges: floor(value/50), top bin open at 9."""
+    rows = [
+        (1, 1, 0.0, "a", 0.01),    # bin 0
+        (2, 1, 1.0, "a", 49.99),   # bin 0
+        (3, 1, 2.0, "a", 50.0),    # bin 1
+        (4, 1, 3.0, "a", 5000.0),  # bin 9 (clamped)
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {(r["event_type"], r["bin"]): r["n_obs"]
+           for r in ev.events_value_histogram(sf).to_pylist()}
+    assert out == {("a", 0): 2, ("a", 1): 1, ("a", 9): 1}
