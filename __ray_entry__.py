@@ -1071,6 +1071,40 @@ SELECT doc_id, act AS in_core FROM a{rounds} ORDER BY doc_id"""
 
 _KCORE_SQL = _build_kcore_sql()
 
+# Exact Gini over the per-type value histogram: rank sums close to
+# v*((C+c)(C+c+1)-C(C+1))/2 per distinct value (consecutive-integer
+# products are even -> // 2 exact); numerator nonnegative so HUGEINT
+# truncating // equals floor.
+_TYPE_GINI_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+g AS (
+  SELECT event_type, cents, count(*)::BIGINT AS c FROM c GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, cents, c,
+         (sum(c) OVER (PARTITION BY event_type ORDER BY cents)
+          - c)::HUGEINT AS cb,
+         sum(c) OVER (PARTITION BY event_type)::HUGEINT AS n,
+         sum(c * cents) OVER (PARTITION BY event_type)::HUGEINT AS sumx
+  FROM g
+),
+t AS (
+  SELECT event_type, n, sumx,
+         sum(cents::HUGEINT
+             * ((cb + c) * (cb + c + 1) - cb * (cb + 1)) // 2)
+           AS two_sum_ix
+  FROM w GROUP BY event_type, n, sumx
+)
+SELECT event_type, n::BIGINT AS n, sumx::BIGINT AS sum_cents,
+       (CASE WHEN sumx = 0 THEN 0
+             ELSE (2 * two_sum_ix - (n + 1) * sumx) * 1000000
+                  // (n * sumx) END)::BIGINT AS gini_e6
+FROM t ORDER BY event_type
+"""
+
 # UNPIVOT: four measures to long form, uniform floor(v*1e4)
 # fixed-point, deterministic 1-in-31 orderkey sample.
 _MELT_SQL = """
@@ -2751,6 +2785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_melt": ev.lineitem_melt,
         # grouped equi-width histogram (fixed-bin counts)
         "events_value_histogram": ev.events_value_histogram,
+        # exact Gini concentration index over the value histogram
+        "events_type_gini": ev.events_type_gini,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -2934,6 +2970,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_weighted_median": _WMEDIAN_SQL,
         "lineitem_melt": _MELT_SQL,
         "events_value_histogram": _VALUE_HIST_SQL,
+        "events_type_gini": _TYPE_GINI_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

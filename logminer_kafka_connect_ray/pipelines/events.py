@@ -5857,3 +5857,123 @@ def events_value_histogram(
             sort_keys=[("event_type", "ascending"), ("bin", "ascending")],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration index (exact rational over a value histogram)
+# ---------------------------------------------------------------------------
+def events_type_gini(sf_dir: str) -> pa.Table:
+    """Per-``event_type`` Gini coefficient of ``value`` cents,
+    EXACT: ``G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x))``
+    over the ascending sort, emitted as ``floor(G * 1e6)``.  Tied
+    values make ``sum(i*x_(i))`` order-invariant, and over a value
+    HISTOGRAM the rank sum per distinct value ``v`` (count ``c``,
+    ``C`` rows before it) closes to
+    ``v * ((C+c)(C+c+1) - C(C+1)) / 2`` -- consecutive-integer
+    products are even, so the halving is exact in integers.  DuckDB
+    restates the identical formula in HUGEINT with window prefix
+    sums.
+
+    Scale shape: per-block (type, cents) count partials (raw rows
+    never shuffle), ONE hash exchange on the group key, then a
+    per-block sweep whose final accumulation runs in
+    arbitrary-precision Python ints over the merged histogram --
+    O(value domain) per group, NOT O(rows), so no int64 widening is
+    ever needed (rank products are ~n^2)."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("gini")
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("cents", pa.int64()),
+         ("c", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((cents, et))
+        et, cents = et[order], cents[order]
+        brk = np.concatenate(
+            [[True], (et[1:] != et[:-1]) | (cents[1:] != cents[:-1])]
+        )
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, len(et)))
+        ets = et[starts]
+        return pa.table(
+            {"event_type": pa.array(list(ets), pa.string()),
+             "cents": pa.array(cents[starts]),
+             "c": pa.array(counts.astype(np.int64)),
+             "_p": pa.array(
+                 partition_ids(pa.array(list(ets), pa.string()), P)
+             )},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("n", pa.int64()),
+         ("sum_cents", pa.int64()), ("gini_e6", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "gini", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, et))
+        et, cents, c = et[order], cents[order], c[order]
+        brk = np.concatenate(
+            [[True], (et[1:] != et[:-1]) | (cents[1:] != cents[:-1])]
+        )
+        starts = np.flatnonzero(brk)
+        et, cents = et[starts], cents[starts]
+        c = np.add.reduceat(c, starts)
+        gstarts = np.flatnonzero(
+            np.concatenate([[True], et[1:] != et[:-1]])
+        )
+        glens = np.diff(np.append(gstarts, len(et)))
+        names, ns, sums, ginis = [], [], [], []
+        for s, ln in zip(gstarts.tolist(), glens.tolist()):
+            vs = cents[s:s + ln].tolist()
+            cs = c[s:s + ln].tolist()
+            C = 0
+            two_sum_ix = 0
+            sumx = 0
+            for v, cc in zip(vs, cs):  # O(value domain), exact bigints
+                two_sum_ix += v * ((C + cc) * (C + cc + 1) - C * (C + 1)) // 2
+                sumx += v * cc
+                C += cc
+            n = C
+            g = ((2 * two_sum_ix - (n + 1) * sumx) * 10**6 // (n * sumx)
+                 if sumx else 0)
+            names.append(et[s])
+            ns.append(n)
+            sums.append(sumx)
+            ginis.append(g)
+        return pa.table(
+            {"event_type": pa.array(names, pa.string()),
+             "n": pa.array(ns, pa.int64()),
+             "sum_cents": pa.array(sums, pa.int64()),
+             "gini_e6": pa.array(ginis, pa.int64())},
+            schema=out_schema,
+        )
+
+    res = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = t.cast(out_schema)
+    t = _finalize_guard(gd, t)
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("event_type", "ascending")])
+    )

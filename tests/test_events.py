@@ -1934,3 +1934,20 @@ def test_events_value_histogram_bins(ray_session, tmp_path):
     out = {(r["event_type"], r["bin"]): r["n_obs"]
            for r in ev.events_value_histogram(sf).to_pylist()}
     assert out == {("a", 0): 2, ("a", 1): 1, ("a", 9): 1}
+
+
+def test_events_type_gini_exact(ray_session, tmp_path):
+    """Hand-checked Gini: equal values -> 0; a planted unequal group
+    matches the rank-sum formula computed directly."""
+    rows = [
+        (1, 1, 0.0, "eq", 2.00), (2, 1, 1.0, "eq", 2.00),
+        (3, 1, 2.0, "uneq", 0.00), (4, 1, 3.0, "uneq", 0.00),
+        (5, 1, 4.0, "uneq", 10.00),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["event_type"]: r for r in ev.events_type_gini(sf).to_pylist()}
+    assert out["eq"]["gini_e6"] == 0
+    # uneq: sorted cents [0, 0, 1000]; sum(i*x) = 3000, n=3, sumx=1000
+    # G = (2*3000 - 4*1000) / (3*1000) = 2000/3000 -> floor(2/3 * 1e6)
+    assert out["uneq"] == {"event_type": "uneq", "n": 3,
+                           "sum_cents": 1000, "gini_e6": 666_666}
