@@ -194,6 +194,12 @@ def run_bench() -> dict:
         ("events_type_trend", evops.events_type_trend),
         ("events_user_mode", evops.events_user_mode),
         ("events_hour_chi2", evops.events_hour_chi2),
+        ("doc_kcore", dops.doc_kcore),
+        ("events_cooccurrence", evops.events_cooccurrence),
+        ("lineitem_weighted_median", evops.lineitem_weighted_median),
+        ("events_type_gini", evops.events_type_gini),
+        ("lineitem_melt", evops.lineitem_melt),
+        ("events_value_histogram", evops.events_value_histogram),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)
