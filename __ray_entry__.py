@@ -1071,6 +1071,52 @@ SELECT doc_id, act AS in_core FROM a{rounds} ORDER BY doc_id"""
 
 _KCORE_SQL = _build_kcore_sql()
 
+# AR(1) over the densified hourly count series: dense grid via
+# range-unnest, lag pairs by hour+1 self-join, exact HUGEINT
+# sufficient sums, floor-division slope with the trunc/floor CASE.
+_HOURLY_AR1_SQL = """
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS hour
+  FROM events
+),
+g AS (SELECT event_type, hour, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM b),
+types AS (SELECT DISTINCT event_type FROM b),
+grid AS (
+  SELECT t.event_type, bo.lo + u.i AS hour
+  FROM types t CROSS JOIN bounds bo
+  CROSS JOIN (
+    SELECT unnest(range(0, (SELECT hi - lo + 1 FROM bounds)))::BIGINT AS i
+  ) u
+),
+dense AS (
+  SELECT grid.event_type, grid.hour, coalesce(g.c, 0)::BIGINT AS c
+  FROM grid LEFT JOIN g USING (event_type, hour)
+),
+pairs AS (
+  SELECT d1.event_type, d1.c AS x, d2.c AS y
+  FROM dense d1 JOIN dense d2
+    ON d2.event_type = d1.event_type AND d2.hour = d1.hour + 1
+),
+s AS (
+  SELECT event_type, count(*)::BIGINT AS m, sum(x)::BIGINT AS sum_x,
+         sum(y)::BIGINT AS sum_y, sum(x::HUGEINT * y) AS sxy,
+         sum(x::HUGEINT * x) AS sxx
+  FROM pairs GROUP BY 1
+)
+SELECT event_type, m, sum_x, sxy::BIGINT AS sum_xy,
+       (CASE WHEN (m::HUGEINT * sxx - sum_x::HUGEINT * sum_x) = 0 THEN 0
+             WHEN ((m::HUGEINT * sxy - sum_x::HUGEINT * sum_y) * 1000000)
+                  % (m::HUGEINT * sxx - sum_x::HUGEINT * sum_x) <> 0
+              AND (m::HUGEINT * sxy - sum_x::HUGEINT * sum_y) < 0
+               THEN ((m::HUGEINT * sxy - sum_x::HUGEINT * sum_y) * 1000000)
+                    // (m::HUGEINT * sxx - sum_x::HUGEINT * sum_x) - 1
+             ELSE ((m::HUGEINT * sxy - sum_x::HUGEINT * sum_y) * 1000000)
+                  // (m::HUGEINT * sxx - sum_x::HUGEINT * sum_x) END
+       )::BIGINT AS phi_e6
+FROM s ORDER BY event_type
+"""
+
 # Exact Gini over the per-type value histogram: rank sums close to
 # v*((C+c)(C+c+1)-C(C+1))/2 per distinct value (consecutive-integer
 # products are even -> // 2 exact); numerator nonnegative so HUGEINT
@@ -2787,6 +2833,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": ev.events_value_histogram,
         # exact Gini concentration index over the value histogram
         "events_type_gini": ev.events_type_gini,
+        # AR(1) persistence over the densified hourly series
+        "events_hourly_ar1": ev.events_hourly_ar1,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -2971,6 +3019,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_melt": _MELT_SQL,
         "events_value_histogram": _VALUE_HIST_SQL,
         "events_type_gini": _TYPE_GINI_SQL,
+        "events_hourly_ar1": _HOURLY_AR1_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

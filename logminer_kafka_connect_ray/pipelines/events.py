@@ -5977,3 +5977,89 @@ def events_type_gini(sf_dir: str) -> pa.Table:
     return t.take(
         pc.sort_indices(t, sort_keys=[("event_type", "ascending")])
     )
+
+
+# ---------------------------------------------------------------------------
+# AR(1) autoregression over the densified hourly series
+# ---------------------------------------------------------------------------
+def events_hourly_ar1(sf_dir: str) -> pa.Table:
+    """Per-``event_type`` lag-1 autoregression coefficient of the
+    DENSE hourly event-count series (missing hours count 0, exactly
+    like ``events_resample_ffill``'s densification contract):
+    ``phi = (m*Sxy - Sx*Sy) / (m*Sxx - Sx^2)`` over the
+    ``(x_t, x_{t+1})`` lag pairs on the global [min_hour, max_hour]
+    grid, emitted as exact ``floor(phi * 1e6)`` plus the integer
+    sufficient sums -- the time-series persistence diagnostic (is
+    traffic bursty or mean-reverting?) beside OHLC and resample.
+
+    Scale shape: ONE per-block lexsort+reduceat partial over
+    (type, hour-index) -> dim-bounded ``groupby.sum`` (series cells,
+    not rows) -> O(series) driver math in arbitrary-precision ints.
+    The raw rows never shuffle; the series length is bounded by the
+    data's time span, not its volume."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("n_obs", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        hr = _ts_i64(t.column("ts")) // 3_600_000_000
+        key = np.asarray([f"{e}\x00{h}" for e, h in zip(et, hr)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "hour": pa.array(hr[order][starts]),
+             "n_obs": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum("n_obs")
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "hour", "n_obs"]
+    if len(merged) == 0:
+        return pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "m": pa.array([], pa.int64()),
+             "sum_x": pa.array([], pa.int64()),
+             "sum_xy": pa.array([], pa.int64()),
+             "phi_e6": pa.array([], pa.int64())}
+        )
+    h_lo = int(merged["hour"].min())
+    h_hi = int(merged["hour"].max())
+    span = h_hi - h_lo + 1
+    names, ms, sxs, sxys, phis = [], [], [], [], []
+    for et, grp in merged.groupby("event_type", sort=True):
+        dense = np.zeros(span, dtype=np.int64)
+        dense[grp["hour"].to_numpy(dtype=np.int64) - h_lo] = (
+            grp["n_obs"].to_numpy(dtype=np.int64)
+        )
+        x = [int(v) for v in dense[:-1]]
+        y = [int(v) for v in dense[1:]]
+        m = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        den = m * sxx - sx * sx
+        phi = (m * sxy - sx * sy) * 10**6 // den if den else 0
+        names.append(et)
+        ms.append(m)
+        sxs.append(sx)
+        sxys.append(sxy)
+        phis.append(phi)
+    return pa.table(
+        {"event_type": pa.array(names, pa.string()),
+         "m": pa.array(ms, pa.int64()),
+         "sum_x": pa.array(sxs, pa.int64()),
+         "sum_xy": pa.array(sxys, pa.int64()),
+         "phi_e6": pa.array(phis, pa.int64())}
+    )

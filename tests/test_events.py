@@ -1951,3 +1951,22 @@ def test_events_type_gini_exact(ray_session, tmp_path):
     # G = (2*3000 - 4*1000) / (3*1000) = 2000/3000 -> floor(2/3 * 1e6)
     assert out["uneq"] == {"event_type": "uneq", "n": 3,
                            "sum_cents": 1000, "gini_e6": 666_666}
+
+
+def test_events_hourly_ar1_exact(ray_session, tmp_path):
+    """Planted alternating series 2,0,2,0,... has exact phi = -1;
+    densified gaps count as zero-hours."""
+    rows = []
+    eid = 1
+    # type 'alt': 2 events at hours 0,2,4; nothing (0) at hours 1,3
+    for h in (0, 2, 4):
+        for _ in range(2):
+            rows.append((eid, 1, h * 60.0, "alt", 1.0))
+            eid += 1
+    sf = make_events(tmp_path, rows)
+    out = {r["event_type"]: r for r in ev.events_hourly_ar1(sf).to_pylist()}
+    a = out["alt"]
+    # dense series [2,0,2,0,2]; pairs x=[2,0,2,0], y=[0,2,0,2]
+    assert a["m"] == 4 and a["sum_x"] == 4 and a["sum_xy"] == 0
+    # phi = (4*0 - 4*4) / (4*8 - 16) = -1
+    assert a["phi_e6"] == -1_000_000
