@@ -1071,6 +1071,27 @@ SELECT doc_id, act AS in_core FROM a{rounds} ORDER BY doc_id"""
 
 _KCORE_SQL = _build_kcore_sql()
 
+# Decile lift: exact NTILE(10) by (shifted acctbal cents, custkey),
+# responder = EXISTS order, exact integer response rates.
+_DECILE_LIFT_SQL = """
+WITH resp AS (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal * 100) AS BIGINT) + 100000 AS score,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+         ) THEN 1 ELSE 0 END AS r
+  FROM customer c
+),
+rk AS (
+  SELECT *, ntile(10) OVER (ORDER BY score, c_custkey) AS decile FROM resp
+)
+SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_cust,
+       sum(r)::BIGINT AS n_resp,
+       (sum(r)::HUGEINT * 1000000 // count(*)::HUGEINT)::BIGINT
+         AS resp_rate_e6
+FROM rk GROUP BY decile ORDER BY decile
+"""
+
 # AR(1) over the densified hourly count series: dense grid via
 # range-unnest, lag pairs by hour+1 self-join, exact HUGEINT
 # sufficient sums, floor-division slope with the trunc/floor CASE.
@@ -2835,6 +2856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_gini": ev.events_type_gini,
         # AR(1) persistence over the densified hourly series
         "events_hourly_ar1": ev.events_hourly_ar1,
+        # score-decile lift table (exact NTILE + response rates)
+        "customer_decile_lift": ev.customer_decile_lift,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3020,6 +3043,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_histogram": _VALUE_HIST_SQL,
         "events_type_gini": _TYPE_GINI_SQL,
         "events_hourly_ar1": _HOURLY_AR1_SQL,
+        "customer_decile_lift": _DECILE_LIFT_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

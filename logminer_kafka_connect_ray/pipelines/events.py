@@ -6063,3 +6063,209 @@ def events_hourly_ar1(sf_dir: str) -> pa.Table:
          "sum_xy": pa.array(sxys, pa.int64()),
          "phi_e6": pa.array(phis, pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift table (model-eval family: NTILE + response rates)
+# ---------------------------------------------------------------------------
+def customer_decile_lift(sf_dir: str, k: int = 10) -> pa.Table:
+    """Score-decile lift table -- the model-evaluation staple: rank
+    every customer by account balance (score = acctbal cents + 1e5,
+    shifted non-negative for the HDR sketch; a constant shift cannot
+    change NTILE order), split into exact NTILE(``k``) deciles under
+    ``(score, custkey)`` order, and report each decile's response
+    rate (customer placed >= 1 order) as exact
+    ``floor(1e6 * responders / n)``.
+
+    Distributed shape: ONE custkey-hash exchange marks responders
+    (customer rows + per-block distinct order-custkey partials, union
+    -> sweep; orphan order keys are ignored, mirroring the oracle's
+    FROM customer), then the ``events_global_rank`` range planner
+    turns a 32 KB histogram sketch per block into value-disjoint
+    ranges with exact ascending base offsets, one boundary exchange
+    co-locates each range, and a per-block lexsort yields exact
+    global ranks -> NTILE buckets -> per-block decile partials.  Only
+    ``k`` rows reach the driver."""
+    n_cust, _ = _table_meta(sf_dir, "customer")
+    n_orders, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_cust + n_orders)
+    gd = _new_guard_dir("lift_resp")
+    SHIFT = np.int64(100_000)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    u_schema = pa.schema(
+        [("custkey", pa.int64()), ("score", pa.int64()),
+         ("kind", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return u_schema.empty_table()
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        score = _cents(
+            t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        ) + SHIFT
+        if score.size and int(score.min()) < 0:
+            raise ValueError(
+                "customer_decile_lift: acctbal below -1000.00; raise SHIFT"
+            )
+        return pa.table(
+            {"custkey": pa.array(ck), "score": pa.array(score),
+             "kind": pa.array(np.zeros(len(ck), dtype=np.int64)),
+             "_p": pa.array(partition_ids(pa.array(ck), P))},
+            schema=u_schema,
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return u_schema.empty_table()
+        ck = np.unique(
+            t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+        )
+        return pa.table(
+            {"custkey": pa.array(ck),
+             "score": pa.array(np.zeros(len(ck), dtype=np.int64)),
+             "kind": pa.array(np.ones(len(ck), dtype=np.int64)),
+             "_p": pa.array(partition_ids(pa.array(ck), P))},
+            schema=u_schema,
+        )
+
+    resp_schema = pa.schema(
+        [("custkey", pa.int64()), ("score", pa.int64()),
+         ("resp", pa.int64())]
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return resp_schema.empty_table()
+        _guard_record(
+            gd, "lift", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        ck = t.column("custkey").to_numpy(zero_copy_only=False)
+        score = t.column("score").to_numpy(zero_copy_only=False)
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        order = np.lexsort((kind, ck))
+        ck, score, kind = ck[order], score[order], kind[order]
+        starts, lens = _segment_starts(ck)
+        # keep only keys whose first row is a customer row (kind 0);
+        # order-only keys mirror the oracle's FROM customer
+        is_cust = kind[starts] == 0
+        has_order = (
+            np.add.reduceat(kind, starts) > 0
+        )  # any kind-1 row in the segment
+        return pa.table(
+            {"custkey": pa.array(ck[starts][is_cust]),
+             "score": pa.array(score[starts][is_cust]),
+             "resp": pa.array(
+                 has_order[is_cust].astype(np.int64))},
+            schema=resp_schema,
+        )
+
+    resp = (
+        cust.map_batches(cust_rows, batch_format="pyarrow")
+        .union(orders.map_batches(order_rows, batch_format="pyarrow"))
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(mark, batch_format="pyarrow", batch_size=None)
+        .materialize()  # dimension-sized (one row per customer)
+    )
+
+    # --- exact ascending range planning (events_global_rank pattern)
+    NB = 64 * (1 << _QSK_MBITS)
+
+    def block_sketch(t: pa.Table) -> pa.Table:
+        counts = np.zeros(NB, np.int64)
+        if t.num_rows:
+            np.add.at(
+                counts,
+                _qsketch_bins(
+                    t.column("score").to_numpy(zero_copy_only=False)
+                ),
+                1,
+            )
+        return pa.table({"counts": pa.array([counts.tobytes()])})
+
+    merged = np.zeros(NB, np.int64)
+    for b in resp.map_batches(
+        block_sketch, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for buf in b.column("counts").to_pylist():
+            merged += np.frombuffer(buf, np.int64)
+
+    Pr = _exchange_width(n_cust)
+    total = int(merged.sum())
+    target = max(1, -(-total // Pr))
+    cum_excl = np.concatenate([[np.int64(0)], np.cumsum(merged)[:-1]])
+    bin_range = np.minimum(cum_excl // target, Pr - 1).astype(np.int64)
+    range_counts = np.bincount(
+        bin_range, weights=merged, minlength=Pr
+    ).astype(np.int64)
+    base = np.concatenate([[np.int64(0)], np.cumsum(range_counts)[:-1]])
+
+    gd2 = _new_guard_dir("lift_rank")
+    part_schema = pa.schema(
+        [("decile", pa.int64()), ("n_cust", pa.int64()),
+         ("n_resp", pa.int64())]
+    )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        s = t.column("score").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_p", pa.array(bin_range[_qsketch_bins(s)])
+        )
+
+    def rank_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        p = t.column("_p").to_numpy(zero_copy_only=False)
+        _guard_record(gd2, "liftrank", p)
+        if not (p == p[0]).all():
+            raise RuntimeError(
+                "decile-lift sweep got a mixed-range block; base offset "
+                "would be wrong"
+            )
+        ck = t.column("custkey").to_numpy(zero_copy_only=False)
+        s = t.column("score").to_numpy(zero_copy_only=False)
+        r = t.column("resp").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, s))
+        rank0 = int(base[int(p[0])]) + np.arange(len(ck), dtype=np.int64)
+        decile = _ntile_bucket(rank0, n_cust, k)
+        rr = r[order]
+        nd = np.bincount(decile, minlength=k + 1).astype(np.int64)
+        nr = np.bincount(decile, weights=rr, minlength=k + 1).astype(np.int64)
+        nz = np.flatnonzero(nd)
+        return pa.table(
+            {"decile": pa.array(nz.astype(np.int64)),
+             "n_cust": pa.array(nd[nz]), "n_resp": pa.array(nr[nz])},
+            schema=part_schema,
+        )
+
+    merged_df = (
+        resp.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, Pr)))
+        .map_batches(rank_sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("decile")
+        .sum(["n_cust", "n_resp"])
+        .to_pandas()
+    )
+    merged_df.columns = ["decile", "n_cust", "n_resp"]
+    nd = merged_df["n_cust"].to_numpy(dtype=np.int64)
+    nr = merged_df["n_resp"].to_numpy(dtype=np.int64)
+    out = pa.table(
+        {"decile": pa.array(merged_df["decile"].astype(np.int64)),
+         "n_cust": pa.array(nd),
+         "n_resp": pa.array(nr),
+         "resp_rate_e6": pa.array(
+             [int(b) * 10**6 // int(a) for a, b in zip(nd, nr)],
+             pa.int64())}
+    )
+    out = _finalize_guard(gd, out)
+    out = _finalize_guard(gd2, out)
+    return out.take(pc.sort_indices(out, sort_keys=[("decile", "ascending")]))

@@ -1970,3 +1970,28 @@ def test_events_hourly_ar1_exact(ray_session, tmp_path):
     assert a["m"] == 4 and a["sum_x"] == 4 and a["sum_xy"] == 0
     # phi = (4*0 - 4*4) / (4*8 - 16) = -1
     assert a["phi_e6"] == -1_000_000
+
+
+def test_customer_decile_lift_exact(ray_session, tmp_path):
+    """5 customers into NTILE(10) (degenerate n < k exercises the
+    small-bucket branch); responders marked by order existence;
+    order-only custkeys ignored."""
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "c_name": pa.array(["a"] * 5, pa.string()),
+            "c_nationkey": pa.array([0] * 5, pa.int32()),
+            "c_acctbal": pa.array([10.0, 20.0, 30.0, 40.0, 50.0],
+                                  pa.float64()),
+            "c_mktsegment": pa.array(["s"] * 5, pa.string()),
+        }
+    )
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    make_orders(tmp_path, [(100, 2, 0.0), (101, 2, 1.0), (102, 5, 2.0),
+                           (103, 99, 3.0)])  # 99 is an orphan key
+    out = ev.customer_decile_lift(str(tmp_path)).to_pylist()
+    # 5 customers, k=10: each lands in its own decile 1..5
+    assert [r["decile"] for r in out] == [1, 2, 3, 4, 5]
+    assert [r["n_cust"] for r in out] == [1] * 5
+    assert [r["n_resp"] for r in out] == [0, 1, 0, 0, 1]
+    assert out[1]["resp_rate_e6"] == 1_000_000
