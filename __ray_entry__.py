@@ -1071,6 +1071,41 @@ SELECT doc_id, act AS in_core FROM a{rounds} ORDER BY doc_id"""
 
 _KCORE_SQL = _build_kcore_sql()
 
+# TPC-H Q18 shape: grouped-sum HAVING over lineitem quantity (exact
+# floor-cents), join back to orders + customer, top-k by value.
+_Q18_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING sum(CAST(floor(l.l_quantity * 100) AS BIGINT)) > 25000
+ORDER BY totalprice_cents DESC, o.o_orderkey
+LIMIT 100
+"""
+
+# TPC-H Q7 shape: nation-pair trade volume by ship year; year filter
+# in SQL mirrors the engine's year extraction (no BETWEEN-midnight
+# edge), revenue in exact per-row floor-cents.
+_Q7_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE year(l.l_shipdate) BETWEEN 1995 AND 1996
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
 # Decile lift: exact NTILE(10) by (shifted acctbal cents, custkey),
 # responder = EXISTS order, exact integer response rates.
 _DECILE_LIFT_SQL = """
@@ -2858,6 +2893,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_ar1": ev.events_hourly_ar1,
         # score-decile lift table (exact NTILE + response rates)
         "customer_decile_lift": ev.customer_decile_lift,
+        # TPC-H Q18 shape: HAVING-on-grouped-sum then join-back
+        # (combiner partials -> one orderkey exchange -> survivor-
+        # sized customer exchange -> P*k driver merge)
+        "customer_large_orders": ev.customer_large_orders,
+        # TPC-H Q7 shape: two chained fact exchanges (custkey then
+        # orderkey), broadcast supplier/nation dims, combiner partials
+        "nation_pair_trade": ev.nation_pair_trade,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3044,6 +3086,8 @@ def oracle_sql() -> dict[str, str]:
         "events_type_gini": _TYPE_GINI_SQL,
         "events_hourly_ar1": _HOURLY_AR1_SQL,
         "customer_decile_lift": _DECILE_LIFT_SQL,
+        "customer_large_orders": _Q18_SQL,
+        "nation_pair_trade": _Q7_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

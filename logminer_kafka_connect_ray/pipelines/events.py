@@ -6269,3 +6269,607 @@ def customer_decile_lift(sf_dir: str, k: int = 10) -> pa.Table:
     out = _finalize_guard(gd, out)
     out = _finalize_guard(gd2, out)
     return out.take(pc.sort_indices(out, sort_keys=[("decile", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders (HAVING on a grouped sum, join back)
+# ---------------------------------------------------------------------------
+def customer_large_orders(
+    sf_dir: str, threshold_qty_cents: int = 25_000, k: int = 100
+) -> pa.Table:
+    """Large-volume customer report (the TPC-H Q18 shape): the ``k``
+    highest-value orders whose TOTAL line-item quantity exceeds the
+    threshold (quantities in exact floor-cents, ``floor(qty*100)``),
+    joined back to the customer who placed them.  Returns
+    ``(c_name, c_custkey, o_orderkey, o_orderdate, totalprice_cents,
+    sum_qty_cents)`` ordered by ``(totalprice_cents DESC,
+    o_orderkey)``.
+
+    Distributed shape -- the HAVING-then-join-back plan a 100 TB run
+    needs:
+
+    * lineitem never ships raw: each block pre-aggregates
+      ``(orderkey, qty_cents)`` partials (the combiner), so the
+      orderkey exchange moves at most one row per (block, key).
+    * ONE hash exchange on ``o_orderkey`` co-locates partials with
+      the order row; the per-block sweep folds partials, applies the
+      HAVING predicate, and emits only survivors (~1% of orders).
+    * survivors join ``customer`` in a SECOND tiny exchange on
+      ``c_custkey`` (survivor-sized, not fact-sized), each block
+      emitting its local top-``k``; the driver merges P*k rows.
+    """
+    n_li, _ = _table_meta(sf_dir, "lineitem")
+    n_or, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_li + n_or)
+    gd = _new_guard_dir("q18a")
+    gd2 = _new_guard_dir("q18b")
+    thr = np.int64(threshold_qty_cents)
+
+    rel = pa.schema(
+        [("_k", pa.int64()), ("_side", pa.int8()), ("_ck", pa.int64()),
+         ("_date", pa.int64()), ("_tp", pa.int64()), ("_qty", pa.int64()),
+         ("_p", pa.int64())]
+    )
+
+    def li_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return rel.empty_table()
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        qty = _cents(t.column("l_quantity").to_numpy(zero_copy_only=False))
+        order = np.argsort(ok, kind="stable")
+        ok, qty = ok[order], qty[order]
+        starts, _ = _segment_starts(ok)
+        keys = ok[starts]
+        sums = np.add.reduceat(qty, starts)
+        z = np.zeros(len(keys), np.int64)
+        return pa.table(
+            {"_k": pa.array(keys),
+             "_side": pa.array(np.ones(len(keys), np.int8)),
+             "_ck": pa.array(z), "_date": pa.array(z), "_tp": pa.array(z),
+             "_qty": pa.array(sums),
+             "_p": pa.array(partition_ids(pa.array(keys), P))},
+            schema=rel,
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return rel.empty_table()
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        od = _ts_i64(t.column("o_orderdate"))
+        tp = _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"_k": pa.array(ok),
+             "_side": pa.array(np.zeros(len(ok), np.int8)),
+             "_ck": pa.array(ck), "_date": pa.array(od), "_tp": pa.array(tp),
+             "_qty": pa.array(np.zeros(len(ok), np.int64)),
+             "_p": pa.array(partition_ids(pa.array(ok), P))},
+            schema=rel,
+        )
+
+    surv = pa.schema(
+        [("_ck", pa.int64()), ("_ok", pa.int64()), ("_date", pa.int64()),
+         ("_tp", pa.int64()), ("_qty", pa.int64()), ("_p", pa.int64())]
+    )
+    n_cust, _ = _table_meta(sf_dir, "customer")
+    P2 = _exchange_width(n_cust)
+
+    def having_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return surv.empty_table()
+        _guard_record(gd, "q18", t.column("_p").to_numpy(zero_copy_only=False))
+        kcol = t.column("_k").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, kcol))  # order row (side 0) first per key
+        kcol, side = kcol[order], side[order]
+        ck = t.column("_ck").to_numpy(zero_copy_only=False)[order]
+        dt_ = t.column("_date").to_numpy(zero_copy_only=False)[order]
+        tp = t.column("_tp").to_numpy(zero_copy_only=False)[order]
+        qty = t.column("_qty").to_numpy(zero_copy_only=False)[order]
+        starts, _ = _segment_starts(kcol)
+        total = np.add.reduceat(qty, starts)
+        keep = (total > thr) & (side[starts] == 0)  # order row present
+        if not keep.any():
+            return surv.empty_table()
+        s = starts[keep]
+        keys = kcol[s]
+        return pa.table(
+            {"_ck": pa.array(ck[s]), "_ok": pa.array(keys),
+             "_date": pa.array(dt_[s]), "_tp": pa.array(tp[s]),
+             "_qty": pa.array(total[keep]),
+             "_p": pa.array(partition_ids(pa.array(ck[s]), P2))},
+            schema=surv,
+        )
+
+    items = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(li_partials, batch_format="pyarrow")
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+
+    survivors = (
+        items.union(orders)
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(having_sweep, batch_format="pyarrow", batch_size=None)
+    )
+
+    # -- second (survivor-sized) exchange: join back c_name ----------
+    j = pa.schema(
+        [("_key", pa.int64()), ("_side", pa.int8()), ("_name", pa.string()),
+         ("_ok", pa.int64()), ("_date", pa.int64()), ("_tp", pa.int64()),
+         ("_qty", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return j.empty_table()
+        ck = t.column("c_custkey").cast(pa.int64())
+        n = t.num_rows
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {"_key": ck, "_side": pa.array(np.zeros(n, np.int8)),
+             "_name": t.column("c_name").cast(pa.string()),
+             "_ok": z, "_date": z, "_tp": z, "_qty": z,
+             "_p": pa.array(partition_ids(ck, P2))},
+            schema=j,
+        )
+
+    def surv_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return j.empty_table()
+        n = t.num_rows
+        return pa.table(
+            {"_key": t.column("_ck"),
+             "_side": pa.array(np.ones(n, np.int8)),
+             "_name": pa.array([""] * n, pa.string()),
+             "_ok": t.column("_ok"), "_date": t.column("_date"),
+             "_tp": t.column("_tp"), "_qty": t.column("_qty"),
+             "_p": t.column("_p")},
+            schema=j,
+        )
+
+    out_schema = pa.schema(
+        [("c_name", pa.string()), ("c_custkey", pa.int64()),
+         ("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+         ("totalprice_cents", pa.int64()), ("sum_qty_cents", pa.int64())]
+    )
+
+    def join_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd2, "q18j", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        key = t.column("_key").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        ismatch = side == 1
+        bk = key[~ismatch]
+        if len(bk) == 0 or ismatch.sum() == 0:
+            return out_schema.empty_table()
+        names = t.column("_name").to_numpy(zero_copy_only=False)[~ismatch]
+        bo = np.argsort(bk, kind="stable")
+        bk, names = bk[bo], names[bo]
+        pk = key[ismatch]
+        pos = np.searchsorted(bk, pk)
+        hit = (pos < len(bk)) & (bk[np.clip(pos, 0, len(bk) - 1)] == pk)
+        sub = t.filter(pa.array(ismatch)).filter(pa.array(hit))
+        nm = names[pos[hit]]
+        tp = sub.column("_tp").to_numpy(zero_copy_only=False)
+        ok = sub.column("_ok").to_numpy(zero_copy_only=False)
+        top = np.lexsort((ok, -tp))[:k]
+        sub = sub.take(pa.array(top))
+        return pa.table(
+            {"c_name": pa.array(nm[top]),
+             "c_custkey": sub.column("_key"),
+             "o_orderkey": sub.column("_ok"),
+             "o_orderdate": sub.column("_date").cast(pa.timestamp("us")),
+             "totalprice_cents": sub.column("_tp"),
+             "sum_qty_cents": sub.column("_qty")},
+            schema=out_schema,
+        )
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+
+    res = (
+        cust.union(survivors.map_batches(surv_rows, batch_format="pyarrow"))
+        .sort("_p", boundaries=list(range(1, P2)))
+        .map_batches(join_sweep, batch_format="pyarrow", batch_size=None)
+    )
+    cand = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    cand = cand.cast(out_schema)
+    tp = cand.column("totalprice_cents").to_numpy()
+    ok = cand.column("o_orderkey").to_numpy()
+    top = np.lexsort((ok, -tp))[:k]
+    out = cand.take(pa.array(top))
+    out = _finalize_guard(gd, out)
+    return _finalize_guard(gd2, out)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: nation-pair trade volume by ship year
+# ---------------------------------------------------------------------------
+def nation_pair_trade(sf_dir: str, y0: int = 1995, y1: int = 1996) -> pa.Table:
+    """Trade-volume report (the TPC-H Q7 shape): revenue shipped
+    between every (supplier nation, customer nation) pair per ship
+    year in ``[y0, y1]``, as exact floor-cents.  Returns
+    ``(supp_nation, cust_nation, l_year, revenue_cents)`` ordered by
+    the three keys.
+
+    Distributed shape -- two chained fact exchanges, dims never
+    shuffle:
+
+    * ``supplier`` and ``nation`` are broadcast once (``ray.put`` of
+      a dense suppkey->nationkey int32 array and the 25-name list);
+      lineitem resolves its supplier nation at the scan.
+    * exchange 1 on ``c_custkey`` tags each order with its customer
+      nation (orders + customer, one segment sweep).
+    * exchange 2 on ``o_orderkey`` joins the tagged orders to the
+      year-filtered lineitem rows; each block pre-aggregates into
+      (supp_nation, cust_nation, year) partials -- a combiner -- so
+      the final groupby moves at most ``blocks x pairs x years``
+      tiny rows, never the join.
+    """
+    import ray
+
+    n_li, _ = _table_meta(sf_dir, "lineitem")
+    n_or, _ = _table_meta(sf_dir, "orders")
+    n_cust, _ = _table_meta(sf_dir, "customer")
+    P1 = _exchange_width(n_or + n_cust)
+    P2 = _exchange_width(n_li + n_or)
+    gd1 = _new_guard_dir("q7a")
+    gd2 = _new_guard_dir("q7b")
+
+    # -- broadcast dims ----------------------------------------------
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    sp = supp.to_pandas()
+    smap = np.full(int(sp["s_suppkey"].max()) + 2 if len(sp) else 1, -1,
+                   np.int32)
+    smap[sp["s_suppkey"].to_numpy()] = sp["s_nationkey"].to_numpy()
+    smap_ref = ray.put(smap)
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    names = np.full(int(nat["n_nationkey"].max()) + 1, "", object)
+    names[nat["n_nationkey"].to_numpy()] = nat["n_name"].to_numpy()
+
+    # -- exchange 1: orders x customer on custkey --------------------
+    e1 = pa.schema(
+        [("_key", pa.int64()), ("_side", pa.int8()), ("_ok", pa.int64()),
+         ("_nat", pa.int32()), ("_p", pa.int64())]
+    )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return e1.empty_table()
+        ck = t.column("c_custkey").cast(pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {"_key": ck, "_side": pa.array(np.zeros(n, np.int8)),
+             "_ok": pa.array(np.zeros(n, np.int64)),
+             "_nat": t.column("c_nationkey").cast(pa.int32()),
+             "_p": pa.array(partition_ids(ck, P1))},
+            schema=e1,
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return e1.empty_table()
+        ck = t.column("o_custkey").cast(pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {"_key": ck, "_side": pa.array(np.ones(n, np.int8)),
+             "_ok": t.column("o_orderkey").cast(pa.int64()),
+             "_nat": pa.array(np.zeros(n, np.int32)),
+             "_p": pa.array(partition_ids(ck, P1))},
+            schema=e1,
+        )
+
+    tagged_schema = pa.schema(
+        [("_k", pa.int64()), ("_side", pa.int8()), ("_cn", pa.int32()),
+         ("_sn", pa.int32()), ("_yr", pa.int32()), ("_rev", pa.int64()),
+         ("_p", pa.int64())]
+    )
+
+    def tag_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tagged_schema.empty_table()
+        _guard_record(
+            gd1, "q7c", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        key = t.column("_key").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        ok = t.column("_ok").to_numpy(zero_copy_only=False)
+        natk = t.column("_nat").to_numpy(zero_copy_only=False)
+        is_order = side == 1
+        bk, bn = key[~is_order], natk[~is_order]
+        if len(bk) == 0 or is_order.sum() == 0:
+            return tagged_schema.empty_table()
+        bo = np.argsort(bk, kind="stable")
+        bk, bn = bk[bo], bn[bo]
+        pk, pok = key[is_order], ok[is_order]
+        pos = np.searchsorted(bk, pk)
+        hit = (pos < len(bk)) & (bk[np.clip(pos, 0, len(bk) - 1)] == pk)
+        pok, cn = pok[hit], bn[pos[hit]]
+        z32 = np.zeros(len(pok), np.int32)
+        return pa.table(
+            {"_k": pa.array(pok),
+             "_side": pa.array(np.zeros(len(pok), np.int8)),
+             "_cn": pa.array(cn.astype(np.int32)), "_sn": pa.array(z32),
+             "_yr": pa.array(z32),
+             "_rev": pa.array(np.zeros(len(pok), np.int64)),
+             "_p": pa.array(partition_ids(pa.array(pok), P2))},
+            schema=tagged_schema,
+        )
+
+    tagged = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        .map_batches(cust_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+            .map_batches(order_rows, batch_format="pyarrow")
+        )
+        .sort("_p", boundaries=list(range(1, P1)))
+        .map_batches(tag_sweep, batch_format="pyarrow", batch_size=None)
+    )
+
+    # -- lineitem scan: year filter + broadcast supplier nation ------
+    def li_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tagged_schema.empty_table()
+        sm = ray.get(smap_ref)
+        sd = _ts_i64(t.column("l_shipdate"))
+        yr = (sd.astype("datetime64[us]").astype("datetime64[Y]")
+              .view(np.int64) + 1970).astype(np.int32)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sn = sm[np.clip(sk, 0, len(sm) - 1)]
+        keep = (yr >= y0) & (yr <= y1) & (sk < len(sm)) & (sn >= 0)
+        if not keep.any():
+            return tagged_schema.empty_table()
+        lk = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[keep]
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        rev = np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
+        return pa.table(
+            {"_k": pa.array(lk),
+             "_side": pa.array(np.ones(len(lk), np.int8)),
+             "_cn": pa.array(np.zeros(len(lk), np.int32)),
+             "_sn": pa.array(sn[keep].astype(np.int32)),
+             "_yr": pa.array(yr[keep]),
+             "_rev": pa.array(rev),
+             "_p": pa.array(partition_ids(pa.array(lk), P2))},
+            schema=tagged_schema,
+        )
+
+    items = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_rows, batch_format="pyarrow")
+
+    part_schema = pa.schema([("key", pa.int64()), ("rev", pa.int64())])
+
+    def join_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd2, "q7j", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        key = t.column("_k").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        is_li = side == 1
+        bk = key[~is_li]
+        if len(bk) == 0 or is_li.sum() == 0:
+            return part_schema.empty_table()
+        bcn = t.column("_cn").to_numpy(zero_copy_only=False)[~is_li]
+        bo = np.argsort(bk, kind="stable")
+        bk, bcn = bk[bo], bcn[bo]
+        pk = key[is_li]
+        pos = np.searchsorted(bk, pk)
+        hit = (pos < len(bk)) & (bk[np.clip(pos, 0, len(bk) - 1)] == pk)
+        if not hit.any():
+            return part_schema.empty_table()
+        cn = bcn[pos[hit]].astype(np.int64)
+        sn = t.column("_sn").to_numpy(zero_copy_only=False)[is_li][hit].astype(
+            np.int64
+        )
+        yr = t.column("_yr").to_numpy(zero_copy_only=False)[is_li][hit].astype(
+            np.int64
+        )
+        rev = t.column("_rev").to_numpy(zero_copy_only=False)[is_li][hit]
+        # combiner: per-block (sn, cn, yr) partial sums, packed key
+        packed = (sn * 100 + cn) * 10_000 + yr
+        order = np.argsort(packed, kind="stable")
+        packed, rev = packed[order], rev[order]
+        starts, _ = _segment_starts(packed)
+        return pa.table(
+            {"key": pa.array(packed[starts]),
+             "rev": pa.array(np.add.reduceat(rev, starts))},
+            schema=part_schema,
+        )
+
+    agg = (
+        tagged.union(items)
+        .sort("_p", boundaries=list(range(1, P2)))
+        .map_batches(join_sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("key")
+        .sum("rev")
+        .to_pandas()
+    )
+    agg.columns = ["key", "revenue_cents"]
+    packed = agg["key"].to_numpy(dtype=np.int64)
+    yr = packed % 10_000
+    cn = (packed // 10_000) % 100
+    sn = packed // 1_000_000
+    out = pa.table(
+        {"supp_nation": pa.array(names[sn].astype(str)),
+         "cust_nation": pa.array(names[cn].astype(str)),
+         "l_year": pa.array(yr.astype(np.int64)),
+         "revenue_cents": pa.array(
+             agg["revenue_cents"].to_numpy(dtype=np.int64))}
+    )
+    out = _finalize_guard(gd1, out)
+    out = _finalize_guard(gd2, out)
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("supp_nation", "ascending"),
+                        ("cust_nation", "ascending"),
+                        ("l_year", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: dormant wealthy customers (anti-join + global scalar)
+# ---------------------------------------------------------------------------
+def customer_dormant_cohorts(
+    sf_dir: str, cutoff: str = "1998-06-01"
+) -> pa.Table:
+    """Dormant-capital report (the TPC-H Q22 shape): customers whose
+    account balance is above the GLOBAL average yet placed no order
+    on/after ``cutoff``, grouped by market segment.  Returns
+    ``(c_mktsegment, n_cust, sum_acctbal_cents)`` ordered by segment.
+
+    Distributed shape -- scalar subquery + anti-join, both
+    scale-safe:
+
+    * the global average is never materialized as a float: pass 1
+      folds per-block ``(sum_cents, n)`` partials to ONE driver
+      scalar pair, and the filter compares ``bal_cents * N >
+      SUM_cents`` in exact integer cross-multiplication (the
+      average itself is a rational we never round).
+    * the anti-join is ONE custkey exchange: filtered customer rows
+      meet per-block-distinct recent-order keys; a segment sweep
+      keeps customers whose key segment has no order row, then
+      per-block segment partials feed a tiny final groupby.
+    """
+    cutoff_us = np.datetime64(cutoff, "us").astype(np.int64)
+    n_cust, _ = _table_meta(sf_dir, "customer")
+    n_or, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_cust + n_or)
+    gd = _new_guard_dir("q22")
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    # -- pass 1: global (sum_cents, n) scalar -------------------------
+    def bal_partial(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("c_acctbal").to_numpy(zero_copy_only=False))
+        return pa.table({"s": pa.array([int(c.sum())], pa.int64()),
+                         "n": pa.array([len(c)], pa.int64())})
+
+    tot = cust.map_batches(bal_partial, batch_format="pyarrow") \
+        .to_pandas().sum()
+    sum_cents, n_all = int(tot["s"]), int(tot["n"])
+
+    # -- pass 2: anti-join exchange -----------------------------------
+    e = pa.schema(
+        [("_key", pa.int64()), ("_side", pa.int8()), ("_seg", pa.string()),
+         ("_bal", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        bal = _cents(t.column("c_acctbal").to_numpy(zero_copy_only=False))
+        keep = bal * n_all > sum_cents  # exact: bal > SUM/N
+        if not keep.any():
+            return e.empty_table()
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[keep]
+        seg = t.column("c_mktsegment").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {"_key": pa.array(ck),
+             "_side": pa.array(np.zeros(len(ck), np.int8)),
+             "_seg": pa.array(seg, pa.string()),
+             "_bal": pa.array(bal[keep]),
+             "_p": pa.array(partition_ids(pa.array(ck), P))},
+            schema=e,
+        )
+
+    def recent_order_keys(t: pa.Table) -> pa.Table:
+        od = _ts_i64(t.column("o_orderdate"))
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[od >= cutoff_us]
+        if len(ck) == 0:
+            return e.empty_table()
+        ck = np.unique(ck)
+        return pa.table(
+            {"_key": pa.array(ck),
+             "_side": pa.array(np.ones(len(ck), np.int8)),
+             "_seg": pa.array([""] * len(ck), pa.string()),
+             "_bal": pa.array(np.zeros(len(ck), np.int64)),
+             "_p": pa.array(partition_ids(pa.array(ck), P))},
+            schema=e,
+        )
+
+    part_schema = pa.schema(
+        [("c_mktsegment", pa.string()), ("n_cust", pa.int64()),
+         ("sum_acctbal_cents", pa.int64())]
+    )
+
+    def anti_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "q22", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        key = t.column("_key").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, side = key[order], side[order]
+        starts, _ = _segment_starts(key)
+        has_recent = np.add.reduceat(side.astype(np.int64), starts) > 0
+        # map each row to its segment ordinal, keep customer rows in
+        # segments with no recent order
+        seg_id = np.cumsum(
+            np.concatenate([[0], (key[1:] != key[:-1]).astype(np.int64)])
+        )
+        keep_row = (~has_recent[seg_id]) & (side == 0)
+        if not keep_row.any():
+            return part_schema.empty_table()
+        idx = order[keep_row]
+        seg = t.column("_seg").to_numpy(zero_copy_only=False)[idx]
+        bal = t.column("_bal").to_numpy(zero_copy_only=False)[idx]
+        so = np.argsort(seg, kind="stable")
+        seg, bal = seg[so], bal[so]
+        sstarts = np.flatnonzero(
+            np.concatenate([[True], seg[1:] != seg[:-1]])
+        )
+        cnt = np.diff(np.append(sstarts, len(seg)))
+        return pa.table(
+            {"c_mktsegment": pa.array(seg[sstarts], pa.string()),
+             "n_cust": pa.array(cnt.astype(np.int64)),
+             "sum_acctbal_cents": pa.array(np.add.reduceat(bal, sstarts))},
+            schema=part_schema,
+        )
+
+    agg = (
+        cust.map_batches(cust_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+            .map_batches(recent_order_keys, batch_format="pyarrow")
+        )
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(anti_sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("c_mktsegment")
+        .sum(["n_cust", "sum_acctbal_cents"])
+        .to_pandas()
+    )
+    agg.columns = ["c_mktsegment", "n_cust", "sum_acctbal_cents"]
+    agg = agg.sort_values("c_mktsegment", ignore_index=True)
+    out = pa.table(
+        {"c_mktsegment": pa.array(agg["c_mktsegment"], pa.string()),
+         "n_cust": pa.array(agg["n_cust"].to_numpy(dtype=np.int64)),
+         "sum_acctbal_cents": pa.array(
+             agg["sum_acctbal_cents"].to_numpy(dtype=np.int64))}
+    )
+    return _finalize_guard(gd, out)

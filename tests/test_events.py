@@ -1995,3 +1995,42 @@ def test_customer_decile_lift_exact(ray_session, tmp_path):
     assert [r["n_cust"] for r in out] == [1] * 5
     assert [r["n_resp"] for r in out] == [0, 1, 0, 0, 1]
     assert out[1]["resp_rate_e6"] == 1_000_000
+
+
+def test_customer_large_orders_q18_semantics(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {"c_custkey": pa.array([1, 2], pa.int64()),
+             "c_name": pa.array(["alice", "bob"], pa.string()),
+             "c_nationkey": pa.array([0, 0], pa.int32()),
+             "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+             "c_mktsegment": pa.array(["BUILDING"] * 2, pa.string())}
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([10, 11, 12], pa.int64()),
+             # order 12's custkey has no customer row -> inner-join drop
+             "o_custkey": pa.array([1, 2, 99], pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+             "o_totalprice": pa.array([5.0, 9.0, 9.0], pa.float64()),
+             "o_orderdate": pa.array([_ts(0)] * 3, pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 3, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"l_orderkey": pa.array([10, 10, 11, 12], pa.int64()),
+             # order 10 totals 7.5 qty = 750 cents > 700; order 11
+             # lands exactly ON the threshold -> excluded (strict >)
+             "l_quantity": pa.array([5.0, 2.5, 7.0, 8.0], pa.float64())}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = ev.customer_large_orders(
+        str(tmp_path), threshold_qty_cents=700
+    ).to_pylist()
+    assert [(r["c_name"], r["o_orderkey"], r["totalprice_cents"],
+             r["sum_qty_cents"]) for r in out] == [("alice", 10, 500, 750)]
