@@ -1106,6 +1106,29 @@ GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
 
+# TPC-H Q22 shape: above-global-average balance (exact integer
+# cross-multiply, no float average) + anti-join on recent orders.
+_Q22_SQL = """
+WITH tot AS (
+  SELECT sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM customer
+)
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS n_cust,
+       CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS sum_acctbal_cents
+FROM customer c, tot
+WHERE CAST(floor(c.c_acctbal * 100) AS BIGINT) * tot.n > tot.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1998-06-01'
+  )
+GROUP BY 1
+ORDER BY 1
+"""
+
 # Decile lift: exact NTILE(10) by (shifted acctbal cents, custkey),
 # responder = EXISTS order, exact integer response rates.
 _DECILE_LIFT_SQL = """
@@ -2900,6 +2923,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q7 shape: two chained fact exchanges (custkey then
         # orderkey), broadcast supplier/nation dims, combiner partials
         "nation_pair_trade": ev.nation_pair_trade,
+        # TPC-H Q22 shape: exact-rational global-average scalar +
+        # anti-join exchange (NOT EXISTS) + segment rollup
+        "customer_dormant_cohorts": ev.customer_dormant_cohorts,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3088,6 +3114,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_decile_lift": _DECILE_LIFT_SQL,
         "customer_large_orders": _Q18_SQL,
         "nation_pair_trade": _Q7_SQL,
+        "customer_dormant_cohorts": _Q22_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

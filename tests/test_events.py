@@ -2034,3 +2034,101 @@ def test_customer_large_orders_q18_semantics(ray_session, tmp_path):
     ).to_pylist()
     assert [(r["c_name"], r["o_orderkey"], r["totalprice_cents"],
              r["sum_qty_cents"]) for r in out] == [("alice", 10, 500, 750)]
+
+
+def test_nation_pair_trade_q7_semantics(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {"n_nationkey": pa.array([0, 1], pa.int32()),
+             "n_name": pa.array(["ALGERIA", "BRAZIL"], pa.string()),
+             "n_regionkey": pa.array([0, 0], pa.int32())}
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"s_suppkey": pa.array([7], pa.int64()),
+             "s_name": pa.array(["s7"], pa.string()),
+             "s_nationkey": pa.array([1], pa.int32()),
+             "s_acctbal": pa.array([0.0], pa.float64())}
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"c_custkey": pa.array([1], pa.int64()),
+             "c_name": pa.array(["a"], pa.string()),
+             "c_nationkey": pa.array([0], pa.int32()),
+             "c_acctbal": pa.array([0.0], pa.float64()),
+             "c_mktsegment": pa.array(["BUILDING"], pa.string())}
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([10, 11], pa.int64()),
+             # order 11's custkey has no customer row -> dropped
+             "o_custkey": pa.array([1, 99], pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 2, pa.string()),
+             "o_totalprice": pa.array([1.0] * 2, pa.float64()),
+             "o_orderdate": pa.array([_ts(0)] * 2, pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 2, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    d95 = dt.datetime(1995, 3, 1)
+    d96 = dt.datetime(1996, 7, 1)
+    d97 = dt.datetime(1997, 1, 1)  # outside [1995, 1996] -> dropped
+    pq.write_table(
+        pa.table(
+            {"l_orderkey": pa.array([10, 10, 10, 11], pa.int64()),
+             # third item: unknown suppkey -> inner-join drop
+             "l_suppkey": pa.array([7, 7, 5, 7], pa.int64()),
+             "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0],
+                                         pa.float64()),
+             "l_discount": pa.array([0.1, 0.0, 0.0, 0.0], pa.float64()),
+             "l_shipdate": pa.array([d95, d96, d95, d95],
+                                    pa.timestamp("us"))}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = ev.nation_pair_trade(str(tmp_path)).to_pylist()
+    assert out == [
+        {"supp_nation": "BRAZIL", "cust_nation": "ALGERIA",
+         "l_year": 1995, "revenue_cents": 900},
+        {"supp_nation": "BRAZIL", "cust_nation": "ALGERIA",
+         "l_year": 1996, "revenue_cents": 2000},
+    ]
+
+
+def test_customer_dormant_cohorts_q22_semantics(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {"c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+             "c_name": pa.array(["a", "b", "c", "d"], pa.string()),
+             "c_nationkey": pa.array([0] * 4, pa.int32()),
+             # avg = 25.00: strictly-above keeps 30 and 40 only
+             "c_acctbal": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+             "c_mktsegment": pa.array(["AUTO", "AUTO", "AUTO", "BUILD"],
+                                      pa.string())}
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    cutoff = dt.datetime(1998, 6, 1)
+    old = dt.datetime(1997, 1, 1)
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([10, 11], pa.int64()),
+             # cust 3: only an OLD order -> still dormant;
+             # cust 4: an order ON the cutoff day -> active
+             "o_custkey": pa.array([3, 4], pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 2, pa.string()),
+             "o_totalprice": pa.array([1.0] * 2, pa.float64()),
+             "o_orderdate": pa.array([old, cutoff], pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 2, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = ev.customer_dormant_cohorts(str(tmp_path)).to_pylist()
+    assert out == [{"c_mktsegment": "AUTO", "n_cust": 1,
+                    "sum_acctbal_cents": 3000}]
