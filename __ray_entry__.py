@@ -1129,6 +1129,55 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# CUSUM change-point: integer deviation D_t = T*cumsum - t*N over the
+# dense hourly grid; argmax |D_t|, earliest hour on ties.
+_CUSUM_SQL = """
+WITH bounds AS (
+  SELECT min(epoch_us(ts) // 3600000000) AS h_lo,
+         max(epoch_us(ts) // 3600000000) AS h_hi
+  FROM events
+),
+counts AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, b.h_lo + u.i AS h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN bounds b
+  CROSS JOIN (
+    SELECT unnest(range(0, (SELECT h_hi - h_lo + 1 FROM bounds)))::BIGINT AS i
+  ) u
+),
+dense AS (
+  SELECT g.event_type, g.h, COALESCE(c.c, 0)::BIGINT AS x
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.h = g.h
+),
+cums AS (
+  SELECT event_type, h,
+         sum(x) OVER (PARTITION BY event_type ORDER BY h) AS cum,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         sum(x) OVER (PARTITION BY event_type) AS tot,
+         count(*) OVER (PARTITION BY event_type) AS span
+  FROM dense
+),
+d AS (
+  SELECT event_type, h,
+         abs(span * cum - rn * tot)::BIGINT AS dabs,
+         span, tot,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY abs(span * cum - rn * tot) DESC, h ASC) AS pick
+  FROM cums
+)
+SELECT event_type, h AS cp_hour, dabs AS d_abs_max,
+       span::BIGINT AS n_hours, tot::BIGINT AS total_events
+FROM d WHERE pick = 1
+ORDER BY event_type
+"""
+
 # Decile lift: exact NTILE(10) by (shifted acctbal cents, custkey),
 # responder = EXISTS order, exact integer response rates.
 _DECILE_LIFT_SQL = """
@@ -2926,6 +2975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q22 shape: exact-rational global-average scalar +
         # anti-join exchange (NOT EXISTS) + segment rollup
         "customer_dormant_cohorts": ev.customer_dormant_cohorts,
+        # exact integer CUSUM change-point over the dense hourly grid
+        "events_cusum_changepoint": ev.events_cusum_changepoint,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3115,6 +3166,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_large_orders": _Q18_SQL,
         "nation_pair_trade": _Q7_SQL,
         "customer_dormant_cohorts": _Q22_SQL,
+        "events_cusum_changepoint": _CUSUM_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -6873,3 +6873,86 @@ def customer_dormant_cohorts(
              agg["sum_acctbal_cents"].to_numpy(dtype=np.int64))}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point over the dense hourly count series
+# ---------------------------------------------------------------------------
+def events_cusum_changepoint(sf_dir: str) -> pa.Table:
+    """Exact CUSUM change-point per ``event_type`` over the DENSE
+    hourly count series (missing hours count 0, on the global
+    [min_hour, max_hour] grid shared with ``events_hourly_ar1``):
+    with ``T`` hours, series ``x_t`` and total ``N``, the integer
+    deviation ``D_t = T * cumsum_t - (t+1) * N`` is ``T *`` the
+    classic CUSUM residual -- scaling by ``T`` keeps every value an
+    exact integer (no float mean).  The change point is the hour
+    maximizing ``|D_t|`` (earliest hour wins ties).  Returns one row
+    per type: ``(event_type, cp_hour, d_abs_max, n_hours,
+    total_events)``.
+
+    Scale shape: identical to AR(1) -- ONE per-block lexsort+reduceat
+    partial over (type, hour) -> dim-bounded ``groupby.sum`` of
+    series CELLS -> O(series length) exact-integer driver math; raw
+    events never shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("n_obs", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        hr = _ts_i64(t.column("ts")) // 3_600_000_000
+        key = np.asarray([f"{e}\x00{h}" for e, h in zip(et, hr)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "hour": pa.array(hr[order][starts]),
+             "n_obs": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum("n_obs")
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "hour", "n_obs"]
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("cp_hour", pa.int64()),
+         ("d_abs_max", pa.int64()), ("n_hours", pa.int64()),
+         ("total_events", pa.int64())]
+    )
+    if len(merged) == 0:
+        return out_schema.empty_table()
+    h_lo = int(merged["hour"].min())
+    h_hi = int(merged["hour"].max())
+    span = h_hi - h_lo + 1
+    rows = []
+    for et, grp in merged.groupby("event_type", sort=True):
+        dense = [0] * span
+        for h, c in zip(grp["hour"].to_numpy(dtype=np.int64),
+                        grp["n_obs"].to_numpy(dtype=np.int64)):
+            dense[int(h) - h_lo] = int(c)
+        total = sum(dense)
+        cum = 0
+        best_abs, best_t = -1, 0
+        for t, x in enumerate(dense):
+            cum += x
+            d = abs(span * cum - (t + 1) * total)
+            if d > best_abs:
+                best_abs, best_t = d, t
+        rows.append((et, h_lo + best_t, best_abs, span, total))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "cp_hour": pa.array([r[1] for r in rows], pa.int64()),
+         "d_abs_max": pa.array([r[2] for r in rows], pa.int64()),
+         "n_hours": pa.array([r[3] for r in rows], pa.int64()),
+         "total_events": pa.array([r[4] for r in rows], pa.int64())},
+        schema=out_schema,
+    )

@@ -2132,3 +2132,38 @@ def test_customer_dormant_cohorts_q22_semantics(ray_session, tmp_path):
     out = ev.customer_dormant_cohorts(str(tmp_path)).to_pylist()
     assert out == [{"c_mktsegment": "AUTO", "n_cust": 1,
                     "sum_acctbal_cents": 3000}]
+
+
+def test_events_cusum_changepoint_semantics(ray_session, tmp_path):
+    h = 60.0
+    # type a: 5 quiet hours (1 event) then 3 loud hours (4 events);
+    # hour 6 is empty -> densified as 0.  T=9 hours (global grid).
+    rows = []
+    eid = 0
+    for hr in range(5):
+        eid += 1
+        rows.append((eid, 1, (hr + 0.5) * h, "a", 1.0))
+    for hr in (5, 7, 8):
+        for _ in range(4):
+            eid += 1
+            rows.append((eid, 1, (hr + 0.5) * h, "a", 1.0))
+    sf = make_events(tmp_path, rows)
+    out = ev.events_cusum_changepoint(sf).to_pylist()
+    assert len(out) == 1
+    r = out[0]
+    # dense series: [1,1,1,1,1,4,0,4,4], N=17, T=9
+    # D_t = 9*cum - (t+1)*17; |D| = [8,16,24,32,40,5,39,10,0] -> t=4
+    assert r["n_hours"] == 9 and r["total_events"] == 17
+    assert r["d_abs_max"] == 40
+    base_hour = r["cp_hour"] - 4
+    assert r["cp_hour"] == base_hour + 4
+    # tie-break: two equal maxima pick the earliest hour
+    rows2 = [(1, 1, 0.5 * h, "b", 1.0), (2, 1, 2.5 * h, "b", 1.0)]
+    (tmp_path / "t2").mkdir()
+    sf2 = make_events(tmp_path / "t2", rows2)
+    out2 = ev.events_cusum_changepoint(sf2).to_pylist()
+    # dense [1,0,1], N=2, T=3: D=[1,-1,0] -> |D| ties at t=0 and
+    # t=1; the earliest hour (t=0) wins
+    assert out2[0]["d_abs_max"] == 1 and out2[0]["n_hours"] == 3
+    h0 = int(_ts(0.5 * h).timestamp() * 1_000_000) // 3_600_000_000
+    assert out2[0]["cp_hour"] == h0
