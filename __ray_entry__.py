@@ -891,6 +891,40 @@ FROM scored WHERE rnk <= 5
 ORDER BY doc_id, rnk
 """
 
+# Exact-rational BM25 (k1=1.2, b=0.75; rational idf (N-df+1)/(df+1)):
+# every term contribution is floor(1e6 * int-ratio) in HUGEINT, so
+# Ray's arbitrary-precision scoring reproduces it bit-for-bit.
+_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::HUGEINT AS dl FROM toks GROUP BY 1),
+scal AS (
+  SELECT (SELECT count(*) FROM documents)::HUGEINT AS n,
+         (SELECT count(*) FROM toks)::HUGEINT AS l
+),
+q(term) AS (VALUES ('query'), ('join'), ('window')),
+tf AS (
+  SELECT t.doc_id, t.term, count(*)::HUGEINT AS tf
+  FROM toks t JOIN q USING (term) GROUP BY 1, 2
+),
+df AS (SELECT term, count(*)::HUGEINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         (1000000 * (s.n - df.df + 1) * tf.tf * 2200 * s.l)
+           // ((df.df + 1) * (1000 * s.l * tf.tf + 300 * s.l
+                              + 900 * dl.dl * s.n)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN scal s
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY 1)
+SELECT doc_id, CAST(score AS BIGINT) AS bm25_e6
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
 _STRATIFIED_SQL = """
 WITH RECURSIVE eb AS (
   SELECT event_id, event_type,
@@ -2913,6 +2947,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed TF-IDF: two-exchange (term-df attach, per-doc
         # top-k) with integer-exact 1/df idf ordering
         "tfidf_topk": d.tfidf_topk,
+        # exact-rational BM25 query scoring (combiner candidates +
+        # broadcast corpus scalars + P*k top-k merge)
+        "bm25_topdocs": d.bm25_topdocs,
         # benchmark decontamination: broadcast needle set, vectorized
         # match_substring sweeps, contaminated-docs-only output
         "contamination_check": d.contamination_check,
@@ -3137,6 +3174,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_events_join_full": _HASH_JOIN_FULL_SQL,
         "events_global_rank": _GLOBAL_RANK_SQL,
         "tfidf_topk": _TFIDF_SQL,
+        "bm25_topdocs": _BM25_SQL,
         "contamination_check": _CONTAMINATION_SQL,
         "label_centroids": _LABEL_CENTROIDS_SQL,
         "events_lag_delta": _LAG_DELTA_SQL,

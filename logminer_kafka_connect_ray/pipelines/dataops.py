@@ -4941,3 +4941,126 @@ def doc_kcore(sf_dir: str, k: int = 6, rounds: int = 5) -> pa.Table:
     return t.take(
         pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 query scoring (exact-rational variant)
+# ---------------------------------------------------------------------------
+def bm25_topdocs(
+    sf_dir: str, terms: tuple[str, ...] = ("query", "join", "window"),
+    k: int = 10, k1_x10: int = 12, b_x100: int = 75,
+) -> pa.Table:
+    """Top-``k`` documents for a fixed query under EXACT-rational
+    BM25: per query term, ``idf * tf*(k1+1) / (tf + k1*(1-b +
+    b*dl/avgdl))`` with the rational idf ``(N-df+1)/(df+1)`` (a
+    log idf is not correctly rounded across engines; the rational
+    form preserves BM25's rare-term boost exactly).  ``k1 = k1_x10 /
+    10`` and ``b = b_x100/100``; clearing denominators makes every
+    term contribution a ratio of integers, emitted as
+    ``floor(1e6 * contribution)`` and summed per doc -- bit-equal on
+    any engine.  Returns ``(doc_id, bm25_e6)``, score desc / doc_id
+    asc.
+
+    Distributed shape: ONE tokenize pass per block emits (a)
+    candidate rows ``(doc_id, dl, tf_0..tf_q)`` for docs matching any
+    term -- a combiner, candidates are df-bounded -- and (b) one
+    per-block scalar partial ``(n_docs, total_tokens, df_0..df_q)``.
+    The driver folds P partials into scalars (N, L, df) and
+    broadcasts them; a second map_batches over the CANDIDATES scores
+    with arbitrary-precision ints (exact at any corpus size where
+    int64 would overflow) and emits its local top-k; the driver
+    merges P*k rows.  Documents are tokenized once; raw docs never
+    shuffle."""
+    q = len(terms)
+    out_schema = pa.schema([("doc_id", pa.int64()), ("bm25_e6", pa.int64())])
+    cand_schema = pa.schema(
+        [("kind", pa.int8()), ("doc_id", pa.int64()), ("dl", pa.int64())]
+        + [(f"tf{j}", pa.int64()) for j in range(q)]
+    )
+    term_set = {t: j for j, t in enumerate(terms)}
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        n_docs = t.num_rows
+        total_tokens = 0
+        dfs = [0] * q
+        rows: list[tuple] = []
+        for did, s in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            toks = _WORD.findall((s or "").lower())
+            total_tokens += len(toks)
+            tf = [0] * q
+            hit = False
+            for w in toks:
+                j = term_set.get(w)
+                if j is not None:
+                    tf[j] += 1
+                    hit = True
+            if hit:
+                rows.append((did, len(toks), *tf))
+                for j in range(q):
+                    if tf[j]:
+                        dfs[j] += 1
+        cols: dict[str, list] = {
+            "kind": [0] * len(rows) + [1],
+            "doc_id": [r[0] for r in rows] + [n_docs],
+            "dl": [r[1] for r in rows] + [total_tokens],
+        }
+        for j in range(q):
+            cols[f"tf{j}"] = [r[2 + j] for r in rows] + [dfs[j]]
+        return pa.table(
+            {c: pa.array(v, cand_schema.field(c).type)
+             for c, v in cols.items()},
+            schema=cand_schema,
+        )
+
+    both = ds.map_batches(scan, batch_format="pyarrow").materialize()
+
+    # -- fold the per-block scalar partials on the driver -------------
+    import pyarrow.compute as _pc
+
+    scal = both.map_batches(
+        lambda t: t.filter(_pc.equal(t.column("kind"), 1)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    N = int(scal["doc_id"].sum())
+    L = int(scal["dl"].sum())
+    df = [int(scal[f"tf{j}"].sum()) for j in range(q)]
+    K1, B = int(k1_x10), int(b_x100)
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(_pc.equal(t.column("kind"), 0))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        dids = t.column("doc_id").to_pylist()
+        dls = t.column("dl").to_pylist()
+        tfs = [t.column(f"tf{j}").to_pylist() for j in range(q)]
+        scores = []
+        for i, (did, dl) in enumerate(zip(dids, dls)):
+            s = 0
+            for j in range(q):
+                tf = tfs[j][i]
+                if tf == 0 or df[j] == 0:
+                    continue
+                num = 10**6 * (N - df[j] + 1) * tf * (K1 + 10) * 100 * L
+                den = (df[j] + 1) * (
+                    1000 * L * tf + K1 * (100 - B) * L + K1 * B * dl * N
+                )
+                s += num // den
+            scores.append(s)
+        sc = np.array(scores, dtype=np.int64)
+        di = np.array(dids, dtype=np.int64)
+        top = np.lexsort((di, -sc))[:k]
+        return pa.table(
+            {"doc_id": pa.array(di[top]), "bm25_e6": pa.array(sc[top])},
+            schema=out_schema,
+        )
+
+    cand = both.map_batches(score, batch_format="pyarrow")
+    merged = pa.Table.from_pandas(cand.to_pandas(), preserve_index=False)
+    merged = merged.cast(out_schema)
+    sc = merged.column("bm25_e6").to_numpy()
+    di = merged.column("doc_id").to_numpy()
+    top = np.lexsort((di, -sc))[:k]
+    return merged.take(pa.array(top))

@@ -1139,3 +1139,30 @@ def test_doc_kcore_invariant(ray_session):
             deg[t] += 1
     assert all(v >= 6 for v in deg.values())
     assert all(v % 10 == 0 for v in ids[core == 1])
+
+
+def test_bm25_topdocs_exact_rational(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import bm25_topdocs
+
+    # corpus: N=3 docs, L=2+3+4=9 tokens; query = ("apple",)
+    sf = make_docs(
+        tmp_path,
+        [
+            "apple pie",            # dl=2, tf=1
+            "apple apple tart",     # dl=3, tf=2
+            "nothing here at all",  # dl=4, no hit
+        ],
+    )
+    out = bm25_topdocs(sf, terms=("apple",), k=5).to_pylist()
+
+    def expect(tf, dl, N=3, L=9, df=2, K1=12, B=75):
+        num = 10**6 * (N - df + 1) * tf * (K1 + 10) * 100 * L
+        den = (df + 1) * (1000 * L * tf + K1 * (100 - B) * L
+                          + K1 * B * dl * N)
+        return num // den
+
+    # doc 1 (tf=2, shorter-normalized) outranks doc 0; doc 2 absent
+    assert [(r["doc_id"], r["bm25_e6"]) for r in out] == [
+        (1, expect(2, 3)), (0, expect(1, 2))
+    ]
+    assert expect(2, 3) > expect(1, 2)
