@@ -1163,6 +1163,45 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Simpson/HHI concentration: exact rationals floor(1e6 * sum(c^2)/n^2)
+# and the reciprocal effective-user count, HUGEINT on the SQL side.
+_TYPE_HHI_SQL = """
+WITH cu AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, sum(c)::HUGEINT AS n, sum(c * c)::HUGEINT AS s2,
+         count(*)::BIGINT AS n_users
+  FROM cu GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events, n_users,
+       CAST(1000000 * s2 // (n * n) AS BIGINT) AS hhi_e6,
+       CAST(1000000 * n * n // s2 AS BIGINT) AS effective_users_e6
+FROM agg ORDER BY event_type
+"""
+
+# Type-pair audience Jaccard: exact |A∩B| / (|A|+|B|-|A∩B|).
+_TYPE_JACCARD_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tc AS (SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         count(*)::BIGINT AS n_common
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ta AS type_a, p.tb AS type_b, ca.n AS n_a, cb.n AS n_b,
+       p.n_common,
+       CAST(1000000 * p.n_common // (ca.n + cb.n - p.n_common)
+            AS BIGINT) AS jaccard_e6
+FROM pairs p
+JOIN tc ca ON ca.event_type = p.ta
+JOIN tc cb ON cb.event_type = p.tb
+ORDER BY 1, 2
+"""
+
 # CUSUM change-point: integer deviation D_t = T*cumsum - t*N over the
 # dense hourly grid; argmax |D_t|, earliest hour on ties.
 _CUSUM_SQL = """
@@ -3014,6 +3053,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_dormant_cohorts": ev.customer_dormant_cohorts,
         # exact integer CUSUM change-point over the dense hourly grid
         "events_cusum_changepoint": ev.events_cusum_changepoint,
+        # Simpson/HHI audience-concentration index per type
+        "events_type_hhi": ev.events_type_hhi,
+        # type-pair user-set Jaccard (set-similarity join)
+        "events_type_jaccard": ev.events_type_jaccard,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3205,6 +3248,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_pair_trade": _Q7_SQL,
         "customer_dormant_cohorts": _Q22_SQL,
         "events_cusum_changepoint": _CUSUM_SQL,
+        "events_type_hhi": _TYPE_HHI_SQL,
+        "events_type_jaccard": _TYPE_JACCARD_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -6956,3 +6956,210 @@ def events_cusum_changepoint(sf_dir: str) -> pa.Table:
          "total_events": pa.array([r[4] for r in rows], pa.int64())},
         schema=out_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson/HHI concentration of events across users, per type
+# ---------------------------------------------------------------------------
+def events_type_hhi(sf_dir: str) -> pa.Table:
+    """Herfindahl-Hirschman concentration index per ``event_type``:
+    how concentrated a type's traffic is across users.  With per-user
+    counts ``c_u`` and ``n = sum(c_u)``, ``HHI = sum(c_u^2) / n^2``
+    (the Simpson index) and the effective user count is its
+    reciprocal -- both exact rationals, emitted as ``floor(1e6 * x)``
+    computed in arbitrary-precision ints.  Returns ``(event_type,
+    n_events, n_users, hhi_e6, effective_users_e6)`` ordered by type.
+
+    Scale shape: per-block lexsort+reduceat partials over
+    (type, user) -> pair-level ``groupby.sum`` (bounded by DISTINCT
+    pairs, not rows) -> per-block (type, n, sum_c2, n_users) partials
+    -> type-level ``groupby.sum`` -> O(types) driver math.  sum(c^2)
+    is additive ONLY over complete per-user counts, hence the
+    pair-level fold before squaring."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    pair_schema = pa.schema(
+        [("event_type", pa.string()), ("user_id", pa.int64()),
+         ("c", pa.int64())]
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.asarray([f"{e}\x00{uu}" for e, uu in zip(et, u)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "user_id": pa.array(u[order][starts]),
+             "c": pa.array(counts.astype(np.int64))},
+            schema=pair_schema,
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .sum("c")
+    )
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("n", pa.int64()),
+         ("s2", pa.int64()), ("n_users", pa.int64())]
+    )
+
+    def type_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        c = t.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+        order, starts, counts = _group_segments(et)
+        cs = c[order]
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "n": pa.array(np.add.reduceat(cs, starts)),
+             "s2": pa.array(np.add.reduceat(cs * cs, starts)),
+             "n_users": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    agg = (
+        pairs.map_batches(type_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n", "s2", "n_users"])
+        .to_pandas()
+    )
+    agg.columns = ["event_type", "n", "s2", "n_users"]
+    agg = agg.sort_values("event_type", ignore_index=True)
+    hhi, eff = [], []
+    for n, s2 in zip(agg["n"], agg["s2"]):
+        n, s2 = int(n), int(s2)
+        hhi.append(10**6 * s2 // (n * n) if n else 0)
+        eff.append(10**6 * n * n // s2 if s2 else 0)
+    return pa.table(
+        {"event_type": pa.array(agg["event_type"], pa.string()),
+         "n_events": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+         "n_users": pa.array(agg["n_users"].to_numpy(dtype=np.int64)),
+         "hhi_e6": pa.array(hhi, pa.int64()),
+         "effective_users_e6": pa.array(eff, pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Type-pair audience overlap: user-set Jaccard similarity join
+# ---------------------------------------------------------------------------
+def events_type_jaccard(sf_dir: str) -> pa.Table:
+    """Audience-overlap matrix: for every pair of event types, the
+    EXACT Jaccard similarity of their user sets -- ``|A ∩ B| /
+    (|A| + |B| - |A ∩ B|)`` as ``floor(1e6 * j)`` -- the set-
+    similarity join over categorical audiences (which behaviors
+    share users?).  Returns ``(type_a, type_b, n_a, n_b, n_common,
+    jaccard_e6)``, ``type_a < type_b``, ordered by the pair.
+
+    Scale shape: per-block distinct (user, type) combiner -> ONE
+    user_id hash exchange; each block's segment sweep emits the
+    ``m*(m-1)/2`` type pairs per user (m = that user's distinct
+    types, dimension-bounded) as count-1 rows pre-folded per block;
+    a pair-level ``groupby.sum`` yields intersections and a tiny
+    type-level count yields set sizes; the driver does O(types^2)
+    exact math.  Raw events never pair up; only per-user TYPE SETS
+    do."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("tjac")
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    ut_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()),
+         ("_p", pa.int64())]
+    )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return ut_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.asarray([f"{uu}\x00{e}" for uu, e in zip(u, et)],
+                         dtype=object)
+        order, starts, _ = _group_segments(key)
+        uu = u[order][starts]
+        return pa.table(
+            {"user_id": pa.array(uu),
+             "event_type": pa.array(list(et[order][starts]), pa.string()),
+             "_p": pa.array(partition_ids(pa.array(uu), P))},
+            schema=ut_schema,
+        )
+
+    pp_schema = pa.schema(
+        [("type_a", pa.string()), ("type_b", pa.string()),
+         ("n_common", pa.int64())]
+    )
+
+    def pair_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pp_schema.empty_table()
+        _guard_record(
+            gd, "tjac", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((et, u))
+        u, et = u[order], et[order]
+        # the per-block combiner distinct-ifies only within its
+        # block: the same (user, type) can arrive from two source
+        # blocks -- dedupe after the exchange co-locates the user
+        keep = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (et[1:] != et[:-1])]
+        )
+        u, et = u[keep], et[keep]
+        starts, lens = _segment_starts(u)
+        # size partials ride the same output with a '' sentinel in
+        # type_b ('' is no real type: the tokenless empty string)
+        pa_ = list(et)
+        pb_ = [""] * len(et)
+        for s, m in zip(starts, lens):
+            if m < 2:
+                continue
+            seg = et[s:s + m]  # sorted within the user by the lexsort
+            for i in range(m - 1):
+                for jj in range(i + 1, m):
+                    pa_.append(seg[i])
+                    pb_.append(seg[jj])
+        key = np.asarray([f"{a}\x00{b}" for a, b in zip(pa_, pb_)],
+                         dtype=object)
+        order2, starts2, counts2 = _group_segments(key)
+        a_arr = np.asarray(pa_, dtype=object)
+        b_arr = np.asarray(pb_, dtype=object)
+        return pa.table(
+            {"type_a": pa.array(list(a_arr[order2][starts2]), pa.string()),
+             "type_b": pa.array(list(b_arr[order2][starts2]), pa.string()),
+             "n_common": pa.array(counts2.astype(np.int64))},
+            schema=pp_schema,
+        )
+
+    folded = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(pair_sweep, batch_format="pyarrow", batch_size=None)
+        .groupby(["type_a", "type_b"])
+        .sum("n_common")
+        .to_pandas()
+    )
+    folded.columns = ["type_a", "type_b", "n_common"]
+    sizes = folded[folded["type_b"] == ""]
+    size_map = dict(zip(sizes["type_a"], sizes["n_common"].astype(int)))
+    inter = folded[folded["type_b"] != ""]
+
+    inter = inter.sort_values(["type_a", "type_b"], ignore_index=True)
+    na = np.array([size_map[a] for a in inter["type_a"]], np.int64)
+    nb = np.array([size_map[b] for b in inter["type_b"]], np.int64)
+    nc = inter["n_common"].to_numpy(dtype=np.int64)
+    jac = (10**6 * nc) // (na + nb - nc)
+    out = pa.table(
+        {"type_a": pa.array(inter["type_a"], pa.string()),
+         "type_b": pa.array(inter["type_b"], pa.string()),
+         "n_a": pa.array(na), "n_b": pa.array(nb),
+         "n_common": pa.array(nc), "jaccard_e6": pa.array(jac)}
+    )
+    return _finalize_guard(gd, out)

@@ -2167,3 +2167,40 @@ def test_events_cusum_changepoint_semantics(ray_session, tmp_path):
     assert out2[0]["d_abs_max"] == 1 and out2[0]["n_hours"] == 3
     h0 = int(_ts(0.5 * h).timestamp() * 1_000_000) // 3_600_000_000
     assert out2[0]["cp_hour"] == h0
+
+
+def test_events_type_hhi_exact(ray_session, tmp_path):
+    rows = [
+        (1, 1, 0.0, "a", 0.0), (2, 1, 1.0, "a", 0.0),
+        (3, 1, 2.0, "a", 0.0), (4, 2, 3.0, "a", 0.0),
+        (5, 9, 0.0, "b", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["event_type"]: r for r in ev.events_type_hhi(sf).to_pylist()}
+    # type a: c = [3, 1], n=4, s2=10 -> hhi = 10/16, eff = 16/10
+    assert out["a"]["n_events"] == 4 and out["a"]["n_users"] == 2
+    assert out["a"]["hhi_e6"] == 625000
+    assert out["a"]["effective_users_e6"] == 1600000
+    # singleton type: hhi = 1.0 exactly
+    assert out["b"]["hhi_e6"] == 1000000
+
+
+def test_events_type_jaccard_exact(ray_session, tmp_path):
+    rows = [
+        # u1: {a, b} (with a duplicated event -> set semantics)
+        (1, 1, 0.0, "a", 0.0), (2, 1, 1.0, "a", 0.0), (3, 1, 2.0, "b", 0.0),
+        # u2: {a}
+        (4, 2, 0.0, "a", 0.0),
+        # u3: {a, b, c}
+        (5, 3, 0.0, "a", 0.0), (6, 3, 1.0, "b", 0.0), (7, 3, 2.0, "c", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {(r["type_a"], r["type_b"]): r
+           for r in ev.events_type_jaccard(sf).to_pylist()}
+    # A={1,2,3}, B={1,3}, C={3}
+    assert out[("a", "b")]["n_common"] == 2
+    assert out[("a", "b")]["jaccard_e6"] == 2 * 10**6 // 3
+    assert out[("a", "c")]["jaccard_e6"] == 10**6 // 3
+    assert out[("b", "c")]["jaccard_e6"] == 500000
+    assert out[("a", "b")]["n_a"] == 3 and out[("a", "b")]["n_b"] == 2
+    assert len(out) == 3
