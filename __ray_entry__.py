@@ -1105,6 +1105,66 @@ SELECT doc_id, act AS in_core FROM a{rounds} ORDER BY doc_id"""
 
 _KCORE_SQL = _build_kcore_sql()
 
+
+def _build_hits_sql(iters: int = 2) -> str:
+    """HITS mirror of dataops.doc_hits: sum-normalized integer
+    fixed-point at scale 1e12; HUGEINT keeps x*1e12 exact (the Ray
+    side uses the q*1e6 + (r*1e6)//s int64-safe split, proven equal
+    to floor(x*1e12/s))."""
+    S = 10**12
+    parts = [f"""
+WITH n AS (SELECT count(*)::BIGINT AS nn FROM documents),
+docs AS (SELECT doc_id FROM documents),
+e AS (
+  SELECT doc_id AS src, ((7 * doc_id + 1) % nn)::BIGINT AS dst
+  FROM docs CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, ((13 * doc_id + 5) % nn)::BIGINT FROM docs CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, ((31 * doc_id + 11) % nn)::BIGINT FROM docs CROSS JOIN n
+),
+h0 AS (SELECT doc_id, ({S} // nn)::HUGEINT AS r FROM docs CROSS JOIN n)"""]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i}raw AS (
+  SELECT d.doc_id, COALESCE(s.s, 0)::HUGEINT AS r
+  FROM docs d LEFT JOIN (
+    SELECT e.dst AS doc_id, sum({prev_h}.r)::HUGEINT AS s
+    FROM e JOIN {prev_h} ON {prev_h}.doc_id = e.src GROUP BY e.dst
+  ) s ON s.doc_id = d.doc_id
+),
+a{i} AS (
+  SELECT doc_id,
+         (r * {S} // (SELECT sum(r) FROM a{i}raw))::HUGEINT AS r
+  FROM a{i}raw
+),
+h{i}raw AS (
+  SELECT d.doc_id, COALESCE(s.s, 0)::HUGEINT AS r
+  FROM docs d LEFT JOIN (
+    SELECT e.src AS doc_id, sum(a{i}.r)::HUGEINT AS s
+    FROM e JOIN a{i} ON a{i}.doc_id = e.dst GROUP BY e.src
+  ) s ON s.doc_id = d.doc_id
+),
+h{i} AS (
+  SELECT doc_id,
+         (r * {S} // (SELECT sum(r) FROM h{i}raw))::HUGEINT AS r
+  FROM h{i}raw
+)""")
+        prev_h = f"h{i}"
+    parts.append(f"""
+SELECT d.doc_id, CAST(a{iters}.r AS BIGINT) AS auth,
+       CAST(h{iters}.r AS BIGINT) AS hub
+FROM docs d
+JOIN a{iters} ON a{iters}.doc_id = d.doc_id
+JOIN h{iters} ON h{iters}.doc_id = d.doc_id
+ORDER BY d.doc_id
+""")
+    return "".join(parts)
+
+
+_HITS_SQL = _build_hits_sql()
+
 # TPC-H Q18 shape: grouped-sum HAVING over lineitem quantity (exact
 # floor-cents), join back to orders + customer, top-k by value.
 _Q18_SQL = """
@@ -2989,6 +3049,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-rational BM25 query scoring (combiner candidates +
         # broadcast corpus scalars + P*k top-k merge)
         "bm25_topdocs": d.bm25_topdocs,
+        # HITS hubs/authorities: exact integer fixed-point, scatter/
+        # gather exchanges, only normalization scalars reach the driver
+        "doc_hits": d.doc_hits,
         # benchmark decontamination: broadcast needle set, vectorized
         # match_substring sweeps, contaminated-docs-only output
         "contamination_check": d.contamination_check,
@@ -3218,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         "events_global_rank": _GLOBAL_RANK_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "bm25_topdocs": _BM25_SQL,
+        "doc_hits": _HITS_SQL,
         "contamination_check": _CONTAMINATION_SQL,
         "label_centroids": _LABEL_CENTROIDS_SQL,
         "events_lag_delta": _LAG_DELTA_SQL,

@@ -5064,3 +5064,220 @@ def bm25_topdocs(
     di = merged.column("doc_id").to_numpy()
     top = np.lexsort((di, -sc))[:k]
     return merged.take(pa.array(top))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (exact integer fixed-point)
+# ---------------------------------------------------------------------------
+def doc_hits(sf_dir: str, iters: int = 2) -> pa.Table:
+    """HITS hubs-and-authorities over the same deterministic doc-link
+    graph as ``doc_pagerank`` (``d -> (7d+1, 13d+5, 31d+11) mod N``,
+    multi-edges kept), with EXACT integer scores the SQL oracle
+    reproduces bit-for-bit.  Each round: authority = gather-sum of
+    hub mass along in-edges, sum-normalize to scale 1e12; hub =
+    gather-sum of authority mass along out-edges, sum-normalize.
+    Sum-normalization (not L2) keeps everything rational; the
+    normalize ``floor(x * 1e12 / s)`` is computed int64-safely as
+    ``q*1e6 + (r*1e6)//s`` with ``q, r = divmod(x*1e6, s)`` -- exact
+    (``x*1e12`` itself would overflow int64; DuckDB uses HUGEINT).
+
+    Scale shape per round: (1) hub scatter along forward edges (3
+    share rows + a zero self-row per doc so sinks stay present), one
+    dst-hash exchange, segment-sum; a driver SCALAR (the sum) is the
+    only thing leaving the cluster; (2) hub gather needs in-edges,
+    which are not derivable from the target id, so edges join the
+    authority table in one v-hash exchange and the ``(u, a_v)`` rows
+    fold in one u-hash exchange.  Returns ``(doc_id, auth, hub)``."""
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    SCALE = _PR_SCALE
+    HALF = 10**6  # SCALE = HALF * HALF, the int64-safe split
+    P = _exchange_width(n_docs * 4)
+    s0 = SCALE // n_docs
+
+    score_schema = pa.schema([("doc_id", pa.int64()), ("r", pa.int64())])
+    share_schema = pa.schema(
+        [("dst", pa.int64()), ("share", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def _out_edges(d: np.ndarray) -> np.ndarray:
+        return np.concatenate(
+            [(7 * d + 1) % n_docs, (13 * d + 5) % n_docs,
+             (31 * d + 11) % n_docs]
+        )
+
+    def _normalized(ds_raw, s: int):
+        def norm(t: pa.Table) -> pa.Table:
+            x = t.column("r").to_numpy(zero_copy_only=False)
+            y = x * HALF
+            qq, rr = y // s, y % s
+            return pa.table(
+                {"doc_id": t.column("doc_id"),
+                 "r": pa.array(qq * HALF + (rr * HALF) // s)},
+                schema=score_schema,
+            )
+
+        return ds_raw.map_batches(norm, batch_format="pyarrow")
+
+    guards = []
+
+    def _gather(shares_ds, tag: str):
+        gd = _new_guard_dir(f"hits_{tag}")
+        guards.append(gd)
+
+        def gather(t: pa.Table, _gd=gd, _tag=tag) -> pa.Table:
+            if t.num_rows == 0:
+                return score_schema.empty_table()
+            _guard_record(
+                _gd, _tag, t.column("_p").to_numpy(zero_copy_only=False)
+            )
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            share = t.column("share").to_numpy(zero_copy_only=False)
+            order = np.argsort(dst, kind="stable")
+            dst, share = dst[order], share[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], dst[1:] != dst[:-1]])
+            )
+            return pa.table(
+                {"doc_id": pa.array(dst[starts]),
+                 "r": pa.array(np.add.reduceat(share, starts))},
+                schema=score_schema,
+            )
+
+        return (
+            shares_ds.sort("_p", boundaries=list(range(1, P)))
+            .map_batches(gather, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+
+    hub = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "r": pa.array(np.full(t.num_rows, s0, np.int64))},
+            schema=score_schema,
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    auth = None
+
+    for it in range(iters):
+        # -- authority: scatter hub mass along forward edges --------
+        def h_shares(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return share_schema.empty_table()
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            r = t.column("r").to_numpy(zero_copy_only=False)
+            dst = np.concatenate([_out_edges(d), d])
+            share = np.concatenate([r, r, r, np.zeros(len(d), np.int64)])
+            return pa.table(
+                {"dst": pa.array(dst), "share": pa.array(share),
+                 "_p": pa.array(partition_ids(pa.array(dst), P))},
+                schema=share_schema,
+            )
+
+        a_raw = _gather(hub.map_batches(h_shares, batch_format="pyarrow"),
+                        f"a{it}")
+        s_a = int(a_raw.sum("r"))
+        auth = _normalized(a_raw, s_a).materialize()
+
+        # -- hub: edges join the authority table on v, fold on u ----
+        # join rows: side 0 = authority score at v, side 1 = edge
+        # (v <- u); both exchange on v's hash
+        j_schema = pa.schema(
+            [("_v", pa.int64()), ("_side", pa.int8()), ("_u", pa.int64()),
+             ("_r", pa.int64()), ("_p", pa.int64())]
+        )
+
+        def a_rows(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return j_schema.empty_table()
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            r = t.column("r").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"_v": pa.array(d),
+                 "_side": pa.array(np.zeros(len(d), np.int8)),
+                 "_u": pa.array(np.zeros(len(d), np.int64)),
+                 "_r": pa.array(r),
+                 "_p": pa.array(partition_ids(pa.array(d), P))},
+                schema=j_schema,
+            )
+
+        def edge_rows(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return j_schema.empty_table()
+            d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            v = _out_edges(d)
+            u = np.concatenate([d, d, d])
+            # zero self-rows keep every u present in the hub fold
+            v = np.concatenate([v, d])
+            u = np.concatenate([u, d])
+            side = np.concatenate(
+                [np.ones(3 * len(d), np.int8), np.full(len(d), 2, np.int8)]
+            )
+            return pa.table(
+                {"_v": pa.array(v), "_side": pa.array(side),
+                 "_u": pa.array(u),
+                 "_r": pa.array(np.zeros(len(v), np.int64)),
+                 "_p": pa.array(partition_ids(pa.array(v), P))},
+                schema=j_schema,
+            )
+
+        gdj = _new_guard_dir(f"hits_j{it}")
+        guards.append(gdj)
+
+        def edge_join(t: pa.Table, _gd=gdj, _it=it) -> pa.Table:
+            if t.num_rows == 0:
+                return share_schema.empty_table()
+            _guard_record(
+                _gd, f"hj{_it}",
+                t.column("_p").to_numpy(zero_copy_only=False),
+            )
+            v = t.column("_v").to_numpy(zero_copy_only=False)
+            side = t.column("_side").to_numpy(zero_copy_only=False)
+            u = t.column("_u").to_numpy(zero_copy_only=False)
+            r = t.column("_r").to_numpy(zero_copy_only=False)
+            is_a = side == 0
+            bk, br = v[is_a], r[is_a]
+            bo = np.argsort(bk, kind="stable")
+            bk, br = bk[bo], br[bo]
+            is_e = side == 1
+            pk, pu = v[is_e], u[is_e]
+            pos = np.searchsorted(bk, pk)
+            hit = (pos < len(bk)) & (bk[np.clip(pos, 0, len(bk) - 1)] == pk)
+            dst = np.concatenate([pu[hit], u[side == 2]])
+            share = np.concatenate(
+                [br[pos[hit]], np.zeros(int((side == 2).sum()), np.int64)]
+            )
+            return pa.table(
+                {"dst": pa.array(dst), "share": pa.array(share),
+                 "_p": pa.array(partition_ids(pa.array(dst), P))},
+                schema=share_schema,
+            )
+
+        docs_ds = _read(sf_dir, "documents", columns=["doc_id"])
+        h_raw = _gather(
+            auth.map_batches(a_rows, batch_format="pyarrow")
+            .union(docs_ds.map_batches(edge_rows, batch_format="pyarrow"))
+            .sort("_p", boundaries=list(range(1, P)))
+            .map_batches(edge_join, batch_format="pyarrow",
+                         batch_size=None),
+            f"h{it}",
+        )
+        s_h = int(h_raw.sum("r"))
+        hub = _normalized(h_raw, s_h).materialize()
+
+    adf = auth.to_pandas().rename(columns={"r": "auth"})
+    hdf = hub.to_pandas().rename(columns={"r": "hub"})
+    m = adf.merge(hdf, on="doc_id").sort_values("doc_id",
+                                                ignore_index=True)
+    out = pa.table(
+        {"doc_id": pa.array(m["doc_id"].to_numpy(dtype=np.int64)),
+         "auth": pa.array(m["auth"].to_numpy(dtype=np.int64)),
+         "hub": pa.array(m["hub"].to_numpy(dtype=np.int64))}
+    )
+    for gd in guards:
+        out = _finalize_guard(gd, out)
+    return out

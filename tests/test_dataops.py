@@ -1166,3 +1166,30 @@ def test_bm25_topdocs_exact_rational(ray_session, tmp_path):
         (1, expect(2, 3)), (0, expect(1, 2))
     ]
     assert expect(2, 3) > expect(1, 2)
+
+
+def test_doc_hits_matches_bruteforce(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import doc_hits
+
+    n = 7
+    sf = make_docs(tmp_path, [f"doc {i}" for i in range(n)])
+    out = doc_hits(sf, iters=2).to_pylist()
+
+    S = 10**12
+    edges = [(u, v) for u in range(n)
+             for v in ((7 * u + 1) % n, (13 * u + 5) % n, (31 * u + 11) % n)]
+    h = [S // n] * n
+    a = [0] * n
+    for _ in range(2):
+        a_raw = [0] * n
+        for u, v in edges:
+            a_raw[v] += h[u]
+        s = sum(a_raw)
+        a = [x * S // s for x in a_raw]
+        h_raw = [0] * n
+        for u, v in edges:
+            h_raw[u] += a[v]
+        s = sum(h_raw)
+        h = [x * S // s for x in h_raw]
+    got = {r["doc_id"]: (r["auth"], r["hub"]) for r in out}
+    assert got == {i: (a[i], h[i]) for i in range(n)}
