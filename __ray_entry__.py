@@ -1165,6 +1165,56 @@ ORDER BY d.doc_id
 
 _HITS_SQL = _build_hits_sql()
 
+
+def _build_pca_sql(iters: int = 3, dim: int = 64) -> str:
+    """SQL mirror of dataops.embedding_pca_power: integer scatter
+    matrix in HUGEINT, power iteration with explicit sign/abs (DuckDB
+    ``//`` truncates negatives toward zero, Python floors -- sign/abs
+    makes both compute the same non-negative division)."""
+    S = 10**6
+    parts = [f"""
+WITH idx AS (SELECT unnest(range(0, {dim}))::BIGINT AS i),
+q AS (
+  SELECT e.vec_id, idx.i,
+         CAST(floor(list_extract(e.embedding, idx.i + 1)::DOUBLE * 1000)
+              AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN idx
+),
+s1 AS (SELECT i, sum(qv)::HUGEINT AS s FROM q GROUP BY i),
+s2 AS (
+  SELECT a.i AS i, b.i AS j, sum(a.qv * b.qv)::HUGEINT AS s
+  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
+),
+nn AS (SELECT count(*)::HUGEINT AS n FROM embeddings),
+c AS (
+  SELECT s2.i, s2.j,
+         (nn.n * s2.s - s1a.s * s1b.s)::HUGEINT AS c
+  FROM s2 CROSS JOIN nn
+  JOIN s1 s1a ON s1a.i = s2.i
+  JOIN s1 s1b ON s1b.i = s2.j
+),
+v0 AS (SELECT i, {S}::HUGEINT AS v FROM idx)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+w{t} AS (
+  SELECT c.i, sum(c.c * v{t-1}.v)::HUGEINT AS w
+  FROM c JOIN v{t-1} ON v{t-1}.i = c.j GROUP BY c.i
+),
+m{t} AS (SELECT max(abs(w)) AS m FROM w{t}),
+v{t} AS (
+  SELECT i,
+         (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+           * ((abs(w) * {S}) // m{t}.m) AS v
+  FROM w{t} CROSS JOIN m{t}
+)""")
+    parts.append(f"""
+SELECT i, CAST(v AS BIGINT) AS v FROM v{iters} ORDER BY i
+""")
+    return "".join(parts)
+
+
+_PCA_SQL = _build_pca_sql()
+
 # TPC-H Q18 shape: grouped-sum HAVING over lineitem quantity (exact
 # floor-cents), join back to orders + customer, top-k by value.
 _Q18_SQL = """
@@ -3052,6 +3102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HITS hubs/authorities: exact integer fixed-point, scatter/
         # gather exchanges, only normalization scalars reach the driver
         "doc_hits": d.doc_hits,
+        # exact-integer distributed PCA: packed moment partials +
+        # O(dim^2) driver power iteration
+        "embedding_pca_power": d.embedding_pca_power,
         # benchmark decontamination: broadcast needle set, vectorized
         # match_substring sweeps, contaminated-docs-only output
         "contamination_check": d.contamination_check,
@@ -3282,6 +3335,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _TFIDF_SQL,
         "bm25_topdocs": _BM25_SQL,
         "doc_hits": _HITS_SQL,
+        "embedding_pca_power": _PCA_SQL,
         "contamination_check": _CONTAMINATION_SQL,
         "label_centroids": _LABEL_CENTROIDS_SQL,
         "events_lag_delta": _LAG_DELTA_SQL,

@@ -5281,3 +5281,75 @@ def doc_hits(sf_dir: str, iters: int = 2) -> pa.Table:
     for gd in guards:
         out = _finalize_guard(gd, out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PCA dominant direction: exact integer power iteration
+# ---------------------------------------------------------------------------
+def embedding_pca_power(sf_dir: str, iters: int = 3) -> pa.Table:
+    """Dominant principal direction of the embedding cloud via EXACT
+    integer power iteration -- the distributed-PCA building block
+    (whitening, spectral outlier screens) with a bit-reproducible
+    answer.  Embeddings quantize to ``q = floor(1e3 * x)`` (float64
+    multiply then floor: identical on every engine); the centered
+    scatter matrix is the integer ``C = N * sum(q q^T) - (sum q)(sum
+    q)^T`` (N^2-scaled covariance, no float mean); ``iters`` rounds
+    of ``v <- C v`` renormalize to scale 1e6 by the max-|component|
+    with EXPLICIT sign/abs (``sign(w) * (|w| * 1e6 // max|w|)``) --
+    floor-vs-truncate division of negatives differs between Python
+    and SQL engines, sign/abs does not.  Returns ``(i, v)``, the
+    64-dim direction.
+
+    Scale shape: ONE map_batches pass emits per-block moment partials
+    (the 64 sums + the 64x64 Gram) as a single packed-bytes row --
+    an int64 numpy matmul per block, additive across blocks; the
+    driver folds P blobs and runs the O(dim^2) iteration in
+    arbitrary-precision ints.  Row data never shuffles; nothing
+    driver-side scales with N."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    dim_holder: list[int] = []
+
+    def moments(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"blob": pa.array([], pa.binary()),
+                             "n": pa.array([], pa.int64())})
+        lst = col.cast(pa.list_(pa.float64()))
+        dim = len(lst[0])
+        flat = np.asarray(lst.values.to_numpy(zero_copy_only=False))
+        q = np.floor(flat * 1000.0).astype(np.int64).reshape(-1, dim)
+        s1 = q.sum(axis=0)
+        s2 = q.T @ q  # int64 matmul: exact
+        blob = s1.tobytes() + s2.tobytes()
+        return pa.table({"blob": pa.array([blob], pa.binary()),
+                         "n": pa.array([q.shape[0]], pa.int64())})
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n_total = int(parts["n"].sum())
+    first = np.frombuffer(parts["blob"].iloc[0], np.int64)
+    # dim from blob layout: dim + dim^2 int64s
+    dim = int((np.sqrt(4 * len(first) + 1) - 1) / 2)
+    s1 = np.zeros(dim, object)
+    s2 = np.zeros((dim, dim), object)
+    for blob in parts["blob"]:
+        arr = np.frombuffer(blob, np.int64)
+        s1 += arr[:dim].astype(object)
+        s2 += arr[dim:].reshape(dim, dim).astype(object)
+
+    C = [[int(n_total) * int(s2[i][j]) - int(s1[i]) * int(s1[j])
+          for j in range(dim)] for i in range(dim)]
+    SC = 10**6
+    v = [SC] * dim
+    for _ in range(iters):
+        w = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [(1 if x >= 0 else -1) * (abs(x) * SC // m) for x in w]
+    return pa.table(
+        {"i": pa.array(range(dim), pa.int64()),
+         "v": pa.array(v, pa.int64())}
+    )

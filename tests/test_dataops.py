@@ -1193,3 +1193,37 @@ def test_doc_hits_matches_bruteforce(ray_session, tmp_path):
         h = [x * S // s for x in h_raw]
     got = {r["doc_id"]: (r["auth"], r["hub"]) for r in out}
     assert got == {i: (a[i], h[i]) for i in range(n)}
+
+
+def test_embedding_pca_power_dominant_axis(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        embedding_pca_power,
+    )
+
+    # variance concentrated on axis 1: the dominant direction must
+    # be (0, ±1, 0) after normalization to max-|component| = 1e6
+    rng = [[0.01, 0.9, 0.0], [0.02, -0.8, 0.01], [0.0, 0.7, -0.01],
+           [0.01, -0.9, 0.0]]
+    sf = make_embeddings(tmp_path, rng)
+    out = embedding_pca_power(sf, iters=4).to_pylist()
+    v = {r["i"]: r["v"] for r in out}
+    assert abs(v[1]) == 10**6
+    assert abs(v[0]) < 2 * 10**5 and abs(v[2]) < 2 * 10**5
+
+    # exact reference: same integer math in pure python
+    import numpy as _np
+    # the stored column is float32: quantize through the same
+    # float32 -> float64 path the engine reads
+    q = _np.floor(
+        _np.asarray(rng, dtype=_np.float32).astype(_np.float64) * 1000
+    ).astype(int)
+    n = len(rng)
+    s1 = q.sum(axis=0)
+    C = [[n * int((q[:, i] * q[:, j]).sum()) - int(s1[i]) * int(s1[j])
+          for j in range(3)] for i in range(3)]
+    vv = [10**6] * 3
+    for _ in range(4):
+        w = [sum(C[i][j] * vv[j] for j in range(3)) for i in range(3)]
+        m = max(abs(x) for x in w)
+        vv = [(1 if x >= 0 else -1) * (abs(x) * 10**6 // m) for x in w]
+    assert [v[i] for i in range(3)] == vv
