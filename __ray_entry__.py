@@ -1273,6 +1273,47 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# TPC-H Q11 shape: global-fraction HAVING via exact integer
+# cross-multiplication (rev * 10000 > bp * total), HUGEINT-safe.
+_Q11_SQL = """
+WITH nr AS (
+  SELECT s.s_nationkey AS nat,
+         sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT))::HUGEINT AS rev
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1
+),
+tot AS (SELECT sum(rev)::HUGEINT AS t FROM nr)
+SELECT n.n_name, CAST(nr.rev AS BIGINT) AS revenue_cents,
+       CAST(1000000 * nr.rev // tot.t AS BIGINT) AS share_e6
+FROM nr JOIN nation n ON n.n_nationkey = nr.nat CROSS JOIN tot
+WHERE nr.rev * 10000 > 400 * tot.t
+ORDER BY revenue_cents DESC, n.n_name
+"""
+
+# Repeat-purchase cadence: LAG window gaps in whole days
+# (microsecond floor-div, not calendar date_diff), per-segment rollup.
+_ORDER_GAPS_SQL = """
+WITH o AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS d,
+         lag(epoch_us(o_orderdate)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS pd
+  FROM orders
+),
+g AS (
+  SELECT c.c_mktsegment, (o.d - o.pd) // 86400000000 AS gap
+  FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.pd IS NOT NULL
+)
+SELECT c_mktsegment, count(*)::BIGINT AS n_gaps,
+       sum(gap)::BIGINT AS sum_gap_days,
+       max(gap)::BIGINT AS max_gap_days,
+       CAST(1000000 * sum(gap)::HUGEINT // count(*) AS BIGINT)
+         AS mean_gap_days_e6
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
 # Simpson/HHI concentration: exact rationals floor(1e6 * sum(c^2)/n^2)
 # and the reciprocal effective-user count, HUGEINT on the SQL side.
 _TYPE_HHI_SQL = """
@@ -3173,6 +3214,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_hhi": ev.events_type_hhi,
         # type-pair user-set Jaccard (set-similarity join)
         "events_type_jaccard": ev.events_type_jaccard,
+        # TPC-H Q11 shape: global-fraction HAVING, combiner partials
+        "nation_revenue_share": ev.nation_revenue_share,
+        # LAG-window order gaps -> per-segment cadence rollup
+        "customer_order_gaps": ev.customer_order_gaps,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3368,6 +3413,8 @@ def oracle_sql() -> dict[str, str]:
         "events_cusum_changepoint": _CUSUM_SQL,
         "events_type_hhi": _TYPE_HHI_SQL,
         "events_type_jaccard": _TYPE_JACCARD_SQL,
+        "nation_revenue_share": _Q11_SQL,
+        "customer_order_gaps": _ORDER_GAPS_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -7163,3 +7163,224 @@ def events_type_jaccard(sf_dir: str) -> pa.Table:
          "n_common": pa.array(nc), "jaccard_e6": pa.array(jac)}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: revenue share with a global-fraction HAVING
+# ---------------------------------------------------------------------------
+def nation_revenue_share(sf_dir: str, threshold_bp: int = 400) -> pa.Table:
+    """Revenue-concentration report (the TPC-H Q11 shape): supplier
+    nations whose lineitem revenue exceeds ``threshold_bp`` basis
+    points (1/10000) of GLOBAL revenue.  Returns ``(n_name,
+    revenue_cents, share_e6)`` -- share as exact ``floor(1e6 *
+    rev/total)`` -- ordered by revenue desc, name asc.
+
+    Distributed shape: the fact scan folds per-block (nation ->
+    revenue-cents) partials via the broadcast suppkey->nation map (a
+    combiner: one row per nation per block, never a row per
+    lineitem); a nation-level ``groupby.sum`` is dimension-sized, the
+    global total is its driver-side sum, and the HAVING compares
+    ``rev * 10000 > threshold_bp * total`` in exact integer
+    cross-multiplication -- the global-fraction predicate needs NO
+    second pass over the fact table."""
+    import ray
+
+    sp = _read(sf_dir, "supplier",
+               columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    smap = np.full(int(sp["s_suppkey"].max()) + 2 if len(sp) else 1, -1,
+                   np.int32)
+    smap[sp["s_suppkey"].to_numpy()] = sp["s_nationkey"].to_numpy()
+    smap_ref = ray.put(smap)
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    names = np.full(int(nat["n_nationkey"].max()) + 1, "", object)
+    names[nat["n_nationkey"].to_numpy()] = nat["n_name"].to_numpy()
+
+    part_schema = pa.schema([("nat", pa.int64()), ("rev", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        sm = ray.get(smap_ref)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sn = sm[np.clip(sk, 0, len(sm) - 1)].astype(np.int64)
+        keep = (sk < len(sm)) & (sn >= 0)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)[keep]
+        sn = sn[keep]
+        # exact integer fold (bincount's float weights would not be)
+        order = np.argsort(sn, kind="stable")
+        sn_s, rev_s = sn[order], rev[order]
+        starts, _ = _segment_starts(sn_s)
+        return pa.table(
+            {"nat": pa.array(sn_s[starts]),
+             "rev": pa.array(np.add.reduceat(rev_s, starts))},
+            schema=part_schema,
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("nat")
+        .sum("rev")
+        .to_pandas()
+    )
+    agg.columns = ["nat", "rev"]
+    total = int(agg["rev"].sum())
+    rev = agg["rev"].to_numpy(dtype=np.int64)
+    keep = rev.astype(object) * 10_000 > threshold_bp * total
+    agg = agg[keep]
+    rev = agg["rev"].to_numpy(dtype=np.int64)
+    share = np.array([10**6 * int(r) // total for r in rev], np.int64)
+    nm = names[agg["nat"].to_numpy(dtype=np.int64)].astype(str)
+    order = np.lexsort((nm, -rev))
+    return pa.table(
+        {"n_name": pa.array(nm[order]),
+         "revenue_cents": pa.array(rev[order]),
+         "share_e6": pa.array(share[order])}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase cadence: per-segment order-gap statistics
+# ---------------------------------------------------------------------------
+def customer_order_gaps(sf_dir: str) -> pa.Table:
+    """Repeat-purchase cadence per market segment: for every customer
+    with >= 2 orders, the gaps (days) between consecutive orders
+    (ordered by ``o_orderdate, o_orderkey``), aggregated per segment
+    as ``(c_mktsegment, n_gaps, sum_gap_days, max_gap_days,
+    mean_gap_days_e6)`` with the mean as exact ``floor(1e6 *
+    sum/n)``.  The LAG-window-then-rollup shape.
+
+    Distributed shape: ONE custkey hash exchange co-locates each
+    customer's orders with their customer row (segment tag); the
+    per-block sweep lexsorts, diffs consecutive order dates per
+    customer segment, and folds straight to per-segment partials --
+    gaps never leave the block; a tiny segment ``groupby`` finishes.
+    ``max`` folds via ``groupby.max``, the mean via summed
+    numerator/denominator (means are not additive, sums are)."""
+    from ray.data import aggregate as _ray_agg
+
+    n_cust, _ = _table_meta(sf_dir, "customer")
+    n_or, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_cust + n_or)
+    gd = _new_guard_dir("ogaps")
+    DAY_US = np.int64(86_400 * _US)
+
+    e = pa.schema(
+        [("_key", pa.int64()), ("_side", pa.int8()), ("_seg", pa.string()),
+         ("_date", pa.int64()), ("_ok", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return e.empty_table()
+        ck = t.column("c_custkey").cast(pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {"_key": ck, "_side": pa.array(np.zeros(n, np.int8)),
+             "_seg": t.column("c_mktsegment").cast(pa.string()),
+             "_date": pa.array(np.zeros(n, np.int64)),
+             "_ok": pa.array(np.zeros(n, np.int64)),
+             "_p": pa.array(partition_ids(ck, P))},
+            schema=e,
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return e.empty_table()
+        ck = t.column("o_custkey").cast(pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {"_key": ck, "_side": pa.array(np.ones(n, np.int8)),
+             "_seg": pa.array([""] * n, pa.string()),
+             "_date": pa.array(_ts_i64(t.column("o_orderdate"))),
+             "_ok": t.column("o_orderkey").cast(pa.int64()),
+             "_p": pa.array(partition_ids(ck, P))},
+            schema=e,
+        )
+
+    part_schema = pa.schema(
+        [("c_mktsegment", pa.string()), ("n_gaps", pa.int64()),
+         ("sum_gap_days", pa.int64()), ("max_gap_days", pa.int64())]
+    )
+
+    def gap_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "ogap", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        key = t.column("_key").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        dt_ = t.column("_date").to_numpy(zero_copy_only=False)
+        ok = t.column("_ok").to_numpy(zero_copy_only=False)
+        # customer row first, then orders by (date, orderkey)
+        order = np.lexsort((ok, dt_, side, key))
+        key, side, dt_ = key[order], side[order], dt_[order]
+        seg_all = t.column("_seg").to_numpy(zero_copy_only=False)[order]
+        starts, lens = _segment_starts(key)
+        has_cust = side[starts] == 0
+        seg_id = np.cumsum(
+            np.concatenate([[0], (key[1:] != key[:-1]).astype(np.int64)])
+        )
+        # consecutive-order diffs within a customer: rows 2.. of each
+        # segment where both rows are orders
+        same_seg = np.concatenate([[False], seg_id[1:] == seg_id[:-1]])
+        both_orders = np.concatenate(
+            [[False], (side[1:] == 1) & (side[:-1] == 1)]
+        )
+        is_gap = same_seg & both_orders & has_cust[seg_id]
+        if not is_gap.any():
+            return part_schema.empty_table()
+        gaps = (dt_[is_gap] - dt_[np.flatnonzero(is_gap) - 1]) // DAY_US
+        segs = seg_all[starts[seg_id[is_gap]]]
+        so = np.argsort(segs, kind="stable")
+        segs, gaps = segs[so], gaps[so]
+        sstarts = np.flatnonzero(
+            np.concatenate([[True], segs[1:] != segs[:-1]])
+        )
+        return pa.table(
+            {"c_mktsegment": pa.array(segs[sstarts], pa.string()),
+             "n_gaps": pa.array(
+                 np.diff(np.append(sstarts, len(segs))).astype(np.int64)),
+             "sum_gap_days": pa.array(np.add.reduceat(gaps, sstarts)),
+             "max_gap_days": pa.array(np.maximum.reduceat(gaps, sstarts))},
+            schema=part_schema,
+        )
+
+    folded = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(cust_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate", "o_orderkey"])
+            .map_batches(order_rows, batch_format="pyarrow")
+        )
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(gap_sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("c_mktsegment")
+        .aggregate(
+            _ray_agg.Sum("n_gaps"), _ray_agg.Sum("sum_gap_days"),
+            _ray_agg.Max("max_gap_days"),
+        )
+        .to_pandas()
+    )
+    folded.columns = ["c_mktsegment", "n_gaps", "sum_gap_days",
+                      "max_gap_days"]
+    folded = folded.sort_values("c_mktsegment", ignore_index=True)
+    mean = [10**6 * int(s) // int(n)
+            for s, n in zip(folded["sum_gap_days"], folded["n_gaps"])]
+    out = pa.table(
+        {"c_mktsegment": pa.array(folded["c_mktsegment"], pa.string()),
+         "n_gaps": pa.array(folded["n_gaps"].to_numpy(dtype=np.int64)),
+         "sum_gap_days": pa.array(
+             folded["sum_gap_days"].to_numpy(dtype=np.int64)),
+         "max_gap_days": pa.array(
+             folded["max_gap_days"].to_numpy(dtype=np.int64)),
+         "mean_gap_days_e6": pa.array(mean, pa.int64())}
+    )
+    return _finalize_guard(gd, out)

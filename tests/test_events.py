@@ -2204,3 +2204,69 @@ def test_events_type_jaccard_exact(ray_session, tmp_path):
     assert out[("b", "c")]["jaccard_e6"] == 500000
     assert out[("a", "b")]["n_a"] == 3 and out[("a", "b")]["n_b"] == 2
     assert len(out) == 3
+
+
+def test_nation_revenue_share_having(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {"n_nationkey": pa.array([0, 1], pa.int32()),
+             "n_name": pa.array(["A", "B"], pa.string()),
+             "n_regionkey": pa.array([0, 0], pa.int32())}
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"s_suppkey": pa.array([1, 2], pa.int64()),
+             "s_name": pa.array(["s1", "s2"], pa.string()),
+             "s_nationkey": pa.array([0, 1], pa.int32()),
+             "s_acctbal": pa.array([0.0, 0.0], pa.float64())}
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"l_orderkey": pa.array([1, 2, 3], pa.int64()),
+             # nation A: 96.00; nation B: 4.00 -> exactly 4% of 100,
+             # strict > drops it
+             "l_suppkey": pa.array([1, 1, 2], pa.int64()),
+             "l_extendedprice": pa.array([90.0, 6.0, 4.0], pa.float64()),
+             "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64())}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = ev.nation_revenue_share(str(tmp_path)).to_pylist()
+    assert out == [{"n_name": "A", "revenue_cents": 9600,
+                    "share_e6": 960000}]
+
+
+def test_customer_order_gaps_lag_semantics(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {"c_custkey": pa.array([1, 2], pa.int64()),
+             "c_name": pa.array(["a", "b"], pa.string()),
+             "c_nationkey": pa.array([0, 0], pa.int32()),
+             "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+             "c_mktsegment": pa.array(["AUTO", "AUTO"], pa.string())}
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    d = dt.datetime
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+             "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 4, pa.string()),
+             "o_totalprice": pa.array([1.0] * 4, pa.float64()),
+             # cust 1: gaps 3 and 7 days; cust 2: single order, none
+             "o_orderdate": pa.array(
+                 [d(2024, 1, 1), d(2024, 1, 4), d(2024, 1, 11),
+                  d(2024, 5, 1)], pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 4, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = ev.customer_order_gaps(str(tmp_path)).to_pylist()
+    assert out == [{"c_mktsegment": "AUTO", "n_gaps": 2,
+                    "sum_gap_days": 10, "max_gap_days": 7,
+                    "mean_gap_days_e6": 5_000_000}]
