@@ -1273,6 +1273,58 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Linear-interpolation gap fill on the dense hourly grid: sign-safe
+# truncating division (DuckDB // truncates negatives), edge copy.
+_RESAMPLE_LERP_SQL = """
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS hour,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+g AS (SELECT event_type, hour, sum(cents)::BIGINT AS x FROM b GROUP BY 1, 2),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM b),
+types AS (SELECT DISTINCT event_type FROM b),
+grid AS (
+  SELECT t.event_type, bo.lo + u.i AS hour
+  FROM types t CROSS JOIN bounds bo
+  CROSS JOIN (
+    SELECT unnest(range(0, (SELECT hi - lo + 1 FROM bounds)))::BIGINT AS i
+  ) u
+),
+dense AS (
+  SELECT grid.event_type, grid.hour, g.x
+  FROM grid LEFT JOIN g
+    ON g.event_type = grid.event_type AND g.hour = grid.hour
+),
+w AS (
+  SELECT event_type, hour, x,
+    last_value(x IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN x IS NOT NULL THEN hour END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    first_value(x IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN x IS NOT NULL THEN hour END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM dense
+)
+SELECT event_type, hour,
+  CAST(CASE WHEN x IS NOT NULL THEN x
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (CASE WHEN nv < pv THEN -1 ELSE 1 END)
+                   * ((abs(nv - pv) * (hour - ph)) // (nh - ph))
+       END AS BIGINT) AS value_cents,
+  CAST(CASE WHEN x IS NOT NULL THEN 0
+            WHEN pv IS NULL OR nv IS NULL THEN 2
+            ELSE 1 END AS BIGINT) AS fill_kind
+FROM w ORDER BY event_type, hour
+"""
+
 # TPC-H Q11 shape: global-fraction HAVING via exact integer
 # cross-multiplication (rev * 10000 > bp * total), HUGEINT-safe.
 _Q11_SQL = """
@@ -3218,6 +3270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_share": ev.nation_revenue_share,
         # LAG-window order gaps -> per-segment cadence rollup
         "customer_order_gaps": ev.customer_order_gaps,
+        # gap-fill resample, LINEAR interpolation (ffill's sibling)
+        "events_resample_lerp": ev.events_resample_lerp,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3415,6 +3469,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_jaccard": _TYPE_JACCARD_SQL,
         "nation_revenue_share": _Q11_SQL,
         "customer_order_gaps": _ORDER_GAPS_SQL,
+        "events_resample_lerp": _RESAMPLE_LERP_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

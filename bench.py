@@ -200,6 +200,17 @@ def run_bench() -> dict:
         ("events_type_gini", evops.events_type_gini),
         ("lineitem_melt", evops.lineitem_melt),
         ("events_value_histogram", evops.events_value_histogram),
+        ("customer_large_orders", evops.customer_large_orders),
+        ("nation_pair_trade", evops.nation_pair_trade),
+        ("customer_dormant_cohorts", evops.customer_dormant_cohorts),
+        ("events_cusum_changepoint", evops.events_cusum_changepoint),
+        ("bm25_topdocs", dops.bm25_topdocs),
+        ("events_type_hhi", evops.events_type_hhi),
+        ("events_type_jaccard", evops.events_type_jaccard),
+        ("doc_hits", dops.doc_hits),
+        ("embedding_pca_power", dops.embedding_pca_power),
+        ("nation_revenue_share", evops.nation_revenue_share),
+        ("customer_order_gaps", evops.customer_order_gaps),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -7384,3 +7384,105 @@ def customer_order_gaps(sf_dir: str) -> pa.Table:
          "mean_gap_days_e6": pa.array(mean, pa.int64())}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill resample with LINEAR interpolation
+# ---------------------------------------------------------------------------
+def events_resample_lerp(sf_dir: str) -> pa.Table:
+    """Densified hourly ``sum(value)``-cents series per ``event_type``
+    with LINEARLY INTERPOLATED gaps (``events_resample_ffill``'s
+    sibling: lerp, not last-observation-carried-forward).  Interior
+    missing hours take ``v0 + (v1-v0) * (h-h0) / (h1-h0)`` between
+    the nearest observed neighbors, computed sign-safely as ``v0 +
+    sign(d) * (|d| * (h-h0) // (h1-h0))`` (truncating division
+    matches DuckDB's ``//`` on negatives, Python's ``//`` does not);
+    hours before the first / after the last observation copy the
+    nearest edge.  Returns ``(event_type, hour, value_cents,
+    fill_kind)`` -- 0 observed, 1 interpolated, 2 edge-extended.
+
+    Scale shape: per-block (type, hour, cents) lexsort+reduceat
+    partials -> dim-bounded ``groupby.sum`` of series CELLS ->
+    O(series) vectorized driver fill; raw events never shuffle
+    (the ar1/cusum series contract)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("cents", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        hr = _ts_i64(t.column("ts")) // 3_600_000_000
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        key = np.asarray([f"{e}\x00{h}" for e, h in zip(et, hr)],
+                         dtype=object)
+        order, starts, _ = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "hour": pa.array(hr[order][starts]),
+             "cents": pa.array(np.add.reduceat(cents[order], starts))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum("cents")
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "hour", "cents"]
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("value_cents", pa.int64()), ("fill_kind", pa.int64())]
+    )
+    if len(merged) == 0:
+        return out_schema.empty_table()
+    h_lo = int(merged["hour"].min())
+    h_hi = int(merged["hour"].max())
+    span = h_hi - h_lo + 1
+    ets, hrs, vals, kinds = [], [], [], []
+    for et, grp in merged.groupby("event_type", sort=True):
+        obs_h = grp["hour"].to_numpy(dtype=np.int64) - h_lo
+        obs_v = grp["cents"].to_numpy(dtype=np.int64)
+        o = np.argsort(obs_h)
+        obs_h, obs_v = obs_h[o], obs_v[o]
+        grid = np.arange(span, dtype=np.int64)
+        # index of the nearest observation at-or-before / after
+        pos = np.searchsorted(obs_h, grid, side="right") - 1
+        nxt = np.searchsorted(obs_h, grid, side="left")
+        v = np.empty(span, np.int64)
+        kind = np.empty(span, np.int64)
+        lead = pos < 0                      # before first observation
+        trail = nxt >= len(obs_h)           # after the last
+        v[lead] = obs_v[0]
+        kind[lead] = 2
+        v[trail] = obs_v[-1]
+        kind[trail] = 2
+        mid = ~lead & ~trail
+        p, q_ = pos[mid], nxt[mid]
+        h0, h1 = obs_h[p], obs_h[q_]
+        v0, v1 = obs_v[p], obs_v[q_]
+        exact = h0 == grid[mid]
+        d = v1 - v0
+        num = np.abs(d) * (grid[mid] - h0)
+        den = np.where(h1 > h0, h1 - h0, 1)
+        lerp = v0 + np.sign(d) * (num // den)
+        vm = np.where(exact, v0, lerp)
+        km = np.where(exact, 0, 1)
+        v[mid] = vm
+        kind[mid] = km
+        ets.extend([et] * span)
+        hrs.append(grid + h_lo)
+        vals.append(v)
+        kinds.append(kind)
+    return pa.table(
+        {"event_type": pa.array(ets, pa.string()),
+         "hour": pa.array(np.concatenate(hrs)),
+         "value_cents": pa.array(np.concatenate(vals)),
+         "fill_kind": pa.array(np.concatenate(kinds))},
+        schema=out_schema,
+    )

@@ -2270,3 +2270,37 @@ def test_customer_order_gaps_lag_semantics(ray_session, tmp_path):
     assert out == [{"c_mktsegment": "AUTO", "n_gaps": 2,
                     "sum_gap_days": 10, "max_gap_days": 7,
                     "mean_gap_days_e6": 5_000_000}]
+
+
+def test_events_resample_lerp_semantics(ray_session, tmp_path):
+    h = 60.0
+    rows = [
+        # type a observed at hours 0 (100c) and 3 (400c); hours 1-2
+        # interpolate; type b observed only at hour 2 -> edges copy
+        (1, 1, 0.5 * h, "a", 1.00),
+        (2, 1, 3.5 * h, "a", 4.00),
+        (3, 2, 2.5 * h, "b", 9.00),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_resample_lerp(sf).to_pylist()
+    base = min(r["hour"] for r in out)
+    got = {(r["event_type"], r["hour"] - base):
+           (r["value_cents"], r["fill_kind"]) for r in out}
+    assert got[("a", 0)] == (100, 0)
+    assert got[("a", 1)] == (200, 1)   # 100 + 300*1//3
+    assert got[("a", 2)] == (300, 1)
+    assert got[("a", 3)] == (400, 0)
+    assert got[("b", 2)] == (900, 0)
+    assert got[("b", 0)] == (900, 2) and got[("b", 1)] == (900, 2)
+    assert got[("b", 3)] == (900, 2)
+    assert len(out) == 8
+
+    # descending gap: truncating division toward zero (SQL semantics)
+    rows2 = [(1, 1, 0.5 * h, "c", 4.00), (2, 1, 3.5 * h, "c", 0.01)]
+    (tmp_path / "t2").mkdir()
+    sf2 = make_events(tmp_path / "t2", rows2)
+    out2 = ev.events_resample_lerp(sf2).to_pylist()
+    base2 = min(r["hour"] for r in out2)
+    got2 = {r["hour"] - base2: r["value_cents"] for r in out2}
+    # d = 1-400 = -399: h1: 400 - trunc(399*1/3)=400-133=267
+    assert got2[1] == 267 and got2[2] == 134 and got2[3] == 1
