@@ -1273,6 +1273,46 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Diurnal seasonality profile: exact shares + flat-profile index.
+_SEASONALITY_SQL = """
+WITH c AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hod,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, sum(n)::BIGINT AS t FROM c GROUP BY 1)
+SELECT c.event_type, c.hod AS hour_of_day, c.n AS n_events,
+       CAST(1000000 * c.n // tot.t AS BIGINT) AS share_e6,
+       CAST(1000000 * 24 * c.n // tot.t AS BIGINT) AS index_e6
+FROM c JOIN tot USING (event_type)
+ORDER BY 1, 2
+"""
+
+# Functional-dependency violation profile: l_orderkey -> l_returnflag.
+_FD_CHECK_SQL = """
+WITH kd AS (
+  SELECT l_orderkey, count(DISTINCT l_returnflag)::BIGINT AS nd
+  FROM lineitem GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_keys,
+       (count(*) FILTER (WHERE nd > 1))::BIGINT AS n_violating_keys,
+       max(nd)::BIGINT AS n_max_distinct
+FROM kd
+"""
+
+# User lifespan histogram: two-level derived aggregate.
+_USER_LIFESPAN_SQL = """
+WITH u AS (
+  SELECT user_id,
+         ((epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000)::BIGINT
+           AS d
+  FROM events GROUP BY 1
+)
+SELECT d AS lifespan_days, count(*)::BIGINT AS n_users
+FROM u GROUP BY 1 ORDER BY 1
+"""
+
 # Linear-interpolation gap fill on the dense hourly grid: sign-safe
 # truncating division (DuckDB // truncates negatives), edge copy.
 _RESAMPLE_LERP_SQL = """
@@ -3272,6 +3312,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_gaps": ev.customer_order_gaps,
         # gap-fill resample, LINEAR interpolation (ffill's sibling)
         "events_resample_lerp": ev.events_resample_lerp,
+        # diurnal seasonality profile (exact shares + index)
+        "events_seasonality_profile": ev.events_seasonality_profile,
+        # functional-dependency violation profiling
+        "lineitem_fd_check": ev.lineitem_fd_check,
+        # two-level derived aggregate: lifespan histogram
+        "events_user_lifespan": ev.events_user_lifespan,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3470,6 +3516,9 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue_share": _Q11_SQL,
         "customer_order_gaps": _ORDER_GAPS_SQL,
         "events_resample_lerp": _RESAMPLE_LERP_SQL,
+        "events_seasonality_profile": _SEASONALITY_SQL,
+        "lineitem_fd_check": _FD_CHECK_SQL,
+        "events_user_lifespan": _USER_LIFESPAN_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -211,6 +211,10 @@ def run_bench() -> dict:
         ("embedding_pca_power", dops.embedding_pca_power),
         ("nation_revenue_share", evops.nation_revenue_share),
         ("customer_order_gaps", evops.customer_order_gaps),
+        ("events_resample_lerp", evops.events_resample_lerp),
+        ("events_seasonality_profile", evops.events_seasonality_profile),
+        ("lineitem_fd_check", evops.lineitem_fd_check),
+        ("events_user_lifespan", evops.events_user_lifespan),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -7486,3 +7486,208 @@ def events_resample_lerp(sf_dir: str) -> pa.Table:
          "fill_kind": pa.array(np.concatenate(kinds))},
         schema=out_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonality profile
+# ---------------------------------------------------------------------------
+def events_seasonality_profile(sf_dir: str) -> pa.Table:
+    """Diurnal profile per ``event_type``: each hour-of-day's (0-23)
+    exact share of the type's events, ``share_e6 = floor(1e6 *
+    n_hour / n_type)``, plus the seasonality index against a flat
+    profile (``index_e6 = floor(1e6 * 24 * n_hour / n_type)``, 1e6 =
+    no seasonality).  Returns ``(event_type, hour_of_day, n_events,
+    share_e6, index_e6)`` for observed cells, ordered by (type,
+    hour).
+
+    Scale shape: per-block (type, hour-of-day) count partials (at
+    most ``types x 24`` rows per block) -> dim-bounded
+    ``groupby.sum`` -> O(types x 24) driver math."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hod", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        hod = (_ts_i64(t.column("ts")) // 3_600_000_000) % 24
+        key = np.asarray([f"{e}\x00{h:02d}" for e, h in zip(et, hod)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "hod": pa.array(hod[order][starts]),
+             "n": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hod"])
+        .sum("n")
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "hod", "n"]
+    merged = merged.sort_values(["event_type", "hod"], ignore_index=True)
+    totals = merged.groupby("event_type")["n"].transform("sum")
+    n = merged["n"].to_numpy(dtype=np.int64)
+    tot = totals.to_numpy(dtype=np.int64)
+    share = np.array([10**6 * int(a) // int(b) for a, b in zip(n, tot)],
+                     np.int64)
+    idx = np.array([10**6 * 24 * int(a) // int(b) for a, b in zip(n, tot)],
+                   np.int64)
+    return pa.table(
+        {"event_type": pa.array(merged["event_type"], pa.string()),
+         "hour_of_day": pa.array(merged["hod"].to_numpy(dtype=np.int64)),
+         "n_events": pa.array(n),
+         "share_e6": pa.array(share),
+         "index_e6": pa.array(idx)}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency violation check (profiling primitive)
+# ---------------------------------------------------------------------------
+def lineitem_fd_check(sf_dir: str) -> pa.Table:
+    """Functional-dependency miner's primitive: does ``l_orderkey ->
+    l_returnflag`` hold?  Counts the keys whose rows carry more than
+    one distinct dependent value.  Returns one row ``(n_keys,
+    n_violating_keys, n_max_distinct)``.
+
+    Scale shape: per-block DISTINCT (key, value) combiner ->
+    ``groupby`` on the pair (the only exchange, bounded by distinct
+    pairs) -> per-block per-key distinct-value counts -> tiny fold.
+    The violation test needs every (key, value) pair co-located,
+    which the pair groupby guarantees; counting rows would not."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    pair_schema = pa.schema(
+        [("k", pa.int64()), ("v", pa.string()), ("c", pa.int64())]
+    )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        v = np.asarray(t.column("l_returnflag").to_pylist(), dtype=object)
+        key = np.asarray([f"{a}\x00{b}" for a, b in zip(k, v)], dtype=object)
+        order, starts, _ = _group_segments(key)
+        return pa.table(
+            {"k": pa.array(k[order][starts]),
+             "v": pa.array(list(v[order][starts]), pa.string()),
+             "c": pa.array(np.ones(len(starts), np.int64))},
+            schema=pair_schema,
+        )
+
+    kd_schema = pa.schema([("k", pa.int64()), ("nd", pa.int64())])
+
+    def per_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return kd_schema.empty_table()
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        starts, lens = _segment_starts(ks)
+        return pa.table(
+            {"k": pa.array(ks[starts]),
+             "nd": pa.array(lens.astype(np.int64))},
+            schema=kd_schema,
+        )
+
+    kd = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["k", "v"])
+        .sum("c")
+        .map_batches(per_key, batch_format="pyarrow")
+        .groupby("k")
+        .sum("nd")
+        .to_pandas()
+    )
+    kd.columns = ["k", "nd"]
+    nd = kd["nd"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {"n_keys": pa.array([len(kd)], pa.int64()),
+         "n_violating_keys": pa.array([int((nd > 1).sum())], pa.int64()),
+         "n_max_distinct": pa.array(
+             [int(nd.max()) if len(nd) else 0], pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# User lifespan histogram (two-level derived aggregate)
+# ---------------------------------------------------------------------------
+def events_user_lifespan(sf_dir: str) -> pa.Table:
+    """Distribution of user lifespans: per user, days between first
+    and last event (``(max_ts - min_ts) // 1 day``), then the
+    histogram of those derived per-user values.  Returns
+    ``(lifespan_days, n_users)`` ordered by days -- the two-level
+    derived-aggregate shape (aggregate, derive, re-aggregate).
+
+    Scale shape: per-block (user -> min_ts, max_ts) partials ->
+    user-level ``groupby`` min/max (the only exchange) -> per-block
+    histogram partials over the DERIVED value -> tiny final
+    ``groupby.sum``; no raw event leaves its block."""
+    from ray.data import aggregate as _ray_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    DAY_US = np.int64(86_400 * _US)
+
+    part_schema = pa.schema(
+        [("user_id", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        order = np.argsort(u, kind="stable")
+        u, ts = u[order], ts[order]
+        starts, _ = _segment_starts(u)
+        return pa.table(
+            {"user_id": pa.array(u[starts]),
+             "lo": pa.array(np.minimum.reduceat(ts, starts)),
+             "hi": pa.array(np.maximum.reduceat(ts, starts))},
+            schema=part_schema,
+        )
+
+    hist_schema = pa.schema(
+        [("lifespan_days", pa.int64()), ("n_users", pa.int64())]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        lo = t.column("min(lo)").to_numpy(zero_copy_only=False)
+        hi = t.column("max(hi)").to_numpy(zero_copy_only=False)
+        d = (hi - lo) // DAY_US
+        order = np.argsort(d, kind="stable")
+        ds_ = d[order]
+        starts, lens = _segment_starts(ds_)
+        return pa.table(
+            {"lifespan_days": pa.array(ds_[starts]),
+             "n_users": pa.array(lens.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(_ray_agg.Min("lo"), _ray_agg.Max("hi"))
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("lifespan_days")
+        .sum("n_users")
+        .to_pandas()
+    )
+    agg.columns = ["lifespan_days", "n_users"]
+    agg = agg.sort_values("lifespan_days", ignore_index=True)
+    return pa.table(
+        {"lifespan_days": pa.array(agg["lifespan_days"].to_numpy(np.int64)),
+         "n_users": pa.array(agg["n_users"].to_numpy(dtype=np.int64))}
+    )

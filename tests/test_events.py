@@ -2304,3 +2304,52 @@ def test_events_resample_lerp_semantics(ray_session, tmp_path):
     got2 = {r["hour"] - base2: r["value_cents"] for r in out2}
     # d = 1-400 = -399: h1: 400 - trunc(399*1/3)=400-133=267
     assert got2[1] == 267 and got2[2] == 134 and got2[3] == 1
+
+
+def test_events_seasonality_profile_exact(ray_session, tmp_path):
+    h = 60.0
+    # type a: 3 events at hod 0, 1 at hod 1 (next day) -> shares 3/4, 1/4
+    rows = [
+        (1, 1, 0.1 * h, "a", 0.0), (2, 1, 0.2 * h, "a", 0.0),
+        (3, 1, 24.5 * h, "a", 0.0),  # next day, same hod 0
+        (4, 1, 1.5 * h, "a", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_seasonality_profile(sf).to_pylist()
+    base = int(_ts(0.1 * h).timestamp() * 1_000_000) // 3_600_000_000 % 24
+    got = {(r["event_type"], (r["hour_of_day"] - base) % 24): r
+           for r in out}
+    assert got[("a", 0)]["n_events"] == 3
+    assert got[("a", 0)]["share_e6"] == 750000
+    assert got[("a", 0)]["index_e6"] == 18_000_000
+    assert got[("a", 1)]["share_e6"] == 250000
+    assert len(out) == 2
+
+
+def test_lineitem_fd_check_violations(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {"l_orderkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+             # key 1: {A, B} -> violation; key 2: {A}; key 3: {C}
+             "l_returnflag": pa.array(["A", "B", "A", "A", "A", "C"],
+                                      pa.string())}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = ev.lineitem_fd_check(str(tmp_path)).to_pylist()
+    assert out == [{"n_keys": 3, "n_violating_keys": 1,
+                    "n_max_distinct": 2}]
+
+
+def test_events_user_lifespan_histogram(ray_session, tmp_path):
+    day = 1440.0
+    rows = [
+        # u1: 3-day span; u2: single event -> 0 days; u3: 3-day span
+        (1, 1, 0.0, "a", 0.0), (2, 1, 3 * day, "a", 0.0),
+        (3, 2, 5.0, "b", 0.0),
+        (4, 3, day, "a", 0.0), (5, 3, 4 * day, "b", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_user_lifespan(sf).to_pylist()
+    assert out == [{"lifespan_days": 0, "n_users": 1},
+                   {"lifespan_days": 3, "n_users": 2}]
