@@ -1273,6 +1273,61 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Event-sourced open-order backlog: +1 at order month, -1 at the
+# order's LAST ship month, dense month grid, window running total.
+_BACKLOG_SQL = """
+WITH op AS (
+  SELECT ((year(o_orderdate) - 1970) * 12
+          + month(o_orderdate) - 1)::BIGINT AS month,
+         count(*)::BIGINT AS n_opened
+  FROM orders GROUP BY 1
+),
+cl0 AS (SELECT l_orderkey, max(l_shipdate) AS d FROM lineitem GROUP BY 1),
+cl AS (
+  SELECT ((year(d) - 1970) * 12 + month(d) - 1)::BIGINT AS month,
+         count(*)::BIGINT AS n_closed
+  FROM cl0 GROUP BY 1
+),
+b AS (
+  SELECT min(month) AS lo, max(month) AS hi
+  FROM (SELECT month FROM op UNION ALL SELECT month FROM cl)
+),
+grid AS (
+  SELECT b.lo + u.i AS month
+  FROM b CROSS JOIN (
+    SELECT unnest(range(0, (SELECT hi - lo + 1 FROM b)))::BIGINT AS i
+  ) u
+),
+j AS (
+  SELECT g.month, COALESCE(op.n_opened, 0)::BIGINT AS n_opened,
+         COALESCE(cl.n_closed, 0)::BIGINT AS n_closed
+  FROM grid g LEFT JOIN op USING (month) LEFT JOIN cl USING (month)
+)
+SELECT month, n_opened, n_closed,
+       (sum(n_opened - n_closed) OVER (ORDER BY month))::BIGINT AS backlog
+FROM j ORDER BY month
+"""
+
+# Fano factor over the dense hourly grid: exact integer
+# (T*sum(x^2) - (sum x)^2) / (T * sum x), zero hours free.
+_BURSTINESS_SQL = """
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS hour
+  FROM events
+),
+g AS (SELECT event_type, hour, count(*)::BIGINT AS x FROM b GROUP BY 1, 2),
+bounds AS (SELECT (max(hour) - min(hour) + 1)::HUGEINT AS t FROM b),
+agg AS (
+  SELECT event_type, sum(x)::HUGEINT AS sx, sum(x * x)::HUGEINT AS sx2
+  FROM g GROUP BY 1
+)
+SELECT event_type, CAST(t AS BIGINT) AS n_hours,
+       CAST(sx AS BIGINT) AS sum_x, CAST(sx2 AS BIGINT) AS sum_x2,
+       CAST(1000000 * (t * sx2 - sx * sx) // (t * sx) AS BIGINT)
+         AS fano_e6
+FROM agg CROSS JOIN bounds ORDER BY event_type
+"""
+
 # Diurnal seasonality profile: exact shares + flat-profile index.
 _SEASONALITY_SQL = """
 WITH c AS (
@@ -3318,6 +3373,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_fd_check": ev.lineitem_fd_check,
         # two-level derived aggregate: lifespan histogram
         "events_user_lifespan": ev.events_user_lifespan,
+        # event-sourced open-order backlog running balance
+        "orders_open_backlog": ev.orders_open_backlog,
+        # Fano-factor burstiness over the dense hourly series
+        "events_burstiness": ev.events_burstiness,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3519,6 +3578,8 @@ def oracle_sql() -> dict[str, str]:
         "events_seasonality_profile": _SEASONALITY_SQL,
         "lineitem_fd_check": _FD_CHECK_SQL,
         "events_user_lifespan": _USER_LIFESPAN_SQL,
+        "orders_open_backlog": _BACKLOG_SQL,
+        "events_burstiness": _BURSTINESS_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

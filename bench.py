@@ -215,6 +215,8 @@ def run_bench() -> dict:
         ("events_seasonality_profile", evops.events_seasonality_profile),
         ("lineitem_fd_check", evops.lineitem_fd_check),
         ("events_user_lifespan", evops.events_user_lifespan),
+        ("orders_open_backlog", evops.orders_open_backlog),
+        ("events_burstiness", evops.events_burstiness),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -7691,3 +7691,176 @@ def events_user_lifespan(sf_dir: str) -> pa.Table:
         {"lifespan_days": pa.array(agg["lifespan_days"].to_numpy(np.int64)),
          "n_users": pa.array(agg["n_users"].to_numpy(dtype=np.int64))}
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog: +1/-1 event-sourced running balance by month
+# ---------------------------------------------------------------------------
+def orders_open_backlog(sf_dir: str) -> pa.Table:
+    """Open-order backlog over time -- the event-sourced inventory
+    balance: each order opens (+1) in its ``o_orderdate`` month and
+    closes (-1) in the month of its LAST line-item ship date (orders
+    with no line items never close).  Returns one row per month from
+    the first open to the last close: ``(month, n_opened, n_closed,
+    backlog)`` where backlog is the running open count at month end.
+
+    Scale shape: per-block +1 partials from orders; per-block
+    (orderkey -> max shipdate) partials folded by ONE orderkey
+    ``groupby.max`` (the close month needs the order's GLOBAL max
+    ship date -- per-block maxima alone would close an order once
+    per block); month-level counts are dim-bounded and the running
+    total is O(months) driver math."""
+    from ray.data import aggregate as _ray_agg
+
+    ds_o = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def month_of(ts_us: np.ndarray) -> np.ndarray:
+        return (ts_us.astype("datetime64[us]").astype("datetime64[M]")
+                .view(np.int64))  # months since 1970-01
+
+    mo_schema = pa.schema([("month", pa.int64()), ("n", pa.int64())])
+
+    def open_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mo_schema.empty_table()
+        m = month_of(_ts_i64(t.column("o_orderdate")))
+        order = np.argsort(m, kind="stable")
+        ms = m[order]
+        starts, lens = _segment_starts(ms)
+        return pa.table(
+            {"month": pa.array(ms[starts]),
+             "n": pa.array(lens.astype(np.int64))},
+            schema=mo_schema,
+        )
+
+    opened = (
+        ds_o.map_batches(open_partial, batch_format="pyarrow")
+        .groupby("month").sum("n").to_pandas()
+    )
+    opened.columns = ["month", "n_opened"]
+
+    li_schema = pa.schema([("k", pa.int64()), ("hi", pa.int64())])
+
+    def ship_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return li_schema.empty_table()
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sd = _ts_i64(t.column("l_shipdate"))
+        order = np.argsort(k, kind="stable")
+        ks, sds = k[order], sd[order]
+        starts, _ = _segment_starts(ks)
+        return pa.table(
+            {"k": pa.array(ks[starts]),
+             "hi": pa.array(np.maximum.reduceat(sds, starts))},
+            schema=li_schema,
+        )
+
+    def close_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mo_schema.empty_table()
+        m = month_of(t.column("max(hi)").to_numpy(zero_copy_only=False))
+        order = np.argsort(m, kind="stable")
+        ms = m[order]
+        starts, lens = _segment_starts(ms)
+        return pa.table(
+            {"month": pa.array(ms[starts]),
+             "n": pa.array(lens.astype(np.int64))},
+            schema=mo_schema,
+        )
+
+    closed = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(ship_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(_ray_agg.Max("hi"))
+        .map_batches(close_partial, batch_format="pyarrow")
+        .groupby("month").sum("n").to_pandas()
+    )
+    closed.columns = ["month", "n_closed"]
+
+    import pandas as pd
+
+    merged = opened.merge(closed, on="month", how="outer").fillna(0)
+    lo, hi = int(merged["month"].min()), int(merged["month"].max())
+    grid = pd.DataFrame({"month": range(lo, hi + 1)})
+    merged = grid.merge(merged, on="month", how="left").fillna(0)
+    n_open = merged["n_opened"].to_numpy(dtype=np.int64)
+    n_close = merged["n_closed"].to_numpy(dtype=np.int64)
+    backlog = np.cumsum(n_open - n_close)
+    return pa.table(
+        {"month": pa.array(merged["month"].to_numpy(dtype=np.int64)),
+         "n_opened": pa.array(n_open),
+         "n_closed": pa.array(n_close),
+         "backlog": pa.array(backlog.astype(np.int64))}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness: Fano factor of the dense hourly count series
+# ---------------------------------------------------------------------------
+def events_burstiness(sf_dir: str) -> pa.Table:
+    """Fano factor (variance / mean, the burstiness index; 1 =
+    Poisson) per ``event_type`` over the DENSE hourly count series
+    (missing hours count 0, same global grid as ar1/cusum).  With
+    ``T`` hours and counts ``x_t``: ``fano = (T*sum(x^2) -
+    (sum x)^2) / (T * sum x)`` -- population variance over mean,
+    every factor an integer, emitted as ``floor(1e6 * fano)`` plus
+    the integer sufficient sums.  Returns ``(event_type, n_hours,
+    sum_x, sum_x2, fano_e6)``.
+
+    Scale shape: identical to ar1/cusum -- per-block (type, hour)
+    count partials, dim-bounded ``groupby.sum``, O(types) driver
+    math in arbitrary-precision ints (zero hours contribute nothing
+    to either sum, so the dense grid costs nothing)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("n_obs", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        hr = _ts_i64(t.column("ts")) // 3_600_000_000
+        key = np.asarray([f"{e}\x00{h}" for e, h in zip(et, hr)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "hour": pa.array(hr[order][starts]),
+             "n_obs": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum("n_obs")
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "hour", "n_obs"]
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("n_hours", pa.int64()),
+         ("sum_x", pa.int64()), ("sum_x2", pa.int64()),
+         ("fano_e6", pa.int64())]
+    )
+    if len(merged) == 0:
+        return out_schema.empty_table()
+    span = int(merged["hour"].max()) - int(merged["hour"].min()) + 1
+    rows = []
+    for et, grp in merged.groupby("event_type", sort=True):
+        x = [int(v) for v in grp["n_obs"]]
+        sx, sx2 = sum(x), sum(v * v for v in x)
+        fano = 10**6 * (span * sx2 - sx * sx) // (span * sx) if sx else 0
+        rows.append((et, span, sx, sx2, fano))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "n_hours": pa.array([r[1] for r in rows], pa.int64()),
+         "sum_x": pa.array([r[2] for r in rows], pa.int64()),
+         "sum_x2": pa.array([r[3] for r in rows], pa.int64()),
+         "fano_e6": pa.array([r[4] for r in rows], pa.int64())}
+    )

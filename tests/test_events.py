@@ -2353,3 +2353,58 @@ def test_events_user_lifespan_histogram(ray_session, tmp_path):
     out = ev.events_user_lifespan(sf).to_pylist()
     assert out == [{"lifespan_days": 0, "n_users": 1},
                    {"lifespan_days": 3, "n_users": 2}]
+
+
+def test_orders_open_backlog_running_balance(ray_session, tmp_path):
+    d = dt.datetime
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+             "o_custkey": pa.array([1, 1, 1], pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+             "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+             # opens: Jan, Jan, Feb
+             "o_orderdate": pa.array(
+                 [d(2024, 1, 5), d(2024, 1, 20), d(2024, 2, 1)],
+                 pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 3, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"l_orderkey": pa.array([1, 1, 2], pa.int64()),
+             # order 1 closes at its LAST ship month (Mar, not Jan);
+             # order 2 closes Feb; order 3 has no items -> never closes
+             "l_shipdate": pa.array(
+                 [d(2024, 1, 25), d(2024, 3, 2), d(2024, 2, 10)],
+                 pa.timestamp("us"))}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = ev.orders_open_backlog(str(tmp_path)).to_pylist()
+    m0 = (2024 - 1970) * 12  # Jan 2024
+    assert out == [
+        {"month": m0, "n_opened": 2, "n_closed": 0, "backlog": 2},
+        {"month": m0 + 1, "n_opened": 1, "n_closed": 1, "backlog": 2},
+        {"month": m0 + 2, "n_opened": 0, "n_closed": 1, "backlog": 1},
+    ]
+
+
+def test_events_burstiness_fano(ray_session, tmp_path):
+    h = 60.0
+    # type a: hours [3, 0, 1] over a 3-hour span (dense grid via
+    # type b pinning the global bounds): sx=4, sx2=10, T=3
+    rows = [
+        (1, 1, 0.1 * h, "a", 0.0), (2, 1, 0.2 * h, "a", 0.0),
+        (3, 1, 0.3 * h, "a", 0.0), (4, 1, 2.5 * h, "a", 0.0),
+        (5, 2, 0.5 * h, "b", 0.0), (6, 2, 2.9 * h, "b", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["event_type"]: r for r in ev.events_burstiness(sf).to_pylist()}
+    # fano(a) = (3*10 - 16) / (3*4) = 14/12
+    assert out["a"]["sum_x"] == 4 and out["a"]["sum_x2"] == 10
+    assert out["a"]["n_hours"] == 3
+    assert out["a"]["fano_e6"] == 10**6 * 14 // 12
+    # b: one event in each of two hours over T=3: (3*2-4)/(3*2)=1/3
+    assert out["b"]["fano_e6"] == 10**6 // 3
