@@ -891,6 +891,40 @@ FROM scored WHERE rnk <= 5
 ORDER BY doc_id, rnk
 """
 
+# Word co-occurrence lift (rank-equivalent to PMI, zero float error):
+# exact c_ab * N / (df_a * df_b), doc-level sets, df >= 50 vocab.
+_WORD_PMI_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents
+  )
+),
+df AS (
+  SELECT term, count(*)::BIGINT AS df FROM toks
+  GROUP BY 1 HAVING count(*) >= 50
+),
+n AS (SELECT count(*)::BIGINT AS nd FROM documents),
+pairs AS (
+  SELECT a.term AS ta, b.term AS tb, count(*)::BIGINT AS c
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND a.term < b.term
+  JOIN df da ON da.term = a.term
+  JOIN df db ON db.term = b.term
+  GROUP BY 1, 2
+)
+SELECT p.ta AS term_a, p.tb AS term_b, p.c AS n_common,
+       da.df AS df_a, db.df AS df_b,
+       CAST(1000000 * p.c * n.nd // (da.df * db.df) AS BIGINT) AS lift_e6
+FROM pairs p
+JOIN df da ON da.term = p.ta
+JOIN df db ON db.term = p.tb
+CROSS JOIN n
+ORDER BY lift_e6 DESC, term_a, term_b
+LIMIT 30
+"""
+
 # Exact-rational BM25 (k1=1.2, b=0.75; rational idf (N-df+1)/(df+1)):
 # every term contribution is floor(1e6 * int-ratio) in HUGEINT, so
 # Ray's arbitrary-precision scoring reproduces it bit-for-bit.
@@ -3293,6 +3327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-integer distributed PCA: packed moment partials +
         # O(dim^2) driver power iteration
         "embedding_pca_power": d.embedding_pca_power,
+        # word co-occurrence lift (PMI-rank-equivalent, exact)
+        "word_pmi_topk": d.word_pmi_topk,
         # benchmark decontamination: broadcast needle set, vectorized
         # match_substring sweeps, contaminated-docs-only output
         "contamination_check": d.contamination_check,
@@ -3540,6 +3576,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topdocs": _BM25_SQL,
         "doc_hits": _HITS_SQL,
         "embedding_pca_power": _PCA_SQL,
+        "word_pmi_topk": _WORD_PMI_SQL,
         "contamination_check": _CONTAMINATION_SQL,
         "label_centroids": _LABEL_CENTROIDS_SQL,
         "events_lag_delta": _LAG_DELTA_SQL,

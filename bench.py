@@ -217,6 +217,7 @@ def run_bench() -> dict:
         ("events_user_lifespan", evops.events_user_lifespan),
         ("orders_open_backlog", evops.orders_open_backlog),
         ("events_burstiness", evops.events_burstiness),
+        ("word_pmi_topk", dops.word_pmi_topk),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

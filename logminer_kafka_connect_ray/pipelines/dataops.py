@@ -5353,3 +5353,117 @@ def embedding_pca_power(sf_dir: str, iters: int = 3) -> pa.Table:
         {"i": pa.array(range(dim), pa.int64()),
          "v": pa.array(v, pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Word co-occurrence lift (PMI without the log) top-k
+# ---------------------------------------------------------------------------
+def word_pmi_topk(sf_dir: str, min_df: int = 50, k: int = 30) -> pa.Table:
+    """Top-``k`` co-occurring word pairs by EXACT lift -- ``lift =
+    P(a,b) / (P(a) P(b)) = c_ab * N / (df_a * df_b)`` over document-
+    level sets (PMI is ``log lift``; the log is monotone, so ranking
+    by the rational lift ranks by PMI with zero float error) --
+    emitted as ``floor(1e6 * lift)``.  Only words with ``df >=
+    min_df`` participate (rare-word pairs have degenerate lift).
+    Returns ``(term_a, term_b, n_common, df_a, df_b, lift_e6)``.
+
+    Distributed shape: pass 1 folds per-block (term -> doc count)
+    partials into the df table (dim-bounded), filters to the vocab,
+    and broadcasts it once via ``ray.put``; pass 2 re-tokenizes each
+    doc, intersects with the vocab, and emits per-block COMBINED
+    pair-count partials (np.unique on packed id pairs -- a doc's
+    pairs fold inside the block); one pair ``groupby.sum`` then
+    per-block local top-k caps what the driver merges at P*k."""
+    import ray
+
+    out_schema = pa.schema(
+        [("term_a", pa.string()), ("term_b", pa.string()),
+         ("n_common", pa.int64()), ("df_a", pa.int64()),
+         ("df_b", pa.int64()), ("lift_e6", pa.int64())]
+    )
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs, _ = _table_meta(sf_dir, "documents")
+
+    df_schema = pa.schema([("term", pa.string()), ("nd", pa.int64())])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t.column("text").to_pylist():
+            for w in set(_WORD.findall((s or "").lower())):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {"term": pa.array(list(counts.keys()), pa.string()),
+             "nd": pa.array(list(counts.values()), pa.int64())},
+            schema=df_schema,
+        )
+
+    df = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term").sum("nd").to_pandas()
+    )
+    df.columns = ["term", "nd"]
+    df = df[df["nd"] >= min_df].sort_values("term", ignore_index=True)
+    terms = df["term"].tolist()
+    dfs = df["nd"].to_numpy(dtype=np.int64)
+    vocab = {t: i for i, t in enumerate(terms)}
+    M = len(terms)
+    vocab_ref = ray.put(vocab)
+
+    pair_schema = pa.schema([("key", pa.int64()), ("c", pa.int64())])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        keys: list[int] = []
+        for s in t.column("text").to_pylist():
+            ids = sorted(
+                {v[w] for w in set(_WORD.findall((s or "").lower()))
+                 if w in v}
+            )
+            m = len(ids)
+            for i in range(m - 1):
+                base = ids[i] * M
+                for j in range(i + 1, m):
+                    keys.append(base + ids[j])
+        if not keys:
+            return pair_schema.empty_table()
+        arr = np.asarray(keys, np.int64)
+        uk, uc = np.unique(arr, return_counts=True)
+        return pa.table(
+            {"key": pa.array(uk), "c": pa.array(uc.astype(np.int64))},
+            schema=pair_schema,
+        )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        c = t.column("sum(c)").to_numpy(zero_copy_only=False)
+        a, b = key // M, key % M
+        lift = np.array(
+            [10**6 * int(cc) * n_docs // (int(dfs[i]) * int(dfs[j]))
+             for cc, i, j in zip(c, a, b)], np.int64)
+        ta = np.asarray([terms[i] for i in a], dtype=object)
+        tb = np.asarray([terms[j] for j in b], dtype=object)
+        top = np.lexsort((tb, ta, -lift))[:k]
+        return pa.table(
+            {"term_a": pa.array(list(ta[top]), pa.string()),
+             "term_b": pa.array(list(tb[top]), pa.string()),
+             "n_common": pa.array(c[top]),
+             "df_a": pa.array(dfs[a[top]]),
+             "df_b": pa.array(dfs[b[top]]),
+             "lift_e6": pa.array(lift[top])},
+            schema=out_schema,
+        )
+
+    cand = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("key").sum("c")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    merged = pa.Table.from_pandas(cand, preserve_index=False).cast(out_schema)
+    lift = merged.column("lift_e6").to_numpy()
+    ta = merged.column("term_a").to_numpy(zero_copy_only=False)
+    tb = merged.column("term_b").to_numpy(zero_copy_only=False)
+    top = np.lexsort((tb, ta, -lift))[:k]
+    return merged.take(pa.array(top))

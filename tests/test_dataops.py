@@ -1227,3 +1227,29 @@ def test_embedding_pca_power_dominant_axis(ray_session, tmp_path):
         m = max(abs(x) for x in w)
         vv = [(1 if x >= 0 else -1) * (abs(x) * 10**6 // m) for x in w]
     assert [v[i] for i in range(3)] == vv
+
+
+def test_word_pmi_topk_exact_lift(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import word_pmi_topk
+
+    # 4 docs; vocab (min_df=2): apple(3), pie(2), tart(2)
+    # co-doc counts: (apple,pie)=2, (apple,tart)=1, (pie,tart)=0
+    sf = make_docs(
+        tmp_path,
+        [
+            "apple pie apple",
+            "apple pie",
+            "apple tart",
+            "tart rare",
+        ],
+    )
+    out = word_pmi_topk(sf, min_df=2, k=10).to_pylist()
+    got = {(r["term_a"], r["term_b"]):
+           (r["n_common"], r["df_a"], r["df_b"], r["lift_e6"])
+           for r in out}
+    # lift(apple,pie) = 2*4/(3*2) = 4/3; lift(apple,tart) = 1*4/(3*2)
+    assert got[("apple", "pie")] == (2, 3, 2, 4 * 10**6 // 3)
+    assert got[("apple", "tart")] == (1, 3, 2, 4 * 10**6 // 6)
+    assert ("pie", "tart") not in got  # zero co-occurrence drops out
+    # ranking: higher lift first
+    assert out[0]["term_a"] == "apple" and out[0]["term_b"] == "pie"
