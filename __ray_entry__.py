@@ -1307,6 +1307,109 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Moving-average crossover: MA_f vs MA_s compared by exact integer
+# cross-multiplication (sum_f*slow vs sum_s*fast) on the dense grid.
+_MA_CROSS_SQL = """
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS hour
+  FROM events
+),
+g AS (SELECT event_type, hour, count(*)::BIGINT AS x FROM b GROUP BY 1, 2),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM b),
+types AS (SELECT DISTINCT event_type FROM b),
+grid AS (
+  SELECT t.event_type, bo.lo + u.i AS hour
+  FROM types t CROSS JOIN bounds bo
+  CROSS JOIN (
+    SELECT unnest(range(0, (SELECT hi - lo + 1 FROM bounds)))::BIGINT AS i
+  ) u
+),
+dense AS (
+  SELECT grid.event_type, grid.hour, COALESCE(g.x, 0)::BIGINT AS x
+  FROM grid LEFT JOIN g
+    ON g.event_type = grid.event_type AND g.hour = grid.hour
+),
+w AS (
+  SELECT event_type, hour,
+    sum(x) OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sf,
+    sum(x) OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS ss,
+    row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+  FROM dense
+),
+s AS (
+  SELECT event_type, hour, sign(sf * 12 - ss * 3)::BIGINT AS sgn,
+         lag(sign(sf * 12 - ss * 3)::BIGINT) OVER (
+           PARTITION BY event_type ORDER BY hour) AS psgn
+  FROM w WHERE rn >= 12
+),
+c AS (
+  SELECT event_type, hour,
+    CASE WHEN psgn IS NOT NULL AND sgn > 0 AND psgn <= 0
+         THEN 1 ELSE 0 END AS gold,
+    CASE WHEN psgn IS NOT NULL AND sgn < 0 AND psgn >= 0
+         THEN 1 ELSE 0 END AS death
+  FROM s
+),
+agg AS (
+  SELECT event_type, sum(gold)::BIGINT AS n_golden,
+         sum(death)::BIGINT AS n_death,
+         COALESCE(min(CASE WHEN gold = 1 OR death = 1 THEN hour END),
+                  -1)::BIGINT AS first_cross_hour
+  FROM c GROUP BY 1
+)
+SELECT t.event_type, COALESCE(a.n_golden, 0)::BIGINT AS n_golden,
+       COALESCE(a.n_death, 0)::BIGINT AS n_death,
+       COALESCE(a.first_cross_hour, -1)::BIGINT AS first_cross_hour
+FROM types t LEFT JOIN agg a USING (event_type)
+ORDER BY t.event_type
+"""
+
+# Year-over-year growth: sign-safe exact percentage vs the previous
+# CALENDAR year only (gap years reset the comparison).
+_YOY_SQL = """
+WITH a AS (
+  SELECT year(o_orderdate)::BIGINT AS y,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT y, cents, lag(y) OVER (ORDER BY y) AS py,
+         lag(cents) OVER (ORDER BY y) AS pc
+  FROM a
+)
+SELECT y AS o_year, cents AS revenue_cents,
+  CAST(CASE WHEN py = y - 1 AND pc != 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS has_prev,
+  CAST(CASE WHEN py = y - 1 AND pc != 0 THEN
+         (CASE WHEN cents < pc THEN -1 ELSE 1 END)
+           * ((1000000 * abs(cents - pc)) // pc)
+       ELSE 0 END AS BIGINT) AS yoy_e6
+FROM w ORDER BY y
+"""
+
+# Share-of-parent rollup: nation revenue within its region.
+_REGION_SHARE_SQL = """
+WITH nr AS (
+  SELECT c.c_nationkey AS nat,
+         sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+),
+j AS (
+  SELECT r.r_name, n.n_name, nr.cents, r.r_regionkey
+  FROM nr
+  JOIN nation n ON n.n_nationkey = nr.nat
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+),
+t AS (SELECT r_regionkey, sum(cents)::BIGINT AS tot FROM j GROUP BY 1)
+SELECT j.r_name, j.n_name, j.cents AS revenue_cents,
+       CAST(1000000 * j.cents // t.tot AS BIGINT) AS share_e6
+FROM j JOIN t USING (r_regionkey)
+ORDER BY j.r_name, share_e6 DESC, j.n_name
+"""
+
 # Event-sourced open-order backlog: +1 at order month, -1 at the
 # order's LAST ship month, dense month grid, window running total.
 _BACKLOG_SQL = """
@@ -3413,6 +3516,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_open_backlog": ev.orders_open_backlog,
         # Fano-factor burstiness over the dense hourly series
         "events_burstiness": ev.events_burstiness,
+        # MA-crossover signal (exact cross-multiplied comparison)
+        "events_ma_crossover": ev.events_ma_crossover,
+        # sign-safe YoY growth with calendar-gap reset
+        "orders_yoy_growth": ev.orders_yoy_growth,
+        # share-of-parent hierarchical rollup (nation within region)
+        "region_nation_share": ev.region_nation_share,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3617,6 +3726,9 @@ def oracle_sql() -> dict[str, str]:
         "events_user_lifespan": _USER_LIFESPAN_SQL,
         "orders_open_backlog": _BACKLOG_SQL,
         "events_burstiness": _BURSTINESS_SQL,
+        "events_ma_crossover": _MA_CROSS_SQL,
+        "orders_yoy_growth": _YOY_SQL,
+        "region_nation_share": _REGION_SHARE_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -218,6 +218,9 @@ def run_bench() -> dict:
         ("orders_open_backlog", evops.orders_open_backlog),
         ("events_burstiness", evops.events_burstiness),
         ("word_pmi_topk", dops.word_pmi_topk),
+        ("events_ma_crossover", evops.events_ma_crossover),
+        ("orders_yoy_growth", evops.orders_yoy_growth),
+        ("region_nation_share", evops.region_nation_share),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

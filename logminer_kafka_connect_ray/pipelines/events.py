@@ -7864,3 +7864,271 @@ def events_burstiness(sf_dir: str) -> pa.Table:
          "sum_x2": pa.array([r[3] for r in rows], pa.int64()),
          "fano_e6": pa.array([r[4] for r in rows], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Moving-average crossover detection (golden-cross signal)
+# ---------------------------------------------------------------------------
+def events_ma_crossover(
+    sf_dir: str, fast: int = 3, slow: int = 12
+) -> pa.Table:
+    """Moving-average crossover signal per ``event_type`` over the
+    dense hourly count series: hours where the trailing ``fast``-hour
+    mean crosses the trailing ``slow``-hour mean.  Means never
+    materialize as floats -- ``MA_f > MA_s  <=>  sum_f * slow >
+    sum_s * fast`` (exact integer cross-multiplication); a crossover
+    fires when the comparison flips sign vs the previous hour (ties
+    = equal means break no cross).  Emitted per type: ``(event_type,
+    n_golden, n_death, first_cross_hour)`` (golden = fast rises
+    above slow; first_cross_hour = -1 if none).
+
+    Scale shape: the ar1/cusum series contract -- per-block
+    (type, hour) count partials, dim-bounded ``groupby.sum``,
+    O(series) vectorized driver math over trailing sums (both
+    windows need ``slow`` complete hours before they compare)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("n_obs", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        hr = _ts_i64(t.column("ts")) // 3_600_000_000
+        key = np.asarray([f"{e}\x00{h}" for e, h in zip(et, hr)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "hour": pa.array(hr[order][starts]),
+             "n_obs": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum("n_obs")
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "hour", "n_obs"]
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("n_golden", pa.int64()),
+         ("n_death", pa.int64()), ("first_cross_hour", pa.int64())]
+    )
+    if len(merged) == 0:
+        return out_schema.empty_table()
+    h_lo = int(merged["hour"].min())
+    h_hi = int(merged["hour"].max())
+    span = h_hi - h_lo + 1
+    rows = []
+    for et, grp in merged.groupby("event_type", sort=True):
+        dense = np.zeros(span, np.int64)
+        dense[grp["hour"].to_numpy(dtype=np.int64) - h_lo] = (
+            grp["n_obs"].to_numpy(dtype=np.int64)
+        )
+        cs = np.concatenate([[0], np.cumsum(dense)])
+        if span < slow + 1:
+            rows.append((et, 0, 0, -1))
+            continue
+        # trailing sums at hours t = slow-1 .. span-1
+        t = np.arange(slow - 1, span)
+        sum_f = cs[t + 1] - cs[t + 1 - fast]
+        sum_s = cs[t + 1] - cs[t + 1 - slow]
+        # sign of MA_f - MA_s, exact
+        sgn = np.sign(sum_f * slow - sum_s * fast)
+        golden = (sgn[1:] > 0) & (sgn[:-1] <= 0) & (sgn[:-1] != sgn[1:])
+        death = (sgn[1:] < 0) & (sgn[:-1] >= 0) & (sgn[:-1] != sgn[1:])
+        cross = golden | death
+        first = int(t[1:][cross][0]) + h_lo if cross.any() else -1
+        rows.append((et, int(golden.sum()), int(death.sum()), first))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "n_golden": pa.array([r[1] for r in rows], pa.int64()),
+         "n_death": pa.array([r[2] for r in rows], pa.int64()),
+         "first_cross_hour": pa.array([r[3] for r in rows], pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year revenue growth (sign-safe exact percentages)
+# ---------------------------------------------------------------------------
+def orders_yoy_growth(sf_dir: str) -> pa.Table:
+    """Year-over-year order-revenue growth: per order year, total
+    ``o_totalprice`` in exact cents and the growth vs the PREVIOUS
+    observed year as ``sign * floor(1e6 * |rev - prev| / prev)``
+    (sign-safe: truncating division of the absolute delta matches
+    every engine; NULL -> first year emits growth 0 and flag 0).
+    Returns ``(o_year, revenue_cents, has_prev, yoy_e6)``.
+
+    Scale shape: per-block (year -> cents) partials (a combiner:
+    years per block, not rows) -> dim-bounded ``groupby.sum`` ->
+    O(years) driver lag math."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    part_schema = pa.schema([("y", pa.int64()), ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        od = _ts_i64(t.column("o_orderdate"))
+        y = (od.astype("datetime64[us]").astype("datetime64[Y]")
+             .view(np.int64) + 1970)
+        cents = _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
+        order = np.argsort(y, kind="stable")
+        ys, cs = y[order], cents[order]
+        starts, _ = _segment_starts(ys)
+        return pa.table(
+            {"y": pa.array(ys[starts]),
+             "cents": pa.array(np.add.reduceat(cs, starts))},
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("y").sum("cents").to_pandas()
+    )
+    agg.columns = ["y", "cents"]
+    agg = agg.sort_values("y", ignore_index=True)
+    rev = agg["cents"].to_numpy(dtype=np.int64)
+    years = agg["y"].to_numpy(dtype=np.int64)
+    yoy, has_prev = [], []
+    for i in range(len(rev)):
+        # growth only vs the immediately preceding CALENDAR year
+        if i > 0 and years[i] == years[i - 1] + 1 and rev[i - 1] != 0:
+            d_ = int(rev[i]) - int(rev[i - 1])
+            s = -1 if d_ < 0 else 1
+            yoy.append(s * (10**6 * abs(d_) // int(rev[i - 1])))
+            has_prev.append(1)
+        else:
+            yoy.append(0)
+            has_prev.append(0)
+    return pa.table(
+        {"o_year": pa.array(years),
+         "revenue_cents": pa.array(rev),
+         "has_prev": pa.array(has_prev, pa.int64()),
+         "yoy_e6": pa.array(yoy, pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-parent hierarchical rollup: nation within region
+# ---------------------------------------------------------------------------
+def region_nation_share(sf_dir: str) -> pa.Table:
+    """Hierarchical share-of-parent rollup: each customer nation's
+    order revenue as an exact share of its REGION's revenue --
+    ``share_e6 = floor(1e6 * nation_rev / region_rev)`` -- the
+    percent-of-parent report every BI rollup needs.  Returns
+    ``(r_name, n_name, revenue_cents, share_e6)`` ordered by region,
+    share desc, nation.
+
+    Scale shape: the orders fact scan folds per-block (custkey is
+    resolved to nation by ONE custkey exchange against the customer
+    dim -- no fact-sized broadcast), nation-level sums are
+    dim-bounded, and the region totals + shares are O(nations)
+    driver math against the broadcast nation->region map."""
+    n_cust, _ = _table_meta(sf_dir, "customer")
+    n_or, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_cust + n_or)
+    gd = _new_guard_dir("rnshare")
+
+    e = pa.schema(
+        [("_key", pa.int64()), ("_side", pa.int8()), ("_nat", pa.int32()),
+         ("_cents", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return e.empty_table()
+        ck = t.column("c_custkey").cast(pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {"_key": ck, "_side": pa.array(np.zeros(n, np.int8)),
+             "_nat": t.column("c_nationkey").cast(pa.int32()),
+             "_cents": pa.array(np.zeros(n, np.int64)),
+             "_p": pa.array(partition_ids(ck, P))},
+            schema=e,
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return e.empty_table()
+        ck = t.column("o_custkey").cast(pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {"_key": ck, "_side": pa.array(np.ones(n, np.int8)),
+             "_nat": pa.array(np.zeros(n, np.int32)),
+             "_cents": pa.array(_cents(
+                 t.column("o_totalprice").to_numpy(zero_copy_only=False))),
+             "_p": pa.array(partition_ids(ck, P))},
+            schema=e,
+        )
+
+    part_schema = pa.schema([("nat", pa.int64()), ("cents", pa.int64())])
+
+    def nat_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "rns", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        key = t.column("_key").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        nat = t.column("_nat").to_numpy(zero_copy_only=False)
+        cents = t.column("_cents").to_numpy(zero_copy_only=False)
+        is_o = side == 1
+        bk, bn = key[~is_o], nat[~is_o]
+        if len(bk) == 0 or is_o.sum() == 0:
+            return part_schema.empty_table()
+        bo = np.argsort(bk, kind="stable")
+        bk, bn = bk[bo], bn[bo]
+        pk, pc = key[is_o], cents[is_o]
+        pos = np.searchsorted(bk, pk)
+        hit = (pos < len(bk)) & (bk[np.clip(pos, 0, len(bk) - 1)] == pk)
+        nt = bn[pos[hit]].astype(np.int64)
+        pc = pc[hit]
+        order = np.argsort(nt, kind="stable")
+        nt, pc = nt[order], pc[order]
+        starts, _ = _segment_starts(nt)
+        return pa.table(
+            {"nat": pa.array(nt[starts]),
+             "cents": pa.array(np.add.reduceat(pc, starts))},
+            schema=part_schema,
+        )
+
+    agg = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        .map_batches(cust_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+            .map_batches(order_rows, batch_format="pyarrow")
+        )
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(nat_sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("nat").sum("cents").to_pandas()
+    )
+    agg.columns = ["nat", "cents"]
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    m = agg.merge(nat, left_on="nat", right_on="n_nationkey") \
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    rtot = m.groupby("r_regionkey")["cents"].transform("sum")
+    cents = m["cents"].to_numpy(dtype=np.int64)
+    share = np.array(
+        [10**6 * int(c) // int(t) for c, t in zip(cents, rtot)], np.int64)
+    m = m.assign(share_e6=share)
+    m = m.sort_values(["r_name", "share_e6", "n_name"],
+                      ascending=[True, False, True], ignore_index=True)
+    out = pa.table(
+        {"r_name": pa.array(m["r_name"], pa.string()),
+         "n_name": pa.array(m["n_name"], pa.string()),
+         "revenue_cents": pa.array(m["cents"].to_numpy(dtype=np.int64)),
+         "share_e6": pa.array(m["share_e6"].to_numpy(dtype=np.int64))}
+    )
+    return _finalize_guard(gd, out)

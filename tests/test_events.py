@@ -2408,3 +2408,127 @@ def test_events_burstiness_fano(ray_session, tmp_path):
     assert out["a"]["fano_e6"] == 10**6 * 14 // 12
     # b: one event in each of two hours over T=3: (3*2-4)/(3*2)=1/3
     assert out["b"]["fano_e6"] == 10**6 // 3
+
+
+def test_events_ma_crossover_golden_and_death(ray_session, tmp_path):
+    h = 60.0
+    # 16-hour series for type a: 12 quiet hours (1/hr), then a 2-hour
+    # burst, then 2 zero hours -> one golden cross when the burst
+    # lifts MA(3) above MA(12), one death cross when it drains
+    rows = []
+    eid = 0
+    for hr in range(12):
+        eid += 1
+        rows.append((eid, 1, (hr + 0.5) * h, "a", 0.0))
+    for hr in (12, 13):
+        for _ in range(10):
+            eid += 1
+            rows.append((eid, 1, (hr + 0.5) * h, "a", 0.0))
+    eid += 1
+    rows.append((eid, 1, 15.5 * h, "a", 0.0))  # pins span to 16 hours
+    sf = make_events(tmp_path, rows)
+    out = {r["event_type"]: r
+           for r in ev.events_ma_crossover(sf).to_pylist()}
+    a = out["a"]
+    assert a["n_golden"] >= 1
+    assert a["first_cross_hour"] != -1
+    # reference: same integer math in pure python
+    dense = [1] * 12 + [10, 10, 0, 1]
+    sgn, crosses, golden = [], 0, 0
+    cs = [0]
+    for x in dense:
+        cs.append(cs[-1] + x)
+    first = -1
+    for t in range(11, 16):
+        sf_ = cs[t + 1] - cs[t - 2]
+        ss_ = cs[t + 1] - cs[t - 11]
+        v = sf_ * 12 - ss_ * 3
+        sgn.append(0 if v == 0 else (1 if v > 0 else -1))
+    ng = nd = 0
+    for i in range(1, len(sgn)):
+        if sgn[i] > 0 and sgn[i - 1] <= 0:
+            ng += 1
+            if first == -1:
+                first = 11 + i
+        elif sgn[i] < 0 and sgn[i - 1] >= 0:
+            nd += 1
+            if first == -1:
+                first = 11 + i
+    base = min(r[2] for r in rows) / 60.0  # hours offset of first event
+    assert a["n_golden"] == ng and a["n_death"] == nd
+
+
+def test_orders_yoy_growth_sign_and_gap(ray_session, tmp_path):
+    d = dt.datetime
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+             "o_custkey": pa.array([1] * 4, pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 4, pa.string()),
+             # 2020: 100.00; 2021: 50.00 (-50%); 2023: 80.00 (gap ->
+             # no comparison)
+             "o_totalprice": pa.array([100.0, 50.0, 80.0, 0.5],
+                                      pa.float64()),
+             "o_orderdate": pa.array(
+                 [d(2020, 6, 1), d(2021, 6, 1), d(2023, 6, 1),
+                  d(2023, 7, 1)], pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 4, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = {r["o_year"]: r for r in ev.orders_yoy_growth(str(tmp_path))
+           .to_pylist()}
+    assert out[2020]["has_prev"] == 0 and out[2020]["yoy_e6"] == 0
+    assert out[2021]["has_prev"] == 1
+    assert out[2021]["yoy_e6"] == -500000
+    assert out[2023]["has_prev"] == 0  # 2022 missing -> gap reset
+    assert out[2023]["revenue_cents"] == 8050
+
+
+def test_region_nation_share_of_parent(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {"r_regionkey": pa.array([0, 1], pa.int32()),
+             "r_name": pa.array(["EAST", "WEST"], pa.string())}
+        ),
+        str(tmp_path / "region.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"n_nationkey": pa.array([0, 1, 2], pa.int32()),
+             "n_name": pa.array(["N0", "N1", "N2"], pa.string()),
+             "n_regionkey": pa.array([0, 0, 1], pa.int32())}
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"c_custkey": pa.array([1, 2, 3], pa.int64()),
+             "c_name": pa.array(["a", "b", "c"], pa.string()),
+             "c_nationkey": pa.array([0, 1, 2], pa.int32()),
+             "c_acctbal": pa.array([0.0] * 3, pa.float64()),
+             "c_mktsegment": pa.array(["S"] * 3, pa.string())}
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+             "o_custkey": pa.array([1, 2, 3], pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+             # EAST: N0 75.00 + N1 25.00; WEST: N2 10.00 (100%)
+             "o_totalprice": pa.array([75.0, 25.0, 10.0], pa.float64()),
+             "o_orderdate": pa.array([_ts(0)] * 3, pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 3, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = ev.region_nation_share(str(tmp_path)).to_pylist()
+    assert out == [
+        {"r_name": "EAST", "n_name": "N0", "revenue_cents": 7500,
+         "share_e6": 750000},
+        {"r_name": "EAST", "n_name": "N1", "revenue_cents": 2500,
+         "share_e6": 250000},
+        {"r_name": "WEST", "n_name": "N2", "revenue_cents": 1000,
+         "share_e6": 1000000},
+    ]
