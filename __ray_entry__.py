@@ -1307,6 +1307,54 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Linear multi-touch attribution: each purchase splits 1e6 micro-
+# credits equally (floor) over the user's touches in the prior 24h,
+# window membership by the engine's (ts, event_id) sort order.
+_LINEAR_ATTR_SQL = """
+WITH conv AS (
+  SELECT user_id, epoch_us(ts) AS cts, event_id AS cid
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, epoch_us(ts) AS tts, event_id AS tid, event_type
+  FROM events
+),
+pairs AS (
+  SELECT c.cid, t.event_type
+  FROM conv c JOIN touch t ON t.user_id = c.user_id
+  WHERE t.tts >= c.cts - 86400000000
+    AND (t.tts < c.cts OR (t.tts = c.cts AND t.tid <= c.cid))
+),
+counts AS (SELECT cid, count(*)::BIGINT AS n FROM pairs GROUP BY 1)
+SELECT p.event_type, count(*)::BIGINT AS n_touches,
+       sum(1000000 // c.n)::BIGINT AS credit_e6
+FROM pairs p JOIN counts c USING (cid)
+GROUP BY 1 ORDER BY 1
+"""
+
+# Power-user thresholds: exact lower quantiles (rank ceil(q*n)) of
+# the per-user event-count distribution.
+_USER_COUNT_Q_SQL = """
+WITH uc AS (
+  SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1
+),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS rn,
+         count(*) OVER () AS n
+  FROM uc
+)
+SELECT 0::BIGINT AS q_e2, min(c)::BIGINT AS value FROM uc
+UNION ALL
+SELECT 50, c FROM r WHERE rn = (n * 50 + 99) // 100
+UNION ALL
+SELECT 90, c FROM r WHERE rn = (n * 90 + 99) // 100
+UNION ALL
+SELECT 99, c FROM r WHERE rn = (n * 99 + 99) // 100
+UNION ALL
+SELECT 100, max(c)::BIGINT FROM uc
+ORDER BY q_e2
+"""
+
 # Moving-average crossover: MA_f vs MA_s compared by exact integer
 # cross-multiplication (sum_f*slow vs sum_s*fast) on the dense grid.
 _MA_CROSS_SQL = """
@@ -3522,6 +3570,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_yoy_growth": ev.orders_yoy_growth,
         # share-of-parent hierarchical rollup (nation within region)
         "region_nation_share": ev.region_nation_share,
+        # linear multi-touch attribution (last_touch's sibling)
+        "events_linear_attribution": ev.events_linear_attribution,
+        # exact quantiles of the DERIVED per-user count distribution
+        "events_user_count_quantiles": ev.events_user_count_quantiles,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3729,6 +3781,8 @@ def oracle_sql() -> dict[str, str]:
         "events_ma_crossover": _MA_CROSS_SQL,
         "orders_yoy_growth": _YOY_SQL,
         "region_nation_share": _REGION_SHARE_SQL,
+        "events_linear_attribution": _LINEAR_ATTR_SQL,
+        "events_user_count_quantiles": _USER_COUNT_Q_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -221,6 +221,9 @@ def run_bench() -> dict:
         ("events_ma_crossover", evops.events_ma_crossover),
         ("orders_yoy_growth", evops.orders_yoy_growth),
         ("region_nation_share", evops.region_nation_share),
+        ("events_linear_attribution", evops.events_linear_attribution),
+        ("events_user_count_quantiles",
+         evops.events_user_count_quantiles),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -8132,3 +8132,175 @@ def region_nation_share(sf_dir: str) -> pa.Table:
          "share_e6": pa.array(m["share_e6"].to_numpy(dtype=np.int64))}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution
+# ---------------------------------------------------------------------------
+def events_linear_attribution(
+    sf_dir: str, conv_type: str = "purchase", window_hours: int = 24
+) -> pa.Table:
+    """Linear multi-touch attribution: every ``conv_type`` conversion
+    distributes one unit of credit EQUALLY across the same user's
+    touches (any event, conversion included) in the preceding
+    ``window_hours`` -- each touch earns exact ``floor(1e6 /
+    n_touches)`` micro-credits (the per-conversion floor makes the
+    split engine-exact; ``events_last_touch`` is the winner-take-all
+    sibling).  Returns per touch type: ``(event_type, n_touches,
+    credit_e6)`` ordered by type.
+
+    Distributed shape: ONE user_id hash exchange, then a per-block
+    two-pointer sweep over each user's time-sorted events (window
+    membership via ``searchsorted``); per-block (type -> credit)
+    partials make the final ``groupby`` dimension-sized."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("linattr")
+    W = np.int64(window_hours * 3600 * _US)
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("n_touches", pa.int64()),
+         ("credit_e6", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "lat", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        starts, lens = _segment_starts(u)
+        credit: dict[str, int] = {}
+        touches: dict[str, int] = {}
+        for s, m in zip(starts, lens):
+            seg_ts = ts[s:s + m]
+            seg_et = et[s:s + m]
+            conv_idx = np.flatnonzero(seg_et == conv_type)
+            if len(conv_idx) == 0:
+                continue
+            # earliest index inside each conversion's window
+            lo = np.searchsorted(seg_ts, seg_ts[conv_idx] - W, side="left")
+            for ci, l_ in zip(conv_idx, lo):
+                n = int(ci - l_ + 1)
+                c = 10**6 // n
+                for j in range(l_, ci + 1):
+                    k = seg_et[j]
+                    credit[k] = credit.get(k, 0) + c
+                    touches[k] = touches.get(k, 0) + 1
+        if not credit:
+            return part_schema.empty_table()
+        keys = sorted(credit)
+        return pa.table(
+            {"event_type": pa.array(keys, pa.string()),
+             "n_touches": pa.array([touches[k] for k in keys], pa.int64()),
+             "credit_e6": pa.array([credit[k] for k in keys], pa.int64())},
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .sum(["n_touches", "credit_e6"])
+        .to_pandas()
+    )
+    agg.columns = ["event_type", "n_touches", "credit_e6"]
+    agg = agg.sort_values("event_type", ignore_index=True)
+    out = pa.table(
+        {"event_type": pa.array(agg["event_type"], pa.string()),
+         "n_touches": pa.array(agg["n_touches"].to_numpy(dtype=np.int64)),
+         "credit_e6": pa.array(agg["credit_e6"].to_numpy(dtype=np.int64))}
+    )
+    return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Power-user thresholds: exact quantiles of per-user event counts
+# ---------------------------------------------------------------------------
+def events_user_count_quantiles(sf_dir: str) -> pa.Table:
+    """Exact order statistics of the DERIVED per-user event-count
+    distribution: the lower quantile (rank ``ceil(q * n)``) of
+    events-per-user at q in {0.5, 0.9, 0.99}, plus min/max -- the
+    power-user threshold report.  Returns ``(q_e2, value)`` with
+    rows 0 (min), 50, 90, 99, 100 (max).
+
+    Distributed shape: per-block per-user count partials -> ONE
+    user ``groupby.sum`` -> per-block HISTOGRAM of the derived
+    counts (count-of-counts, dimension-bounded) -> exact driver
+    quantile walk over the tiny histogram.  No per-user row ever
+    reaches the driver."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    part_schema = pa.schema([("user_id", pa.int64()), ("c", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        us = u[order]
+        starts, lens = _segment_starts(us)
+        return pa.table(
+            {"user_id": pa.array(us[starts]),
+             "c": pa.array(lens.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    hist_schema = pa.schema([("c", pa.int64()), ("n", pa.int64())])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        c = t.column("sum(c)").to_numpy(zero_copy_only=False)
+        order = np.argsort(c, kind="stable")
+        cs = c[order]
+        starts, lens = _segment_starts(cs)
+        return pa.table(
+            {"c": pa.array(cs[starts]),
+             "n": pa.array(lens.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id").sum("c")
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c").sum("n")
+        .to_pandas()
+    )
+    hist.columns = ["c", "n"]
+    hist = hist.sort_values("c", ignore_index=True)
+    vals = hist["c"].to_numpy(dtype=np.int64)
+    cnts = hist["n"].to_numpy(dtype=np.int64)
+    n_users = int(cnts.sum())
+    cum = np.cumsum(cnts)
+
+    def q_at(rank: int) -> int:
+        return int(vals[np.searchsorted(cum, rank, side="left")])
+
+    rows = [(0, int(vals[0])), (50, q_at(-(-n_users * 50 // 100))),
+            (90, q_at(-(-n_users * 90 // 100))),
+            (99, q_at(-(-n_users * 99 // 100))), (100, int(vals[-1]))]
+    return pa.table(
+        {"q_e2": pa.array([r[0] for r in rows], pa.int64()),
+         "value": pa.array([r[1] for r in rows], pa.int64())}
+    )

@@ -2532,3 +2532,42 @@ def test_region_nation_share_of_parent(ray_session, tmp_path):
         {"r_name": "WEST", "n_name": "N2", "revenue_cents": 1000,
          "share_e6": 1000000},
     ]
+
+
+def test_events_linear_attribution_split(ray_session, tmp_path):
+    h = 60.0
+    rows = [
+        # user 1: view at t=0h, click at t=1h, purchase at t=2h ->
+        # 3 touches in the 24h window, each credited 333333
+        (1, 1, 0.0 * h, "view", 0.0),
+        (2, 1, 1.0 * h, "click", 0.0),
+        (3, 1, 2.0 * h, "purchase", 0.0),
+        # user 2: stale view 30h before purchase -> excluded; the
+        # purchase credits only itself (1e6)
+        (4, 2, 0.0 * h, "view", 0.0),
+        (5, 2, 30.0 * h, "purchase", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["event_type"]: r
+           for r in ev.events_linear_attribution(sf).to_pylist()}
+    assert out["view"] == {"event_type": "view", "n_touches": 1,
+                           "credit_e6": 333333}
+    assert out["click"]["credit_e6"] == 333333
+    # purchases: user1's (1/3) + user2's (1/1)
+    assert out["purchase"]["n_touches"] == 2
+    assert out["purchase"]["credit_e6"] == 333333 + 1000000
+
+
+def test_events_user_count_quantiles_exact(ray_session, tmp_path):
+    # 10 users with counts 1..10: P50 = rank 5 -> 5, P90 -> 9,
+    # P99 -> rank ceil(9.9)=10 -> 10
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        for _ in range(u):
+            eid += 1
+            rows.append((eid, u, eid * 1.0, "a", 0.0))
+    sf = make_events(tmp_path, rows)
+    out = {r["q_e2"]: r["value"]
+           for r in ev.events_user_count_quantiles(sf).to_pylist()}
+    assert out == {0: 1, 50: 5, 90: 9, 99: 10, 100: 10}
