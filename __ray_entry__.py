@@ -1307,6 +1307,25 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Bitmap-index audience algebra: click AND purchase AND NOT error.
+_TYPE_ALGEBRA_SQL = """
+WITH um AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p,
+    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_e
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT user_id FROM um WHERE has_c = 1 AND has_p = 1 AND has_e = 0
+)
+SELECT (SELECT count(*) FROM um)::BIGINT AS n_users_total,
+       count(*)::BIGINT AS n_matching,
+       COALESCE(min(user_id), -1)::BIGINT AS min_user_id,
+       COALESCE(max(user_id), -1)::BIGINT AS max_user_id
+FROM m
+"""
+
 # Linear multi-touch attribution: each purchase splits 1e6 micro-
 # credits equally (floor) over the user's touches in the prior 24h,
 # window membership by the engine's (ts, event_id) sort order.
@@ -3574,6 +3593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_linear_attribution": ev.events_linear_attribution,
         # exact quantiles of the DERIVED per-user count distribution
         "events_user_count_quantiles": ev.events_user_count_quantiles,
+        # bitmap-index audience algebra (ALL-of / NONE-of masks)
+        "events_user_type_algebra": ev.events_user_type_algebra,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3783,6 +3804,7 @@ def oracle_sql() -> dict[str, str]:
         "region_nation_share": _REGION_SHARE_SQL,
         "events_linear_attribution": _LINEAR_ATTR_SQL,
         "events_user_count_quantiles": _USER_COUNT_Q_SQL,
+        "events_user_type_algebra": _TYPE_ALGEBRA_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

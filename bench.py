@@ -224,6 +224,7 @@ def run_bench() -> dict:
         ("events_linear_attribution", evops.events_linear_attribution),
         ("events_user_count_quantiles",
          evops.events_user_count_quantiles),
+        ("events_user_type_algebra", evops.events_user_type_algebra),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

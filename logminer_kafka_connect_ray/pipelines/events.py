@@ -8304,3 +8304,124 @@ def events_user_count_quantiles(sf_dir: str) -> pa.Table:
         {"q_e2": pa.array([r[0] for r in rows], pa.int64()),
          "value": pa.array([r[1] for r in rows], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmask set algebra over per-user behavior sets
+# ---------------------------------------------------------------------------
+def events_user_type_algebra(
+    sf_dir: str, need=("click", "purchase"), forbid=("error",)
+) -> pa.Table:
+    """Audience set algebra via bitmap indexes: users who performed
+    ALL of ``need`` and NONE of ``forbid``.  Each user folds to one
+    int64 bitmask over the (sorted) global type vocabulary -- the
+    OR-aggregate bitmap-index pattern (types are dimension-bounded;
+    64 is the int64 budget, asserted).  Returns one row:
+    ``(n_users_total, n_matching, min_user_id, max_user_id)``.
+
+    Distributed shape: per-block per-user OR-mask partials -> ONE
+    user ``groupby`` bit_or-style fold (sum of distinct per-block
+    masks would be wrong; the fold re-ORs via max on per-bit
+    idempotence -- we instead re-OR inside a second sweep) ->
+    per-block predicate partials -> driver scalar fold."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    # global type vocabulary (dimension-bounded)
+    tv = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {"event_type": pc.unique(t.column("event_type"))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type").count().to_pandas()
+    )
+    types = sorted(tv["event_type"].tolist())
+    if len(types) > 63:
+        raise ValueError("bitmap algebra supports <= 63 event types")
+    bit = {t: 1 << i for i, t in enumerate(types)}
+    need_mask = sum(bit[t] for t in need if t in bit)
+    forbid_mask = sum(bit[t] for t in forbid if t in bit)
+
+    part_schema = pa.schema([("user_id", pa.int64()), ("m", pa.int64())])
+
+    def mask_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        m = np.asarray([bit[e] for e in et], np.int64)
+        order = np.argsort(u, kind="stable")
+        us, ms = u[order], m[order]
+        starts, _ = _segment_starts(us)
+        return pa.table(
+            {"user_id": pa.array(us[starts]),
+             "m": pa.array(np.bitwise_or.reduceat(ms, starts))},
+            schema=part_schema,
+        )
+
+    stat_schema = pa.schema(
+        [("n_users", pa.int64()), ("n_match", pa.int64()),
+         ("lo", pa.int64()), ("hi", pa.int64())]
+    )
+
+    def verdict(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return stat_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        # groupby.sum over per-block masks can double-count bits; the
+        # fold below re-ORs the per-block partials per user instead
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, ms = u[order], m[order]
+        starts, _ = _segment_starts(us)
+        mm = np.bitwise_or.reduceat(ms, starts)
+        uu = us[starts]
+        ok = ((mm & need_mask) == need_mask) & ((mm & forbid_mask) == 0)
+        return pa.table(
+            {"n_users": pa.array([len(uu)], pa.int64()),
+             "n_match": pa.array([int(ok.sum())], pa.int64()),
+             "lo": pa.array(
+                 [int(uu[ok].min()) if ok.any() else 2**62], pa.int64()),
+             "hi": pa.array(
+                 [int(uu[ok].max()) if ok.any() else -1], pa.int64())},
+            schema=stat_schema,
+        )
+
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("typealg")
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    def verdict_g(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return stat_schema.empty_table()
+        _guard_record(
+            gd, "alg", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        return verdict(t)
+
+    stats = (
+        ds.map_batches(mask_partial, batch_format="pyarrow")
+        .map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(verdict_g, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    n_users = int(stats["n_users"].sum())
+    n_match = int(stats["n_match"].sum())
+    lo = int(stats["lo"].min()) if n_match else -1
+    hi = int(stats["hi"].max()) if n_match else -1
+    out = pa.table(
+        {"n_users_total": pa.array([n_users], pa.int64()),
+         "n_matching": pa.array([n_match], pa.int64()),
+         "min_user_id": pa.array([lo], pa.int64()),
+         "max_user_id": pa.array([hi], pa.int64())}
+    )
+    return _finalize_guard(gd, out)

@@ -2571,3 +2571,25 @@ def test_events_user_count_quantiles_exact(ray_session, tmp_path):
     out = {r["q_e2"]: r["value"]
            for r in ev.events_user_count_quantiles(sf).to_pylist()}
     assert out == {0: 1, 50: 5, 90: 9, 99: 10, 100: 10}
+
+
+def test_events_user_type_algebra_masks(ray_session, tmp_path):
+    rows = [
+        # u1: click+purchase, no error -> match
+        (1, 1, 0.0, "click", 0.0), (2, 1, 1.0, "purchase", 0.0),
+        # u2: click+purchase but ALSO error -> excluded
+        (3, 2, 0.0, "click", 0.0), (4, 2, 1.0, "purchase", 0.0),
+        (5, 2, 2.0, "error", 0.0),
+        # u3: click only -> excluded
+        (6, 3, 0.0, "click", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_user_type_algebra(sf).to_pylist()
+    assert out == [{"n_users_total": 3, "n_matching": 1,
+                    "min_user_id": 1, "max_user_id": 1}]
+    # empty-match path: forbid everything
+    out2 = ev.events_user_type_algebra(
+        sf, need=("click",), forbid=("click",)
+    ).to_pylist()
+    assert out2[0]["n_matching"] == 0
+    assert out2[0]["min_user_id"] == -1
