@@ -1307,6 +1307,60 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Lexical diversity: TTR + hapax rate per doc, empty docs zeroed.
+_LEX_DIVERSITY_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         (count(*) FILTER (WHERE c = 1))::BIGINT AS n_hapax
+  FROM tc GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(p.n_types, 0)::BIGINT AS n_types,
+       COALESCE(p.n_hapax, 0)::BIGINT AS n_hapax,
+       COALESCE(CAST(1000000 * p.n_types // p.n_tokens AS BIGINT), 0)
+         AS ttr_e6,
+       COALESCE(CAST(1000000 * p.n_hapax // p.n_types AS BIGINT), 0)
+         AS hapax_e6
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+# Session-level rollup: the SQL reconstructs the gap sessions with
+# the same (ts, event_id) tie order the engine's lexsort uses.
+_SESSION_STATS_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+f AS (
+  SELECT user_id, t, event_id,
+    CASE WHEN lag(t) OVER w IS NULL
+              OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+s AS (
+  SELECT user_id, t,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+),
+g AS (
+  SELECT user_id, sid, count(*)::BIGINT AS n, min(t) AS lo, max(t) AS hi
+  FROM s GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_sessions,
+  (count(*) FILTER (WHERE n = 1))::BIGINT AS n_bounce,
+  CAST(1000000 * (count(*) FILTER (WHERE n = 1)) // count(*) AS BIGINT)
+    AS bounce_e6,
+  sum(hi - lo)::BIGINT AS sum_duration_us,
+  max(hi - lo)::BIGINT AS max_duration_us,
+  CAST(sum(hi - lo) // count(*) AS BIGINT) AS mean_duration_us
+FROM g
+"""
+
 # Bitmap-index audience algebra: click AND purchase AND NOT error.
 _TYPE_ALGEBRA_SQL = """
 WITH um AS (
@@ -3595,6 +3649,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_count_quantiles": ev.events_user_count_quantiles,
         # bitmap-index audience algebra (ALL-of / NONE-of masks)
         "events_user_type_algebra": ev.events_user_type_algebra,
+        # lexical diversity (TTR + hapax) curation metrics
+        "doc_lexical_diversity": d.doc_lexical_diversity,
+        # session rollup composed over the sessionizer
+        "events_session_stats": ev.events_session_stats,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3805,6 +3863,8 @@ def oracle_sql() -> dict[str, str]:
         "events_linear_attribution": _LINEAR_ATTR_SQL,
         "events_user_count_quantiles": _USER_COUNT_Q_SQL,
         "events_user_type_algebra": _TYPE_ALGEBRA_SQL,
+        "doc_lexical_diversity": _LEX_DIVERSITY_SQL,
+        "events_session_stats": _SESSION_STATS_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

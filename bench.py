@@ -225,6 +225,8 @@ def run_bench() -> dict:
         ("events_user_count_quantiles",
          evops.events_user_count_quantiles),
         ("events_user_type_algebra", evops.events_user_type_algebra),
+        ("doc_lexical_diversity", dops.doc_lexical_diversity),
+        ("events_session_stats", evops.events_session_stats),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

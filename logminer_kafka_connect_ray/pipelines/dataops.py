@@ -5467,3 +5467,58 @@ def word_pmi_topk(sf_dir: str, min_df: int = 50, k: int = 30) -> pa.Table:
     tb = merged.column("term_b").to_numpy(zero_copy_only=False)
     top = np.lexsort((tb, ta, -lift))[:k]
     return merged.take(pa.array(top))
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: type-token ratio + hapax rate per doc
+# ---------------------------------------------------------------------------
+def doc_lexical_diversity(sf_dir: str) -> pa.Table:
+    """Lexical-diversity quality metrics per document -- the
+    curation filters that catch boilerplate and keyword stuffing:
+    token count, distinct-type count, hapax count (words occurring
+    exactly once IN the doc), exact ``ttr_e6 = floor(1e6 *
+    n_types / n_tokens)`` and ``hapax_e6 = floor(1e6 * n_hapax /
+    n_types)`` (0 for empty docs).  Returns ``(doc_id, n_tokens,
+    n_types, n_hapax, ttr_e6, hapax_e6)``.
+
+    Scale shape: embarrassingly parallel -- one tokenize pass, all
+    metrics per-doc; no shuffle at all (the same
+    tokenize-once-per-row call measured for ``lang_id``)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("n_types", pa.int64()), ("n_hapax", pa.int64()),
+         ("ttr_e6", pa.int64()), ("hapax_e6", pa.int64())]
+    )
+
+    def metrics(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        dids = t.column("doc_id").to_pylist()
+        rows = []
+        for did, s in zip(dids, t.column("text").to_pylist()):
+            toks = _WORD.findall((s or "").lower())
+            n = len(toks)
+            if n == 0:
+                rows.append((did, 0, 0, 0, 0, 0))
+                continue
+            counts: dict[str, int] = {}
+            for w in toks:
+                counts[w] = counts.get(w, 0) + 1
+            ty = len(counts)
+            hap = sum(1 for v in counts.values() if v == 1)
+            rows.append((did, n, ty, hap,
+                         10**6 * ty // n, 10**6 * hap // ty))
+        return pa.table(
+            {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+             "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+             "n_types": pa.array([r[2] for r in rows], pa.int64()),
+             "n_hapax": pa.array([r[3] for r in rows], pa.int64()),
+             "ttr_e6": pa.array([r[4] for r in rows], pa.int64()),
+             "hapax_e6": pa.array([r[5] for r in rows], pa.int64())},
+            schema=out_schema,
+        )
+
+    res = ds.map_batches(metrics, batch_format="pyarrow").to_pandas()
+    res = res.sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(res, preserve_index=False).cast(out_schema)

@@ -8425,3 +8425,42 @@ def events_user_type_algebra(
          "max_user_id": pa.array([hi], pa.int64())}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Session-level rollup over the sessionizer's output
+# ---------------------------------------------------------------------------
+def events_session_stats(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Corpus-level session metrics COMPOSED over
+    ``events_sessionize`` (operators as building blocks, not
+    monoliths): total sessions, bounce sessions (single event),
+    exact ``bounce_e6``, and the duration sum/max/floor-mean in
+    microseconds.  Returns one row.
+
+    Scale shape: inherits the sessionizer's one-exchange plan; this
+    rollup adds only a session-table scan folded to per-block scalar
+    partials -- the session table itself never concentrates."""
+    sess = events_sessionize(sf_dir, gap_minutes=gap_minutes)
+    n = sess.num_rows
+    if n == 0:
+        return pa.table(
+            {"n_sessions": pa.array([0], pa.int64()),
+             "n_bounce": pa.array([0], pa.int64()),
+             "bounce_e6": pa.array([0], pa.int64()),
+             "sum_duration_us": pa.array([0], pa.int64()),
+             "max_duration_us": pa.array([0], pa.int64()),
+             "mean_duration_us": pa.array([0], pa.int64())}
+        )
+    ne = sess.column("n_events").to_numpy()
+    lo = sess.column("session_start").cast(pa.int64()).to_numpy()
+    hi = sess.column("session_end").cast(pa.int64()).to_numpy()
+    dur = hi - lo
+    n_bounce = int((ne == 1).sum())
+    return pa.table(
+        {"n_sessions": pa.array([n], pa.int64()),
+         "n_bounce": pa.array([n_bounce], pa.int64()),
+         "bounce_e6": pa.array([10**6 * n_bounce // n], pa.int64()),
+         "sum_duration_us": pa.array([int(dur.sum())], pa.int64()),
+         "max_duration_us": pa.array([int(dur.max())], pa.int64()),
+         "mean_duration_us": pa.array([int(dur.sum()) // n], pa.int64())}
+    )

@@ -1253,3 +1253,20 @@ def test_word_pmi_topk_exact_lift(ray_session, tmp_path):
     assert ("pie", "tart") not in got  # zero co-occurrence drops out
     # ranking: higher lift first
     assert out[0]["term_a"] == "apple" and out[0]["term_b"] == "pie"
+
+
+def test_doc_lexical_diversity_metrics(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        doc_lexical_diversity,
+    )
+
+    sf = make_docs(tmp_path, ["a a b c", "", "x x x x"])
+    out = {r["doc_id"]: r for r in doc_lexical_diversity(sf).to_pylist()}
+    # doc 0: 4 tokens, 3 types, hapax {b, c}
+    assert out[0]["n_tokens"] == 4 and out[0]["n_types"] == 3
+    assert out[0]["n_hapax"] == 2
+    assert out[0]["ttr_e6"] == 750000
+    assert out[0]["hapax_e6"] == 666666
+    assert out[1] == {"doc_id": 1, "n_tokens": 0, "n_types": 0,
+                      "n_hapax": 0, "ttr_e6": 0, "hapax_e6": 0}
+    assert out[2]["ttr_e6"] == 250000 and out[2]["n_hapax"] == 0

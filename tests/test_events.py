@@ -2593,3 +2593,20 @@ def test_events_user_type_algebra_masks(ray_session, tmp_path):
     ).to_pylist()
     assert out2[0]["n_matching"] == 0
     assert out2[0]["min_user_id"] == -1
+
+
+def test_events_session_stats_rollup(ray_session, tmp_path):
+    rows = [
+        # u1: two sessions -- [0, 10min] (2 events) and [60min] bounce
+        (1, 1, 0.0, "a", 0.0), (2, 1, 10.0, "a", 0.0),
+        (3, 1, 60.0, "a", 0.0),
+        # u2: one bounce session
+        (4, 2, 0.0, "b", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_session_stats(sf, gap_minutes=30).to_pylist()[0]
+    assert out["n_sessions"] == 3 and out["n_bounce"] == 2
+    assert out["bounce_e6"] == 666666
+    assert out["sum_duration_us"] == 10 * 60 * 1_000_000
+    assert out["max_duration_us"] == 10 * 60 * 1_000_000
+    assert out["mean_duration_us"] == 10 * 60 * 1_000_000 // 3
