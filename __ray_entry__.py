@@ -1307,6 +1307,26 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Inter-event gap histogram: exact log2 buckets via bit length
+# (length(bin(x)) in DuckDB == int.bit_length in the engine).
+_GAP_HIST_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+),
+g AS (
+  SELECT t - lag(t) OVER (PARTITION BY user_id
+                          ORDER BY t, event_id) AS gap
+  FROM e
+),
+b AS (
+  SELECT CASE WHEN gap = 0 THEN 0
+              ELSE length(bin(gap)) END::BIGINT AS bucket
+  FROM g WHERE gap IS NOT NULL
+)
+SELECT bucket, count(*)::BIGINT AS n_gaps
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
 # Lexical diversity: TTR + hapax rate per doc, empty docs zeroed.
 _LEX_DIVERSITY_SQL = """
 WITH toks AS (
@@ -3653,6 +3673,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lexical_diversity": d.doc_lexical_diversity,
         # session rollup composed over the sessionizer
         "events_session_stats": ev.events_session_stats,
+        # exact log2-bucket inter-event gap histogram
+        "events_gap_histogram": ev.events_gap_histogram,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3865,6 +3887,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_type_algebra": _TYPE_ALGEBRA_SQL,
         "doc_lexical_diversity": _LEX_DIVERSITY_SQL,
         "events_session_stats": _SESSION_STATS_SQL,
+        "events_gap_histogram": _GAP_HIST_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

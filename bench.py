@@ -227,6 +227,7 @@ def run_bench() -> dict:
         ("events_user_type_algebra", evops.events_user_type_algebra),
         ("doc_lexical_diversity", dops.doc_lexical_diversity),
         ("events_session_stats", evops.events_session_stats),
+        ("events_gap_histogram", evops.events_gap_histogram),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -8464,3 +8464,76 @@ def events_session_stats(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
          "max_duration_us": pa.array([int(dur.max())], pa.int64()),
          "mean_duration_us": pa.array([int(dur.sum()) // n], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap histogram (log2 buckets)
+# ---------------------------------------------------------------------------
+def events_gap_histogram(sf_dir: str) -> pa.Table:
+    """Histogram of inter-event gaps per user on an exact log2 scale:
+    each consecutive same-user gap (microseconds, ``(ts, event_id)``
+    order) lands in bucket ``bit_length(gap_us)`` (0 for gap 0) --
+    integer bucketing with NO float log (``floor(log2 x)`` is not
+    correctly rounded near powers of two; bit_length is exact).
+    Returns ``(bucket, n_gaps)`` ordered by bucket.
+
+    Scale shape: ONE user hash exchange, per-block lexsort + diff +
+    frexp bucketing (exact below 2^53 us ~ 285 years, asserted),
+    per-block bucket partials -> tiny final ``groupby.sum``."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("gaph")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    part_schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "gap", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        gaps = (ts - np.concatenate([[0], ts[:-1]]))[same]
+        if gaps.size == 0:
+            return part_schema.empty_table()
+        if int(gaps.max()) >= (1 << 53):
+            raise ValueError("gap exceeds exact-frexp range (2^53 us)")
+        _, exp = np.frexp(gaps.astype(np.float64))
+        bucket = np.where(gaps > 0, exp, 0).astype(np.int64)
+        order2 = np.argsort(bucket, kind="stable")
+        bs = bucket[order2]
+        starts, lens = _segment_starts(bs)
+        return pa.table(
+            {"bucket": pa.array(bs[starts]),
+             "n": pa.array(lens.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket").sum("n").to_pandas()
+    )
+    agg.columns = ["bucket", "n_gaps"]
+    agg = agg.sort_values("bucket", ignore_index=True)
+    out = pa.table(
+        {"bucket": pa.array(agg["bucket"].to_numpy(dtype=np.int64)),
+         "n_gaps": pa.array(agg["n_gaps"].to_numpy(dtype=np.int64))}
+    )
+    return _finalize_guard(gd, out)

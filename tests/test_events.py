@@ -2610,3 +2610,20 @@ def test_events_session_stats_rollup(ray_session, tmp_path):
     assert out["sum_duration_us"] == 10 * 60 * 1_000_000
     assert out["max_duration_us"] == 10 * 60 * 1_000_000
     assert out["mean_duration_us"] == 10 * 60 * 1_000_000 // 3
+
+
+def test_events_gap_histogram_bit_buckets(ray_session, tmp_path):
+    us = 1 / 60_000_000  # minutes per microsecond for make_events
+    rows = [
+        # u1 gaps: 1us (bucket 1), 5us (bucket 3), 0us (bucket 0)
+        (1, 1, 0.0, "a", 0.0),
+        (2, 1, 1 * us, "a", 0.0),
+        (3, 1, 6 * us, "a", 0.0),
+        (4, 1, 6 * us, "a", 0.0),
+        # u2: single event -> no gap
+        (5, 2, 0.0, "a", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["bucket"]: r["n_gaps"]
+           for r in ev.events_gap_histogram(sf).to_pylist()}
+    assert out == {0: 1, 1: 1, 3: 1}
