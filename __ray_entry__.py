@@ -1307,6 +1307,57 @@ GROUP BY 1
 ORDER BY 1
 """
 
+def _build_skyline_layers_sql(layers: int = 3) -> str:
+    """Onion peel unrolled: per layer, the orders_skyline window
+    formulation (price-group max day + strict-suffix max), then
+    EXCEPT the layer out and repeat."""
+    parts = ["""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+),
+pts AS (
+  SELECT price_cents, day, count(*)::BIGINT AS n_orders,
+         min(o_orderkey) AS min_orderkey
+  FROM o GROUP BY 1, 2
+),
+s1 AS (SELECT price_cents, day FROM pts)"""]
+    for i in range(1, layers + 1):
+        parts.append(f""",
+pm{i} AS (SELECT price_cents, max(day) AS day FROM s{i} GROUP BY 1),
+sky{i} AS (
+  SELECT price_cents, day,
+         max(day) OVER (ORDER BY price_cents DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS best_prev
+  FROM pm{i}
+),
+l{i} AS (
+  SELECT price_cents, day FROM sky{i}
+  WHERE best_prev IS NULL OR day > best_prev
+),
+s{i + 1} AS (
+  SELECT price_cents, day FROM s{i}
+  EXCEPT SELECT price_cents, day FROM l{i}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS layer, price_cents, day FROM l{i}"
+        for i in range(1, layers + 1)
+    )
+    parts.append(f""",
+lay AS ({unions})
+SELECT lay.layer, lay.price_cents, lay.day, pts.n_orders,
+       pts.min_orderkey
+FROM lay JOIN pts USING (price_cents, day)
+ORDER BY lay.layer, lay.price_cents DESC, lay.day
+""")
+    return "".join(parts)
+
+
+_SKYLINE_LAYERS_SQL = _build_skyline_layers_sql()
+
 # Inter-event gap histogram: exact log2 buckets via bit length
 # (length(bin(x)) in DuckDB == int.bit_length in the engine).
 _GAP_HIST_SQL = """
@@ -3675,6 +3726,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_stats": ev.events_session_stats,
         # exact log2-bucket inter-event gap histogram
         "events_gap_histogram": ev.events_gap_histogram,
+        # onion peeling: first-3 Pareto layers (local-peel candidates
+        # + exact global re-peel; subset-monotone layer argument)
+        "orders_skyline_layers": ev.orders_skyline_layers,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3888,6 +3942,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lexical_diversity": _LEX_DIVERSITY_SQL,
         "events_session_stats": _SESSION_STATS_SQL,
         "events_gap_histogram": _GAP_HIST_SQL,
+        "orders_skyline_layers": _SKYLINE_LAYERS_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

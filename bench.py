@@ -228,6 +228,7 @@ def run_bench() -> dict:
         ("doc_lexical_diversity", dops.doc_lexical_diversity),
         ("events_session_stats", evops.events_session_stats),
         ("events_gap_histogram", evops.events_gap_histogram),
+        ("orders_skyline_layers", evops.orders_skyline_layers),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

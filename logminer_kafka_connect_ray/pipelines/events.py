@@ -8537,3 +8537,133 @@ def events_gap_histogram(sf_dir: str) -> pa.Table:
          "n_gaps": pa.array(agg["n_gaps"].to_numpy(dtype=np.int64))}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Onion peeling: the first L Pareto layers
+# ---------------------------------------------------------------------------
+def _skyline_mask(p: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Boolean skyline mask over DISTINCT (p, d) points, vectorized
+    (the ``orders_skyline`` suffix-max argument): survivors are each
+    price group's max-day point whose day beats the suffix max over
+    strictly greater prices."""
+    order = np.lexsort((d, p))
+    ps, ds_ = p[order], d[order]
+    pstarts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+    pend = np.r_[pstarts[1:], len(ps)] - 1
+    maxd = ds_[pend]
+    nxt = np.r_[np.maximum.accumulate(maxd[::-1])[::-1][1:], np.int64(-1)]
+    keep_sorted = pend[maxd > nxt]
+    mask = np.zeros(len(p), bool)
+    mask[order[keep_sorted]] = True
+    return mask
+
+
+def orders_skyline_layers(sf_dir: str, layers: int = 3) -> pa.Table:
+    """Onion peeling: the first ``layers`` Pareto layers of the
+    (price_cents, day) point set -- layer 1 is the skyline, layer 2
+    the skyline after removing it, and so on (the multi-objective
+    ranking behind tiered best-offer search).  Returns one row per
+    surviving distinct point: ``(layer, price_cents, day, n_orders,
+    min_orderkey)``, ordered by (layer, price desc, day).
+
+    Distributed shape + exactness: each block aggregates its
+    distinct points and peels LOCALLY ``layers`` times; subset
+    monotonicity (``layer_S(p) <= layer_full(p)`` for ``S`` a
+    subset) means every point with GLOBAL layer <= L keeps local
+    layer <= L, so the block's <= L candidates contain all true
+    survivors WITH all their count partials.  The merge re-peels the
+    candidate union: a point's dominator chain lies in strictly
+    shallower layers, so the chain is fully inside the candidate
+    set and the re-peel reproduces exact global layers (extra
+    local-only candidates compute layer > L and drop out).  Local
+    candidate sets are O(L * frontier), so the single-block merge
+    sweeps tiny partials."""
+    day_us = np.int64(86_400 * _US)
+    part_schema = pa.schema(
+        [("price_cents", pa.int64()), ("day", pa.int64()),
+         ("n_orders", pa.int64()), ("min_orderkey", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [("layer", pa.int64()), ("price_cents", pa.int64()),
+         ("day", pa.int64()), ("n_orders", pa.int64()),
+         ("min_orderkey", pa.int64())]
+    )
+
+    def distinct_points(t: pa.Table):
+        price = _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
+        day = _ts_i64(t.column("o_orderdate")) // day_us
+        mk = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.lexsort((day, price))
+        p, d, k = price[order], day[order], mk[order]
+        brk = np.r_[True, (p[1:] != p[:-1]) | (d[1:] != d[:-1])]
+        starts = np.flatnonzero(brk)
+        n = np.diff(np.append(starts, len(p))).astype(np.int64)
+        return (p[starts], d[starts], n,
+                np.minimum.reduceat(k, starts))
+
+    def peel(p, d, L):
+        """layer id (1-based) per point; 0 = deeper than L."""
+        layer = np.zeros(len(p), np.int64)
+        alive = np.ones(len(p), bool)
+        for li in range(1, L + 1):
+            if not alive.any():
+                break
+            idx = np.flatnonzero(alive)
+            m = _skyline_mask(p[idx], d[idx])
+            layer[idx[m]] = li
+            alive[idx[m]] = False
+        return layer
+
+    def local_candidates(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        p, d, n, k = distinct_points(t)
+        layer = peel(p, d, layers)
+        keep = layer > 0
+        return pa.table(
+            {"price_cents": pa.array(p[keep]), "day": pa.array(d[keep]),
+             "n_orders": pa.array(n[keep]),
+             "min_orderkey": pa.array(k[keep])},
+            schema=part_schema,
+        )
+
+    def final_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        p = t.column("price_cents").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        n = t.column("n_orders").to_numpy(zero_copy_only=False)
+        k = t.column("min_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, p))
+        p, d, n, k = p[order], d[order], n[order], k[order]
+        brk = np.r_[True, (p[1:] != p[:-1]) | (d[1:] != d[:-1])]
+        starts = np.flatnonzero(brk)
+        pu, du = p[starts], d[starts]
+        nu = np.add.reduceat(n, starts)
+        ku = np.minimum.reduceat(k, starts)
+        layer = peel(pu, du, layers)
+        keep = layer > 0
+        pu, du, nu, ku, layer = (pu[keep], du[keep], nu[keep], ku[keep],
+                                 layer[keep])
+        order2 = np.lexsort((du, -pu, layer))
+        return pa.table(
+            {"layer": pa.array(layer[order2]),
+             "price_cents": pa.array(pu[order2]),
+             "day": pa.array(du[order2]),
+             "n_orders": pa.array(nu[order2]),
+             "min_orderkey": pa.array(ku[order2])},
+            schema=out_schema,
+        )
+
+    res = (
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+        .map_batches(local_candidates, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_sweep, batch_format="pyarrow", batch_size=None)
+    )
+    return pa.Table.from_pandas(res.to_pandas(),
+                                preserve_index=False).cast(out_schema)

@@ -2627,3 +2627,34 @@ def test_events_gap_histogram_bit_buckets(ray_session, tmp_path):
     out = {r["bucket"]: r["n_gaps"]
            for r in ev.events_gap_histogram(sf).to_pylist()}
     assert out == {0: 1, 1: 1, 3: 1}
+
+
+def test_orders_skyline_layers_onion(ray_session, tmp_path):
+    d = dt.datetime
+    # points (price, day): staircase with interior points
+    prices = [10.0, 9.0, 8.0, 9.5, 7.0, 10.0]
+    days = [1, 3, 5, 1, 2, 1]
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array(range(1, 7), pa.int64()),
+             "o_custkey": pa.array([1] * 6, pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 6, pa.string()),
+             "o_totalprice": pa.array(prices, pa.float64()),
+             "o_orderdate": pa.array(
+                 [d(2024, 1, dd) for dd in days], pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 6, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = ev.orders_skyline_layers(str(tmp_path)).to_pylist()
+    got = {(r["price_cents"], r["day"] % 100): r["layer"] for r in out}
+    base_day = min(k[1] for k in got)
+    rel = {(p, dd - base_day): l for (p, dd), l in got.items()}
+    # layer 1 skyline: (1000,0) [2 orders, same point], (900,2),
+    # (800,4); layer 2: (950,0), (700,1); nothing remains for 3
+    assert rel[(1000, 0)] == 1 and rel[(900, 2)] == 1
+    assert rel[(800, 4)] == 1
+    assert rel[(950, 0)] == 2 and rel[(700, 1)] == 2
+    assert len(rel) == 5
+    n = {(r["price_cents"], r["layer"]): r["n_orders"] for r in out}
+    assert n[(1000, 1)] == 2  # duplicate point aggregated
