@@ -1307,6 +1307,55 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Row-level min-max feature scaling per type (constant types -> 0).
+_MINMAX_SQL = """
+WITH mm AS (
+  SELECT event_type,
+         min(CAST(floor(value * 100) AS BIGINT)) AS lo,
+         max(CAST(floor(value * 100) AS BIGINT)) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       CAST(floor(e.value * 100) AS BIGINT) AS value_cents,
+       CAST(CASE WHEN mm.hi > mm.lo THEN
+              (1000000 * (CAST(floor(e.value * 100) AS BIGINT) - mm.lo))
+                // (mm.hi - mm.lo)
+            ELSE 0 END AS BIGINT) AS z_e6
+FROM events e JOIN mm USING (event_type)
+ORDER BY e.event_id
+"""
+
+# Mann-Whitney U (doubled for tie half-credit) via the rank-sum
+# identity over the value histogram -- no pair join materializes.
+_MANN_WHITNEY_SQL = """
+WITH u AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+         (event_type = 'purchase') AS isa
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+g AS (
+  SELECT v, count(*)::BIGINT AS c,
+         sum(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT AS ca
+  FROM u GROUP BY v
+),
+r AS (
+  SELECT v, c, ca,
+         sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS below
+  FROM g
+),
+s AS (
+  SELECT sum(ca * (2 * COALESCE(below, 0) + c + 1))::BIGINT AS r2a,
+         sum(ca)::BIGINT AS n_a, sum(c - ca)::BIGINT AS n_b
+  FROM r
+)
+SELECT n_a, n_b,
+       CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       CAST(2 * n_a * n_b - (r2a - n_a * (n_a + 1)) AS BIGINT) AS u2_b
+FROM s
+"""
+
+
 def _build_skyline_layers_sql(layers: int = 3) -> str:
     """Onion peel unrolled: per layer, the orders_skyline window
     formulation (price-group max day + strict-suffix max), then
@@ -3729,6 +3778,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # onion peeling: first-3 Pareto layers (local-peel candidates
         # + exact global re-peel; subset-monotone layer argument)
         "orders_skyline_layers": ev.orders_skyline_layers,
+        # row-preserving per-type min-max normalization
+        "events_minmax_normalize": ev.events_minmax_normalize,
+        # exact Mann-Whitney U from value-histogram cumulative sums
+        "events_mann_whitney": ev.events_mann_whitney,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3943,6 +3996,8 @@ def oracle_sql() -> dict[str, str]:
         "events_session_stats": _SESSION_STATS_SQL,
         "events_gap_histogram": _GAP_HIST_SQL,
         "orders_skyline_layers": _SKYLINE_LAYERS_SQL,
+        "events_minmax_normalize": _MINMAX_SQL,
+        "events_mann_whitney": _MANN_WHITNEY_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -229,6 +229,8 @@ def run_bench() -> dict:
         ("events_session_stats", evops.events_session_stats),
         ("events_gap_histogram", evops.events_gap_histogram),
         ("orders_skyline_layers", evops.orders_skyline_layers),
+        ("events_minmax_normalize", evops.events_minmax_normalize),
+        ("events_mann_whitney", evops.events_mann_whitney),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

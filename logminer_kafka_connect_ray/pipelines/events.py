@@ -8667,3 +8667,147 @@ def orders_skyline_layers(sf_dir: str, layers: int = 3) -> pa.Table:
     )
     return pa.Table.from_pandas(res.to_pandas(),
                                 preserve_index=False).cast(out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Per-type min-max normalization (row-level feature scaling)
+# ---------------------------------------------------------------------------
+def events_minmax_normalize(sf_dir: str) -> pa.Table:
+    """Row-level min-max feature scaling: every event's value
+    rescaled within its type to exact ``z_e6 = floor(1e6 * (x -
+    min) / (max - min))`` (0 when the type is constant) -- the
+    normalize-before-training transform, emitted per event (a
+    row-preserving operator, unlike the aggregate family).  Returns
+    ``(event_id, event_type, value_cents, z_e6)`` ordered by id.
+
+    Scale shape: pass 1 folds per-block (type -> min, max) partials
+    to a dimension-sized driver dict; pass 2 broadcasts it and maps
+    every row in place -- no exchange at all, both passes
+    embarrassingly parallel."""
+    from ray.data import aggregate as _ray_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    mm_schema = pa.schema(
+        [("event_type", pa.string()), ("lo", pa.int64()),
+         ("hi", pa.int64())]
+    )
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mm_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        order, starts, _ = _group_segments(et)
+        cs = cents[order]
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "lo": pa.array(np.minimum.reduceat(cs, starts)),
+             "hi": pa.array(np.maximum.reduceat(cs, starts))},
+            schema=mm_schema,
+        )
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(_ray_agg.Min("lo"), _ray_agg.Max("hi"))
+        .to_pandas()
+    )
+    mm.columns = ["event_type", "lo", "hi"]
+    lo_map = dict(zip(mm["event_type"], mm["lo"].astype(int)))
+    hi_map = dict(zip(mm["event_type"], mm["hi"].astype(int)))
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("event_type", pa.string()),
+         ("value_cents", pa.int64()), ("z_e6", pa.int64())]
+    )
+
+    def normalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        lo = np.asarray([lo_map[e] for e in et], np.int64)
+        hi = np.asarray([hi_map[e] for e in et], np.int64)
+        rng = hi - lo
+        z = np.where(rng > 0, (10**6 * (cents - lo)) // np.maximum(rng, 1),
+                     0).astype(np.int64)
+        return pa.table(
+            {"event_id": pc.cast(t.column("event_id"), pa.int64()),
+             "event_type": pa.array(list(et), pa.string()),
+             "value_cents": pa.array(cents),
+             "z_e6": pa.array(z)},
+            schema=out_schema,
+        )
+
+    res = ds.map_batches(normalize, batch_format="pyarrow").to_pandas()
+    res = res.sort_values("event_id", ignore_index=True)
+    return pa.Table.from_pandas(res, preserve_index=False).cast(out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U between two types' value distributions
+# ---------------------------------------------------------------------------
+def events_mann_whitney(
+    sf_dir: str, type_a: str = "purchase", type_b: str = "click"
+) -> pa.Table:
+    """Exact Mann-Whitney U between the value distributions of two
+    event types -- the nonparametric are-these-samples-different
+    test.  ``U2 = 2 * #{(x, y): x > y} + #{ties}`` (doubled to stay
+    integer under the half-credit tie rule).  Returns one row
+    ``(n_a, n_b, u2_a, u2_b)`` with ``u2_a + u2_b = 2 * n_a * n_b``
+    (the built-in consistency identity).
+
+    Scale shape: per-block value-HISTOGRAM partials per side (cents
+    domain, not row count) -> value ``groupby.sum`` -> one
+    O(distinct values) driver merge computing the pair counts from
+    cumulative sums -- the n_a * n_b pair space never materializes."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    hist_schema = pa.schema(
+        [("v", pa.int64()), ("na", pa.int64()), ("nb", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        is_a, is_b = et == type_a, et == type_b
+        keep = is_a | is_b
+        if not keep.any():
+            return hist_schema.empty_table()
+        v = cents[keep]
+        side_a = is_a[keep]
+        order = np.argsort(v, kind="stable")
+        vs, sa = v[order], side_a[order]
+        starts, _ = _segment_starts(vs)
+        na = np.add.reduceat(sa.astype(np.int64), starts)
+        tot = np.add.reduceat(np.ones(len(vs), np.int64), starts)
+        return pa.table(
+            {"v": pa.array(vs[starts]), "na": pa.array(na),
+             "nb": pa.array(tot - na)},
+            schema=hist_schema,
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v").sum(["na", "nb"]).to_pandas()
+    )
+    hist.columns = ["v", "na", "nb"]
+    hist = hist.sort_values("v", ignore_index=True)
+    na = hist["na"].to_numpy(dtype=np.int64)
+    nb = hist["nb"].to_numpy(dtype=np.int64)
+    n_a, n_b = int(na.sum()), int(nb.sum())
+    # pairs x>y: for each value v, a-count(v) * b-count(below v)
+    cum_b = np.concatenate([[0], np.cumsum(nb)[:-1]])
+    cum_a = np.concatenate([[0], np.cumsum(na)[:-1]])
+    gt_a = int((na.astype(object) * cum_b.astype(object)).sum())
+    gt_b = int((nb.astype(object) * cum_a.astype(object)).sum())
+    ties = int((na.astype(object) * nb.astype(object)).sum())
+    return pa.table(
+        {"n_a": pa.array([n_a], pa.int64()),
+         "n_b": pa.array([n_b], pa.int64()),
+         "u2_a": pa.array([2 * gt_a + ties], pa.int64()),
+         "u2_b": pa.array([2 * gt_b + ties], pa.int64())}
+    )

@@ -2658,3 +2658,33 @@ def test_orders_skyline_layers_onion(ray_session, tmp_path):
     assert len(rel) == 5
     n = {(r["price_cents"], r["layer"]): r["n_orders"] for r in out}
     assert n[(1000, 1)] == 2  # duplicate point aggregated
+
+
+def test_events_minmax_normalize_scaling(ray_session, tmp_path):
+    rows = [
+        (1, 1, 0.0, "a", 1.00), (2, 1, 1.0, "a", 3.00),
+        (3, 1, 2.0, "a", 2.00),
+        (4, 2, 0.0, "b", 5.00),  # constant type -> z 0
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["event_id"]: r
+           for r in ev.events_minmax_normalize(sf).to_pylist()}
+    assert out[1]["z_e6"] == 0
+    assert out[2]["z_e6"] == 1_000_000
+    assert out[3]["z_e6"] == 500_000
+    assert out[4]["z_e6"] == 0 and out[4]["value_cents"] == 500
+
+
+def test_events_mann_whitney_exact(ray_session, tmp_path):
+    rows = [
+        # purchase values: 1.00, 3.00; click values: 2.00, 3.00, 0.00
+        (1, 1, 0.0, "purchase", 1.00), (2, 1, 1.0, "purchase", 3.00),
+        (3, 2, 0.0, "click", 2.00), (4, 2, 1.0, "click", 3.00),
+        (5, 2, 2.0, "click", 0.00),
+        (6, 3, 0.0, "view", 99.0),  # other types ignored
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_mann_whitney(sf).to_pylist()[0]
+    # a>b pairs: (1>0), (3>2), (3>0) = 3; ties: (3,3) = 1
+    assert out == {"n_a": 2, "n_b": 3, "u2_a": 2 * 3 + 1,
+                   "u2_b": 2 * 2 * 3 - 7}
