@@ -1307,6 +1307,33 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Squared cosine between per-user count vectors of two types:
+# dot^2 / (|a|^2 |b|^2) stays an exact integer ratio (no sqrt).
+_TYPE_COSINE2_SQL = """
+WITH cu AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         sum(a.c * b.c)::HUGEINT AS dot
+  FROM cu a JOIN cu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT event_type, sum(c * c)::HUGEINT AS n2 FROM cu GROUP BY 1
+)
+SELECT d.ta AS type_a, d.tb AS type_b, CAST(d.dot AS BIGINT) AS dot,
+       CAST(na.n2 AS BIGINT) AS norm2_a, CAST(nb.n2 AS BIGINT) AS norm2_b,
+       CAST(1000000 * d.dot * d.dot // (na.n2 * nb.n2) AS BIGINT)
+         AS cos2_e6
+FROM dots d
+JOIN norms na ON na.event_type = d.ta
+JOIN norms nb ON nb.event_type = d.tb
+ORDER BY 1, 2
+"""
+
 # Row-level min-max feature scaling per type (constant types -> 0).
 _MINMAX_SQL = """
 WITH mm AS (
@@ -3782,6 +3809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_minmax_normalize": ev.events_minmax_normalize,
         # exact Mann-Whitney U from value-histogram cumulative sums
         "events_mann_whitney": ev.events_mann_whitney,
+        # weighted audience similarity: exact squared cosine
+        "events_type_cosine2": ev.events_type_cosine2,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -3998,6 +4027,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_skyline_layers": _SKYLINE_LAYERS_SQL,
         "events_minmax_normalize": _MINMAX_SQL,
         "events_mann_whitney": _MANN_WHITNEY_SQL,
+        "events_type_cosine2": _TYPE_COSINE2_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -231,6 +231,7 @@ def run_bench() -> dict:
         ("orders_skyline_layers", evops.orders_skyline_layers),
         ("events_minmax_normalize", evops.events_minmax_normalize),
         ("events_mann_whitney", evops.events_mann_whitney),
+        ("events_type_cosine2", evops.events_type_cosine2),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -8811,3 +8811,127 @@ def events_mann_whitney(
          "u2_a": pa.array([2 * gt_a + ties], pa.int64()),
          "u2_b": pa.array([2 * gt_b + ties], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Squared-cosine similarity between type audience-count vectors
+# ---------------------------------------------------------------------------
+def events_type_cosine2(sf_dir: str) -> pa.Table:
+    """Weighted audience similarity: for every pair of event types,
+    the SQUARED cosine between their per-user count vectors --
+    ``cos^2 = dot^2 / (|a|^2 |b|^2)`` -- as ``floor(1e6 * cos^2)``.
+    Squaring removes the square root, so the statistic stays an
+    exact integer ratio (``events_type_jaccard`` is the unweighted
+    sibling).  Returns ``(type_a, type_b, dot, norm2_a, norm2_b,
+    cos2_e6)``, ``type_a < type_b``.
+
+    Scale shape: per-block (type, user) count partials -> pair-level
+    ``groupby.sum`` -> ONE user hash exchange where each block's
+    segment sweep emits per-user cross products (types per user are
+    dimension-bounded) pre-folded per block -> tiny pair fold; the
+    norms fold the same way from squares.  Driver math is
+    O(types^2) in arbitrary-precision ints."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("tcos")
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    pair_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()),
+         ("c", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.asarray([f"{uu}\x00{e}" for uu, e in zip(u, et)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        uu = u[order][starts]
+        return pa.table(
+            {"user_id": pa.array(uu),
+             "event_type": pa.array(list(et[order][starts]), pa.string()),
+             "c": pa.array(counts.astype(np.int64)),
+             "_p": pa.array(partition_ids(pa.array(uu), P))},
+            schema=pair_schema,
+        )
+
+    dot_schema = pa.schema(
+        [("type_a", pa.string()), ("type_b", pa.string()),
+         ("v", pa.int64())]
+    )
+
+    def cross_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return dot_schema.empty_table()
+        _guard_record(
+            gd, "tcos", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((et, u))
+        u, et, c = u[order], et[order], c[order]
+        # re-fold same (user, type) partials arriving from two blocks
+        same = np.concatenate(
+            [[False], (u[1:] == u[:-1]) & (et[1:] == et[:-1])]
+        )
+        starts0 = np.flatnonzero(~same)
+        u, et = u[starts0], et[starts0]
+        c = np.add.reduceat(c, starts0)
+        starts, lens = _segment_starts(u)
+        ta, tb, vals = [], [], []
+        for s, m in zip(starts, lens):
+            seg_t = et[s:s + m]
+            seg_c = c[s:s + m]
+            # norms ride as (t, t) self-pairs
+            for i in range(m):
+                ta.append(seg_t[i])
+                tb.append(seg_t[i])
+                vals.append(int(seg_c[i]) * int(seg_c[i]))
+                for j in range(i + 1, m):
+                    ta.append(seg_t[i])
+                    tb.append(seg_t[j])
+                    vals.append(int(seg_c[i]) * int(seg_c[j]))
+        key = np.asarray([f"{a}\x00{b}" for a, b in zip(ta, tb)],
+                         dtype=object)
+        order2, starts2, _ = _group_segments(key)
+        a_arr = np.asarray(ta, dtype=object)
+        b_arr = np.asarray(tb, dtype=object)
+        v_arr = np.asarray(vals, dtype=np.int64)
+        return pa.table(
+            {"type_a": pa.array(list(a_arr[order2][starts2]), pa.string()),
+             "type_b": pa.array(list(b_arr[order2][starts2]), pa.string()),
+             "v": pa.array(np.add.reduceat(v_arr[order2], starts2))},
+            schema=dot_schema,
+        )
+
+    folded = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(cross_sweep, batch_format="pyarrow", batch_size=None)
+        .groupby(["type_a", "type_b"])
+        .sum("v")
+        .to_pandas()
+    )
+    folded.columns = ["type_a", "type_b", "v"]
+    norms = {r.type_a: int(r.v) for r in folded.itertuples()
+             if r.type_a == r.type_b}
+    pairs = folded[folded["type_a"] != folded["type_b"]].sort_values(
+        ["type_a", "type_b"], ignore_index=True)
+    dot = pairs["v"].to_numpy(dtype=np.int64)
+    na = [norms[a] for a in pairs["type_a"]]
+    nb = [norms[b] for b in pairs["type_b"]]
+    cos2 = [10**6 * int(d) * int(d) // (a * b)
+            for d, a, b in zip(dot, na, nb)]
+    out = pa.table(
+        {"type_a": pa.array(pairs["type_a"], pa.string()),
+         "type_b": pa.array(pairs["type_b"], pa.string()),
+         "dot": pa.array(dot),
+         "norm2_a": pa.array(na, pa.int64()),
+         "norm2_b": pa.array(nb, pa.int64()),
+         "cos2_e6": pa.array(cos2, pa.int64())}
+    )
+    return _finalize_guard(gd, out)

@@ -2688,3 +2688,25 @@ def test_events_mann_whitney_exact(ray_session, tmp_path):
     # a>b pairs: (1>0), (3>2), (3>0) = 3; ties: (3,3) = 1
     assert out == {"n_a": 2, "n_b": 3, "u2_a": 2 * 3 + 1,
                    "u2_b": 2 * 2 * 3 - 7}
+
+
+def test_events_type_cosine2_exact(ray_session, tmp_path):
+    rows = [
+        # vectors over users (1,2): a = (2,1), b = (1,1), c = (0,3)
+        (1, 1, 0.0, "a", 0.0), (2, 1, 1.0, "a", 0.0),
+        (3, 2, 0.0, "a", 0.0),
+        (4, 1, 0.0, "b", 0.0), (5, 2, 0.0, "b", 0.0),
+        (6, 2, 0.0, "c", 0.0), (7, 2, 1.0, "c", 0.0),
+        (8, 2, 2.0, "c", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {(r["type_a"], r["type_b"]): r
+           for r in ev.events_type_cosine2(sf).to_pylist()}
+    # dot(a,b) = 2+1 = 3; |a|^2 = 5, |b|^2 = 2 -> cos2 = 9/10
+    ab = out[("a", "b")]
+    assert (ab["dot"], ab["norm2_a"], ab["norm2_b"]) == (3, 5, 2)
+    assert ab["cos2_e6"] == 900000
+    # dot(a,c) = 1*3 = 3; |c|^2 = 9 -> cos2 = 9/45 = 1/5
+    assert out[("a", "c")]["cos2_e6"] == 200000
+    # dot(b,c) = 3; 9/(2*9) = 1/2
+    assert out[("b", "c")]["cos2_e6"] == 500000
