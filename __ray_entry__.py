@@ -1307,6 +1307,77 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Runs test: binarize the dense hourly series against its own mean
+# (exact x*T > total), count maximal same-side runs.
+_RUNS_TEST_SQL = """
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS hour
+  FROM events
+),
+g AS (SELECT event_type, hour, count(*)::BIGINT AS x FROM b GROUP BY 1, 2),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM b),
+types AS (SELECT DISTINCT event_type FROM b),
+grid AS (
+  SELECT t.event_type, bo.lo + u.i AS hour
+  FROM types t CROSS JOIN bounds bo
+  CROSS JOIN (
+    SELECT unnest(range(0, (SELECT hi - lo + 1 FROM bounds)))::BIGINT AS i
+  ) u
+),
+dense AS (
+  SELECT grid.event_type, grid.hour, COALESCE(g.x, 0)::BIGINT AS x,
+         (SELECT hi - lo + 1 FROM bounds)::BIGINT AS t
+  FROM grid LEFT JOIN g
+    ON g.event_type = grid.event_type AND g.hour = grid.hour
+),
+tot AS (SELECT event_type, sum(x)::BIGINT AS s FROM dense GROUP BY 1),
+ab AS (
+  SELECT d.event_type, d.hour,
+         CASE WHEN d.x * d.t > tot.s THEN 1 ELSE 0 END AS above
+  FROM dense d JOIN tot USING (event_type)
+),
+w AS (
+  SELECT event_type, above,
+         lag(above) OVER (PARTITION BY event_type ORDER BY hour) AS pa
+  FROM ab
+)
+SELECT event_type,
+       sum(above)::BIGINT AS n_above,
+       (count(*) - sum(above))::BIGINT AS n_below,
+       (1 + sum(CASE WHEN pa IS NOT NULL AND above != pa
+                     THEN 1 ELSE 0 END))::BIGINT AS n_runs
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+# N-gram novelty by corpus order: a gram is novel to its min(doc_id).
+_NGRAM_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+  FROM toks CROSS JOIN (
+    SELECT unnest(range(1, 100000))::BIGINT AS i
+  ) u
+  WHERE i + 2 <= len(ws)
+),
+own AS (SELECT gram, min(doc_id) AS owner FROM grams GROUP BY 1),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM grams GROUP BY 1),
+nov AS (SELECT owner AS doc_id, count(*)::BIGINT AS n_novel
+        FROM own GROUP BY 1)
+SELECT d.doc_id, COALESCE(t.n_grams, 0)::BIGINT AS n_grams,
+       COALESCE(v.n_novel, 0)::BIGINT AS n_novel,
+       COALESCE(CAST(1000000 * v.n_novel // t.n_grams AS BIGINT), 0)
+         AS novelty_e6
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN nov v USING (doc_id)
+ORDER BY d.doc_id
+"""
+
 # Squared cosine between per-user count vectors of two types:
 # dot^2 / (|a|^2 |b|^2) stays an exact integer ratio (no sqrt).
 _TYPE_COSINE2_SQL = """
@@ -3811,6 +3882,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mann_whitney": ev.events_mann_whitney,
         # weighted audience similarity: exact squared cosine
         "events_type_cosine2": ev.events_type_cosine2,
+        # Wald-Wolfowitz runs test on the dense hourly series
+        "events_runs_test": ev.events_runs_test,
+        # corpus-order n-gram novelty (incremental-crawl scoring)
+        "doc_ngram_novelty": d.doc_ngram_novelty,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4028,6 +4103,8 @@ def oracle_sql() -> dict[str, str]:
         "events_minmax_normalize": _MINMAX_SQL,
         "events_mann_whitney": _MANN_WHITNEY_SQL,
         "events_type_cosine2": _TYPE_COSINE2_SQL,
+        "events_runs_test": _RUNS_TEST_SQL,
+        "doc_ngram_novelty": _NGRAM_NOVELTY_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

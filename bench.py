@@ -232,6 +232,8 @@ def run_bench() -> dict:
         ("events_minmax_normalize", evops.events_minmax_normalize),
         ("events_mann_whitney", evops.events_mann_whitney),
         ("events_type_cosine2", evops.events_type_cosine2),
+        ("events_runs_test", evops.events_runs_test),
+        ("doc_ngram_novelty", dops.doc_ngram_novelty),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

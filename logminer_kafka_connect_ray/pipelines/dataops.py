@@ -5522,3 +5522,87 @@ def doc_lexical_diversity(sf_dir: str) -> pa.Table:
     res = ds.map_batches(metrics, batch_format="pyarrow").to_pandas()
     res = res.sort_values("doc_id", ignore_index=True)
     return pa.Table.from_pandas(res, preserve_index=False).cast(out_schema)
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: what fraction of a doc's shingles is first-seen?
+# ---------------------------------------------------------------------------
+def doc_ngram_novelty(sf_dir: str, n: int = 3) -> pa.Table:
+    """Corpus-order novelty per document: the fraction of its
+    DISTINCT word ``n``-grams whose FIRST appearance (by ascending
+    ``doc_id``) is this document -- the dedup-adjacent curation
+    metric that scores incremental crawls ("how much of this doc is
+    new text?").  Returns ``(doc_id, n_grams, n_novel,
+    novelty_e6)``; docs shorter than ``n`` words emit 0/0/0.
+
+    Scale shape: one tokenize pass emits per-doc DISTINCT gram rows;
+    a gram-level ``groupby.min`` finds each gram's first owner and a
+    doc-level count of owned grams gives novel counts, while a
+    doc-level count of the gram rows gives totals -- both exchanges
+    bounded by distinct grams, never raw token count; the final
+    merge is output-sized (one row per doc)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    gram_schema = pa.schema(
+        [("gram", pa.string()), ("doc_id", pa.int64())]
+    )
+
+    def doc_grams(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return gram_schema.empty_table()
+        gs, dids = [], []
+        for did, s in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            toks = _WORD.findall((s or "").lower())
+            grams = {" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)}
+            gs.extend(grams)
+            dids.extend([did] * len(grams))
+        return pa.table(
+            {"gram": pa.array(gs, pa.string()),
+             "doc_id": pa.array(dids, pa.int64())},
+            schema=gram_schema,
+        )
+
+    grams = ds.map_batches(doc_grams, batch_format="pyarrow").materialize()
+
+    totals = grams.groupby("doc_id").count().to_pandas()
+    totals.columns = ["doc_id", "n_grams"]
+
+    owners = grams.groupby("gram").min("doc_id")
+
+    def owner_count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("n_novel", pa.int64())]
+            ).empty_table()
+        d = t.column("min(doc_id)").to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        ds_ = d[order]
+        starts, lens = _segment_starts(ds_)
+        return pa.table(
+            {"doc_id": pa.array(ds_[starts]),
+             "n_novel": pa.array(lens.astype(np.int64))}
+        )
+
+    novel = (
+        owners.map_batches(owner_count, batch_format="pyarrow")
+        .groupby("doc_id").sum("n_novel").to_pandas()
+    )
+    novel.columns = ["doc_id", "n_novel"]
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).to_pandas()
+    m = docs.merge(totals, on="doc_id", how="left") \
+        .merge(novel, on="doc_id", how="left").fillna(0)
+    m = m.sort_values("doc_id", ignore_index=True)
+    ng = m["n_grams"].to_numpy(dtype=np.int64)
+    nv = m["n_novel"].to_numpy(dtype=np.int64)
+    nov = np.array(
+        [10**6 * int(b) // int(a) if a else 0 for a, b in zip(ng, nv)],
+        np.int64)
+    return pa.table(
+        {"doc_id": pa.array(m["doc_id"].to_numpy(dtype=np.int64)),
+         "n_grams": pa.array(ng),
+         "n_novel": pa.array(nv),
+         "novelty_e6": pa.array(nov)}
+    )

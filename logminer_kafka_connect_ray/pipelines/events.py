@@ -8935,3 +8935,73 @@ def events_type_cosine2(sf_dir: str) -> pa.Table:
          "cos2_e6": pa.array(cos2, pa.int64())}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test over the dense hourly series
+# ---------------------------------------------------------------------------
+def events_runs_test(sf_dir: str) -> pa.Table:
+    """Runs test for randomness per ``event_type``: the dense hourly
+    count series binarized against its own mean -- hour t is ABOVE
+    iff ``x_t * T > total`` (exact integer cross-multiplication; ties
+    count below) -- then the number of maximal same-side runs.  Few
+    runs = trending/bursty, many = oscillating.  Returns
+    ``(event_type, n_above, n_below, n_runs)``.
+
+    Scale shape: the ar1/cusum series contract (per-block count
+    partials -> dim-bounded groupby -> O(series) driver sweep)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("n_obs", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        hr = _ts_i64(t.column("ts")) // 3_600_000_000
+        key = np.asarray([f"{e}\x00{h}" for e, h in zip(et, hr)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "hour": pa.array(hr[order][starts]),
+             "n_obs": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum("n_obs")
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "hour", "n_obs"]
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("n_above", pa.int64()),
+         ("n_below", pa.int64()), ("n_runs", pa.int64())]
+    )
+    if len(merged) == 0:
+        return out_schema.empty_table()
+    h_lo = int(merged["hour"].min())
+    h_hi = int(merged["hour"].max())
+    span = h_hi - h_lo + 1
+    rows = []
+    for et, grp in merged.groupby("event_type", sort=True):
+        dense = np.zeros(span, np.int64)
+        dense[grp["hour"].to_numpy(dtype=np.int64) - h_lo] = (
+            grp["n_obs"].to_numpy(dtype=np.int64)
+        )
+        total = int(dense.sum())
+        above = dense * span > total
+        n_above = int(above.sum())
+        runs = 1 + int((above[1:] != above[:-1]).sum())
+        rows.append((et, n_above, span - n_above, runs))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "n_above": pa.array([r[1] for r in rows], pa.int64()),
+         "n_below": pa.array([r[2] for r in rows], pa.int64()),
+         "n_runs": pa.array([r[3] for r in rows], pa.int64())}
+    )

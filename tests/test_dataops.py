@@ -1270,3 +1270,25 @@ def test_doc_lexical_diversity_metrics(ray_session, tmp_path):
     assert out[1] == {"doc_id": 1, "n_tokens": 0, "n_types": 0,
                       "n_hapax": 0, "ttr_e6": 0, "hapax_e6": 0}
     assert out[2]["ttr_e6"] == 250000 and out[2]["n_hapax"] == 0
+
+
+def test_doc_ngram_novelty_first_seen(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        doc_ngram_novelty,
+    )
+
+    sf = make_docs(
+        tmp_path,
+        [
+            "a b c d",        # grams {a b c, b c d}: both novel
+            "a b c x y z",    # {a b c, b c x, c x y, x y z}: 3 novel
+            "tiny",           # shorter than n -> 0 grams
+        ],
+    )
+    out = {r["doc_id"]: r for r in doc_ngram_novelty(sf).to_pylist()}
+    assert out[0] == {"doc_id": 0, "n_grams": 2, "n_novel": 2,
+                      "novelty_e6": 1_000_000}
+    assert out[1]["n_grams"] == 4 and out[1]["n_novel"] == 3
+    assert out[1]["novelty_e6"] == 750_000
+    assert out[2] == {"doc_id": 2, "n_grams": 0, "n_novel": 0,
+                      "novelty_e6": 0}

@@ -2710,3 +2710,23 @@ def test_events_type_cosine2_exact(ray_session, tmp_path):
     assert out[("a", "c")]["cos2_e6"] == 200000
     # dot(b,c) = 3; 9/(2*9) = 1/2
     assert out[("b", "c")]["cos2_e6"] == 500000
+
+
+def test_events_runs_test_exact(ray_session, tmp_path):
+    h = 60.0
+    # type a over 6 hours: [5,0,5,0,5,0] -> mean 2.5; above pattern
+    # T,F,T,F,T,F -> 6 runs, 3 above, 3 below
+    rows = []
+    eid = 0
+    for hr in (0, 2, 4):
+        for _ in range(5):
+            eid += 1
+            rows.append((eid, 1, (hr + 0.5) * h, "a", 0.0))
+    eid += 1
+    rows.append((eid, 2, 5.5 * h, "b", 0.0))  # pins span to 6 hours
+    sf = make_events(tmp_path, rows)
+    out = {r["event_type"]: r for r in ev.events_runs_test(sf).to_pylist()}
+    assert out["a"] == {"event_type": "a", "n_above": 3, "n_below": 3,
+                        "n_runs": 6}
+    # b: [0,0,0,0,0,1], mean 1/6 -> above only at the last hour
+    assert out["b"]["n_above"] == 1 and out["b"]["n_runs"] == 2
