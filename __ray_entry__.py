@@ -1307,6 +1307,46 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Deterministic split audit: FNV-1a(doc_id string) % 100 buckets,
+# recomputed byte-by-byte in a recursive CTE like _SAMPLE_HASH_SQL.
+_SPLIT_ASSIGN_SQL = """
+WITH RECURSIVE eb AS (
+  SELECT doc_id, hex(encode(CAST(doc_id AS VARCHAR))) AS hx,
+         octet_length(encode(CAST(doc_id AS VARCHAR))) AS n
+  FROM documents
+),
+fnv AS (
+  SELECT doc_id, n, 0 AS i,
+         CAST('14695981039346656037' AS UHUGEINT) AS h FROM eb
+  UNION ALL
+  SELECT f.doc_id, f.n, f.i + 1,
+         (xor(f.h, CAST(CAST('0x' || substr(eb.hx, 2*f.i+1, 2) AS INT)
+                        AS UHUGEINT))
+          * CAST(1099511628211 AS UHUGEINT))
+           % CAST('18446744073709551616' AS UHUGEINT)
+  FROM fnv f JOIN eb ON eb.doc_id = f.doc_id
+  WHERE f.i < f.n
+),
+b AS (
+  SELECT d.doc_id, d.lang,
+         CAST(fnv.h AS UBIGINT) % 100 AS bucket
+  FROM documents d JOIN fnv ON fnv.doc_id = d.doc_id AND fnv.i = fnv.n
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       lang, count(*)::BIGINT AS n_docs
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# Inverse-size source weights: floor(1e6 * N / (k * n_source)).
+_SOURCE_WEIGHTS_SQL = """
+WITH s AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS k FROM s)
+SELECT s.source, s.n AS n_docs,
+       CAST(1000000 * t.total // (t.k * s.n) AS BIGINT) AS weight_e6
+FROM s CROSS JOIN t ORDER BY s.source
+"""
+
 # Runs test: binarize the dense hourly series against its own mean
 # (exact x*T > total), count maximal same-side runs.
 _RUNS_TEST_SQL = """
@@ -3886,6 +3926,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_runs_test": ev.events_runs_test,
         # corpus-order n-gram novelty (incremental-crawl scoring)
         "doc_ngram_novelty": d.doc_ngram_novelty,
+        # deterministic hash train/val/test split audit
+        "corpus_split_assign": d.corpus_split_assign,
+        # inverse-size source mixture weights
+        "corpus_source_weights": d.corpus_source_weights,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4105,6 +4149,8 @@ def oracle_sql() -> dict[str, str]:
         "events_type_cosine2": _TYPE_COSINE2_SQL,
         "events_runs_test": _RUNS_TEST_SQL,
         "doc_ngram_novelty": _NGRAM_NOVELTY_SQL,
+        "corpus_split_assign": _SPLIT_ASSIGN_SQL,
+        "corpus_source_weights": _SOURCE_WEIGHTS_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -234,6 +234,8 @@ def run_bench() -> dict:
         ("events_type_cosine2", evops.events_type_cosine2),
         ("events_runs_test", evops.events_runs_test),
         ("doc_ngram_novelty", dops.doc_ngram_novelty),
+        ("corpus_split_assign", dops.corpus_split_assign),
+        ("corpus_source_weights", dops.corpus_source_weights),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

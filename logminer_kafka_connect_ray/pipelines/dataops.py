@@ -5606,3 +5606,99 @@ def doc_ngram_novelty(sf_dir: str, n: int = 3) -> pa.Table:
          "n_novel": pa.array(nv),
          "novelty_e6": pa.array(nov)}
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split + inverse-size source weights
+# ---------------------------------------------------------------------------
+def corpus_split_assign(sf_dir: str) -> pa.Table:
+    """Deterministic dataset splitting: every document lands in
+    train/val/test by ``fnv1a(decimal_string(doc_id)) % 100`` (<80 ->
+    train, <90 -> val, else test) -- reproducible across runs,
+    cluster sizes and block layouts, unlike any RNG split; the same
+    predicate reselects the same split in every derived pipeline.
+    Returns the split-balance audit ``(split, lang, n_docs)``
+    ordered by (split, lang) -- what a curation run checks before
+    training.
+
+    Scale shape: stateless vectorized hash filter per block +
+    (split, lang) count partials -> dimension-sized groupby."""
+    from logminer_kafka_connect_ray.functions.hashing import fnv1a_u64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    part_schema = pa.schema(
+        [("split", pa.string()), ("lang", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        h = fnv1a_u64(pc.cast(t.column("doc_id"), pa.string()))
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(bucket < 80, "train",
+                         np.where(bucket < 90, "val", "test"))
+        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        key = np.asarray([f"{s}\x00{lg}" for s, lg in zip(split, lang)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"split": pa.array(list(split[order][starts]), pa.string()),
+             "lang": pa.array(list(lang[order][starts]), pa.string()),
+             "n": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["split", "lang"]).sum("n").to_pandas()
+    )
+    agg.columns = ["split", "lang", "n_docs"]
+    agg = agg.sort_values(["split", "lang"], ignore_index=True)
+    return pa.table(
+        {"split": pa.array(agg["split"], pa.string()),
+         "lang": pa.array(agg["lang"], pa.string()),
+         "n_docs": pa.array(agg["n_docs"].to_numpy(dtype=np.int64))}
+    )
+
+
+def corpus_source_weights(sf_dir: str) -> pa.Table:
+    """Inverse-size sampling weights per source -- the mixture
+    rebalancer that upweights small sources so each contributes
+    equally: with ``k`` sources and ``N`` docs, ``weight_e6 =
+    floor(1e6 * N / (k * n_source))`` (1e6 = source already at
+    parity).  Returns ``(source, n_docs, weight_e6)`` ordered by
+    source.
+
+    Scale shape: per-block source counts -> dimension-sized groupby
+    -> O(sources) exact driver math."""
+    ds = _read(sf_dir, "documents", columns=["source"])
+
+    part_schema = pa.schema([("source", pa.string()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        order, starts, counts = _group_segments(src)
+        return pa.table(
+            {"source": pa.array(list(src[order][starts]), pa.string()),
+             "n": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source").sum("n").to_pandas()
+    )
+    agg.columns = ["source", "n"]
+    agg = agg.sort_values("source", ignore_index=True)
+    n_total = int(agg["n"].sum())
+    k = len(agg)
+    w = [10**6 * n_total // (k * int(c)) for c in agg["n"]]
+    return pa.table(
+        {"source": pa.array(agg["source"], pa.string()),
+         "n_docs": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+         "weight_e6": pa.array(w, pa.int64())}
+    )

@@ -1292,3 +1292,45 @@ def test_doc_ngram_novelty_first_seen(ray_session, tmp_path):
     assert out[1]["novelty_e6"] == 750_000
     assert out[2] == {"doc_id": 2, "n_grams": 0, "n_novel": 0,
                       "novelty_e6": 0}
+
+
+def test_corpus_split_assign_deterministic(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.functions.hashing import fnv1a_u64
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        corpus_split_assign,
+    )
+
+    sf = make_docs(tmp_path, [f"doc {i}" for i in range(40)])
+    out = corpus_split_assign(sf).to_pylist()
+    # reference: recompute the hash buckets directly
+    import numpy as np
+    h = fnv1a_u64([str(i) for i in range(40)]) % np.uint64(100)
+    want = {"train": int((h < 80).sum()),
+            "val": int(((h >= 80) & (h < 90)).sum()),
+            "test": int((h >= 90).sum())}
+    got = {}
+    for r in out:
+        got[r["split"]] = got.get(r["split"], 0) + r["n_docs"]
+    assert got == {k: v for k, v in want.items() if v > 0}
+    # two runs agree exactly (determinism)
+    assert corpus_split_assign(sf).to_pylist() == out
+
+
+def test_corpus_source_weights_parity(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        corpus_source_weights,
+    )
+
+    t = pa.table(
+        {"doc_id": pa.array(range(6), pa.int64()),
+         "text": pa.array(["x"] * 6, pa.string()),
+         "lang": pa.array(["xx"] * 6, pa.string()),
+         # sources: a x4, b x2 -> weights 6/(2*4), 6/(2*2)
+         "source": pa.array(["a", "a", "a", "a", "b", "b"], pa.string()),
+         "n_chars": pa.array([1] * 6, pa.int64())}
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in
+           corpus_source_weights(str(tmp_path)).to_pylist()}
+    assert out["a"]["weight_e6"] == 750000
+    assert out["b"]["weight_e6"] == 1500000
