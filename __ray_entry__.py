@@ -1307,6 +1307,22 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Contrastive hard negatives: ann_cosine_topk's float convention
+# (round 6 dp) with a label-mismatch mask.
+_HARD_NEG_SQL = """
+SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       CAST(c.label AS BIGINT) AS label,
+       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]), 6) AS sim_r
+FROM embeddings q, embeddings c
+WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id AND c.label <> q.label
+QUALIFY row_number() OVER (PARTITION BY q.vec_id
+    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) DESC,
+             c.vec_id) <= 5
+ORDER BY query_id, sim_r DESC, vec_id
+"""
+
 # Deterministic split audit: FNV-1a(doc_id string) % 100 buckets,
 # recomputed byte-by-byte in a recursive CTE like _SAMPLE_HASH_SQL.
 _SPLIT_ASSIGN_SQL = """
@@ -3930,6 +3946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_split_assign": d.corpus_split_assign,
         # inverse-size source mixture weights
         "corpus_source_weights": d.corpus_source_weights,
+        # contrastive hard-negative mining (label-masked top-k)
+        "hard_negative_mining": d.hard_negative_mining,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4151,6 +4169,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_novelty": _NGRAM_NOVELTY_SQL,
         "corpus_split_assign": _SPLIT_ASSIGN_SQL,
         "corpus_source_weights": _SOURCE_WEIGHTS_SQL,
+        "hard_negative_mining": _HARD_NEG_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -236,6 +236,7 @@ def run_bench() -> dict:
         ("doc_ngram_novelty", dops.doc_ngram_novelty),
         ("corpus_split_assign", dops.corpus_split_assign),
         ("corpus_source_weights", dops.corpus_source_weights),
+        ("hard_negative_mining", dops.hard_negative_mining),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -5702,3 +5702,111 @@ def corpus_source_weights(sf_dir: str) -> pa.Table:
          "n_docs": pa.array(agg["n"].to_numpy(dtype=np.int64)),
          "weight_e6": pa.array(w, pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining
+# ---------------------------------------------------------------------------
+class _LabelAwareTopK:
+    """CosineTopK with a label mask: only candidates whose label
+    DIFFERS from the query's survive -- hard negatives for
+    contrastive training (closest wrong-class items)."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q_ids, q, q_labels = (
+            ray.get(queries_ref)
+            if not isinstance(queries_ref, tuple) else queries_ref
+        )
+        self.q_ids = q_ids
+        self.q_labels = q_labels
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.q = qn
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("query_id", pa.int64()), ("vec_id", pa.int64()),
+             ("label", pa.int64()), ("sim", pa.float64())]
+        )
+        ids, mat = _embedding_matrix(t)
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        sims = self.q @ mat.T  # (Q, n)
+        out_q, out_v, out_l, out_s = [], [], [], []
+        for qi in range(sims.shape[0]):
+            mask = labels != self.q_labels[qi]
+            if not mask.any():
+                continue
+            s = sims[qi][mask]
+            vid = ids[mask]
+            lab = labels[mask]
+            k = min(self.k, len(s))
+            top = np.argpartition(-s, k - 1)[:k]
+            out_q.append(np.full(k, self.q_ids[qi], np.int64))
+            out_v.append(vid[top].astype(np.int64))
+            out_l.append(lab[top])
+            out_s.append(s[top])
+        if not out_q:
+            return out_schema.empty_table()
+        return pa.table(
+            {"query_id": pa.array(np.concatenate(out_q)),
+             "vec_id": pa.array(np.concatenate(out_v)),
+             "label": pa.array(np.concatenate(out_l)),
+             "sim": pa.array(np.concatenate(out_s))},
+            schema=out_schema,
+        )
+
+
+def hard_negative_mining(
+    sf_dir: str, n_queries: int = 5, k: int = 5
+) -> pa.Table:
+    """Contrastive hard negatives: for each of the first
+    ``n_queries`` embeddings, the ``k`` MOST-similar vectors with a
+    DIFFERENT label -- the pairs that sharpen a contrastive loss the
+    most.  Returns ``(query_id, vec_id, label, sim_r)`` ranked by
+    (sim desc, vec_id), sim rounded to 6 dp (the ``ann_cosine_topk``
+    float convention: one correctly-rounded cosine per pair).
+
+    Scale shape: identical to ``ann_cosine_topk`` -- queries +
+    their labels broadcast once via ``ray.put``, per-batch numpy
+    matmul with the label mask, local top-k partials, and a P*k
+    driver merge."""
+    import pyarrow.parquet as _pq
+    import ray
+
+    emb = _read(sf_dir, "embeddings",
+                columns=["vec_id", "embedding", "label"])
+    qt = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    q_ids = np.asarray(qt.column("vec_id").to_pylist(), np.int64)
+    q_mat = np.asarray(
+        [np.asarray(v, np.float64) for v in
+         qt.column("embedding").to_pylist()])
+    q_labels = np.asarray(qt.column("label").to_pylist(), np.int64)
+    ref = ray.put((q_ids, q_mat, q_labels))
+
+    partial = emb.map_batches(
+        _cached_stage(
+            ("hardneg", ref.hex(), k), lambda: _LabelAwareTopK(ref, k + 1)
+        ),
+        batch_format="pyarrow",
+    )
+    df = partial.to_pandas()
+    df = df[~(df["query_id"] == df["vec_id"])]
+    df["sim_r"] = np.round(df["sim"], 6)
+    df = df.sort_values(
+        ["query_id", "sim_r", "vec_id"], ascending=[True, False, True]
+    )
+    out = df.groupby("query_id", sort=True).head(k)
+    out = out[["query_id", "vec_id", "label", "sim_r"]].reset_index(
+        drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

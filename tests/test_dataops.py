@@ -1334,3 +1334,28 @@ def test_corpus_source_weights_parity(ray_session, tmp_path):
            corpus_source_weights(str(tmp_path)).to_pylist()}
     assert out["a"]["weight_e6"] == 750000
     assert out["b"]["weight_e6"] == 1500000
+
+
+def test_hard_negative_mining_label_mask(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        hard_negative_mining,
+    )
+
+    # labels: vec 0,1 -> 0; vec 2,3,4 -> 1.  vec 1 is IDENTICAL in
+    # direction to vec 0 but shares its label -> must be excluded;
+    # vec 2 is the closest wrong-label vector.
+    mat = np.array(
+        [[1.0, 0.0], [2.0, 0.0], [0.9, 0.1], [0.0, 1.0], [-1.0, 0.0]],
+        dtype=np.float32)
+    t = pa.table(
+        {"vec_id": pa.array(range(5), pa.int64()),
+         "embedding": pa.array([list(map(float, r)) for r in mat],
+                               pa.list_(pa.float32())),
+         "label": pa.array([0, 0, 1, 1, 1], pa.int32())}
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = [r for r in hard_negative_mining(
+        str(tmp_path), n_queries=1, k=2).to_pylist()]
+    assert [r["vec_id"] for r in out] == [2, 3]
+    assert all(r["label"] == 1 for r in out)
+    assert out[0]["sim_r"] > 0.99
