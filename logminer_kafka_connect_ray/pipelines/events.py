@@ -7558,16 +7558,16 @@ def lineitem_fd_check(sf_dir: str) -> pa.Table:
     one distinct dependent value.  Returns one row ``(n_keys,
     n_violating_keys, n_max_distinct)``.
 
-    Scale shape: per-block DISTINCT (key, value) combiner ->
-    ``groupby`` on the pair (the only exchange, bounded by distinct
-    pairs) -> per-block per-key distinct-value counts -> tiny fold.
-    The violation test needs every (key, value) pair co-located,
-    which the pair groupby guarantees; counting rows would not."""
+    Scale shape: per-block DISTINCT (key, value) combiner -> ONE
+    key-hash exchange (bounded by distinct pairs) -> per-block
+    dedupe + segment distinct counts folded straight to three
+    scalars per block -> driver sum.  The violation test needs every
+    (key, value) pair of a key co-located, which the exchange
+    guarantees; a pair-level groupby (the first version) did the
+    same work with a second all-to-all (7.7 s -> this shape)."""
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
 
-    pair_schema = pa.schema(
-        [("k", pa.int64()), ("v", pa.string()), ("c", pa.int64())]
-    )
+    pair_schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -7580,43 +7580,63 @@ def lineitem_fd_check(sf_dir: str) -> pa.Table:
         order, starts, _ = _group_segments(key)
         return pa.table(
             {"k": pa.array(k[order][starts]),
-             "v": pa.array(list(v[order][starts]), pa.string()),
-             "c": pa.array(np.ones(len(starts), np.int64))},
+             "v": pa.array(list(v[order][starts]), pa.string())},
             schema=pair_schema,
         )
 
-    kd_schema = pa.schema([("k", pa.int64()), ("nd", pa.int64())])
+    n_li, _ = _table_meta(sf_dir, "lineitem")
+    P = _exchange_width(n_li)
+    gd = _new_guard_dir("fdchk")
 
-    def per_key(t: pa.Table) -> pa.Table:
+    def stamp(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return kd_schema.empty_table()
-        k = t.column("k").to_numpy(zero_copy_only=False)
-        order = np.argsort(k, kind="stable")
-        ks = k[order]
-        starts, lens = _segment_starts(ks)
-        return pa.table(
-            {"k": pa.array(ks[starts]),
-             "nd": pa.array(lens.astype(np.int64))},
-            schema=kd_schema,
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("k"), P))
         )
 
-    kd = (
+    stat_schema = pa.schema(
+        [("n_keys", pa.int64()), ("n_viol", pa.int64()),
+         ("max_nd", pa.int64())]
+    )
+
+    def key_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return stat_schema.empty_table()
+        _guard_record(
+            gd, "fd", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        v = np.asarray(t.column("v").to_pylist(), dtype=object)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        # dedupe (k, v) pairs arriving from different source blocks
+        keep = np.concatenate([[True], (k[1:] != k[:-1]) | (v[1:] != v[:-1])])
+        k = k[keep]
+        starts, lens = _segment_starts(k)
+        return pa.table(
+            {"n_keys": pa.array([len(starts)], pa.int64()),
+             "n_viol": pa.array([int((lens > 1).sum())], pa.int64()),
+             "max_nd": pa.array([int(lens.max())], pa.int64())},
+            schema=stat_schema,
+        )
+
+    stats = (
         ds.map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby(["k", "v"])
-        .sum("c")
-        .map_batches(per_key, batch_format="pyarrow")
-        .groupby("k")
-        .sum("nd")
+        .map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(key_sweep, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
-    kd.columns = ["k", "nd"]
-    nd = kd["nd"].to_numpy(dtype=np.int64)
-    return pa.table(
-        {"n_keys": pa.array([len(kd)], pa.int64()),
-         "n_violating_keys": pa.array([int((nd > 1).sum())], pa.int64()),
+    out = pa.table(
+        {"n_keys": pa.array([int(stats["n_keys"].sum())], pa.int64()),
+         "n_violating_keys": pa.array(
+             [int(stats["n_viol"].sum())], pa.int64()),
          "n_max_distinct": pa.array(
-             [int(nd.max()) if len(nd) else 0], pa.int64())}
+             [int(stats["max_nd"].max()) if len(stats) else 0],
+             pa.int64())}
     )
+    return _finalize_guard(gd, out)
 
 
 # ---------------------------------------------------------------------------
@@ -7710,8 +7730,6 @@ def orders_open_backlog(sf_dir: str) -> pa.Table:
     ship date -- per-block maxima alone would close an order once
     per block); month-level counts are dim-bounded and the running
     total is O(months) driver math."""
-    from ray.data import aggregate as _ray_agg
-
     ds_o = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
 
     def month_of(ts_us: np.ndarray) -> np.ndarray:
@@ -7733,11 +7751,23 @@ def orders_open_backlog(sf_dir: str) -> pa.Table:
             schema=mo_schema,
         )
 
-    opened = (
-        ds_o.map_batches(open_partial, batch_format="pyarrow")
-        .groupby("month").sum("n").to_pandas()
+    mo_kind_schema = pa.schema(
+        [("kind", pa.int64()), ("month", pa.int64()), ("n", pa.int64())]
     )
-    opened.columns = ["month", "n_opened"]
+
+    def tag(kind: int):
+        def _t(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"kind": pa.array(
+                    np.full(t.num_rows, kind, np.int64)),
+                 "month": t.column("month"), "n": t.column("n")},
+                schema=mo_kind_schema,
+            )
+        return _t
+
+    opened_parts = ds_o.map_batches(
+        open_partial, batch_format="pyarrow"
+    ).map_batches(tag(0), batch_format="pyarrow")
 
     li_schema = pa.schema([("k", pa.int64()), ("hi", pa.int64())])
 
@@ -7757,31 +7787,64 @@ def orders_open_backlog(sf_dir: str) -> pa.Table:
             schema=li_schema,
         )
 
-    def close_partial(t: pa.Table) -> pa.Table:
+    n_li, _ = _table_meta(sf_dir, "lineitem")
+    P = _exchange_width(n_li)
+    gd = _new_guard_dir("backlog")
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("k"), P))
+        )
+
+    def key_max_months(t: pa.Table) -> pa.Table:
+        """Per-key GLOBAL max ship date (the exchange co-locates each
+        key's partials) folded straight to per-block month counts."""
         if t.num_rows == 0:
             return mo_schema.empty_table()
-        m = month_of(t.column("max(hi)").to_numpy(zero_copy_only=False))
-        order = np.argsort(m, kind="stable")
-        ms = m[order]
-        starts, lens = _segment_starts(ms)
+        _guard_record(
+            gd, "bk", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, his = k[order], hi[order]
+        starts, _ = _segment_starts(ks)
+        m = month_of(np.maximum.reduceat(his, starts))
+        order2 = np.argsort(m, kind="stable")
+        ms = m[order2]
+        s2, lens = _segment_starts(ms)
         return pa.table(
-            {"month": pa.array(ms[starts]),
+            {"month": pa.array(ms[s2]),
              "n": pa.array(lens.astype(np.int64))},
             schema=mo_schema,
         )
 
-    closed = (
+    closed_parts = (
         _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
         .map_batches(ship_partial, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(_ray_agg.Max("hi"))
-        .map_batches(close_partial, batch_format="pyarrow")
-        .groupby("month").sum("n").to_pandas()
+        .map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(key_max_months, batch_format="pyarrow",
+                     batch_size=None)
+        .map_batches(tag(1), batch_format="pyarrow")
     )
-    closed.columns = ["month", "n_closed"]
+
+    # ONE execution: both sides union into a single (kind, month)
+    # fold -- the first version ran two jobs and paid startup twice
+    folded = (
+        opened_parts.union(closed_parts)
+        .groupby(["kind", "month"]).sum("n").to_pandas()
+    )
+    folded.columns = ["kind", "month", "n"]
 
     import pandas as pd
 
+    opened = folded[folded["kind"] == 0][["month", "n"]].rename(
+        columns={"n": "n_opened"})
+    closed = folded[folded["kind"] == 1][["month", "n"]].rename(
+        columns={"n": "n_closed"})
     merged = opened.merge(closed, on="month", how="outer").fillna(0)
     lo, hi = int(merged["month"].min()), int(merged["month"].max())
     grid = pd.DataFrame({"month": range(lo, hi + 1)})
@@ -7789,12 +7852,13 @@ def orders_open_backlog(sf_dir: str) -> pa.Table:
     n_open = merged["n_opened"].to_numpy(dtype=np.int64)
     n_close = merged["n_closed"].to_numpy(dtype=np.int64)
     backlog = np.cumsum(n_open - n_close)
-    return pa.table(
+    out = pa.table(
         {"month": pa.array(merged["month"].to_numpy(dtype=np.int64)),
          "n_opened": pa.array(n_open),
          "n_closed": pa.array(n_close),
          "backlog": pa.array(backlog.astype(np.int64))}
     )
+    return _finalize_guard(gd, out)
 
 
 # ---------------------------------------------------------------------------
