@@ -1307,6 +1307,232 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# DAU/MAU stickiness per month over distinct (user, day) pairs.
+_STICKINESS_SQL = """
+WITH du AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+d2 AS (
+  SELECT user_id, day,
+         ((year(DATE '1970-01-01' + day * INTERVAL 1 DAY) - 1970) * 12
+          + month(DATE '1970-01-01' + day * INTERVAL 1 DAY) - 1)::BIGINT
+           AS m
+  FROM du
+),
+dau AS (SELECT m, day, count(*)::BIGINT AS n FROM d2 GROUP BY 1, 2),
+mau AS (SELECT m, count(DISTINCT user_id)::BIGINT AS mau FROM d2
+        GROUP BY 1),
+agg AS (
+  SELECT m, count(*)::BIGINT AS n_active_days, sum(n)::BIGINT AS sum_dau
+  FROM dau GROUP BY 1
+)
+SELECT a.m AS month, a.n_active_days, a.sum_dau, mau.mau,
+       CAST(1000000 * a.sum_dau // (a.n_active_days * mau.mau)
+            AS BIGINT) AS stickiness_e6
+FROM agg a JOIN mau USING (m) ORDER BY month
+"""
+
+# Embedding norm^2 order statistics over the quantized magnitudes.
+_NORM2_Q_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         sum(CAST(floor(x.v::DOUBLE * 1000) AS BIGINT)
+             * CAST(floor(x.v::DOUBLE * 1000) AS BIGINT))::BIGINT AS n2
+  FROM embeddings, unnest(embedding) AS x(v)
+  GROUP BY vec_id
+),
+r AS (
+  SELECT n2, row_number() OVER (ORDER BY n2) AS rn,
+         count(*) OVER () AS n
+  FROM q
+)
+SELECT 0::BIGINT AS q_e2, min(n2)::BIGINT AS value FROM q
+UNION ALL
+SELECT 50, n2 FROM r WHERE rn = (n * 50 + 99) // 100
+UNION ALL
+SELECT 90, n2 FROM r WHERE rn = (n * 90 + 99) // 100
+UNION ALL
+SELECT 99, n2 FROM r WHERE rn = (n * 99 + 99) // 100
+UNION ALL
+SELECT 100, max(n2)::BIGINT FROM q
+ORDER BY q_e2
+"""
+
+# Type-share drift between time halves (split at the us midpoint,
+# first half inclusive of the boundary).
+_SHARE_DRIFT_SQL = """
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+),
+e AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) > (b.lo + b.hi) // 2
+              THEN 1 ELSE 0 END AS half
+  FROM events CROSS JOIN b
+),
+g AS (SELECT event_type, half, count(*)::BIGINT AS n FROM e GROUP BY 1, 2),
+t AS (SELECT half, sum(n)::BIGINT AS tot FROM g GROUP BY 1),
+types AS (SELECT DISTINCT event_type FROM e),
+j AS (
+  SELECT ty.event_type,
+         COALESCE(g0.n, 0)::BIGINT AS n_first,
+         COALESCE(g1.n, 0)::BIGINT AS n_second,
+         (SELECT tot FROM t WHERE half = 0) AS t0,
+         (SELECT tot FROM t WHERE half = 1) AS t1
+  FROM types ty
+  LEFT JOIN g g0 ON g0.event_type = ty.event_type AND g0.half = 0
+  LEFT JOIN g g1 ON g1.event_type = ty.event_type AND g1.half = 1
+)
+SELECT event_type, n_first, n_second,
+       CAST(COALESCE(1000000 * n_first // t0, 0) AS BIGINT)
+         AS share_first_e6,
+       CAST(COALESCE(1000000 * n_second // t1, 0) AS BIGINT)
+         AS share_second_e6,
+       CAST(COALESCE(1000000 * n_second // t1, 0)
+            - COALESCE(1000000 * n_first // t0, 0) AS BIGINT) AS drift_e6
+FROM j ORDER BY event_type
+"""
+
+# ABC Pareto classes: the class test uses revenue strictly ABOVE the
+# customer's tier (tie-safe, no within-tie order), exact integers.
+_ABC_SQL = """
+WITH cr AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(rev)::HUGEINT AS r FROM cr),
+above AS (
+  SELECT c.o_custkey, c.rev,
+         COALESCE((SELECT sum(c2.rev) FROM cr c2 WHERE c2.rev > c.rev),
+                  0)::HUGEINT AS g
+  FROM cr c
+),
+cls AS (
+  SELECT rev,
+         CASE WHEN g * 100 < 80 * tot.r THEN 'A'
+              WHEN g * 100 < 95 * tot.r THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM above CROSS JOIN tot
+)
+SELECT abc_class, count(*)::BIGINT AS n_customers,
+       sum(rev)::BIGINT AS revenue_cents
+FROM cls GROUP BY 1 ORDER BY 1
+"""
+
+
+def _build_acf_sql(lags=(1, 24)) -> str:
+    """ACF at several lags: the _HOURLY_AR1_SQL machinery per lag
+    (including its negative-numerator floor adjustment -- DuckDB //
+    truncates, the engine floors), plus the span<=lag zero rows the
+    engine emits."""
+    head = """
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS hour
+  FROM events
+),
+g AS (SELECT event_type, hour, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM b),
+types AS (SELECT DISTINCT event_type FROM b),
+grid AS (
+  SELECT t.event_type, bo.lo + u.i AS hour
+  FROM types t CROSS JOIN bounds bo
+  CROSS JOIN (
+    SELECT unnest(range(0, (SELECT hi - lo + 1 FROM bounds)))::BIGINT AS i
+  ) u
+),
+dense AS (
+  SELECT grid.event_type, grid.hour, coalesce(g.c, 0)::BIGINT AS c
+  FROM grid LEFT JOIN g USING (event_type, hour)
+)"""
+    blocks, selects = [], []
+    for lag in lags:
+        blocks.append(f""",
+pairs{lag} AS (
+  SELECT d1.event_type, d1.c AS x, d2.c AS y
+  FROM dense d1 JOIN dense d2
+    ON d2.event_type = d1.event_type AND d2.hour = d1.hour + {lag}
+),
+s{lag} AS (
+  SELECT t.event_type, {lag}::BIGINT AS lag,
+         coalesce(p.m, 0)::BIGINT AS m,
+         coalesce(p.sum_x, 0)::BIGINT AS sum_x,
+         coalesce(p.sum_y, 0)::BIGINT AS sum_y,
+         coalesce(p.sxy, 0)::HUGEINT AS sxy,
+         coalesce(p.sxx, 0)::HUGEINT AS sxx
+  FROM types t LEFT JOIN (
+    SELECT event_type, count(*)::BIGINT AS m, sum(x)::BIGINT AS sum_x,
+           sum(y)::BIGINT AS sum_y, sum(x::HUGEINT * y) AS sxy,
+           sum(x::HUGEINT * x) AS sxx
+    FROM pairs{lag} GROUP BY 1
+  ) p USING (event_type)
+)""")
+        selects.append(f"""
+SELECT event_type, lag, m, sum_x, sxy::BIGINT AS sum_xy,
+       (CASE WHEN (m::HUGEINT * sxx - sum_x::HUGEINT * sum_x) = 0 THEN 0
+             WHEN ((m::HUGEINT * sxy - sum_x::HUGEINT * sum_y) * 1000000)
+                  % (m::HUGEINT * sxx - sum_x::HUGEINT * sum_x) <> 0
+              AND (m::HUGEINT * sxy - sum_x::HUGEINT * sum_y) < 0
+               THEN ((m::HUGEINT * sxy - sum_x::HUGEINT * sum_y) * 1000000)
+                    // (m::HUGEINT * sxx - sum_x::HUGEINT * sum_x) - 1
+             ELSE ((m::HUGEINT * sxy - sum_x::HUGEINT * sum_y) * 1000000)
+                  // (m::HUGEINT * sxx - sum_x::HUGEINT * sum_x) END
+       )::BIGINT AS phi_e6
+FROM s{lag}""")
+    return (head + "".join(blocks)
+            + "\nSELECT * FROM (" + "\nUNION ALL".join(selects)
+            + ")\nORDER BY event_type, lag\n")
+
+
+_ACF_SQL = _build_acf_sql()
+
+# Two-sample KS distance via histogram cumulative cross-multiplies.
+_KS_SQL = """
+WITH u AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+         (event_type = 'purchase') AS isa
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+g AS (
+  SELECT v, sum(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN isa THEN 0 ELSE 1 END)::BIGINT AS nb
+  FROM u GROUP BY v
+),
+c AS (
+  SELECT v,
+         sum(na) OVER (ORDER BY v)::HUGEINT AS ca,
+         sum(nb) OVER (ORDER BY v)::HUGEINT AS cb
+  FROM g
+),
+t AS (SELECT sum(na)::HUGEINT AS n_a, sum(nb)::HUGEINT AS n_b FROM g)
+SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+       CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS BIGINT) AS ks_num,
+       CAST(1000000 * max(abs(c.ca * t.n_b - c.cb * t.n_a))
+            // (t.n_a * t.n_b) AS BIGINT) AS ks_e6
+FROM c CROSS JOIN t
+GROUP BY t.n_a, t.n_b
+"""
+
+# Benford first-digit audit: integer decimation (no float log10).
+_BENFORD_SQL = """
+WITH RECURSIVE cc AS (
+  SELECT abs(CAST(floor(value * 100) AS BIGINT)) AS c
+  FROM events WHERE CAST(floor(value * 100) AS BIGINT) <> 0
+),
+dig AS (
+  SELECT c FROM cc
+  UNION ALL
+  SELECT c // 10 FROM dig WHERE c >= 10
+),
+first_d AS (SELECT c AS digit FROM dig WHERE c < 10),
+agg AS (SELECT digit, count(*)::BIGINT AS n FROM first_d GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS total FROM agg)
+SELECT a.digit::BIGINT AS digit, a.n,
+       CAST(1000000 * a.n // t.total AS BIGINT) AS share_e6
+FROM agg a CROSS JOIN t ORDER BY a.digit
+"""
+
 # Contrastive hard negatives: ann_cosine_topk's float convention
 # (round 6 dp) with a label-mismatch mask.
 _HARD_NEG_SQL = """
@@ -3948,6 +4174,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_source_weights": d.corpus_source_weights,
         # contrastive hard-negative mining (label-masked top-k)
         "hard_negative_mining": d.hard_negative_mining,
+        # ACF at lags 1 and 24 (persistence + daily seasonality)
+        "events_hourly_acf": ev.events_hourly_acf,
+        # exact two-sample Kolmogorov-Smirnov distance
+        "events_ks_test": ev.events_ks_test,
+        # Benford first-digit data-quality audit
+        "events_benford": ev.events_benford,
+        # ABC Pareto-class revenue segmentation
+        "customer_abc_classes": ev.customer_abc_classes,
+        # type-share drift between time halves (drift monitor)
+        "events_share_drift": ev.events_share_drift,
+        # embedding magnitude audit (exact norm^2 order statistics)
+        "embedding_norm2_quantiles": d.embedding_norm2_quantiles,
+        # DAU/MAU stickiness (distinct-pair two-level engagement)
+        "events_stickiness": ev.events_stickiness,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4170,6 +4410,13 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split_assign": _SPLIT_ASSIGN_SQL,
         "corpus_source_weights": _SOURCE_WEIGHTS_SQL,
         "hard_negative_mining": _HARD_NEG_SQL,
+        "events_hourly_acf": _ACF_SQL,
+        "events_ks_test": _KS_SQL,
+        "events_benford": _BENFORD_SQL,
+        "customer_abc_classes": _ABC_SQL,
+        "events_share_drift": _SHARE_DRIFT_SQL,
+        "embedding_norm2_quantiles": _NORM2_Q_SQL,
+        "events_stickiness": _STICKINESS_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -142,12 +142,15 @@ def run_bench() -> dict:
     stream_s = time.monotonic() - t0
     timings["replay_streaming"] = round(stream_s, 3)
 
-    # secondary pipelines (not part of the headline value)
+    # secondary pipelines (not part of the headline value).
+    # BENCH_SKIP_QUERIES=1 (set by --scaling) skips them: the scaling
+    # metric uses only the replay throughput, and ~85 secondaries per
+    # sub-run would double its wall time for nothing.
     from logminer_kafka_connect_ray.pipelines import dataops as dops
     from logminer_kafka_connect_ray.pipelines import events as evops
     from logminer_kafka_connect_ray.pipelines import queries as q
 
-    for name, fn in [
+    secondaries = [] if os.environ.get("BENCH_SKIP_QUERIES") else [
         ("cdc_lww_latest", q.cdc_lww_latest),
         ("cdc_committed_events", q.cdc_committed_events),
         ("dedup_exact", dops.dedup_exact),
@@ -237,7 +240,15 @@ def run_bench() -> dict:
         ("corpus_split_assign", dops.corpus_split_assign),
         ("corpus_source_weights", dops.corpus_source_weights),
         ("hard_negative_mining", dops.hard_negative_mining),
-    ]:
+        ("events_hourly_acf", evops.events_hourly_acf),
+        ("events_ks_test", evops.events_ks_test),
+        ("events_benford", evops.events_benford),
+        ("customer_abc_classes", evops.customer_abc_classes),
+        ("events_share_drift", evops.events_share_drift),
+        ("embedding_norm2_quantiles", dops.embedding_norm2_quantiles),
+        ("events_stickiness", evops.events_stickiness),
+    ]
+    for name, fn in secondaries:
         t0 = time.monotonic()
         fn(SF_DIR)
         timings[name] = round(time.monotonic() - t0, 3)
@@ -266,6 +277,7 @@ def run_scaling():
         # changelog so per-job fixed overhead (~3s: plan scan, sort
         # barrier, dataset startup) is small vs scalable work
         env.setdefault("BENCH_REPLICATE", os.environ.get("BENCH_REPLICATE", "250"))
+        env.setdefault("BENCH_SKIP_QUERIES", "1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

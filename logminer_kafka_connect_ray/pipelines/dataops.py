@@ -5810,3 +5810,68 @@ def hard_negative_mining(
     out = out[["query_id", "vec_id", "label", "sim_r"]].reset_index(
         drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm**2 distribution (un-normalized-vector audit)
+# ---------------------------------------------------------------------------
+def embedding_norm2_quantiles(sf_dir: str) -> pa.Table:
+    """Distribution audit of embedding magnitudes: exact order
+    statistics (min, lower-median, p90, p99, max) of the QUANTIZED
+    squared norm ``sum(floor(1e3*x)^2)`` per vector -- the
+    preprocessing check that catches un-normalized or degenerate
+    vectors before cosine math silently mis-ranks them.  Returns
+    ``(q_e2, value)`` rows 0/50/90/99/100 (lower quantile = rank
+    ``ceil(q * n)``).
+
+    Scale shape: per-block (norm2 -> count) HISTOGRAM partials (one
+    int64 row per distinct magnitude per block) -> value
+    ``groupby.sum`` -> exact driver quantile walk; vectors never
+    shuffle."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    hist_schema = pa.schema([("n2", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        lst = col.cast(pa.list_(pa.float64()))
+        dim = len(lst[0])
+        flat = np.asarray(lst.values.to_numpy(zero_copy_only=False))
+        q = np.floor(flat * 1000.0).astype(np.int64).reshape(-1, dim)
+        n2 = (q * q).sum(axis=1)
+        order = np.argsort(n2, kind="stable")
+        s = n2[order]
+        starts, lens = _segment_starts(s)
+        return pa.table(
+            {"n2": pa.array(s[starts]),
+             "n": pa.array(lens.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n2").sum("n").to_pandas()
+    )
+    hist.columns = ["n2", "n"]
+    hist = hist.sort_values("n2", ignore_index=True)
+    vals = hist["n2"].to_numpy(dtype=np.int64)
+    cnts = hist["n"].to_numpy(dtype=np.int64)
+    total = int(cnts.sum())
+    cum = np.cumsum(cnts)
+
+    def q_at(rank: int) -> int:
+        return int(vals[np.searchsorted(cum, rank, side="left")])
+
+    rows = [(0, int(vals[0])),
+            (50, q_at(-(-total * 50 // 100))),
+            (90, q_at(-(-total * 90 // 100))),
+            (99, q_at(-(-total * 99 // 100))),
+            (100, int(vals[-1]))]
+    return pa.table(
+        {"q_e2": pa.array([r[0] for r in rows], pa.int64()),
+         "value": pa.array([r[1] for r in rows], pa.int64())}
+    )

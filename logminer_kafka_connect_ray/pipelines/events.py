@@ -9069,3 +9069,499 @@ def events_runs_test(sf_dir: str) -> pa.Table:
          "n_below": pa.array([r[2] for r in rows], pa.int64()),
          "n_runs": pa.array([r[3] for r in rows], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation at arbitrary lags (seasonality strength)
+# ---------------------------------------------------------------------------
+def events_hourly_acf(sf_dir: str, lags: tuple = (1, 24)) -> pa.Table:
+    """Autocorrelation-function points of the dense hourly count
+    series at the given ``lags`` -- lag 1 is persistence
+    (``events_hourly_ar1``), lag 24 is DAILY seasonality strength.
+    Same exact integer regression form per lag: ``phi = (m*Sxy -
+    Sx*Sy) / (m*Sxx - Sx^2)`` over ``(x_t, x_{t+lag})`` pairs,
+    emitted as ``floor(1e6 * phi)`` plus the sufficient sums.
+    Returns ``(event_type, lag, m, sum_x, sum_xy, phi_e6)``.
+
+    Scale shape: the ar1 series contract; ALL lags reuse ONE
+    dim-bounded (type, hour) fold -- only the O(series) driver math
+    runs per lag."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("n_obs", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        hr = _ts_i64(t.column("ts")) // 3_600_000_000
+        key = np.asarray([f"{e}\x00{h}" for e, h in zip(et, hr)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "hour": pa.array(hr[order][starts]),
+             "n_obs": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum("n_obs")
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "hour", "n_obs"]
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("lag", pa.int64()),
+         ("m", pa.int64()), ("sum_x", pa.int64()),
+         ("sum_xy", pa.int64()), ("phi_e6", pa.int64())]
+    )
+    if len(merged) == 0:
+        return out_schema.empty_table()
+    h_lo = int(merged["hour"].min())
+    h_hi = int(merged["hour"].max())
+    span = h_hi - h_lo + 1
+    rows = []
+    for et, grp in merged.groupby("event_type", sort=True):
+        dense = [0] * span
+        for h, c in zip(grp["hour"].to_numpy(dtype=np.int64),
+                        grp["n_obs"].to_numpy(dtype=np.int64)):
+            dense[int(h) - h_lo] = int(c)
+        for lag in lags:
+            if span <= lag:
+                rows.append((et, lag, 0, 0, 0, 0))
+                continue
+            x = dense[:-lag]
+            y = dense[lag:]
+            m = len(x)
+            sx, sy = sum(x), sum(y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            sxx = sum(a * a for a in x)
+            den = m * sxx - sx * sx
+            phi = (m * sxy - sx * sy) * 10**6 // den if den else 0
+            rows.append((et, lag, m, sx, sxy, phi))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "lag": pa.array([r[1] for r in rows], pa.int64()),
+         "m": pa.array([r[2] for r in rows], pa.int64()),
+         "sum_x": pa.array([r[3] for r in rows], pa.int64()),
+         "sum_xy": pa.array([r[4] for r in rows], pa.int64()),
+         "phi_e6": pa.array([r[5] for r in rows], pa.int64())},
+        schema=out_schema,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance (exact rational)
+# ---------------------------------------------------------------------------
+def events_ks_test(
+    sf_dir: str, type_a: str = "purchase", type_b: str = "click"
+) -> pa.Table:
+    """Exact two-sample KS distance between the value distributions
+    of two event types: ``D = max_v |F_a(v) - F_b(v)|``, carried as
+    the integer ``ks_num = max |cum_a * n_b - cum_b * n_a|`` (so
+    ``D = ks_num / (n_a * n_b)`` exactly) and emitted with
+    ``ks_e6 = floor(1e6 * ks_num / (n_a * n_b))``.  Mann-Whitney's
+    location-shift sibling -- KS sees SHAPE differences too.
+
+    Scale shape: the same value-histogram plumbing as
+    ``events_mann_whitney`` -- per-block (value -> count_a, count_b)
+    partials, one value groupby, O(distinct values) driver cumsum
+    walk."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    hist_schema = pa.schema(
+        [("v", pa.int64()), ("na", pa.int64()), ("nb", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        is_a, is_b = et == type_a, et == type_b
+        keep = is_a | is_b
+        if not keep.any():
+            return hist_schema.empty_table()
+        v = cents[keep]
+        side_a = is_a[keep]
+        order = np.argsort(v, kind="stable")
+        vs, sa = v[order], side_a[order]
+        starts, _ = _segment_starts(vs)
+        na = np.add.reduceat(sa.astype(np.int64), starts)
+        tot = np.add.reduceat(np.ones(len(vs), np.int64), starts)
+        return pa.table(
+            {"v": pa.array(vs[starts]), "na": pa.array(na),
+             "nb": pa.array(tot - na)},
+            schema=hist_schema,
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v").sum(["na", "nb"]).to_pandas()
+    )
+    hist.columns = ["v", "na", "nb"]
+    hist = hist.sort_values("v", ignore_index=True)
+    na = hist["na"].to_numpy(dtype=np.int64)
+    nb = hist["nb"].to_numpy(dtype=np.int64)
+    n_a, n_b = int(na.sum()), int(nb.sum())
+    cum_a = np.cumsum(na).astype(object)
+    cum_b = np.cumsum(nb).astype(object)
+    diffs = [abs(int(a) * n_b - int(b) * n_a)
+             for a, b in zip(cum_a, cum_b)]
+    ks_num = max(diffs) if diffs else 0
+    ks_e6 = 10**6 * ks_num // (n_a * n_b) if n_a and n_b else 0
+    return pa.table(
+        {"n_a": pa.array([n_a], pa.int64()),
+         "n_b": pa.array([n_b], pa.int64()),
+         "ks_num": pa.array([ks_num], pa.int64()),
+         "ks_e6": pa.array([ks_e6], pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+def events_benford(sf_dir: str) -> pa.Table:
+    """First-significant-digit profile of event values (cents,
+    zeros excluded, sign dropped) -- the Benford's-law fraud/quality
+    screen's observed side.  Returns ``(digit, n, share_e6)`` for
+    digits 1-9 (missing digits emit no row), share as exact
+    ``floor(1e6 * n / total)``.
+
+    Scale shape: per-block digit counts via pure integer decimation
+    (divide by 10 until < 10 -- no string round trip, no float log),
+    9-row partials -> tiny groupby."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    part_schema = pa.schema([("digit", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        cents = np.abs(
+            _cents(t.column("value").to_numpy(zero_copy_only=False))
+        )
+        cents = cents[cents > 0]
+        if len(cents) == 0:
+            return part_schema.empty_table()
+        while cents.max() >= 10:
+            big = cents >= 10
+            cents[big] //= 10
+        counts = np.bincount(cents, minlength=10)
+        nz = np.flatnonzero(counts[1:]) + 1
+        return pa.table(
+            {"digit": pa.array(nz.astype(np.int64)),
+             "n": pa.array(counts[nz].astype(np.int64))},
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit").sum("n").to_pandas()
+    )
+    agg.columns = ["digit", "n"]
+    agg = agg.sort_values("digit", ignore_index=True)
+    total = int(agg["n"].sum())
+    n = agg["n"].to_numpy(dtype=np.int64)
+    share = np.array([10**6 * int(c) // total for c in n], np.int64)
+    return pa.table(
+        {"digit": pa.array(agg["digit"].to_numpy(dtype=np.int64)),
+         "n": pa.array(n), "share_e6": pa.array(share)}
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto-class) analysis of customer revenue
+# ---------------------------------------------------------------------------
+def customer_abc_classes(
+    sf_dir: str, a_pct: int = 80, b_pct: int = 95
+) -> pa.Table:
+    """ABC inventory-style classification of customers by order
+    revenue: class A = customers in the top revenue tiers that
+    jointly cover < ``a_pct``% of total revenue BEFORE their tier,
+    B up to ``b_pct``%, C the tail.  All customers sharing a revenue
+    value share a class (tie-safe: the class test uses the revenue
+    strictly ABOVE the tier, so it needs no within-tie order).
+    Exact integer test: ``G(r) * 100 < pct * R`` with ``G(r)`` = sum
+    of revenue strictly above ``r``.  Returns ``(abc_class,
+    n_customers, revenue_cents)``.
+
+    Scale shape: custkey exchange-free per-block partials ->
+    customer ``groupby.sum`` (one all-to-all) -> per-block
+    HISTOGRAM of (revenue value -> n customers, revenue mass) ->
+    value groupby -> O(distinct revenue values) driver walk."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    part_schema = pa.schema([("ck", pa.int64()), ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cents = _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
+        order = np.argsort(ck, kind="stable")
+        cks, cs = ck[order], cents[order]
+        starts, _ = _segment_starts(cks)
+        return pa.table(
+            {"ck": pa.array(cks[starts]),
+             "cents": pa.array(np.add.reduceat(cs, starts))},
+            schema=part_schema,
+        )
+
+    hist_schema = pa.schema(
+        [("rev", pa.int64()), ("n", pa.int64()), ("mass", pa.int64())]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        c = t.column("sum(cents)").to_numpy(zero_copy_only=False)
+        order = np.argsort(c, kind="stable")
+        cs = c[order]
+        starts, lens = _segment_starts(cs)
+        return pa.table(
+            {"rev": pa.array(cs[starts]),
+             "n": pa.array(lens.astype(np.int64)),
+             "mass": pa.array(cs[starts] * lens.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ck").sum("cents")
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("rev").sum(["n", "mass"])
+        .to_pandas()
+    )
+    hist.columns = ["rev", "n", "mass"]
+    hist = hist.sort_values("rev", ascending=False, ignore_index=True)
+    R = int(hist["mass"].sum())
+    above = 0
+    cls_n = {"A": 0, "B": 0, "C": 0}
+    cls_rev = {"A": 0, "B": 0, "C": 0}
+    for rev, n, mass in zip(hist["rev"], hist["n"], hist["mass"]):
+        if above * 100 < a_pct * R:
+            c = "A"
+        elif above * 100 < b_pct * R:
+            c = "B"
+        else:
+            c = "C"
+        cls_n[c] += int(n)
+        cls_rev[c] += int(mass)
+        above += int(mass)
+    keys = [k for k in ("A", "B", "C") if cls_n[k] > 0]
+    return pa.table(
+        {"abc_class": pa.array(keys, pa.string()),
+         "n_customers": pa.array([cls_n[k] for k in keys], pa.int64()),
+         "revenue_cents": pa.array([cls_rev[k] for k in keys], pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: type-share shift between time halves
+# ---------------------------------------------------------------------------
+def events_share_drift(sf_dir: str) -> pa.Table:
+    """Data-drift monitor: each event type's share of traffic in the
+    FIRST half of the time range vs the SECOND (split at the
+    microsecond midpoint ``(min_ts + max_ts) // 2``, first half
+    inclusive of the boundary), and the signed drift.  All exact:
+    shares as ``floor(1e6 * n / half_total)``, drift as their
+    difference.  Returns ``(event_type, n_first, n_second,
+    share_first_e6, share_second_e6, drift_e6)``.
+
+    Scale shape: pass 1 folds per-block (min, max) scalars; pass 2
+    counts per (type, half) -- dimension-sized groupby, O(types)
+    driver math."""
+    from ray.data import aggregate as _ray_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    b_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    def bounds(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return b_schema.empty_table()
+        ts = _ts_i64(t.column("ts"))
+        return pa.table(
+            {"lo": pa.array([int(ts.min())], pa.int64()),
+             "hi": pa.array([int(ts.max())], pa.int64())},
+            schema=b_schema,
+        )
+
+    bd = ds.map_batches(bounds, batch_format="pyarrow").to_pandas()
+    cut = (int(bd["lo"].min()) + int(bd["hi"].max())) // 2
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("half", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        half = (_ts_i64(t.column("ts")) > cut).astype(np.int64)
+        key = np.asarray([f"{e}\x00{h}" for e, h in zip(et, half)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "half": pa.array(half[order][starts]),
+             "n": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "half"]).sum("n").to_pandas()
+    )
+    agg.columns = ["event_type", "half", "n"]
+    tot = {0: int(agg[agg["half"] == 0]["n"].sum()),
+           1: int(agg[agg["half"] == 1]["n"].sum())}
+    types = sorted(agg["event_type"].unique())
+    per = {(r.event_type, r.half): int(r.n) for r in agg.itertuples()}
+    rows = []
+    for et in types:
+        n1 = per.get((et, 0), 0)
+        n2 = per.get((et, 1), 0)
+        s1 = 10**6 * n1 // tot[0] if tot[0] else 0
+        s2 = 10**6 * n2 // tot[1] if tot[1] else 0
+        rows.append((et, n1, n2, s1, s2, s2 - s1))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "n_first": pa.array([r[1] for r in rows], pa.int64()),
+         "n_second": pa.array([r[2] for r in rows], pa.int64()),
+         "share_first_e6": pa.array([r[3] for r in rows], pa.int64()),
+         "share_second_e6": pa.array([r[4] for r in rows], pa.int64()),
+         "drift_e6": pa.array([r[5] for r in rows], pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness per month
+# ---------------------------------------------------------------------------
+def events_stickiness(sf_dir: str) -> pa.Table:
+    """Engagement stickiness per month: ``avg DAU / MAU`` computed
+    exactly as ``floor(1e6 * sum_dau / (n_active_days * mau))`` --
+    sum_dau = sum over the month's ACTIVE days of that day's
+    distinct users, n_active_days = days with any event, mau =
+    distinct users in the month.  Returns ``(month, n_active_days,
+    sum_dau, mau, stickiness_e6)``.
+
+    Scale shape: per-block DISTINCT (day, user) combiner -> ONE pair
+    ``groupby`` (bounded by distinct day-user pairs) -> per-block
+    partials for day-level and month-level distincts -- a (day,user)
+    pair belongs to exactly one (month,user) pair, so the month
+    distinct needs its own dedupe sweep, done inside the same
+    exchange keyed by user."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("stick")
+    DAY_US = np.int64(86_400 * _US)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    pair_schema = pa.schema(
+        [("user_id", pa.int64()), ("day", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def distinct_du(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = _ts_i64(t.column("ts")) // DAY_US
+        order = np.lexsort((day, u))
+        us, ds_ = u[order], day[order]
+        keep = np.concatenate(
+            [[True], (us[1:] != us[:-1]) | (ds_[1:] != ds_[:-1])]
+        )
+        us, ds_ = us[keep], ds_[keep]
+        return pa.table(
+            {"user_id": pa.array(us), "day": pa.array(ds_),
+             "_p": pa.array(partition_ids(pa.array(us), P))},
+            schema=pair_schema,
+        )
+
+    part_schema = pa.schema(
+        [("month", pa.int64()), ("kind", pa.int64()), ("key", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        """kind 0 rows: (month, day) -> distinct users that day
+        (partial); kind 1 rows: (month, 0) -> distinct users that
+        month (exact per block: the exchange co-locates a user)."""
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "stk", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        keep = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (day[1:] != day[:-1])]
+        )
+        u, day = u[keep], day[keep]
+        month = (day * DAY_US).astype("datetime64[us]").astype(
+            "datetime64[M]").view(np.int64)
+        # day-level partial: count users per (month, day)
+        key1 = month * 100_000 + (day % 100_000)
+        o1 = np.argsort(key1, kind="stable")
+        k1 = key1[o1]
+        s1, l1 = _segment_starts(k1)
+        # month-level: distinct (user, month) -- exact per block
+        o2 = np.lexsort((month, u))
+        um, mm = u[o2], month[o2]
+        keep2 = np.concatenate(
+            [[True], (um[1:] != um[:-1]) | (mm[1:] != mm[:-1])]
+        )
+        mm = mm[keep2]
+        o3 = np.argsort(mm, kind="stable")
+        m3 = mm[o3]
+        s3, l3 = _segment_starts(m3)
+        return pa.table(
+            {"month": pa.array(np.concatenate(
+                [k1[s1] // 100_000, m3[s3]])),
+             "kind": pa.array(np.concatenate(
+                 [np.zeros(len(s1), np.int64),
+                  np.ones(len(s3), np.int64)])),
+             "key": pa.array(np.concatenate(
+                 [k1[s1] % 100_000, np.zeros(len(s3), np.int64)])),
+             "n": pa.array(np.concatenate(
+                 [l1.astype(np.int64), l3.astype(np.int64)]))},
+            schema=part_schema,
+        )
+
+    folded = (
+        ds.map_batches(distinct_du, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby(["month", "kind", "key"]).sum("n").to_pandas()
+    )
+    folded.columns = ["month", "kind", "key", "n"]
+    months = sorted(folded["month"].unique())
+    rows = []
+    for m in months:
+        sub = folded[folded["month"] == m]
+        days = sub[sub["kind"] == 0]
+        mau = int(sub[sub["kind"] == 1]["n"].sum())
+        n_days = len(days)
+        sum_dau = int(days["n"].sum())
+        stick = 10**6 * sum_dau // (n_days * mau) if n_days and mau else 0
+        rows.append((int(m), n_days, sum_dau, mau, stick))
+    out = pa.table(
+        {"month": pa.array([r[0] for r in rows], pa.int64()),
+         "n_active_days": pa.array([r[1] for r in rows], pa.int64()),
+         "sum_dau": pa.array([r[2] for r in rows], pa.int64()),
+         "mau": pa.array([r[3] for r in rows], pa.int64()),
+         "stickiness_e6": pa.array([r[4] for r in rows], pa.int64())}
+    )
+    return _finalize_guard(gd, out)

@@ -1359,3 +1359,26 @@ def test_hard_negative_mining_label_mask(ray_session, tmp_path):
     assert [r["vec_id"] for r in out] == [2, 3]
     assert all(r["label"] == 1 for r in out)
     assert out[0]["sim_r"] > 0.99
+
+
+def test_embedding_norm2_quantiles_exact(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        embedding_norm2_quantiles,
+    )
+
+    # 10 vectors with distinct magnitudes: [i/10, 0] -> q = 100*i,
+    # n2 = 10000*i^2 for i = 0..9
+    mat = [[i / 10.0, 0.0] for i in range(10)]
+    sf = make_embeddings(tmp_path, mat)
+    out = {r["q_e2"]: r["value"]
+           for r in embedding_norm2_quantiles(sf).to_pylist()}
+
+    def n2(i):
+        q = int(np.floor(np.float64(np.float32(i / 10.0)) * 1000))
+        return q * q
+
+    # lower quantiles: p50 -> rank 5 -> i=4; p90 -> i=8; p99 -> i=9
+    assert out[0] == n2(0) and out[100] == n2(9)
+    assert out[50] == n2(4)
+    assert out[90] == n2(8)
+    assert out[99] == n2(9)

@@ -2730,3 +2730,119 @@ def test_events_runs_test_exact(ray_session, tmp_path):
                         "n_runs": 6}
     # b: [0,0,0,0,0,1], mean 1/6 -> above only at the last hour
     assert out["b"]["n_above"] == 1 and out["b"]["n_runs"] == 2
+
+
+def test_events_hourly_acf_lags(ray_session, tmp_path):
+    h = 60.0
+    # period-2 series for type a over 6 hours: [3,0,3,0,3,0]
+    rows = []
+    eid = 0
+    for hr in (0, 2, 4):
+        for _ in range(3):
+            eid += 1
+            rows.append((eid, 1, (hr + 0.5) * h, "a", 0.0))
+    eid += 1
+    rows.append((eid, 2, 5.5 * h, "b", 0.0))  # pins span to 6
+    sf = make_events(tmp_path, rows)
+    out = {(r["event_type"], r["lag"]): r
+           for r in ev.events_hourly_acf(sf, lags=(1, 2)).to_pylist()}
+    # lag-1 on [3,0,3,0,3,0]: x=[3,0,3,0,3], y=[0,3,0,3,0]
+    # m=5 sx=9 sy=6 sxy=0 sxx=27 -> phi = (0-54)/(135-81) = -1
+    assert out[("a", 1)]["phi_e6"] == -1_000_000
+    # lag-2: x=[3,0,3,0], y=[3,0,3,0] -> phi = +1
+    assert out[("a", 2)]["phi_e6"] == 1_000_000
+    assert out[("a", 2)]["m"] == 4
+
+
+def test_events_ks_test_exact(ray_session, tmp_path):
+    rows = [
+        # purchase: values 1, 2; click: values 2, 3, 3
+        (1, 1, 0.0, "purchase", 0.01), (2, 1, 1.0, "purchase", 0.02),
+        (3, 2, 0.0, "click", 0.02), (4, 2, 1.0, "click", 0.03),
+        (5, 2, 2.0, "click", 0.03),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_ks_test(sf).to_pylist()[0]
+    # F_a = [1/2, 1, 1], F_b = [0, 1/3, 1] at v=1,2,3
+    # |ca*nb - cb*na| = |1*3-0|=3, |2*3-1*2|=4, |2*3-3*2|=0 -> 4
+    assert out == {"n_a": 2, "n_b": 3, "ks_num": 4,
+                   "ks_e6": 10**6 * 4 // 6}
+
+
+def test_events_benford_first_digit(ray_session, tmp_path):
+    rows = [
+        (1, 1, 0.0, "a", 1.23),    # 123 -> 1
+        (2, 1, 1.0, "a", 0.95),    # 95 -> 9
+        (3, 1, 2.0, "a", -1.07),   # -107 -> 1 (sign dropped)
+        (4, 1, 3.0, "a", 0.0),     # zero excluded
+        (5, 1, 4.0, "a", 0.05),    # 5 -> 5
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["digit"]: r for r in ev.events_benford(sf).to_pylist()}
+    assert out[1]["n"] == 2 and out[1]["share_e6"] == 500000
+    assert out[9]["n"] == 1 and out[5]["n"] == 1
+    assert len(out) == 3
+
+
+def test_customer_abc_classes_tie_safe(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array(range(1, 7), pa.int64()),
+             # customer revenues: c1=80, c2=10, c3=10 (ties), c4=? no
+             "o_custkey": pa.array([1, 1, 2, 3, 4, 5], pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 6, pa.string()),
+             # c1: 40+40=80; c2: 10; c3: 6; c4: 3; c5: 1 -> R=100
+             "o_totalprice": pa.array([40.0, 40.0, 10.0, 6.0, 3.0, 1.0],
+                                      pa.float64()),
+             "o_orderdate": pa.array([_ts(0)] * 6, pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 6, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = {r["abc_class"]: r
+           for r in ev.customer_abc_classes(str(tmp_path)).to_pylist()}
+    # above(c1)=0 < 80 -> A; above(c2)=80, 8000 !< 8000 -> B;
+    # above(c3)=90 < 95 -> B; above(c4)=96 -> C; above(c5)=99 -> C
+    assert out["A"]["n_customers"] == 1
+    assert out["A"]["revenue_cents"] == 8000
+    assert out["B"]["n_customers"] == 2
+    assert out["C"]["n_customers"] == 2
+    assert out["C"]["revenue_cents"] == 400
+
+
+def test_events_share_drift_halves(ray_session, tmp_path):
+    rows = [
+        # range [0, 100] min -> cut at 50 (inclusive to first half)
+        (1, 1, 0.0, "a", 0.0), (2, 1, 50.0, "a", 0.0),
+        (3, 1, 60.0, "a", 0.0),
+        (4, 2, 40.0, "b", 0.0), (5, 2, 100.0, "b", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["event_type"]: r
+           for r in ev.events_share_drift(sf).to_pylist()}
+    # first half (<= 50): a x2, b x1; second: a x1, b x1
+    assert out["a"]["n_first"] == 2 and out["a"]["n_second"] == 1
+    assert out["a"]["share_first_e6"] == 666666
+    assert out["a"]["share_second_e6"] == 500000
+    assert out["a"]["drift_e6"] == 500000 - 666666
+    assert out["b"]["drift_e6"] == 500000 - 333333
+
+
+def test_events_stickiness_dau_mau(ray_session, tmp_path):
+    day = 1440.0
+    rows = [
+        # month 1: u1 active on days 0 and 1, u2 on day 0 ->
+        # sum_dau = 2 + 1 = 3, n_active_days = 2, mau = 2
+        (1, 1, 0.0, "a", 0.0), (2, 1, 0.5 * day, "a", 0.0),
+        (3, 1, 1.0 * day, "a", 0.0),
+        (4, 2, 0.2 * day, "a", 0.0),
+        # a later month: u3 alone on one day -> stickiness 1.0
+        (5, 3, 40 * day, "a", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_stickiness(sf).to_pylist()
+    assert len(out) == 2
+    m1, m2 = out[0], out[1]
+    assert (m1["n_active_days"], m1["sum_dau"], m1["mau"]) == (2, 3, 2)
+    assert m1["stickiness_e6"] == 10**6 * 3 // 4
+    assert m2["stickiness_e6"] == 10**6
