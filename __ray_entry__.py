@@ -1307,6 +1307,44 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Peak session concurrency: gap sessions -> +1/-1 boundary scan
+# (+1 first at equal instants), window cumsum max, earliest peak t.
+_PEAK_CONCURRENCY_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+f AS (
+  SELECT user_id, t, event_id,
+    CASE WHEN lag(t) OVER w IS NULL
+              OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+s AS (
+  SELECT user_id, t,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+),
+g AS (
+  SELECT user_id, sid, min(t) AS lo, max(t) AS hi FROM s GROUP BY 1, 2
+),
+bnd AS (
+  SELECT lo AS t, 1 AS d FROM g
+  UNION ALL
+  SELECT hi, -1 FROM g
+),
+c AS (
+  SELECT t, d,
+         sum(d) OVER (ORDER BY t, d DESC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM bnd
+),
+mx AS (SELECT max(cum) AS m FROM c)
+SELECT (SELECT count(*) FROM g)::BIGINT AS n_sessions,
+       CAST(mx.m AS BIGINT) AS peak_concurrency,
+       make_timestamp((SELECT min(t) FROM c WHERE cum = mx.m))
+         AS peak_ts
+FROM mx
+"""
+
 # DAU/MAU stickiness per month over distinct (user, day) pairs.
 _STICKINESS_SQL = """
 WITH du AS (
@@ -4188,6 +4226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm2_quantiles": d.embedding_norm2_quantiles,
         # DAU/MAU stickiness (distinct-pair two-level engagement)
         "events_stickiness": ev.events_stickiness,
+        # peak session concurrency via parallel prefix-max
+        "events_peak_concurrency": ev.events_peak_concurrency,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4417,6 +4457,7 @@ def oracle_sql() -> dict[str, str]:
         "events_share_drift": _SHARE_DRIFT_SQL,
         "embedding_norm2_quantiles": _NORM2_Q_SQL,
         "events_stickiness": _STICKINESS_SQL,
+        "events_peak_concurrency": _PEAK_CONCURRENCY_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -247,6 +247,7 @@ def run_bench() -> dict:
         ("events_share_drift", evops.events_share_drift),
         ("embedding_norm2_quantiles", dops.embedding_norm2_quantiles),
         ("events_stickiness", evops.events_stickiness),
+        ("events_peak_concurrency", evops.events_peak_concurrency),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

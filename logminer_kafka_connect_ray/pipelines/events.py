@@ -9565,3 +9565,96 @@ def events_stickiness(sf_dir: str) -> pa.Table:
          "stickiness_e6": pa.array([r[4] for r in rows], pa.int64())}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Peak session concurrency (parallel prefix-max over boundaries)
+# ---------------------------------------------------------------------------
+def events_peak_concurrency(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Peak number of SIMULTANEOUSLY active sessions (sessions from
+    ``events_sessionize``'s gap rule; a session is active on the
+    closed interval [start, end]) -- capacity planning's headline
+    number.  Exact tie handling: at an instant where one session
+    ends and another starts, both are active (+1 events sort before
+    -1 at the same timestamp).  Returns one row ``(n_sessions,
+    peak_concurrency, peak_ts)`` (earliest instant achieving the
+    peak).
+
+    Scale shape: the sessionizer's exchange yields session rows;
+    boundary (+1/-1) rows then sort by time ONCE, and the classic
+    PARALLEL PREFIX trick finishes: each sorted block reports
+    (total_delta, max_prefix, argmax_ts) and the driver folds P
+    block summaries in order -- no single-machine scan of the
+    boundary stream."""
+    sess = events_sessionize(sf_dir, gap_minutes=gap_minutes)
+    n_sessions = sess.num_rows
+    out_schema = pa.schema(
+        [("n_sessions", pa.int64()), ("peak_concurrency", pa.int64()),
+         ("peak_ts", pa.timestamp("us"))]
+    )
+    if n_sessions == 0:
+        return out_schema.empty_table()
+    import ray.data as rd
+
+    lo = sess.column("session_start").cast(pa.int64())
+    hi = sess.column("session_end").cast(pa.int64())
+    bounds = pa.table(
+        {"t": pa.concat_arrays([lo.combine_chunks() if isinstance(lo, pa.ChunkedArray) else lo,
+                                (hi.combine_chunks() if isinstance(hi, pa.ChunkedArray) else hi)]),
+         "d": pa.array(
+             np.concatenate([np.ones(n_sessions, np.int64),
+                             -np.ones(n_sessions, np.int64)]))}
+    )
+
+    part_schema = pa.schema(
+        [("total", pa.int64()), ("max_prefix", pa.int64()),
+         ("argmax_t", pa.int64()), ("first_t", pa.int64())]
+    )
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(d)
+        mx = int(cum.max())
+        arg = int(np.argmax(cum))
+        return pa.table(
+            {"total": pa.array([int(cum[-1])], pa.int64()),
+             "max_prefix": pa.array([mx], pa.int64()),
+             "argmax_t": pa.array([int(ts[arg])], pa.int64()),
+             "first_t": pa.array([int(ts[0])], pa.int64())},
+            schema=part_schema,
+        )
+
+    # sort by (t, -d) => +1 rows first at equal instants (d desc)
+    parts = (
+        rd.from_arrow(bounds)
+        .map_batches(
+            lambda t: t.append_column(
+                "_negd",
+                pa.array(-t.column("d").to_numpy(zero_copy_only=False))),
+            batch_format="pyarrow",
+        )
+        .sort(["t", "_negd"])
+        .map_batches(block_summary, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # fold block summaries IN SORT ORDER (to_pandas preserves block
+    # order of the sorted dataset)
+    parts = parts.sort_values("first_t", kind="stable",
+                              ignore_index=True)
+    running = 0
+    best, best_t = -1, 0
+    for r in parts.itertuples():
+        cand = running + int(r.max_prefix)
+        if cand > best:
+            best, best_t = cand, int(r.argmax_t)
+        running += int(r.total)
+    return pa.table(
+        {"n_sessions": pa.array([n_sessions], pa.int64()),
+         "peak_concurrency": pa.array([best], pa.int64()),
+         "peak_ts": pa.array([best_t], pa.int64()).cast(
+             pa.timestamp("us"))},
+        schema=out_schema,
+    )

@@ -2846,3 +2846,20 @@ def test_events_stickiness_dau_mau(ray_session, tmp_path):
     assert (m1["n_active_days"], m1["sum_dau"], m1["mau"]) == (2, 3, 2)
     assert m1["stickiness_e6"] == 10**6 * 3 // 4
     assert m2["stickiness_e6"] == 10**6
+
+
+def test_events_peak_concurrency_ties(ray_session, tmp_path):
+    rows = [
+        # u1 session [0, 10]; u2 session [10, 20] -- the boundary
+        # instant 10 counts BOTH (end ties after start); u3 bounce
+        # at minute 5 overlaps u1 -> peak 2 at minute 5... and then
+        # 2 again at minute 10; earliest peak instant must win
+        (1, 1, 0.0, "a", 0.0), (2, 1, 10.0, "a", 0.0),
+        (3, 2, 10.0, "a", 0.0), (4, 2, 20.0, "a", 0.0),
+        (5, 3, 5.0, "a", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_peak_concurrency(sf).to_pylist()[0]
+    assert out["n_sessions"] == 3
+    assert out["peak_concurrency"] == 2
+    assert out["peak_ts"] == _ts(5.0)
