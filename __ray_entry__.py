@@ -1307,6 +1307,33 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Positional proximity query: min |pos_a - pos_b| within a window.
+_PROXIMITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, u.i - 1 AS p, ws[u.i] AS w
+  FROM toks CROSS JOIN (
+    SELECT unnest(range(1, 100000))::BIGINT AS i
+  ) u
+  WHERE u.i <= len(ws) AND ws[u.i] IN ('merge', 'sort')
+),
+a AS (SELECT doc_id, p FROM pos WHERE w = 'merge'),
+b AS (SELECT doc_id, p FROM pos WHERE w = 'sort'),
+m AS (
+  SELECT a.doc_id, min(abs(a.p - b.p))::BIGINT AS min_dist
+  FROM a JOIN b USING (doc_id) GROUP BY 1
+),
+ca AS (SELECT doc_id, count(*)::BIGINT AS n_a FROM a GROUP BY 1),
+cb AS (SELECT doc_id, count(*)::BIGINT AS n_b FROM b GROUP BY 1)
+SELECT m.doc_id, ca.n_a, cb.n_b, m.min_dist
+FROM m JOIN ca USING (doc_id) JOIN cb USING (doc_id)
+WHERE m.min_dist <= 5
+ORDER BY m.doc_id
+"""
+
 # Peak session concurrency: gap sessions -> +1/-1 boundary scan
 # (+1 first at equal instants), window cumsum max, earliest peak t.
 _PEAK_CONCURRENCY_SQL = """
@@ -4228,6 +4255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stickiness": ev.events_stickiness,
         # peak session concurrency via parallel prefix-max
         "events_peak_concurrency": ev.events_peak_concurrency,
+        # positional-index NEAR() proximity query
+        "phrase_proximity_search": d.phrase_proximity_search,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4458,6 +4487,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm2_quantiles": _NORM2_Q_SQL,
         "events_stickiness": _STICKINESS_SQL,
         "events_peak_concurrency": _PEAK_CONCURRENCY_SQL,
+        "phrase_proximity_search": _PROXIMITY_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -248,6 +248,7 @@ def run_bench() -> dict:
         ("embedding_norm2_quantiles", dops.embedding_norm2_quantiles),
         ("events_stickiness", evops.events_stickiness),
         ("events_peak_concurrency", evops.events_peak_concurrency),
+        ("phrase_proximity_search", dops.phrase_proximity_search),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

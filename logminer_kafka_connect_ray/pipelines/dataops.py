@@ -5875,3 +5875,67 @@ def embedding_norm2_quantiles(sf_dir: str) -> pa.Table:
         {"q_e2": pa.array([r[0] for r in rows], pa.int64()),
          "value": pa.array([r[1] for r in rows], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional proximity search (two terms within a window)
+# ---------------------------------------------------------------------------
+def phrase_proximity_search(
+    sf_dir: str, term_a: str = "merge", term_b: str = "sort",
+    window: int = 5,
+) -> pa.Table:
+    """Positional-index proximity query: documents where ``term_a``
+    and ``term_b`` occur within ``window`` word positions, with the
+    exact minimum distance -- the IR primitive behind phrase and
+    NEAR() operators that a plain inverted index (df/tf only)
+    cannot answer.  Returns ``(doc_id, n_a, n_b, min_dist)`` for
+    matching docs ordered by doc_id.
+
+    Scale shape: embarrassingly parallel -- one tokenize pass; per
+    doc the two sorted position lists merge in O(n_a + n_b) via
+    searchsorted (never the n_a * n_b pair space).  No shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_a", pa.int64()), ("n_b", pa.int64()),
+         ("min_dist", pa.int64())]
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        rows = []
+        for did, s in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            toks = _WORD.findall((s or "").lower())
+            pa_ = [i for i, w in enumerate(toks) if w == term_a]
+            pb_ = [i for i, w in enumerate(toks) if w == term_b]
+            if not pa_ or not pb_:
+                continue
+            a = np.asarray(pa_, np.int64)
+            b = np.asarray(pb_, np.int64)
+            # nearest b for each a via binary search on sorted b
+            pos = np.searchsorted(b, a)
+            best = np.int64(1 << 60)
+            right = pos < len(b)
+            if right.any():
+                best = min(best, int((b[pos[right]] - a[right]).min()))
+            left = pos > 0
+            if left.any():
+                best = min(best, int((a[left] - b[pos[left] - 1]).min()))
+            if best <= window:
+                rows.append((did, len(a), len(b), int(best)))
+        if not rows:
+            return out_schema.empty_table()
+        return pa.table(
+            {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+             "n_a": pa.array([r[1] for r in rows], pa.int64()),
+             "n_b": pa.array([r[2] for r in rows], pa.int64()),
+             "min_dist": pa.array([r[3] for r in rows], pa.int64())},
+            schema=out_schema,
+        )
+
+    res = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    if len(res) == 0:
+        return out_schema.empty_table()
+    res = res.sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(res, preserve_index=False).cast(out_schema)

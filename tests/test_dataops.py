@@ -1382,3 +1382,25 @@ def test_embedding_norm2_quantiles_exact(ray_session, tmp_path):
     assert out[50] == n2(4)
     assert out[90] == n2(8)
     assert out[99] == n2(9)
+
+
+def test_phrase_proximity_search_min_dist(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        phrase_proximity_search,
+    )
+
+    sf = make_docs(
+        tmp_path,
+        [
+            "alpha beta gamma",           # neither term
+            "merge x sort",               # dist 2
+            "sort a b c d e f merge",     # dist 7 > window -> dropped
+            "merge merge sort merge",     # dist 1 (multiple as)
+            "merge only here",            # missing b -> dropped
+        ],
+    )
+    out = {r["doc_id"]: r for r in phrase_proximity_search(
+        str(sf), window=5).to_pylist()}
+    assert set(out) == {1, 3}
+    assert out[1]["min_dist"] == 2
+    assert out[3] == {"doc_id": 3, "n_a": 3, "n_b": 1, "min_dist": 1}
