@@ -1307,6 +1307,82 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Spike hours: x * 240 > k_x10 * trailing-24h-sum (strictly-before
+# window, full 24 required), gaps-and-islands for the max streak.
+_SPIKE_SQL = """
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS hour
+  FROM events
+),
+g AS (SELECT event_type, hour, count(*)::BIGINT AS x FROM b GROUP BY 1, 2),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM b),
+types AS (SELECT DISTINCT event_type FROM b),
+grid AS (
+  SELECT t.event_type, bo.lo + u.i AS hour
+  FROM types t CROSS JOIN bounds bo
+  CROSS JOIN (
+    SELECT unnest(range(0, (SELECT hi - lo + 1 FROM bounds)))::BIGINT AS i
+  ) u
+),
+dense AS (
+  SELECT grid.event_type, grid.hour, COALESCE(g.x, 0)::BIGINT AS x
+  FROM grid LEFT JOIN g
+    ON g.event_type = grid.event_type AND g.hour = grid.hour
+),
+w AS (
+  SELECT event_type, hour, x,
+    sum(x) OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s24,
+    row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+  FROM dense
+),
+sp AS (
+  SELECT event_type, hour FROM w
+  WHERE rn >= 25 AND x * 240 > 30 * s24
+),
+isl AS (
+  SELECT event_type, hour,
+         hour - row_number() OVER (PARTITION BY event_type
+                                   ORDER BY hour) AS grp
+  FROM sp
+),
+streaks AS (
+  SELECT event_type, count(*)::BIGINT AS len
+  FROM isl GROUP BY event_type, grp
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n, min(hour)::BIGINT AS f
+  FROM sp GROUP BY 1
+),
+stk AS (SELECT event_type, max(len)::BIGINT AS mx FROM streaks GROUP BY 1)
+SELECT t.event_type,
+       COALESCE(a.n, 0)::BIGINT AS n_spike_hours,
+       COALESCE(a.f, -1)::BIGINT AS first_spike_hour,
+       COALESCE(k.mx, 0)::BIGINT AS max_streak
+FROM types t
+LEFT JOIN agg a USING (event_type)
+LEFT JOIN stk k USING (event_type)
+ORDER BY t.event_type
+"""
+
+# Referential-integrity orphan audit over the two FK relations.
+_RI_AUDIT_SQL = """
+SELECT * FROM (
+  SELECT 'orders.o_custkey->customer' AS relation,
+         (SELECT count(*) FROM orders)::BIGINT AS n_child_rows,
+         (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey))::BIGINT AS n_orphan_rows
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders',
+         (SELECT count(*) FROM lineitem)::BIGINT,
+         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+)
+ORDER BY relation
+"""
+
 # Positional proximity query: min |pos_a - pos_b| within a window.
 _PROXIMITY_SQL = """
 WITH toks AS (
@@ -4257,6 +4333,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_peak_concurrency": ev.events_peak_concurrency,
         # positional-index NEAR() proximity query
         "phrase_proximity_search": d.phrase_proximity_search,
+        # trailing-window spike alert screen (exact cross-multiply)
+        "events_spike_hours": ev.events_spike_hours,
+        # FK orphan audit across the two child->parent relations
+        "referential_integrity_audit": ev.referential_integrity_audit,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4488,6 +4568,8 @@ def oracle_sql() -> dict[str, str]:
         "events_stickiness": _STICKINESS_SQL,
         "events_peak_concurrency": _PEAK_CONCURRENCY_SQL,
         "phrase_proximity_search": _PROXIMITY_SQL,
+        "events_spike_hours": _SPIKE_SQL,
+        "referential_integrity_audit": _RI_AUDIT_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

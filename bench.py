@@ -249,6 +249,9 @@ def run_bench() -> dict:
         ("events_stickiness", evops.events_stickiness),
         ("events_peak_concurrency", evops.events_peak_concurrency),
         ("phrase_proximity_search", dops.phrase_proximity_search),
+        ("events_spike_hours", evops.events_spike_hours),
+        ("referential_integrity_audit",
+         evops.referential_integrity_audit),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

@@ -9658,3 +9658,199 @@ def events_peak_concurrency(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
              pa.timestamp("us"))},
         schema=out_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spike detection: hours above k x the trailing-24h mean
+# ---------------------------------------------------------------------------
+def events_spike_hours(sf_dir: str, k_x10: int = 30) -> pa.Table:
+    """Rate-alerting screen per ``event_type``: hours whose count
+    exceeds ``k_x10/10`` times the TRAILING-24h mean (the 24 hours
+    strictly before, requiring a full window), compared exactly as
+    ``x * 240 > k_x10 * sum_24`` (cross-multiplied, no float mean).
+    Returns ``(event_type, n_spike_hours, first_spike_hour,
+    max_streak)`` -- first = -1 when none; max_streak = longest
+    consecutive spike run.
+
+    Scale shape: the dense-hourly series contract (per-block count
+    partials -> dim-bounded groupby -> O(series) driver sweep)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("n_obs", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        hr = _ts_i64(t.column("ts")) // 3_600_000_000
+        key = np.asarray([f"{e}\x00{h}" for e, h in zip(et, hr)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "hour": pa.array(hr[order][starts]),
+             "n_obs": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum("n_obs")
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "hour", "n_obs"]
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("n_spike_hours", pa.int64()),
+         ("first_spike_hour", pa.int64()), ("max_streak", pa.int64())]
+    )
+    if len(merged) == 0:
+        return out_schema.empty_table()
+    h_lo = int(merged["hour"].min())
+    h_hi = int(merged["hour"].max())
+    span = h_hi - h_lo + 1
+    rows = []
+    for et, grp in merged.groupby("event_type", sort=True):
+        dense = np.zeros(span, np.int64)
+        dense[grp["hour"].to_numpy(dtype=np.int64) - h_lo] = (
+            grp["n_obs"].to_numpy(dtype=np.int64)
+        )
+        if span <= 24:
+            rows.append((et, 0, -1, 0))
+            continue
+        cs = np.concatenate([[0], np.cumsum(dense)])
+        t = np.arange(24, span)
+        s24 = cs[t] - cs[t - 24]
+        spike = dense[t] * 240 > k_x10 * s24
+        n = int(spike.sum())
+        first = int(t[spike][0]) + h_lo if n else -1
+        # longest consecutive run of True
+        best = cur = 0
+        for b in spike:
+            cur = cur + 1 if b else 0
+            best = max(best, cur)
+        rows.append((et, n, first, best))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "n_spike_hours": pa.array([r[1] for r in rows], pa.int64()),
+         "first_spike_hour": pa.array([r[2] for r in rows], pa.int64()),
+         "max_streak": pa.array([r[3] for r in rows], pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (orphan detection)
+# ---------------------------------------------------------------------------
+def referential_integrity_audit(sf_dir: str) -> pa.Table:
+    """Cross-table conformance audit: orphan counts for the two FK
+    relations ``orders.o_custkey -> customer`` and
+    ``lineitem.l_orderkey -> orders`` -- the data-quality gate every
+    warehouse load runs.  Returns one row per relation:
+    ``(relation, n_child_rows, n_orphan_rows)``.
+
+    Scale shape: per relation ONE key-hash exchange of per-block
+    child partials (key -> row count) against per-block-distinct
+    parent keys; the per-block segment sweep sums counts lacking a
+    parent row -- scalars leave the block, never keys."""
+    out_rows = []
+    for relation, child, ckey, parent, pkey in (
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+    ):
+        n_child, _ = _table_meta(sf_dir, child)
+        n_parent, _ = _table_meta(sf_dir, parent)
+        P = _exchange_width(n_child + n_parent)
+        gd = _new_guard_dir(f"ri_{child}")
+
+        e = pa.schema(
+            [("_key", pa.int64()), ("_side", pa.int8()),
+             ("_n", pa.int64()), ("_p", pa.int64())]
+        )
+
+        def child_rows(t: pa.Table, _ck=ckey, _P=P) -> pa.Table:
+            if t.num_rows == 0:
+                return e.empty_table()
+            k = t.column(_ck).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            order = np.argsort(k, kind="stable")
+            ks = k[order]
+            starts, lens = _segment_starts(ks)
+            keys = ks[starts]
+            return pa.table(
+                {"_key": pa.array(keys),
+                 "_side": pa.array(np.ones(len(keys), np.int8)),
+                 "_n": pa.array(lens.astype(np.int64)),
+                 "_p": pa.array(partition_ids(pa.array(keys), _P))},
+                schema=e,
+            )
+
+        def parent_rows(t: pa.Table, _pk=pkey, _P=P) -> pa.Table:
+            if t.num_rows == 0:
+                return e.empty_table()
+            k = np.unique(
+                t.column(_pk).to_numpy(zero_copy_only=False).astype(
+                    np.int64)
+            )
+            return pa.table(
+                {"_key": pa.array(k),
+                 "_side": pa.array(np.zeros(len(k), np.int8)),
+                 "_n": pa.array(np.zeros(len(k), np.int64)),
+                 "_p": pa.array(partition_ids(pa.array(k), _P))},
+                schema=e,
+            )
+
+        stat = pa.schema([("rows", pa.int64()), ("orphans", pa.int64())])
+
+        def sweep(t: pa.Table, _gd=gd) -> pa.Table:
+            if t.num_rows == 0:
+                return stat.empty_table()
+            _guard_record(
+                _gd, "ri", t.column("_p").to_numpy(zero_copy_only=False)
+            )
+            k = t.column("_key").to_numpy(zero_copy_only=False)
+            side = t.column("_side").to_numpy(zero_copy_only=False)
+            n = t.column("_n").to_numpy(zero_copy_only=False)
+            order = np.lexsort((side, k))
+            k, side, n = k[order], side[order], n[order]
+            starts, _ = _segment_starts(k)
+            seg_id = np.cumsum(
+                np.concatenate([[0], (k[1:] != k[:-1]).astype(np.int64)])
+            )
+            has_parent = side[starts] == 0
+            orphan_rows = n[(side == 1) & (~has_parent[seg_id])]
+            return pa.table(
+                {"rows": pa.array([int(n[side == 1].sum())], pa.int64()),
+                 "orphans": pa.array(
+                     [int(orphan_rows.sum())], pa.int64())},
+                schema=stat,
+            )
+
+        cols_child = [ckey]
+        cols_parent = [pkey]
+        stats = (
+            _read(sf_dir, child, columns=cols_child)
+            .map_batches(child_rows, batch_format="pyarrow")
+            .union(
+                _read(sf_dir, parent, columns=cols_parent)
+                .map_batches(parent_rows, batch_format="pyarrow")
+            )
+            .sort("_p", boundaries=list(range(1, P)))
+            .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        out_rows.append(
+            (relation, int(stats["rows"].sum()),
+             int(stats["orphans"].sum()))
+        )
+        _finalize_guard(gd, pa.table({"x": pa.array([1])}))
+    return pa.table(
+        {"relation": pa.array([r[0] for r in out_rows], pa.string()),
+         "n_child_rows": pa.array([r[1] for r in out_rows], pa.int64()),
+         "n_orphan_rows": pa.array([r[2] for r in out_rows], pa.int64())}
+    )

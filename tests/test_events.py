@@ -2863,3 +2863,63 @@ def test_events_peak_concurrency_ties(ray_session, tmp_path):
     assert out["n_sessions"] == 3
     assert out["peak_concurrency"] == 2
     assert out["peak_ts"] == _ts(5.0)
+
+
+def test_events_spike_hours_trailing_window(ray_session, tmp_path):
+    h = 60.0
+    # 27 hours of baseline 1 event/hour; spikes of 10 at hours 25,26
+    rows = []
+    eid = 0
+    for hr in range(25):
+        eid += 1
+        rows.append((eid, 1, (hr + 0.5) * h, "a", 0.0))
+    for hr in (25, 26):
+        for _ in range(10):
+            eid += 1
+            rows.append((eid, 1, (hr + 0.5) * h, "a", 0.0))
+    sf = make_events(tmp_path, rows)
+    out = {r["event_type"]: r
+           for r in ev.events_spike_hours(sf).to_pylist()}
+    a = out["a"]
+    # hour 24 baseline (1*240 !> 30*24); hour 25 spike (10*240 >
+    # 30*24=720); hour 26 spike (trailing sum now 33 -> 2400 > 990)
+    assert a["n_spike_hours"] == 2 and a["max_streak"] == 2
+    assert a["first_spike_hour"] != -1
+
+
+def test_referential_integrity_audit_orphans(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {"c_custkey": pa.array([1], pa.int64()),
+             "c_name": pa.array(["a"], pa.string()),
+             "c_nationkey": pa.array([0], pa.int32()),
+             "c_acctbal": pa.array([0.0], pa.float64()),
+             "c_mktsegment": pa.array(["S"], pa.string())}
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([10, 11], pa.int64()),
+             # order 11 -> custkey 9 has no customer row (orphan)
+             "o_custkey": pa.array([1, 9], pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 2, pa.string()),
+             "o_totalprice": pa.array([1.0] * 2, pa.float64()),
+             "o_orderdate": pa.array([_ts(0)] * 2, pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 2, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"l_orderkey": pa.array([10, 10, 99], pa.int64()),
+             "l_quantity": pa.array([1.0, 1.0, 1.0], pa.float64())}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = {r["relation"]: r for r in
+           ev.referential_integrity_audit(str(tmp_path)).to_pylist()}
+    o = out["orders.o_custkey->customer"]
+    assert (o["n_child_rows"], o["n_orphan_rows"]) == (2, 1)
+    li = out["lineitem.l_orderkey->orders"]
+    assert (li["n_child_rows"], li["n_orphan_rows"]) == (3, 1)
