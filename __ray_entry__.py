@@ -1307,6 +1307,31 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Duplication rate per source: distinct md5(text) within source.
+_DEDUP_RATE_SQL = """
+WITH d AS (SELECT source, md5(text) AS h FROM documents),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         count(DISTINCT h)::BIGINT AS n_unique
+  FROM d GROUP BY 1
+)
+SELECT source, n_docs, n_unique AS n_unique_texts,
+       CAST(1000000 * (n_docs - n_unique) // n_docs AS BIGINT)
+         AS dup_rate_e6
+FROM agg ORDER BY source
+"""
+
+# Order-size histogram over the orders universe (0-item orders kept).
+_SIZE_HIST_SQL = """
+WITH s AS (
+  SELECT o.o_orderkey, count(l.l_orderkey)::BIGINT AS n_items
+  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT n_items, count(*)::BIGINT AS n_orders
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
 # Spike hours: x * 240 > k_x10 * trailing-24h-sum (strictly-before
 # window, full 24 required), gaps-and-islands for the max streak.
 _SPIKE_SQL = """
@@ -4337,6 +4362,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_spike_hours": ev.events_spike_hours,
         # FK orphan audit across the two child->parent relations
         "referential_integrity_audit": ev.referential_integrity_audit,
+        # per-source dedup yield (distinct md5 within source)
+        "dedup_rate_by_source": d.dedup_rate_by_source,
+        # items-per-order histogram (0-item orders kept)
+        "orders_size_histogram": ev.orders_size_histogram,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4570,6 +4599,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_proximity_search": _PROXIMITY_SQL,
         "events_spike_hours": _SPIKE_SQL,
         "referential_integrity_audit": _RI_AUDIT_SQL,
+        "dedup_rate_by_source": _DEDUP_RATE_SQL,
+        "orders_size_histogram": _SIZE_HIST_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -252,6 +252,8 @@ def run_bench() -> dict:
         ("events_spike_hours", evops.events_spike_hours),
         ("referential_integrity_audit",
          evops.referential_integrity_audit),
+        ("dedup_rate_by_source", dops.dedup_rate_by_source),
+        ("orders_size_histogram", evops.orders_size_histogram),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

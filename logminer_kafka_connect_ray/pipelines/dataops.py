@@ -5939,3 +5939,64 @@ def phrase_proximity_search(
         return out_schema.empty_table()
     res = res.sort_values("doc_id", ignore_index=True)
     return pa.Table.from_pandas(res, preserve_index=False).cast(out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Duplication rate per source (curation yield report)
+# ---------------------------------------------------------------------------
+def dedup_rate_by_source(sf_dir: str) -> pa.Table:
+    """Curation yield per source: how much of each source survives
+    exact text dedup -- ``(source, n_docs, n_unique_texts,
+    dup_rate_e6)`` with ``dup_rate = 1 - unique/docs`` as
+    ``floor(1e6 * (n_docs - n_unique) / n_docs)``.  Unique = distinct
+    md5(text) WITHIN the source (cross-source repeats count for each
+    source: the report answers "how much would deduping THIS source
+    alone save?").
+
+    Scale shape: per-block md5 + per-block distinct (source, hash)
+    combiner -> pair-level ``groupby`` (bounded by distinct pairs)
+    -> per-block per-source distinct counts -> tiny source fold;
+    doc totals ride a separate dimension-sized count."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    pair_schema = pa.schema(
+        [("source", pa.string()), ("h", pa.string()), ("n", pa.int64())]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        hashed = md5_hash_batch(t, col="text")
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        h = np.asarray(hashed.column("content_hash").to_pylist(),
+                       dtype=object)
+        key = np.asarray([f"{s}\x00{hh}" for s, hh in zip(src, h)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"source": pa.array(list(src[order][starts]), pa.string()),
+             "h": pa.array(list(h[order][starts]), pa.string()),
+             "n": pa.array(counts.astype(np.int64))},
+            schema=pair_schema,
+        )
+
+    folded = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "h"])
+        .sum("n")
+        .to_pandas()
+    )
+    folded.columns = ["source", "h", "n"]
+    agg = folded.groupby("source", sort=True).agg(
+        n_docs=("n", "sum"), n_unique=("h", "count")).reset_index()
+    nd = agg["n_docs"].to_numpy(dtype=np.int64)
+    nu = agg["n_unique"].to_numpy(dtype=np.int64)
+    rate = np.array(
+        [10**6 * (int(a) - int(b)) // int(a) for a, b in zip(nd, nu)],
+        np.int64)
+    return pa.table(
+        {"source": pa.array(agg["source"], pa.string()),
+         "n_docs": pa.array(nd),
+         "n_unique_texts": pa.array(nu),
+         "dup_rate_e6": pa.array(rate)}
+    )

@@ -9854,3 +9854,95 @@ def referential_integrity_audit(sf_dir: str) -> pa.Table:
          "n_child_rows": pa.array([r[1] for r in out_rows], pa.int64()),
          "n_orphan_rows": pa.array([r[2] for r in out_rows], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-size histogram (items per order)
+# ---------------------------------------------------------------------------
+def orders_size_histogram(sf_dir: str) -> pa.Table:
+    """Distribution of order sizes: line items per order, as
+    ``(n_items, n_orders)`` ordered by size -- the fulfillment-mix
+    report, and the two-level derived-aggregate shape again
+    (count per key, then histogram of the derived counts).  Orders
+    with zero line items are counted at size 0 (LEFT-join
+    semantics).
+
+    Scale shape: per-block per-key count partials -> key
+    ``groupby.sum`` -> per-block histogram partials -> tiny fold;
+    zero-size orders come from ONE extra exchange-free pass that
+    counts order keys missing from lineitem via the same key
+    groupby (kind tags)."""
+    part_schema = pa.schema(
+        [("k", pa.int64()), ("c", pa.int64()), ("is_order", pa.int64())]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        starts, lens = _segment_starts(ks)
+        return pa.table(
+            {"k": pa.array(ks[starts]),
+             "c": pa.array(lens.astype(np.int64)),
+             "is_order": pa.array(np.zeros(len(starts), np.int64))},
+            schema=part_schema,
+        )
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {"k": pa.array(k),
+             "c": pa.array(np.zeros(len(k), np.int64)),
+             "is_order": pa.array(np.ones(len(k), np.int64))},
+            schema=part_schema,
+        )
+
+    hist_schema = pa.schema(
+        [("n_items", pa.int64()), ("n_orders", pa.int64())]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        c = t.column("sum(c)").to_numpy(zero_copy_only=False)
+        is_o = t.column("sum(is_order)").to_numpy(zero_copy_only=False)
+        # keep only keys that exist in orders (inner universe =
+        # orders; orphan lineitem keys are the RI audit's business)
+        c = c[is_o > 0]
+        if len(c) == 0:
+            return hist_schema.empty_table()
+        order = np.argsort(c, kind="stable")
+        cs = c[order]
+        starts, lens = _segment_starts(cs)
+        return pa.table(
+            {"n_items": pa.array(cs[starts]),
+             "n_orders": pa.array(lens.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", columns=["o_orderkey"])
+            .map_batches(o_partial, batch_format="pyarrow")
+        )
+        .groupby("k").sum(["c", "is_order"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_items").sum("n_orders")
+        .to_pandas()
+    )
+    agg.columns = ["n_items", "n_orders"]
+    agg = agg.sort_values("n_items", ignore_index=True)
+    return pa.table(
+        {"n_items": pa.array(agg["n_items"].to_numpy(dtype=np.int64)),
+         "n_orders": pa.array(agg["n_orders"].to_numpy(dtype=np.int64))}
+    )

@@ -1404,3 +1404,26 @@ def test_phrase_proximity_search_min_dist(ray_session, tmp_path):
     assert set(out) == {1, 3}
     assert out[1]["min_dist"] == 2
     assert out[3] == {"doc_id": 3, "n_a": 3, "n_b": 1, "min_dist": 1}
+
+
+def test_dedup_rate_by_source_within_source(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        dedup_rate_by_source,
+    )
+
+    t = pa.table(
+        {"doc_id": pa.array(range(5), pa.int64()),
+         # source a: "x","x","y" -> 3 docs, 2 unique; source b: the
+         # same "x" twice -> counted within b only
+         "text": pa.array(["x", "x", "y", "x", "x"], pa.string()),
+         "lang": pa.array(["xx"] * 5, pa.string()),
+         "source": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+         "n_chars": pa.array([1] * 5, pa.int64())}
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r
+           for r in dedup_rate_by_source(str(tmp_path)).to_pylist()}
+    assert out["a"]["n_docs"] == 3 and out["a"]["n_unique_texts"] == 2
+    assert out["a"]["dup_rate_e6"] == 10**6 // 3
+    assert out["b"]["n_unique_texts"] == 1
+    assert out["b"]["dup_rate_e6"] == 500000

@@ -2923,3 +2923,32 @@ def test_referential_integrity_audit_orphans(ray_session, tmp_path):
     assert (o["n_child_rows"], o["n_orphan_rows"]) == (2, 1)
     li = out["lineitem.l_orderkey->orders"]
     assert (li["n_child_rows"], li["n_orphan_rows"]) == (3, 1)
+
+
+def test_orders_size_histogram_zero_kept(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+             "o_custkey": pa.array([1] * 3, pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+             "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+             "o_orderdate": pa.array([_ts(0)] * 3, pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 3, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            # order 1: 2 items; order 2: 1 item; order 3: none;
+            # orphan key 99 ignored (orders universe)
+            {"l_orderkey": pa.array([1, 1, 2, 99], pa.int64()),
+             "l_quantity": pa.array([1.0] * 4, pa.float64())}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = ev.orders_size_histogram(str(tmp_path)).to_pylist()
+    assert out == [
+        {"n_items": 0, "n_orders": 1},
+        {"n_items": 1, "n_orders": 1},
+        {"n_items": 2, "n_orders": 1},
+    ]
