@@ -1307,6 +1307,25 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Conversion latency histogram: first event -> first purchase days,
+# -1 bucket for users who never convert.
+_CONV_LATENCY_SQL = """
+WITH u AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_ts,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) AS first_conv
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT CASE WHEN first_conv IS NULL THEN -1
+              ELSE (first_conv - first_ts) // 86400000000
+         END::BIGINT AS latency_days
+  FROM u
+)
+SELECT latency_days, count(*)::BIGINT AS n_users
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
 # Duplication rate per source: distinct md5(text) within source.
 _DEDUP_RATE_SQL = """
 WITH d AS (SELECT source, md5(text) AS h FROM documents),
@@ -4366,6 +4385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate_by_source": d.dedup_rate_by_source,
         # items-per-order histogram (0-item orders kept)
         "orders_size_histogram": ev.orders_size_histogram,
+        # conversion-latency histogram (never-converted bucket -1)
+        "events_conversion_latency": ev.events_conversion_latency,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4601,6 +4622,7 @@ def oracle_sql() -> dict[str, str]:
         "referential_integrity_audit": _RI_AUDIT_SQL,
         "dedup_rate_by_source": _DEDUP_RATE_SQL,
         "orders_size_histogram": _SIZE_HIST_SQL,
+        "events_conversion_latency": _CONV_LATENCY_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -254,6 +254,7 @@ def run_bench() -> dict:
          evops.referential_integrity_audit),
         ("dedup_rate_by_source", dops.dedup_rate_by_source),
         ("orders_size_histogram", evops.orders_size_histogram),
+        ("events_conversion_latency", evops.events_conversion_latency),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

@@ -9946,3 +9946,83 @@ def orders_size_histogram(sf_dir: str) -> pa.Table:
         {"n_items": pa.array(agg["n_items"].to_numpy(dtype=np.int64)),
          "n_orders": pa.array(agg["n_orders"].to_numpy(dtype=np.int64))}
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency: first event -> first purchase, per user
+# ---------------------------------------------------------------------------
+def events_conversion_latency(
+    sf_dir: str, conv_type: str = "purchase"
+) -> pa.Table:
+    """Cold-start conversion report: per user, whole days from their
+    FIRST event to their FIRST ``conv_type`` event (users whose
+    first event IS the conversion land in day 0), histogrammed as
+    ``(latency_days, n_users)`` with a trailing ``(-1, n)`` row for
+    users who never convert.  The funnel's time-dimension sibling.
+
+    Scale shape: per-block per-user (min ts, min conv-ts) partials
+    -> ONE user ``groupby`` min-fold -> per-block histogram of the
+    derived day diff -> tiny fold.  A sentinel max-int conv-ts makes
+    "never converted" fold correctly through min()."""
+    from ray.data import aggregate as _ray_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    DAY_US = np.int64(86_400 * _US)
+    SENT = np.int64(1 << 62)
+
+    part_schema = pa.schema(
+        [("user_id", pa.int64()), ("first_ts", pa.int64()),
+         ("first_conv", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        conv_ts = np.where(et == conv_type, ts, SENT)
+        order = np.argsort(u, kind="stable")
+        us, tss, cvs = u[order], ts[order], conv_ts[order]
+        starts, _ = _segment_starts(us)
+        return pa.table(
+            {"user_id": pa.array(us[starts]),
+             "first_ts": pa.array(np.minimum.reduceat(tss, starts)),
+             "first_conv": pa.array(np.minimum.reduceat(cvs, starts))},
+            schema=part_schema,
+        )
+
+    hist_schema = pa.schema(
+        [("latency_days", pa.int64()), ("n_users", pa.int64())]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        ft = t.column("min(first_ts)").to_numpy(zero_copy_only=False)
+        fc = t.column("min(first_conv)").to_numpy(zero_copy_only=False)
+        days = np.where(fc >= SENT, np.int64(-1), (fc - ft) // DAY_US)
+        order = np.argsort(days, kind="stable")
+        d = days[order]
+        starts, lens = _segment_starts(d)
+        return pa.table(
+            {"latency_days": pa.array(d[starts]),
+             "n_users": pa.array(lens.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(_ray_agg.Min("first_ts"), _ray_agg.Min("first_conv"))
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("latency_days").sum("n_users")
+        .to_pandas()
+    )
+    agg.columns = ["latency_days", "n_users"]
+    agg = agg.sort_values("latency_days", ignore_index=True)
+    return pa.table(
+        {"latency_days": pa.array(
+            agg["latency_days"].to_numpy(dtype=np.int64)),
+         "n_users": pa.array(agg["n_users"].to_numpy(dtype=np.int64))}
+    )

@@ -2952,3 +2952,20 @@ def test_orders_size_histogram_zero_kept(ray_session, tmp_path):
         {"n_items": 1, "n_orders": 1},
         {"n_items": 2, "n_orders": 1},
     ]
+
+
+def test_events_conversion_latency_buckets(ray_session, tmp_path):
+    day = 1440.0
+    rows = [
+        # u1: first event day 0, first purchase day 2 -> bucket 2
+        (1, 1, 0.0, "view", 0.0), (2, 1, 2 * day, "purchase", 0.0),
+        (3, 1, 5 * day, "purchase", 0.0),  # later conv ignored
+        # u2: purchase IS the first event -> bucket 0
+        (4, 2, 0.0, "purchase", 0.0),
+        # u3: never converts -> bucket -1
+        (5, 3, 0.0, "view", 0.0), (6, 3, 1 * day, "click", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["latency_days"]: r["n_users"]
+           for r in ev.events_conversion_latency(sf).to_pylist()}
+    assert out == {-1: 1, 0: 1, 2: 1}
