@@ -1307,6 +1307,39 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Emerging vocabulary: share growth ranked by the exact common-
+# denominator numerator n2*T1 - n1*T2 (ties by word).
+_WORD_DRIFT_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+h AS (
+  SELECT w,
+         CASE WHEN doc_id > (SELECT (count(*) - 1) // 2 FROM documents)
+              THEN 1 ELSE 0 END AS half
+  FROM toks
+),
+g AS (
+  SELECT w, sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(half)::BIGINT AS n2
+  FROM h GROUP BY 1
+),
+t AS (SELECT sum(n1)::HUGEINT AS t1, sum(n2)::HUGEINT AS t2 FROM g),
+f AS (SELECT w, n1, n2 FROM g WHERE n1 + n2 >= 20),
+s AS (
+  SELECT f.w, f.n1, f.n2,
+         (f.n2::HUGEINT * t.t1 - f.n1::HUGEINT * t.t2) AS d,
+         CAST(1000000 * f.n2 // t.t2 AS BIGINT)
+           - CAST(1000000 * f.n1 // t.t1 AS BIGINT) AS drift_e6
+  FROM f CROSS JOIN t
+)
+SELECT w AS word, n1 AS n_first, n2 AS n_second,
+       CAST(drift_e6 AS BIGINT) AS drift_e6
+FROM s ORDER BY d DESC, w LIMIT 20
+"""
+
 # Conversion latency histogram: first event -> first purchase days,
 # -1 bucket for users who never convert.
 _CONV_LATENCY_SQL = """
@@ -4387,6 +4420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_size_histogram": ev.orders_size_histogram,
         # conversion-latency histogram (never-converted bucket -1)
         "events_conversion_latency": ev.events_conversion_latency,
+        # emerging vocabulary (exact share-growth ranking)
+        "word_share_drift_topk": d.word_share_drift_topk,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4623,6 +4658,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rate_by_source": _DEDUP_RATE_SQL,
         "orders_size_histogram": _SIZE_HIST_SQL,
         "events_conversion_latency": _CONV_LATENCY_SQL,
+        "word_share_drift_topk": _WORD_DRIFT_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

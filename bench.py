@@ -255,6 +255,7 @@ def run_bench() -> dict:
         ("dedup_rate_by_source", dops.dedup_rate_by_source),
         ("orders_size_histogram", evops.orders_size_histogram),
         ("events_conversion_latency", evops.events_conversion_latency),
+        ("word_share_drift_topk", dops.word_share_drift_topk),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

@@ -6000,3 +6000,97 @@ def dedup_rate_by_source(sf_dir: str) -> pa.Table:
          "n_unique_texts": pa.array(nu),
          "dup_rate_e6": pa.array(rate)}
     )
+
+
+# ---------------------------------------------------------------------------
+# Emerging vocabulary: word-share drift between corpus halves
+# ---------------------------------------------------------------------------
+def word_share_drift_topk(
+    sf_dir: str, k: int = 20, min_count: int = 20
+) -> pa.Table:
+    """Emerging-terms report: the ``k`` words whose share of all
+    tokens GREW most between the first and second half of the corpus
+    (split at the doc_id boundary ``(n_docs - 1) // 2``, ids dense
+    from 0 -- deterministic, no clock).  Ranking is EXACT: with half totals
+    ``T1, T2`` and word counts ``n1, n2``, share growth orders by
+    the integer ``d = n2 * T1 - n1 * T2`` (the common-denominator
+    numerator of ``s2 - s1``); emitted as ``drift_e6 = floor(1e6 *
+    n2 / T2) - floor(1e6 * n1 / T1)`` alongside the raw counts.
+    Words below ``min_count`` total occurrences are noise and drop.
+
+    Scale shape: per-block (word, half) count partials -> word-level
+    ``groupby.sum`` (the only exchange) -> per-block local top-k by
+    the exact integer key with broadcast (T1, T2) -> P*k driver
+    merge."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    cut = (n_docs - 1) // 2  # docs with id > cut form the second half
+
+    part_schema = pa.schema(
+        [("w", pa.string()), ("n1", pa.int64()), ("n2", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        c1: dict[str, int] = {}
+        c2: dict[str, int] = {}
+        for did, s in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            tgt = c2 if did > cut else c1
+            for w in _WORD.findall((s or "").lower()):
+                tgt[w] = tgt.get(w, 0) + 1
+        words = sorted(set(c1) | set(c2))
+        return pa.table(
+            {"w": pa.array(words, pa.string()),
+             "n1": pa.array([c1.get(w, 0) for w in words], pa.int64()),
+             "n2": pa.array([c2.get(w, 0) for w in words], pa.int64())},
+            schema=part_schema,
+        )
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("w").sum(["n1", "n2"]).materialize()
+    tot = counts.sum(["sum(n1)", "sum(n2)"])
+    T1, T2 = int(tot["sum(sum(n1))"]), int(tot["sum(sum(n2))"])
+
+    out_schema = pa.schema(
+        [("word", pa.string()), ("n_first", pa.int64()),
+         ("n_second", pa.int64()), ("drift_e6", pa.int64())]
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        w = np.asarray(t.column("w").to_pylist(), dtype=object)
+        n1 = t.column("sum(n1)").to_numpy(zero_copy_only=False)
+        n2 = t.column("sum(n2)").to_numpy(zero_copy_only=False)
+        keep = (n1 + n2) >= min_count
+        if not keep.any():
+            return out_schema.empty_table()
+        w, n1, n2 = w[keep], n1[keep], n2[keep]
+        d = n2.astype(object) * T1 - n1.astype(object) * T2
+        order = sorted(range(len(w)), key=lambda i: (-d[i], w[i]))[:k]
+        idx = np.asarray(order, np.int64)
+        drift = np.asarray(
+            [10**6 * int(b) // T2 - 10**6 * int(a) // T1
+             for a, b in zip(n1[idx], n2[idx])], np.int64)
+        return pa.table(
+            {"word": pa.array(list(w[idx]), pa.string()),
+             "n_first": pa.array(n1[idx]),
+             "n_second": pa.array(n2[idx]),
+             "drift_e6": pa.array(drift)},
+            schema=out_schema,
+        )
+
+    cand = counts.map_batches(local_topk, batch_format="pyarrow") \
+        .to_pandas()
+    if len(cand) == 0:
+        return out_schema.empty_table()
+    d = (cand["n_second"].astype(object) * T1
+         - cand["n_first"].astype(object) * T2)
+    cand = cand.assign(_d=d)
+    cand = cand.sort_values(["_d", "word"], ascending=[False, True],
+                            ignore_index=True).head(k)
+    return pa.Table.from_pandas(
+        cand[["word", "n_first", "n_second", "drift_e6"]],
+        preserve_index=False).cast(out_schema)

@@ -1427,3 +1427,28 @@ def test_dedup_rate_by_source_within_source(ray_session, tmp_path):
     assert out["a"]["dup_rate_e6"] == 10**6 // 3
     assert out["b"]["n_unique_texts"] == 1
     assert out["b"]["dup_rate_e6"] == 500000
+
+
+def test_word_share_drift_topk_exact(ray_session, tmp_path):
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        word_share_drift_topk,
+    )
+
+    # 4 docs -> cut at id 1: docs 0,1 first half; 2,3 second.
+    # 'up' only in the second half; 'down' only in the first.
+    sf = make_docs(
+        tmp_path,
+        [
+            "down down down filler filler",
+            "down filler filler",
+            "up up filler filler",
+            "up up up filler",
+        ],
+    )
+    out = word_share_drift_topk(str(sf), k=5, min_count=2).to_pylist()
+    words = [r["word"] for r in out]
+    assert words[0] == "up" and words[-1] == "down"
+    up = out[0]
+    # T1 = 8, T2 = 8; up: n1=0, n2=5 -> drift = 5/8
+    assert (up["n_first"], up["n_second"]) == (0, 5)
+    assert up["drift_e6"] == 10**6 * 5 // 8
