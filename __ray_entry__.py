@@ -1307,6 +1307,25 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Diversified top-k == per-customer rank filter then global top-k
+# (the greedy rank-then-cap scan picks exactly rows with per-cust
+# rank <= cap).
+_DIVERSIFIED_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC,
+                    o_orderkey) AS rc
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, c AS totalprice_cents
+FROM o WHERE rc <= 2
+ORDER BY c DESC, o_orderkey
+LIMIT 10
+"""
+
 # Emerging vocabulary: share growth ranked by the exact common-
 # denominator numerator n2*T1 - n1*T2 (ties by word).
 _WORD_DRIFT_SQL = """
@@ -4422,6 +4441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_conversion_latency": ev.events_conversion_latency,
         # emerging vocabulary (exact share-growth ranking)
         "word_share_drift_topk": d.word_share_drift_topk,
+        # diversified top-k (per-customer result cap)
+        "orders_diversified_topk": ev.orders_diversified_topk,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4659,6 +4680,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_size_histogram": _SIZE_HIST_SQL,
         "events_conversion_latency": _CONV_LATENCY_SQL,
         "word_share_drift_topk": _WORD_DRIFT_SQL,
+        "orders_diversified_topk": _DIVERSIFIED_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

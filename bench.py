@@ -256,6 +256,7 @@ def run_bench() -> dict:
         ("orders_size_histogram", evops.orders_size_histogram),
         ("events_conversion_latency", evops.events_conversion_latency),
         ("word_share_drift_topk", dops.word_share_drift_topk),
+        ("orders_diversified_topk", evops.orders_diversified_topk),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

@@ -10026,3 +10026,82 @@ def events_conversion_latency(
             agg["latency_days"].to_numpy(dtype=np.int64)),
          "n_users": pa.array(agg["n_users"].to_numpy(dtype=np.int64))}
     )
+
+
+# ---------------------------------------------------------------------------
+# Diversified top-k: global top orders, capped per customer
+# ---------------------------------------------------------------------------
+def orders_diversified_topk(
+    sf_dir: str, k: int = 10, per_cust: int = 2
+) -> pa.Table:
+    """Result diversification: the global top-``k`` orders by
+    ``(totalprice desc, orderkey)`` keeping AT MOST ``per_cust`` per
+    customer (the retrieval-dedup rule that stops one whale from
+    filling the page).  Returns ``(o_orderkey, o_custkey,
+    totalprice_cents)``.
+
+    Distributed shape + exactness: each block applies the cap to its
+    OWN rows and keeps its local CAPPED top-``k*(per_cust+1)``; the
+    driver merge re-applies rank-then-cap over the P candidate sets.
+    Why the inflated local keep: a globally-chosen row r can sit
+    below local rank k when better local SURVIVORS are later capped
+    out globally (their customer's even-better rows live in other
+    blocks) -- but the local cap already limits survivors to
+    ``per_cust`` per customer and at most k customers can be
+    globally exhausted, so at most ``k*per_cust`` better-than-r
+    local rows can be globally discarded; local keep
+    ``k*(per_cust+1)`` therefore always contains every global
+    winner.  No exchange at all."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+         ("totalprice_cents", pa.int64())]
+    )
+
+    def capped_topk(keys, custs, cents, limit):
+        order = np.lexsort((keys, -cents))
+        seen: dict[int, int] = {}
+        pick = []
+        for i in order:
+            c = int(custs[i])
+            if seen.get(c, 0) >= per_cust:
+                continue
+            seen[c] = seen.get(c, 0) + 1
+            pick.append(i)
+            if len(pick) == limit:
+                break
+        idx = np.asarray(pick, np.int64)
+        return keys[idx], custs[idx], cents[idx]
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        custs = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cents = _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
+        a, b, c = capped_topk(keys, custs, cents, k * (per_cust + 1))
+        return pa.table(
+            {"o_orderkey": pa.array(a), "o_custkey": pa.array(b),
+             "totalprice_cents": pa.array(c)},
+            schema=out_schema,
+        )
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    if len(cand) == 0:
+        return out_schema.empty_table()
+    a, b, c = capped_topk(
+        cand["o_orderkey"].to_numpy(dtype=np.int64),
+        cand["o_custkey"].to_numpy(dtype=np.int64),
+        cand["totalprice_cents"].to_numpy(dtype=np.int64),
+        k,
+    )
+    return pa.table(
+        {"o_orderkey": pa.array(a), "o_custkey": pa.array(b),
+         "totalprice_cents": pa.array(c)},
+        schema=out_schema,
+    )

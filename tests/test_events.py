@@ -2969,3 +2969,25 @@ def test_events_conversion_latency_buckets(ray_session, tmp_path):
     out = {r["latency_days"]: r["n_users"]
            for r in ev.events_conversion_latency(sf).to_pylist()}
     assert out == {-1: 1, 0: 1, 2: 1}
+
+
+def test_orders_diversified_topk_cap(ray_session, tmp_path):
+    # customer 1 has the 4 highest orders; cap 2 forces customers
+    # 2 and 3 into the answer
+    prices = [100.0, 99.0, 98.0, 97.0, 50.0, 40.0]
+    custs = [1, 1, 1, 1, 2, 3]
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array(range(1, 7), pa.int64()),
+             "o_custkey": pa.array(custs, pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 6, pa.string()),
+             "o_totalprice": pa.array(prices, pa.float64()),
+             "o_orderdate": pa.array([_ts(0)] * 6, pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 6, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = ev.orders_diversified_topk(
+        str(tmp_path), k=4, per_cust=2).to_pylist()
+    assert [(r["o_orderkey"], r["o_custkey"]) for r in out] == [
+        (1, 1), (2, 1), (5, 2), (6, 3)]
