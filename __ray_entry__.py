@@ -1307,6 +1307,21 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# LTV cohort triangle: cohort = first order year per customer.
+_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey, year(o_orderdate)::BIGINT AS y,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+c AS (SELECT o_custkey, min(y) AS cohort FROM o GROUP BY 1)
+SELECT c.cohort AS cohort_year, o.y AS order_year,
+       sum(o.cents)::BIGINT AS revenue_cents,
+       count(DISTINCT o.o_custkey)::BIGINT AS n_active_customers
+FROM o JOIN c USING (o_custkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 # Diversified top-k == per-customer rank filter then global top-k
 # (the greedy rank-then-cap scan picks exactly rows with per-cust
 # rank <= cap).
@@ -4443,6 +4458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_share_drift_topk": d.word_share_drift_topk,
         # diversified top-k (per-customer result cap)
         "orders_diversified_topk": ev.orders_diversified_topk,
+        # LTV revenue cohort triangle (one exchange, derived cohort)
+        "customer_ltv_triangle": ev.customer_ltv_triangle,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4681,6 +4698,7 @@ def oracle_sql() -> dict[str, str]:
         "events_conversion_latency": _CONV_LATENCY_SQL,
         "word_share_drift_topk": _WORD_DRIFT_SQL,
         "orders_diversified_topk": _DIVERSIFIED_SQL,
+        "customer_ltv_triangle": _LTV_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -257,6 +257,7 @@ def run_bench() -> dict:
         ("events_conversion_latency", evops.events_conversion_latency),
         ("word_share_drift_topk", dops.word_share_drift_topk),
         ("orders_diversified_topk", evops.orders_diversified_topk),
+        ("customer_ltv_triangle", evops.customer_ltv_triangle),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

@@ -10105,3 +10105,111 @@ def orders_diversified_topk(
          "totalprice_cents": pa.array(c)},
         schema=out_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer LTV cohort triangle (revenue by cohort x order year)
+# ---------------------------------------------------------------------------
+def customer_ltv_triangle(sf_dir: str) -> pa.Table:
+    """Lifetime-value cohort triangle: customers cohorted by their
+    FIRST order year; each (cohort_year, order_year) cell reports
+    that cohort's revenue in that year and how many of its customers
+    ordered -- the retention-revenue matrix every growth team reads.
+    Returns ``(cohort_year, order_year, revenue_cents,
+    n_active_customers)`` ordered by the pair.
+
+    Scale shape: ONE custkey hash exchange (orders only -- the
+    cohort IS derived from the same rows, no dimension needed); the
+    per-block segment sweep takes each customer's min year as the
+    cohort and folds (cohort, year) cells + distinct-customer
+    counts; a dimension-sized ``groupby.sum`` finishes (years x
+    years cells)."""
+    n_or, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_or)
+    gd = _new_guard_dir("ltv")
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("o_custkey"), P))
+        )
+
+    part_schema = pa.schema(
+        [("cohort_year", pa.int64()), ("order_year", pa.int64()),
+         ("cents", pa.int64()), ("n_cust", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "ltv", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        od = _ts_i64(t.column("o_orderdate"))
+        yr = (od.astype("datetime64[us]").astype("datetime64[Y]")
+              .view(np.int64) + 1970)
+        cents = _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
+        order = np.lexsort((yr, ck))
+        ck, yr, cents = ck[order], yr[order], cents[order]
+        starts, lens = _segment_starts(ck)
+        seg_id = np.cumsum(
+            np.concatenate([[0], (ck[1:] != ck[:-1]).astype(np.int64)])
+        )
+        cohort = yr[starts][seg_id]  # first (= min, sorted) year
+        key = cohort * 10_000 + yr
+        # revenue per (cohort, year)
+        o2 = np.argsort(key, kind="stable")
+        k2, c2 = key[o2], cents[o2]
+        s2, _ = _segment_starts(k2)
+        # distinct customers per (cohort, year): first row of each
+        # (cust, year) run
+        first_cy = np.concatenate(
+            [[True], (ck[1:] != ck[:-1]) | (yr[1:] != yr[:-1])]
+        )
+        kc = key[first_cy]
+        o3 = np.argsort(kc, kind="stable")
+        k3 = kc[o3]
+        s3, l3 = _segment_starts(k3)
+        # merge the two partials into one table keyed identically
+        all_k = np.concatenate([k2[s2], k3[s3]])
+        all_cents = np.concatenate(
+            [np.add.reduceat(c2, s2), np.zeros(len(s3), np.int64)]
+        )
+        all_n = np.concatenate(
+            [np.zeros(len(s2), np.int64), l3.astype(np.int64)]
+        )
+        return pa.table(
+            {"cohort_year": pa.array(all_k // 10_000),
+             "order_year": pa.array(all_k % 10_000),
+             "cents": pa.array(all_cents),
+             "n_cust": pa.array(all_n)},
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby(["cohort_year", "order_year"])
+        .sum(["cents", "n_cust"])
+        .to_pandas()
+    )
+    agg.columns = ["cohort_year", "order_year", "cents", "n_cust"]
+    agg = agg.sort_values(["cohort_year", "order_year"],
+                          ignore_index=True)
+    out = pa.table(
+        {"cohort_year": pa.array(
+            agg["cohort_year"].to_numpy(dtype=np.int64)),
+         "order_year": pa.array(
+             agg["order_year"].to_numpy(dtype=np.int64)),
+         "revenue_cents": pa.array(agg["cents"].to_numpy(dtype=np.int64)),
+         "n_active_customers": pa.array(
+             agg["n_cust"].to_numpy(dtype=np.int64))}
+    )
+    return _finalize_guard(gd, out)

@@ -2991,3 +2991,30 @@ def test_orders_diversified_topk_cap(ray_session, tmp_path):
         str(tmp_path), k=4, per_cust=2).to_pylist()
     assert [(r["o_orderkey"], r["o_custkey"]) for r in out] == [
         (1, 1), (2, 1), (5, 2), (6, 3)]
+
+
+def test_customer_ltv_triangle_cohorts(ray_session, tmp_path):
+    d = dt.datetime
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array(range(1, 6), pa.int64()),
+             # c1: first 2020, orders 2020+2021; c2: first 2021 x2
+             "o_custkey": pa.array([1, 1, 2, 2, 1], pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 5, pa.string()),
+             "o_totalprice": pa.array([10.0, 20.0, 5.0, 7.0, 30.0],
+                                      pa.float64()),
+             "o_orderdate": pa.array(
+                 [d(2020, 1, 1), d(2021, 6, 1), d(2021, 2, 1),
+                  d(2021, 9, 1), d(2020, 3, 1)], pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 5, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = {(r["cohort_year"], r["order_year"]): r
+           for r in ev.customer_ltv_triangle(str(tmp_path)).to_pylist()}
+    assert out[(2020, 2020)]["revenue_cents"] == 4000
+    assert out[(2020, 2020)]["n_active_customers"] == 1
+    assert out[(2020, 2021)]["revenue_cents"] == 2000
+    assert out[(2021, 2021)]["revenue_cents"] == 1200
+    assert out[(2021, 2021)]["n_active_customers"] == 1
+    assert len(out) == 3
