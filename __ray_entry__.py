@@ -1307,6 +1307,31 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Total-variation distance over the value histogram (KS's sibling).
+_TV_SQL = """
+WITH u AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+         (event_type = 'purchase') AS isa
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+g AS (
+  SELECT v, sum(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN isa THEN 0 ELSE 1 END)::BIGINT AS nb
+  FROM u GROUP BY v
+),
+t AS (SELECT sum(na)::HUGEINT AS n_a, sum(nb)::HUGEINT AS n_b FROM g),
+s AS (
+  SELECT sum(abs(g.na::HUGEINT * t.n_b - g.nb::HUGEINT * t.n_a))
+           AS tv_num
+  FROM g CROSS JOIN t
+)
+SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+       CAST(s.tv_num AS BIGINT) AS tv_num,
+       CAST(1000000 * s.tv_num // (2 * t.n_a * t.n_b) AS BIGINT)
+         AS tv_e6
+FROM s CROSS JOIN t
+"""
+
 # LTV cohort triangle: cohort = first order year per customer.
 _LTV_SQL = """
 WITH o AS (
@@ -4460,6 +4485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_diversified_topk": ev.orders_diversified_topk,
         # LTV revenue cohort triangle (one exchange, derived cohort)
         "customer_ltv_triangle": ev.customer_ltv_triangle,
+        # exact total-variation distribution distance
+        "events_tv_distance": ev.events_tv_distance,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4699,6 +4726,7 @@ def oracle_sql() -> dict[str, str]:
         "word_share_drift_topk": _WORD_DRIFT_SQL,
         "orders_diversified_topk": _DIVERSIFIED_SQL,
         "customer_ltv_triangle": _LTV_SQL,
+        "events_tv_distance": _TV_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -258,6 +258,7 @@ def run_bench() -> dict:
         ("word_share_drift_topk", dops.word_share_drift_topk),
         ("orders_diversified_topk", evops.orders_diversified_topk),
         ("customer_ltv_triangle", evops.customer_ltv_triangle),
+        ("events_tv_distance", evops.events_tv_distance),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

@@ -3018,3 +3018,15 @@ def test_customer_ltv_triangle_cohorts(ray_session, tmp_path):
     assert out[(2021, 2021)]["revenue_cents"] == 1200
     assert out[(2021, 2021)]["n_active_customers"] == 1
     assert len(out) == 3
+
+
+def test_events_tv_distance_exact(ray_session, tmp_path):
+    rows = [
+        # purchase: {1: 2}; click: {1: 1, 2: 1}
+        (1, 1, 0.0, "purchase", 0.01), (2, 1, 1.0, "purchase", 0.01),
+        (3, 2, 0.0, "click", 0.01), (4, 2, 1.0, "click", 0.02),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_tv_distance(sf).to_pylist()[0]
+    # |2*2-1*2| + |0*2-1*2| = 2 + 2 = 4; TV = 4/(2*2*2) = 1/2
+    assert out == {"n_a": 2, "n_b": 2, "tv_num": 4, "tv_e6": 500000}
