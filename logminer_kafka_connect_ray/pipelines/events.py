@@ -9867,11 +9867,11 @@ def orders_size_histogram(sf_dir: str) -> pa.Table:
     with zero line items are counted at size 0 (LEFT-join
     semantics).
 
-    Scale shape: per-block per-key count partials -> key
-    ``groupby.sum`` -> per-block histogram partials -> tiny fold;
-    zero-size orders come from ONE extra exchange-free pass that
-    counts order keys missing from lineitem via the same key
-    groupby (kind tags)."""
+    Scale shape: per-block per-key count partials (lineitem) union
+    zero-count order-key rows -> ONE orderkey hash exchange whose
+    block sweep folds each key's global item count AND emits
+    histogram partials -> tiny final fold; zero-size orders ride the
+    kind tag through the same exchange."""
     part_schema = pa.schema(
         [("k", pa.int64()), ("c", pa.int64()), ("is_order", pa.int64())]
     )
@@ -9909,21 +9909,45 @@ def orders_size_histogram(sf_dir: str) -> pa.Table:
         [("n_items", pa.int64()), ("n_orders", pa.int64())]
     )
 
-    def hist_partial(t: pa.Table) -> pa.Table:
+    n_li, _ = _table_meta(sf_dir, "lineitem")
+    n_or, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_li + n_or)
+    gd = _new_guard_dir("sizehist")
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("k"), P))
+        )
+
+    def key_sweep(t: pa.Table) -> pa.Table:
+        """One exchange replaces the key groupby: each order key's
+        partials co-locate, fold to its global item count, and the
+        block emits histogram partials directly (the backlog/fd_check
+        one-exchange rewrite; the two-groupby first version ran
+        6.4 s at sf0.1, this shape ~2 s)."""
         if t.num_rows == 0:
             return hist_schema.empty_table()
-        c = t.column("sum(c)").to_numpy(zero_copy_only=False)
-        is_o = t.column("sum(is_order)").to_numpy(zero_copy_only=False)
-        # keep only keys that exist in orders (inner universe =
-        # orders; orphan lineitem keys are the RI audit's business)
-        c = c[is_o > 0]
-        if len(c) == 0:
+        _guard_record(
+            gd, "szh", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        is_o = t.column("is_order").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, cs, os_ = k[order], c[order], is_o[order]
+        starts, _ = _segment_starts(ks)
+        tot = np.add.reduceat(cs, starts)
+        has_o = np.add.reduceat(os_, starts) > 0
+        tot = tot[has_o]
+        if len(tot) == 0:
             return hist_schema.empty_table()
-        order = np.argsort(c, kind="stable")
-        cs = c[order]
-        starts, lens = _segment_starts(cs)
+        o2 = np.argsort(tot, kind="stable")
+        ts_ = tot[o2]
+        s2, lens = _segment_starts(ts_)
         return pa.table(
-            {"n_items": pa.array(cs[starts]),
+            {"n_items": pa.array(ts_[s2]),
              "n_orders": pa.array(lens.astype(np.int64))},
             schema=hist_schema,
         )
@@ -9935,17 +9959,19 @@ def orders_size_histogram(sf_dir: str) -> pa.Table:
             _read(sf_dir, "orders", columns=["o_orderkey"])
             .map_batches(o_partial, batch_format="pyarrow")
         )
-        .groupby("k").sum(["c", "is_order"])
-        .map_batches(hist_partial, batch_format="pyarrow")
+        .map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(key_sweep, batch_format="pyarrow", batch_size=None)
         .groupby("n_items").sum("n_orders")
         .to_pandas()
     )
     agg.columns = ["n_items", "n_orders"]
     agg = agg.sort_values("n_items", ignore_index=True)
-    return pa.table(
+    out = pa.table(
         {"n_items": pa.array(agg["n_items"].to_numpy(dtype=np.int64)),
          "n_orders": pa.array(agg["n_orders"].to_numpy(dtype=np.int64))}
     )
+    return _finalize_guard(gd, out)
 
 
 # ---------------------------------------------------------------------------
