@@ -1307,6 +1307,44 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Weekly heatmap: integer calendar math, dow = (epoch_day + 4) % 7.
+_WEEK_HEATMAP_SQL = """
+WITH e AS (
+  SELECT ((epoch_us(ts) // 86400000000 + 4) % 7)::BIGINT AS dow,
+         ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hod
+  FROM events
+),
+g AS (SELECT dow, hod, count(*)::BIGINT AS n FROM e GROUP BY 1, 2),
+t AS (SELECT sum(n)::BIGINT AS total FROM g)
+SELECT g.dow, g.hod AS hour_of_day, g.n AS n_events,
+       CAST(1000000 * g.n // t.total AS BIGINT) AS share_e6
+FROM g CROSS JOIN t ORDER BY g.dow, g.hod
+"""
+
+# Weighted Jaccard: sum min / (T_a + T_b - sum min) over co-users.
+_TYPE_WJACCARD_SQL = """
+WITH cu AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+mins AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         sum(least(a.c, b.c))::BIGINT AS sum_min
+  FROM cu a JOIN cu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+tot AS (SELECT event_type, sum(c)::BIGINT AS t FROM cu GROUP BY 1)
+SELECT m.ta AS type_a, m.tb AS type_b, m.sum_min,
+       xa.t AS total_a, xb.t AS total_b,
+       CAST(1000000 * m.sum_min // (xa.t + xb.t - m.sum_min)
+            AS BIGINT) AS wjaccard_e6
+FROM mins m
+JOIN tot xa ON xa.event_type = m.ta
+JOIN tot xb ON xb.event_type = m.tb
+ORDER BY 1, 2
+"""
+
 # Total-variation distance over the value histogram (KS's sibling).
 _TV_SQL = """
 WITH u AS (
@@ -4487,6 +4525,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_ltv_triangle": ev.customer_ltv_triangle,
         # exact total-variation distribution distance
         "events_tv_distance": ev.events_tv_distance,
+        # weekly dow x hod traffic heatmap (integer calendar)
+        "events_week_heatmap": ev.events_week_heatmap,
+        # weighted (multiset) Jaccard audience similarity
+        "events_type_wjaccard": ev.events_type_wjaccard,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4727,6 +4769,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_diversified_topk": _DIVERSIFIED_SQL,
         "customer_ltv_triangle": _LTV_SQL,
         "events_tv_distance": _TV_SQL,
+        "events_week_heatmap": _WEEK_HEATMAP_SQL,
+        "events_type_wjaccard": _TYPE_WJACCARD_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

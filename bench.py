@@ -259,6 +259,8 @@ def run_bench() -> dict:
         ("orders_diversified_topk", evops.orders_diversified_topk),
         ("customer_ltv_triangle", evops.customer_ltv_triangle),
         ("events_tv_distance", evops.events_tv_distance),
+        ("events_week_heatmap", evops.events_week_heatmap),
+        ("events_type_wjaccard", evops.events_type_wjaccard),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

@@ -10302,3 +10302,176 @@ def events_tv_distance(
          "tv_num": pa.array([tv_num], pa.int64()),
          "tv_e6": pa.array([tv_e6], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Week heatmap: day-of-week x hour-of-day traffic matrix
+# ---------------------------------------------------------------------------
+def events_week_heatmap(sf_dir: str) -> pa.Table:
+    """The weekly traffic heatmap: global event counts per
+    (day-of-week, hour-of-day) cell with each cell's exact share of
+    total -- pure integer calendar math (``dow = (epoch_day + 4) %
+    7``, 0 = Sunday; no locale-dependent calendar function on either
+    side).  Returns ``(dow, hour_of_day, n_events, share_e6)`` for
+    observed cells.
+
+    Scale shape: per-block 7x24-bounded count partials -> tiny
+    groupby -> O(168) driver shares."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    part_schema = pa.schema(
+        [("dow", pa.int64()), ("hod", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = _ts_i64(t.column("ts"))
+        day = ts // np.int64(86_400 * _US)
+        dow = (day + 4) % 7
+        hod = (ts // 3_600_000_000) % 24
+        key = dow * 24 + hod
+        counts = np.bincount(key, minlength=168)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"dow": pa.array((nz // 24).astype(np.int64)),
+             "hod": pa.array((nz % 24).astype(np.int64)),
+             "n": pa.array(counts[nz].astype(np.int64))},
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dow", "hod"]).sum("n").to_pandas()
+    )
+    agg.columns = ["dow", "hod", "n"]
+    agg = agg.sort_values(["dow", "hod"], ignore_index=True)
+    total = int(agg["n"].sum())
+    n = agg["n"].to_numpy(dtype=np.int64)
+    share = np.array([10**6 * int(c) // total for c in n], np.int64)
+    return pa.table(
+        {"dow": pa.array(agg["dow"].to_numpy(dtype=np.int64)),
+         "hour_of_day": pa.array(agg["hod"].to_numpy(dtype=np.int64)),
+         "n_events": pa.array(n),
+         "share_e6": pa.array(share)}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted Jaccard between type audience-count vectors
+# ---------------------------------------------------------------------------
+def events_type_wjaccard(sf_dir: str) -> pa.Table:
+    """Weighted (multiset) Jaccard between every pair of event
+    types' per-user count vectors: ``sum_u min(a_u, b_u) / sum_u
+    max(a_u, b_u)``, with ``sum max = T_a + T_b - sum min`` (users
+    holding one side only contribute whole counts to max) -- the
+    third similarity beside the set Jaccard and the squared cosine,
+    sensitive to VOLUME overlap.  Exact ``wjaccard_e6``.  Returns
+    ``(type_a, type_b, sum_min, total_a, total_b, wjaccard_e6)``.
+
+    Scale shape: the ``events_type_cosine2`` exchange (per-user
+    count partials -> user co-location -> per-user pair sweep),
+    emitting ``min(a, b)`` per co-user pair; totals fold from the
+    same sweep's self rows."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("twjac")
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    pair_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()),
+         ("c", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.asarray([f"{uu}\x00{e}" for uu, e in zip(u, et)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        uu = u[order][starts]
+        return pa.table(
+            {"user_id": pa.array(uu),
+             "event_type": pa.array(list(et[order][starts]), pa.string()),
+             "c": pa.array(counts.astype(np.int64)),
+             "_p": pa.array(partition_ids(pa.array(uu), P))},
+            schema=pair_schema,
+        )
+
+    dot_schema = pa.schema(
+        [("type_a", pa.string()), ("type_b", pa.string()),
+         ("v", pa.int64())]
+    )
+
+    def min_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return dot_schema.empty_table()
+        _guard_record(
+            gd, "twj", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((et, u))
+        u, et, c = u[order], et[order], c[order]
+        same = np.concatenate(
+            [[False], (u[1:] == u[:-1]) & (et[1:] == et[:-1])]
+        )
+        starts0 = np.flatnonzero(~same)
+        u, et = u[starts0], et[starts0]
+        c = np.add.reduceat(c, starts0)
+        starts, lens = _segment_starts(u)
+        ta, tb, vals = [], [], []
+        for s, m in zip(starts, lens):
+            seg_t = et[s:s + m]
+            seg_c = c[s:s + m]
+            for i in range(m):
+                ta.append(seg_t[i])
+                tb.append(seg_t[i])   # self row carries the total
+                vals.append(int(seg_c[i]))
+                for j in range(i + 1, m):
+                    ta.append(seg_t[i])
+                    tb.append(seg_t[j])
+                    vals.append(min(int(seg_c[i]), int(seg_c[j])))
+        key = np.asarray([f"{a}\x00{b}" for a, b in zip(ta, tb)],
+                         dtype=object)
+        order2, starts2, _ = _group_segments(key)
+        a_arr = np.asarray(ta, dtype=object)
+        b_arr = np.asarray(tb, dtype=object)
+        v_arr = np.asarray(vals, dtype=np.int64)
+        return pa.table(
+            {"type_a": pa.array(list(a_arr[order2][starts2]), pa.string()),
+             "type_b": pa.array(list(b_arr[order2][starts2]), pa.string()),
+             "v": pa.array(np.add.reduceat(v_arr[order2], starts2))},
+            schema=dot_schema,
+        )
+
+    folded = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(min_sweep, batch_format="pyarrow", batch_size=None)
+        .groupby(["type_a", "type_b"])
+        .sum("v")
+        .to_pandas()
+    )
+    folded.columns = ["type_a", "type_b", "v"]
+    totals = {r.type_a: int(r.v) for r in folded.itertuples()
+              if r.type_a == r.type_b}
+    pairs = folded[folded["type_a"] != folded["type_b"]].sort_values(
+        ["type_a", "type_b"], ignore_index=True)
+    sm = pairs["v"].to_numpy(dtype=np.int64)
+    ta_ = [totals[a] for a in pairs["type_a"]]
+    tb_ = [totals[b] for b in pairs["type_b"]]
+    wj = [10**6 * int(m) // (a + b - int(m))
+          for m, a, b in zip(sm, ta_, tb_)]
+    out = pa.table(
+        {"type_a": pa.array(pairs["type_a"], pa.string()),
+         "type_b": pa.array(pairs["type_b"], pa.string()),
+         "sum_min": pa.array(sm),
+         "total_a": pa.array(ta_, pa.int64()),
+         "total_b": pa.array(tb_, pa.int64()),
+         "wjaccard_e6": pa.array(wj, pa.int64())}
+    )
+    return _finalize_guard(gd, out)

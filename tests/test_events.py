@@ -3030,3 +3030,38 @@ def test_events_tv_distance_exact(ray_session, tmp_path):
     out = ev.events_tv_distance(sf).to_pylist()[0]
     # |2*2-1*2| + |0*2-1*2| = 2 + 2 = 4; TV = 4/(2*2*2) = 1/2
     assert out == {"n_a": 2, "n_b": 2, "tv_num": 4, "tv_e6": 500000}
+
+
+def test_events_week_heatmap_calendar(ray_session, tmp_path):
+    # make_events bases at a fixed timestamp; verify via the same
+    # integer calendar math rather than hard-coding the weekday
+    rows = [(1, 1, 0.0, "a", 0.0), (2, 1, 24 * 60.0, "a", 0.0),
+            (3, 1, 0.0, "a", 0.0)]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_week_heatmap(sf).to_pylist()
+    ts0 = int(_ts(0).timestamp() * 1_000_000)
+    dow0 = (ts0 // 86_400_000_000 + 4) % 7
+    hod0 = (ts0 // 3_600_000_000) % 24
+    got = {(r["dow"], r["hour_of_day"]): r for r in out}
+    assert got[(dow0, hod0)]["n_events"] == 2
+    assert got[(dow0, hod0)]["share_e6"] == 666666
+    assert got[((dow0 + 1) % 7, hod0)]["n_events"] == 1
+    assert len(out) == 2
+
+
+def test_events_type_wjaccard_exact(ray_session, tmp_path):
+    rows = [
+        # counts over users (1,2): a = (2,1), b = (1,3)
+        (1, 1, 0.0, "a", 0.0), (2, 1, 1.0, "a", 0.0),
+        (3, 2, 0.0, "a", 0.0),
+        (4, 1, 0.0, "b", 0.0),
+        (5, 2, 0.0, "b", 0.0), (6, 2, 1.0, "b", 0.0),
+        (7, 2, 2.0, "b", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_type_wjaccard(sf).to_pylist()
+    assert len(out) == 1
+    r = out[0]
+    # sum_min = min(2,1) + min(1,3) = 2; T_a=3, T_b=4 -> 2/(7-2)
+    assert (r["sum_min"], r["total_a"], r["total_b"]) == (2, 3, 4)
+    assert r["wjaccard_e6"] == 10**6 * 2 // 5
