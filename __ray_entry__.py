@@ -1307,6 +1307,29 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# 2x2 odds ratio: (n11*n00)/(n10*n01), -1 on zero denominator.
+_ODDS_RATIO_SQL = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ha,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS hb
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT (count(*) FILTER (WHERE ha = 1 AND hb = 1))::BIGINT AS n11,
+         (count(*) FILTER (WHERE ha = 1 AND hb = 0))::BIGINT AS n10,
+         (count(*) FILTER (WHERE ha = 0 AND hb = 1))::BIGINT AS n01,
+         (count(*) FILTER (WHERE ha = 0 AND hb = 0))::BIGINT AS n00
+  FROM u
+)
+SELECT n11 AS n_both, n10 AS n_a_only, n01 AS n_b_only,
+       n00 AS n_neither,
+       CAST(CASE WHEN n10 * n01 = 0 THEN -1
+                 ELSE (1000000::HUGEINT * n11 * n00) // (n10 * n01)
+            END AS BIGINT) AS odds_ratio_e6
+FROM c
+"""
+
 # Weekly heatmap: integer calendar math, dow = (epoch_day + 4) % 7.
 _WEEK_HEATMAP_SQL = """
 WITH e AS (
@@ -4529,6 +4552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_week_heatmap": ev.events_week_heatmap,
         # weighted (multiset) Jaccard audience similarity
         "events_type_wjaccard": ev.events_type_wjaccard,
+        # 2x2 behavioral odds-ratio association screen
+        "events_odds_ratio": ev.events_odds_ratio,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4771,6 +4796,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tv_distance": _TV_SQL,
         "events_week_heatmap": _WEEK_HEATMAP_SQL,
         "events_type_wjaccard": _TYPE_WJACCARD_SQL,
+        "events_odds_ratio": _ODDS_RATIO_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -261,6 +261,7 @@ def run_bench() -> dict:
         ("events_tv_distance", evops.events_tv_distance),
         ("events_week_heatmap", evops.events_week_heatmap),
         ("events_type_wjaccard", evops.events_type_wjaccard),
+        ("events_odds_ratio", evops.events_odds_ratio),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

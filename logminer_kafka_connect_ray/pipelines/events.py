@@ -10475,3 +10475,88 @@ def events_type_wjaccard(sf_dir: str) -> pa.Table:
          "wjaccard_e6": pa.array(wj, pa.int64())}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# 2x2 behavioral association: odds ratio
+# ---------------------------------------------------------------------------
+def events_odds_ratio(
+    sf_dir: str, type_a: str = "purchase", type_b: str = "error"
+) -> pa.Table:
+    """Behavioral 2x2 association screen: does doing ``type_a``
+    associate with doing ``type_b``?  Users cross-tabulate into
+    (both, a-only, b-only, neither) and the odds ratio ``(n11*n00) /
+    (n10*n01)`` is emitted as exact ``floor(1e6 * ratio)`` (-1 when
+    the denominator is 0 -- a degenerate table).  Returns one row
+    ``(n_both, n_a_only, n_b_only, n_neither, odds_ratio_e6)``.
+
+    Scale shape: per-block per-user has-a/has-b OR-mask partials ->
+    ONE user ``groupby.max`` fold -> per-block 4-cell counts ->
+    driver scalar math."""
+    from ray.data import aggregate as _ray_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    part_schema = pa.schema(
+        [("user_id", pa.int64()), ("ha", pa.int64()), ("hb", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        ha = (et == type_a).astype(np.int64)
+        hb = (et == type_b).astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        us = u[order]
+        starts, _ = _segment_starts(us)
+        return pa.table(
+            {"user_id": pa.array(us[starts]),
+             "ha": pa.array(np.maximum.reduceat(ha[order], starts)),
+             "hb": pa.array(np.maximum.reduceat(hb[order], starts))},
+            schema=part_schema,
+        )
+
+    cell_schema = pa.schema(
+        [("n11", pa.int64()), ("n10", pa.int64()), ("n01", pa.int64()),
+         ("n00", pa.int64())]
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cell_schema.empty_table()
+        ha = t.column("max(ha)").to_numpy(zero_copy_only=False)
+        hb = t.column("max(hb)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"n11": pa.array([int(((ha == 1) & (hb == 1)).sum())],
+                             pa.int64()),
+             "n10": pa.array([int(((ha == 1) & (hb == 0)).sum())],
+                             pa.int64()),
+             "n01": pa.array([int(((ha == 0) & (hb == 1)).sum())],
+                             pa.int64()),
+             "n00": pa.array([int(((ha == 0) & (hb == 0)).sum())],
+                             pa.int64())},
+            schema=cell_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(_ray_agg.Max("ha"), _ray_agg.Max("hb"))
+        .map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n11 = int(agg["n11"].sum())
+    n10 = int(agg["n10"].sum())
+    n01 = int(agg["n01"].sum())
+    n00 = int(agg["n00"].sum())
+    den = n10 * n01
+    orr = 10**6 * n11 * n00 // den if den else -1
+    return pa.table(
+        {"n_both": pa.array([n11], pa.int64()),
+         "n_a_only": pa.array([n10], pa.int64()),
+         "n_b_only": pa.array([n01], pa.int64()),
+         "n_neither": pa.array([n00], pa.int64()),
+         "odds_ratio_e6": pa.array([orr], pa.int64())}
+    )

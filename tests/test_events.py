@@ -3065,3 +3065,18 @@ def test_events_type_wjaccard_exact(ray_session, tmp_path):
     # sum_min = min(2,1) + min(1,3) = 2; T_a=3, T_b=4 -> 2/(7-2)
     assert (r["sum_min"], r["total_a"], r["total_b"]) == (2, 3, 4)
     assert r["wjaccard_e6"] == 10**6 * 2 // 5
+
+
+def test_events_odds_ratio_cells(ray_session, tmp_path):
+    rows = [
+        (1, 1, 0.0, "purchase", 0.0), (2, 1, 1.0, "error", 0.0),  # both
+        (3, 2, 0.0, "purchase", 0.0),                             # a only
+        (4, 3, 0.0, "error", 0.0),                                # b only
+        (5, 4, 0.0, "view", 0.0),                                 # neither
+        (6, 5, 0.0, "view", 0.0),                                 # neither
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_odds_ratio(sf).to_pylist()[0]
+    # OR = (1*2)/(1*1) = 2.0
+    assert out == {"n_both": 1, "n_a_only": 1, "n_b_only": 1,
+                   "n_neither": 2, "odds_ratio_e6": 2_000_000}
