@@ -1307,6 +1307,29 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Weekly churn: active in week w but absent in w+1; last week omitted.
+_CHURN_SQL = """
+WITH um AS (
+  SELECT DISTINCT user_id,
+         ((epoch_us(ts) // 86400000000) // 7)::BIGINT AS m
+  FROM events
+),
+last_m AS (SELECT max(m) AS lm FROM um),
+j AS (
+  SELECT a.m, count(*)::BIGINT AS n_active,
+         (count(*) FILTER (WHERE NOT EXISTS (
+            SELECT 1 FROM um b
+            WHERE b.user_id = a.user_id AND b.m = a.m + 1)))::BIGINT
+           AS n_churned
+  FROM um a CROSS JOIN last_m
+  WHERE a.m < last_m.lm
+  GROUP BY 1
+)
+SELECT m AS week, n_active, n_churned,
+       CAST(1000000 * n_churned // n_active AS BIGINT) AS churn_e6
+FROM j ORDER BY week
+"""
+
 # 2x2 odds ratio: (n11*n00)/(n10*n01), -1 on zero denominator.
 _ODDS_RATIO_SQL = """
 WITH u AS (
@@ -4554,6 +4577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_wjaccard": ev.events_type_wjaccard,
         # 2x2 behavioral odds-ratio association screen
         "events_odds_ratio": ev.events_odds_ratio,
+        # week-over-week churn (user-week anti-join)
+        "events_churn_rate": ev.events_churn_rate,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4797,6 +4822,7 @@ def oracle_sql() -> dict[str, str]:
         "events_week_heatmap": _WEEK_HEATMAP_SQL,
         "events_type_wjaccard": _TYPE_WJACCARD_SQL,
         "events_odds_ratio": _ODDS_RATIO_SQL,
+        "events_churn_rate": _CHURN_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

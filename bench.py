@@ -262,6 +262,7 @@ def run_bench() -> dict:
         ("events_week_heatmap", evops.events_week_heatmap),
         ("events_type_wjaccard", evops.events_type_wjaccard),
         ("events_odds_ratio", evops.events_odds_ratio),
+        ("events_churn_rate", evops.events_churn_rate),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

@@ -10560,3 +10560,131 @@ def events_odds_ratio(
          "n_neither": pa.array([n00], pa.int64()),
          "odds_ratio_e6": pa.array([orr], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly churn: active in m, absent in m+1
+# ---------------------------------------------------------------------------
+def events_churn_rate(sf_dir: str) -> pa.Table:
+    """Week-over-week churn: of the users active in epoch-week ``w``
+    (``epoch_day // 7``), how many are ABSENT in ``w+1`` --
+    ``churn_e6 = floor(1e6 * n_churned / n_active)``.  The final
+    observed week emits no row (its churn is not yet knowable).
+    Returns ``(week, n_active, n_churned, churn_e6)``.
+
+    Scale shape: per-block DISTINCT (user, week) combiner -> ONE
+    user hash exchange; each user's week set co-locates, the sweep
+    marks per (user, week) whether week+1 is present, and folds
+    per-week (active, churned) partials -> tiny final groupby.  The
+    global last week broadcasts from a cheap scalar pass."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("churn")
+    DAY_US = np.int64(86_400 * _US)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def month_arr(ts: np.ndarray) -> np.ndarray:
+        return (ts // DAY_US) // 7  # epoch weeks
+
+    # global last observed month (scalar pass)
+    b_schema = pa.schema([("hi", pa.int64())])
+
+    def hi_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return b_schema.empty_table()
+        m = month_arr(_ts_i64(t.column("ts")))
+        return pa.table({"hi": pa.array([int(m.max())], pa.int64())},
+                        schema=b_schema)
+
+    last_month = int(
+        ds.map_batches(hi_partial, batch_format="pyarrow")
+        .to_pandas()["hi"].max()
+    )
+
+    pair_schema = pa.schema(
+        [("user_id", pa.int64()), ("month", pa.int64()),
+         ("_p", pa.int64())]
+    )
+
+    def distinct_um(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = month_arr(_ts_i64(t.column("ts")))
+        order = np.lexsort((m, u))
+        us, ms = u[order], m[order]
+        keep = np.concatenate(
+            [[True], (us[1:] != us[:-1]) | (ms[1:] != ms[:-1])]
+        )
+        us, ms = us[keep], ms[keep]
+        return pa.table(
+            {"user_id": pa.array(us), "month": pa.array(ms),
+             "_p": pa.array(partition_ids(pa.array(us), P))},
+            schema=pair_schema,
+        )
+
+    part_schema = pa.schema(
+        [("month", pa.int64()), ("n_active", pa.int64()),
+         ("n_churned", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "chn", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        m = t.column("month").to_numpy(zero_copy_only=False)
+        order = np.lexsort((m, u))
+        u, m = u[order], m[order]
+        keep = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (m[1:] != m[:-1])]
+        )
+        u, m = u[keep], m[keep]
+        # next-month presence: same user and month+1 immediately next
+        # in the sorted-dedup order
+        nxt = np.concatenate(
+            [(u[1:] == u[:-1]) & (m[1:] == m[:-1] + 1), [False]]
+        )
+        live = m < last_month  # last month emits no churn row
+        m2 = m[live]
+        churn = (~nxt[live]).astype(np.int64)
+        order2 = np.argsort(m2, kind="stable")
+        ms = m2[order2]
+        starts, lens = _segment_starts(ms)
+        return pa.table(
+            {"month": pa.array(ms[starts]),
+             "n_active": pa.array(lens.astype(np.int64)),
+             "n_churned": pa.array(
+                 np.add.reduceat(churn[order2], starts))},
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(distinct_um, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("month").sum(["n_active", "n_churned"])
+        .to_pandas()
+    )
+    if len(agg) == 0:
+        return pa.table(
+            {"week": pa.array([], pa.int64()),
+             "n_active": pa.array([], pa.int64()),
+             "n_churned": pa.array([], pa.int64()),
+             "churn_e6": pa.array([], pa.int64())}
+        )
+    agg.columns = ["month", "n_active", "n_churned"]
+    agg = agg.sort_values("month", ignore_index=True)
+    na = agg["n_active"].to_numpy(dtype=np.int64)
+    nc = agg["n_churned"].to_numpy(dtype=np.int64)
+    ce = np.array([10**6 * int(c) // int(a) for a, c in zip(na, nc)],
+                  np.int64)
+    out = pa.table(
+        {"week": pa.array(agg["month"].to_numpy(dtype=np.int64)),
+         "n_active": pa.array(na),
+         "n_churned": pa.array(nc),
+         "churn_e6": pa.array(ce)}
+    )
+    return _finalize_guard(gd, out)

@@ -3080,3 +3080,25 @@ def test_events_odds_ratio_cells(ray_session, tmp_path):
     # OR = (1*2)/(1*1) = 2.0
     assert out == {"n_both": 1, "n_a_only": 1, "n_b_only": 1,
                    "n_neither": 2, "odds_ratio_e6": 2_000_000}
+
+
+def test_events_churn_rate_weekly(ray_session, tmp_path):
+    week = 7 * 1440.0
+    rows = [
+        # u1 active weeks 0,1,2; u2 active week 0 only; u3 week 1,2
+        (1, 1, 0.0, "a", 0.0), (2, 1, 1 * week, "a", 0.0),
+        (3, 1, 2 * week, "a", 0.0),
+        (4, 2, 0.0, "a", 0.0),
+        (5, 3, 1 * week, "a", 0.0), (6, 3, 2 * week, "a", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_churn_rate(sf).to_pylist()
+    base = min(r["week"] for r in out)
+    got = {r["week"] - base: r for r in out}
+    # week 0: active {u1,u2}, churned {u2} -> 1/2
+    assert got[0]["n_active"] == 2 and got[0]["n_churned"] == 1
+    assert got[0]["churn_e6"] == 500000
+    # week 1: active {u1,u3}, both present in week 2 -> 0
+    assert got[1]["n_churned"] == 0
+    # week 2 (last) emits no row
+    assert len(out) == 2
