@@ -1307,6 +1307,43 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Winsorized mean: clamp at lower-quantile ranks ceil(q*n), sign-
+# safe truncating mean division.
+_WINSOR_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM x
+),
+cuts AS (
+  SELECT event_type,
+         max(CASE WHEN rn = (n * 5 + 99) // 100 THEN v END) AS p_lo,
+         max(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) AS p_hi,
+         max(n) AS n
+  FROM r GROUP BY 1
+),
+w AS (
+  SELECT x.event_type,
+         least(greatest(x.v, c.p_lo), c.p_hi)::HUGEINT AS cv,
+         c.p_lo, c.p_hi, c.n
+  FROM x JOIN cuts c USING (event_type)
+),
+s AS (
+  SELECT event_type, sum(cv) AS ws, max(p_lo) AS p_lo,
+         max(p_hi) AS p_hi, max(n) AS n
+  FROM w GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n, p_lo, p_hi,
+       CAST((CASE WHEN ws < 0 THEN -1 ELSE 1 END)
+            * ((1000000 * abs(ws)) // n) AS BIGINT) AS wmean_e6
+FROM s ORDER BY event_type
+"""
+
 # Weekly churn: active in week w but absent in w+1; last week omitted.
 _CHURN_SQL = """
 WITH um AS (
@@ -4579,6 +4616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_odds_ratio": ev.events_odds_ratio,
         # week-over-week churn (user-week anti-join)
         "events_churn_rate": ev.events_churn_rate,
+        # winsorized (clamped-quantile) robust mean
+        "events_winsorized_mean": ev.events_winsorized_mean,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4823,6 +4862,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_wjaccard": _TYPE_WJACCARD_SQL,
         "events_odds_ratio": _ODDS_RATIO_SQL,
         "events_churn_rate": _CHURN_SQL,
+        "events_winsorized_mean": _WINSOR_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -263,6 +263,7 @@ def run_bench() -> dict:
         ("events_type_wjaccard", evops.events_type_wjaccard),
         ("events_odds_ratio", evops.events_odds_ratio),
         ("events_churn_rate", evops.events_churn_rate),
+        ("events_winsorized_mean", evops.events_winsorized_mean),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

@@ -10688,3 +10688,72 @@ def events_churn_rate(sf_dir: str) -> pa.Table:
          "churn_e6": pa.array(ce)}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean per type (robust central tendency)
+# ---------------------------------------------------------------------------
+def events_winsorized_mean(
+    sf_dir: str, lo_pct: int = 5, hi_pct: int = 95
+) -> pa.Table:
+    """Winsorized mean of value-cents per ``event_type``: values
+    clamp to the exact lower-quantile cut points at ``lo_pct`` /
+    ``hi_pct`` (rank ``ceil(q * n)``, the repo's order-statistic
+    convention) before averaging -- the robust mean that survives
+    fat tails without dropping rows.  All integer-exact: ``wmean_e6
+    = floor(1e6 * winsorized_sum / n)``.  Returns ``(event_type, n,
+    p_lo, p_hi, wmean_e6)``.
+
+    Scale shape: per-block (type, value) histogram partials -> one
+    pair groupby (bounded by type x distinct values) -> per-type
+    driver walk over the tiny histogram (cut points from cumulative
+    counts, clamped sum from the same pass)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    hist_schema = pa.schema(
+        [("event_type", pa.string()), ("v", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        key = np.asarray([f"{e}\x00{c}" for e, c in zip(et, cents)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "v": pa.array(cents[order][starts]),
+             "n": pa.array(counts.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "v"]).sum("n").to_pandas()
+    )
+    hist.columns = ["event_type", "v", "n"]
+    rows = []
+    for et, grp in hist.groupby("event_type", sort=True):
+        grp = grp.sort_values("v", ignore_index=True)
+        vals = grp["v"].to_numpy(dtype=np.int64)
+        cnts = grp["n"].to_numpy(dtype=np.int64)
+        n = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        r_lo = -(-n * lo_pct // 100)
+        r_hi = -(-n * hi_pct // 100)
+        p_lo = int(vals[np.searchsorted(cum, r_lo, side="left")])
+        p_hi = int(vals[np.searchsorted(cum, r_hi, side="left")])
+        clamped = np.clip(vals, p_lo, p_hi)
+        wsum = int((clamped.astype(object) * cnts.astype(object)).sum())
+        # sign-safe truncating division (negative sums possible)
+        s = -1 if wsum < 0 else 1
+        rows.append((et, n, p_lo, p_hi, s * (10**6 * abs(wsum) // n)))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "n": pa.array([r[1] for r in rows], pa.int64()),
+         "p_lo": pa.array([r[2] for r in rows], pa.int64()),
+         "p_hi": pa.array([r[3] for r in rows], pa.int64()),
+         "wmean_e6": pa.array([r[4] for r in rows], pa.int64())}
+    )

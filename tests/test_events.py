@@ -3102,3 +3102,19 @@ def test_events_churn_rate_weekly(ray_session, tmp_path):
     assert got[1]["n_churned"] == 0
     # week 2 (last) emits no row
     assert len(out) == 2
+
+
+def test_events_winsorized_mean_clamping(ray_session, tmp_path):
+    # 10 values 1..9 plus a 1000.00 outlier; p5 -> rank 1 (=1),
+    # p95 -> rank ceil(9.5)=10 (=100000 cents? no: value 1000.00 ->
+    # 100000 cents is rank 10) -- use 20/80 for a sharper clamp
+    rows = [(i, 1, float(i), "a", float(i)) for i in range(1, 10)]
+    rows.append((10, 1, 10.0, "a", 1000.0))
+    sf = make_events(tmp_path, rows)
+    out = ev.events_winsorized_mean(sf, lo_pct=20, hi_pct=80) \
+        .to_pylist()[0]
+    # cents: [100..900, 100000]; n=10; r_lo=2 -> 200; r_hi=8 -> 800
+    assert (out["p_lo"], out["p_hi"]) == (200, 800)
+    # clamped: [200,200,300,...,800,800,800] sum = 200*2+300+400+...
+    clamped = [200, 200, 300, 400, 500, 600, 700, 800, 800, 800]
+    assert out["wmean_e6"] == 10**6 * sum(clamped) // 10
