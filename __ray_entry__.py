@@ -1307,6 +1307,19 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Assortment coverage per part type (inner join drops unknown parts).
+_PART_BREADTH_SQL = """
+WITH li AS (
+  SELECT p.p_type, l.l_suppkey, l.l_partkey,
+         CAST(floor(l.l_quantity * 100) AS BIGINT) AS qc
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT p_type, count(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
+       count(DISTINCT l_partkey)::BIGINT AS n_parts,
+       sum(qc)::BIGINT AS sum_qty_cents
+FROM li GROUP BY 1 ORDER BY 1
+"""
+
 # Winsorized mean: clamp at lower-quantile ranks ceil(q*n), sign-
 # safe truncating mean division.
 _WINSOR_SQL = """
@@ -4618,6 +4631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_churn_rate": ev.events_churn_rate,
         # winsorized (clamped-quantile) robust mean
         "events_winsorized_mean": ev.events_winsorized_mean,
+        # assortment coverage per part type (broadcast dim map)
+        "part_supplier_breadth": ev.part_supplier_breadth,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4863,6 +4878,7 @@ def oracle_sql() -> dict[str, str]:
         "events_odds_ratio": _ODDS_RATIO_SQL,
         "events_churn_rate": _CHURN_SQL,
         "events_winsorized_mean": _WINSOR_SQL,
+        "part_supplier_breadth": _PART_BREADTH_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -264,6 +264,7 @@ def run_bench() -> dict:
         ("events_odds_ratio", evops.events_odds_ratio),
         ("events_churn_rate", evops.events_churn_rate),
         ("events_winsorized_mean", evops.events_winsorized_mean),
+        ("part_supplier_breadth", evops.part_supplier_breadth),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

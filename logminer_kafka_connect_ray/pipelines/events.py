@@ -10757,3 +10757,98 @@ def events_winsorized_mean(
          "p_hi": pa.array([r[3] for r in rows], pa.int64()),
          "wmean_e6": pa.array([r[4] for r in rows], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier breadth per part type (distinct-pair rollup via dim map)
+# ---------------------------------------------------------------------------
+def part_supplier_breadth(sf_dir: str) -> pa.Table:
+    """Supply-chain breadth: per part type, how many DISTINCT
+    suppliers ship it, how many distinct parts move, and total
+    shipped quantity (exact cents) -- the assortment-coverage rollup
+    over the lineitem fact with the ``part`` dimension resolved by a
+    broadcast partkey->type map (the Q14/Q7 dim pattern).  Returns
+    ``(p_type, n_suppliers, n_parts, sum_qty_cents)``.
+
+    Scale shape: part broadcast once via ``ray.put`` (int8 type ids);
+    per-block DISTINCT (type, supp) and (type, part) combiner rows +
+    qty partials -> one dimension-bounded pair groupby each -- three
+    dim-sized folds, no fact shuffle."""
+    import ray
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    types = sorted(part["p_type"].unique())
+    tmap = {t: i for i, t in enumerate(types)}
+    pmap = np.full(int(part["p_partkey"].max()) + 2, -1, np.int8)
+    pmap[part["p_partkey"].to_numpy()] = (
+        part["p_type"].map(tmap).to_numpy().astype(np.int8)
+    )
+    pmap_ref = ray.put(pmap)
+
+    part_schema = pa.schema(
+        [("tid", pa.int64()), ("kind", pa.int64()), ("key", pa.int64()),
+         ("qty", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        pm = ray.get(pmap_ref)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        qty = _cents(t.column("l_quantity").to_numpy(zero_copy_only=False))
+        tid = pm[np.clip(pk, 0, len(pm) - 1)].astype(np.int64)
+        keep = (pk < len(pm)) & (tid >= 0)
+        pk, sk, qty, tid = pk[keep], sk[keep], qty[keep], tid[keep]
+        # distinct (tid, supp) and (tid, part) within the block +
+        # qty partials per tid
+        def dedup(a, b):
+            key = a * (1 << 40) + b
+            return np.unique(key)
+        ks = dedup(tid, sk)
+        kp = dedup(tid, pk)
+        order = np.argsort(tid, kind="stable")
+        ts_, qs = tid[order], qty[order]
+        starts, _ = _segment_starts(ts_)
+        tq = ts_[starts]
+        sums = np.add.reduceat(qs, starts)
+        return pa.table(
+            {"tid": pa.array(np.concatenate(
+                [ks >> 40, kp >> 40, tq])),
+             "kind": pa.array(np.concatenate(
+                 [np.zeros(len(ks), np.int64),
+                  np.ones(len(kp), np.int64),
+                  np.full(len(tq), 2, np.int64)])),
+             "key": pa.array(np.concatenate(
+                 [ks & ((1 << 40) - 1), kp & ((1 << 40) - 1),
+                  np.zeros(len(tq), np.int64)])),
+             "qty": pa.array(np.concatenate(
+                 [np.zeros(len(ks) + len(kp), np.int64), sums]))},
+            schema=part_schema,
+        )
+
+    folded = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["tid", "kind", "key"]).sum("qty").to_pandas()
+    )
+    folded.columns = ["tid", "kind", "key", "qty"]
+    rows = []
+    for i, tname in enumerate(types):
+        sub = folded[folded["tid"] == i]
+        n_supp = int((sub["kind"] == 0).sum())
+        n_part = int((sub["kind"] == 1).sum())
+        qty = int(sub[sub["kind"] == 2]["qty"].sum())
+        if n_supp or n_part or qty:
+            rows.append((tname, n_supp, n_part, qty))
+    return pa.table(
+        {"p_type": pa.array([r[0] for r in rows], pa.string()),
+         "n_suppliers": pa.array([r[1] for r in rows], pa.int64()),
+         "n_parts": pa.array([r[2] for r in rows], pa.int64()),
+         "sum_qty_cents": pa.array([r[3] for r in rows], pa.int64())}
+    )

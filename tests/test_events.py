@@ -3118,3 +3118,32 @@ def test_events_winsorized_mean_clamping(ray_session, tmp_path):
     # clamped: [200,200,300,...,800,800,800] sum = 200*2+300+400+...
     clamped = [200, 200, 300, 400, 500, 600, 700, 800, 800, 800]
     assert out["wmean_e6"] == 10**6 * sum(clamped) // 10
+
+
+def test_part_supplier_breadth_distincts(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {"p_partkey": pa.array([1, 2, 3], pa.int64()),
+             "p_type": pa.array(["PROMO", "PROMO", "STANDARD"],
+                                pa.string())}
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            # PROMO: parts {1,2}, suppliers {7,8} (7 twice);
+            # STANDARD: part 3, supplier 7; unknown part 99 dropped
+            {"l_partkey": pa.array([1, 1, 2, 3, 99], pa.int64()),
+             "l_suppkey": pa.array([7, 7, 8, 7, 9], pa.int64()),
+             "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0, 5.0],
+                                    pa.float64())}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = {r["p_type"]: r
+           for r in ev.part_supplier_breadth(str(tmp_path)).to_pylist()}
+    assert out["PROMO"]["n_suppliers"] == 2
+    assert out["PROMO"]["n_parts"] == 2
+    assert out["PROMO"]["sum_qty_cents"] == 600
+    assert out["STANDARD"]["n_suppliers"] == 1
+    assert out["STANDARD"]["sum_qty_cents"] == 400
