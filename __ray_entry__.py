@@ -1307,6 +1307,22 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# First-touch mix: each user's first event type by (ts, event_id).
+_FIRST_TOUCH_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+f AS (SELECT event_type FROM r WHERE rn = 1),
+g AS (SELECT event_type, count(*)::BIGINT AS n FROM f GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS total FROM g)
+SELECT g.event_type, g.n AS n_users,
+       CAST(1000000 * g.n // t.total AS BIGINT) AS share_e6
+FROM g CROSS JOIN t ORDER BY g.event_type
+"""
+
 # Assortment coverage per part type (inner join drops unknown parts).
 _PART_BREADTH_SQL = """
 WITH li AS (
@@ -4633,6 +4649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized_mean": ev.events_winsorized_mean,
         # assortment coverage per part type (broadcast dim map)
         "part_supplier_breadth": ev.part_supplier_breadth,
+        # acquisition mix: per-user first event type (witness fold)
+        "events_first_touch_mix": ev.events_first_touch_mix,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4879,6 +4897,7 @@ def oracle_sql() -> dict[str, str]:
         "events_churn_rate": _CHURN_SQL,
         "events_winsorized_mean": _WINSOR_SQL,
         "part_supplier_breadth": _PART_BREADTH_SQL,
+        "events_first_touch_mix": _FIRST_TOUCH_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

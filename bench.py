@@ -265,6 +265,7 @@ def run_bench() -> dict:
         ("events_churn_rate", evops.events_churn_rate),
         ("events_winsorized_mean", evops.events_winsorized_mean),
         ("part_supplier_breadth", evops.part_supplier_breadth),
+        ("events_first_touch_mix", evops.events_first_touch_mix),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

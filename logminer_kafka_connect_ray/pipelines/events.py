@@ -10852,3 +10852,91 @@ def part_supplier_breadth(sf_dir: str) -> pa.Table:
          "n_parts": pa.array([r[2] for r in rows], pa.int64()),
          "sum_qty_cents": pa.array([r[3] for r in rows], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Acquisition mix: each user's FIRST event type
+# ---------------------------------------------------------------------------
+def events_first_touch_mix(sf_dir: str) -> pa.Table:
+    """Acquisition-channel mix: the distribution of each user's
+    FIRST event type (order ``(ts, event_id)`` -- the witness-
+    aggregate pattern: min-key fold carrying a payload).  Returns
+    ``(event_type, n_users, share_e6)`` with exact shares.
+
+    Scale shape: per-block per-user (min (ts, event_id) -> type)
+    witness partials -> ONE user hash exchange re-folding witnesses
+    (the pair (ts, eid) packs into the sort key; the type rides as
+    payload) -> per-block type counts -> tiny fold."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("ftmix")
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    w_schema = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.int64()), ("eid", pa.int64()),
+         ("event_type", pa.string()), ("_p", pa.int64())]
+    )
+
+    def witness(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return w_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u2, ts2, e2 = u[order], ts[order], eid[order]
+        starts, _ = _segment_starts(u2)
+        uu = u2[starts]
+        return pa.table(
+            {"user_id": pa.array(uu), "ts": pa.array(ts2[starts]),
+             "eid": pa.array(e2[starts]),
+             "event_type": pa.array(list(et[order][starts]), pa.string()),
+             "_p": pa.array(partition_ids(pa.array(uu), P))},
+            schema=w_schema,
+        )
+
+    cnt_schema = pa.schema(
+        [("event_type", pa.string()), ("n", pa.int64())]
+    )
+
+    def refold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cnt_schema.empty_table()
+        _guard_record(
+            gd, "ftm", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        eid = t.column("eid").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u2 = u[order]
+        starts, _ = _segment_starts(u2)
+        win = et[order][starts]
+        o2, s2, counts = _group_segments(win)
+        return pa.table(
+            {"event_type": pa.array(list(win[o2][s2]), pa.string()),
+             "n": pa.array(counts.astype(np.int64))},
+            schema=cnt_schema,
+        )
+
+    agg = (
+        ds.map_batches(witness, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(refold, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type").sum("n").to_pandas()
+    )
+    agg.columns = ["event_type", "n"]
+    agg = agg.sort_values("event_type", ignore_index=True)
+    total = int(agg["n"].sum())
+    n = agg["n"].to_numpy(dtype=np.int64)
+    share = np.array([10**6 * int(c) // total for c in n], np.int64)
+    out = pa.table(
+        {"event_type": pa.array(agg["event_type"], pa.string()),
+         "n_users": pa.array(n), "share_e6": pa.array(share)}
+    )
+    return _finalize_guard(gd, out)

@@ -3147,3 +3147,21 @@ def test_part_supplier_breadth_distincts(ray_session, tmp_path):
     assert out["PROMO"]["sum_qty_cents"] == 600
     assert out["STANDARD"]["n_suppliers"] == 1
     assert out["STANDARD"]["sum_qty_cents"] == 400
+
+
+def test_events_first_touch_mix_witness(ray_session, tmp_path):
+    rows = [
+        # u1 first = view (ts tie broken by event_id: 1 < 2)
+        (1, 1, 0.0, "view", 0.0), (2, 1, 0.0, "click", 0.0),
+        # u2 first = signup
+        (3, 2, 5.0, "signup", 0.0), (4, 2, 9.0, "view", 0.0),
+        # u3 first = view
+        (5, 3, 1.0, "view", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["event_type"]: r
+           for r in ev.events_first_touch_mix(sf).to_pylist()}
+    assert out["view"]["n_users"] == 2
+    assert out["signup"]["n_users"] == 1
+    assert out["view"]["share_e6"] == 666666
+    assert "click" not in out
