@@ -1307,6 +1307,30 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Growth accounting: new / retained / resurrected per epoch week.
+_GROWTH_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         ((epoch_us(ts) // 86400000000) // 7)::BIGINT AS w
+  FROM events
+),
+f AS (SELECT user_id, min(w) AS fw FROM uw GROUP BY 1),
+c AS (
+  SELECT a.w,
+    CASE WHEN a.w = f.fw THEN 'new'
+         WHEN EXISTS (SELECT 1 FROM uw b
+                      WHERE b.user_id = a.user_id AND b.w = a.w - 1)
+           THEN 'ret'
+         ELSE 'res' END AS cls
+  FROM uw a JOIN f ON f.user_id = a.user_id
+)
+SELECT w AS week,
+       (count(*) FILTER (WHERE cls = 'new'))::BIGINT AS n_new,
+       (count(*) FILTER (WHERE cls = 'ret'))::BIGINT AS n_retained,
+       (count(*) FILTER (WHERE cls = 'res'))::BIGINT AS n_resurrected
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
 # First-touch mix: each user's first event type by (ts, event_id).
 _FIRST_TOUCH_SQL = """
 WITH r AS (
@@ -4651,6 +4675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_supplier_breadth": ev.part_supplier_breadth,
         # acquisition mix: per-user first event type (witness fold)
         "events_first_touch_mix": ev.events_first_touch_mix,
+        # weekly growth accounting (new/retained/resurrected)
+        "events_growth_accounting": ev.events_growth_accounting,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4898,6 +4924,7 @@ def oracle_sql() -> dict[str, str]:
         "events_winsorized_mean": _WINSOR_SQL,
         "part_supplier_breadth": _PART_BREADTH_SQL,
         "events_first_touch_mix": _FIRST_TOUCH_SQL,
+        "events_growth_accounting": _GROWTH_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -266,6 +266,7 @@ def run_bench() -> dict:
         ("events_winsorized_mean", evops.events_winsorized_mean),
         ("part_supplier_breadth", evops.part_supplier_breadth),
         ("events_first_touch_mix", evops.events_first_touch_mix),
+        ("events_growth_accounting", evops.events_growth_accounting),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

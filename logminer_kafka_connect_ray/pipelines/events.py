@@ -10940,3 +10940,105 @@ def events_first_touch_mix(sf_dir: str) -> pa.Table:
          "n_users": pa.array(n), "share_e6": pa.array(share)}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: new / retained / resurrected per week
+# ---------------------------------------------------------------------------
+def events_growth_accounting(sf_dir: str) -> pa.Table:
+    """Weekly growth accounting (churn's constructive sibling): each
+    active (user, week) classifies as NEW (the user's first-ever
+    week), RETAINED (also active in week-1) or RESURRECTED (active
+    before, but not in week-1).  Returns ``(week, n_new, n_retained,
+    n_resurrected)`` -- with ``events_churn_rate`` this reconciles
+    the week-over-week active-user balance exactly.
+
+    Scale shape: the churn exchange -- per-block DISTINCT (user,
+    week) combiner, user co-location, per-user sorted-week sweep
+    classifying each week in O(weeks-per-user) -> per-week partials
+    -> tiny fold."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("growth")
+    DAY_US = np.int64(86_400 * _US)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    pair_schema = pa.schema(
+        [("user_id", pa.int64()), ("week", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def distinct_uw(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (_ts_i64(t.column("ts")) // DAY_US) // 7
+        order = np.lexsort((w, u))
+        us, ws = u[order], w[order]
+        keep = np.concatenate(
+            [[True], (us[1:] != us[:-1]) | (ws[1:] != ws[:-1])]
+        )
+        us, ws = us[keep], ws[keep]
+        return pa.table(
+            {"user_id": pa.array(us), "week": pa.array(ws),
+             "_p": pa.array(partition_ids(pa.array(us), P))},
+            schema=pair_schema,
+        )
+
+    part_schema = pa.schema(
+        [("week", pa.int64()), ("n_new", pa.int64()),
+         ("n_retained", pa.int64()), ("n_resurrected", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "grw", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        w = t.column("week").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        keep = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])]
+        )
+        u, w = u[keep], w[keep]
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        prev_adjacent = np.concatenate(
+            [[False], (u[1:] == u[:-1]) & (w[1:] == w[:-1] + 1)]
+        )
+        is_new = first
+        is_ret = prev_adjacent
+        is_res = (~first) & (~prev_adjacent)
+        order2 = np.argsort(w, kind="stable")
+        ws = w[order2]
+        starts, _ = _segment_starts(ws)
+        return pa.table(
+            {"week": pa.array(ws[starts]),
+             "n_new": pa.array(np.add.reduceat(
+                 is_new[order2].astype(np.int64), starts)),
+             "n_retained": pa.array(np.add.reduceat(
+                 is_ret[order2].astype(np.int64), starts)),
+             "n_resurrected": pa.array(np.add.reduceat(
+                 is_res[order2].astype(np.int64), starts))},
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(distinct_uw, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("week").sum(["n_new", "n_retained", "n_resurrected"])
+        .to_pandas()
+    )
+    agg.columns = ["week", "n_new", "n_retained", "n_resurrected"]
+    agg = agg.sort_values("week", ignore_index=True)
+    out = pa.table(
+        {"week": pa.array(agg["week"].to_numpy(dtype=np.int64)),
+         "n_new": pa.array(agg["n_new"].to_numpy(dtype=np.int64)),
+         "n_retained": pa.array(
+             agg["n_retained"].to_numpy(dtype=np.int64)),
+         "n_resurrected": pa.array(
+             agg["n_resurrected"].to_numpy(dtype=np.int64))}
+    )
+    return _finalize_guard(gd, out)

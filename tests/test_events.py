@@ -3165,3 +3165,22 @@ def test_events_first_touch_mix_witness(ray_session, tmp_path):
     assert out["signup"]["n_users"] == 1
     assert out["view"]["share_e6"] == 666666
     assert "click" not in out
+
+
+def test_events_growth_accounting_classes(ray_session, tmp_path):
+    week = 7 * 1440.0
+    rows = [
+        # u1: weeks 0,1,3 -> new@0, retained@1, resurrected@3
+        (1, 1, 0.0, "a", 0.0), (2, 1, 1 * week, "a", 0.0),
+        (3, 1, 3 * week, "a", 0.0),
+        # u2: week 1 only -> new@1
+        (4, 2, 1 * week, "a", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_growth_accounting(sf).to_pylist()
+    base = min(r["week"] for r in out)
+    got = {r["week"] - base: r for r in out}
+    assert got[0]["n_new"] == 1
+    assert got[1]["n_new"] == 1 and got[1]["n_retained"] == 1
+    assert got[3]["n_resurrected"] == 1 and got[3]["n_new"] == 0
+    assert len(out) == 3
