@@ -1307,6 +1307,35 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Annual month-of-year revenue profile.
+_MONTH_PROFILE_SQL = """
+WITH o AS (
+  SELECT month(o_orderdate)::BIGINT AS moy,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+g AS (SELECT moy, sum(cents)::BIGINT AS cents FROM o GROUP BY 1),
+t AS (SELECT sum(cents)::BIGINT AS total FROM g)
+SELECT g.moy AS month_of_year, g.cents AS revenue_cents,
+       CAST(1000000 * g.cents // t.total AS BIGINT) AS share_e6
+FROM g CROSS JOIN t ORDER BY 1
+"""
+
+# Power users: count >= the P99 lower-quantile cutoff.
+_POWER_USERS_SQL = """
+WITH uc AS (SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS rn,
+         count(*) OVER () AS n
+  FROM uc
+),
+cut AS (SELECT c FROM r WHERE rn = (n * 99 + 99) // 100)
+SELECT u.user_id, u.c AS n_events
+FROM uc u CROSS JOIN cut
+WHERE u.c >= cut.c
+ORDER BY u.c DESC, u.user_id
+"""
+
 # Growth accounting: new / retained / resurrected per epoch week.
 _GROWTH_SQL = """
 WITH uw AS (
@@ -4677,6 +4706,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_touch_mix": ev.events_first_touch_mix,
         # weekly growth accounting (new/retained/resurrected)
         "events_growth_accounting": ev.events_growth_accounting,
+        # month-of-year revenue seasonality profile
+        "orders_month_profile": ev.orders_month_profile,
+        # power-user roster at the exact P99 activity cutoff
+        "events_power_users": ev.events_power_users,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4925,6 +4958,8 @@ def oracle_sql() -> dict[str, str]:
         "part_supplier_breadth": _PART_BREADTH_SQL,
         "events_first_touch_mix": _FIRST_TOUCH_SQL,
         "events_growth_accounting": _GROWTH_SQL,
+        "orders_month_profile": _MONTH_PROFILE_SQL,
+        "events_power_users": _POWER_USERS_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

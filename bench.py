@@ -267,6 +267,8 @@ def run_bench() -> dict:
         ("part_supplier_breadth", evops.part_supplier_breadth),
         ("events_first_touch_mix", evops.events_first_touch_mix),
         ("events_growth_accounting", evops.events_growth_accounting),
+        ("orders_month_profile", evops.orders_month_profile),
+        ("events_power_users", evops.events_power_users),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

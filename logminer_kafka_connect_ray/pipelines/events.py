@@ -11042,3 +11042,135 @@ def events_growth_accounting(sf_dir: str) -> pa.Table:
              agg["n_resurrected"].to_numpy(dtype=np.int64))}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Month-of-year revenue profile for orders
+# ---------------------------------------------------------------------------
+def orders_month_profile(sf_dir: str) -> pa.Table:
+    """Annual seasonality of order revenue: exact per month-of-year
+    (1-12) revenue cents and share -- the fiscal-planning profile
+    (events' diurnal profile, lifted to the orders fact and the
+    yearly cycle).  Returns ``(month_of_year, revenue_cents,
+    share_e6)`` for observed months.
+
+    Scale shape: per-block 12-bounded revenue partials -> tiny
+    groupby -> O(12) driver shares."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    part_schema = pa.schema([("moy", pa.int64()), ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        od = _ts_i64(t.column("o_orderdate"))
+        months = (od.astype("datetime64[us]").astype("datetime64[M]")
+                  .view(np.int64))
+        moy = months % 12 + 1
+        cents = _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
+        order = np.argsort(moy, kind="stable")
+        ms, cs = moy[order], cents[order]
+        starts, _ = _segment_starts(ms)
+        return pa.table(
+            {"moy": pa.array(ms[starts]),
+             "cents": pa.array(np.add.reduceat(cs, starts))},
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("moy").sum("cents").to_pandas()
+    )
+    agg.columns = ["moy", "cents"]
+    agg = agg.sort_values("moy", ignore_index=True)
+    total = int(agg["cents"].sum())
+    c = agg["cents"].to_numpy(dtype=np.int64)
+    share = np.array([10**6 * int(x) // total for x in c], np.int64)
+    return pa.table(
+        {"month_of_year": pa.array(agg["moy"].to_numpy(dtype=np.int64)),
+         "revenue_cents": pa.array(c),
+         "share_e6": pa.array(share)}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Power-user listing: users at or above the P99 activity cutoff
+# ---------------------------------------------------------------------------
+def events_power_users(sf_dir: str, pct: int = 99) -> pa.Table:
+    """The power-user roster: users whose event count reaches the
+    exact ``pct``-th lower-quantile cutoff of the per-user count
+    distribution (threshold from ``events_user_count_quantiles``'s
+    histogram machinery, then a filtered second pass) -- the
+    order-statistic-then-broadcast-threshold pattern.  Returns
+    ``(user_id, n_events)``, count desc then user asc.
+
+    Scale shape: pass 1 = per-user counts + count-of-counts
+    histogram (dimension-bounded) -> driver cutoff scalar; pass 2
+    re-folds per-user counts and filters >= cutoff -- output is
+    roster-sized by construction (~1% of users)."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    part_schema = pa.schema([("user_id", pa.int64()), ("c", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        us = u[order]
+        starts, lens = _segment_starts(us)
+        return pa.table(
+            {"user_id": pa.array(us[starts]),
+             "c": pa.array(lens.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id").sum("c").materialize()
+    )
+
+    hist_schema = pa.schema([("c", pa.int64()), ("n", pa.int64())])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        c = t.column("sum(c)").to_numpy(zero_copy_only=False)
+        order = np.argsort(c, kind="stable")
+        cs = c[order]
+        starts, lens = _segment_starts(cs)
+        return pa.table(
+            {"c": pa.array(cs[starts]),
+             "n": pa.array(lens.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    hist = (
+        counts.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c").sum("n").to_pandas()
+    )
+    hist.columns = ["c", "n"]
+    hist = hist.sort_values("c", ignore_index=True)
+    vals = hist["c"].to_numpy(dtype=np.int64)
+    cnts = hist["n"].to_numpy(dtype=np.int64)
+    n_users = int(cnts.sum())
+    cum = np.cumsum(cnts)
+    cutoff = int(vals[np.searchsorted(cum, -(-n_users * pct // 100),
+                                      side="left")])
+
+    def above(t: pa.Table) -> pa.Table:
+        c = t.column("sum(c)").to_numpy(zero_copy_only=False)
+        keep = c >= cutoff
+        return pa.table(
+            {"user_id": t.column("user_id").filter(pa.array(keep)),
+             "n_events": pa.array(c[keep])}
+        )
+
+    roster = counts.map_batches(above, batch_format="pyarrow").to_pandas()
+    roster = roster.sort_values(["n_events", "user_id"],
+                                ascending=[False, True],
+                                ignore_index=True)
+    return pa.table(
+        {"user_id": pa.array(roster["user_id"].to_numpy(dtype=np.int64)),
+         "n_events": pa.array(roster["n_events"].to_numpy(dtype=np.int64))}
+    )

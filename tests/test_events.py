@@ -3184,3 +3184,44 @@ def test_events_growth_accounting_classes(ray_session, tmp_path):
     assert got[1]["n_new"] == 1 and got[1]["n_retained"] == 1
     assert got[3]["n_resurrected"] == 1 and got[3]["n_new"] == 0
     assert len(out) == 3
+
+
+def test_orders_month_profile_shares(ray_session, tmp_path):
+    d = dt.datetime
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+             "o_custkey": pa.array([1] * 3, pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+             # Jan: 30.00 (two years pooled), Jul: 10.00
+             "o_totalprice": pa.array([10.0, 20.0, 10.0], pa.float64()),
+             "o_orderdate": pa.array(
+                 [d(2020, 1, 5), d(2021, 1, 9), d(2020, 7, 1)],
+                 pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 3, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = {r["month_of_year"]: r
+           for r in ev.orders_month_profile(str(tmp_path)).to_pylist()}
+    assert out[1]["revenue_cents"] == 3000
+    assert out[1]["share_e6"] == 750000
+    assert out[7]["share_e6"] == 250000
+    assert len(out) == 2
+
+
+def test_events_power_users_cutoff(ray_session, tmp_path):
+    # counts 1..10 over 10 users; p99 rank = ceil(9.9) = 10 -> cutoff
+    # is the max count: only user 10 qualifies
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        for _ in range(u):
+            eid += 1
+            rows.append((eid, u, eid * 1.0, "a", 0.0))
+    sf = make_events(tmp_path, rows)
+    out = ev.events_power_users(sf).to_pylist()
+    assert out == [{"user_id": 10, "n_events": 10}]
+    # pct=80: cutoff = count at rank 8 (=8) -> users 8, 9, 10
+    out80 = ev.events_power_users(sf, pct=80).to_pylist()
+    assert [r["user_id"] for r in out80] == [10, 9, 8]
