@@ -1307,6 +1307,35 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Rate-limit audit over per-(user, minute) burst counts.
+_RATE_LIMIT_SQL = """
+WITH um AS (
+  SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_user_minutes,
+       (count(*) FILTER (WHERE c > 3))::BIGINT AS n_over_limit,
+       max(c)::BIGINT AS max_per_minute
+FROM um
+"""
+
+# Split shipments: orders with > 1 distinct ship date.
+_SPLIT_SHIP_SQL = """
+WITH od AS (
+  SELECT l_orderkey,
+         count(DISTINCT epoch_us(l_shipdate) // 86400000000)::BIGINT
+           AS nd
+  FROM lineitem GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_orders,
+       (count(*) FILTER (WHERE nd > 1))::BIGINT AS n_split,
+       CAST(1000000 * (count(*) FILTER (WHERE nd > 1)) // count(*)
+            AS BIGINT) AS split_e6,
+       max(nd)::BIGINT AS max_ship_dates
+FROM od
+"""
+
 # Annual month-of-year revenue profile.
 _MONTH_PROFILE_SQL = """
 WITH o AS (
@@ -4710,6 +4739,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_month_profile": ev.orders_month_profile,
         # power-user roster at the exact P99 activity cutoff
         "events_power_users": ev.events_power_users,
+        # per-minute burst ceilings (abuse screen)
+        "events_rate_limit_audit": ev.events_rate_limit_audit,
+        # fulfillment fragmentation (distinct ship dates per order)
+        "orders_split_shipments": ev.orders_split_shipments,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4960,6 +4993,8 @@ def oracle_sql() -> dict[str, str]:
         "events_growth_accounting": _GROWTH_SQL,
         "orders_month_profile": _MONTH_PROFILE_SQL,
         "events_power_users": _POWER_USERS_SQL,
+        "events_rate_limit_audit": _RATE_LIMIT_SQL,
+        "orders_split_shipments": _SPLIT_SHIP_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -269,6 +269,8 @@ def run_bench() -> dict:
         ("events_growth_accounting", evops.events_growth_accounting),
         ("orders_month_profile", evops.orders_month_profile),
         ("events_power_users", evops.events_power_users),
+        ("events_rate_limit_audit", evops.events_rate_limit_audit),
+        ("orders_split_shipments", evops.orders_split_shipments),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

@@ -11174,3 +11174,157 @@ def events_power_users(sf_dir: str, pct: int = 99) -> pa.Table:
         {"user_id": pa.array(roster["user_id"].to_numpy(dtype=np.int64)),
          "n_events": pa.array(roster["n_events"].to_numpy(dtype=np.int64))}
     )
+
+
+# ---------------------------------------------------------------------------
+# Rate-limit audit: per-user per-minute burst ceilings
+# ---------------------------------------------------------------------------
+def events_rate_limit_audit(sf_dir: str, limit: int = 3) -> pa.Table:
+    """Abuse/bot screen: per (user, minute) event counts -- how many
+    user-minutes exist, how many exceed ``limit`` events, and the
+    hottest burst observed.  Returns one row ``(n_user_minutes,
+    n_over_limit, max_per_minute)``.
+
+    Scale shape: per-block (user, minute) count partials -> ONE pair
+    ``groupby.sum`` (bounded by distinct user-minutes) -> per-block
+    scalar partials -> driver fold."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    MIN_US = np.int64(60 * _US)
+
+    part_schema = pa.schema(
+        [("user_id", pa.int64()), ("minute", pa.int64()), ("c", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _ts_i64(t.column("ts")) // MIN_US
+        order = np.lexsort((m, u))
+        us, ms = u[order], m[order]
+        brk = np.concatenate(
+            [[True], (us[1:] != us[:-1]) | (ms[1:] != ms[:-1])]
+        )
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, len(us)))
+        return pa.table(
+            {"user_id": pa.array(us[starts]),
+             "minute": pa.array(ms[starts]),
+             "c": pa.array(lens.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    stat_schema = pa.schema(
+        [("n_um", pa.int64()), ("n_over", pa.int64()), ("mx", pa.int64())]
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return stat_schema.empty_table()
+        c = t.column("sum(c)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"n_um": pa.array([len(c)], pa.int64()),
+             "n_over": pa.array([int((c > limit).sum())], pa.int64()),
+             "mx": pa.array([int(c.max())], pa.int64())},
+            schema=stat_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "minute"]).sum("c")
+        .map_batches(stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table(
+        {"n_user_minutes": pa.array([int(agg["n_um"].sum())], pa.int64()),
+         "n_over_limit": pa.array([int(agg["n_over"].sum())], pa.int64()),
+         "max_per_minute": pa.array(
+             [int(agg["mx"].max()) if len(agg) else 0], pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-shipment rate: orders shipped on more than one date
+# ---------------------------------------------------------------------------
+def orders_split_shipments(sf_dir: str) -> pa.Table:
+    """Fulfillment fragmentation: how many orders ship on MORE THAN
+    ONE distinct date -- ``(n_orders, n_split, split_e6,
+    max_ship_dates)`` with the rate as ``floor(1e6 *
+    n_split/n_orders)`` over orders that ship at all.
+
+    Scale shape: the fd_check one-exchange shape -- per-block
+    DISTINCT (orderkey, shipdate) combiner -> orderkey hash exchange
+    -> per-block dedupe + distinct-date counts folded to scalars."""
+    n_li, _ = _table_meta(sf_dir, "lineitem")
+    P = _exchange_width(n_li)
+    gd = _new_guard_dir("splitship")
+    DAY_US = np.int64(86_400 * _US)
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    pair_schema = pa.schema(
+        [("k", pa.int64()), ("d", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        d = _ts_i64(t.column("l_shipdate")) // DAY_US
+        order = np.lexsort((d, k))
+        ks, ds_ = k[order], d[order]
+        keep = np.concatenate(
+            [[True], (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])]
+        )
+        ks, ds_ = ks[keep], ds_[keep]
+        return pa.table(
+            {"k": pa.array(ks), "d": pa.array(ds_),
+             "_p": pa.array(partition_ids(pa.array(ks), P))},
+            schema=pair_schema,
+        )
+
+    stat_schema = pa.schema(
+        [("n_orders", pa.int64()), ("n_split", pa.int64()),
+         ("mx", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return stat_schema.empty_table()
+        _guard_record(
+            gd, "ss", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, k))
+        ks, ds_ = k[order], d[order]
+        keep = np.concatenate(
+            [[True], (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])]
+        )
+        ks = ks[keep]
+        starts, lens = _segment_starts(ks)
+        return pa.table(
+            {"n_orders": pa.array([len(starts)], pa.int64()),
+             "n_split": pa.array([int((lens > 1).sum())], pa.int64()),
+             "mx": pa.array([int(lens.max())], pa.int64())},
+            schema=stat_schema,
+        )
+
+    agg = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    n_orders = int(agg["n_orders"].sum())
+    n_split = int(agg["n_split"].sum())
+    out = pa.table(
+        {"n_orders": pa.array([n_orders], pa.int64()),
+         "n_split": pa.array([n_split], pa.int64()),
+         "split_e6": pa.array(
+             [10**6 * n_split // n_orders if n_orders else 0], pa.int64()),
+         "max_ship_dates": pa.array(
+             [int(agg["mx"].max()) if len(agg) else 0], pa.int64())}
+    )
+    return _finalize_guard(gd, out)

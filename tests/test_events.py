@@ -3225,3 +3225,39 @@ def test_events_power_users_cutoff(ray_session, tmp_path):
     # pct=80: cutoff = count at rank 8 (=8) -> users 8, 9, 10
     out80 = ev.events_power_users(sf, pct=80).to_pylist()
     assert [r["user_id"] for r in out80] == [10, 9, 8]
+
+
+def test_events_rate_limit_audit_bursts(ray_session, tmp_path):
+    m = 1.0
+    rows = [
+        # u1 minute 0: 4 events (over limit 3); u1 minute 1: 1;
+        # u2 minute 0: 2
+        (1, 1, 0.1 * m, "a", 0.0), (2, 1, 0.2 * m, "a", 0.0),
+        (3, 1, 0.3 * m, "a", 0.0), (4, 1, 0.4 * m, "a", 0.0),
+        (5, 1, 1.5 * m, "a", 0.0),
+        (6, 2, 0.5 * m, "a", 0.0), (7, 2, 0.6 * m, "a", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_rate_limit_audit(sf).to_pylist()[0]
+    assert out == {"n_user_minutes": 3, "n_over_limit": 1,
+                   "max_per_minute": 4}
+
+
+def test_orders_split_shipments_distinct_dates(ray_session, tmp_path):
+    d = dt.datetime
+    pq.write_table(
+        pa.table(
+            # order 1 ships on 2 dates (one date repeated); order 2
+            # single date; order 3 three dates
+            {"l_orderkey": pa.array([1, 1, 1, 2, 3, 3, 3], pa.int64()),
+             "l_shipdate": pa.array(
+                 [d(2024, 1, 1), d(2024, 1, 1), d(2024, 1, 5),
+                  d(2024, 2, 1),
+                  d(2024, 3, 1), d(2024, 3, 2), d(2024, 3, 3)],
+                 pa.timestamp("us"))}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = ev.orders_split_shipments(str(tmp_path)).to_pylist()[0]
+    assert out == {"n_orders": 3, "n_split": 2,
+                   "split_e6": 666666, "max_ship_dates": 3}
