@@ -1307,6 +1307,43 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Fulfillment latency histogram (first ship date, -1 = never ships).
+_FULFILL_SQL = """
+WITH s AS (
+  SELECT l_orderkey, min(epoch_us(l_shipdate)) AS first_ship
+  FROM lineitem GROUP BY 1
+),
+d AS (
+  SELECT CASE WHEN s.first_ship IS NULL THEN -1
+              ELSE (s.first_ship - epoch_us(o.o_orderdate))
+                   // 86400000000
+         END::BIGINT AS latency_days
+  FROM orders o LEFT JOIN s ON s.l_orderkey = o.o_orderkey
+)
+SELECT latency_days, count(*)::BIGINT AS n_orders
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+# Longest consecutive-day activity streak per user (gaps-and-islands).
+_STREAK_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+  FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS g
+  FROM ud
+),
+runs AS (
+  SELECT user_id, count(*)::BIGINT AS len
+  FROM isl GROUP BY user_id, g
+),
+best AS (SELECT user_id, max(len) AS streak FROM runs GROUP BY 1)
+SELECT streak::BIGINT AS streak_days, count(*)::BIGINT AS n_users
+FROM best GROUP BY 1 ORDER BY 1
+"""
+
 # Rate-limit audit over per-(user, minute) burst counts.
 _RATE_LIMIT_SQL = """
 WITH um AS (
@@ -4743,6 +4780,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rate_limit_audit": ev.events_rate_limit_audit,
         # fulfillment fragmentation (distinct ship dates per order)
         "orders_split_shipments": ev.orders_split_shipments,
+        # order -> first-shipment latency histogram
+        "orders_fulfillment_latency": ev.orders_fulfillment_latency,
+        # longest consecutive-day streak histogram
+        "events_streak_histogram": ev.events_streak_histogram,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -4995,6 +5036,8 @@ def oracle_sql() -> dict[str, str]:
         "events_power_users": _POWER_USERS_SQL,
         "events_rate_limit_audit": _RATE_LIMIT_SQL,
         "orders_split_shipments": _SPLIT_SHIP_SQL,
+        "orders_fulfillment_latency": _FULFILL_SQL,
+        "events_streak_histogram": _STREAK_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

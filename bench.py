@@ -271,6 +271,9 @@ def run_bench() -> dict:
         ("events_power_users", evops.events_power_users),
         ("events_rate_limit_audit", evops.events_rate_limit_audit),
         ("orders_split_shipments", evops.orders_split_shipments),
+        ("orders_fulfillment_latency",
+         evops.orders_fulfillment_latency),
+        ("events_streak_histogram", evops.events_streak_histogram),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

@@ -11328,3 +11328,212 @@ def orders_split_shipments(sf_dir: str) -> pa.Table:
              [int(agg["mx"].max()) if len(agg) else 0], pa.int64())}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment latency: order date -> first shipment, histogram
+# ---------------------------------------------------------------------------
+def orders_fulfillment_latency(sf_dir: str) -> pa.Table:
+    """Fulfillment speed: whole days from ``o_orderdate`` to the
+    order's FIRST line-item shipment, histogrammed as
+    ``(latency_days, n_orders)``; orders that never ship land in
+    the ``-1`` bucket (the conversion-latency shape on the orders
+    fact).
+
+    Scale shape: per-block per-key min-shipdate partials -> ONE
+    orderkey exchange joining order rows with their min-fold ->
+    per-block histogram partials -> tiny fold."""
+    n_li, _ = _table_meta(sf_dir, "lineitem")
+    n_or, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_li + n_or)
+    gd = _new_guard_dir("fulfill")
+    DAY_US = np.int64(86_400 * _US)
+    SENT = np.int64(1 << 62)
+
+    e = pa.schema(
+        [("_k", pa.int64()), ("_side", pa.int8()), ("_ts", pa.int64()),
+         ("_p", pa.int64())]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return e.empty_table()
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sd = _ts_i64(t.column("l_shipdate"))
+        order = np.argsort(k, kind="stable")
+        ks, sds = k[order], sd[order]
+        starts, _ = _segment_starts(ks)
+        keys = ks[starts]
+        return pa.table(
+            {"_k": pa.array(keys),
+             "_side": pa.array(np.ones(len(keys), np.int8)),
+             "_ts": pa.array(np.minimum.reduceat(sds, starts)),
+             "_p": pa.array(partition_ids(pa.array(keys), P))},
+            schema=e,
+        )
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return e.empty_table()
+        k = t.column("o_orderkey").cast(pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {"_k": k, "_side": pa.array(np.zeros(n, np.int8)),
+             "_ts": pa.array(_ts_i64(t.column("o_orderdate"))),
+             "_p": pa.array(partition_ids(k, P))},
+            schema=e,
+        )
+
+    hist_schema = pa.schema(
+        [("latency_days", pa.int64()), ("n_orders", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        _guard_record(
+            gd, "ful", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        k = t.column("_k").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        ts = t.column("_ts").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, k))  # order row first per key
+        k, side, ts = k[order], side[order], ts[order]
+        starts, lens = _segment_starts(k)
+        has_order = side[starts] == 0
+        # min over kind-1 partials; sentinel when none ship
+        ship_min = np.full(len(starts), SENT, np.int64)
+        seg_id = np.cumsum(
+            np.concatenate([[0], (k[1:] != k[:-1]).astype(np.int64)])
+        )
+        is_li = side == 1
+        np.minimum.at(ship_min, seg_id[is_li], ts[is_li])
+        od = ts[starts]
+        keep = has_order
+        lat = np.where(ship_min[keep] >= SENT, np.int64(-1),
+                       (ship_min[keep] - od[keep]) // DAY_US)
+        order2 = np.argsort(lat, kind="stable")
+        ls = lat[order2]
+        s2, l2 = _segment_starts(ls)
+        return pa.table(
+            {"latency_days": pa.array(ls[s2]),
+             "n_orders": pa.array(l2.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+            .map_batches(o_rows, batch_format="pyarrow")
+        )
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("latency_days").sum("n_orders")
+        .to_pandas()
+    )
+    agg.columns = ["latency_days", "n_orders"]
+    agg = agg.sort_values("latency_days", ignore_index=True)
+    out = pa.table(
+        {"latency_days": pa.array(
+            agg["latency_days"].to_numpy(dtype=np.int64)),
+         "n_orders": pa.array(agg["n_orders"].to_numpy(dtype=np.int64))}
+    )
+    return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Longest daily-activity streak per user, histogrammed
+# ---------------------------------------------------------------------------
+def events_streak_histogram(sf_dir: str) -> pa.Table:
+    """Habit-strength report: each user's LONGEST run of consecutive
+    active days (gaps-and-islands), histogrammed as ``(streak_days,
+    n_users)``.
+
+    Scale shape: per-block DISTINCT (user, day) combiner -> ONE user
+    hash exchange -> per-user sorted-day sweep finding the longest
+    island -> per-block histogram partials -> tiny fold."""
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("streak")
+    DAY_US = np.int64(86_400 * _US)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    pair_schema = pa.schema(
+        [("user_id", pa.int64()), ("day", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def distinct_ud(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = _ts_i64(t.column("ts")) // DAY_US
+        order = np.lexsort((d, u))
+        us, ds_ = u[order], d[order]
+        keep = np.concatenate(
+            [[True], (us[1:] != us[:-1]) | (ds_[1:] != ds_[:-1])]
+        )
+        us, ds_ = us[keep], ds_[keep]
+        return pa.table(
+            {"user_id": pa.array(us), "day": pa.array(ds_),
+             "_p": pa.array(partition_ids(pa.array(us), P))},
+            schema=pair_schema,
+        )
+
+    hist_schema = pa.schema(
+        [("streak_days", pa.int64()), ("n_users", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        _guard_record(
+            gd, "stk", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        )
+        u, d = u[keep], d[keep]
+        # islands: run breaks where user changes or day jumps
+        brk = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)]
+        )
+        run_id = np.cumsum(brk) - 1
+        run_len = np.bincount(run_id)
+        # longest run per user: runs are contiguous per user
+        run_user = u[np.flatnonzero(brk)]
+        order2 = np.argsort(run_user, kind="stable")
+        ru, rl = run_user[order2], run_len[order2]
+        starts, _ = _segment_starts(ru)
+        best = np.maximum.reduceat(rl, starts)
+        o3 = np.argsort(best, kind="stable")
+        bs = best[o3]
+        s3, l3 = _segment_starts(bs)
+        return pa.table(
+            {"streak_days": pa.array(bs[s3].astype(np.int64)),
+             "n_users": pa.array(l3.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    agg = (
+        ds.map_batches(distinct_ud, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("streak_days").sum("n_users")
+        .to_pandas()
+    )
+    agg.columns = ["streak_days", "n_users"]
+    agg = agg.sort_values("streak_days", ignore_index=True)
+    out = pa.table(
+        {"streak_days": pa.array(
+            agg["streak_days"].to_numpy(dtype=np.int64)),
+         "n_users": pa.array(agg["n_users"].to_numpy(dtype=np.int64))}
+    )
+    return _finalize_guard(gd, out)

@@ -3261,3 +3261,52 @@ def test_orders_split_shipments_distinct_dates(ray_session, tmp_path):
     out = ev.orders_split_shipments(str(tmp_path)).to_pylist()[0]
     assert out == {"n_orders": 3, "n_split": 2,
                    "split_e6": 666666, "max_ship_dates": 3}
+
+
+def test_orders_fulfillment_latency_buckets(ray_session, tmp_path):
+    d = dt.datetime
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+             "o_custkey": pa.array([1] * 3, pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+             "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+             "o_orderdate": pa.array(
+                 [d(2024, 1, 1), d(2024, 1, 1), d(2024, 1, 1)],
+                 pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 3, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            # order 1: first ship day 3 (later day 9 ignored);
+            # order 2: same-day; order 3: never ships -> -1
+            {"l_orderkey": pa.array([1, 1, 2], pa.int64()),
+             "l_shipdate": pa.array(
+                 [d(2024, 1, 4), d(2024, 1, 10), d(2024, 1, 1)],
+                 pa.timestamp("us"))}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = {r["latency_days"]: r["n_orders"]
+           for r in ev.orders_fulfillment_latency(str(tmp_path))
+           .to_pylist()}
+    assert out == {-1: 1, 0: 1, 3: 1}
+
+
+def test_events_streak_histogram_islands(ray_session, tmp_path):
+    day = 1440.0
+    rows = [
+        # u1: days 0,1,2 then 5 -> longest 3
+        (1, 1, 0.0, "a", 0.0), (2, 1, 1 * day, "a", 0.0),
+        (3, 1, 2 * day, "a", 0.0), (4, 1, 5 * day, "a", 0.0),
+        # u2: single day -> 1
+        (5, 2, 0.0, "a", 0.0),
+        # u3: days 3,4 -> 2
+        (6, 3, 3 * day, "a", 0.0), (7, 3, 4 * day, "a", 0.0),
+    ]
+    sf = make_events(tmp_path, rows)
+    out = {r["streak_days"]: r["n_users"]
+           for r in ev.events_streak_histogram(sf).to_pylist()}
+    assert out == {1: 1, 2: 1, 3: 1}
