@@ -1307,6 +1307,23 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Effective tax incidence: ratio of sums in exact cents.
+_TAX_INCIDENCE_SQL = """
+WITH x AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(floor(l_extendedprice * l_tax * 100) AS BIGINT) AS tc
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag, sum(pc)::BIGINT AS price, sum(tc)::BIGINT AS tax
+  FROM x GROUP BY 1
+)
+SELECT l_returnflag, price AS sum_price_cents, tax AS sum_tax_cents,
+       CAST(1000000 * tax::HUGEINT // price AS BIGINT) AS rate_e6
+FROM g ORDER BY l_returnflag
+"""
+
 # Fulfillment latency histogram (first ship date, -1 = never ships).
 _FULFILL_SQL = """
 WITH s AS (
@@ -4784,6 +4801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fulfillment_latency": ev.orders_fulfillment_latency,
         # longest consecutive-day streak histogram
         "events_streak_histogram": ev.events_streak_histogram,
+        # ratio-of-sums effective tax rate per return flag
+        "lineitem_tax_incidence": ev.lineitem_tax_incidence,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -5038,6 +5057,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_split_shipments": _SPLIT_SHIP_SQL,
         "orders_fulfillment_latency": _FULFILL_SQL,
         "events_streak_histogram": _STREAK_SQL,
+        "lineitem_tax_incidence": _TAX_INCIDENCE_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -274,6 +274,7 @@ def run_bench() -> dict:
         ("orders_fulfillment_latency",
          evops.orders_fulfillment_latency),
         ("events_streak_histogram", evops.events_streak_histogram),
+        ("lineitem_tax_incidence", evops.lineitem_tax_incidence),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

@@ -11537,3 +11537,58 @@ def events_streak_histogram(sf_dir: str) -> pa.Table:
          "n_users": pa.array(agg["n_users"].to_numpy(dtype=np.int64))}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Effective tax incidence per return flag
+# ---------------------------------------------------------------------------
+def lineitem_tax_incidence(sf_dir: str) -> pa.Table:
+    """Effective tax rate per ``l_returnflag``: exact per-row tax
+    cents (``floor(extprice * tax * 100)``) over exact price cents,
+    as ``rate_e6 = floor(1e6 * sum_tax / sum_price)`` -- the
+    weighted-ratio rollup (a mean of ratios would be wrong; this is
+    the ratio of sums).  Returns ``(l_returnflag, sum_price_cents,
+    sum_tax_cents, rate_e6)``.
+
+    Scale shape: per-block (flag -> two sums) partials, flag-bounded
+    groupby, O(flags) driver division."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_tax"])
+
+    part_schema = pa.schema(
+        [("l_returnflag", pa.string()), ("price", pa.int64()),
+         ("tax", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        fl = np.asarray(t.column("l_returnflag").to_pylist(), dtype=object)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        tax = t.column("l_tax").to_numpy(zero_copy_only=False)
+        pc = _cents(price)
+        tc = np.floor(price * tax * 100.0).astype(np.int64)
+        order, starts, _ = _group_segments(fl)
+        return pa.table(
+            {"l_returnflag": pa.array(list(fl[order][starts]), pa.string()),
+             "price": pa.array(np.add.reduceat(pc[order], starts)),
+             "tax": pa.array(np.add.reduceat(tc[order], starts))},
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag").sum(["price", "tax"]).to_pandas()
+    )
+    agg.columns = ["l_returnflag", "price", "tax"]
+    agg = agg.sort_values("l_returnflag", ignore_index=True)
+    pr = agg["price"].to_numpy(dtype=np.int64)
+    tx = agg["tax"].to_numpy(dtype=np.int64)
+    rate = np.array([10**6 * int(t) // int(p) for t, p in zip(tx, pr)],
+                    np.int64)
+    return pa.table(
+        {"l_returnflag": pa.array(agg["l_returnflag"], pa.string()),
+         "sum_price_cents": pa.array(pr),
+         "sum_tax_cents": pa.array(tx),
+         "rate_e6": pa.array(rate)}
+    )

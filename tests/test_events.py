@@ -3310,3 +3310,23 @@ def test_events_streak_histogram_islands(ray_session, tmp_path):
     out = {r["streak_days"]: r["n_users"]
            for r in ev.events_streak_histogram(sf).to_pylist()}
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_lineitem_tax_incidence_ratio_of_sums(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            # flag A: prices 100, 200 with tax 0.10, 0.05 ->
+            # tax cents = 1000, 1000; rate = 2000/30000
+            {"l_returnflag": pa.array(["A", "A", "B"], pa.string()),
+             "l_extendedprice": pa.array([100.0, 200.0, 50.0],
+                                         pa.float64()),
+             "l_tax": pa.array([0.10, 0.05, 0.0], pa.float64())}
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = {r["l_returnflag"]: r
+           for r in ev.lineitem_tax_incidence(str(tmp_path)).to_pylist()}
+    a = out["A"]
+    assert (a["sum_price_cents"], a["sum_tax_cents"]) == (30000, 2000)
+    assert a["rate_e6"] == 10**6 * 2000 // 30000
+    assert out["B"]["rate_e6"] == 0
