@@ -1307,6 +1307,47 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Signed squared Pearson correlation between type series (no sqrt).
+_TYPE_CORR2_SQL = """
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS hour
+  FROM events
+),
+g AS (SELECT event_type, hour, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM b),
+types AS (SELECT DISTINCT event_type FROM b),
+grid AS (
+  SELECT t.event_type, bo.lo + u.i AS hour
+  FROM types t CROSS JOIN bounds bo
+  CROSS JOIN (
+    SELECT unnest(range(0, (SELECT hi - lo + 1 FROM bounds)))::BIGINT AS i
+  ) u
+),
+dense AS (
+  SELECT grid.event_type, grid.hour, coalesce(g.c, 0)::BIGINT AS c
+  FROM grid LEFT JOIN g USING (event_type, hour)
+),
+p AS (
+  SELECT a.event_type AS ta, b2.event_type AS tb,
+         count(*)::HUGEINT AS t,
+         sum(a.c)::HUGEINT AS sa, sum(b2.c)::HUGEINT AS sb,
+         sum(a.c::HUGEINT * b2.c) AS sxy,
+         sum(a.c::HUGEINT * a.c) AS saa,
+         sum(b2.c::HUGEINT * b2.c) AS sbb
+  FROM dense a JOIN dense b2
+    ON a.hour = b2.hour AND a.event_type < b2.event_type
+  GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(CASE WHEN (t*saa - sa*sa) * (t*sbb - sb*sb) = 0 THEN 0
+                 ELSE sign(t*sxy - sa*sb) END AS BIGINT) AS sign,
+       CAST(CASE WHEN (t*saa - sa*sa) * (t*sbb - sb*sb) = 0 THEN 0
+                 ELSE (1000000 * (t*sxy - sa*sb) * (t*sxy - sa*sb))
+                      // ((t*saa - sa*sa) * (t*sbb - sb*sb))
+            END AS BIGINT) AS corr2_e6
+FROM p ORDER BY 1, 2
+"""
+
 # Effective tax incidence: ratio of sums in exact cents.
 _TAX_INCIDENCE_SQL = """
 WITH x AS (
@@ -4803,6 +4844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_streak_histogram": ev.events_streak_histogram,
         # ratio-of-sums effective tax rate per return flag
         "lineitem_tax_incidence": ev.lineitem_tax_incidence,
+        # co-movement matrix: signed corr^2 between type series
+        "events_type_corr2": ev.events_type_corr2,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -5058,6 +5101,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_fulfillment_latency": _FULFILL_SQL,
         "events_streak_histogram": _STREAK_SQL,
         "lineitem_tax_incidence": _TAX_INCIDENCE_SQL,
+        "events_type_corr2": _TYPE_CORR2_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

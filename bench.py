@@ -275,6 +275,7 @@ def run_bench() -> dict:
          evops.orders_fulfillment_latency),
         ("events_streak_histogram", evops.events_streak_histogram),
         ("lineitem_tax_incidence", evops.lineitem_tax_incidence),
+        ("events_type_corr2", evops.events_type_corr2),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

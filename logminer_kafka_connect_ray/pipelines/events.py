@@ -11592,3 +11592,88 @@ def lineitem_tax_incidence(sf_dir: str) -> pa.Table:
          "sum_tax_cents": pa.array(tx),
          "rate_e6": pa.array(rate)}
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-movement: signed squared correlation between type series
+# ---------------------------------------------------------------------------
+def events_type_corr2(sf_dir: str) -> pa.Table:
+    """Which metrics move together: for every pair of event types,
+    the SIGNED squared Pearson correlation of their dense hourly
+    count series -- ``corr^2 = cov^2 / (var_a * var_b)`` stays an
+    exact integer ratio (no sqrt; the cos^2 trick on centered
+    series), the sign rides separately as ``sign(cov)``.  Returns
+    ``(type_a, type_b, sign, corr2_e6)``, ``type_a < type_b``.
+
+    Scale shape: ONE dim-bounded (type, hour) fold (the shared
+    series contract); all pairwise sufficient statistics are
+    O(types^2 * series) driver math in arbitrary-precision ints."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("n_obs", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        hr = _ts_i64(t.column("ts")) // 3_600_000_000
+        key = np.asarray([f"{e}\x00{h}" for e, h in zip(et, hr)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "hour": pa.array(hr[order][starts]),
+             "n_obs": pa.array(counts.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum("n_obs")
+        .to_pandas()
+    )
+    merged.columns = ["event_type", "hour", "n_obs"]
+    out_schema = pa.schema(
+        [("type_a", pa.string()), ("type_b", pa.string()),
+         ("sign", pa.int64()), ("corr2_e6", pa.int64())]
+    )
+    if len(merged) == 0:
+        return out_schema.empty_table()
+    h_lo = int(merged["hour"].min())
+    h_hi = int(merged["hour"].max())
+    span = h_hi - h_lo + 1
+    series: dict[str, list[int]] = {}
+    for et, grp in merged.groupby("event_type", sort=True):
+        dense = [0] * span
+        for h, c in zip(grp["hour"].to_numpy(dtype=np.int64),
+                        grp["n_obs"].to_numpy(dtype=np.int64)):
+            dense[int(h) - h_lo] = int(c)
+        series[et] = dense
+    types = sorted(series)
+    rows = []
+    T = span
+    sums = {t: sum(series[t]) for t in types}
+    sq = {t: sum(v * v for v in series[t]) for t in types}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            sxy = sum(x * y for x, y in zip(series[a], series[b]))
+            cov = T * sxy - sums[a] * sums[b]
+            var_a = T * sq[a] - sums[a] ** 2
+            var_b = T * sq[b] - sums[b] ** 2
+            den = var_a * var_b
+            if den == 0:
+                rows.append((a, b, 0, 0))
+                continue
+            sign = 0 if cov == 0 else (1 if cov > 0 else -1)
+            rows.append((a, b, sign, 10**6 * cov * cov // den))
+    return pa.table(
+        {"type_a": pa.array([r[0] for r in rows], pa.string()),
+         "type_b": pa.array([r[1] for r in rows], pa.string()),
+         "sign": pa.array([r[2] for r in rows], pa.int64()),
+         "corr2_e6": pa.array([r[3] for r in rows], pa.int64())},
+        schema=out_schema,
+    )

@@ -3330,3 +3330,27 @@ def test_lineitem_tax_incidence_ratio_of_sums(ray_session, tmp_path):
     assert (a["sum_price_cents"], a["sum_tax_cents"]) == (30000, 2000)
     assert a["rate_e6"] == 10**6 * 2000 // 30000
     assert out["B"]["rate_e6"] == 0
+
+
+def test_events_type_corr2_signed(ray_session, tmp_path):
+    h = 60.0
+    rows = []
+    eid = 0
+    # a and b perfectly anti-phased over 2 hours: a=[2,0], b=[0,2]
+    for _ in range(2):
+        eid += 1
+        rows.append((eid, 1, 0.5 * h, "a", 0.0))
+    for _ in range(2):
+        eid += 1
+        rows.append((eid, 1, 1.5 * h, "b", 0.0))
+    # c tracks a exactly: c=[2,0]
+    for _ in range(2):
+        eid += 1
+        rows.append((eid, 2, 0.5 * h, "c", 0.0))
+    sf = make_events(tmp_path, rows)
+    out = {(r["type_a"], r["type_b"]): r
+           for r in ev.events_type_corr2(sf).to_pylist()}
+    assert out[("a", "b")]["sign"] == -1
+    assert out[("a", "b")]["corr2_e6"] == 1_000_000
+    assert out[("a", "c")]["sign"] == 1
+    assert out[("a", "c")]["corr2_e6"] == 1_000_000
