@@ -1307,6 +1307,35 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Double-median quadrants: balance x order count, lower medians.
+_QUADRANTS_SQL = """
+WITH pc AS (
+  SELECT c.c_custkey, CAST(floor(c.c_acctbal * 100) AS BIGINT) AS bal,
+         count(o.o_orderkey)::BIGINT AS cnt
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+mb AS (
+  SELECT bal AS v FROM (
+    SELECT bal, row_number() OVER (ORDER BY bal) AS rn,
+           count(*) OVER () AS n FROM pc
+  ) WHERE rn = (n + 1) // 2
+),
+mc AS (
+  SELECT cnt AS v FROM (
+    SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn,
+           count(*) OVER () AS n FROM pc
+  ) WHERE rn = (n + 1) // 2
+),
+q AS (
+  SELECT (CASE WHEN pc.bal > mb.v THEN 'h' ELSE 'l' END)
+         || (CASE WHEN pc.cnt > mc.v THEN 'h' ELSE 'l' END) AS quadrant
+  FROM pc CROSS JOIN mb CROSS JOIN mc
+)
+SELECT quadrant, count(*)::BIGINT AS n_customers
+FROM q GROUP BY 1 ORDER BY 1
+"""
+
 # Signed squared Pearson correlation between type series (no sqrt).
 _TYPE_CORR2_SQL = """
 WITH b AS (
@@ -4846,6 +4875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_tax_incidence": ev.lineitem_tax_incidence,
         # co-movement matrix: signed corr^2 between type series
         "events_type_corr2": ev.events_type_corr2,
+        # double-median quadrant segmentation
+        "customer_quadrants": ev.customer_quadrants,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -5102,6 +5133,7 @@ def oracle_sql() -> dict[str, str]:
         "events_streak_histogram": _STREAK_SQL,
         "lineitem_tax_incidence": _TAX_INCIDENCE_SQL,
         "events_type_corr2": _TYPE_CORR2_SQL,
+        "customer_quadrants": _QUADRANTS_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

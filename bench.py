@@ -276,6 +276,7 @@ def run_bench() -> dict:
         ("events_streak_histogram", evops.events_streak_histogram),
         ("lineitem_tax_incidence", evops.lineitem_tax_incidence),
         ("events_type_corr2", evops.events_type_corr2),
+        ("customer_quadrants", evops.customer_quadrants),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

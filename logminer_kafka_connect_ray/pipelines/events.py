@@ -11677,3 +11677,152 @@ def events_type_corr2(sf_dir: str) -> pa.Table:
          "corr2_e6": pa.array([r[3] for r in rows], pa.int64())},
         schema=out_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Quadrant segmentation: balance vs order frequency double median
+# ---------------------------------------------------------------------------
+def customer_quadrants(sf_dir: str) -> pa.Table:
+    """Double-median cross-classification: customers split at the
+    exact lower-median of account balance (cents) AND of their order
+    count (customers with no orders count 0), yielding the four
+    quadrants ``hh / hl / lh / ll`` (balance side first; "high" =
+    strictly above the median).  Returns ``(quadrant, n_customers)``
+    for non-empty quadrants.
+
+    Scale shape: two dimension-bounded histograms (balance values,
+    count-of-order-counts) give both medians exactly; ONE custkey
+    exchange tags each customer with its order count; the quadrant
+    classification is a stateless map folded to 4 counters."""
+    n_cust, _ = _table_meta(sf_dir, "customer")
+    n_or, _ = _table_meta(sf_dir, "orders")
+    P = _exchange_width(n_cust + n_or)
+    gd = _new_guard_dir("quad")
+
+    e = pa.schema(
+        [("_key", pa.int64()), ("_side", pa.int8()), ("_bal", pa.int64()),
+         ("_p", pa.int64())]
+    )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return e.empty_table()
+        ck = t.column("c_custkey").cast(pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {"_key": ck, "_side": pa.array(np.zeros(n, np.int8)),
+             "_bal": pa.array(_cents(
+                 t.column("c_acctbal").to_numpy(zero_copy_only=False))),
+             "_p": pa.array(partition_ids(ck, P))},
+            schema=e,
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return e.empty_table()
+        ck = t.column("o_custkey").cast(pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {"_key": ck, "_side": pa.array(np.ones(n, np.int8)),
+             "_bal": pa.array(np.zeros(n, np.int64)),
+             "_p": pa.array(partition_ids(ck, P))},
+            schema=e,
+        )
+
+    pc_schema = pa.schema(
+        [("bal", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        """(balance, order count) per customer -- the exchange
+        co-locates each custkey; order rows without a customer row
+        drop (FROM customer semantics)."""
+        if t.num_rows == 0:
+            return pc_schema.empty_table()
+        _guard_record(
+            gd, "quad", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        k = t.column("_key").to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        bal = t.column("_bal").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, k))
+        k, side, bal = k[order], side[order], bal[order]
+        starts, lens = _segment_starts(k)
+        is_cust = side[starts] == 0
+        n_orders = np.add.reduceat(side.astype(np.int64), starts)
+        return pa.table(
+            {"bal": pa.array(bal[starts][is_cust]),
+             "cnt": pa.array(n_orders[is_cust])},
+            schema=pc_schema,
+        )
+
+    pc = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+        .map_batches(cust_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", columns=["o_custkey"])
+            .map_batches(order_rows, batch_format="pyarrow")
+        )
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(per_cust, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+
+    def hist_of(col: str):
+        def h(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.schema(
+                    [("v", pa.int64()), ("n", pa.int64())]).empty_table()
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            order = np.argsort(v, kind="stable")
+            vs = v[order]
+            starts, lens = _segment_starts(vs)
+            return pa.table(
+                {"v": pa.array(vs[starts]),
+                 "n": pa.array(lens.astype(np.int64))}
+            )
+        df = (pc.map_batches(h, batch_format="pyarrow")
+              .groupby("v").sum("n").to_pandas())
+        df.columns = ["v", "n"]
+        df = df.sort_values("v", ignore_index=True)
+        vals = df["v"].to_numpy(dtype=np.int64)
+        cnts = df["n"].to_numpy(dtype=np.int64)
+        total = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        rank = -(-total // 2)  # lower median rank ceil(n/2)
+        return int(vals[np.searchsorted(cum, rank, side="left")])
+
+    med_bal = hist_of("bal")
+    med_cnt = hist_of("cnt")
+
+    q_schema = pa.schema([("quadrant", pa.string()), ("n", pa.int64())])
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return q_schema.empty_table()
+        bal = t.column("bal").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        hb = bal > med_bal
+        hc = cnt > med_cnt
+        code = hb.astype(np.int64) * 2 + hc.astype(np.int64)
+        counts = np.bincount(code, minlength=4)
+        names = np.array(["ll", "lh", "hl", "hh"], object)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"quadrant": pa.array(list(names[nz]), pa.string()),
+             "n": pa.array(counts[nz].astype(np.int64))},
+            schema=q_schema,
+        )
+
+    agg = (
+        pc.map_batches(classify, batch_format="pyarrow")
+        .groupby("quadrant").sum("n").to_pandas()
+    )
+    agg.columns = ["quadrant", "n_customers"]
+    agg = agg.sort_values("quadrant", ignore_index=True)
+    out = pa.table(
+        {"quadrant": pa.array(agg["quadrant"], pa.string()),
+         "n_customers": pa.array(
+             agg["n_customers"].to_numpy(dtype=np.int64))}
+    )
+    return _finalize_guard(gd, out)

@@ -3354,3 +3354,33 @@ def test_events_type_corr2_signed(ray_session, tmp_path):
     assert out[("a", "b")]["corr2_e6"] == 1_000_000
     assert out[("a", "c")]["sign"] == 1
     assert out[("a", "c")]["corr2_e6"] == 1_000_000
+
+
+def test_customer_quadrants_double_median(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            # balances 10,20,30; med=20. order counts 0,2,1; med=1
+            {"c_custkey": pa.array([1, 2, 3], pa.int64()),
+             "c_name": pa.array(["a", "b", "c"], pa.string()),
+             "c_nationkey": pa.array([0] * 3, pa.int32()),
+             "c_acctbal": pa.array([10.0, 20.0, 30.0], pa.float64()),
+             "c_mktsegment": pa.array(["S"] * 3, pa.string())}
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+             "o_custkey": pa.array([2, 2, 3], pa.int64()),
+             "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+             "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+             "o_orderdate": pa.array([_ts(0)] * 3, pa.timestamp("us")),
+             "o_orderpriority": pa.array(["1"] * 3, pa.string())}
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = {r["quadrant"]: r["n_customers"]
+           for r in ev.customer_quadrants(str(tmp_path)).to_pylist()}
+    # c1: bal 10<=20, cnt 0<=1 -> ll; c2: 20<=20, 2>1 -> lh;
+    # c3: 30>20, 1<=1 -> hl
+    assert out == {"ll": 1, "lh": 1, "hl": 1}
