@@ -1307,6 +1307,34 @@ GROUP BY 1
 ORDER BY 1
 """
 
+# Tukey IQR fences via doubled comparisons (no half-integer fence).
+_IQR_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM x
+),
+qq AS (
+  SELECT event_type,
+         max(CASE WHEN rn = (n * 25 + 99) // 100 THEN v END) AS q1,
+         max(CASE WHEN rn = (n * 75 + 99) // 100 THEN v END) AS q3
+  FROM r GROUP BY 1
+)
+SELECT q.event_type, q.q1, q.q3,
+       (SELECT count(*) FROM x
+        WHERE x.event_type = q.event_type
+          AND 2 * x.v < 2 * q.q1 - 3 * (q.q3 - q.q1))::BIGINT AS n_low,
+       (SELECT count(*) FROM x
+        WHERE x.event_type = q.event_type
+          AND 2 * x.v > 2 * q.q3 + 3 * (q.q3 - q.q1))::BIGINT AS n_high
+FROM qq q ORDER BY q.event_type
+"""
+
 # Double-median quadrants: balance x order count, lower medians.
 _QUADRANTS_SQL = """
 WITH pc AS (
@@ -4877,6 +4905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_corr2": ev.events_type_corr2,
         # double-median quadrant segmentation
         "customer_quadrants": ev.customer_quadrants,
+        # Tukey IQR boxplot outlier screen
+        "events_iqr_outliers": ev.events_iqr_outliers,
         # exact per-group COUNT(DISTINCT) via pair-hash exchange
         # (events_distinct_users_hll is the approximate sibling)
         "events_user_distinct": ev.events_user_distinct,
@@ -5134,6 +5164,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_tax_incidence": _TAX_INCIDENCE_SQL,
         "events_type_corr2": _TYPE_CORR2_SQL,
         "customer_quadrants": _QUADRANTS_SQL,
+        "events_iqr_outliers": _IQR_SQL,
         "events_user_distinct": _USER_DISTINCT_SQL,
         "events_user_kmv_distinct": _USER_KMV_SQL,
         "lineitem_pricing": _LINEITEM_PRICING_SQL,

@@ -277,6 +277,7 @@ def run_bench() -> dict:
         ("lineitem_tax_incidence", evops.lineitem_tax_incidence),
         ("events_type_corr2", evops.events_type_corr2),
         ("customer_quadrants", evops.customer_quadrants),
+        ("events_iqr_outliers", evops.events_iqr_outliers),
     ]
     for name, fn in secondaries:
         t0 = time.monotonic()

@@ -11826,3 +11826,67 @@ def customer_quadrants(sf_dir: str) -> pa.Table:
              agg["n_customers"].to_numpy(dtype=np.int64))}
     )
     return _finalize_guard(gd, out)
+
+
+# ---------------------------------------------------------------------------
+# Boxplot outlier screen: Tukey IQR fences, exact
+# ---------------------------------------------------------------------------
+def events_iqr_outliers(sf_dir: str) -> pa.Table:
+    """Tukey boxplot outliers per ``event_type``: Q1/Q3 as exact
+    lower quantiles (rank ``ceil(q*n)``) of value cents, fences at
+    ``Q1 - 1.5*IQR`` / ``Q3 + 1.5*IQR`` compared WITHOUT fractions
+    (``2*v < 2*Q1 - 3*IQR`` etc. -- the half-integer fence never
+    materializes).  Returns ``(event_type, q1, q3, n_low, n_high)``.
+
+    Scale shape: ONE (type, value) histogram fold; quantiles AND
+    both tail counts come from the same tiny histogram on the
+    driver."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    hist_schema = pa.schema(
+        [("event_type", pa.string()), ("v", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        key = np.asarray([f"{e}\x00{c}" for e, c in zip(et, cents)],
+                         dtype=object)
+        order, starts, counts = _group_segments(key)
+        return pa.table(
+            {"event_type": pa.array(list(et[order][starts]), pa.string()),
+             "v": pa.array(cents[order][starts]),
+             "n": pa.array(counts.astype(np.int64))},
+            schema=hist_schema,
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "v"]).sum("n").to_pandas()
+    )
+    hist.columns = ["event_type", "v", "n"]
+    rows = []
+    for et, grp in hist.groupby("event_type", sort=True):
+        grp = grp.sort_values("v", ignore_index=True)
+        vals = grp["v"].to_numpy(dtype=np.int64)
+        cnts = grp["n"].to_numpy(dtype=np.int64)
+        n = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        q1 = int(vals[np.searchsorted(cum, -(-n * 25 // 100),
+                                      side="left")])
+        q3 = int(vals[np.searchsorted(cum, -(-n * 75 // 100),
+                                      side="left")])
+        iqr = q3 - q1
+        # 2*v < 2*q1 - 3*iqr  <=>  v < q1 - 1.5*iqr
+        n_low = int(cnts[2 * vals < 2 * q1 - 3 * iqr].sum())
+        n_high = int(cnts[2 * vals > 2 * q3 + 3 * iqr].sum())
+        rows.append((et, q1, q3, n_low, n_high))
+    return pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "q1": pa.array([r[1] for r in rows], pa.int64()),
+         "q3": pa.array([r[2] for r in rows], pa.int64()),
+         "n_low": pa.array([r[3] for r in rows], pa.int64()),
+         "n_high": pa.array([r[4] for r in rows], pa.int64())}
+    )

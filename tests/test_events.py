@@ -3384,3 +3384,16 @@ def test_customer_quadrants_double_median(ray_session, tmp_path):
     # c1: bal 10<=20, cnt 0<=1 -> ll; c2: 20<=20, 2>1 -> lh;
     # c3: 30>20, 1<=1 -> hl
     assert out == {"ll": 1, "lh": 1, "hl": 1}
+
+
+def test_events_iqr_outliers_fences(ray_session, tmp_path):
+    # values 1..8 plus outliers -100 and 100 -> n=10
+    # Q1 = rank ceil(2.5)=3 -> 3rd smallest = 200c; Q3 = rank 8 ->
+    # 700c; IQR=500; low fence -550c, high fence 1450c
+    vals = [-100.0] + [float(i) for i in range(1, 9)] + [100.0]
+    rows = [(i + 1, 1, float(i), "a", v) for i, v in enumerate(vals)]
+    sf = make_events(tmp_path, rows)
+    out = ev.events_iqr_outliers(sf).to_pylist()[0]
+    assert (out["q1"], out["q3"]) == (200, 700)
+    assert out["n_low"] == 1   # -10000c < -550c
+    assert out["n_high"] == 1  # 10000c > 1450c
