@@ -279,10 +279,25 @@ def run_bench() -> dict:
         ("customer_quadrants", evops.customer_quadrants),
         ("events_iqr_outliers", evops.events_iqr_outliers),
     ]
+    query_timings: dict[str, float] = {}
     for name, fn in secondaries:
         t0 = time.monotonic()
         fn(SF_DIR)
-        timings[name] = round(time.monotonic() - t0, 3)
+        query_timings[name] = round(time.monotonic() - t0, 3)
+
+    # Keep the final stdout line COMPACT (the driver's tail capture is
+    # bounded: r3's ~90-entry per-query map overflowed it and left
+    # BENCH_r03.json unparseable).  Per-query timings go to a side file.
+    if query_timings:
+        side = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+        )
+        with open(side, "w") as fh:
+            json.dump(
+                {"sf": SF_DIR, "num_cpus": NUM_CPUS, "queries": query_timings},
+                fh,
+                indent=1,
+            )
 
     result = {
         "metric": "cdc_replay_seconds",
@@ -296,6 +311,8 @@ def run_bench() -> dict:
         "events_per_sec_skewed": round(n_events / skew_s, 1),
         "events_per_sec_streaming": round(n_events / stream_s, 1),
         "final_rows": sum(p.rows for p in m.partitions),
+        "n_secondary_queries": len(query_timings),
+        "queries_file": "BENCH_QUERIES.json" if query_timings else None,
     }
     ray.shutdown()
     return result

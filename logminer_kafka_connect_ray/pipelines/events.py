@@ -6537,6 +6537,16 @@ def nation_pair_trade(sf_dir: str, y0: int = 1995, y1: int = 1996) -> pa.Table:
     smap[sp["s_suppkey"].to_numpy()] = sp["s_nationkey"].to_numpy()
     smap_ref = ray.put(smap)
     nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    # packed combiner key below is (sn*100 + cn)*10_000 + year: fail
+    # loudly if either assumption (nationkey < 100, ship year < 10000)
+    # is violated rather than silently corrupting the rollup
+    if int(nat["n_nationkey"].max()) >= 100:
+        raise ValueError(
+            "nation_pair_trade packs nationkey into 2 decimal digits; "
+            f"max n_nationkey={int(nat['n_nationkey'].max())} >= 100"
+        )
+    if not (0 <= y0 <= y1 < 10_000):
+        raise ValueError(f"ship-year bounds out of packed range: {y0}..{y1}")
     names = np.full(int(nat["n_nationkey"].max()) + 1, "", object)
     names[nat["n_nationkey"].to_numpy()] = nat["n_name"].to_numpy()
 
@@ -10779,9 +10789,12 @@ def part_supplier_breadth(sf_dir: str) -> pa.Table:
     part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
     types = sorted(part["p_type"].unique())
     tmap = {t: i for i, t in enumerate(types)}
-    pmap = np.full(int(part["p_partkey"].max()) + 2, -1, np.int8)
+    # int32 ids: standard TPC-H has 150 distinct p_type values, which
+    # would wrap an int8 map negative and silently drop rows at the
+    # tid>=0 sentinel filter below
+    pmap = np.full(int(part["p_partkey"].max()) + 2, -1, np.int32)
     pmap[part["p_partkey"].to_numpy()] = (
-        part["p_type"].map(tmap).to_numpy().astype(np.int8)
+        part["p_type"].map(tmap).to_numpy().astype(np.int32)
     )
     pmap_ref = ray.put(pmap)
 
