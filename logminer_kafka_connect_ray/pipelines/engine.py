@@ -1015,11 +1015,33 @@ class Engine:
             keep[1:] = ~pc.fill_null(same, False).to_numpy(zero_copy_only=False)
             return t.filter(pa.array(keep))
 
-        # block-local first (combiner), then a tiny exact groupby pass
+        # block-local first (combiner), then a small hash exchange on
+        # (scn, row_id) so the same key can only land in one block, and
+        # the identical vectorized first-per-key sweep again per block
+        # (the same duplicate pair can arrive from two source files) --
+        # no per-group pandas dispatch anywhere
+        from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+        n_parts = max(1, min(16, len(paths)))
+
+        def stamp(t: pa.Table) -> pa.Table:
+            key = pc.binary_join_element_wise(
+                pc.cast(t.column("scn"), pa.string()),
+                pc.fill_null(pc.cast(t.column("row_id"), pa.string()), ""),
+                "\x1f",
+            )
+            return t.append_column(
+                "_p", pa.array(partition_ids(key, n_parts))
+            )
+
         return (
             ds.map_batches(first_per_key, batch_format="pyarrow")
-            .groupby(["scn", "row_id"])
-            .map_groups(lambda df: df.head(1), batch_format="pandas")
+            .map_batches(stamp, batch_format="pyarrow")
+            .sort("_p", boundaries=list(range(1, n_parts)))
+            .map_batches(
+                lambda t: first_per_key(t.drop_columns(["_p"])),
+                batch_format="pyarrow",
+            )
         )
 
     def _count_dead_letters(self, version: int) -> int:

@@ -207,10 +207,13 @@ class RedoSqlDecoder:
     Pipeline per batch: CSF fragment reassembly
     (``LogminerFetcher.kt:144-153``; a safety net -- the engine's
     redo read path reassembles per FILE before batch slicing, see
-    ``pipelines/engine.py``) -> per-row statement parse
-    (``functions/redo_sql.py``; row-oriented by nature, exactly like
-    the reference's parse loop -- the ONLY row-wise stage in the
-    engine) -> flat pipeline form with M7 enrichment.  Unparseable
+    ``pipelines/engine.py``) -> VECTORIZED statement parse
+    (``functions/redo_fast.py``: RE2 kernels over the whole batch,
+    signature-specialized patterns cached per worker; the scalar
+    parser ``functions/redo_sql.py`` -- the reference's parse-loop
+    shape -- remains the fallback for non-canonical statements, with
+    ``fast_rows``/``fallback_rows`` counters) -> flat pipeline form
+    with M7 enrichment.  Unparseable
     statements, unknown columns and literal-conversion failures are
     dropped with accounting (``TransactionConsolidator.kt:66-70``,
     ``SourceTask.kt:133-141``) and -- when ``dead_dir`` is set --
@@ -247,6 +250,22 @@ class RedoSqlDecoder:
         self.version = version
         self.scn_lo = scn_lo
         self.scn_hi = scn_hi
+        # vectorized fast path for canonical statement shapes; the
+        # scalar parser remains the fallback (and the semantic oracle)
+        import os as _os
+
+        self.fast_rows = 0
+        self.fallback_rows = 0
+        self._fast = None
+        if _os.environ.get("LKC_REDO_FAST", "1") == "1":
+            from logminer_kafka_connect_ray.functions.redo_fast import (
+                FastRedoParser,
+            )
+
+            self._fast = FastRedoParser(
+                self.column_types, key_column, self.data_cols,
+                self.out_schema, self.full_mask,
+            )
 
     def _route_dead(self, rows: list[dict], reasons: list[str]) -> None:
         # attribute each reject to exactly ONE micro-batch: an event
@@ -267,12 +286,7 @@ class RedoSqlDecoder:
         route_dead_rows(self.dead_dir, self.version, rows, reasons)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from logminer_kafka_connect_ray.functions.redo_sql import (
-            RedoSqlParseError,
-            UnknownColumnError,
-            parse_redo,
-            reassemble_csf,
-        )
+        from logminer_kafka_connect_ray.functions.redo_sql import reassemble_csf
 
         t = reassemble_csf(batch)
         keep = pc.is_in(t.column("op"), value_set=pa.array(schemas.CHANGE_OPS))
@@ -294,7 +308,44 @@ class RedoSqlDecoder:
                 pc.is_in(t.column("table"), value_set=pa.array(allowed, pa.string()))
             )
 
-        rows = t.to_pylist()
+        if self._fast is not None:
+            groups, fb_idx = self._fast.parse(t)
+            self.fast_rows += t.num_rows - len(fb_idx)
+            self.fallback_rows += len(fb_idx)
+            if len(fb_idx) == 0:
+                slow = None
+            else:
+                slow_rows = t.take(pa.array(fb_idx)).to_pylist()
+                slow, kept = self._parse_rows_python(slow_rows)
+                slow = slow.append_column(
+                    "_oi", pa.array(fb_idx[kept], pa.int64())
+                )
+            parts = groups + ([slow] if slow is not None else [])
+            if not parts:
+                return self.out_schema.empty_table()
+            merged = pa.concat_tables(parts)
+            order = np.argsort(
+                merged.column("_oi").to_numpy(zero_copy_only=False),
+                kind="stable",
+            )
+            merged = merged.take(pa.array(order)).drop_columns(["_oi"])
+            return merged.cast(self.out_schema)
+
+        tbl, _ = self._parse_rows_python(t.to_pylist())
+        return tbl
+
+    def _parse_rows_python(
+        self, rows: list[dict]
+    ) -> tuple[pa.Table, np.ndarray]:
+        """Scalar statement parse (the reference's per-row loop shape).
+        Returns the decoded table plus the positions of ``rows`` that
+        produced output (for original-order reassembly)."""
+        from logminer_kafka_connect_ray.functions.redo_sql import (
+            RedoSqlParseError,
+            UnknownColumnError,
+            parse_redo,
+        )
+
         out: dict[str, list] = {
             k: []
             for k in (
@@ -309,7 +360,8 @@ class RedoSqlDecoder:
 
         dead_rows: list[dict] = []
         dead_reasons: list[str] = []
-        for r in rows:
+        kept: list[int] = []
+        for ri, r in enumerate(rows):
             sql = r.get("sql_redo")
             if not sql:
                 dead_rows.append(r)
@@ -355,6 +407,7 @@ class RedoSqlDecoder:
                     if c in col_bit and not (mask & col_bit[c]) and v is not None:
                         after[c] = v
                         mask |= col_bit[c]
+            kept.append(ri)
             out["scn"].append(r["scn"])
             out["row_id"].append(r["row_id"])
             out["commit_scn"].append(r.get("commit_scn"))
@@ -373,4 +426,7 @@ class RedoSqlDecoder:
             name: pa.array(vals, self.out_schema.field(name).type)
             for name, vals in out.items()
         }
-        return pa.table(arrays, schema=self.out_schema)
+        return (
+            pa.table(arrays, schema=self.out_schema),
+            np.asarray(kept, np.int64),
+        )

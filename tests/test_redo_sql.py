@@ -20,6 +20,7 @@ from logminer_kafka_connect_ray.pipelines.engine import Engine
 from logminer_kafka_connect_ray.stages.decode import RedoSqlDecoder
 from logminer_kafka_connect_ray.testing.compare import state_diff, table_to_state
 from logminer_kafka_connect_ray.testing.gen import (
+    REDO_SQL_SCHEMA,
     ChangeGenConfig,
     gen_changes,
     gen_pages,
@@ -390,3 +391,146 @@ def test_redo_sql_streaming_end_to_end(ray_session, tmp_path):
     assert not state_diff(got, want), state_diff(got, want)
     dead = eng.read_dead_letters().to_pandas()
     assert (dead["reason"] == "parse_error").sum() == 1, dead
+
+
+# ---------------------------------------------------------------------------
+# Vectorized fast path (functions/redo_fast.py): differential vs the
+# scalar parser, which stays the semantic oracle
+# ---------------------------------------------------------------------------
+def _mixed_schema():
+    return pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us", tz="UTC")),
+            ("html", pa.binary()),
+            ("n_int", pa.int64()),
+            ("n_f", pa.float64()),
+            ("n_dec", pa.decimal128(10, 2)),
+            ("d", pa.date32()),
+            ("text", pa.string()),
+        ]
+    )
+
+
+_FAST_STMTS = [
+    "insert into \"W\".\"T\"(\"url\",\"warc_ts\",\"html\",\"n_int\",\"n_f\","
+    "\"n_dec\",\"d\",\"text\") values ('u1', TO_TIMESTAMP("
+    "'2024-01-02 03:04:05.123456', 'YYYY-MM-DD HH24:MI:SS.FF6'),"
+    " HEXTORAW('deadBEEF'), 42, 3.5, 12.345,"
+    " TO_DATE('2023-05-06', 'YYYY-MM-DD'), 'hello')",
+    "insert into T(\"url\",\"text\",\"n_int\") values ('it''s', '', NULL)",
+    "update \"W\".\"T\" set \"text\" = 'a,b where c', \"n_int\" = -7 "
+    "where \"url\" = 'u2' and \"text\" IS NULL and ROWID = 'R9'",
+    "update T set \"text\" = NULL where \"url\" = 'u3' and ROWID = 'R1'",
+    "update T set \"url\" = 'new' where \"url\" = 'old'",
+    "delete from \"W\".\"T\" where \"url\" = 'u4' and \"n_int\" = 5 "
+    "and \"d\" IS NULL",
+    "delete from T where \"url\" = 'u5' and \"n_int\" = 1 and \"n_f\" = 2.5"
+    " and \"text\" = 'x' and ROWID = 'R2'",
+    # beyond MAX_WHERE_PAIRS -> scalar fallback, still correct
+    "delete from T where \"url\" = 'u6' and \"n_int\" = 1 and \"n_f\" = 2"
+    " and \"text\" = 'x' and \"d\" = TO_DATE('2020-01-01','YYYY-MM-DD')"
+    " and ROWID = 'R3'",
+    "update T set \"nope\" = '1' where \"url\" = 'u7'",  # unknown_column
+    "update T set garbage",  # parse_error
+    "update T set \"warc_ts\" = TO_TIMESTAMP('not-a-ts', 'X') "
+    "where \"url\" = 'u8'",  # convert_error
+    "update T set \"text\" = 'v' where \"n_int\" = 3",  # missing_key
+    None,  # empty_sql
+    "update T set \"n_dec\" = 1.999, \"n_f\" = -1.5e2 where \"url\" = 'u9'",
+    "update T set \"warc_ts\" = TO_TIMESTAMP('2024-01-02 03:04:05.1', 'F'),"
+    " \"d\" = TO_DATE('2023-05-06 10:00:00','X') where \"url\" = 'u10'",
+    "delete from T where \"url\" = 'u11'",
+    "update T set \"text\" = 123 where \"url\" = 'u12'",
+    "update T set \"text\" = 'again' where \"url\" = 'u2' and ROWID = 'R10'",
+]
+
+
+def _redo_log_table(stmts):
+    rows = []
+    for i, sql in enumerate(stmts):
+        op = "u"
+        if sql and sql.lstrip().lower().startswith("insert"):
+            op = "i"
+        elif sql and sql.lstrip().lower().startswith("delete"):
+            op = "d"
+        rows.append(
+            {"scn": 100 + i, "row_id": f"R{i}", "commit_scn": None,
+             "tx_id": "tx1", "op": op, "ts_ms": 1700000000000 + i,
+             "table": "W.T", "username": None, "status": 0, "csf": 0,
+             "sql_redo": sql}
+        )
+    return pa.Table.from_pylist(rows, schema=REDO_SQL_SCHEMA)
+
+
+def test_fast_redo_differential(tmp_path, monkeypatch):
+    """Fast path == scalar path on every statement shape, including
+    dead-letter routing, on both a cold and a warm (specialized
+    pattern cache) pass."""
+    t = _redo_log_table(_FAST_STMTS)
+    tschema = _mixed_schema()
+    dd_fast, dd_slow = str(tmp_path / "ddf"), str(tmp_path / "dds")
+    dec_fast = RedoSqlDecoder(tschema, "url", dead_dir=dd_fast)
+    monkeypatch.setenv("LKC_REDO_FAST", "0")
+    dec_slow = RedoSqlDecoder(tschema, "url", dead_dir=dd_slow)
+    monkeypatch.setenv("LKC_REDO_FAST", "1")
+    assert dec_fast._fast is not None and dec_slow._fast is None
+    for _pass in range(2):  # pass 2 exercises the specialized tier
+        a, b = dec_fast(t), dec_slow(t)
+        assert a.schema.equals(b.schema)
+        assert a.equals(b), f"pass {_pass}"
+    assert dec_fast.fast_rows > 0 and dec_fast.fallback_rows > 0
+
+    import glob
+
+    da = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(f"{dd_fast}/*")]
+    ).sort_by("scn")
+    db = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(f"{dd_slow}/*")]
+    ).sort_by("scn")
+    assert da.equals(db)
+    reasons = set(zip(da.column("scn").to_pylist(),
+                      da.column("reason").to_pylist()))
+    assert (108, "unknown_column") in reasons
+    assert (109, "parse_error") in reasons
+    assert (110, "convert_error") in reasons
+    assert (111, "missing_key") in reasons
+    assert (112, "empty_sql") in reasons
+
+
+def test_fast_redo_zero_fallback_on_canonical():
+    """The workload generator's canonical statements never hit the
+    scalar fallback (the fallback counter is the perf regression
+    canary for the flagship redo route)."""
+    tschema = schemas.PAGES_SCHEMA
+    dec = RedoSqlDecoder(tschema, "url")
+    if dec._fast is None:
+        pytest.skip("fast path disabled via LKC_REDO_FAST")
+    sqls = [
+        "insert into \"WEB\".\"PAGES\"(\"url\",\"warc_ts\",\"html\",\"text\","
+        "\"lang\") values ('http://a', TO_TIMESTAMP('2024-01-01 00:00:00.000001',"
+        " 'YYYY-MM-DD HH24:MI:SS.FF6'), HEXTORAW('ab12'), 'x', 'en')",
+        "update \"WEB\".\"PAGES\" set \"text\" = 'u:1' where \"url\" = 'http://a'"
+        " and ROWID = 'R1'",
+        "delete from \"WEB\".\"PAGES\" where \"url\" = 'http://a'"
+        " and ROWID = 'R2'",
+    ] * 50
+    t = _redo_log_table(sqls)
+    out = dec(t)
+    assert out.num_rows == len(sqls)
+    assert dec.fallback_rows == 0
+    assert dec.fast_rows == len(sqls)
+
+
+def test_fast_hex_decode_unit():
+    import numpy as np
+
+    from logminer_kafka_connect_ray.functions.redo_fast import _hex_decode
+
+    arr = pa.array(["deadbeef", "", "AB", None, "abc", "zz", "0102"])
+    out, bad = _hex_decode(arr)
+    assert out.to_pylist() == [
+        b"\xde\xad\xbe\xef", b"", b"\xab", None, None, None, b"\x01\x02"
+    ]
+    assert list(bad) == [False, False, False, False, True, True, False]
