@@ -103,6 +103,33 @@ SELECT url, warc_ts, md5(html::VARCHAR) AS html_md5, text, lang
 FROM merged WHERE deleted = 0 ORDER BY url
 """
 
+# ADD-COLUMN-WITH-DEFAULT evolution gate: replay the purchase-driven
+# `rating` update stream (workload.derive_changelog_evolution --
+# txn = purchase-rank // TXN_SIZE, standard rollback pattern, rating
+# value = event_id % 100, LWW by event_id since commit/scn order ==
+# eid order); rows never touched by a committed update carry the DDL
+# default 7 (workload.EVOLUTION_DEFAULT).
+_DEFAULT_BACKFILL_SQL = f"""
+WITH {_BASE_CTE.strip().rstrip()},
+n AS (SELECT count(*) AS n_docs FROM documents),
+p AS (
+  SELECT event_id AS eid, user_id,
+         row_number() OVER (ORDER BY event_id) - 1 AS pidx
+  FROM events WHERE event_type = 'purchase'
+),
+k AS (SELECT eid, user_id FROM p WHERE (pidx // 5) % 11 != 7),
+r AS (
+  SELECT 'https://site' || ((k.user_id % n.n_docs) % 20)::VARCHAR ||
+         '.example/d/' || (k.user_id % n.n_docs)::VARCHAR AS url,
+         arg_max(k.eid % 100, k.eid) AS rating
+  FROM k, n GROUP BY 1
+)
+SELECT base.url, base.lang,
+       CAST(coalesce(r.rating, 7) AS BIGINT) AS rating
+FROM base LEFT JOIN r USING (url)
+ORDER BY url
+"""
+
 # GDPR erasure gate: the replay oracle minus the erased urls (doc_ids
 # 3, 17, 123 -- queries.GDPR_ERASE_DOC_IDS; url pattern from
 # workload._urls).  Keys absent at a given scale factor erase as
@@ -4537,6 +4564,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DBLog-style chunked snapshot: per-chunk as-of SCNs, chunk-vs-
         # log arbitration via the (commit_scn, scn, row_id) LWW fold
         "cdc_final_state_chunked": q.cdc_final_state_chunked,
+        # ADD-COLUMN-WITH-DEFAULT evolution: catalog sidecar adds
+        # `rating NUMBER(9) DEFAULT 7`; untouched pre-existing rows
+        # must surface the DDL default, not null
+        "cdc_schema_default_backfill": q.cdc_schema_default_backfill,
         # lake maintenance gate: repartition_lake (16->24 live
         # re-layout) + vacuum, state must survive byte-identical
         "cdc_final_state_repartitioned": q.cdc_final_state_repartitioned,
@@ -4989,6 +5020,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_salted": _FINAL_STATE_SQL,
         "cdc_final_state_transform": _FINAL_STATE_TRANSFORM_SQL,
         "cdc_final_state_chunked": _FINAL_STATE_SQL,
+        "cdc_schema_default_backfill": _DEFAULT_BACKFILL_SQL,
         "cdc_final_state_repartitioned": _FINAL_STATE_SQL,
         "lake_gdpr_erasure": _GDPR_SQL,
         "cdc_dead_letters": _DEAD_LETTERS_SQL,

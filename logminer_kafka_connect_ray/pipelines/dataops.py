@@ -708,6 +708,15 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.7, k: int = 5) -> pa.T
     tables; the cap is the documented scale guard)."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs, raw_bytes = _table_meta(sf_dir, "documents")
+    if n_docs > EXACT_KERNEL_MAX_ROWS:
+        raise ValueError(
+            f"dedup_ngram_jaccard is the exact VERIFY kernel (pair "
+            f"expansion can go quadratic on near-duplicate-heavy "
+            f"corpora) and is bounded at {EXACT_KERNEL_MAX_ROWS} docs "
+            f"({n_docs} given); use dedup_minhash_lsh (banded-LSH scale "
+            "path) for full corpora, or raise "
+            "dataops.EXACT_KERNEL_MAX_ROWS explicitly"
+        )
     # gram-row volume ~ one row per ~6 raw text bytes (avg word)
     gram_w = _exchange_width(max(n_docs, raw_bytes // 6))
     pair_p = _exchange_width(n_docs * 8)
@@ -1287,6 +1296,15 @@ def embedding_near_dup_exact(sf_dir: str, tau: float = 0.95) -> pa.Table:
     broadcast side into column chunks."""
     import ray
 
+    n_vecs, _ = _table_meta(sf_dir, "embeddings")
+    if n_vecs > EXACT_KERNEL_MAX_ROWS:
+        raise ValueError(
+            f"embedding_near_dup_exact is the O(n^2) VERIFY kernel and is "
+            f"bounded at {EXACT_KERNEL_MAX_ROWS} vectors ({n_vecs} given); "
+            "use embedding_near_dup (banded-LSH scale path) for full "
+            "corpora, or raise dataops.EXACT_KERNEL_MAX_ROWS explicitly "
+            "if you really want the quadratic pass"
+        )
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     import pyarrow.parquet as _pq
 
@@ -4413,6 +4431,20 @@ def _cc_block_edges(d: np.ndarray, n: int, B: int = 64):
     return np.concatenate([uu, vv]), np.concatenate([vv, uu])
 
 
+#: rounds used by the last doc_connected_components call (telemetry)
+_CC_LAST_ROUNDS = 0
+
+#: doc_connected_components switches to the single-block fast finish
+#: when the whole message volume (self + edge rows) fits one exchange
+#: block; above it, the iterative pointer-jump rounds are the path
+CC_FAST_FINISH_ROWS = 2_000_000
+
+#: loud input bound for the deliberately-exact O(n^2)-shaped VERIFY
+#: kernels (embedding_near_dup_exact, dedup_ngram_jaccard): they exist
+#: to oracle-check the LSH scale paths, never to run on a full corpus
+EXACT_KERNEL_MAX_ROWS = 250_000
+
+
 def doc_connected_components(sf_dir: str, max_rounds: int = 40) -> pa.Table:
     """Exact connected components of the deterministic in-block link
     graph (``_cc_block_edges``): every doc gets ``comp`` = the MINIMUM
@@ -4435,12 +4467,26 @@ def doc_connected_components(sf_dir: str, max_rounds: int = 40) -> pa.Table:
     aggregate, not a heuristic) is the true fixpoint: per-edge label
     equality => per-component constant => the component minimum.
 
+    with each round's RELAX strengthened to a BLOCK-LOCAL TRANSITIVE
+    CLOSURE: the scatter block holds a whole subgraph (every edge
+    whose source hashed here plus those sources' labels), so instead
+    of one min-sweep it iterates edge-relax + pointer-jump over the
+    block's numpy arrays to a local fixpoint and offers each local id
+    its CLOSED minimum.  Cross-partition chains are the only thing
+    left for global rounds, which bounds the exchange-round count to
+    ~O(log P-hops) -- 2-3 rounds on the sf graphs vs ~12 for plain
+    per-edge relax (round-3 verdict item 5).
+
     Scale shape: per-round state is one (node, label) row per doc,
     ``materialize()``d into the object store between rounds (same
-    footprint as ``doc_pagerank``'s rank vector); every sweep is a
-    lexsort + reduceat/repeat numpy pass; the driver sees only the
-    per-round changed COUNT.  Rounds are bounded by ``max_rounds``
-    with a loud failure, never a silent partial answer."""
+    footprint as ``doc_pagerank``'s rank vector); the static edge
+    message stream is materialized ONCE (not re-derived per round);
+    every sweep is a lexsort + reduceat/repeat numpy pass; the driver
+    sees only the per-round changed COUNT.  Rounds are bounded by
+    ``max_rounds`` with a loud failure, never a silent partial
+    answer."""
+    global _CC_LAST_ROUNDS
+
     from logminer_kafka_connect_ray.functions.hashing import partition_ids
 
     n_docs, _ = _table_meta(sf_dir, "documents")
@@ -4474,6 +4520,32 @@ def doc_connected_components(sf_dir: str, max_rounds: int = 40) -> pa.Table:
         .map_batches(init_labels, batch_format="pyarrow")
         .materialize()
     )
+
+    def _local_closure(
+        ids: np.ndarray, val: np.ndarray, iu: np.ndarray, iv: np.ndarray
+    ) -> np.ndarray:
+        """Exact min-label fixpoint of the block-local subgraph:
+        alternate edge relax (group-min over in-edges) and pointer
+        jump (follow a label that names a local id) until stable.
+        Monotone non-increasing, so the fixpoint is exact; iteration
+        count is O(log local-diameter), loudly bounded."""
+        for _ in range(64):
+            new = val.copy()
+            if len(iu):
+                order = np.argsort(iv, kind="stable")
+                g, o = iv[order], val[iu][order]
+                starts, _ = _segment_starts(g)
+                tgt = g[starts]
+                new[tgt] = np.minimum(
+                    new[tgt], np.minimum.reduceat(o, starts)
+                )
+            pos = np.clip(np.searchsorted(ids, new), 0, len(ids) - 1)
+            hit = ids[pos] == new
+            new = np.minimum(new, np.where(hit, new[pos], new))
+            if np.array_equal(new, val):
+                return val
+            val = new
+        raise RuntimeError("cc local closure did not converge (bug)")
 
     def edges_stream(t: pa.Table) -> pa.Table:
         did = pc.cast(t.column("doc_id"), pa.int64()).combine_chunks() \
@@ -4515,6 +4587,65 @@ def doc_connected_components(sf_dir: str, max_rounds: int = 40) -> pa.Table:
             )
         return key, tag, val, aux, starts, lens
 
+    edge_msgs = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(edges_stream, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # -- two-level fast finish (Kiveris-style local contraction +
+    # centralized remainder): when the whole message volume
+    # (n_docs self rows + ~3*n_docs edge rows) provably fits ONE
+    # exchange block, a single task closes the union-find exactly --
+    # 1 coalesce instead of O(log n) x 3 exchanges.  Above the bound
+    # the iterative pointer-jump rounds below are the scale path.
+    if n_docs * 4 <= CC_FAST_FINISH_ROWS:
+        def finish(t: pa.Table) -> pa.Table:
+            tag = t.column("tag").to_numpy(zero_copy_only=False)
+            key = t.column("key").to_numpy(zero_copy_only=False)
+            val = t.column("val").to_numpy(zero_copy_only=False)
+            sm = tag == 0
+            if int(sm.sum()) != n_docs:
+                raise RuntimeError(
+                    "cc fast finish did not receive every self row "
+                    f"({int(sm.sum())} != {n_docs}); block split?"
+                )
+            em = ~sm
+            u_nodes, u_lab = key[sm], val[sm]
+            eu, ev = key[em], val[em]
+            ids = np.unique(np.concatenate([u_nodes, u_lab, eu, ev]))
+            cval = ids.copy()
+            upos = np.searchsorted(ids, u_nodes)
+            cval[upos] = np.minimum(cval[upos], u_lab)
+            lpos = np.searchsorted(ids, u_lab)
+            iu = np.concatenate([np.searchsorted(ids, eu), upos, lpos])
+            iv = np.concatenate([np.searchsorted(ids, ev), lpos, upos])
+            cval = _local_closure(ids, cval, iu, iv)
+            order = np.argsort(u_nodes, kind="stable")
+            return pa.table(
+                {"doc_id": pa.array(u_nodes[order]),
+                 "comp": pa.array(cval[upos][order])}
+            )
+
+        _CC_LAST_ROUNDS = 1
+        out_t = (
+            labels.map_batches(
+                lambda t: self_stream(t, reset_old0=True),
+                batch_format="pyarrow",
+            )
+            .union(edge_msgs)
+            .repartition(1)
+            .map_batches(finish, batch_format="pyarrow", batch_size=None)
+        )
+        t = pa.Table.from_pandas(out_t.to_pandas(), preserve_index=False)
+        out = pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "comp": pc.cast(t.column("comp"), pa.int64())}
+        )
+        return out.take(
+            pc.sort_indices(out, sort_keys=[("doc_id", "ascending")])
+        )
+
     guard_dirs: list[str] = []
     rounds = 0
     for rounds in range(1, max_rounds + 1):
@@ -4530,15 +4661,32 @@ def doc_connected_components(sf_dir: str, max_rounds: int = 40) -> pa.Table:
                 t.column("_p").to_numpy(zero_copy_only=False),
             )
             key, tag, val, aux, starts, lens = _grouped(t)
-            lab_row = np.repeat(val[starts], lens)
-            old_row = np.repeat(aux[starts], lens)
-            em = tag == 1  # edge rows: offer lab(u) to neighbor v
-            off_key = val[em]
-            z = np.zeros(em.sum(), np.int64)
-            offers = {
-                "key": off_key, "tag": z + 1, "val": lab_row[em],
-                "aux": z,
-            }
+            # block-local transitive closure over every id this block
+            # sees (edge endpoints + sources' labels): offer each id
+            # its CLOSED minimum, so only cross-partition chains
+            # remain for the global rounds
+            sm = tag == 0
+            em = tag == 1
+            u_nodes, u_lab = key[sm], val[sm]
+            eu, ev = key[em], val[em]
+            ids = np.unique(np.concatenate([u_nodes, u_lab, eu, ev]))
+            cval = ids.copy()
+            upos = np.searchsorted(ids, u_nodes)
+            cval[upos] = np.minimum(cval[upos], u_lab)
+            # (node, label) pairs are union EDGES too (star-contraction
+            # hook): if a label id also lives in this block, the two
+            # local component fragments merge here instead of waiting
+            # a global round
+            lpos = np.searchsorted(ids, u_lab)
+            iu = np.concatenate(
+                [np.searchsorted(ids, eu), upos, lpos]
+            )
+            iv = np.concatenate(
+                [np.searchsorted(ids, ev), lpos, upos]
+            )
+            cval = _local_closure(ids, cval, iu, iv)
+            z = np.zeros(len(ids), np.int64)
+            offers = {"key": ids, "tag": z + 1, "val": cval, "aux": z}
             selfs = {
                 "key": key[starts], "tag": np.zeros(len(starts), np.int64),
                 "val": val[starts], "aux": aux[starts],
@@ -4574,10 +4722,7 @@ def doc_connected_components(sf_dir: str, max_rounds: int = 40) -> pa.Table:
                 lambda t: self_stream(t, reset_old0=True),
                 batch_format="pyarrow",
             )
-            .union(
-                _read(sf_dir, "documents", columns=["doc_id"])
-                .map_batches(edges_stream, batch_format="pyarrow")
-            )
+            .union(edge_msgs)
             .sort("_p", boundaries=list(range(1, P)))
             .map_batches(scatter, batch_format="pyarrow", batch_size=None)
             .sort("_p", boundaries=list(range(1, P)))
@@ -4636,6 +4781,9 @@ def doc_connected_components(sf_dir: str, max_rounds: int = 40) -> pa.Table:
             f"doc_connected_components did not converge in "
             f"{max_rounds} rounds"
         )
+    # round-count telemetry (each round = 3 exchanges): tests assert
+    # the local-closure relax keeps this small
+    _CC_LAST_ROUNDS = rounds
 
     t = pa.Table.from_pandas(labels.to_pandas(), preserve_index=False)
     out = pa.table(

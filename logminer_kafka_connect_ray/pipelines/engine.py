@@ -41,8 +41,13 @@ from logminer_kafka_connect_ray.sources.snapshot import SnapshotStamper
 from logminer_kafka_connect_ray.stages.decode import ChangeDecoder
 from logminer_kafka_connect_ray.stages.evolve import (
     align_flat,
+    apply_renames,
+    catalog_defaults,
+    catalog_dropped,
     catalog_fields,
+    catalog_renames,
     discover_image_fields,
+    typed_defaults,
     unify_with,
 )
 from logminer_kafka_connect_ray.stages.merge import PartitionMerger, PreaggPartitioner
@@ -310,9 +315,20 @@ class Engine:
             out_schema = pa.schema([out_schema.field(c) for c in columns])
         if not paths:
             return rd.from_arrow(out_schema.empty_table())
-        ds = rd.read_parquet(paths, columns=list(columns) if columns else None)
+        dflt = typed_defaults(
+            out_schema, m.defaults, self.config.db_timezone
+        )
+        fillf = {new: old for old, new in (m.renames or {}).items()}
+        # a renamed-into column's source must be read even when pruned
+        read_cols = list(columns) if columns else None
+        if read_cols is not None:
+            for c in list(read_cols):
+                if c in fillf and fillf[c] not in read_cols:
+                    read_cols.append(fillf[c])
+        ds = rd.read_parquet(paths, columns=read_cols)
         return ds.map_batches(
-            lambda t, s=out_schema: align_flat(t, s), batch_format="pyarrow"
+            lambda t, s=out_schema, d=dflt, ff=fillf: align_flat(t, s, d, ff),
+            batch_format="pyarrow",
         )
 
     def to_arrow(self, version: int | None = None, with_meta: bool = False) -> pa.Table:
@@ -320,11 +336,13 @@ class Engine:
         m = self._require_manifest(version)
         schema = schemas.schema_from_json(m.schema)
         out_schema = schemas.lake_schema(schema) if with_meta else schema
+        dflt = typed_defaults(out_schema, m.defaults, self.config.db_timezone)
+        fillf = {new: old for old, new in (m.renames or {}).items()}
         tables = []
         for p in m.partitions:
             if p.file:
                 t = pq.read_table(f"{self.config.lake_dir}/{p.file}")
-                tables.append(align_flat(t, out_schema))
+                tables.append(align_flat(t, out_schema, dflt, fillf))
         if not tables:
             return out_schema.empty_table()
         t = pa.concat_tables(tables)
@@ -589,6 +607,11 @@ class Engine:
             prev=None,
             open_spill=None,
             pre_partitioned=True,
+            # prev=None (full rewrite) -- carry the DDL metadata forward
+            # explicitly; the rewrite also materializes it physically
+            defaults=dict(m.defaults),
+            renames=dict(m.renames),
+            dropped=list(m.dropped),
         )
 
     def erase(self, keys: list[str]) -> Manifest:
@@ -801,9 +824,25 @@ class Engine:
             # (stages/evolve.py catalog_fields)
             img_fields = img_fields + catalog_fields(paths)
         table_schema, changed = unify_with(cur_schema, img_fields)
-        schema_version = prev.schema_version + (1 if changed else 0)
+        # DDL rename policy (catalog_renames doc): add-new+keep-old
+        # with lineage fill; drops are ignored-but-accounted
+        batch_renames = dict(prev.renames or {})
+        batch_renames.update(catalog_renames(paths))
+        batch_dropped = list(prev.dropped or [])
+        for c in catalog_dropped(paths):
+            if c not in batch_dropped:
+                batch_dropped.append(c)
+        table_schema, ren_changed = apply_renames(table_schema, batch_renames)
+        schema_version = prev.schema_version + (
+            1 if (changed or ren_changed) else 0
+        )
         schema_json = schemas.schema_to_json(table_schema)
         flat_schema = schemas.flat_change_schema(cfg.key_column, table_schema)
+        # DDL default discovery (ColumnSchemaBuilder.kt:91-107): a
+        # column added WITH a default backfills pre-existing rows; raw
+        # literals persist in the manifest, typed at use sites
+        batch_defaults = dict(prev.defaults or {})
+        batch_defaults.update(catalog_defaults(paths))
 
         batch_size = cfg.batch_size or self._auto_batch_size(
             paths[0], total_rows=sum(f.num_rows for f in bfiles)
@@ -964,6 +1003,9 @@ class Engine:
             prev=prev,
             open_spill=(markers_ref, open_rel),
             pre_partitioned=True,
+            defaults=batch_defaults,
+            renames=batch_renames,
+            dropped=batch_dropped,
         )
         return manifest
 
@@ -1074,6 +1116,9 @@ class Engine:
         open_spill,
         markers_stats: tuple[int, int, int] = (0, 0, 0),
         pre_partitioned: bool = False,
+        defaults: dict[str, str] | None = None,
+        renames: dict[str, str] | None = None,
+        dropped: list[str] | None = None,
     ) -> Manifest:
         import ray.data as rd
 
@@ -1084,6 +1129,14 @@ class Engine:
         part_files = (
             {p.part_id: p.file for p in prev.partitions} if prev else {}
         )
+        # DDL defaults/renames/drops carry forward version-to-version
+        # unless the caller discovered new ones this batch
+        if defaults is None:
+            defaults = dict(prev.defaults) if prev else {}
+        if renames is None:
+            renames = dict(prev.renames) if prev else {}
+        if dropped is None:
+            dropped = list(prev.dropped) if prev else []
 
         if pre_partitioned:
             pre = flat_committed  # fused stage already combined+stamped
@@ -1094,7 +1147,8 @@ class Engine:
             )
         merger = PartitionMerger(
             cfg.lake_dir, part_files, schema_json, cfg.key_column, version,
-            views=cfg.views,
+            views=cfg.views, defaults_raw=defaults,
+            db_timezone=cfg.db_timezone, renames=renames,
         )
         def merge_partition(group, _m=merger):
             return _m(group)
@@ -1221,6 +1275,9 @@ class Engine:
             partitions=all_parts,
             open_txn_spill=open_rel,
             hash_probe=hash_probe(cfg.num_partitions),
+            defaults=defaults,
+            renames=renames,
+            dropped=dropped,
             metrics={
                 "events_applied": int(rows_applied),
                 "open_events": int(n_open),

@@ -961,3 +961,35 @@ def pit_lookup(
         )
     )
     return _finalize_guard(gd, t)
+
+
+def cdc_schema_default_backfill(sf_dir: str) -> pa.Table:
+    """ADD-COLUMN-WITH-DEFAULT evolution gate (ChangingTableTest.kt:
+    42-93 + ColumnSchemaBuilder.kt:91-107): replay a redo changelog
+    whose ``_catalog.json`` sidecar adds ``rating NUMBER(9) DEFAULT 7``
+    and whose committed UPDATEs set it for some urls.  Every
+    pre-existing row a committed update never touched must surface the
+    DDL default (not null) in the final state.  Returns
+    ``(url, lang, rating)`` with rating widened to int64 for the
+    driver's dtype-stable compare."""
+    import os as _os
+    import shutil as _sh
+
+    d = workload.ensure_evolution_workload(sf_dir)
+    lake = d["lake"] + "-evolution"
+    _sh.rmtree(lake, ignore_errors=True)
+    eng = Engine(
+        EngineConfig(
+            lake_dir=lake, num_partitions=16, changelog_format="redo_sql"
+        )
+    )
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(d["evolution"])
+    t = eng.to_arrow()
+    return pa.table(
+        {
+            "url": t.column("url"),
+            "lang": t.column("lang"),
+            "rating": t.column("rating").cast(pa.int64()),
+        }
+    )

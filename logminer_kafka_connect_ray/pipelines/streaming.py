@@ -579,6 +579,9 @@ class StreamingEngine:
         self.watermark = m.watermark_scn
         self._schema = schemas.schema_from_json(m.schema)
         self._schema_version = m.schema_version
+        self._defaults: dict[str, str] = dict(m.defaults or {})
+        self._renames: dict[str, str] = dict(m.renames or {})
+        self._dropped: list[str] = list(m.dropped or [])
         self._decode = ray.remote(num_returns=3)(_decode_changelog_file)
         self._sort = ray.remote(num_returns=2)(_sort_run)
         self._compact = ray.remote(num_returns=2)(_compact_runs)
@@ -613,9 +616,27 @@ class StreamingEngine:
 
             fields = fields + catalog_fields(paths)
         schema, changed = unify_with(self._schema, fields)
-        if changed:
+        # DDL defaults/renames/drops discovered mid-stream flow into the
+        # next poll's published manifest (same sidecar source and
+        # add-new+keep-old rename policy as the batch plan)
+        from logminer_kafka_connect_ray.stages.evolve import (
+            apply_renames,
+            catalog_defaults,
+            catalog_dropped,
+            catalog_renames,
+        )
+
+        self._renames.update(catalog_renames(paths))
+        for c in catalog_dropped(paths):
+            if c not in self._dropped:
+                self._dropped.append(c)
+        schema, ren_changed = apply_renames(schema, self._renames)
+        if changed or ren_changed:
             self._schema = schema
             self._schema_version += 1
+        new_defaults = catalog_defaults(paths)
+        if new_defaults:
+            self._defaults.update(new_defaults)
 
     def _poll_ref(self):
         """One reference-style poll: ingest new files (decoded in Ray
@@ -910,6 +931,9 @@ class StreamingEngine:
                 open_spill=None,
                 markers_stats=(0, 0, 0),
                 pre_partitioned=True,
+                defaults=dict(self._defaults),
+                renames=dict(self._renames),
+                dropped=list(self._dropped),
             )
             self.watermark = new_wm
         return applied

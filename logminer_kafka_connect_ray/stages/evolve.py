@@ -128,6 +128,8 @@ def catalog_fields(paths: list[str]) -> list[pa.Field]:
         with open(cat) as f:
             doc = json.load(f)
         for name, decl in doc.get("columns", {}).items():
+            if isinstance(decl, dict):  # {"type": ..., "default": ...}
+                decl = decl["type"]
             ct = resolve_type(decl)
             prev = fields.get(name)
             t = widen(prev.type, ct.arrow) if prev is not None else ct.arrow
@@ -135,14 +137,169 @@ def catalog_fields(paths: list[str]) -> list[pa.Field]:
     return list(fields.values())
 
 
-def align_flat(t: pa.Table, flat_schema: pa.Schema) -> pa.Table:
+def catalog_defaults(paths: list[str]) -> dict[str, str]:
+    """DDL default literals from the ``_catalog.json`` sidecar(s)
+    (reference: ``ColumnSchemaBuilder.kt:91-107`` parses the catalog's
+    DATA_DEFAULT into ``convertDefaultValue``; ``ChangingTableTest.kt:
+    42-93`` adds a column WITH a default and expects pre-existing rows
+    to carry it).  Two accepted shapes::
+
+        {"columns": {"rating": {"type": "NUMBER(9)", "default": "7"}}}
+        {"columns": {...}, "defaults": {"rating": "7"}}
+
+    Returned literals are RAW (manifest-persisted as strings); typing
+    happens against the unified schema via ``typed_defaults``."""
+    import json
+    import os
+
+    out: dict[str, str] = {}
+    for d in {os.path.dirname(p) for p in paths}:
+        cat = os.path.join(d, "_catalog.json")
+        if not os.path.exists(cat):
+            continue
+        with open(cat) as f:
+            doc = json.load(f)
+        for name, decl in doc.get("columns", {}).items():
+            if isinstance(decl, dict) and decl.get("default") is not None:
+                out[name] = str(decl["default"])
+        for name, lit in doc.get("defaults", {}).items():
+            if lit is not None:
+                out[name] = str(lit)
+    return out
+
+
+def catalog_renames(paths: list[str]) -> dict[str, str]:
+    """DDL column RENAMEs from the catalog sidecar, as ``old -> new``.
+
+    POLICY (the reference tracks DDL in the redo dictionary,
+    ``logminer/LogminerSession.kt:37-167``; this engine's evolution is
+    additive, so):
+
+    * ``RENAME COLUMN old TO new`` = ADD ``new`` (typed like ``old``)
+      + KEEP ``old``.  Pre-existing rows surface their ``old`` value
+      under ``new`` (lineage fill at read/merge time, physical at the
+      partition's next copy-on-write rewrite); statements writing the
+      new name decode normally; the old column stays queryable and is
+      never destroyed.
+    * Effective at the START of the micro-batch that discovers it:
+      the sidecar carries no SCN, so the rename cannot interleave
+      with that batch's own statements -- the lineage copy is the
+      pre-batch value, and old-name writes (in that batch or later)
+      update only the old column.
+    * Sidecar shape: ``{"renames": {"old": "new"}}``.
+    """
+    import json
+    import os
+
+    out: dict[str, str] = {}
+    for d in {os.path.dirname(p) for p in paths}:
+        cat = os.path.join(d, "_catalog.json")
+        if not os.path.exists(cat):
+            continue
+        with open(cat) as f:
+            doc = json.load(f)
+        for old, new in doc.get("renames", {}).items():
+            out[str(old)] = str(new)
+    return out
+
+
+def catalog_dropped(paths: list[str]) -> list[str]:
+    """DDL column DROPs from the catalog sidecar
+    (``{"dropped": ["col"]}``).
+
+    POLICY: drops are IGNORED-BUT-ACCOUNTED -- the column and its data
+    stay in the table schema and lake files (dropping would be a
+    destructive table-wide rewrite the CDC sink must never do on its
+    own), the manifest records the intent in ``dropped`` so an
+    operator-triggered compaction can remove it physically, and
+    replaying a log that still contains statements on the column keeps
+    working."""
+    import json
+    import os
+
+    out: list[str] = []
+    for d in {os.path.dirname(p) for p in paths}:
+        cat = os.path.join(d, "_catalog.json")
+        if not os.path.exists(cat):
+            continue
+        with open(cat) as f:
+            doc = json.load(f)
+        for c in doc.get("dropped", []):
+            if c not in out:
+                out.append(str(c))
+    return out
+
+
+def apply_renames(
+    schema: pa.Schema, renames: dict[str, str]
+) -> tuple[pa.Schema, bool]:
+    """Ensure each rename TARGET exists in the schema, typed like its
+    source (add-new+keep-old policy).  Unknown sources are ignored."""
+    changed = False
+    out = list(schema)
+    names = {f.name for f in out}
+    for old, new in renames.items():
+        if new in names or old not in names:
+            continue
+        src = schema.field(old)
+        out.append(pa.field(new, src.type, nullable=True))
+        names.add(new)
+        changed = True
+    return pa.schema(out), changed
+
+
+def typed_defaults(
+    schema: pa.Schema, raw: dict[str, str], db_timezone: str = "UTC"
+) -> dict[str, object]:
+    """Raw default literals -> typed python values for columns present
+    in ``schema`` (SYSDATE-family unresolvables drop to None and are
+    omitted -- the reference's null-default behavior,
+    ``ColumnSchemaBuilder.kt:97-107``)."""
+    from logminer_kafka_connect_ray.types import column_type_for_arrow
+
+    out: dict[str, object] = {}
+    for name, lit in (raw or {}).items():
+        if schema.get_field_index(name) < 0:
+            continue
+        ct = column_type_for_arrow(schema.field(name).type, db_timezone)
+        try:
+            v = ct.convert_default(lit)
+        except (ValueError, ArithmeticError):
+            v = None
+        if v is not None:
+            out[name] = v
+    return out
+
+
+def align_flat(
+    t: pa.Table,
+    flat_schema: pa.Schema,
+    defaults: dict | None = None,
+    fill_from: dict[str, str] | None = None,
+) -> pa.Table:
     """Cast a flat event table (e.g. pre-evolution carryover spill) to
-    the current flat schema: add missing columns as null, widen types."""
+    the current flat schema: add missing columns as null, widen types.
+
+    ``fill_from`` (``missing_col -> source_col``, the rename lineage)
+    surfaces a renamed-into column's values from its source column;
+    ``defaults`` (typed, per column name) backfills a MISSING column
+    with its DDL default instead of null -- the lake-read analog of
+    Oracle giving pre-existing rows an added column's default; old
+    partition files stay valid until their next copy-on-write rewrite."""
     cols = []
     for f in flat_schema:
         if f.name in t.column_names:
             c = t.column(f.name)
             cols.append(c.cast(f.type) if c.type != f.type else c)
+        elif (
+            fill_from
+            and f.name in fill_from
+            and fill_from[f.name] in t.column_names
+        ):
+            c = t.column(fill_from[f.name])
+            cols.append(c.cast(f.type) if c.type != f.type else c)
+        elif defaults and f.name in defaults:
+            cols.append(pa.repeat(pa.scalar(defaults[f.name], f.type), t.num_rows))
         else:
             cols.append(pa.nulls(t.num_rows, f.type))
     return pa.table(cols, schema=flat_schema)

@@ -123,10 +123,19 @@ def preagg_block(t: pa.Table, key_column: str, n_data_cols: int) -> pa.Table:
 
 
 def base_as_pseudo_events(
-    base: pa.Table, table_schema: pa.Schema, key_column: str
+    base: pa.Table, table_schema: pa.Schema, key_column: str,
+    defaults: dict | None = None,
+    fill_from: dict[str, str] | None = None,
 ) -> pa.Table:
     """Lake rows -> op='r' full-image pseudo-events at their last-applied
-    (commit_scn, scn) so they slot into the fold's sort order."""
+    (commit_scn, scn) so they slot into the fold's sort order.
+
+    ``fill_from`` (``missing_col -> source_col``): rename lineage --
+    a renamed-into column fills from its source column's values.
+    ``defaults`` (typed per column): a column MISSING from the base
+    partition file (added after that partition's last rewrite) fills
+    with its DDL default instead of null (ChangingTableTest.kt:42-93:
+    Oracle gives pre-existing rows the added column's default)."""
     n = base.num_rows
     data_cols = schemas.data_columns_of(table_schema, key_column)
     full_mask = (1 << len(data_cols)) - 1
@@ -146,6 +155,14 @@ def base_as_pseudo_events(
             col = base.column(c)
             if col.type != ftype:
                 col = col.cast(ftype)
+        elif fill_from and c in fill_from and fill_from[c] in base.column_names:
+            # rename lineage: renamed-into column fills from its source
+            col = base.column(fill_from[c])
+            if col.type != ftype:
+                col = col.cast(ftype)
+        elif defaults and c in defaults:
+            # schema evolution with DDL DEFAULT: backfill old partition
+            col = pa.repeat(pa.scalar(defaults[c], ftype), n)
         else:  # schema evolution: new column, old partition -> nulls
             col = pa.nulls(n, ftype)
         cols[f"a_{c}"] = col

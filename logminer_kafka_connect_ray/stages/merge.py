@@ -127,13 +127,25 @@ class PartitionMerger:
         key_column: str,
         version: int,
         views: tuple[tuple[str, str, str | None], ...] = (),
+        defaults_raw: dict[str, str] | None = None,
+        db_timezone: str = "UTC",
+        renames: dict[str, str] | None = None,
     ):
+        from logminer_kafka_connect_ray.stages.evolve import typed_defaults
+
         self.lake_dir = lake_dir
         self.part_files = part_files
         self.table_schema = schemas.schema_from_json(table_schema_json)
         self.key_column = key_column
         self.version = version
         self.views = views
+        #: typed DDL defaults: backfill columns missing from old
+        #: partition files (added-with-DEFAULT evolution)
+        self.defaults = typed_defaults(
+            self.table_schema, defaults_raw or {}, db_timezone
+        )
+        #: rename lineage as fill map (new -> old)
+        self.fill_from = {new: old for old, new in (renames or {}).items()}
 
     def _read_base(self, part_id: int) -> pa.Table | None:
         rel = self.part_files.get(part_id)
@@ -164,7 +176,10 @@ class PartitionMerger:
         n_base = 0
         if base is not None and base.num_rows:
             n_base = base.num_rows
-            pseudo = fold.base_as_pseudo_events(base, self.table_schema, self.key_column)
+            pseudo = fold.base_as_pseudo_events(
+                base, self.table_schema, self.key_column,
+                defaults=self.defaults, fill_from=self.fill_from,
+            )
             pieces.append(pseudo)
         flat = pa.concat_tables(pieces, promote_options="default")
         final = fold.fold_final(flat, self.table_schema, self.key_column)

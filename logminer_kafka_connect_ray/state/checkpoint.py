@@ -67,6 +67,16 @@ class Manifest:
     open_txn_spill: str | None = None   # relative path of carryover parquet
     hash_probe: dict[str, int] = field(default_factory=dict)
     metrics: dict[str, Any] = field(default_factory=dict)
+    #: DDL default literals per column (raw strings, typed on use):
+    #: a column added with a DEFAULT backfills pre-existing rows with
+    #: it (ChangingTableTest.kt:42-93) -- logically at read/merge time,
+    #: physically at each partition's next copy-on-write rewrite
+    defaults: dict[str, str] = field(default_factory=dict)
+    #: DDL column renames (old -> new): rename policy is
+    #: add-new+keep-old with lineage fill (stages/evolve.py
+    #: catalog_renames doc); drops are ignored-but-accounted here
+    renames: dict[str, str] = field(default_factory=dict)
+    dropped: list[str] = field(default_factory=list)
 
     def to_json(self) -> str:
         d = asdict(self)

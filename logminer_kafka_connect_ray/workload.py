@@ -695,3 +695,108 @@ def derive_changelog_corrupt(
         outs.append(dst)
     shutil.rmtree(tmp, ignore_errors=True)
     return outs
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution with DDL DEFAULT (ChangingTableTest.kt:42-93)
+# ---------------------------------------------------------------------------
+#: the evolved column: added mid-stream with this default -- Oracle
+#: gives every pre-existing row the default value
+EVOLUTION_DEFAULT = 7
+
+
+def derive_changelog_evolution(
+    sf_dir: str, out_dir: str, events_per_file: int = 100_000
+) -> list[str]:
+    """Redo-SQL changelog exercising ADD-COLUMN-WITH-DEFAULT evolution:
+    the ``_catalog.json`` dictionary sidecar declares a new
+    ``rating NUMBER(9) DEFAULT 7`` column (the reference parses the
+    catalog's DATA_DEFAULT, ``ColumnSchemaBuilder.kt:91-107``) and the
+    statements are committed/rolled-back UPDATEs setting it from the
+    ``purchase`` events; every page row a committed update never
+    touched must surface the default after replay.
+
+    Deterministic from the driver's events table, SQL-restatable:
+    purchases ordered by event_id; txn = rank // TXN_SIZE with the
+    standard rollback pattern; rating value = event_id % 100;
+    scn = SCN0 + event_id*2, commit marker at last member scn + 1."""
+    import json
+
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    etype = ev.column("event_type").to_pandas().to_numpy()
+    sel = etype == "purchase"
+    eid = ev.column("event_id").to_numpy()[sel]
+    user = ev.column("user_id").to_numpy()[sel]
+    order = np.argsort(eid, kind="stable")
+    eid, user = eid[order], user[order]
+    urls = _urls(user % n_docs).to_pylist()
+    scn = SCN0 + eid * 2
+    tx = np.arange(len(eid)) // TXN_SIZE
+
+    rows = []
+    for i in range(len(eid)):
+        u, e, s_ = urls[i], int(eid[i]), int(scn[i])
+        sql = (
+            f'update "WEB"."PAGES" set "rating" = {e % 100}'
+            f" where \"url\" = '{u}' and ROWID = 'R{s_}'"
+        )
+        rows.append(
+            {"scn": s_, "row_id": f"R{s_}", "commit_scn": None,
+             "tx_id": f"etx{int(tx[i])}", "op": "u", "ts_ms": None,
+             "table": TABLE_NAME, "username": None, "status": 0,
+             "csf": 0, "sql_redo": sql}
+        )
+    # one marker per txn at (last member scn + 1): member eids strictly
+    # increase, so markers interleave in global scn order
+    txs = np.unique(tx)
+    for t_ in txs:
+        last = int(scn[tx == t_].max()) + 1
+        rows.append(
+            {"scn": last, "row_id": f"R{last}", "commit_scn": last,
+             "tx_id": f"etx{int(t_)}",
+             "op": "rollback" if t_ % ROLLBACK_MOD == ROLLBACK_REM
+             else "commit",
+             "ts_ms": None, "table": TABLE_NAME, "username": None,
+             "status": 0, "csf": 0, "sql_redo": None}
+        )
+    rows.sort(key=lambda r: r["scn"])
+
+    from logminer_kafka_connect_ray.testing.gen import REDO_SQL_SCHEMA
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for off in range(0, len(rows), events_per_file):
+        chunk = rows[off : off + events_per_file]
+        tbl = pa.Table.from_pylist(chunk, schema=REDO_SQL_SCHEMA)
+        lo, hi = chunk[0]["scn"], chunk[-1]["scn"]
+        p = os.path.join(out_dir, f"batch-{lo:012d}-{hi:012d}.parquet")
+        pq.write_table(tbl, p)
+        paths.append(p)
+    with open(os.path.join(out_dir, "_catalog.json"), "w") as f:
+        json.dump(
+            {"columns": {"rating": {
+                "type": "NUMBER(9)", "default": str(EVOLUTION_DEFAULT)
+            }}},
+            f,
+        )
+    return paths
+
+
+def ensure_evolution_workload(
+    sf_dir: str, root: str = "/tmp/lkc_workload"
+) -> dict[str, str]:
+    """Idempotently materialize pages + the evolution redo changelog."""
+    d = ensure_workload(sf_dir, root)
+    evo = os.path.join(d["root"], "changelog-evolution")
+    marker = os.path.join(d["root"], "_ready_evolution")
+    if not os.path.exists(marker):
+        derive_changelog_evolution(sf_dir, evo)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return {**d, "evolution": evo}

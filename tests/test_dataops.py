@@ -1452,3 +1452,43 @@ def test_word_share_drift_topk_exact(ray_session, tmp_path):
     # T1 = 8, T2 = 8; up: n1=0, n2=5 -> drift = 5/8
     assert (up["n_first"], up["n_second"]) == (0, 5)
     assert up["drift_e6"] == 10**6 * 5 // 8
+
+
+def test_doc_connected_components_iterative_path(ray_session, tmp_path, monkeypatch):
+    """The iterative pointer-jump path (the >1-block scale path) must
+    agree with the fast single-block finish and converge in few
+    exchange rounds (the block-local closure relax bounds it)."""
+    n = 150
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array(np.ones(n, np.int64)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    fast = d.doc_connected_components(str(tmp_path))
+    assert d._CC_LAST_ROUNDS == 1  # single-block fast finish
+
+    # force the iterative scale path by shrinking the fast-finish bound
+    import logminer_kafka_connect_ray.pipelines.dataops as M
+
+    monkeypatch.setattr(M, "CC_FAST_FINISH_ROWS", 0)
+    it = d.doc_connected_components(str(tmp_path))
+    assert d._CC_LAST_ROUNDS > 1  # genuinely took the iterative path
+    assert d._CC_LAST_ROUNDS <= 8
+    assert it.equals(fast)
+
+
+def test_exact_kernel_input_guards(ray_session, monkeypatch):
+    """The O(n^2) verify kernels fail LOUDLY past the documented bound,
+    pointing at their LSH scale siblings (round-3 verdict item 6)."""
+    import logminer_kafka_connect_ray.pipelines.dataops as M
+
+    monkeypatch.setattr(M, "EXACT_KERNEL_MAX_ROWS", 1)
+    with pytest.raises(ValueError, match="embedding_near_dup"):
+        d.embedding_near_dup_exact("/root/testdata/sf0.001")
+    with pytest.raises(ValueError, match="dedup_minhash_lsh"):
+        d.dedup_ngram_jaccard("/root/testdata/sf0.001")

@@ -534,3 +534,140 @@ def test_fast_hex_decode_unit():
         b"\xde\xad\xbe\xef", b"", b"\xab", None, None, None, b"\x01\x02"
     ]
     assert list(bad) == [False, False, False, False, True, True, False]
+
+
+def test_schema_default_backfill_routes(ray_session, tmp_path):
+    """ADD-COLUMN-WITH-DEFAULT evolution (ChangingTableTest.kt:42-93):
+    batch replay, streaming replay, and a post-evolution repartition
+    all surface the DDL default on rows no committed update touched."""
+    from logminer_kafka_connect_ray import workload
+    from logminer_kafka_connect_ray.pipelines.streaming import StreamingEngine
+
+    sf = "/root/testdata/sf0.001"
+    d = workload.ensure_evolution_workload(sf)
+
+    lake_b = str(tmp_path / "lake-batch")
+    eng_b = Engine(EngineConfig(
+        lake_dir=lake_b, num_partitions=4, changelog_format="redo_sql"
+    ))
+    eng_b.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    m = eng_b.replay(d["evolution"])
+    assert m.defaults == {"rating": str(workload.EVOLUTION_DEFAULT)}
+    tb = eng_b.to_arrow()
+    assert "rating" in tb.column_names
+    ratings = tb.column("rating").to_pylist()
+    assert None not in ratings  # default backfill, never null
+    assert workload.EVOLUTION_DEFAULT in ratings  # untouched rows
+    assert any(r != workload.EVOLUTION_DEFAULT for r in ratings)  # updated
+
+    # streaming route reaches the identical state + manifest defaults
+    lake_s = str(tmp_path / "lake-stream")
+    eng_s = Engine(EngineConfig(
+        lake_dir=lake_s, num_partitions=4, changelog_format="redo_sql"
+    ))
+    eng_s.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    stream = StreamingEngine(
+        eng_s, d["evolution"], num_shards=2, poll_interval=0.01
+    )
+    stream.run(max_polls=40)
+    stream.shutdown()
+    assert eng_s.store.load().defaults == m.defaults
+    assert eng_s.to_arrow().equals(tb)
+
+    # repartition carries defaults forward (prev=None path) and
+    # physically materializes them; state is unchanged
+    m2 = eng_b.repartition_lake(6)
+    assert m2.defaults == m.defaults
+    assert eng_b.to_arrow().equals(tb)
+
+
+def test_rename_drop_column_policy(ray_session, tmp_path):
+    """DDL rename/drop policy (reference tracks DDL in the redo
+    dictionary, LogminerSession.kt:37-167; this engine's documented
+    policy in stages/evolve.py):
+
+    * RENAME old->new = add-new + keep-old with lineage fill: rows a
+      committed statement never touched surface their old value under
+      the new name; the old column stays queryable.
+    * DROP = ignored-but-accounted: data intact, manifest records it.
+    * Replay over a log containing the change neither crashes nor
+      corrupts untouched columns.
+    """
+    import json
+
+    from logminer_kafka_connect_ray import workload
+
+    sf = "/root/testdata/sf0.001"
+    d = workload.ensure_workload(sf)
+    pages = pq.read_table(d["pages"])
+    urls = pages.column("url").to_pylist()
+
+    log_dir = str(tmp_path / "changelog")
+    import os
+
+    os.makedirs(log_dir)
+    rows = []
+    scn = workload.SNAPSHOT_SCN + 1
+
+    def add(sql, op, tx, commit=None):
+        nonlocal scn
+        rows.append(
+            {"scn": scn, "row_id": f"R{scn}", "commit_scn": commit,
+             "tx_id": tx, "op": op, "ts_ms": None,
+             "table": workload.TABLE_NAME, "username": None, "status": 0,
+             "csf": 0, "sql_redo": sql}
+        )
+        scn += 1
+
+    # pre-rename: update text on url[0] (old name, old column)
+    add(f'update "WEB"."PAGES" set "text" = \'pre\' where "url" = \'{urls[0]}\'',
+        "u", "t1")
+    add(None, "commit", "t1", commit=scn)
+    # post-rename: update body (new name) on url[1]; old-name statement
+    # on url[2] still decodes (keep-old policy)
+    add(f'update "WEB"."PAGES" set "body" = \'post\' where "url" = \'{urls[1]}\'',
+        "u", "t2")
+    add(f'update "WEB"."PAGES" set "text" = \'old-name\' where "url" = \'{urls[2]}\'',
+        "u", "t2")
+    add(None, "commit", "t2", commit=scn)
+    tbl = pa.Table.from_pylist(rows, schema=REDO_SQL_SCHEMA)
+    pq.write_table(
+        tbl, os.path.join(log_dir, f"batch-{rows[0]['scn']:012d}-{scn:012d}.parquet")
+    )
+    with open(os.path.join(log_dir, "_catalog.json"), "w") as f:
+        json.dump({"renames": {"text": "body"}, "dropped": ["lang"]}, f)
+
+    eng = Engine(EngineConfig(
+        lake_dir=str(tmp_path / "lake"), num_partitions=4,
+        changelog_format="redo_sql",
+    ))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    m = eng.replay(log_dir)
+    assert m.renames == {"text": "body"}
+    assert m.dropped == ["lang"]
+
+    t = eng.to_arrow()
+    assert "body" in t.column_names and "text" in t.column_names
+    assert "lang" in t.column_names  # drop is accounting-only
+    state = {r["url"]: r for r in t.to_pylist()}
+    base = {r["url"]: r for r in pages.to_pylist()}
+    # untouched url[3]: body surfaces the old text value (lineage fill),
+    # everything else byte-identical to base
+    assert state[urls[3]]["body"] == base[urls[3]]["text"]
+    assert state[urls[3]]["text"] == base[urls[3]]["text"]
+    assert state[urls[3]]["lang"] == base[urls[3]]["lang"]
+    assert state[urls[3]]["html"] == base[urls[3]]["html"]
+    # url[0]: old-name update applied to text; the rename's lineage
+    # copy is the value at the START of the discovering micro-batch
+    # (catalog DDL has no SCN, so it cannot interleave with the
+    # batch's own statements -- documented in catalog_renames)
+    assert state[urls[0]]["text"] == "pre"
+    assert state[urls[0]]["body"] == base[urls[0]]["text"]
+    # url[1]: post-rename new-name update applied to body; text keeps
+    # its old value (keep-old)
+    assert state[urls[1]]["body"] == "post"
+    assert state[urls[1]]["text"] == base[urls[1]]["text"]
+    # url[2]: old-name statement post-rename still decodes
+    assert state[urls[2]]["text"] == "old-name"
+    # no corruption anywhere: lang column equals base for all rows
+    assert all(state[u]["lang"] == base[u]["lang"] for u in urls)
