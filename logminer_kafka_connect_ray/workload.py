@@ -431,17 +431,44 @@ def ensure_workload(sf_dir: str, root: str = "/tmp/lkc_workload") -> dict[str, s
     return d
 
 
+def _hex_encode(sarr: pa.Array) -> pa.Array:
+    """Vectorized lowercase hex of a string array (buffer-level numpy,
+    the inverse of the decoder's HEXTORAW nibble pass)."""
+    a = sarr.combine_chunks() if isinstance(sarr, pa.ChunkedArray) else sarr
+    n = len(a)
+    off = np.frombuffer(a.buffers()[1], np.int32)[a.offset : a.offset + n + 1]
+    data = np.frombuffer(a.buffers()[2], np.uint8)[off[0] : off[-1]]
+    off = off - off[0]
+    hexd = np.frombuffer(b"0123456789abcdef", np.uint8)
+    out = np.empty(len(data) * 2, np.uint8)
+    out[0::2] = hexd[data >> 4]
+    out[1::2] = hexd[data & 15]
+    return pa.Array.from_buffers(
+        pa.string(), n,
+        [None, pa.py_buffer((off * 2).astype(np.int32).tobytes()),
+         pa.py_buffer(out.tobytes())],
+    )
+
+
 def derive_changelog_redo_sql(
-    sf_dir: str, out_dir: str, events_per_file: int = 100_000
+    sf_dir: str, out_dir: str, events_per_file: int = 100_000,
+    replicate: int = 1,
 ) -> list[str]:
     """The SAME derived workload rendered as raw redo-SQL statements
     (the reference's v$logmnr_contents shape): exercises the M1 parser
-    path end-to-end under the same SQL oracle as the struct form."""
+    path end-to-end under the same SQL oracle as the struct form.
+
+    Fully vectorized (Arrow concat kernels + buffer-level hex), so the
+    bench can amplify it: ``replicate=R`` tiles the events table R
+    times with disjoint event_id ranges exactly like
+    ``derive_changelog`` (bench-only; the SQL oracles assume R=1)."""
     ev = pq.read_table(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"],
     )
-    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
     eid = ev.column("event_id").to_numpy()
     etype = ev.column("event_type").to_pandas().to_numpy()
     user = ev.column("user_id").to_numpy()
@@ -449,75 +476,106 @@ def derive_changelog_redo_sql(
         ev.column("ts").cast(pa.timestamp("us")).to_numpy()
         .astype("datetime64[us]").astype(np.int64)
     )
+    if replicate > 1:
+        n0 = len(eid)
+        reps = np.arange(replicate).repeat(n0)
+        eid = np.tile(eid, replicate) + reps * n0
+        etype = np.tile(etype, replicate)
+        user = np.tile(user, replicate) + reps
+        ts_us = np.tile(ts_us, replicate)
     doc = user % n_docs
-    urls = _urls(doc).to_pylist()
+    url = _urls(doc)
     scn = SCN0 + eid * 2
     tx = eid // TXN_SIZE
+    rid = _concat("R", scn)
 
-    import datetime as _dt
-
-    def ts_lit(us: int) -> str:
-        t = _dt.datetime.utcfromtimestamp(us / 1_000_000)
-        return (
-            f"TO_TIMESTAMP('{t.strftime('%Y-%m-%d %H:%M:%S.%f')}',"
-            f" 'YYYY-MM-DD HH24:MI:SS.FF6')"
-        )
-
-    rows = []
-    for i in range(len(eid)):
-        e, et, u = int(eid[i]), etype[i], urls[i]
-        rid = f"R{int(scn[i])}"
-        if et == "error":
-            sql = (f'delete from "WEB"."PAGES" where "url" = \'{u}\''
-                   f" and ROWID = '{rid}'")
-            op = "d"
-        elif et == "signup":
-            text = f"signup:{e}"
-            html = f"<html><body>{text}</body></html>".encode().hex()
-            sql = (
-                'insert into "WEB"."PAGES"("url","warc_ts","html","text","lang")'
-                f" values ('{u}', {ts_lit(int(ts_us[i]))}, HEXTORAW('{html}'),"
-                f" '{text}', 'xx{e % 5}')"
-            )
-            op = "i"
-        elif et in ("click", "view"):
-            sql = (f'update "WEB"."PAGES" set "text" = \'u:{e}\' where "url" = \'{u}\''
-                   f" and ROWID = '{rid}'")
-            op = "u"
-        else:  # purchase
-            sql = (f'update "WEB"."PAGES" set "lang" = \'p{e % 5}\' where "url" = \'{u}\''
-                   f" and ROWID = '{rid}'")
-            op = "u"
-        rows.append(
-            {
-                "scn": int(scn[i]), "row_id": rid,
-                "commit_scn": None, "tx_id": f"tx{int(tx[i])}", "op": op,
-                "ts_ms": int(ts_us[i]) // 1000, "table": TABLE_NAME,
-                "username": None, "status": 0, "csf": 0, "sql_redo": sql,
-            }
-        )
-    txs = np.unique(tx)
-    m_scn = SCN0 + (txs * TXN_SIZE + (TXN_SIZE - 1)) * 2 + 1
-    for t_, s_ in zip(txs, m_scn):
-        rows.append(
-            {
-                "scn": int(s_), "row_id": f"R{int(s_)}", "commit_scn": int(s_),
-                "tx_id": f"tx{int(t_)}",
-                "op": "rollback" if t_ % ROLLBACK_MOD == ROLLBACK_REM else "commit",
-                "ts_ms": None, "table": TABLE_NAME, "username": None,
-                "status": 0, "csf": 0, "sql_redo": None,
-            }
-        )
-    rows.sort(key=lambda r: r["scn"])
+    # per-class statement text, all Arrow concat kernels
+    del_sql = _concat(
+        'delete from "WEB"."PAGES" where "url" = \'', url,
+        "' and ROWID = '", rid, "'",
+    )
+    text_u = _concat(
+        'update "WEB"."PAGES" set "text" = \'u:', eid,
+        "' where \"url\" = '", url, "' and ROWID = '", rid, "'",
+    )
+    lang_u = _concat(
+        'update "WEB"."PAGES" set "lang" = \'p', eid % 5,
+        "' where \"url\" = '", url, "' and ROWID = '", rid, "'",
+    )
+    ts_str = pc.strftime(
+        pa.array(ts_us).cast(pa.timestamp("us")),
+        format="%Y-%m-%d %H:%M:%S",
+    )
+    html_hex = _hex_encode(_concat("<html><body>signup:", eid, "</body></html>"))
+    ins_sql = _concat(
+        'insert into "WEB"."PAGES"("url","warc_ts","html","text","lang")'
+        " values ('", url, "', TO_TIMESTAMP('", ts_str,
+        "', 'YYYY-MM-DD HH24:MI:SS.FF6'), HEXTORAW('", html_hex,
+        "'), 'signup:", eid, "', 'xx", eid % 5, "')",
+    )
+    is_d = pa.array(etype == "error")
+    is_i = pa.array(etype == "signup")
+    is_lang = pa.array(etype == "purchase")
+    sql = pc.if_else(
+        is_d, del_sql,
+        pc.if_else(is_i, ins_sql, pc.if_else(is_lang, lang_u, text_u)),
+    )
+    op = np.where(etype == "error", "d", np.where(etype == "signup", "i", "u"))
 
     from logminer_kafka_connect_ray.testing.gen import REDO_SQL_SCHEMA
 
+    n = len(eid)
+    events_tbl = pa.table(
+        {
+            "scn": pa.array(scn, pa.int64()),
+            "row_id": rid,
+            "commit_scn": pa.nulls(n, pa.int64()),
+            "tx_id": _concat("tx", tx),
+            "op": pa.array(op, pa.string()),
+            "ts_ms": pa.array(ts_us // 1000).cast(pa.timestamp("ms", tz="UTC")),
+            "table": pa.array([TABLE_NAME] * n, pa.string()),
+            "username": pa.nulls(n, pa.string()),
+            "status": pa.array(np.zeros(n, np.int32)),
+            "csf": pa.array(np.zeros(n, np.int32)),
+            "sql_redo": sql,
+        },
+        schema=REDO_SQL_SCHEMA,
+    )
+    txs = np.unique(tx)
+    m_scn = SCN0 + (txs * TXN_SIZE + (TXN_SIZE - 1)) * 2 + 1
+    m_op = np.where(
+        txs % ROLLBACK_MOD == ROLLBACK_REM, "rollback", "commit"
+    )
+    nm = len(txs)
+    markers_tbl = pa.table(
+        {
+            "scn": pa.array(m_scn, pa.int64()),
+            "row_id": _concat("R", m_scn),
+            "commit_scn": pa.array(m_scn, pa.int64()),
+            "tx_id": _concat("tx", txs),
+            "op": pa.array(m_op, pa.string()),
+            "ts_ms": pa.nulls(nm, pa.timestamp("ms", tz="UTC")),
+            "table": pa.array([TABLE_NAME] * nm, pa.string()),
+            "username": pa.nulls(nm, pa.string()),
+            "status": pa.array(np.zeros(nm, np.int32)),
+            "csf": pa.array(np.zeros(nm, np.int32)),
+            "sql_redo": pa.nulls(nm, pa.string()),
+        },
+        schema=REDO_SQL_SCHEMA,
+    )
+    combined = pa.concat_tables([events_tbl, markers_tbl])
+    order = np.argsort(
+        combined.column("scn").to_numpy(zero_copy_only=False), kind="stable"
+    )
+    combined = combined.take(pa.array(order)).combine_chunks()
+
     os.makedirs(out_dir, exist_ok=True)
     paths = []
-    for off in range(0, len(rows), events_per_file):
-        chunk = rows[off : off + events_per_file]
-        tbl = pa.Table.from_pylist(chunk, schema=REDO_SQL_SCHEMA)
-        lo, hi = chunk[0]["scn"], chunk[-1]["scn"]
+    total = combined.num_rows
+    for off in range(0, total, events_per_file):
+        tbl = combined.slice(off, events_per_file)
+        lo = tbl.column("scn")[0].as_py()
+        hi = tbl.column("scn")[-1].as_py()
         p = os.path.join(out_dir, f"batch-{lo:012d}-{hi:012d}.parquet")
         pq.write_table(tbl, p)
         paths.append(p)
