@@ -55,6 +55,10 @@ MAX_SPECIALIZED = 12
 
 _SIG_SEP = "\x1f"
 
+#: rows of a cold batch the generic tier probes to discover
+#: signatures before the specialized tier takes over (parse())
+_PROBE_ROWS = 4096
+
 #: literal token alternation -- mirrors the scalar tokenizer's accepted
 #: literal forms exactly (redo_sql._TOKEN_RE + _P.literal)
 _FUNCS = "TO_DATE|TO_TIMESTAMP_TZ|TO_TIMESTAMP|HEXTORAW|UNISTR"
@@ -744,6 +748,27 @@ class FastRedoParser:
             idx = self._try_specialized(t, sql, idx, op, tables, fallback)
             if not len(idx):
                 continue
+            # cold-start probe: the generic tiered pattern is ~3x the
+            # kernel cost of a specialized one, and every worker
+            # process pays it on its first batch.  Run the generic
+            # tier on a bounded PROBE slice only -- it registers the
+            # signatures it sees -- then re-run the (now warm)
+            # specialized tier over the remainder; the generic tier
+            # sweeps only what still doesn't match (novel signatures
+            # past the probe).
+            if len(idx) > _PROBE_ROWS:
+                probe, rest = idx[:_PROBE_ROWS], idx[_PROBE_ROWS:]
+                if op == "i":
+                    self._parse_insert(t, sql, probe, tables, fallback)
+                else:
+                    self._parse_update_delete(
+                        t, sql, probe, op, tables, fallback
+                    )
+                idx = self._try_specialized(
+                    t, sql, rest, op, tables, fallback
+                )
+                if not len(idx):
+                    continue
             if op == "i":
                 self._parse_insert(t, sql, idx, tables, fallback)
             else:

@@ -230,6 +230,16 @@ def _release_filter(block: pa.Table, commit_map: pa.Table):
     matched = pc.is_valid(pos)
     cs = pc.take(commit_map.column("commit_scn"), pc.fill_null(pos, 0))
     committed = pc.and_(matched, pc.is_valid(cs))
+    i = block.column_names.index("commit_scn")
+    if pc.all(committed).as_py():
+        # bulk catch-up fast path: the whole block commits (the common
+        # shape when draining a backlog whose terminators arrived in
+        # the same poll).  set_column reuses every other column's
+        # buffers -- no copy of the html payloads, unlike filter().
+        if isinstance(cs, pa.ChunkedArray):
+            cs = cs.combine_chunks()
+        released = block.set_column(i, "commit_scn", cs.cast(pa.int64()))
+        return released, block.slice(0, 0), (released.num_rows, 0)
     released = block.filter(committed)
     if released.num_rows:
         rel_cs = pc.take(
@@ -241,7 +251,6 @@ def _release_filter(block: pa.Table, commit_map: pa.Table):
         )
         if isinstance(rel_cs, pa.ChunkedArray):
             rel_cs = rel_cs.combine_chunks()
-        i = released.column_names.index("commit_scn")
         released = released.set_column(
             i, "commit_scn", rel_cs.cast(pa.int64())
         )
@@ -646,14 +655,16 @@ class StreamingEngine:
         tiny marker tables."""
         import ray
 
-        released, _hi = self._ingest()
+        released, _hi, _counts = self._ingest()
         return self._emit_sorted(released)
 
     def _ingest(self):
         """Ingest newly-appeared files: decode in parallel Ray tasks,
         then apply feed -> terminate PER FILE in SCN-file order.
-        Returns ``(released_refs, max_commit_scn_or_None)``; the
-        driver touches only refs and the tiny marker tables."""
+        Returns ``(released_refs, max_commit_scn_or_None, counts)``
+        where ``counts`` aligns with the refs (int where the row count
+        is already known driver-side, None where it isn't); the driver
+        touches only refs and the tiny marker tables."""
         import ray
 
         new = [
@@ -752,6 +763,7 @@ class StreamingEngine:
                 )
         if feed_refs:
             ray.get(feed_refs)  # buffers settled before watermark reads
+        rel_counts: list[int | None] = [None] * len(released)
         # release block-resident rows against this poll's terminators
         if self._open_blocks and terminator_parts:
             cm_ref = ray.put(pa.concat_tables(terminator_parts))
@@ -763,10 +775,11 @@ class StreamingEngine:
             for (rel_ref, open_ref, _), (n_rel, n_open) in zip(results, counts):
                 if n_rel:
                     released.append(rel_ref)
+                    rel_counts.append(n_rel)
                 if n_open:
                     new_open.append(open_ref)
             self._open_blocks = new_open
-        return released, hi_commit
+        return released, hi_commit, rel_counts
 
     def _emit_sorted(self, released):
         """Sorted-run bookkeeping for the commit-order ``poll()``
@@ -858,19 +871,25 @@ class StreamingEngine:
         applied = 0
         idle = 0
         for _ in range(max_polls):
-            released, hi_commit = self._ingest()
+            released, hi_commit, known = self._ingest()
             # drain any backlog left by interleaved poll() usage first
             if self._runs:
                 batch_ref, n = self._emit_sorted([])
                 if n:
                     released.append(batch_ref)
+                    known.append(n)
             if not released:
                 idle += 1
                 if idle_polls_limit is not None and idle >= idle_polls_limit:
                     break
                 time.sleep(self.poll_interval)
                 continue
-            counts = ray.get([self._count.remote(r) for r in released])
+            counts = list(known)
+            todo = [i for i, c in enumerate(counts) if c is None]
+            for i, c in zip(
+                todo, ray.get([self._count.remote(released[i]) for i in todo])
+            ):
+                counts[i] = c
             live = [r for r, c in zip(released, counts) if c]
             n = int(sum(counts))
             if not n:
@@ -907,19 +926,23 @@ class StreamingEngine:
             flat_schema = schemas.flat_change_schema(
                 self.engine.config.key_column, self._schema
             )
+            preagg = PreaggPartitioner(
+                self.engine.config.key_column,
+                len(data_cols),
+                self.engine.config.num_partitions,
+            )
             self.engine._merge_and_publish(
+                # ONE fused whole-block pass: align (rows decoded before
+                # a mid-stream column add null-fill the new columns) +
+                # dominance combiner + _part stamp.  Fused and
+                # zero-copy-batched because the default 1024-row batch
+                # slicing re-materialized the html payloads twice per
+                # poll (the r3 streaming-vs-batch gap's main term).
                 flat.map_batches(
-                    # align: rows decoded before a mid-stream column
-                    # add null-fill the new columns
-                    lambda t, s=flat_schema: align_flat(t, s),
+                    lambda t, s=flat_schema, p=preagg: p(align_flat(t, s)),
                     batch_format="pyarrow",
-                ).map_batches(
-                    PreaggPartitioner(
-                        self.engine.config.key_column,
-                        len(data_cols),
-                        self.engine.config.num_partitions,
-                    ),
-                    batch_format="pyarrow",
+                    batch_size=None,
+                    zero_copy_batch=True,
                 ),
                 version=prev.version + 1,
                 phase="cdc-stream",
