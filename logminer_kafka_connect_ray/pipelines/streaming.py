@@ -210,7 +210,9 @@ def _txn_summary(flat: pa.Table) -> pa.Table:
     )
 
 
-def _release_filter(block: pa.Table, commit_map: pa.Table):
+def _release_filter(
+    block: pa.Table, commit_map: pa.Table, apply_spec: tuple | None = None
+):
     """Ray TASK (num_returns=3): split a plasma-resident buffered-rows
     block against this poll's terminator map.
 
@@ -220,7 +222,16 @@ def _release_filter(block: pa.Table, commit_map: pa.Table):
     in with one ``index_in`` pass; unmatched rows stay open and are
     re-filtered by later polls.  This is the bulk-regime release path:
     row payloads move plasma -> task once per terminator poll instead
-    of round-tripping through the consolidator actors."""
+    of round-tripping through the consolidator actors.
+
+    ``apply_spec`` (``run()``'s lake-apply form only; ``poll()`` needs
+    raw rows for the commit-order emission contract): a
+    ``(flat_schema_json, key_column, n_data_cols, num_partitions)``
+    tuple -- the released rows additionally get schema-aligned,
+    dominance-combined and ``_part``-stamped HERE, in the same task
+    that already holds the block, so the apply path needs no further
+    pass over the released volume.  ``n_released`` still counts the
+    pre-combine released EVENTS; ``still_open`` rows stay raw."""
     if block.num_rows == 0:
         return block, block, (0, 0)
     pos = pc.index_in(
@@ -239,7 +250,10 @@ def _release_filter(block: pa.Table, commit_map: pa.Table):
         if isinstance(cs, pa.ChunkedArray):
             cs = cs.combine_chunks()
         released = block.set_column(i, "commit_scn", cs.cast(pa.int64()))
-        return released, block.slice(0, 0), (released.num_rows, 0)
+        n_rel = released.num_rows
+        if apply_spec is not None:
+            released = _apply_form(released, apply_spec)
+        return released, block.slice(0, 0), (n_rel, 0)
     released = block.filter(committed)
     if released.num_rows:
         rel_cs = pc.take(
@@ -255,7 +269,22 @@ def _release_filter(block: pa.Table, commit_map: pa.Table):
             i, "commit_scn", rel_cs.cast(pa.int64())
         )
     still_open = block.filter(pc.invert(matched))
-    return released, still_open, (released.num_rows, still_open.num_rows)
+    n_rel = released.num_rows
+    if apply_spec is not None and n_rel:
+        released = _apply_form(released, apply_spec)
+    return released, still_open, (n_rel, still_open.num_rows)
+
+
+def _apply_form(t: pa.Table, apply_spec: tuple) -> pa.Table:
+    """Align a raw released table to the current flat schema, then
+    dominance-combine + ``_part``-stamp it (the same fused pass
+    ``run()`` applies to non-pre-formed refs)."""
+    from logminer_kafka_connect_ray.stages.evolve import align_flat
+    from logminer_kafka_connect_ray.stages.merge import PreaggPartitioner
+
+    flat_schema, key_column, n_data_cols, num_partitions = apply_spec
+    t = align_flat(t, flat_schema)
+    return PreaggPartitioner(key_column, n_data_cols, num_partitions)(t)
 
 
 def _emit_from_runs(batch_size, offsets, *runs):
@@ -655,15 +684,18 @@ class StreamingEngine:
         tiny marker tables."""
         import ray
 
-        released, _hi, _counts = self._ingest()
+        released, _hi, _counts, _pre = self._ingest()
         return self._emit_sorted(released)
 
-    def _ingest(self):
+    def _ingest(self, apply_form: bool = False):
         """Ingest newly-appeared files: decode in parallel Ray tasks,
         then apply feed -> terminate PER FILE in SCN-file order.
-        Returns ``(released_refs, max_commit_scn_or_None, counts)``
-        where ``counts`` aligns with the refs (int where the row count
-        is already known driver-side, None where it isn't); the driver
+        Returns ``(released_refs, max_commit_scn_or_None, counts,
+        preformed)`` where ``counts`` aligns with the refs (int where
+        the row count is already known driver-side, None where it
+        isn't) and ``preformed`` flags refs already in lake-apply form
+        (aligned+combined+``_part``-stamped inside the release task --
+        only when ``apply_form=True``, the ``run()`` path); the driver
         touches only refs and the tiny marker tables."""
         import ray
 
@@ -764,11 +796,26 @@ class StreamingEngine:
         if feed_refs:
             ray.get(feed_refs)  # buffers settled before watermark reads
         rel_counts: list[int | None] = [None] * len(released)
+        preformed: list[bool] = [False] * len(released)
         # release block-resident rows against this poll's terminators
         if self._open_blocks and terminator_parts:
+            apply_spec = None
+            if apply_form:
+                data_cols = schemas.data_columns_of(
+                    self._schema, self.engine.config.key_column
+                )
+                apply_spec = (
+                    schemas.flat_change_schema(
+                        self.engine.config.key_column, self._schema
+                    ),
+                    self.engine.config.key_column,
+                    len(data_cols),
+                    self.engine.config.num_partitions,
+                )
             cm_ref = ray.put(pa.concat_tables(terminator_parts))
             results = [
-                self._release.remote(b, cm_ref) for b in self._open_blocks
+                self._release.remote(b, cm_ref, apply_spec)
+                for b in self._open_blocks
             ]
             counts = ray.get([r[2] for r in results])
             new_open = []
@@ -776,10 +823,11 @@ class StreamingEngine:
                 if n_rel:
                     released.append(rel_ref)
                     rel_counts.append(n_rel)
+                    preformed.append(apply_form)
                 if n_open:
                     new_open.append(open_ref)
             self._open_blocks = new_open
-        return released, hi_commit, rel_counts
+        return released, hi_commit, rel_counts, preformed
 
     def _emit_sorted(self, released):
         """Sorted-run bookkeeping for the commit-order ``poll()``
@@ -871,13 +919,16 @@ class StreamingEngine:
         applied = 0
         idle = 0
         for _ in range(max_polls):
-            released, hi_commit, known = self._ingest()
+            released, hi_commit, known, preformed = self._ingest(
+                apply_form=True
+            )
             # drain any backlog left by interleaved poll() usage first
             if self._runs:
                 batch_ref, n = self._emit_sorted([])
                 if n:
                     released.append(batch_ref)
                     known.append(n)
+                    preformed.append(False)
             if not released:
                 idle += 1
                 if idle_polls_limit is not None and idle >= idle_polls_limit:
@@ -891,6 +942,7 @@ class StreamingEngine:
             ):
                 counts[i] = c
             live = [r for r, c in zip(released, counts) if c]
+            live_pre = [p for p, c in zip(preformed, counts) if c]
             n = int(sum(counts))
             if not n:
                 idle += 1
@@ -916,7 +968,6 @@ class StreamingEngine:
             hi = self.watermark if hi_commit is None else hi_commit
             safe_hi = hi if min_open is None else min(hi, min_open - 1)
             new_wm = max(self.watermark, safe_hi)
-            flat = rd.from_arrow_refs(live)
             from logminer_kafka_connect_ray.stages.evolve import align_flat
             from logminer_kafka_connect_ray.stages.merge import PreaggPartitioner
 
@@ -931,19 +982,35 @@ class StreamingEngine:
                 len(data_cols),
                 self.engine.config.num_partitions,
             )
+            # Bulk-released refs are already in apply form (aligned +
+            # combined + _part-stamped inside the release task -- zero
+            # further passes over that volume).  Raw refs (auto-commit
+            # rows, trickle actor releases, interleaved-poll backlog)
+            # get ONE fused whole-block pass: align (rows decoded
+            # before a mid-stream column add null-fill the new
+            # columns) + dominance combiner + _part stamp.  Fused and
+            # zero-copy-batched because the default 1024-row batch
+            # slicing re-materialized the html payloads twice per poll
+            # (the r3 streaming-vs-batch gap's main term).
+            raw = [r for r, p in zip(live, live_pre) if not p]
+            pre = [r for r, p in zip(live, live_pre) if p]
+            parts = []
+            if raw:
+                parts.append(
+                    rd.from_arrow_refs(raw).map_batches(
+                        lambda t, s=flat_schema, p=preagg: p(align_flat(t, s)),
+                        batch_format="pyarrow",
+                        batch_size=None,
+                        zero_copy_batch=True,
+                    )
+                )
+            if pre:
+                parts.append(rd.from_arrow_refs(pre))
+            apply_ds = parts[0] if len(parts) == 1 else parts[0].union(
+                *parts[1:]
+            )
             self.engine._merge_and_publish(
-                # ONE fused whole-block pass: align (rows decoded before
-                # a mid-stream column add null-fill the new columns) +
-                # dominance combiner + _part stamp.  Fused and
-                # zero-copy-batched because the default 1024-row batch
-                # slicing re-materialized the html payloads twice per
-                # poll (the r3 streaming-vs-batch gap's main term).
-                flat.map_batches(
-                    lambda t, s=flat_schema, p=preagg: p(align_flat(t, s)),
-                    batch_format="pyarrow",
-                    batch_size=None,
-                    zero_copy_batch=True,
-                ),
+                apply_ds,
                 version=prev.version + 1,
                 phase="cdc-stream",
                 table_schema=self._schema,
