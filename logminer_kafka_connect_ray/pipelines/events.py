@@ -10780,13 +10780,21 @@ def part_supplier_breadth(sf_dir: str) -> pa.Table:
     broadcast partkey->type map (the Q14/Q7 dim pattern).  Returns
     ``(p_type, n_suppliers, n_parts, sum_qty_cents)``.
 
-    Scale shape: part broadcast once via ``ray.put`` (int8 type ids);
-    per-block DISTINCT (type, supp) and (type, part) combiner rows +
-    qty partials -> one dimension-bounded pair groupby each -- three
-    dim-sized folds, no fact shuffle."""
+    Scale shape: part dim read DRIVER-SIDE (a broadcast input, not a
+    Dataset -- the Dataset plan+execute overhead on a 20k-row dim
+    measured 2 s of an 8 s wall) and shipped once via ``ray.put``
+    (int32 type ids); per-block DISTINCT (type, supp) / (type, part)
+    combiner rows + qty partials -> ONE packed-key hash exchange with
+    explicit boundaries -> per-block distinct counts + qty sums per
+    type -> tiny driver fold (a (tid,kind,key) Dataset groupby did
+    the same work through the sample+sort machinery: 8 s -> this
+    shape)."""
+    import pyarrow.parquet as _pq
     import ray
 
-    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    part = _pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
     types = sorted(part["p_type"].unique())
     tmap = {t: i for i, t in enumerate(types)}
     # int32 ids: standard TPC-H has 150 distinct p_type values, which
@@ -10798,10 +10806,15 @@ def part_supplier_breadth(sf_dir: str) -> pa.Table:
     )
     pmap_ref = ray.put(pmap)
 
-    part_schema = pa.schema(
-        [("tid", pa.int64()), ("kind", pa.int64()), ("key", pa.int64()),
-         ("qty", pa.int64())]
-    )
+    assert len(types) < (1 << 6), "p_type id must fit 6 packed bits"
+    # packed exchange key: kind(2) | tid(6) | member(40); kind 0 =
+    # (type, supp) distinct marker, 1 = (type, part) distinct marker,
+    # 2 = qty partial (member 0, qty payload summed per tid)
+    part_schema = pa.schema([("pkey", pa.int64()), ("qty", pa.int64()),
+                             ("_p", pa.int64())])
+    n_li, _ = _table_meta(sf_dir, "lineitem")
+    P = _exchange_width(n_li)
+    gd = _new_guard_dir("psbreadth")
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -10813,58 +10826,99 @@ def part_supplier_breadth(sf_dir: str) -> pa.Table:
         sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
+        assert (pk < (1 << 40)).all() and (sk < (1 << 40)).all(), (
+            "packed member key needs partkey/suppkey < 2^40"
+        )
         qty = _cents(t.column("l_quantity").to_numpy(zero_copy_only=False))
         tid = pm[np.clip(pk, 0, len(pm) - 1)].astype(np.int64)
         keep = (pk < len(pm)) & (tid >= 0)
         pk, sk, qty, tid = pk[keep], sk[keep], qty[keep], tid[keep]
-        # distinct (tid, supp) and (tid, part) within the block +
-        # qty partials per tid
-        def dedup(a, b):
-            key = a * (1 << 40) + b
-            return np.unique(key)
-        ks = dedup(tid, sk)
-        kp = dedup(tid, pk)
+        ks = np.unique(tid * (1 << 40) + sk)
+        kp = np.unique(tid * (1 << 40) + pk) + (1 << 46)
         order = np.argsort(tid, kind="stable")
         ts_, qs = tid[order], qty[order]
         starts, _ = _segment_starts(ts_)
-        tq = ts_[starts]
-        sums = np.add.reduceat(qs, starts)
+        pkey = np.concatenate(
+            [ks, kp, (2 << 46) + ts_[starts] * (1 << 40)]
+        )
+        qcol = np.concatenate(
+            [np.zeros(len(ks) + len(kp), np.int64),
+             np.add.reduceat(qs, starts)]
+        )
         return pa.table(
-            {"tid": pa.array(np.concatenate(
-                [ks >> 40, kp >> 40, tq])),
-             "kind": pa.array(np.concatenate(
-                 [np.zeros(len(ks), np.int64),
-                  np.ones(len(kp), np.int64),
-                  np.full(len(tq), 2, np.int64)])),
-             "key": pa.array(np.concatenate(
-                 [ks & ((1 << 40) - 1), kp & ((1 << 40) - 1),
-                  np.zeros(len(tq), np.int64)])),
-             "qty": pa.array(np.concatenate(
-                 [np.zeros(len(ks) + len(kp), np.int64), sums]))},
+            {"pkey": pa.array(pkey), "qty": pa.array(qcol),
+             "_p": pa.array(partition_ids(pa.array(pkey), P))},
             schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("tid", pa.int64()), ("n_supp", pa.int64()),
+         ("n_part", pa.int64()), ("qty", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        """Per exchange partition: distinct-count markers + sum qty
+        partials per tid.  A pkey maps to exactly one partition, so
+        per-partition distincts sum to the exact global distincts."""
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "ps", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        pkey = np.unique(t.column("pkey").to_numpy(zero_copy_only=False))
+        kind = pkey >> 46
+        tid = (pkey >> 40) & 63
+        # markers: count distinct per (kind, tid)
+        rows: dict[int, list[int]] = {}
+        for k in (0, 1):
+            m = kind == k
+            ts_, cnt = np.unique(tid[m], return_counts=True)
+            for a, c in zip(ts_, cnt):
+                rows.setdefault(int(a), [0, 0, 0])[k] = int(c)
+        # qty partials: two source blocks emit the SAME kind-2 pkey
+        # for one tid (member bits are 0), so sum from the raw column
+        # -- the deduped pkey array above would collapse them
+        raw_pkey = t.column("pkey").to_numpy(zero_copy_only=False)
+        raw_qty = t.column("qty").to_numpy(zero_copy_only=False)
+        qm = raw_pkey >> 46 == 2
+        if qm.any():
+            qt = (raw_pkey[qm] >> 40) & 63
+            ts_, inv = np.unique(qt, return_inverse=True)
+            sums = np.bincount(inv, weights=raw_qty[qm]).astype(np.int64)
+            for a, s in zip(ts_, sums):
+                rows.setdefault(int(a), [0, 0, 0])[2] = int(s)
+        tids = sorted(rows)
+        return pa.table(
+            {"tid": pa.array(tids, pa.int64()),
+             "n_supp": pa.array([rows[a][0] for a in tids], pa.int64()),
+             "n_part": pa.array([rows[a][1] for a in tids], pa.int64()),
+             "qty": pa.array([rows[a][2] for a in tids], pa.int64())},
+            schema=out_schema,
         )
 
     folded = (
         _read(sf_dir, "lineitem",
               columns=["l_partkey", "l_suppkey", "l_quantity"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["tid", "kind", "key"]).sum("qty").to_pandas()
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
     )
-    folded.columns = ["tid", "kind", "key", "qty"]
+    agg = folded.groupby("tid", sort=True).sum()
     rows = []
     for i, tname in enumerate(types):
-        sub = folded[folded["tid"] == i]
-        n_supp = int((sub["kind"] == 0).sum())
-        n_part = int((sub["kind"] == 1).sum())
-        qty = int(sub[sub["kind"] == 2]["qty"].sum())
-        if n_supp or n_part or qty:
-            rows.append((tname, n_supp, n_part, qty))
-    return pa.table(
+        if i not in agg.index:
+            continue
+        r = agg.loc[i]
+        rows.append((tname, int(r["n_supp"]), int(r["n_part"]),
+                     int(r["qty"])))
+    out = pa.table(
         {"p_type": pa.array([r[0] for r in rows], pa.string()),
          "n_suppliers": pa.array([r[1] for r in rows], pa.int64()),
          "n_parts": pa.array([r[2] for r in rows], pa.int64()),
          "sum_qty_cents": pa.array([r[3] for r in rows], pa.int64())}
     )
+    return _finalize_guard(gd, out)
 
 
 # ---------------------------------------------------------------------------
