@@ -43,6 +43,19 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _read_dim(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
+    """Driver-side read of a small DIMENSION table destined for a
+    broadcast map (nation/region/supplier/part...).  A Ray Dataset
+    read + ``to_pandas()`` on a 20k-row dim measured ~2 s of pure
+    plan/execute overhead per call; the dim is driver-materialized
+    either way, so read it directly."""
+    import pyarrow.parquet as _pq
+
+    return _pq.read_table(
+        f"{sf_dir}/{table}.parquet", columns=columns
+    ).to_pandas()
+
+
 def _table_meta(sf_dir: str, table: str) -> tuple[int, int]:
     """(num_rows, uncompressed_bytes) from parquet footer metadata --
     a free size probe (no data read) used to derive exchange widths."""
@@ -5739,7 +5752,7 @@ def doc_ngram_novelty(sf_dir: str, n: int = 3) -> pa.Table:
     )
     novel.columns = ["doc_id", "n_novel"]
 
-    docs = _read(sf_dir, "documents", columns=["doc_id"]).to_pandas()
+    docs = _read_dim(sf_dir, "documents", columns=["doc_id"])
     m = docs.merge(totals, on="doc_id", how="left") \
         .merge(novel, on="doc_id", how="left").fillna(0)
     m = m.sort_values("doc_id", ignore_index=True)

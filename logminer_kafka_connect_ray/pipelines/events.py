@@ -38,6 +38,7 @@ from logminer_kafka_connect_ray.pipelines.dataops import (
     _guard_record,
     _new_guard_dir,
     _read,
+    _read_dim,
     _segment_starts,
     _table_meta,
 )
@@ -812,7 +813,7 @@ def nation_order_stats(sf_dir: str) -> pa.Table:
         _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
         .to_pandas()
     )
-    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     n_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
     # dense lookup array custkey -> nationkey (custkeys are small ints;
     # fall back would be a dict probe, but the driver-built array is
@@ -3696,10 +3697,8 @@ def region_orders_rollup(sf_dir: str) -> pa.Table:
     star-schema plan."""
     import ray
 
-    reg = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
-    nat = _read(
-        sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]
-    ).to_pandas()
+    reg = _read_dim(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    nat = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
     n2r = np.full(int(nat["n_nationkey"].max()) + 2, -1, np.int64)
     n2r[nat["n_nationkey"].to_numpy()] = nat["n_regionkey"].to_numpy()
 
@@ -6536,7 +6535,7 @@ def nation_pair_trade(sf_dir: str, y0: int = 1995, y1: int = 1996) -> pa.Table:
                    np.int32)
     smap[sp["s_suppkey"].to_numpy()] = sp["s_nationkey"].to_numpy()
     smap_ref = ray.put(smap)
-    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     # packed combiner key below is (sn*100 + cn)*10_000 + year: fail
     # loudly if either assumption (nationkey < 100, ship year < 10000)
     # is violated rather than silently corrupting the rollup
@@ -7195,13 +7194,12 @@ def nation_revenue_share(sf_dir: str, threshold_bp: int = 400) -> pa.Table:
     second pass over the fact table."""
     import ray
 
-    sp = _read(sf_dir, "supplier",
-               columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sp = _read_dim(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
     smap = np.full(int(sp["s_suppkey"].max()) + 2 if len(sp) else 1, -1,
                    np.int32)
     smap[sp["s_suppkey"].to_numpy()] = sp["s_nationkey"].to_numpy()
     smap_ref = ray.put(smap)
-    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     names = np.full(int(nat["n_nationkey"].max()) + 1, "", object)
     names[nat["n_nationkey"].to_numpy()] = nat["n_name"].to_numpy()
 
@@ -8186,10 +8184,8 @@ def region_nation_share(sf_dir: str) -> pa.Table:
     )
     agg.columns = ["nat", "cents"]
 
-    nat = _read(sf_dir, "nation",
-                columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-    reg = _read(sf_dir, "region",
-                columns=["r_regionkey", "r_name"]).to_pandas()
+    nat = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = _read_dim(sf_dir, "region", columns=["r_regionkey", "r_name"])
     m = agg.merge(nat, left_on="nat", right_on="n_nationkey") \
         .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
     rtot = m.groupby("r_regionkey")["cents"].transform("sum")
