@@ -3575,6 +3575,108 @@ FROM c2 LEFT JOIN st ON st.cluster = c2.cluster
 ORDER BY c2.cluster, dim_idx
 """
 
+# SemDeDup oracle: the same exact-integer k-means CTE chain (c0..a3,
+# 2 Lloyd iterations) + a within-cluster integer-cosine prune on a
+# floor(v * 2^10) grid; kept = no LOWER-id same-cluster neighbor with
+# 100 * dot^2 >= 81 * |u|^2 |v|^2 and dot > 0 (tau = 0.9 as an exact
+# rational -- identical arithmetic to dataops.semantic_dedup).
+_SEMDEDUP_SQL = """
+WITH x AS (
+  SELECT e.vec_id, s.j AS dim,
+         floor(e.embedding[s.j + 1]::DOUBLE * 1048576.0)::BIGINT AS xq
+  FROM embeddings e, LATERAL unnest(range(len(e.embedding))) AS s(j)
+),
+xp AS (
+  SELECT vec_id, dim, xq FROM x
+  UNION ALL
+  SELECT 10000000 + vec_id AS vec_id, dim, xq FROM x WHERE vec_id % 7 = 0
+),
+c0 AS (SELECT vec_id AS cluster, dim, xq AS cq FROM x WHERE vec_id < 4),
+d1 AS (
+  SELECT x.vec_id, c.cluster,
+         sum((x.xq - c.cq) * (x.xq - c.cq)) AS d2
+  FROM x JOIN c0 c ON x.dim = c.dim GROUP BY x.vec_id, c.cluster
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+             AS rn
+    FROM d1) WHERE rn = 1
+),
+u1 AS (
+  SELECT a.cluster, x.dim,
+         floor(CAST(sum(x.xq) AS DOUBLE) / count(*))::BIGINT AS cq
+  FROM x JOIN a1 a USING (vec_id) GROUP BY a.cluster, x.dim
+),
+c1 AS (
+  SELECT c0.cluster, c0.dim, COALESCE(u1.cq, c0.cq) AS cq
+  FROM c0 LEFT JOIN u1 ON u1.cluster = c0.cluster AND u1.dim = c0.dim
+),
+e2 AS (
+  SELECT x.vec_id, c.cluster,
+         sum((x.xq - c.cq) * (x.xq - c.cq)) AS d2
+  FROM x JOIN c1 c ON x.dim = c.dim GROUP BY x.vec_id, c.cluster
+),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+             AS rn
+    FROM e2) WHERE rn = 1
+),
+u2 AS (
+  SELECT a.cluster, x.dim,
+         floor(CAST(sum(x.xq) AS DOUBLE) / count(*))::BIGINT AS cq
+  FROM x JOIN a2 a USING (vec_id) GROUP BY a.cluster, x.dim
+),
+c2 AS (
+  SELECT c1.cluster, c1.dim, COALESCE(u2.cq, c1.cq) AS cq
+  FROM c1 LEFT JOIN u2 ON u2.cluster = c1.cluster AND u2.dim = c1.dim
+),
+e3 AS (
+  SELECT xp.vec_id, c.cluster,
+         sum((xp.xq - c.cq) * (xp.xq - c.cq)) AS d2
+  FROM xp JOIN c2 c ON xp.dim = c.dim GROUP BY xp.vec_id, c.cluster
+),
+a3 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+             AS rn
+    FROM e3) WHERE rn = 1
+),
+q0 AS (
+  SELECT e.vec_id, s.j AS dim,
+         floor(e.embedding[s.j + 1]::DOUBLE * 1024.0)::BIGINT AS q
+  FROM embeddings e, LATERAL unnest(range(len(e.embedding))) AS s(j)
+),
+q10 AS (
+  SELECT vec_id, dim, q FROM q0
+  UNION ALL
+  SELECT 10000000 + vec_id AS vec_id, dim, q FROM q0 WHERE vec_id % 7 = 0
+),
+nrm AS (SELECT vec_id, sum(q * q)::BIGINT AS n2 FROM q10 GROUP BY vec_id),
+pr AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, sum(qa.q * qb.q)::BIGINT AS dot
+  FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN q10 qa ON qa.vec_id = a.vec_id
+  JOIN q10 qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim
+  GROUP BY a.vec_id, b.vec_id
+),
+dup AS (
+  SELECT DISTINCT pr.vb AS vec_id
+  FROM pr JOIN nrm na ON na.vec_id = pr.va
+       JOIN nrm nb ON nb.vec_id = pr.vb
+  WHERE pr.dot > 0 AND 100 * pr.dot * pr.dot >= 81 * na.n2 * nb.n2
+)
+SELECT a3.vec_id AS vec_id, a3.cluster AS cluster,
+       (CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
+FROM a3 LEFT JOIN dup USING (vec_id)
+ORDER BY a3.vec_id
+"""
+
+
 # Embedding int8 quantization: scale = max|x| per vector,
 # q = floor(x*127/scale + 0.5); float32->DOUBLE casts are exact and
 # the multiply-then-divide order matches numpy, so the integer
@@ -4978,6 +5080,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative ML: 2 Lloyd iterations, broadcast centroids,
         # mergeable partials, exact integer-grid arithmetic
         "embedding_kmeans": d.embedding_kmeans,
+        # SemDeDup (Abbas et al. 2023): k-means clusters, then drop
+        # vectors with a lower-id within-cluster neighbor at
+        # cosine >= 0.9 (exact int64 rational-threshold test)
+        "semantic_dedup": d.semantic_dedup,
         # graph analytics: 2 PageRank scatter-gather iterations,
         # exact integer ranks
         "doc_pagerank": d.doc_pagerank,
@@ -5209,6 +5315,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_budget_select": _BUDGET_SELECT_SQL,
         "embedding_quantize": _EMBED_QUANT_SQL,
         "embedding_kmeans": _KMEANS_SQL,
+        "semantic_dedup": _SEMDEDUP_SQL,
         "doc_pagerank": _PAGERANK_SQL,
         "doc_bfs_levels": _BFS_SQL,
         "doc_triangles": _TRIANGLES_SQL,

@@ -3170,31 +3170,23 @@ def doc_bfs_levels(sf_dir: str, hops: int = 3) -> pa.Table:
 _KM_SCALE = float(1 << 20)
 
 
-def embedding_kmeans(sf_dir: str, k: int = 4, iters: int = 2) -> pa.Table:
-    """Distributed Lloyd's k-means over the embedding table with an
-    EXACTLY-mirrored oracle -- the iterative-ML pattern (broadcast
-    model -> parallel assign -> partial-sum reduce -> driver update
-    -> repeat) made bit-deterministic: points quantize once to an
-    integer grid (``floor(v * 2^20)``; float32 -> double is exact),
-    distances are exact int64 sums of squares, ties go to the lowest
-    cluster id, and each centroid update re-quantizes to the grid
-    via ``floor(double(sum) / n)`` (sums stay far below 2^53, so the
-    one double division is the same IEEE op on both engines; an
-    emptied cluster keeps its previous centroid).  Init: the first
-    ``k`` vectors.  After ``iters`` updates a final assignment pass
-    reports per-cluster stats.
+def _km_assign(m: np.ndarray, cent: np.ndarray):
+    """Quantize a float block to the k-means integer grid and assign
+    each row to its nearest centroid (exact int64 distances; argmin
+    takes the FIRST min -> lowest cluster id on ties)."""
+    X = np.floor(m * _KM_SCALE).astype(np.int64)
+    d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return X, np.argmin(d2, axis=1)
 
-    Returns one row per (cluster, dim): ``(cluster, dim_idx,
-    centroid_scaled, n_assigned, sum_vec_ids)``.
 
-    Scale shape: centroids broadcast into every task (k x d int64 --
-    tiny); each block emits ONE mergeable partial (count vector +
-    sum-matrix bytes, same driver-merge pattern as the histogram
-    ops); the driver touches only O(k x d) state per iteration.
-    ``iters + 1`` streaming scans total."""
+def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
+    """The Lloyd fit shared by ``embedding_kmeans`` (stats surface)
+    and ``semantic_dedup`` (SemDeDup pruning): init = the first ``k``
+    vectors on the integer grid, ``iters`` broadcast-assign /
+    partial-sum-reduce rounds, emptied clusters keep their previous
+    centroid.  Returns the (k, d) int64 centroid matrix."""
     import pyarrow.parquet as _pq
 
-    # init: the first k vectors, quantized (k rows -- a driver read)
     head = _pq.read_table(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
@@ -3205,13 +3197,6 @@ def embedding_kmeans(sf_dir: str, k: int = 4, iters: int = 2) -> pa.Table:
     C = np.floor(m0[order0] * _KM_SCALE).astype(np.int64)  # (k, d)
     d = C.shape[1]
 
-    def assign_of(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
-        X = np.floor(m * _KM_SCALE).astype(np.int64)
-        # (n, k) exact int64 distances; argmin takes the FIRST min ->
-        # lowest cluster id on ties
-        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        return X, np.argmin(d2, axis=1)
-
     for _ in range(iters):
         cent = C.copy()
 
@@ -3219,7 +3204,7 @@ def embedding_kmeans(sf_dir: str, k: int = 4, iters: int = 2) -> pa.Table:
             if t.num_rows == 0:
                 return pa.table({"blob": pa.array([], pa.binary())})
             _, m = _embedding_matrix(t)
-            X, a = assign_of(m, _c)
+            X, a = _km_assign(m, _c)
             counts = np.bincount(a, minlength=k).astype(np.int64)
             sums = np.zeros((k, d), np.int64)
             np.add.at(sums, a, X)
@@ -3245,6 +3230,33 @@ def embedding_kmeans(sf_dir: str, k: int = 4, iters: int = 2) -> pa.Table:
         ).astype(np.int64)
         C = C.copy()
         C[nz] = upd  # emptied clusters keep the previous centroid
+    return C
+
+
+def embedding_kmeans(sf_dir: str, k: int = 4, iters: int = 2) -> pa.Table:
+    """Distributed Lloyd's k-means over the embedding table with an
+    EXACTLY-mirrored oracle -- the iterative-ML pattern (broadcast
+    model -> parallel assign -> partial-sum reduce -> driver update
+    -> repeat) made bit-deterministic: points quantize once to an
+    integer grid (``floor(v * 2^20)``; float32 -> double is exact),
+    distances are exact int64 sums of squares, ties go to the lowest
+    cluster id, and each centroid update re-quantizes to the grid
+    via ``floor(double(sum) / n)`` (sums stay far below 2^53, so the
+    one double division is the same IEEE op on both engines; an
+    emptied cluster keeps its previous centroid).  Init: the first
+    ``k`` vectors.  After ``iters`` updates a final assignment pass
+    reports per-cluster stats.
+
+    Returns one row per (cluster, dim): ``(cluster, dim_idx,
+    centroid_scaled, n_assigned, sum_vec_ids)``.
+
+    Scale shape: centroids broadcast into every task (k x d int64 --
+    tiny); each block emits ONE mergeable partial (count vector +
+    sum-matrix bytes, same driver-merge pattern as the histogram
+    ops); the driver touches only O(k x d) state per iteration.
+    ``iters + 1`` streaming scans total."""
+    C = _kmeans_centroids(sf_dir, k, iters)
+    d = C.shape[1]
 
     # final assignment pass with the final centroids
     centF = C.copy()
@@ -3253,7 +3265,7 @@ def embedding_kmeans(sf_dir: str, k: int = 4, iters: int = 2) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"blob": pa.array([], pa.binary())})
         ids, m = _embedding_matrix(t)
-        _, a = assign_of(m, _c)
+        _, a = _km_assign(m, _c)
         counts = np.bincount(a, minlength=k).astype(np.int64)
         idsum = np.zeros(k, np.int64)
         np.add.at(idsum, a, ids.astype(np.int64))
@@ -3283,6 +3295,166 @@ def embedding_kmeans(sf_dir: str, k: int = 4, iters: int = 2) -> pa.Table:
             "sum_vec_ids": pa.array(np.repeat(id_fin, d)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside k-means clusters
+# ---------------------------------------------------------------------------
+#: within-cluster all-pairs bound -- SemDeDup's cost model assumes
+#: cluster sizes ~ n/k; a run that exceeds this must raise k, not
+#: silently go quadratic
+SEMDEDUP_MAX_CLUSTER_ROWS = 500_000
+#: dedup-compare quantization grid (coarser than the k-means grid so
+#: every int64 product below stays exact: |q| <= 2^10 * max|v|)
+_SD_SCALE = float(1 << 10)
+
+
+def semantic_dedup(
+    sf_dir: str, k: int = 4, iters: int = 2,
+    tau_sq_num: int = 81, tau_sq_den: int = 100,
+    plant_copies: bool = True,
+) -> pa.Table:
+    """SemDeDup ("SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", Abbas et al. 2023): k-means the
+    embedding space, then inside each cluster drop every vector that
+    has a LOWER-id neighbor with cosine >= tau -- near-duplicate
+    semantics cheaper than all-pairs because candidates only meet
+    within a cluster.  tau is passed as an exact rational tau^2 =
+    ``tau_sq_num / tau_sq_den`` (default 81/100 -> tau = 0.9) and the
+    prune test is pure int64 arithmetic on a ``floor(v * 2^10)`` grid
+    (``den * dot^2 >= num * |u|^2 |v|^2`` with ``dot > 0``), so the
+    Ray kernel and the DuckDB oracle decide identically -- no float
+    threshold skew.  Returns one row per vector: ``(vec_id, cluster,
+    kept)``.
+
+    ``plant_copies`` (the same provable-recall device the
+    ``embedding_near_dup`` gate uses) unions the assignment input
+    with EXACT copies of every ``vec_id % 7 == 0`` vector at
+    ``PLANT_BASE + vec_id``: an exact copy has the identical
+    quantized row, hence provably the same cluster, cosine 1, and a
+    higher id -- every planted copy must come back ``kept = 0`` and
+    every original ``kept = 1`` (the synthetic table's max natural
+    cosine is ~0.58, below tau).  The centroid FIT runs on the raw
+    table only, in both engines.
+
+    Scale shape: the exact-integer Lloyd fit is shared with
+    ``embedding_kmeans`` (broadcast centroids, one mergeable partial
+    per block, O(k x d) driver state); the assignment pass stamps
+    ``_p = cluster`` and ONE explicit-boundary exchange co-locates
+    each cluster, where the prune is one int64 Gram matmul per
+    cluster block (bounded by ``SEMDEDUP_MAX_CLUSTER_ROWS`` -- fail
+    loudly, raise ``k``).  At 10^10 vectors k grows so n/k stays
+    block-sized; the exchange volume is one quantized int16-scale
+    row per vector, not pairs."""
+    C = _kmeans_centroids(sf_dir, k, iters)
+    d = C.shape[1]
+    gd = _new_guard_dir("semdedup")
+
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("cluster", pa.int64()),
+         ("q", pa.binary()), ("_p", pa.int64())]
+    )
+
+    def assign(t: pa.Table, _c=C) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids, m = _embedding_matrix(t)
+        _, a = _km_assign(m, _c)
+        Q = np.floor(m.astype(np.float64) * _SD_SCALE).astype(np.int64)
+        # |q| <= 2^11 keeps den * (q . q)^2 <= 100 * (64 * 2^22)^2 <
+        # 2^63: every product in the prune test stays exact int64
+        assert np.abs(Q).max(initial=0) <= (1 << 11), (
+            "semantic_dedup int64-exactness assumes |v| <= 2.0"
+        )
+        return pa.table(
+            {"vec_id": pa.array(ids.astype(np.int64)),
+             "cluster": pa.array(a.astype(np.int64)),
+             "q": pa.array([r.astype(np.int32).tobytes() for r in Q],
+                           pa.binary()),
+             "_p": pa.array(a.astype(np.int64))},
+            schema=out_schema,
+        )
+
+    res_schema = pa.schema(
+        [("vec_id", pa.int64()), ("cluster", pa.int64()),
+         ("kept", pa.int64())]
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return res_schema.empty_table()
+        _guard_record(
+            gd, "sd", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        cl = t.column("cluster").to_numpy(zero_copy_only=False)
+        Q = np.frombuffer(
+            b"".join(t.column("q").to_pylist()), np.int32
+        ).reshape(len(ids), d).astype(np.int64)
+        kept = np.ones(len(ids), bool)
+        for c in np.unique(cl):
+            m = cl == c
+            n_c = int(m.sum())
+            if n_c > SEMDEDUP_MAX_CLUSTER_ROWS:
+                raise ValueError(
+                    f"semantic_dedup cluster {c} holds {n_c} vectors "
+                    f"(> {SEMDEDUP_MAX_CLUSTER_ROWS}); raise k so "
+                    "clusters stay block-sized"
+                )
+            cid, cq = ids[m], Q[m]
+            order = np.argsort(cid)
+            cid, cq = cid[order], cq[order]
+            G = cq @ cq.T  # exact int64 (|q| <= 2^12, d = 64)
+            n2 = np.diag(G)
+            lhs = tau_sq_den * G * G
+            rhs = tau_sq_num * n2[:, None] * n2[None, :]
+            dup = (G > 0) & (lhs >= rhs)
+            # kept iff no LOWER-id neighbor marks it (strict upper
+            # triangle: j pruned by i < j)
+            pruned = np.triu(dup, 1).any(axis=0)
+            kk = np.ones(n_c, bool)
+            kk[pruned] = False
+            out = np.flatnonzero(m)[order]
+            kept[out] = kk
+        return pa.table(
+            {"vec_id": pa.array(ids), "cluster": pa.array(cl),
+             "kept": pa.array(kept.astype(np.int64))},
+            schema=res_schema,
+        )
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if plant_copies:
+        import pyarrow.parquet as _pq
+
+        etype = (
+            _pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+            .schema_arrow.field("embedding")
+            .type
+        )
+
+        def mk_copies(t: pa.Table, _etype=etype) -> pa.Table:
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            sel = pa.array(np.flatnonzero(ids % 7 == 0))
+            g = t.take(sel)
+            return pa.table(
+                {"vec_id": pc.add(g.column("vec_id"), PLANT_BASE),
+                 "embedding": g.column("embedding").cast(_etype)}
+            )
+
+        emb = emb.union(
+            _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+            .map_batches(mk_copies, batch_format="pyarrow")
+        )
+    res = (
+        emb
+        .map_batches(assign, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, k)))
+        .map_batches(prune, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    t = pa.Table.from_pandas(res, preserve_index=False).cast(res_schema)
+    t = _finalize_guard(gd, t)
+    return t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))
 
 
 # ---------------------------------------------------------------------------

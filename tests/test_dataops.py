@@ -1492,3 +1492,26 @@ def test_exact_kernel_input_guards(ray_session, monkeypatch):
         d.embedding_near_dup_exact("/root/testdata/sf0.001")
     with pytest.raises(ValueError, match="dedup_minhash_lsh"):
         d.dedup_ngram_jaccard("/root/testdata/sf0.001")
+
+
+def test_semantic_dedup(ray_session, monkeypatch):
+    """SemDeDup (Abbas et al. 2023 shape): planted exact copies land
+    in their original's cluster and are pruned (kept=0), every
+    original survives, and the cluster-size guard fails loudly."""
+    t = d.semantic_dedup("/root/testdata/sf0.001")
+    ids = t.column("vec_id").to_pylist()
+    kept = t.column("kept").to_pylist()
+    cl = dict(zip(ids, t.column("cluster").to_pylist()))
+    planted = [i for i in ids if i >= d.PLANT_BASE]
+    assert planted, "fixture must plant copies"
+    for i in planted:
+        assert cl[i] == cl[i - d.PLANT_BASE]  # exact copy -> same cluster
+    by_id = dict(zip(ids, kept))
+    assert all(by_id[i] == 0 for i in planted)
+    assert all(by_id[i] == 1 for i in ids if i < d.PLANT_BASE)
+
+    import logminer_kafka_connect_ray.pipelines.dataops as M
+
+    monkeypatch.setattr(M, "SEMDEDUP_MAX_CLUSTER_ROWS", 1)
+    with pytest.raises(Exception, match="raise k"):
+        d.semantic_dedup("/root/testdata/sf0.001")
