@@ -446,6 +446,98 @@ GROUP BY tok.doc_id
 ORDER BY tok.doc_id
 """
 
+# DSIR importance selection (Xie et al. 2023): target model p = the
+# lang='en' slice, raw model q = the whole corpus, unigram+bigram
+# features with add-one smoothing over the joint feature space; each
+# model's log-prob is quantized to integer micro-nats per DISTINCT
+# feature (the _DOC_LM_SQL device), so the per-document importance
+# weight sum is pure int64 on both sides.  Top-100 by (score desc,
+# doc_id) -- output-bounded.
+_DSIR_SQL = """
+WITH base AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+uni AS (SELECT doc_id, lang, unnest(ws) AS feat FROM base),
+big AS (
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS feat
+  FROM base CROSS JOIN (
+    SELECT unnest(range(1, 100000))::BIGINT AS i
+  ) u
+  WHERE i + 1 <= len(ws)
+),
+feats AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM big
+),
+cnt AS (
+  SELECT feat,
+         count(*) FILTER (WHERE lang = 'en') AS n_t,
+         count(*) AS n_r
+  FROM feats GROUP BY feat
+),
+tot AS (
+  SELECT sum(n_t) AS t_t, sum(n_r) AS t_r, count(*) AS v FROM cnt
+),
+delta AS (
+  SELECT feat,
+         CAST(floor(1e6 * ln((c.n_t + 1)::DOUBLE / (t.t_t + t.v)))
+              AS BIGINT)
+         - CAST(floor(1e6 * ln((c.n_r + 1)::DOUBLE / (t.t_r + t.v)))
+                AS BIGINT) AS d
+  FROM cnt c, tot t
+),
+score AS (
+  SELECT f.doc_id, any_value(f.lang) AS lang,
+         CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(d.d) AS BIGINT) AS score_micro
+  FROM feats f JOIN delta d USING (feat)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, lang, n_feats, score_micro
+FROM score ORDER BY score_micro DESC, doc_id LIMIT 100
+"""
+
+# Benchmark 8-gram decontamination: docs with doc_id % 97 == 0 stand
+# in for the held-out benchmark; any other doc sharing a distinct
+# word 8-gram with it is flagged.  The corpus draws tokens at random
+# (natural 8-gram collisions ~impossible), so one provably
+# contaminated doc per benchmark doc is planted identically on both
+# sides ('qq qq ' + first-8-gram + ' qq' at 10_000_000 + doc_id);
+# each must return n_hit = 1.
+_DECONTAM_SQL = """
+WITH real_toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+planted AS (
+  SELECT 10000000 + doc_id AS doc_id,
+         regexp_extract_all(
+           'qq qq ' || array_to_string(ws[1:8], ' ') || ' qq',
+           '[a-z0-9]+') AS ws
+  FROM real_toks WHERE doc_id % 97 = 0 AND len(ws) >= 8
+),
+toks AS (
+  SELECT * FROM real_toks UNION ALL SELECT * FROM planted
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i + 7], ' ') AS gram
+  FROM toks CROSS JOIN (
+    SELECT unnest(range(1, 100000))::BIGINT AS i
+  ) u
+  WHERE i + 7 <= len(ws)
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams
+  WHERE doc_id % 97 = 0 AND doc_id < 10000000
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+FROM grams g JOIN bench b USING (gram)
+WHERE NOT (g.doc_id % 97 = 0 AND g.doc_id < 10000000)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
 # Connected components over the exact near-dup pair graph via
 # recursive transitive closure; canonical = min reachable doc_id.
 _CLUSTER_SQL = f"""
@@ -4724,6 +4816,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram LM quality score (CCNet-shape perplexity filter;
         # integer micro-nat arithmetic -> exact SQL gate)
         "doc_lm_score": d.doc_lm_score,
+        # DSIR importance selection (target=en vs raw corpus;
+        # integer micro-nat importance weights, P*k top-k merge)
+        "dsir_select": d.dsir_select,
+        # benchmark 8-gram decontamination (broadcast shingle set,
+        # planted provably-contaminated docs)
+        "benchmark_decontam": d.benchmark_decontam,
         # Gopher-style repetition/diversity counts (dup-word and
         # dup-bigram filter base; integer-exact SQL gate)
         "doc_repetition": d.doc_repetition,
@@ -5158,6 +5256,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_canonical": _CLUSTER_SQL,
         "word_freq_topk": _WORD_FREQ_SQL,
         "doc_lm_score": _DOC_LM_SQL,
+        "dsir_select": _DSIR_SQL,
+        "benchmark_decontam": _DECONTAM_SQL,
         "doc_repetition": _DOC_REPETITION_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "embedding_near_dup_exact": _EMBED_EXACT_SQL,

@@ -6427,3 +6427,277 @@ def word_share_drift_topk(
     return pa.Table.from_pandas(
         cand[["word", "n_first", "n_second", "drift_e6"]],
         preserve_index=False).cast(out_schema)
+
+
+class _DsirScorer:
+    """Actor-pool stage for ``dsir_select``: holds the broadcast
+    (sorted feature vocab, micro-nat importance delta) arrays; per
+    batch scores every document with searchsorted + int64 sums and
+    emits the BLOCK-LOCAL top-k rows (driver merges P x k)."""
+
+    def __init__(self, model_ref, k: int, strict: bool = True):
+        import ray
+
+        feats, delta = (
+            ray.get(model_ref)
+            if not isinstance(model_ref, tuple) else model_ref
+        )
+        self.feats = feats    # sorted object array of feature strings
+        self.delta = delta    # int64 micro-nats lp_target - lp_raw
+        self.k = k
+        self.strict = strict  # uncapped: any OOV feature = drift, raise
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("lang", pa.string()),
+             ("n_feats", pa.int64()), ("score_micro", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_pylist()
+        rows = []
+        for did, lang, s in zip(ids, langs, t.column("text").to_pylist()):
+            toks = _WORD.findall((s or "").lower())
+            if not toks:
+                continue  # featureless docs drop on both sides (SQL join)
+            fs = toks + [
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            ]
+            w = np.asarray(fs, dtype=object)
+            pos = np.clip(np.searchsorted(self.feats, w), 0,
+                          len(self.feats) - 1)
+            hit = self.feats[pos] == w
+            if self.strict and not bool(np.all(hit)):
+                raise ValueError(
+                    "dsir_select: feature absent from the pass-1 vocabulary "
+                    "(tokenizer drift between passes)"
+                )
+            rows.append((int(did), lang, len(fs),
+                         int(self.delta[pos][hit].sum())))
+        if not rows:
+            return out_schema.empty_table()
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        rows = rows[: self.k]
+        return pa.table(
+            {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+             "lang": pa.array([r[1] for r in rows], pa.string()),
+             "n_feats": pa.array([r[2] for r in rows], pa.int64()),
+             "score_micro": pa.array([r[3] for r in rows], pa.int64())},
+            schema=out_schema,
+        )
+
+
+def dsir_select(
+    sf_dir: str, target_lang: str = "en", k: int = 100,
+    vocab_cap: int | None = None,
+) -> pa.Table:
+    """DSIR-style importance selection ("Data Selection for Language
+    Models via Importance Resampling", Xie et al. 2023): fit two
+    bag-of-n-gram unigram models -- the TARGET distribution p (here:
+    ``lang == target_lang`` documents, the formal-text stand-in) and
+    the RAW distribution q (the whole corpus) -- over unigram+bigram
+    features, then score every document by its importance log-weight
+    ``sum_f c_f * (ln p_f - ln q_f)`` and keep the top-``k``.
+    Add-one smoothing over the joint feature space V; each model's
+    log-prob is quantized to integer micro-nats exactly like
+    ``doc_lm_score`` (``floor(1e6 * ln((n_f + 1) / (T + |V|)))``), so
+    all cross-engine arithmetic after the per-feature quantization is
+    int64 and the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: pass 1 is the vocab-bounded two-level aggregate
+    (per-block ``np.unique`` partials over unigrams+bigrams ->
+    ``groupby.aggregate(Sum, Sum)``; the exchange carries |V| rows,
+    never |tokens|); the model broadcasts ONCE via ``ray.put``; pass
+    2 is embarrassingly parallel searchsorted scoring with per-block
+    top-k and a P x k driver merge (output-bounded, no full score
+    table on the driver).  The paper's feature HASHING is an
+    orthogonal memory bound: at 100 TB pass ``vocab_cap`` to clamp
+    the broadcast to the top-V features by raw count (the gate runs
+    uncapped so the oracle is the full exact model)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    part_schema = pa.schema(
+        [("feat", pa.string()), ("n_t", pa.int64()), ("n_r", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        all_f: list[str] = []
+        tgt_f: list[str] = []
+        for lang, s in zip(t.column("lang").to_pylist(),
+                           t.column("text").to_pylist()):
+            toks = _WORD.findall((s or "").lower())
+            fs = toks + [
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            ]
+            all_f.extend(fs)
+            if lang == target_lang:
+                tgt_f.extend(fs)
+        if not all_f:
+            return part_schema.empty_table()
+        uniq, n_r = np.unique(np.asarray(all_f, dtype=object),
+                              return_counts=True)
+        n_t = np.zeros(len(uniq), np.int64)
+        if tgt_f:
+            ut, ct = np.unique(np.asarray(tgt_f, dtype=object),
+                               return_counts=True)
+            n_t[np.searchsorted(uniq, ut)] = ct
+        return pa.table(
+            {"feat": pa.array(list(uniq), pa.string()),
+             "n_t": pa.array(n_t), "n_r": pa.array(n_r.astype(np.int64))},
+            schema=part_schema,
+        )
+
+    freq = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("feat").aggregate(Sum("n_t"), Sum("n_r")).to_pandas()
+    )
+    feats = freq["feat"].to_numpy().astype(object)
+    n_t = freq["sum(n_t)"].to_numpy().astype(np.int64)
+    n_r = freq["sum(n_r)"].to_numpy().astype(np.int64)
+    order = np.argsort(feats, kind="stable")
+    feats, n_t, n_r = feats[order], n_t[order], n_r[order]
+    V = len(feats)
+    T_t, T_r = int(n_t.sum()), int(n_r.sum())
+    if vocab_cap is not None and V > vocab_cap:
+        keep = np.zeros(V, bool)
+        keep[np.argsort(-n_r, kind="stable")[:vocab_cap]] = True
+        feats, n_t, n_r = feats[keep], n_t[keep], n_r[keep]
+        # V, T_t, T_r stay the FULL-space values so retained-feature
+        # probabilities are unchanged by the cap (doc_lm_score rule)
+    lp_t = np.floor(
+        1e6 * np.log((n_t + 1).astype(np.float64) / (T_t + V))
+    ).astype(np.int64)
+    lp_r = np.floor(
+        1e6 * np.log((n_r + 1).astype(np.float64) / (T_r + V))
+    ).astype(np.int64)
+    model_ref = ray.put((feats, lp_t - lp_r))
+
+    cand = (
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+        .map_batches(
+            _cached_stage(
+                ("dsir", model_ref.hex(), k, vocab_cap is None),
+                lambda: _DsirScorer(model_ref, k, strict=vocab_cap is None),
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    cand = cand.sort_values(
+        ["score_micro", "doc_id"], ascending=[False, True],
+        ignore_index=True,
+    ).head(k)
+    return pa.Table.from_pandas(cand, preserve_index=False)
+
+
+def benchmark_decontam(
+    sf_dir: str, n: int = 8, bench_mod: int = 97,
+    plant_copies: bool = True,
+) -> pa.Table:
+    """Benchmark n-gram decontamination (the GPT-3 appendix-C /
+    open-LM-eval shape: drop any training document sharing an
+    ``n``-gram with the held-out benchmark): documents with
+    ``doc_id % bench_mod == 0`` stand in for the benchmark suite;
+    every OTHER document is flagged with the count of its DISTINCT
+    word ``n``-grams that appear anywhere in the benchmark.  Returns
+    contaminated rows only: ``(doc_id, n_hit)`` ordered by doc_id.
+    Distinct from ``contamination_check`` (substring needles): this
+    is set-of-shingles semantics, robust to the needle crossing
+    token boundaries.
+
+    ``plant_copies``: the synthetic corpus draws tokens at random, so
+    natural 8-gram collisions are ~impossible; the gate unions in one
+    provably-contaminated document per benchmark doc (``PLANT_BASE +
+    doc_id``, text = ``'qq qq ' + first-8-gram + ' qq'``) -- each
+    must come back with ``n_hit = 1`` (its other shingles contain the
+    out-of-vocabulary ``qq`` filler).  Both engines construct the
+    identical union.
+
+    Scale shape: a benchmark suite is MBs by nature, so this is the
+    broadcast-needle pattern (``ray.put`` the distinct benchmark
+    shingle set once, hash-set probe per block), not an exchange;
+    the scan emits only contaminated rows (output-bounded).  A
+    corpus-vs-corpus variant is ``doc_dup_ngrams`` (gram exchange)."""
+    import ray
+
+    PLANT_BASE = 10_000_000
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    bench_schema = pa.schema(
+        [("gram", pa.string()),
+         ("plant_id", pa.int64()), ("plant_text", pa.string())]
+    )
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % bench_mod == 0) & (ids < PLANT_BASE)
+        if not mask.any():
+            return bench_schema.empty_table()
+        gs, pids, ptxt = [], [], []
+        for did, s in zip(ids[mask],
+                          t.filter(pa.array(mask)).column("text").to_pylist()):
+            toks = _WORD.findall((s or "").lower())
+            grams = {" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)}
+            gs.extend(grams)
+            pids.extend([-1] * len(grams))
+            ptxt.extend([""] * len(grams))
+            if plant_copies and len(toks) >= n:
+                gs.append("")
+                pids.append(PLANT_BASE + int(did))
+                ptxt.append("qq qq " + " ".join(toks[:n]) + " qq")
+        return pa.table(
+            {"gram": pa.array(gs, pa.string()),
+             "plant_id": pa.array(pids, pa.int64()),
+             "plant_text": pa.array(ptxt, pa.string())},
+            schema=bench_schema,
+        )
+
+    bdf = ds.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
+    bench_set = frozenset(bdf.loc[bdf["plant_id"] < 0, "gram"])
+    planted = bdf[bdf["plant_id"] >= 0]
+    needles_ref = ray.put(bench_set)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_hit", pa.int64())])
+
+    def scan(t: pa.Table) -> pa.Table:
+        needles = ray.get(needles_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dids, hits = [], []
+        for did, s in zip(ids, t.column("text").to_pylist()):
+            if did % bench_mod == 0 and did < PLANT_BASE:
+                continue  # benchmark docs are not training candidates
+            toks = _WORD.findall((s or "").lower())
+            grams = {" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)}
+            n_hit = len(grams & needles)
+            if n_hit:
+                dids.append(int(did))
+                hits.append(n_hit)
+        if not dids:
+            return out_schema.empty_table()
+        return pa.table(
+            {"doc_id": pa.array(dids, pa.int64()),
+             "n_hit": pa.array(hits, pa.int64())},
+            schema=out_schema,
+        )
+
+    scan_in = ds
+    if len(planted):
+        import ray.data as rd
+
+        scan_in = ds.union(rd.from_arrow(pa.table(
+            {"doc_id": pa.array(planted["plant_id"].to_numpy(np.int64)),
+             "text": pa.array(list(planted["plant_text"]), pa.string())}
+        )))
+    df = (
+        scan_in.map_batches(scan, batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)

@@ -1515,3 +1515,81 @@ def test_semantic_dedup(ray_session, monkeypatch):
     monkeypatch.setattr(M, "SEMDEDUP_MAX_CLUSTER_ROWS", 1)
     with pytest.raises(Exception, match="raise k"):
         d.semantic_dedup("/root/testdata/sf0.001")
+
+
+def _make_docs_langs(tmp_path, texts, langs):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_dsir_select_exact_and_capped(ray_session, tmp_path):
+    """Importance scores equal the hand-computed smoothed two-model
+    log-ratio over unigram+bigram features; a vocab_cap keeps the
+    retained features' deltas unchanged (V and totals stay
+    full-space) and scores OOV features at 0."""
+    sf = _make_docs_langs(
+        tmp_path, ["a a b", "a z", "b b"], ["en", "xx", "en"]
+    )
+    feats = {  # feat -> (n_target, n_raw)
+        "a": (2, 3), "b": (3, 3), "z": (0, 1),
+        "a a": (1, 1), "a b": (1, 1), "a z": (0, 1), "b b": (1, 1),
+    }
+    V, T_t, T_r = len(feats), 8, 11
+
+    def delta(f):
+        n_t, n_r = feats[f]
+        return int(np.floor(1e6 * np.log((n_t + 1) / (T_t + V)))) - \
+            int(np.floor(1e6 * np.log((n_r + 1) / (T_r + V))))
+
+    doc_feats = {
+        0: ["a", "a", "b", "a a", "a b"],
+        1: ["a", "z", "a z"],
+        2: ["b", "b", "b b"],
+    }
+    want = {i: sum(delta(f) for f in fs) for i, fs in doc_feats.items()}
+    out = {r["doc_id"]: r for r in d.dsir_select(sf, k=10).to_pylist()}
+    assert set(out) == {0, 1, 2}
+    for i, fs in doc_feats.items():
+        assert out[i]["score_micro"] == want[i]
+        assert out[i]["n_feats"] == len(fs)
+    # en docs must outrank the off-target doc
+    assert min(want[0], want[2]) > want[1]
+
+    capped = {r["doc_id"]: r for r in
+              d.dsir_select(sf, k=10, vocab_cap=2).to_pylist()}
+    want_capped = {
+        i: sum(delta(f) for f in fs if f in ("a", "b"))
+        for i, fs in doc_feats.items()
+    }
+    for i in doc_feats:
+        assert capped[i]["score_micro"] == want_capped[i]
+        assert capped[i]["n_feats"] == len(doc_feats[i])  # counts all
+
+
+def test_benchmark_decontam_planted_and_real(ray_session, tmp_path):
+    """Doc 0 (id % 97 == 0) is the benchmark; a training doc embedding
+    its 8-gram is flagged with the distinct-hit count, unrelated docs
+    are not, and the planted copy comes back with exactly one hit."""
+    bench = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    texts = [
+        bench,
+        "x w1 w2 w3 w4 w5 w6 w7 w8 y",     # contains one bench 8-gram
+        "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10",  # clean
+    ]
+    sf = make_docs(tmp_path, texts)
+    rows = d.benchmark_decontam(sf).to_pylist()
+    assert rows == [
+        {"doc_id": 1, "n_hit": 1},
+        {"doc_id": 10_000_000, "n_hit": 1},
+    ]
+    rows = d.benchmark_decontam(sf, plant_copies=False).to_pylist()
+    assert rows == [{"doc_id": 1, "n_hit": 1}]
