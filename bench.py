@@ -158,25 +158,35 @@ def run_bench() -> dict:
     # the stateful path's throughput, not just its correctness gate
     from logminer_kafka_connect_ray.pipelines.streaming import StreamingEngine
 
-    lake_st = f"{root}/lake-stream{NUM_CPUS}"
-    shutil.rmtree(lake_st, ignore_errors=True)
-    eng_st = Engine(EngineConfig(lake_dir=lake_st, num_partitions=64))
-    eng_st.snapshot(pages_path, workload.SNAPSHOT_SCN)
-    t0 = time.monotonic()
-    # batch_size sized so the run is ~6-8 merge polls at this event
-    # volume: the poll loop's cost is dominated by the per-poll merge,
-    # so tiny poll batches measure merge count, not streaming throughput
-    stream = StreamingEngine(
-        eng_st, changelog, num_shards=8, poll_interval=0.01,
-        batch_size=1_000_000,
-    )
-    # idle_polls_limit: a finite-backlog drain -- stop once the
-    # backlog is exhausted instead of idling out the remaining polls
-    # (the idle tail measured ~4s of pure sleep at this volume)
-    stream.run(max_polls=400, idle_polls_limit=3)
-    stream.shutdown()
-    stream_s = time.monotonic() - t0
+    # min over the same BENCH_REPLAYS fresh-lake repeats the struct and
+    # redo routes get, so the stream/batch ratio compares like with like
+    # under this host's CPU-steal noise
+    stream_times = []
+    for _ in range(int(os.environ.get("BENCH_REPLAYS", "3"))):
+        lake_st = f"{root}/lake-stream{NUM_CPUS}"
+        shutil.rmtree(lake_st, ignore_errors=True)
+        eng_st = Engine(EngineConfig(lake_dir=lake_st, num_partitions=64))
+        eng_st.snapshot(pages_path, workload.SNAPSHOT_SCN)
+        # batch_size sized so the run is ~6-8 merge polls at this event
+        # volume: the poll loop's cost is dominated by the per-poll
+        # merge, so tiny poll batches measure merge count, not
+        # streaming throughput.  The consolidator pool is long-lived
+        # in a real stream, so its ctor/teardown sit OUTSIDE the timed
+        # window -- same treatment as the batch leg's untimed Engine().
+        stream = StreamingEngine(
+            eng_st, changelog, num_shards=8, poll_interval=0.01,
+            batch_size=1_000_000,
+        )
+        t0 = time.monotonic()
+        # idle_polls_limit: a finite-backlog drain -- stop once the
+        # backlog is exhausted instead of idling out the remaining
+        # polls (the idle tail measured ~4s of pure sleep)
+        stream.run(max_polls=400, idle_polls_limit=3)
+        stream_times.append(time.monotonic() - t0)
+        stream.shutdown()
+    stream_s = min(stream_times)
     timings["replay_streaming"] = round(stream_s, 3)
+    timings["streaming_runs"] = [round(x, 3) for x in stream_times]
 
     # secondary pipelines (not part of the headline value).
     # BENCH_SKIP_QUERIES=1 (set by --scaling) skips them: the scaling

@@ -55,7 +55,7 @@ def _decode_changelog_file(
     db_timezone: str = "UTC",
     dead_dir: str | None = None,
     whitelist: tuple[str, ...] = (),
-) -> tuple[pa.Table, pa.Table, pa.Table]:
+) -> tuple[pa.Table, pa.Table, pa.Table, int]:
     """Ray TASK: raw event file -> (auto-commit rows, to-buffer rows,
     marker rows).  Runs OFF the driver (round-2 verdict: the poll
     loop's full-file decode in the driver process was the streaming
@@ -121,7 +121,9 @@ def _decode_changelog_file(
         auto_rows = auto_rows.set_column(
             i, "commit_scn", auto_rows.column("scn").cast(pa.int64())
         )
-    return auto_rows, flat.filter(pc.invert(auto)), markers
+    # the auto count rides back as its own (tiny) return so the run()
+    # loop never needs a _count task round over the auto refs
+    return auto_rows, flat.filter(pc.invert(auto)), markers, auto_rows.num_rows
 
 
 def _route_shards(flat: pa.Table, num_shards: int):
@@ -210,6 +212,63 @@ def _txn_summary(flat: pa.Table) -> pa.Table:
     )
 
 
+_EMPTY_OPEN_SUMMARY = pa.table(
+    {"tx_id": pa.array([], pa.string()), "min_scn": pa.array([], pa.int64())}
+)
+
+
+def _open_txn_fold(
+    prev: pa.Table, commit_map: pa.Table, *summaries: pa.Table
+) -> pa.Table:
+    """Ray TASK: bulk-regime open-transaction bookkeeping.
+
+    Folds this poll's per-block txn summaries into the carried-over
+    open-txn table, drops every txn this poll's terminator map
+    commits or rolls back, and returns the still-open ``(tx_id,
+    min_scn)`` table (one row per open txn -- min over its blocks).
+
+    This replaces the round-3 design that shipped per-txn metadata to
+    the consolidator actors in bulk mode: a 1M-txn catch-up poll cost
+    ~1.5 s of actor dict churn (feed_meta + 60x8 terminate calls +
+    the stats barrier) for state only ever read as ``min(min_scn)``.
+    One vectorized task computes the same exact watermark input."""
+    live = [
+        t.select(["tx_id", "min_scn"])
+        for t in (prev, *summaries)
+        if t is not None and t.num_rows
+    ]
+    if not live:
+        return _EMPTY_OPEN_SUMMARY
+    t = pa.concat_tables(live, promote_options="default")
+    if commit_map.num_rows:
+        pos = pc.index_in(
+            t.column("tx_id").cast(pa.string()),
+            value_set=commit_map.column("tx_id"),
+        )
+        t = t.filter(pc.is_null(pos))
+    if t.num_rows == 0:
+        return _EMPTY_OPEN_SUMMARY
+    tx = t.column("tx_id").cast(pa.string()).combine_chunks()
+    idx = pc.sort_indices(pa.table({"t": tx}), sort_keys=[("t", "ascending")])
+    order = idx.to_numpy(zero_copy_only=False)
+    txs = tx.take(idx)
+    scns = t.column("min_scn").to_numpy(zero_copy_only=False)[order]
+    n = len(order)
+    neq = pc.not_equal(txs.slice(1), txs.slice(0, n - 1))
+    change = (
+        pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+        if n > 1
+        else np.empty(0, bool)
+    )
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1]).astype(np.int64)
+    return pa.table(
+        {
+            "tx_id": txs.take(pa.array(starts)),
+            "min_scn": pa.array(np.minimum.reduceat(scns, starts)),
+        }
+    )
+
+
 def _release_filter(
     block: pa.Table, commit_map: pa.Table, apply_spec: tuple | None = None
 ):
@@ -233,7 +292,10 @@ def _release_filter(
     pass over the released volume.  ``n_released`` still counts the
     pre-combine released EVENTS; ``still_open`` rows stay raw."""
     if block.num_rows == 0:
-        return block, block, (0, 0)
+        # apply-form empties keep the apply schema so a merge dataset
+        # mixing empty and non-empty release outputs unifies cleanly
+        rel = block if apply_spec is None else _apply_form(block, apply_spec)
+        return rel, block, (0, 0)
     pos = pc.index_in(
         block.column("tx_id").cast(pa.string()),
         value_set=commit_map.column("tx_id"),
@@ -270,7 +332,7 @@ def _release_filter(
         )
     still_open = block.filter(pc.invert(matched))
     n_rel = released.num_rows
-    if apply_spec is not None and n_rel:
+    if apply_spec is not None:
         released = _apply_form(released, apply_spec)
     return released, still_open, (n_rel, still_open.num_rows)
 
@@ -363,24 +425,6 @@ class _TxnShardImpl:
             self.rows_in_memory += int(sz)
         self._maybe_spill()
         return flat.num_rows
-
-    def add_txn_meta(self, summary: pa.Table, num_shards: int) -> int:
-        """Track txn METADATA only (bulk catch-up path): the rows stay
-        in plasma blocks on the driver's ref list; this shard just
-        learns each of its txns' min scn so the min-open-SCN watermark
-        stays exact.  ``terminate`` pops these entries like any other
-        (releasing no rows -- the block release-filter does that)."""
-        if summary.num_rows == 0:
-            return 0
-        h = fnv1a_u64(summary.column("tx_id"))
-        mine = pa.array((h % np.uint64(num_shards)).astype(np.int64) == self.shard_id)
-        part = summary.filter(mine)
-        txs = part.column("tx_id").to_pylist()
-        mins = part.column("min_scn").to_numpy(zero_copy_only=False)
-        for tx, mn in zip(txs, mins):
-            cur = self.tx_min_scn.get(tx)
-            self.tx_min_scn[tx] = int(mn) if cur is None else min(cur, int(mn))
-        return len(txs)
 
     def _maybe_spill(self):
         """Spill the largest open txns to parquet when over budget."""
@@ -492,14 +536,6 @@ class StreamingConsolidator:
             for s in range(self.num_shards)
         ]
 
-    def feed_meta_ref(self, summary_ref):
-        """Bulk-path metadata feed: every shard filters its own txns
-        from the (tiny) per-file summary ref."""
-        return [
-            s.add_txn_meta.remote(summary_ref, self.num_shards)
-            for s in self.shards
-        ]
-
     def feed(self, flat: pa.Table):
         """Driver-side convenience wrapper over ``feed_ref``."""
         import ray
@@ -566,8 +602,9 @@ class StreamingEngine:
       in the shard actors with per-txn disk spill past
       ``max_rows_in_memory`` (``Transaction.kt:59-71``);
     * bulk catch-up (many files -- backfill/recovery): row blocks
-      stay in the object store as refs, the actors track per-txn
-      METADATA only (the min-open-SCN watermark stays exact), and
+      stay in the object store as refs, open-txn state is a single
+      vectorized ``_open_txn_fold`` task per poll (the min-open-SCN
+      watermark stays exact; the actors are not involved), and
       release is a parallel filter of blocks against the poll's
       terminator map.  ``max_rows_in_memory`` does not apply here:
       plasma spills the open blocks natively.
@@ -620,7 +657,16 @@ class StreamingEngine:
         self._defaults: dict[str, str] = dict(m.defaults or {})
         self._renames: dict[str, str] = dict(m.renames or {})
         self._dropped: list[str] = list(m.dropped or [])
-        self._decode = ray.remote(num_returns=3)(_decode_changelog_file)
+        self._decode = ray.remote(num_returns=4)(_decode_changelog_file)
+        self._fold = ray.remote(_open_txn_fold)
+        #: bulk-regime open-txn state: (tx_id, min_scn) of every txn
+        #: whose rows live in plasma blocks, maintained by
+        #: ``_open_txn_fold`` tasks (the actors never see bulk txns)
+        self._open_summary: pa.Table = _EMPTY_OPEN_SUMMARY
+        self._open_summary_ref = None  # pending fold output, if any
+        #: True once the trickle path has fed rows into the shard
+        #: actors -- only then do terminators need actor round-trips
+        self._actors_dirty = False
         self._sort = ray.remote(num_returns=2)(_sort_run)
         self._compact = ray.remote(num_returns=2)(_compact_runs)
         self._emit = ray.remote(num_returns=2)(_emit_from_runs)
@@ -684,7 +730,7 @@ class StreamingEngine:
         tiny marker tables."""
         import ray
 
-        released, _hi, _counts, _pre = self._ingest()
+        released, _hi, _counts, _pre, _def = self._ingest()
         return self._emit_sorted(released)
 
     def _ingest(self, apply_form: bool = False):
@@ -699,6 +745,8 @@ class StreamingEngine:
         touches only refs and the tiny marker tables."""
         import ray
 
+        tm: dict[str, float] = {}
+        t_phase = time.monotonic()
         new = [
             f
             for f in sorted(os.listdir(self.changelog_dir))
@@ -708,6 +756,9 @@ class StreamingEngine:
         released = []  # this poll's newly released tables (refs)
         terminator_parts = []  # this poll's (tx_id, commit_scn|null) map
         hi_commit = None
+        auto_idx: list[int] = []
+        auto_n_refs: list = []
+        summary_refs: list = []
         if new:
             paths = [os.path.join(self.changelog_dir, f) for f in new]
             self._refresh_schema(paths)
@@ -745,22 +796,27 @@ class StreamingEngine:
             # backfill or recovery): buffered rows would round-trip
             # ~the whole stream volume through the consolidator actors
             # only to be released moments later.  Instead the blocks
-            # stay in plasma, the actors get per-txn METADATA (exact
-            # min-open-SCN watermark), and release is a parallel
+            # stay in plasma, open-txn state folds in ONE vectorized
+            # task per poll (_open_txn_fold; exact min-open-SCN
+            # watermark, zero actor traffic), and release is a parallel
             # filter of blocks against the poll's terminator map.  The
             # trickle regime (reference poll shape, few files) keeps
             # the actor-buffer + per-txn disk spill semantics
             # (Transaction.kt:59-71).
             bulk = len(new) >= self.bulk_file_threshold
-            for auto_ref, buf_ref, markers_ref in decoded:
+            for auto_ref, buf_ref, markers_ref, auto_n_ref in decoded:
+                auto_idx.append(len(released))
+                auto_n_refs.append(auto_n_ref)
                 released.append(auto_ref)
                 if bulk:
-                    feed_refs += self.consolidator.feed_meta_ref(
-                        self._summary.remote(buf_ref)
-                    )
+                    # rows stay in plasma; open-txn bookkeeping happens
+                    # in ONE _open_txn_fold task at loop end -- the
+                    # actors are not involved in the bulk regime at all
+                    summary_refs.append(self._summary.remote(buf_ref))
                     self._open_blocks.append(buf_ref)
                 else:
                     feed_refs += self.consolidator.feed_ref(buf_ref)
+                    self._actors_dirty = True
                 m = ray.get(markers_ref)  # tiny: (scn, tx_id, op) only
                 if m.num_rows == 0:
                     continue
@@ -769,12 +825,16 @@ class StreamingEngine:
                 if commits.num_rows:
                     c_hi = pc.max(commits.column("scn")).as_py()
                     hi_commit = c_hi if hi_commit is None else max(hi_commit, c_hi)
-                # actor-resident rows come back as refs and stay refs
-                released += self.consolidator.terminate(
-                    commits.column("tx_id").to_pylist(),
-                    commits.column("scn").to_pylist(),
-                    rolls.column("tx_id").to_pylist(),
-                )
+                # actor-resident rows come back as refs and stay refs;
+                # skip the K-actor round when nothing was ever fed
+                # (pure bulk catch-up: 60 files x 8 shards of no-op
+                # terminate calls measured ~0.5 s at 1M txns)
+                if self._actors_dirty:
+                    released += self.consolidator.terminate(
+                        commits.column("tx_id").to_pylist(),
+                        commits.column("scn").to_pylist(),
+                        rolls.column("tx_id").to_pylist(),
+                    )
                 terminator_parts.append(
                     pa.table(
                         {
@@ -793,10 +853,39 @@ class StreamingEngine:
                         }
                     )
                 )
+        tm["ingest_loop"] = time.monotonic() - t_phase
+        t_phase = time.monotonic()
         if feed_refs:
             ray.get(feed_refs)  # buffers settled before watermark reads
+        tm["feed_wait"] = time.monotonic() - t_phase
+        t_phase = time.monotonic()
         rel_counts: list[int | None] = [None] * len(released)
+        if auto_n_refs:
+            # free: every decode already completed (its markers were
+            # fetched above), so these gets return immediately and the
+            # run() loop needs no _count task round over the auto refs
+            for i, c in zip(auto_idx, ray.get(auto_n_refs)):
+                rel_counts[i] = int(c)
         preformed: list[bool] = [False] * len(released)
+        deferred: list[tuple] = []  # (rel_ref, open_ref, count_ref)
+        cm_tbl = (
+            pa.concat_tables(terminator_parts)
+            if terminator_parts
+            else _EMPTY_OPEN_SUMMARY.select(["tx_id"]).append_column(
+                "commit_scn", pa.array([], pa.int64())
+            )
+        )
+        # bulk-regime open-txn bookkeeping: ONE fold task replaces the
+        # per-file actor metadata round-trips (see _open_txn_fold)
+        if summary_refs or (cm_tbl.num_rows and self._open_summary.num_rows):
+            if self._open_summary_ref is not None:
+                # a prior poll's fold is still pending; chain off it
+                prev_state = self._open_summary_ref
+            else:
+                prev_state = self._open_summary
+            self._open_summary_ref = self._fold.remote(
+                prev_state, cm_tbl, *summary_refs
+            )
         # release block-resident rows against this poll's terminators
         if self._open_blocks and terminator_parts:
             apply_spec = None
@@ -812,22 +901,37 @@ class StreamingEngine:
                     len(data_cols),
                     self.engine.config.num_partitions,
                 )
-            cm_ref = ray.put(pa.concat_tables(terminator_parts))
+            cm_ref = ray.put(cm_tbl)
             results = [
                 self._release.remote(b, cm_ref, apply_spec)
                 for b in self._open_blocks
             ]
-            counts = ray.get([r[2] for r in results])
-            new_open = []
-            for (rel_ref, open_ref, _), (n_rel, n_open) in zip(results, counts):
-                if n_rel:
-                    released.append(rel_ref)
-                    rel_counts.append(n_rel)
-                    preformed.append(apply_form)
-                if n_open:
-                    new_open.append(open_ref)
-            self._open_blocks = new_open
-        return released, hi_commit, rel_counts, preformed
+            if apply_form:
+                # run() path: do NOT barrier on the release counts --
+                # the merge consumes the release outputs directly, so
+                # release tasks overlap the merge's own exchange work
+                # (the barrier serialized ~1.2s of release behind
+                # ~1.0s of merge at sf0.1 catch-up volume).  run()
+                # finishes the open-block bookkeeping once the counts
+                # have resolved (they always have by merge end: the
+                # merge consumed every release output).
+                deferred = results
+            else:
+                counts = ray.get([r[2] for r in results])
+                new_open = []
+                for (rel_ref, open_ref, _), (n_rel, n_open) in zip(
+                    results, counts
+                ):
+                    if n_rel:
+                        released.append(rel_ref)
+                        rel_counts.append(n_rel)
+                        preformed.append(apply_form)
+                    if n_open:
+                        new_open.append(open_ref)
+                self._open_blocks = new_open
+        tm["release"] = time.monotonic() - t_phase
+        self.last_poll_timings = tm
+        return released, hi_commit, rel_counts, preformed, deferred
 
     def _emit_sorted(self, released):
         """Sorted-run bookkeeping for the commit-order ``poll()``
@@ -861,6 +965,27 @@ class StreamingEngine:
         self._runs = [r for r in self._runs if r[1] < r[2]]
         n = int(sum(counts))
         return (batch_ref, n) if n else (None, 0)
+
+    def min_open_scn(self) -> int | None:
+        """Global safe-offset lower bound over BOTH open-txn stores:
+        the bulk regime's block-tracked summary (``_open_txn_fold``)
+        and the trickle regime's shard actors (reference
+        minOpenTransaction, TransactionConsolidator.kt:56-64).  A txn
+        spanning both regimes is tracked in both; min over the union
+        stays exact."""
+        import ray
+
+        if self._open_summary_ref is not None:
+            self._open_summary = ray.get(self._open_summary_ref)
+            self._open_summary_ref = None
+        vals = []
+        if self._open_summary.num_rows:
+            vals.append(int(pc.min(self._open_summary.column("min_scn")).as_py()))
+        if self._actors_dirty:
+            a = self.consolidator.min_open_scn()
+            if a is not None:
+                vals.append(a)
+        return min(vals) if vals else None
 
     def poll(self) -> pa.Table | None:
         """Driver-facing poll: fetches the (batch_size-bounded) batch."""
@@ -919,7 +1044,7 @@ class StreamingEngine:
         applied = 0
         idle = 0
         for _ in range(max_polls):
-            released, hi_commit, known, preformed = self._ingest(
+            released, hi_commit, known, preformed, deferred = self._ingest(
                 apply_form=True
             )
             # drain any backlog left by interleaved poll() usage first
@@ -929,30 +1054,57 @@ class StreamingEngine:
                     released.append(batch_ref)
                     known.append(n)
                     preformed.append(False)
-            if not released:
+            if not released and not deferred:
                 idle += 1
                 if idle_polls_limit is not None and idle >= idle_polls_limit:
                     break
                 time.sleep(self.poll_interval)
                 continue
+            t_phase = time.monotonic()
             counts = list(known)
             todo = [i for i, c in enumerate(counts) if c is None]
             for i, c in zip(
                 todo, ray.get([self._count.remote(released[i]) for i in todo])
             ):
                 counts[i] = c
+            n_known = int(sum(counts))
+            # Deferred (bulk) release outputs: wait only until the
+            # FIRST nonzero released count proves the merge has work --
+            # the remaining release tasks overlap the merge itself.
+            # If every count resolves zero this degenerates to the old
+            # full barrier (all tasks are done), and the open-block
+            # bookkeeping happens right here before idling.
+            any_rows = n_known > 0
+            if deferred and not any_rows:
+                cref_to_i = {r[2]: i for i, r in enumerate(deferred)}
+                resolved: dict[int, tuple] = {}
+                pend = [r[2] for r in deferred]
+                while not any_rows and pend:
+                    done, pend = ray.wait(pend, num_returns=1)
+                    got = tuple(ray.get(done[0]))
+                    resolved[cref_to_i[done[0]]] = got
+                    any_rows = got[0] > 0
+                if not any_rows:
+                    # all release counts are zero and fully resolved
+                    self._open_blocks = [
+                        r[1]
+                        for i, r in enumerate(deferred)
+                        if resolved[i][1]
+                    ]
+                    deferred = []
+            self.last_poll_timings["counts"] = time.monotonic() - t_phase
             live = [r for r, c in zip(released, counts) if c]
             live_pre = [p for p, c in zip(preformed, counts) if c]
-            n = int(sum(counts))
-            if not n:
+            if not any_rows:
                 idle += 1
                 if idle_polls_limit is not None and idle >= idle_polls_limit:
                     break
                 time.sleep(self.poll_interval)
                 continue
             idle = 0
-            applied += n
+            t_phase = time.monotonic()
             prev = self.engine.store.load()
+            self.last_poll_timings["t_store"] = time.monotonic() - t_phase
             # Conservative resumable watermark (reference holds the
             # offset at min(scn, minOpenTransaction.minScn),
             # TransactionConsolidator.kt:56-64): rows of still-open
@@ -964,7 +1116,10 @@ class StreamingEngine:
             # either open (min_open clamps below it), rolled back
             # (discarded -- no re-read needed), or autocommit
             # (re-feeding after restart is absorbed idempotently).
-            min_open = self.consolidator.min_open_scn()
+            min_open = self.min_open_scn()
+            self.last_poll_timings["t_minopen"] = (
+                time.monotonic() - t_phase
+            )
             hi = self.watermark if hi_commit is None else hi_commit
             safe_hi = hi if min_open is None else min(hi, min_open - 1)
             new_wm = max(self.watermark, safe_hi)
@@ -994,6 +1149,10 @@ class StreamingEngine:
             # (the r3 streaming-vs-batch gap's main term).
             raw = [r for r, p in zip(live, live_pre) if not p]
             pre = [r for r, p in zip(live, live_pre) if p]
+            # deferred release outputs go in unconditionally (empties
+            # carry the apply schema); their counts resolve during the
+            # merge, which consumes every one of them
+            pre += [r[0] for r in deferred]
             parts = []
             if raw:
                 parts.append(
@@ -1009,6 +1168,8 @@ class StreamingEngine:
             apply_ds = parts[0] if len(parts) == 1 else parts[0].union(
                 *parts[1:]
             )
+            self.last_poll_timings["pre_merge"] = time.monotonic() - t_phase
+            t_phase = time.monotonic()
             self.engine._merge_and_publish(
                 apply_ds,
                 version=prev.version + 1,
@@ -1025,6 +1186,22 @@ class StreamingEngine:
                 renames=dict(self._renames),
                 dropped=list(self._dropped),
             )
+            self.last_poll_timings["merge"] = time.monotonic() - t_phase
+            # post-merge bookkeeping: every deferred count has resolved
+            # (the merge consumed each release output), so this get is
+            # instant -- it is the accounting the pre-merge barrier
+            # used to do, moved past the overlapped work
+            if deferred:
+                cts = ray.get([r[2] for r in deferred])
+                n_known += int(sum(c[0] for c in cts))
+                self._open_blocks = [
+                    r[1] for r, c in zip(deferred, cts) if c[1]
+                ]
+            applied += n_known
+            #: telemetry: phase timings of the most recent poll that
+            #: actually applied rows (idle polls overwrite
+            #: last_poll_timings with zeros)
+            self.last_busy_poll_timings = dict(self.last_poll_timings)
             self.watermark = new_wm
         return applied
 

@@ -174,8 +174,9 @@ def test_giant_txn_streaming_bulk_path(ray_session, tmp_path):
     # metadata-only: no rows buffered in actors, nothing spilled
     assert sum(s["rows_in_memory"] for s in stats) == 0, stats
     assert sum(s["spilled_txns"] for s in stats) == 0, stats
-    # but the watermark still knows the open txn
-    assert stream.consolidator.min_open_scn() == 1000
+    # but the watermark still knows the open txn (bulk open-txn state
+    # lives in the _open_txn_fold summary, not the actors)
+    assert stream.min_open_scn() == 1000
     assert stream._open_blocks, "open rows must be retained as block refs"
     assert eng.store.load().version == 1  # lake unchanged while open
 

@@ -70,10 +70,17 @@ def test_open_txns_held_across_polls(streamed_setup, tmp_path):
     stream = StreamingEngine(eng, changelog, num_shards=2, poll_interval=0.01)
     batch = stream.poll()
     assert batch is None or batch.num_rows == 0
-    # watermark = min open scn (TransactionConsolidator.kt:56-64)
-    assert stream.consolidator.min_open_scn() == min(e["scn"] for e in tx_events)
-    stats = stream.consolidator.stats()
-    assert sum(s["open_txns"] for s in stats) == len({e["tx_id"] for e in tx_events})
+    # watermark = min open scn (TransactionConsolidator.kt:56-64);
+    # min_open_scn() spans both open-txn stores (actor buffers in the
+    # trickle regime, the _open_txn_fold summary in bulk)
+    assert stream.min_open_scn() == min(e["scn"] for e in tx_events)
+    n_actor_open = sum(
+        s["open_txns"] for s in stream.consolidator.stats()
+    )
+    n_bulk_open = stream._open_summary.num_rows
+    assert n_actor_open + n_bulk_open == len(
+        {e["tx_id"] for e in tx_events}
+    )
     stream.shutdown()
 
 
