@@ -538,6 +538,81 @@ GROUP BY g.doc_id
 ORDER BY g.doc_id
 """
 
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+# rule): per-word FNV-1a (the _SIMHASH_SQL recursive byte fold,
+# vocab-bounded), polynomial word-4-gram hashes mod 2^64 with the
+# engine's golden-ratio power constants inlined as literals, window
+# minima of w=5 consecutive gram hashes per doc (short docs with
+# 1..4 grams keep one whole-doc minimum), then per-doc distinct
+# fingerprint and shared-fingerprint counts.  All arithmetic is
+# UHUGEINT % 2^64 == numpy uint64 wraparound, so the match is exact.
+_WINNOW_SQL = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+vocab AS (SELECT DISTINCT unnest(ws) AS word FROM w),
+vb AS (SELECT word, hex(encode(word)) AS hx,
+              octet_length(encode(word)) AS n FROM vocab),
+fnv AS (
+  SELECT word, n, 0 AS i,
+         CAST('14695981039346656037' AS UHUGEINT) AS h FROM vb
+  UNION ALL
+  SELECT f.word, f.n, f.i + 1,
+         (xor(f.h, CAST(CAST('0x' || substr(vb.hx, 2*f.i+1, 2) AS INT)
+                        AS UHUGEINT))
+          * CAST(1099511628211 AS UHUGEINT))
+           % CAST('18446744073709551616' AS UHUGEINT)
+  FROM fnv f JOIN vb ON vb.word = f.word WHERE f.i < f.n
+),
+wh AS (SELECT word, h FROM fnv WHERE i = n),
+pos AS (
+  SELECT w.doc_id, r.i, ws[r.i] AS word, len(ws) AS m
+  FROM w CROSS JOIN (SELECT unnest(range(1, 100000))::BIGINT AS i) r
+  WHERE r.i <= len(ws)
+),
+harr AS (
+  SELECT p.doc_id, any_value(p.m) AS m, list(wh.h ORDER BY p.i) AS hs
+  FROM pos p JOIN wh USING (word) GROUP BY p.doc_id
+),
+grams AS (
+  SELECT doc_id, r.i, m - 3 AS n_g,
+         CAST((  (hs[r.i]   * CAST('6938460308862072877'  AS UHUGEINT))
+                 % CAST('18446744073709551616' AS UHUGEINT)
+               + (hs[r.i+1] * CAST('16088033396387240377' AS UHUGEINT))
+                 % CAST('18446744073709551616' AS UHUGEINT)
+               + (hs[r.i+2] * CAST('11400714819323198485' AS UHUGEINT))
+                 % CAST('18446744073709551616' AS UHUGEINT)
+               + hs[r.i+3]
+              ) % CAST('18446744073709551616' AS UHUGEINT) AS UBIGINT)
+           AS gh
+  FROM harr CROSS JOIN (SELECT unnest(range(1, 100000))::BIGINT AS i) r
+  WHERE r.i + 3 <= m
+),
+wins AS (
+  SELECT doc_id, i, n_g,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins
+  WHERE i <= greatest(n_g - 4, 1)
+),
+sh AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) >= 2),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         CAST(count(*) FILTER (WHERE fp IN (SELECT fp FROM sh))
+              AS BIGINT) AS n_shared
+  FROM fps GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(greatest(len(ws) - 3, 0) AS BIGINT) AS n_grams,
+       COALESCE(a.n_fp, 0) AS n_fp,
+       COALESCE(a.n_shared, 0) AS n_shared
+FROM w LEFT JOIN agg a USING (doc_id)
+ORDER BY w.doc_id
+"""
+
 # Connected components over the exact near-dup pair graph via
 # recursive transitive closure; canonical = min reachable doc_id.
 _CLUSTER_SQL = f"""
@@ -4822,6 +4897,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benchmark 8-gram decontamination (broadcast shingle set,
         # planted provably-contaminated docs)
         "benchmark_decontam": d.benchmark_decontam,
+        # winnowing fingerprints (MOSS selection rule; sampled
+        # sibling of doc_dup_ngrams at the same 8-word threshold)
+        "winnowing_fingerprints": d.winnowing_fingerprints,
         # Gopher-style repetition/diversity counts (dup-word and
         # dup-bigram filter base; integer-exact SQL gate)
         "doc_repetition": d.doc_repetition,
@@ -5258,6 +5336,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": _DOC_LM_SQL,
         "dsir_select": _DSIR_SQL,
         "benchmark_decontam": _DECONTAM_SQL,
+        "winnowing_fingerprints": _WINNOW_SQL,
         "doc_repetition": _DOC_REPETITION_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "embedding_near_dup_exact": _EMBED_EXACT_SQL,

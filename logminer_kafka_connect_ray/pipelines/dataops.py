@@ -6701,3 +6701,234 @@ def benchmark_decontam(
         .to_pandas().sort_values("doc_id", ignore_index=True)
     )
     return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+#: polynomial gram-hash combiner constants, shared bit-for-bit with the
+#: DuckDB oracle (_WINNOW_SQL inlines the same literals): gram hash =
+#: sum_j wordhash[i+j] * WINNOW_POW[j] mod 2^64 with WINNOW_POW[j] =
+#: C^(k-1-j) mod 2^64, C = the golden-ratio odd constant 0x9E3779B97F4A7C15
+WINNOW_K = 4   # words per gram
+WINNOW_W = 5   # grams per winnowing window (density ~ 2/(w+1))
+WINNOW_POW = (
+    6938460308862072877,
+    16088033396387240377,
+    11400714819323198485,
+    1,
+)
+
+
+def winnowing_fingerprints(sf_dir: str) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 -- the MOSS selection rule): hash every word ``k``-gram, slide
+    a window of ``w`` consecutive gram hashes over each document, and
+    keep each window's MINIMUM as a fingerprint.  The guarantee: any
+    shared run of at least ``w + k - 1`` words between two documents
+    yields at least one shared fingerprint, at ~``2/(w+1)`` the volume
+    of the exhaustive gram exchange (``doc_dup_ngrams`` is that
+    exhaustive sibling at the same detection threshold: k=4, w=5 ->
+    8-word runs).  Documents with at least one gram but fewer than
+    ``w`` keep one fingerprint, the minimum over all their grams (the
+    whole short document is one window).
+
+    Returns one row per document: ``(doc_id, n_grams, n_fp,
+    n_shared)`` where ``n_fp`` counts the document's DISTINCT
+    fingerprints and ``n_shared`` how many of those appear in >= 2
+    distinct documents corpus-wide.
+
+    Scale shape: word hashes via the vectorized buffer-level FNV-1a
+    (``fnv1a_u64`` -- the identical byte fold the oracle reproduces
+    per DISTINCT word with a vocab-bounded recursive CTE), gram hashes
+    via k shifted uint64 multiply-adds, window minima via one
+    ``sliding_window_view`` min per block (short-doc minima via one
+    ``minimum.reduceat``) -- no per-row Python anywhere.  Only the
+    winnowed (fingerprint, doc_id) pairs cross the hash exchange
+    (explicit boundaries, split-guarded), so the wide step moves
+    ~2/(w+1) of what ``doc_dup_ngrams`` ships; sharing arbitration is
+    a per-block segment sweep and per-doc counts return through a
+    dimension-bounded ``groupby(doc_id).sum``."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ray.data.aggregate import Sum
+
+    from logminer_kafka_connect_ray.functions.hashing import (
+        fnv1a_u64,
+        partition_ids,
+    )
+
+    k, w = WINNOW_K, WINNOW_W
+    pw = np.array(WINNOW_POW, dtype=np.uint64)
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    # fingerprints ~ 2/(w+1) of grams (~100 words/doc in this corpus)
+    P = _exchange_width(n_docs * 32)
+    gd = _new_guard_dir("winnow")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    fp_schema = pa.schema(
+        [("fp", pa.uint64()), ("doc_id", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return fp_schema.empty_table()
+        text = pc.cast(t.column("text").combine_chunks(), pa.large_string())
+        ls = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(ls)
+        lens = (
+            pc.fill_null(pc.list_value_length(ls), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        doc_ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        wh = fnv1a_u64(flat)
+        # per-doc gram counts; grams never span documents because the
+        # shifted sums below are gathered per doc via its own offsets
+        g = np.maximum(lens - k + 1, 0)
+        if int(g.sum()) == 0:
+            return fp_schema.empty_table()
+        # gram hash at flat position p: sum_j wh[p+j] * pw[j] (uint64
+        # wrap == mod 2^64); positions crossing a doc boundary are
+        # computed but never gathered
+        m = len(wh) - k + 1
+        with np.errstate(over="ignore"):
+            gh = wh[:m] * pw[0]
+            for j in range(1, k):
+                gh = gh + wh[j : j + m] * pw[j]
+        # gather each doc's grams into one contiguous array
+        doc_off = np.cumsum(lens) - lens          # doc start in flat
+        gstart = np.cumsum(g) - g                 # doc start in gathered
+        total_g = int(g.sum())
+        gather = (
+            np.arange(total_g, dtype=np.int64)
+            - np.repeat(gstart, g)
+            + np.repeat(doc_off, g)
+        )
+        gh_doc = gh[gather]                       # per-doc contiguous
+        # full windows per doc (+ one whole-doc window for short docs)
+        f = np.maximum(g - w + 1, 0)
+        total_f = int(f.sum())
+        fps_parts: list[np.ndarray] = []
+        doc_parts: list[np.ndarray] = []
+        if total_f:
+            sw = sliding_window_view(gh_doc, w).min(axis=1)
+            fstart = np.cumsum(f) - f
+            idx = (
+                np.arange(total_f, dtype=np.int64)
+                - np.repeat(fstart, f)
+                + np.repeat(gstart, f)
+            )
+            fps_parts.append(sw[idx])
+            doc_parts.append(np.repeat(doc_ids, f))
+        short = (g > 0) & (g < w)
+        if short.any():
+            nz = g > 0
+            red = np.minimum.reduceat(gh_doc, gstart[nz])
+            fps_parts.append(red[short[nz]])
+            doc_parts.append(doc_ids[short])
+        fp = np.concatenate(fps_parts)
+        doc = np.concatenate(doc_parts)
+        # distinct (doc, fp) within the batch (docs live in one batch)
+        order = np.lexsort((fp, doc))
+        fp, doc = fp[order], doc[order]
+        keep = np.ones(len(fp), bool)
+        if len(fp) > 1:
+            keep[1:] = (fp[1:] != fp[:-1]) | (doc[1:] != doc[:-1])
+        fp, doc = fp[keep], doc[keep]
+        fpa = pa.array(fp)
+        return pa.table(
+            {
+                "fp": fpa,
+                "doc_id": pa.array(doc),
+                "_p": pa.array(partition_ids(fpa, P)),
+            },
+            schema=fp_schema,
+        )
+
+    part_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_fp", pa.int64()),
+         ("n_shared", pa.int64())]
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        _guard_record(
+            gd, "winnow", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        fp = t.column("fp").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(fp, kind="stable")
+        fp_s = fp[order]
+        n = len(fp_s)
+        brk = np.ones(n, bool)
+        if n > 1:
+            brk[1:] = fp_s[1:] != fp_s[:-1]
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, n))
+        shared = np.repeat(counts >= 2, counts).astype(np.int64)
+        # back to row order, then per-doc partials
+        shared_rows = np.empty(n, np.int64)
+        shared_rows[order] = shared
+        dorder, dstarts, dcounts = _group_segments(doc)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[dorder][dstarts]),
+                "n_fp": pa.array(dcounts.astype(np.int64)),
+                "n_shared": pa.array(
+                    np.add.reduceat(shared_rows[dorder], dstarts)
+                ),
+            },
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(fp_rows, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .aggregate(Sum("n_fp"), Sum("n_shared"))
+        .to_pandas()
+    )
+    agg.columns = ["doc_id", "n_fp", "n_shared"]
+
+    # total gram count per doc: cheap vectorized pass, no exchange
+    def totals(t: pa.Table) -> pa.Table:
+        words = pc.add(
+            pc.count_substring(t.column("text"), " "), pa.scalar(1)
+        )
+        ng = pc.max_element_wise(
+            pc.cast(pc.subtract(words, pa.scalar(k - 1)), pa.int64()),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "n_grams": ng}
+        )
+
+    tot = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(totals, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = tot.merge(agg, on="doc_id", how="left").fillna(
+        {"n_fp": 0, "n_shared": 0}
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "n_grams": pa.array(out["n_grams"].to_numpy(), pa.int64()),
+            "n_fp": pa.array(out["n_fp"].to_numpy().astype(np.int64)),
+            "n_shared": pa.array(
+                out["n_shared"].to_numpy().astype(np.int64)
+            ),
+        }
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    return _finalize_guard(gd, t)

@@ -1593,3 +1593,43 @@ def test_benchmark_decontam_planted_and_real(ray_session, tmp_path):
     ]
     rows = d.benchmark_decontam(sf, plant_copies=False).to_pylist()
     assert rows == [{"doc_id": 1, "n_hit": 1}]
+
+
+def test_winnowing_fingerprints(ray_session, tmp_path):
+    """Winnowing guarantee (Schleimer et al. 2003): two docs sharing a
+    run of >= w + k - 1 = 8 words share at least one fingerprint;
+    identical docs share all of theirs; a short doc (k <= words <
+    k + w - 1) keeps exactly one fingerprint; a sub-k doc keeps none.
+    Also pins the polynomial constants to C^(k-1-j) mod 2^64."""
+    M = __import__("logminer_kafka_connect_ray.pipelines.dataops",
+                   fromlist=["dataops"])
+    C = 0x9E3779B97F4A7C15
+    assert M.WINNOW_POW == tuple(
+        pow(C, M.WINNOW_K - 1 - j, 2 ** 64) for j in range(M.WINNOW_K)
+    )
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"          # exactly w + k - 1 words
+    texts = [
+        "a1 a2 a3 a4 a5 " + run + " a6 a7",  # shares the run with doc 1
+        "b1 b2 b3 " + run + " b4 b5 b6 b7",
+        "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",    # unique long doc
+        "d1 d2 d3 d4 d5",                    # short: 2 grams < w
+        "e1 e2 e3",                          # sub-k: no grams
+        "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",    # exact copy of doc 2
+    ]
+    sf = make_docs(tmp_path, texts)
+    rows = {r["doc_id"]: r for r in
+            d.winnowing_fingerprints(sf).to_pylist()}
+    assert set(rows) == set(range(6))
+    # the shared 8-word run guarantees >= 1 shared fingerprint
+    assert rows[0]["n_shared"] >= 1 and rows[1]["n_shared"] >= 1
+    # exact copies share every fingerprint
+    assert rows[2]["n_fp"] == rows[5]["n_fp"] > 0
+    assert rows[2]["n_shared"] == rows[2]["n_fp"]
+    assert rows[5]["n_shared"] == rows[5]["n_fp"]
+    # short doc: one whole-doc window
+    assert rows[3]["n_grams"] == 2 and rows[3]["n_fp"] == 1
+    assert rows[3]["n_shared"] == 0
+    # sub-k doc: nothing
+    assert rows[4] == {"doc_id": 4, "n_grams": 0, "n_fp": 0,
+                       "n_shared": 0}
