@@ -102,6 +102,24 @@ def run_bench() -> dict:
     timings["replay"] = round(replay_s, 3)
     timings["replay_runs"] = [round(x, 3) for x in replay_times]
 
+    # scaling sub-runs measure ONLY the struct-replay throughput (the
+    # scaling metric); the skew/redo/streaming legs would triple each
+    # sub-run's wall time without touching the number
+    if os.environ.get("BENCH_ONLY_REPLAY"):
+        result = {
+            "metric": "cdc_replay_seconds",
+            "value": round(replay_s, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "events": n_events,
+            "events_per_sec": round(n_events / replay_s, 1),
+            "final_rows": sum(p.rows for p in m.partitions),
+        }
+        ray.shutdown()
+        return result
+
     # skew stress: same size, half the events on 10 hot keys (north
     # rule: hot-url handling); compare events/sec to the uniform run
     skew_dir = f"{root}/changelog-skew"
@@ -374,6 +392,7 @@ def run_scaling():
         # barrier, dataset startup) is small vs scalable work
         env.setdefault("BENCH_REPLICATE", os.environ.get("BENCH_REPLICATE", "250"))
         env.setdefault("BENCH_SKIP_QUERIES", "1")
+        env.setdefault("BENCH_ONLY_REPLAY", "1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

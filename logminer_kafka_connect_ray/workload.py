@@ -46,6 +46,9 @@ SCN0 = 2000
 TXN_SIZE = 5
 ROLLBACK_MOD = 11
 ROLLBACK_REM = 7
+#: events per redo-derive generation chunk (txn-aligned; see
+#: derive_changelog_redo_sql) -- patchable in tests
+REDO_DERIVE_CHUNK_EVENTS = 1_000_000 - (1_000_000 % TXN_SIZE)
 TABLE_NAME = "WEB.PAGES"
 SNAPSHOT_SCN = SCN0 - 1
 
@@ -483,6 +486,33 @@ def derive_changelog_redo_sql(
         etype = np.tile(etype, replicate)
         user = np.tile(user, replicate) + reps
         ts_us = np.tile(ts_us, replicate)
+
+    # generate in txn-aligned chunks: one monolithic statement array at
+    # replicate>=150 (18M events x ~250 B) overflows Arrow's 32-bit
+    # string offsets (ArrowCapacityError at 2^31 bytes).  Event ids are
+    # contiguous 0..N-1 in position order and a txn spans TXN_SIZE
+    # consecutive ids, so chunking positions at a TXN_SIZE multiple
+    # keeps every txn (and its commit/rollback marker) in one chunk;
+    # with the chunk also a multiple of events_per_file the emitted
+    # file layout is byte-identical to the monolithic build.
+    CHUNK = REDO_DERIVE_CHUNK_EVENTS
+    os.makedirs(out_dir, exist_ok=True)
+    paths: list[str] = []
+    for c0 in range(0, len(eid), CHUNK):
+        sl = slice(c0, c0 + CHUNK)
+        paths += _redo_chunk_files(
+            eid[sl], etype[sl], user[sl], ts_us[sl],
+            n_docs, out_dir, events_per_file,
+        )
+    return paths
+
+
+def _redo_chunk_files(
+    eid, etype, user, ts_us, n_docs, out_dir, events_per_file
+) -> list[str]:
+    """One txn-aligned chunk of ``derive_changelog_redo_sql``: build
+    the statement texts, interleave the chunk's markers in scn order,
+    and write its parquet files."""
     doc = user % n_docs
     url = _urls(doc)
     scn = SCN0 + eid * 2
@@ -569,7 +599,6 @@ def derive_changelog_redo_sql(
     )
     combined = combined.take(pa.array(order)).combine_chunks()
 
-    os.makedirs(out_dir, exist_ok=True)
     paths = []
     total = combined.num_rows
     for off in range(0, total, events_per_file):

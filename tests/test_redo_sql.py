@@ -671,3 +671,33 @@ def test_rename_drop_column_policy(ray_session, tmp_path):
     assert state[urls[2]]["text"] == "old-name"
     # no corruption anywhere: lang column equals base for all rows
     assert all(state[u]["lang"] == base[u]["lang"] for u in urls)
+
+
+def test_redo_derive_chunking_byte_identical(tmp_path, monkeypatch):
+    """The txn-aligned chunked generation (32-bit-offset overflow fix
+    for replicate>=150) emits byte-identical files to the monolithic
+    build: same names, same per-file tables."""
+    import pyarrow.parquet as _pq
+
+    from logminer_kafka_connect_ray import workload
+
+    sf = "/root/testdata/sf0.001"
+    mono = str(tmp_path / "mono")
+    chunked = str(tmp_path / "chunked")
+    # small files so a run produces several; replicate=3 for >1 chunk
+    workload.derive_changelog_redo_sql(
+        sf, mono, events_per_file=500, replicate=3
+    )
+    # chunk = 10 files' worth, txn-aligned (5000 % TXN_SIZE == 0)
+    monkeypatch.setattr(workload, "REDO_DERIVE_CHUNK_EVENTS", 5000)
+    workload.derive_changelog_redo_sql(
+        sf, chunked, events_per_file=500, replicate=3
+    )
+    import os as _os
+
+    a, b = sorted(_os.listdir(mono)), sorted(_os.listdir(chunked))
+    assert a == b and len(a) > 2
+    for f in a:
+        ta = _pq.read_table(f"{mono}/{f}")
+        tb = _pq.read_table(f"{chunked}/{f}")
+        assert ta.equals(tb), f
