@@ -189,3 +189,56 @@ def test_giant_txn_streaming_bulk_path(ray_session, tmp_path):
     want = replay_oracle(_base_state(pages), events)
     diffs = state_diff(got, want)
     assert not diffs, diffs
+
+
+def test_giant_txn_cross_regime(ray_session, tmp_path):
+    """One txn whose rows arrive through BOTH regimes: the first chunk
+    as a single file (trickle -> shard-actor buffers), the rest as
+    many files in one poll (bulk -> plasma blocks + _open_txn_fold
+    summary), commit last.  min_open_scn() must stay exact across the
+    switch (min over the union of both open-txn stores), the lake must
+    stay unchanged while the txn is open, and the commit must release
+    the actor-buffered AND the block-resident rows exactly once."""
+    pages = gen_pages(10)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events = _giant_txn_events(pages, 1200)
+    body, commit = events[:-1], events[-1]
+    changelog = str(tmp_path / "changelog")
+
+    eng = Engine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    stream = StreamingEngine(
+        eng, changelog, num_shards=2, poll_interval=0.01,
+        bulk_file_threshold=3,
+    )
+
+    # poll 1: ONE file (trickle) -> rows buffer in the shard actors
+    write_event_batches(body[:200], changelog, events_per_file=200)
+    stream.run(max_polls=1)
+    assert stream._actors_dirty
+    assert stream.min_open_scn() == 1000
+    assert sum(
+        s["rows_in_memory"] for s in stream.consolidator.stats()
+    ) == 200
+
+    # poll 2: many files (bulk) -> the SAME txn continues into plasma
+    # blocks; the fold summary and the actor store must both know it
+    write_event_batches(body[200:], changelog, events_per_file=100)
+    stream.run(max_polls=1)
+    assert stream._open_blocks, "bulk rows must be block-resident"
+    assert stream.min_open_scn() == 1000  # exact across both stores
+    assert eng.store.load().version == 1  # nothing applied while open
+
+    # commit arrives alone: releases actor buffers AND blocks
+    write_event_batches([commit], changelog, events_per_file=10)
+    applied = stream.run(max_polls=4)
+    assert applied == 1200
+    assert not stream._open_blocks
+    assert stream.min_open_scn() is None
+    stream.shutdown()
+
+    got = table_to_state(eng.to_arrow())
+    want = replay_oracle(_base_state(pages), events)
+    diffs = state_diff(got, want)
+    assert not diffs, diffs
