@@ -538,6 +538,37 @@ GROUP BY g.doc_id
 ORDER BY g.doc_id
 """
 
+# Exact-substring dedup as a transform (Lee et al. 2022 removal
+# step): every occurrence of a corpus-duplicated word 8-gram except
+# the globally (doc_id, pos)-first is masked; a masked occurrence at
+# position i covers words i..i+7, covers union per doc.
+_DUP_SPAN_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT w.doc_id, r.i AS i, array_to_string(ws[r.i:r.i+7], ' ') AS gram
+  FROM w CROSS JOIN (SELECT unnest(range(1, 100000))::BIGINT AS i) r
+  WHERE r.i + 7 <= len(ws)
+),
+ranked AS (
+  SELECT doc_id, i,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn,
+         count(*)    OVER (PARTITION BY gram) AS cnt
+  FROM g
+),
+cover AS (
+  SELECT DISTINCT doc_id, i + u.j AS p
+  FROM ranked CROSS JOIN (SELECT unnest(range(0, 8))::BIGINT AS j) u
+  WHERE cnt >= 2 AND rn > 1
+),
+agg AS (SELECT doc_id, count(*) AS n_masked FROM cover GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.n_masked, 0) AS BIGINT) AS n_masked,
+       CAST(len(ws) - COALESCE(a.n_masked, 0) AS BIGINT) AS n_kept
+FROM w LEFT JOIN agg a USING (doc_id)
+ORDER BY w.doc_id
+"""
+
 # Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
 # rule): per-word FNV-1a (the _SIMHASH_SQL recursive byte fold,
 # vocab-bounded), polynomial word-4-gram hashes mod 2^64 with the
@@ -4900,6 +4931,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # winnowing fingerprints (MOSS selection rule; sampled
         # sibling of doc_dup_ngrams at the same 8-word threshold)
         "winnowing_fingerprints": d.winnowing_fingerprints,
+        # exact-substring dedup REMOVAL transform (mask all but the
+        # first occurrence of each duplicated 8-gram; Lee et al. 2022)
+        "doc_dup_span_removal": d.doc_dup_span_removal,
         # Gopher-style repetition/diversity counts (dup-word and
         # dup-bigram filter base; integer-exact SQL gate)
         "doc_repetition": d.doc_repetition,
@@ -5337,6 +5371,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _DSIR_SQL,
         "benchmark_decontam": _DECONTAM_SQL,
         "winnowing_fingerprints": _WINNOW_SQL,
+        "doc_dup_span_removal": _DUP_SPAN_SQL,
         "doc_repetition": _DOC_REPETITION_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "embedding_near_dup_exact": _EMBED_EXACT_SQL,

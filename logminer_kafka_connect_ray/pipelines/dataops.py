@@ -6932,3 +6932,192 @@ def winnowing_fingerprints(sf_dir: str) -> pa.Table:
     )
     t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
     return _finalize_guard(gd, t)
+
+
+def doc_dup_span_removal(sf_dir: str, n: int = 8) -> pa.Table:
+    """Exact-substring dedup as a TRANSFORM (the removal step of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022 -- where ``doc_dup_ngrams`` only counts, this masks):
+    every occurrence of a corpus-duplicated word ``n``-gram EXCEPT the
+    globally first one (ordered by ``(doc_id, position)``) is masked,
+    and a masked occurrence at position ``i`` covers words
+    ``i..i+n-1``; overlapping covers union.  Returns per document
+    ``(doc_id, n_words, n_masked, n_kept)`` with ``n_masked`` the
+    count of covered word positions -- the exact size of the text the
+    removal pass would cut.
+
+    Scale shape: gram exchange as in ``doc_dup_ngrams`` (Arrow-native
+    gram construction, split-guarded explicit boundaries) but the
+    block sweep emits only the MASKED occurrences (first-of-segment
+    survives -- the ``line_dedup`` arbitration at gram granularity),
+    so the second exchange carries only duplicate volume; coverage
+    union per doc is one vectorized diff-array (+1 at ``i``, -1 at
+    ``i+n``, cumsum>0) inside a doc-keyed exchange block."""
+    from ray.data.aggregate import Sum
+
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    P = _exchange_width(n_docs * 64)
+    P2 = _exchange_width(n_docs)
+    gd = _new_guard_dir("dupspan")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    gram_schema = pa.schema(
+        [("gram", pa.large_string()), ("doc_id", pa.int64()),
+         ("pos", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return gram_schema.empty_table()
+        text = pc.cast(t.column("text").combine_chunks(), pa.large_string())
+        ls = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(ls)
+        parent = pc.list_parent_indices(ls).to_numpy(zero_copy_only=False)
+        m = len(flat) - n + 1
+        if m <= 0:
+            return gram_schema.empty_table()
+        shifted = [flat.slice(j, m) for j in range(n)]
+        grams = pc.binary_join_element_wise(
+            *shifted, pa.scalar(" ", pa.large_string())
+        )
+        valid = parent[:m] == parent[n - 1 : n - 1 + m]
+        lens = (
+            pc.fill_null(pc.list_value_length(ls), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # word position of each gram within its own document (0-based)
+        doc_start = (np.cumsum(lens) - lens)[parent[:m]]
+        pos = np.arange(m, dtype=np.int64) - doc_start
+        doc = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[parent[:m]]
+        grams = grams.filter(pa.array(valid))
+        if len(grams) == 0:
+            return gram_schema.empty_table()
+        return pa.table(
+            {"gram": grams, "doc_id": pa.array(doc[valid]),
+             "pos": pa.array(pos[valid]),
+             "_p": pa.array(partition_ids(grams, P))},
+            schema=gram_schema,
+        )
+
+    masked_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def mask_sweep(t: pa.Table) -> pa.Table:
+        """Whole gram groups by the exchange: every occurrence except
+        the (doc_id, pos)-first of a duplicated gram is masked."""
+        if t.num_rows == 0:
+            return masked_schema.empty_table()
+        _guard_record(
+            gd, "dupspan:gram", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("gram", "ascending"), ("doc_id", "ascending"),
+            ("pos", "ascending"),
+        ]))
+        grams = t.column("gram").combine_chunks()
+        nrow = len(grams)
+        first = np.ones(nrow, bool)
+        if nrow > 1:
+            first[1:] = pc.not_equal(
+                grams.slice(1), grams.slice(0, nrow - 1)
+            ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, nrow))
+        dup = np.repeat(counts >= 2, counts)
+        masked = dup & ~first
+        if not masked.any():
+            return masked_schema.empty_table()
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)[masked]
+        pos = t.column("pos").to_numpy(zero_copy_only=False)[masked]
+        return pa.table(
+            {"doc_id": pa.array(doc.astype(np.int64)),
+             "pos": pa.array(pos.astype(np.int64)),
+             "_p": pa.array(
+                 partition_ids(pa.array(doc.astype(np.int64)), P2)
+             )},
+            schema=masked_schema,
+        )
+
+    cover_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_masked", pa.int64())]
+    )
+
+    def cover_sweep(t: pa.Table) -> pa.Table:
+        """Doc-keyed blocks: union the [pos, pos+n) covers per doc via
+        one diff-array cumsum."""
+        if t.num_rows == 0:
+            return cover_schema.empty_table()
+        _guard_record(
+            gd, "dupspan:doc", t.column("_p").to_numpy(zero_copy_only=False)
+        )
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pos = t.column("pos").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order, starts, counts_ = _group_segments(doc)
+        doc_s, pos_s = doc[order], pos[order]
+        # pack every doc's cover range into ONE diff array: doc d gets
+        # a disjoint window of (max_pos_d + n + 1) slots, so a single
+        # add.at + cumsum unions every doc's intervals at once
+        ends = np.append(starts[1:], len(pos_s))
+        maxpos = np.maximum.reduceat(pos_s, starts)
+        width = maxpos + n + 1
+        base = np.cumsum(width) - width
+        gp = pos_s + np.repeat(base, counts_)
+        total = int(width.sum())
+        diff = np.zeros(total + 1, np.int64)
+        np.add.at(diff, gp, 1)
+        np.add.at(diff, gp + n, -1)
+        covered = (np.cumsum(diff)[:total] > 0).astype(np.int64)
+        n_masked = np.add.reduceat(covered, base)
+        return pa.table(
+            {"doc_id": pa.array(doc_s[starts]),
+             "n_masked": pa.array(n_masked)},
+            schema=cover_schema,
+        )
+
+    masked = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(mask_sweep, batch_format="pyarrow", batch_size=None)
+        .sort("_p", boundaries=list(range(1, P2)))
+        .map_batches(cover_sweep, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .aggregate(Sum("n_masked"))
+        .to_pandas()
+    )
+    masked.columns = ["doc_id", "n_masked"]
+
+    def totals(t: pa.Table) -> pa.Table:
+        words = pc.add(
+            pc.count_substring(t.column("text"), " "), pa.scalar(1)
+        )
+        return pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "n_words": pc.cast(words, pa.int64())}
+        )
+
+    tot = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(totals, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = tot.merge(masked, on="doc_id", how="left").fillna({"n_masked": 0})
+    t = pa.table(
+        {"doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+         "n_words": pa.array(out["n_words"].to_numpy(), pa.int64()),
+         "n_masked": pa.array(out["n_masked"].to_numpy().astype(np.int64)),
+         "n_kept": pa.array(
+             (out["n_words"] - out["n_masked"]).to_numpy().astype(np.int64)
+         )}
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    return _finalize_guard(gd, t)

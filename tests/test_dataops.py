@@ -1633,3 +1633,45 @@ def test_winnowing_fingerprints(ray_session, tmp_path):
     # sub-k doc: nothing
     assert rows[4] == {"doc_id": 4, "n_grams": 0, "n_fp": 0,
                        "n_shared": 0}
+
+
+def test_doc_dup_span_removal(ray_session, tmp_path):
+    """First occurrence of a duplicated 8-gram survives; later ones
+    mask their full span; overlapping masked spans union; unique docs
+    keep everything."""
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    texts = [
+        run + " x1 x2",                  # first occurrence: untouched
+        "y1 " + run + " y2",             # later occurrence: 8 masked
+        run + " r9",                     # two overlapping dup grams:
+                                         # (r1..r8) and (r2..r9)? r2..r9
+                                         # unique -> only r1..r8 masked
+        "u1 u2 u3 u4 u5 u6 u7 u8 u9",    # unique: nothing masked
+    ]
+    sf = make_docs(tmp_path, texts)
+    rows = {r["doc_id"]: r for r in
+            d.doc_dup_span_removal(sf).to_pylist()}
+    assert rows[0] == {"doc_id": 0, "n_words": 10, "n_masked": 0,
+                       "n_kept": 10}
+    assert rows[1] == {"doc_id": 1, "n_words": 10, "n_masked": 8,
+                       "n_kept": 2}
+    assert rows[2] == {"doc_id": 2, "n_words": 9, "n_masked": 8,
+                       "n_kept": 1}
+    assert rows[3] == {"doc_id": 3, "n_words": 9, "n_masked": 0,
+                       "n_kept": 9}
+
+    # overlap union: doc repeats the run twice (second occurrence of
+    # the SAME gram within one doc masks; spans of consecutive dup
+    # grams union, not sum)
+    texts2 = [run, run + " " + run]
+    sub = tmp_path / "u"
+    sub.mkdir()
+    sf2 = make_docs(sub, texts2)
+    rows2 = {r["doc_id"]: r for r in
+             d.doc_dup_span_removal(sf2).to_pylist()}
+    # doc 1: grams at pos 0..8; pos0 (r1..r8) is a later occurrence of
+    # doc 0's gram -> masked; every window crossing the seam and the
+    # second copy's gram are dup too -> the whole 16 words mask
+    assert rows2[0] == {"doc_id": 0, "n_words": 8, "n_masked": 0,
+                        "n_kept": 8}
+    assert rows2[1]["n_masked"] == 16 and rows2[1]["n_kept"] == 0
