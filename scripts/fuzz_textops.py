@@ -51,6 +51,17 @@ OPS = [
     "doc_lm_score",
 ]
 
+#: embedding-table ops fuzzed alongside (random integer-grid vectors;
+#: the planted-fixture oracles derive their plants from the data on
+#: both sides, so they hold on any table)
+EMB_OPS = [
+    "embedding_norm2_quantiles",
+    "embedding_quantize",
+    "embedding_kmeans",
+    "ann_cosine_topk",
+    "semantic_dedup",
+]
+
 qs = entrymod.queries()
 sqls = entrymod.oracle_sql()
 
@@ -104,6 +115,24 @@ def gen_corpus(rng: random.Random, out_dir: str) -> None:
         }
     )
     pq.write_table(t, os.path.join(out_dir, "documents.parquet"))
+    # embeddings: values on the same integer grid the generator uses
+    # (floor(v * 2^10) exactness assumptions hold)
+    nv = rng.randint(16, 200)
+    dim = rng.choice([8, 16, 64])
+    vecs = [
+        [rng.randint(-512, 512) / 1024.0 for _ in range(dim)]
+        for _ in range(nv)
+    ]
+    et = pa.table(
+        {
+            "vec_id": pa.array(range(nv), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(
+                [rng.randint(0, 4) for _ in range(nv)], pa.int32()
+            ),
+        }
+    )
+    pq.write_table(et, os.path.join(out_dir, "embeddings.parquet"))
 
 
 def run_seed(seed: int) -> list[str]:
@@ -117,7 +146,11 @@ def run_seed(seed: int) -> list[str]:
             "CREATE VIEW documents AS SELECT * FROM "
             f"'{d}/documents.parquet'"
         )
-        for op in OPS:
+        con.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{d}/embeddings.parquet'"
+        )
+        for op in OPS + EMB_OPS:
             got = qs[op](d)
             want = con.sql(sqls[op]).df()
             g = canon(
@@ -156,7 +189,7 @@ def main():
         else:
             print(f"seed {seed}: OK")
     print(f"{'ALL OK' if not n_bad else f'{n_bad} BAD SEEDS'} "
-          f"({hi - lo} seeds x {len(OPS)} ops)")
+          f"({hi - lo} seeds x {len(OPS) + len(EMB_OPS)} ops)")
     ray.shutdown()
     sys.exit(1 if n_bad else 0)
 
