@@ -107,6 +107,21 @@ def _group_segments(
     return order, starts, counts
 
 
+def _named_agg(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    """Name a Ray groupby-aggregate result's columns, tolerating the
+    EMPTY case: an aggregate over zero rows comes back from Ray as a
+    zero-COLUMN frame (no schema), where a plain ``df.columns = cols``
+    raises.  Found by the text-op differential fuzz on a corpus with
+    no duplicated grams."""
+    if df.empty and len(df.columns) != len(cols):
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in cols}
+        )
+    df = df.copy()
+    df.columns = cols
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -4139,7 +4154,7 @@ def doc_dup_ngrams(sf_dir: str, n: int = 8) -> pa.Table:
         .aggregate(Sum("n_dup"))
         .to_pandas()
     )
-    dup.columns = ["doc_id", "n_dup_grams"]
+    dup = _named_agg(dup, ["doc_id", "n_dup_grams"])
 
     # total gram count per doc: one cheap vectorized pass, no exchange
     def totals(t: pa.Table) -> pa.Table:
@@ -5900,7 +5915,7 @@ def doc_ngram_novelty(sf_dir: str, n: int = 3) -> pa.Table:
     grams = ds.map_batches(doc_grams, batch_format="pyarrow").materialize()
 
     totals = grams.groupby("doc_id").count().to_pandas()
-    totals.columns = ["doc_id", "n_grams"]
+    totals = _named_agg(totals, ["doc_id", "n_grams"])
 
     owners = grams.groupby("gram").min("doc_id")
 
@@ -5922,7 +5937,7 @@ def doc_ngram_novelty(sf_dir: str, n: int = 3) -> pa.Table:
         owners.map_batches(owner_count, batch_format="pyarrow")
         .groupby("doc_id").sum("n_novel").to_pandas()
     )
-    novel.columns = ["doc_id", "n_novel"]
+    novel = _named_agg(novel, ["doc_id", "n_novel"])
 
     docs = _read_dim(sf_dir, "documents", columns=["doc_id"])
     m = docs.merge(totals, on="doc_id", how="left") \
@@ -6896,7 +6911,7 @@ def winnowing_fingerprints(sf_dir: str) -> pa.Table:
         .aggregate(Sum("n_fp"), Sum("n_shared"))
         .to_pandas()
     )
-    agg.columns = ["doc_id", "n_fp", "n_shared"]
+    agg = _named_agg(agg, ["doc_id", "n_fp", "n_shared"])
 
     # total gram count per doc: cheap vectorized pass, no exchange
     def totals(t: pa.Table) -> pa.Table:
@@ -7094,7 +7109,7 @@ def doc_dup_span_removal(sf_dir: str, n: int = 8) -> pa.Table:
         .aggregate(Sum("n_masked"))
         .to_pandas()
     )
-    masked.columns = ["doc_id", "n_masked"]
+    masked = _named_agg(masked, ["doc_id", "n_masked"])
 
     def totals(t: pa.Table) -> pa.Table:
         words = pc.add(
