@@ -76,6 +76,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def gen_corpus(rng: random.Random, out_dir: str) -> None:
     vocab = [f"w{i}" for i in range(rng.randint(5, 40))]
+    # mixed-case and punctuated tokens stress the two tokenization
+    # contracts: split-on-space ops must treat "W1." as one token on
+    # BOTH engines, regex+lower ops must split it the same way on both
+    vocab += [f"W{i}" for i in range(rng.randint(0, 5))]
+    vocab += [f"w{i}." for i in range(rng.randint(0, 4))]
+    vocab += [f"a-{i}" for i in range(rng.randint(0, 3))]
     n = rng.randint(8, 120)
     texts: list[str] = []
     for _ in range(n):
