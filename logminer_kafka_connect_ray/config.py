@@ -109,6 +109,15 @@ class EngineConfig:
     #: back with ``Engine.view(name)``.
     views: tuple[tuple[str, str, str | None], ...] = ()
 
+    #: sub-batch resume granularity (reference analog: per-(scn,rowId)
+    #: offsets, Offset.kt:19-59).  When on, each partition-merge task
+    #: records its lineage row in a per-version ledger
+    #: (``_partial/v{V}``) after its atomic file rename; a re-run of the
+    #: same uncommitted version skips completed partitions instead of
+    #: rewriting the whole micro-batch.  Zero cost on the happy path
+    #: beyond one tiny JSON write per partition per micro-batch.
+    subbatch_checkpoint: bool = True
+
     extra: dict = field(default_factory=dict)
 
     @property

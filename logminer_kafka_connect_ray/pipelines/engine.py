@@ -1155,10 +1155,36 @@ class Engine:
                 PreaggPartitioner(cfg.key_column, len(data_cols), cfg.num_partitions),
                 batch_format="pyarrow",
             )
+
+        # --- sub-batch resume (state/checkpoint.py PartialLedger) -----
+        # partitions a previous crashed attempt of THIS version already
+        # merged are excluded from the exchange entirely; their lineage
+        # rows are spliced back in below.  Zero-cost when the ledger is
+        # empty (the common case): no filter stage is added.
+        from logminer_kafka_connect_ray.state.checkpoint import PartialLedger
+
+        ledger = PartialLedger(cfg.lake_dir, version)
+        done_rows = ledger.load() if cfg.subbatch_checkpoint else []
+        if done_rows:
+            done_set = pa.array(sorted(r["part_id"] for r in done_rows))
+
+            def _skip_done(t: pa.Table, _d=done_set) -> pa.Table:
+                col = t.column("_part")
+                return t.filter(
+                    pc.invert(pc.is_in(col, value_set=pc.cast(_d, col.type)))
+                )
+
+            pre = pre.map_batches(_skip_done, batch_format="pyarrow")
+            log.info(
+                "v%d resume: %d partitions already merged by a prior "
+                "attempt; skipping them", version, len(done_rows),
+            )
         merger = PartitionMerger(
             cfg.lake_dir, part_files, schema_json, cfg.key_column, version,
             views=cfg.views, defaults_raw=defaults,
             db_timezone=cfg.db_timezone, renames=renames,
+            ledger_dir=ledger.dir if cfg.subbatch_checkpoint else None,
+            fault_parts=tuple(cfg.extra.get("fault_merge_parts", ())),
         )
         def merge_partition(group, _m=merger):
             return _m(group)
@@ -1196,6 +1222,17 @@ class Engine:
             merge_partition, batch_format="pyarrow", batch_size=None
         )
         lineage_tbl = pa.Table.from_pandas(lineage.to_pandas())
+        if done_rows:
+            # splice the prior attempt's completed partitions back in
+            from logminer_kafka_connect_ray.stages.merge import LINEAGE_SCHEMA
+
+            done_tbl = pa.Table.from_pylist(done_rows, schema=LINEAGE_SCHEMA)
+            if lineage_tbl.num_rows and "part_id" in lineage_tbl.column_names:
+                lineage_tbl = pa.concat_tables(
+                    [lineage_tbl.cast(LINEAGE_SCHEMA), done_tbl]
+                )
+            else:
+                lineage_tbl = done_tbl
         if lineage_tbl.num_rows == 0 or "part_id" not in lineage_tbl.column_names:
             # a micro-batch can legitimately contain ZERO committed
             # rows (e.g. only open-txn rows before their COMMIT
@@ -1300,9 +1337,12 @@ class Engine:
                 "t_merge_s": round(t_merge, 3),
                 "skipped_unreadable": int(getattr(self, "_n_unreadable", 0)),
                 "dead_letters": self._count_dead_letters(version),
+                "partitions_resumed": len(done_rows),
             },
         )
         if not self.store.publish(m):
             log.info("manifest v%d already published by a concurrent run", version)
+            ledger.clear()
             return self.store.load(version)
+        ledger.clear()
         return m

@@ -179,6 +179,18 @@ def cdc_scn_range_stats(sf_dir: str) -> pa.Table:
     lo = workload.SCN0 + 2000
     hi = workload.SCN0 + 12000
     pruned = changelog_src.prune_files(files, lo, hi)
+    if not pruned:
+        # every log file pruned by footer stats (at tiny scales the
+        # fixed window lies beyond the whole changelog): the correct
+        # answer is empty stats, same as the oracle's WHERE over zero
+        # rows -- not a zero-path read error
+        return pa.table(
+            {
+                "n_rows": pa.array([0], pa.int64()),
+                "min_scn": pa.array([None], pa.int64()),
+                "max_scn": pa.array([None], pa.int64()),
+            }
+        )
     ds = rd.read_parquet([f.path for f in pruned])
     ds = ds.map_batches(
         lambda t: t.filter(

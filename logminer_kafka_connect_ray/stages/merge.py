@@ -130,6 +130,8 @@ class PartitionMerger:
         defaults_raw: dict[str, str] | None = None,
         db_timezone: str = "UTC",
         renames: dict[str, str] | None = None,
+        ledger_dir: str | None = None,
+        fault_parts: tuple[int, ...] = (),
     ):
         from logminer_kafka_connect_ray.stages.evolve import typed_defaults
 
@@ -146,6 +148,13 @@ class PartitionMerger:
         )
         #: rename lineage as fill map (new -> old)
         self.fill_from = {new: old for old, new in (renames or {}).items()}
+        #: sub-batch resume: record each completed partition merge here
+        #: (state/checkpoint.py PartialLedger); None = disabled
+        self.ledger_dir = ledger_dir
+        #: crash-test hook: raise instead of merging these partitions
+        #: (config.extra["fault_merge_parts"]; exercises the ledger's
+        #: partial-completion resume path deterministically)
+        self.fault_parts = tuple(fault_parts)
 
     def _read_base(self, part_id: int) -> pa.Table | None:
         rel = self.part_files.get(part_id)
@@ -168,6 +177,13 @@ class PartitionMerger:
         return pa.concat_tables(out)
 
     def _merge_one(self, part_id: int, batch: pa.Table) -> pa.Table:
+        if part_id in self.fault_parts:
+            # give sibling merge tasks time to complete + ledger their
+            # partitions before this task's exception aborts execution
+            import time as _time
+
+            _time.sleep(1.0)
+            raise RuntimeError(f"injected merge fault on partition {part_id}")
         group = batch.filter(pc.equal(batch.column("_part"), part_id))
         events = group.drop_columns(["_part"])
         base = self._read_base(part_id)
@@ -195,19 +211,27 @@ class PartitionMerger:
         size = os.path.getsize(path)
 
         scn_col = events.column("scn")
+        row = {
+            "part_id": part_id,
+            "file": rel,
+            "rows": final.num_rows,
+            "bytes": size,
+            "scn_lo": pc.min(scn_col).as_py(),
+            "scn_hi": pc.max(scn_col).as_py(),
+            "events_applied": events.num_rows,
+            "rows_deleted": max(0, n_base + _inserts(events) - final.num_rows),
+            "views_delta": self._views_delta_json(events, base, final),
+        }
+        if self.ledger_dir is not None:
+            # sub-batch resume point: partition file is durable (renamed
+            # above), so its lineage row survives a driver crash
+            from logminer_kafka_connect_ray.state.checkpoint import (
+                write_ledger_entry,
+            )
+
+            write_ledger_entry(self.ledger_dir, row)
         return pa.table(
-            {
-                "part_id": [part_id],
-                "file": [rel],
-                "rows": [final.num_rows],
-                "bytes": [size],
-                "scn_lo": [pc.min(scn_col).as_py()],
-                "scn_hi": [pc.max(scn_col).as_py()],
-                "events_applied": [events.num_rows],
-                "rows_deleted": [max(0, n_base + _inserts(events) - final.num_rows)],
-                "views_delta": [self._views_delta_json(events, base, final)],
-            },
-            schema=LINEAGE_SCHEMA,
+            {k: [v] for k, v in row.items()}, schema=LINEAGE_SCHEMA
         )
 
     #: JSON stand-in for a NULL group value (views_delta is JSON, and

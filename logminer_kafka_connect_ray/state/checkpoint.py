@@ -89,6 +89,68 @@ class Manifest:
         return Manifest(**d)
 
 
+class PartialLedger:
+    """Sub-batch resume ledger: per-partition completion records of an
+    UNCOMMITTED micro-batch version, under ``{lake}/_partial/v{V:08d}``.
+
+    The reference resumes at (scn, rowId) per record (``Offset.kt:19-59``);
+    the distributed analog of that granularity is per lake partition:
+    each :class:`~..stages.merge.PartitionMerger` task writes its lineage
+    row here (temp + ``os.rename``, AFTER its partition parquet rename),
+    so a driver crash mid-merge loses only the partitions still in
+    flight.  The re-run of the same version loads the ledger, excludes
+    completed partitions from the exchange entirely (their events are
+    filtered before the shuffle and their files are not rewritten), and
+    splices the recorded lineage into the manifest.  Entry content is
+    deterministic (same changelog + same previous manifest), so a ledger
+    row and a recomputation are interchangeable; the ledger is an
+    optimization of the existing idempotent whole-batch re-run, not a
+    new correctness dependency.  Cleared atomically-after the manifest
+    publishes (a crash between publish and clear leaves a stale dir that
+    the next merge sweeps: any ``_partial`` version <= the latest
+    committed manifest is dead).
+    """
+
+    def __init__(self, lake_dir: str, version: int):
+        self.lake_dir = lake_dir
+        self.version = version
+        self.dir = os.path.join(lake_dir, "_partial", f"v{version:08d}")
+
+    def load(self) -> list[dict]:
+        """All completed-partition lineage rows of this version."""
+        if not os.path.isdir(self.dir):
+            return []
+        rows = []
+        for f in sorted(os.listdir(self.dir)):
+            if f.startswith("part-") and f.endswith(".json"):
+                with open(os.path.join(self.dir, f)) as fh:
+                    rows.append(json.load(fh))
+        return rows
+
+    def clear(self) -> None:
+        """Drop this version's ledger plus any stale (older) ones."""
+        import shutil
+
+        root = os.path.join(self.lake_dir, "_partial")
+        if not os.path.isdir(root):
+            return
+        for d in os.listdir(root):
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) <= self.version:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+def write_ledger_entry(ledger_dir: str, row: dict) -> None:
+    """Atomically record one completed partition merge (called from the
+    merge task, after the partition parquet's own temp+rename).  A
+    retried task rewrites the same deterministic content -- harmless."""
+    os.makedirs(ledger_dir, exist_ok=True)
+    path = os.path.join(ledger_dir, f"part-{row['part_id']:05d}.json")
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(row, f)
+    os.rename(tmp, path)
+
+
 class ManifestStore:
     """Versioned manifests under ``{lake_dir}/_manifests``."""
 

@@ -194,3 +194,68 @@ def test_gdpr_erase(ray_session, tmp_path):
     m2 = eng.erase(["https://absent.example/y"])
     assert m2.version == m.version + 1
     assert not state_diff(table_to_state(eng.to_arrow()), want)
+
+
+def test_subbatch_resume_after_merge_crash(ray_session, tmp_path):
+    """Sub-batch resume granularity (PartialLedger): a crash mid-merge
+    loses only the in-flight partitions.  A prior attempt's completed
+    partition merges are ledgered (``_partial/v{V}``) and the re-run of
+    the SAME uncommitted version skips them -- their events never enter
+    the exchange and their files are not rewritten -- while still
+    producing the exact oracle state.  Reference analog: per-(scn,rowId)
+    resume, Offset.kt:19-59, at distributed (per-partition) granularity."""
+    import json
+
+    import pytest
+
+    pages = gen_pages(40)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(pages, ChangeGenConfig(n_events=240, seed=62))
+    changelog = str(tmp_path / "changelog")
+    write_event_batches(events, changelog, events_per_file=300)
+    lake = str(tmp_path / "lake")
+
+    def cfg(**extra):
+        return EngineConfig(
+            lake_dir=lake, num_partitions=4,
+            max_events_per_checkpoint=1000,  # ONE cdc micro-batch (v2)
+            extra=extra,
+        )
+
+    Engine(cfg()).snapshot(pages_path, 999)
+
+    # crashed attempt: partition 0's merge task faults (after sleeping
+    # so sibling merges complete and ledger their partitions)
+    with pytest.raises(Exception, match="injected merge fault"):
+        Engine(cfg(fault_merge_parts=(0,))).replay(changelog)
+
+    ledger_dir = os.path.join(lake, "_partial", "v00000002")
+    entries = sorted(os.listdir(ledger_dir))
+    assert entries, "no sibling merge completed before the fault"
+    assert "part-00000.json" not in entries  # the faulted partition
+    done = [json.load(open(os.path.join(ledger_dir, e))) for e in entries]
+    mtimes = {
+        r["file"]: os.stat(os.path.join(lake, r["file"])).st_mtime_ns
+        for r in done
+    }
+
+    # fresh process/engine resumes: same call, the manifest+ledger ARE
+    # the offset
+    m = Engine(cfg()).replay(changelog)
+    assert m.version == 2
+    assert m.metrics["partitions_resumed"] == len(done)
+    # ledgered partitions were NOT rewritten (same inode content+mtime)
+    for f, t in mtimes.items():
+        assert os.stat(os.path.join(lake, f)).st_mtime_ns == t
+    # ledger cleared after publish
+    assert not os.path.isdir(ledger_dir)
+
+    # final state is exact
+    base = {
+        r["url"]: {k: v for k, v in r.items() if k != "url"}
+        for r in pages.to_pylist()
+    }
+    want = replay_oracle(base, events)
+    got = table_to_state(Engine(cfg()).to_arrow())
+    assert not state_diff(got, want)
