@@ -303,6 +303,26 @@ SELECT doc_id FROM (
 ) WHERE rn = 1 ORDER BY doc_id
 """
 
+# Incremental cross-snapshot dedup: the 'new crawl' (doc_id % 3 == 0
+# plus planted re-crawls of old docs with doc_id % 97 == 1, re-ingested
+# as 10_000_000 + doc_id) deduped against the 'old corpus'
+# (doc_id % 3 != 0) on exact text equality.  The planted rows guarantee
+# cross-corpus duplicates at every scale.
+_DEDUP_INCR_SQL = """
+WITH old AS (
+  SELECT text FROM documents WHERE doc_id % 3 <> 0
+),
+newc AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 10000000 + doc_id AS doc_id, text FROM documents
+  WHERE doc_id % 3 <> 0 AND doc_id % 97 = 1
+)
+SELECT n.doc_id AS doc_id FROM newc n
+WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)
+ORDER BY doc_id
+"""
+
 # Line-level exact dedup gate (C4/RefinedWeb): an occurrence is kept
 # iff it is the globally first occurrence of that exact line by
 # (doc_id, ordinal); per-doc totals.
@@ -4904,6 +4924,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_envelope_counts": q.cdc_envelope_counts,
         # training-data ops (dedup / similarity / text analysis)
         "dedup_exact": d.dedup_exact,
+        # incremental cross-snapshot dedup: new crawl vs already-
+        # ingested corpus -- broadcast Bloom prefilter (old corpus
+        # never shuffles) + exact hash-confirm of the rare candidates
+        "dedup_incremental": d.dedup_incremental,
         # C4/RefinedWeb line-level exact dedup (line-hash exchange;
         # first-global-occurrence wins)
         "line_dedup": d.line_dedup,
@@ -5357,6 +5381,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_latest": _LWW_SQL,
         "cdc_envelope_counts": _ENVELOPE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_incremental": _DEDUP_INCR_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         # LSH at 16 bands x 4 rows finds every pair the exact kernel

@@ -187,6 +187,228 @@ def dedup_exact(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup: Bloom prefilter + exact confirm
+# ---------------------------------------------------------------------------
+def md5_digest_u64(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """md5 of each string as an ``(n, 2)`` uint64 array (the two
+    64-bit halves of the digest).  Buffer-slice variant of
+    :func:`md5_hash_batch`: hashes straight off the Arrow data buffer,
+    no per-row str/encode copies.  Caller must have dropped nulls."""
+    c = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    if pa.types.is_large_string(c.type):
+        c = c.cast(pa.string())
+    n = len(c)
+    if n == 0:
+        return np.empty((0, 2), np.uint64)
+    offs = np.frombuffer(
+        c.buffers()[1], dtype=np.int32, count=n + 1 + c.offset
+    )[c.offset:]
+    data = (
+        memoryview(c.buffers()[2])
+        if c.buffers()[2] is not None
+        else memoryview(b"")
+    )
+    _md5 = hashlib.md5
+    buf = bytearray(16 * n)
+    for i in range(n):
+        buf[16 * i : 16 * i + 16] = _md5(data[offs[i] : offs[i + 1]]).digest()
+    return np.frombuffer(bytes(buf), dtype=np.uint64).reshape(n, 2)
+
+
+def _bloom_positions(dig: np.ndarray, m: int, k: int) -> np.ndarray:
+    """Double-hashing Bloom positions ``(n, k)`` from digest halves:
+    ``pos_j = (h1 + j*h2) mod m`` (Kirsch-Mitzenmacher)."""
+    h1 = dig[:, 0] % np.uint64(m)
+    h2 = dig[:, 1] | np.uint64(1)
+    j = np.arange(k, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        return (h1[:, None] + j * h2[:, None]) % np.uint64(m)
+
+
+def _incr_split_old(t: pa.Table) -> pa.Table:
+    t = t.select(["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    return t.filter(pa.array(ids % 3 != 0))
+
+
+def _incr_mk_new(t: pa.Table) -> pa.Table:
+    """The 'new crawl': every ``doc_id % 3 == 0`` doc, plus planted
+    re-crawls of old-corpus docs (``doc_id % 97 == 1``) re-ingested
+    under ``10_000_000 + doc_id`` -- guaranteed cross-corpus duplicates
+    at every scale, constructed identically by the SQL oracle."""
+    t = t.select(["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    base = t.filter(pa.array(ids % 3 == 0))
+    pl = t.filter(pa.array((ids % 3 != 0) & (ids % 97 == 1)))
+    pl = pl.set_column(
+        0, "doc_id",
+        pc.add(pc.cast(pl.column("doc_id"), pa.int64()), 10_000_000),
+    )
+    base = base.set_column(0, "doc_id", pc.cast(base.column("doc_id"), pa.int64()))
+    return pa.concat_tables([base, pl])
+
+
+class _BloomProbe:
+    """Probe the broadcast old-corpus Bloom filter: emits
+    ``(doc_id, h1, h2, cand)`` -- ``cand=False`` rows are PROVABLY
+    novel (Bloom has no false negatives); ``cand=True`` rows are the
+    rare maybe-duplicates that go through the exact confirm."""
+
+    def __init__(self, bits_ref, m: int, k: int):
+        self.bits_ref = bits_ref
+        self.m, self.k = m, k
+        self._bits = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import ray
+
+        if self._bits is None:  # once per worker: zero-copy from plasma
+            self._bits = np.frombuffer(ray.get(self.bits_ref), np.uint8)
+        t = t.filter(pc.is_valid(t.column("text")))
+        dig = md5_digest_u64(t.column("text"))
+        if len(dig) == 0:
+            cand = np.zeros(0, bool)
+        else:
+            pos = _bloom_positions(dig, self.m, self.k)
+            byte = (pos >> np.uint64(3)).astype(np.int64)
+            bit = (
+                np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+            )
+            cand = ((self._bits[byte] & bit) == bit).all(axis=1)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "h1": pa.array(dig[:, 0]),
+                "h2": pa.array(dig[:, 1]),
+                "cand": pa.array(cand),
+            }
+        )
+
+
+def dedup_incremental(
+    sf_dir: str, bloom_bits: int = 1 << 20, n_hashes: int = 7
+) -> pa.Table:
+    """Incremental cross-snapshot exact dedup: drop from a NEW crawl
+    every doc whose text already exists in the previously-ingested OLD
+    corpus -- the "dedup this month's crawl against the corpus so far"
+    primitive (CCNet/Dolma shape), WITHOUT shuffling the old corpus.
+
+    Corpus split (mirrored exactly by the SQL oracle): old =
+    ``doc_id % 3 != 0``; new = ``doc_id % 3 == 0`` plus planted
+    re-crawls (see :func:`_incr_mk_new`).
+
+    Scale shape, in three bounded moves:
+
+    1. ONE column-pruned pass over the old corpus builds per-block
+       Bloom partials (``m`` bits each), OR-reduced driver-side --
+       bounded by n_blocks x m/8 bytes, never by corpus size (at
+       100 TB: shard the filter by hash prefix and tree-reduce the
+       ORs).  In a production lake the stored ``content_hash`` column
+       feeds this pass; here it is recomputed from text.
+    2. The new crawl probes the broadcast filter (``ray.put`` once,
+       zero-copy read per worker).  Bloom-negative docs are PROVABLY
+       novel (no false negatives) and never shuffle anywhere.
+    3. Only the candidate set (true dups + false positives -- rare by
+       construction, ~1% FP at 10 bits/element) is broadcast BACK for
+       one exact hash-match confirm scan over the old corpus, making
+       the result exact, not probabilistic.  No all-to-all exchange
+       ever carries corpus-sized data.
+
+    Returns the novel (kept) new-crawl doc_ids, sorted.
+    """
+    import ray
+
+    m, k = bloom_bits, n_hashes
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    old = docs.map_batches(_incr_split_old, batch_format="pyarrow")
+    new = docs.map_batches(_incr_mk_new, batch_format="pyarrow")
+
+    # (1) per-block Bloom partials over the old corpus, OR-reduce
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        arr = np.zeros(m // 8, np.uint8)
+        dig = md5_digest_u64(t.column("text"))
+        if len(dig):
+            pos = _bloom_positions(dig, m, k)
+            byte = (pos >> np.uint64(3)).astype(np.int64).ravel()
+            bit = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)).ravel()
+            np.bitwise_or.at(arr, byte, bit)
+        return pa.table({"bits": pa.array([arr.tobytes()], pa.binary())})
+
+    partials = old.map_batches(
+        bloom_partial, batch_format="pyarrow"
+    ).take_all()
+    bits = np.zeros(m // 8, np.uint8)
+    for p in partials:
+        bits |= np.frombuffer(p["bits"], np.uint8)
+    bits_ref = ray.put(bits.tobytes())
+
+    # (2) probe: negatives are novel, positives are candidates
+    probed = new.map_batches(
+        _BloomProbe(bits_ref, m, k), batch_format="pyarrow"
+    ).materialize()
+    cand = probed.map_batches(
+        lambda t: t.filter(t.column("cand")), batch_format="pyarrow"
+    ).to_pandas()
+
+    # (3) exact confirm: broadcast the candidate digest set, scan the
+    # old corpus once for actual matches (output bounded by candidates)
+    matched: set[tuple[int, int]] = set()
+    if len(cand):
+        cd = ray.put(
+            np.unique(
+                np.stack(
+                    [cand["h1"].to_numpy(np.uint64),
+                     cand["h2"].to_numpy(np.uint64)], axis=1
+                ), axis=0,
+            )
+        )
+
+        def confirm_scan(t: pa.Table, _ref=cd) -> pa.Table:
+            want = ray.get(_ref)  # (c, 2) uint64, sorted rows
+            t = t.filter(pc.is_valid(t.column("text")))
+            dig = md5_digest_u64(t.column("text"))
+            if len(dig) == 0 or len(want) == 0:
+                return pa.table(
+                    {"h1": pa.array([], pa.uint64()),
+                     "h2": pa.array([], pa.uint64())}
+                )
+            # pack (h1, h2) -> void view for row-wise set membership
+            hit = np.isin(
+                np.ascontiguousarray(dig).view("V16").ravel(),
+                np.ascontiguousarray(want).view("V16").ravel(),
+            )
+            got = np.unique(dig[hit], axis=0)
+            return pa.table(
+                {"h1": pa.array(got[:, 0]), "h2": pa.array(got[:, 1])}
+            )
+
+        for r in old.map_batches(
+            confirm_scan, batch_format="pyarrow"
+        ).take_all():
+            matched.add((int(r["h1"]), int(r["h2"])))
+
+    kept_cand = [
+        int(i)
+        for i, a, b in zip(cand["doc_id"], cand["h1"], cand["h2"])
+        if (int(a), int(b)) not in matched
+    ] if len(cand) else []
+    novel = probed.map_batches(
+        lambda t: t.filter(pc.invert(t.column("cand"))).select(["doc_id"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    novel_ids = (
+        novel["doc_id"].to_numpy(np.int64)
+        if "doc_id" in novel.columns  # empty Dataset -> column-less frame
+        else np.empty(0, np.int64)
+    )
+    ids = np.sort(
+        np.concatenate([novel_ids, np.asarray(kept_cand, np.int64)])
+    )
+    return pa.table({"doc_id": pa.array(ids)})
+
+
+# ---------------------------------------------------------------------------
 # Shingles / MinHash / LSH
 # ---------------------------------------------------------------------------
 _WORD = re.compile(r"[a-z0-9]+")

@@ -1675,3 +1675,37 @@ def test_doc_dup_span_removal(ray_session, tmp_path):
     assert rows2[0] == {"doc_id": 0, "n_words": 8, "n_masked": 0,
                         "n_kept": 8}
     assert rows2[1]["n_masked"] == 16 and rows2[1]["n_kept"] == 0
+
+
+def test_dedup_incremental_planted(ray_session, tmp_path):
+    """Planted fixture: new-crawl docs (doc_id % 3 == 0) that copy an
+    old-corpus text are dropped; novel ones survive; planted re-crawls
+    (old doc_id % 97 == 1, re-ingested as 10_000_000 + id) are dropped
+    by construction."""
+    texts = [
+        "old corpus document zero with unique words",      # 0: NEW, novel
+        "old corpus document one keeps its own words",     # 1: old (97-plant)
+        "another old corpus entry number two here",        # 2: old
+        "another old corpus entry number two here",        # 3: NEW == doc 2 -> dup
+        "fourth old document with separate content",       # 4: old
+        "totally fresh new-crawl page never seen before",  # 5: old
+        "sixth new crawl page also never seen anywhere",   # 6: NEW, novel
+    ]
+    sf = make_docs(tmp_path, texts)
+    got = d.dedup_incremental(sf)["doc_id"].to_pylist()
+    # new crawl = {0, 3, 6} + planted re-crawl of doc 1 (1 % 97 == 1)
+    # as 10_000_001; 3 duplicates old doc 2, the plant duplicates
+    # itself -> kept = {0, 6}
+    assert got == [0, 6]
+
+
+def test_dedup_incremental_fp_confirm_exact(ray_session):
+    """A deliberately saturated Bloom filter (64 bits for hundreds of
+    docs -> ~every probe is a false positive) must yield the SAME
+    result as the default filter: the exact-confirm pass makes the
+    operator exact regardless of FP rate (Bloom is purely a shuffle-
+    volume optimization)."""
+    sf = "/root/testdata/sf0.001"
+    want = d.dedup_incremental(sf)
+    got = d.dedup_incremental(sf, bloom_bits=64, n_hashes=2)
+    assert got.equals(want)
