@@ -4590,6 +4590,38 @@ ORDER BY doc_id, chunk_idx
 # steps in the same order (fragment -> utm query -> :443 -> lowercase
 # scheme+host); DuckDB regexp_replace supports the \1 rewrite
 # backrefs RE2 defines, so every step is engine-identical.
+# html_text_extract: deliberately NO replant on the SQL side -- the
+# engine builds the dirty page (head/script/nav/comment/footer +
+# entity-escaped body) and must invert it exactly; comparing against
+# the raw documents.text makes the driver's value hash a direct
+# byte-identity proof of the north rule's per-row invariant.
+_HTML_EXTRACT_SQL = r"""
+SELECT doc_id, text AS extracted_text,
+       strlen(text)::BIGINT AS n_bytes
+FROM documents
+ORDER BY doc_id
+"""
+
+# html_outlinks: replant the deterministic anchor set (1 + doc_id%4
+# links, dst = (doc_id*7 + 13*j) % n_docs) and aggregate inlink stats
+# per destination in SQL; the engine side actually extracts the hrefs
+# from the html bytes with Arrow list/RE2 kernels.
+_HTML_OUTLINKS_SQL = r"""
+WITH n AS (SELECT count(*) AS nd FROM documents),
+links AS (
+  SELECT d.doc_id AS src,
+         ((d.doc_id * 7 + 13 * j) % nd.nd) AS dst
+  FROM documents d, n nd,
+       unnest(range(1, 2 + (d.doc_id % 4))) AS t(j)
+)
+SELECT dst AS dst_doc,
+       count(*)::BIGINT AS n_inlinks,
+       count(DISTINCT src % 20)::BIGINT AS n_src_hosts
+FROM links
+GROUP BY dst
+ORDER BY dst
+"""
+
 _URL_CANON_SQL = r"""
 WITH raw AS (
   SELECT doc_id,
@@ -5299,6 +5331,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl-frontier URL canonicalization (fragment / utm /
         # default-port / case normalization, RE2 on both sides)
         "url_canonicalize": d.url_canonicalize,
+        # the north rule's per-row invariant gated directly: main-text
+        # extraction from html:binary must be BYTE-IDENTICAL to the
+        # reference text (oracle = documents.text, no replant -- the
+        # value hash is the byte-identity proof)
+        "html_text_extract": d.html_text_extract,
+        # <a href> anchor extraction from html:binary -> per-dst
+        # inlink stats (web-graph construction step)
+        "html_outlinks": d.html_outlinks,
         # training-sequence chunking: fixed word windows with
         # overlap, fan-out vectorized per chunk ordinal
         "doc_chunking": d.doc_chunking,
@@ -5549,6 +5589,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_ngrams": _DUP_NGRAMS_SQL,
         "pii_redaction": _PII_SQL,
         "url_canonicalize": _URL_CANON_SQL,
+        "html_text_extract": _HTML_EXTRACT_SQL,
+        "html_outlinks": _HTML_OUTLINKS_SQL,
         "doc_chunking": _DOC_CHUNK_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
         "corpus_budget_select": _BUDGET_SELECT_SQL,

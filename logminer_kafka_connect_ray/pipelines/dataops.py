@@ -4130,6 +4130,215 @@ def url_canonicalize(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# HTML main-text extraction (the north-rule per-row invariant)
+# ---------------------------------------------------------------------------
+def _escape_html_text(text: pa.Array | pa.ChunkedArray):
+    """Entity-escape body text for embedding in HTML (& first, so the
+    escape/unescape pair is an exact inverse for ANY input text)."""
+    e = pc.replace_substring(text, "&", "&amp;")
+    e = pc.replace_substring(e, "<", "&lt;")
+    return pc.replace_substring(e, ">", "&gt;")
+
+
+def _build_dirty_html(dn: np.ndarray, text) -> pa.Array:
+    """Deterministic Common-Crawl-style page build: the document text
+    entity-escaped inside ``<p>``, wrapped in head/title/script, nav,
+    an HTML comment and a footer -- the boilerplate a real extraction
+    pass must strip.  Pure Arrow kernels, no per-row Python."""
+    s = pa.scalar
+    did_s = pc.cast(pa.array(dn, pa.int64()), pa.string())
+    return pc.binary_join_element_wise(
+        s("<html><head><title>doc "), did_s,
+        s("</title><script>var p="),
+        pc.cast(pa.array(dn % 97), pa.string()),
+        s(";</script></head><body><nav>site"),
+        pc.cast(pa.array(dn % 20), pa.string()),
+        s(" | home | about</nav><p>"),
+        _escape_html_text(text),
+        s("</p><!-- crawl "),
+        pc.cast(pa.array(dn % 7), pa.string()),
+        s(" --><footer>&copy; site"),
+        pc.cast(pa.array(dn % 20), pa.string()),
+        s("</footer></body></html>"),
+        "",
+    )
+
+
+def _extract_main_text(html):
+    """Main-content extraction from page HTML (trafilatura shape):
+    drop head / nav / footer blocks and comments, strip remaining
+    tags, unescape entities.  All RE2 kernels (pyarrow binds RE2;
+    non-greedy ``.*?`` is supported); order matters and is the exact
+    inverse of :func:`_build_dirty_html`."""
+    x = pc.cast(html, pa.string())
+    x = pc.replace_substring_regex(x, r"<head>.*?</head>", "")
+    x = pc.replace_substring_regex(x, r"<nav>.*?</nav>", "")
+    x = pc.replace_substring_regex(x, r"<footer>.*?</footer>", "")
+    x = pc.replace_substring_regex(x, r"<!--.*?-->", "")
+    x = pc.replace_substring_regex(x, r"<[^>]*>", "")
+    x = pc.replace_substring(x, "&lt;", "<")
+    x = pc.replace_substring(x, "&gt;", ">")
+    return pc.replace_substring(x, "&amp;", "&")
+
+
+def html_text_extract(sf_dir: str) -> pa.Table:
+    """The north rule's per-row invariant, gated directly: extract
+    main text from the ``html:binary`` page column and prove it is
+    **byte-identical** to the reference text per url.
+
+    The corpus ships clean text, so stage 1 builds the dirty page the
+    crawler would have stored (:func:`_build_dirty_html`: head with
+    title+script, nav, comment, footer, entity-escaped body) and
+    emits ONLY ``(doc_id, html:binary)``; stage 2 -- the operator
+    under test -- sees nothing but the html bytes and must recover
+    the text (:func:`_extract_main_text`).  The oracle is simply
+    ``SELECT doc_id, text, octet_length(text) FROM documents``: the
+    driver's value-hash match IS the byte-identity proof (no replant
+    on the SQL side -- extraction must invert the build exactly).
+
+    Scale shape: two embarrassingly parallel ``map_batches`` passes,
+    zero shuffle, every kernel an Arrow RE2/string call; binary html
+    stays zero-copy in the object store between stages."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def build(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.int64())
+        dn = did.combine_chunks().to_numpy(zero_copy_only=False)
+        html = _build_dirty_html(dn, t.column("text"))
+        return pa.table({"doc_id": did, "html": pc.cast(html, pa.binary())})
+
+    def extract(t: pa.Table) -> pa.Table:
+        txt = _extract_main_text(t.column("html"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "extracted_text": txt,
+                "n_bytes": pc.cast(pc.binary_length(txt), pa.int64()),
+            }
+        )
+
+    t = pa.Table.from_pandas(
+        ds.map_batches(build, batch_format="pyarrow")
+        .map_batches(extract, batch_format="pyarrow")
+        .to_pandas(),
+        preserve_index=False,
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# HTML outlink extraction -> inlink stats (web-graph construction)
+# ---------------------------------------------------------------------------
+def html_outlinks(sf_dir: str) -> pa.Table:
+    """Anchor extraction from the ``html:binary`` column -- the first
+    step of web-graph construction (PageRank / spam scoring / crawl
+    frontier expansion all start from ``<a href>`` edges).
+
+    Each page plants ``1 + doc_id % 4`` deterministic anchors
+    (``dst = (doc_id*7 + 13*j) % n_docs``) alongside its text; the
+    operator under test sees only html bytes, splits out every
+    ``<a href="..."`` occurrence with Arrow list kernels (no per-row
+    Python: ``split_pattern`` -> ``list_flatten`` +
+    ``list_parent_indices``, first-of-list prefixes masked out via a
+    ``reduceat``-free arange trick), parses the destination doc id
+    with one RE2 ``extract_regex``, and aggregates inlink stats per
+    destination: ``n_inlinks`` and ``n_src_hosts`` (distinct source
+    hosts, host = ``site{src%20}``).  The oracle replants the same
+    edge set with ``unnest(range(...))`` and aggregates in SQL.
+
+    Scale shape: single-pass extraction fused with a packed-key
+    combiner (``key = dst*32 + src_host``, ``np.unique`` partials per
+    batch) -> ONE ``groupby(key).sum`` exchange over pre-aggregated
+    (key, cnt) rows (volume bounded by distinct (dst, host) pairs,
+    NOT by edge count) -> an output-sized unpack/finish (the result
+    table itself is one row per linked-to doc)."""
+    from ray.data.aggregate import Sum
+
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def build(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.int64())
+        dn = did.combine_chunks().to_numpy(zero_copy_only=False)
+        s = pa.scalar
+        parts = [s("<html><body>")]
+        for j in range(1, 5):
+            dst = (dn * 7 + 13 * j) % n_docs
+            anchor = pc.binary_join_element_wise(
+                s('<a href="https://site'),
+                pc.cast(pa.array(dst % 20), pa.string()),
+                s(".example/d/"),
+                pc.cast(pa.array(dst), pa.string()),
+                s('">l</a>'),
+                "",
+            )
+            parts.append(
+                pc.if_else(pa.array(dn % 4 >= j - 1), anchor, s(""))
+            )
+        parts += [s("<p>"), _escape_html_text(t.column("text")),
+                  s("</p></body></html>")]
+        html = pc.binary_join_element_wise(*parts, "")
+        return pa.table({"doc_id": did, "html": pc.cast(html, pa.binary())})
+
+    def extract_combine(t: pa.Table) -> pa.Table:
+        src = (
+            pc.cast(t.column("doc_id"), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        h = pc.cast(t.column("html").combine_chunks(), pa.large_string())
+        parts = pc.split_pattern(h, '<a href="')
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        total = len(flat)
+        # ordinal of each element within its list; ordinal 0 is the
+        # pre-anchor prefix, not a link
+        starts = np.cumsum(lens) - lens
+        ordin = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        mask = ordin > 0
+        flat = flat.filter(pa.array(mask))
+        srcs = src[parent[mask]]
+        ex = pc.extract_regex(
+            flat, r'^https://site[0-9]+\.example/d/(?P<id>[0-9]+)"'
+        )
+        ids = pc.struct_field(ex, "id")
+        if ids.null_count:
+            raise ValueError("html_outlinks: unparseable anchor href")
+        dst = pc.cast(ids, pa.int64()).to_numpy(zero_copy_only=False)
+        key, cnt = np.unique(dst * 32 + (srcs % 20), return_counts=True)
+        return pa.table(
+            {"key": pa.array(key), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(build, batch_format="pyarrow")
+        .map_batches(extract_combine, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cnt"))
+        .to_pandas()
+    )
+    agg = _named_agg(agg, ["key", "cnt"])
+    key = agg["key"].to_numpy(dtype=np.int64)
+    cnt = agg["cnt"].to_numpy(dtype=np.int64)
+    order = np.argsort(key, kind="stable")
+    key, cnt = key[order], cnt[order]
+    dst = key >> 5
+    # output-sized finish: one row per linked-to doc
+    uniq, idx = np.unique(dst, return_index=True)
+    n_inlinks = np.add.reduceat(cnt, idx) if len(cnt) else np.array([], np.int64)
+    n_src_hosts = np.diff(np.append(idx, len(dst)))
+    return pa.table(
+        {
+            "dst_doc": pa.array(uniq.astype(np.int64)),
+            "n_inlinks": pa.array(n_inlinks.astype(np.int64)),
+            "n_src_hosts": pa.array(n_src_hosts.astype(np.int64)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Line-level exact dedup (C4 / RefinedWeb shape)
 # ---------------------------------------------------------------------------
 def line_dedup(sf_dir: str) -> pa.Table:

@@ -7,6 +7,7 @@ finds exactly them.
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
@@ -282,6 +283,58 @@ def test_url_canonicalize_variants(ray_session, tmp_path):
     assert "?utm_source=" in out[0]["raw_url"]
     assert out[0]["canon_url"] == "https://site0.example/d/0"
     assert out[4]["canon_url"] == "https://site4.example/d/4"
+
+
+HOSTILE_TEXTS = [
+    "plain words only",
+    "amp & lt < gt > mixed",
+    "literal entity &amp; and &lt; stay literal",
+    "<script>alert(1)</script> inside text",
+    "<nav>fake nav</nav> and <!-- fake comment -->",
+    "</p></body></html> premature closers",
+    'an anchor <a href="https://x/">x</a> in text',
+    "",
+    "&",
+    "<",
+]
+
+
+def test_html_extract_kernel_roundtrip():
+    """build -> extract is an exact inverse for hostile body text
+    (entities, literal tags, premature closers, empties)."""
+    dn = np.arange(len(HOSTILE_TEXTS), dtype=np.int64)
+    html = d._build_dirty_html(dn, pa.array(HOSTILE_TEXTS))
+    out = d._extract_main_text(pc.cast(html, pa.binary())).to_pylist()
+    assert out == HOSTILE_TEXTS
+
+
+def test_html_text_extract_gate_is_byte_identical(ray_session, tmp_path):
+    sf = make_docs(tmp_path, HOSTILE_TEXTS[:6])
+    t = d.html_text_extract(sf)
+    assert t.column("extracted_text").to_pylist() == HOSTILE_TEXTS[:6]
+    assert t.column("n_bytes").to_pylist() == [
+        len(x.encode()) for x in HOSTILE_TEXTS[:6]
+    ]
+
+
+def test_html_outlinks_planted_edges(ray_session, tmp_path):
+    texts = ["a b", "c d", "e f", "g h", "i j"]
+    sf = make_docs(tmp_path, texts)
+    n = len(texts)
+    import collections
+
+    inlinks = collections.Counter()
+    hosts = collections.defaultdict(set)
+    for src in range(n):
+        for j in range(1, 2 + src % 4):
+            dst = (src * 7 + 13 * j) % n
+            inlinks[dst] += 1
+            hosts[dst].add(src % 20)
+    got = {r["dst_doc"]: r for r in d.html_outlinks(sf).to_pylist()}
+    assert set(got) == set(inlinks)
+    for k in inlinks:
+        assert got[k]["n_inlinks"] == inlinks[k]
+        assert got[k]["n_src_hosts"] == len(hosts[k])
 
 
 def test_fingerprints_stable(ray_session, tmp_path):
