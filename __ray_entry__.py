@@ -292,6 +292,26 @@ QUALIFY row_number() OVER (PARTITION BY url ORDER BY cscn DESC, scn DESC) = 1
 ORDER BY url
 """
 
+# Per-url revision churn in commit order; has_text mirrors the
+# decoder's a_text validity (set on INSERT and click/view UPDATEs,
+# null on DELETE and lang-only UPDATEs).
+_URL_CHURN_SQL = f"""
+WITH {_CH_CTE.strip()},
+g AS (
+  SELECT url, scn,
+         (op = 'i' OR etype IN ('click', 'view')) AS has_text,
+         scn - lag(scn) OVER (PARTITION BY url ORDER BY cscn, scn) AS gap
+  FROM comm
+)
+SELECT url,
+       count(*)::BIGINT AS n_committed,
+       (count(*) FILTER (WHERE has_text))::BIGINT AS n_text_revs,
+       min(scn)::BIGINT AS first_scn,
+       max(scn)::BIGINT AS last_scn,
+       max(gap)::BIGINT AS max_scn_gap
+FROM g GROUP BY url ORDER BY url
+"""
+
 
 # ---------------------------------------------------------------------------
 # Data-ops oracles (documents / embeddings tables)
@@ -4953,6 +4973,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rolled_back_events": q.cdc_open_or_rolled_events,
         "cdc_scn_range_stats": q.cdc_scn_range_stats,
         "cdc_lww_latest": q.cdc_lww_latest,
+        # per-url revision-churn profile in commit order (counts,
+        # text-rev counts, SCN span, max inter-revision SCN gap)
+        "cdc_url_revision_churn": q.cdc_url_revision_churn,
         "cdc_envelope_counts": q.cdc_envelope_counts,
         # training-data ops (dedup / similarity / text analysis)
         "dedup_exact": d.dedup_exact,
@@ -5419,6 +5442,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rolled_back_events": _DISCARDED_SQL,
         "cdc_scn_range_stats": _SCN_RANGE_SQL,
         "cdc_lww_latest": _LWW_SQL,
+        "cdc_url_revision_churn": _URL_CHURN_SQL,
         "cdc_envelope_counts": _ENVELOPE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_incremental": _DEDUP_INCR_SQL,

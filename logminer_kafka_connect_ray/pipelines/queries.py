@@ -284,6 +284,119 @@ def cdc_lww_latest(sf_dir: str) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
 
 
+def cdc_url_revision_churn(sf_dir: str) -> pa.Table:
+    """Per-url revision-churn profile over the COMMITTED change stream
+    (the crawl-ops question a CDC'd web lake answers: how hot is each
+    url, how often does its text actually change, how bursty are its
+    revisions).  Per url, in commit order ``(commit_scn, scn)``:
+    ``n_committed``, ``n_text_revs`` (committed events that set the
+    text column), ``first_scn`` / ``last_scn``, and ``max_scn_gap``
+    (largest SCN gap between consecutive committed revisions; NULL for
+    single-revision urls).
+
+    Scale shape: decode + commit-resolution stream into a stamped
+    single-pass combiner, ONE hash exchange on url (explicit
+    boundaries, split-guarded -- max-gap needs every revision of a url
+    in one ordered block), per-block ``reduceat`` sweeps with a
+    sentinel-excluded gap array; only the per-url result rows leave
+    the exchange."""
+    import numpy as np
+
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        _exchange_width,
+        _finalize_guard,
+        _guard_record,
+        _new_guard_dir,
+        _table_meta,
+    )
+
+    n_ev, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_ev)
+    gd = _new_guard_dir("urlchurn")
+    decoded, ref = _decoded_committed(sf_dir)
+    committed = decoded.map_batches(
+        CommitResolver(ref, "committed"), batch_format="pyarrow"
+    )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "cscn": t.column("commit_scn"),
+                "scn": t.column("scn"),
+                "has_text": pc.is_valid(t.column("a_text")),
+                "_p": pa.array(partition_ids(t.column("url"), P)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("n_committed", pa.int64()),
+            ("n_text_revs", pa.int64()),
+            ("first_scn", pa.int64()),
+            ("last_scn", pa.int64()),
+            ("max_scn_gap", pa.int64()),
+        ]
+    )
+    SENT = np.iinfo(np.int64).min
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        _guard_record(
+            gd, "p", t.column("_p").unique().to_numpy(zero_copy_only=False)
+        )
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("url", "ascending"),
+                    ("cscn", "ascending"),
+                    ("scn", "ascending"),
+                ],
+            )
+        )
+        urls = t.column("url").combine_chunks()
+        scn = t.column("scn").to_numpy(zero_copy_only=False).astype(np.int64)
+        ht = t.column("has_text").to_numpy(zero_copy_only=False)
+        n = len(scn)
+        first = np.ones(n, bool)
+        if n > 1:
+            first[1:] = pc.not_equal(
+                urls.slice(1), urls.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, n))
+        gaps = np.empty(n, np.int64)
+        gaps[0] = SENT
+        if n > 1:
+            gaps[1:] = scn[1:] - scn[:-1]
+        gaps[starts] = SENT  # no predecessor within the url
+        maxgap = np.maximum.reduceat(gaps, starts)
+        return pa.table(
+            {
+                "url": urls.take(pa.array(starts)),
+                "n_committed": pa.array(counts.astype(np.int64)),
+                "n_text_revs": pa.array(np.add.reduceat(ht.astype(np.int64), starts)),
+                "first_scn": pa.array(np.minimum.reduceat(scn, starts)),
+                "last_scn": pa.array(np.maximum.reduceat(scn, starts)),
+                "max_scn_gap": pa.array(maxgap, pa.int64(), mask=counts == 1),
+            },
+            schema=out_schema,
+        )
+
+    out = (
+        committed.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _finalize_guard(gd, t)
+    return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+
 def cdc_final_state_streaming(sf_dir: str) -> pa.Table:
     """Same replay as cdc_final_state but through the STREAMING engine
     (poll loop + long-lived sharded consolidation actors + per-poll

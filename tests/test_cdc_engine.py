@@ -715,3 +715,25 @@ def test_pit_lookup_asof_versions(ray_session, tmp_path):
         {"url": "C", "asof_scn": 900, "ver": 1, "op": "i"},
     ]
     assert got == want
+
+
+def test_url_revision_churn_invariants(ray_session):
+    """Per-url churn profile over the committed stream: structural
+    invariants that pin the ordered-sweep semantics (the 3-scale SQL
+    gate proves exact values; this pins the null-gap and segment
+    bookkeeping on the real small workload)."""
+    from logminer_kafka_connect_ray.pipelines.queries import (
+        cdc_url_revision_churn,
+    )
+
+    rows = cdc_url_revision_churn("/root/testdata/sf0.001").to_pylist()
+    assert rows, "expected committed urls at sf0.001"
+    for r in rows:
+        assert 0 <= r["n_text_revs"] <= r["n_committed"]
+        assert r["first_scn"] <= r["last_scn"]
+        if r["n_committed"] == 1:
+            assert r["max_scn_gap"] is None
+            assert r["first_scn"] == r["last_scn"]
+        else:
+            assert r["max_scn_gap"] is not None
+            assert 0 < r["max_scn_gap"] <= r["last_scn"] - r["first_scn"]
