@@ -49,6 +49,10 @@ OPS = [
     "doc_lexical_diversity",
     "dsir_select",
     "doc_lm_score",
+    # html build->extract roundtrip: oracle is the raw text, so any
+    # mismatch = a body the extraction failed to invert byte-for-byte
+    "html_text_extract",
+    "html_outlinks",
 ]
 
 #: embedding-table ops fuzzed alongside (random integer-grid vectors;
@@ -82,6 +86,12 @@ def gen_corpus(rng: random.Random, out_dir: str) -> None:
     vocab += [f"W{i}" for i in range(rng.randint(0, 5))]
     vocab += [f"w{i}." for i in range(rng.randint(0, 4))]
     vocab += [f"a-{i}" for i in range(rng.randint(0, 3))]
+    # entity- and tag-shaped tokens stress the html escape/unescape
+    # roundtrip (html_text_extract) and the symbol handling of every
+    # shared tokenization contract
+    vocab += [f"&e{i};" for i in range(rng.randint(0, 3))]
+    vocab += [f"<t{i}>" for i in range(rng.randint(0, 2))]
+    vocab += ["&amp;"] * rng.randint(0, 1)
     n = rng.randint(8, 120)
     texts: list[str] = []
     for _ in range(n):

@@ -259,3 +259,34 @@ def test_subbatch_resume_after_merge_crash(ray_session, tmp_path):
     want = replay_oracle(base, events)
     got = table_to_state(Engine(cfg()).to_arrow())
     assert not state_diff(got, want)
+
+
+def test_publish_cas_two_drivers(tmp_path):
+    """Exactly-once fencing for TWO drivers racing the same version:
+    ``ManifestStore.publish`` is an atomic create-if-absent
+    (``os.link``), so exactly one writer wins; the loser gets False
+    and must read the winner's manifest (engine.py does exactly that
+    and discards its own merge)."""
+    from logminer_kafka_connect_ray.state.checkpoint import (
+        Manifest,
+        ManifestStore,
+    )
+
+    store_a = ManifestStore(str(tmp_path))
+    store_b = ManifestStore(str(tmp_path))  # a second driver process
+
+    def mk(cp: str) -> Manifest:
+        return Manifest(
+            version=2, checkpoint_id=cp, watermark_scn=10,
+            last_commit_scn=10, min_open_scn=None, phase="cdc",
+            num_partitions=4, schema_version=1, schema=[],
+            partitions=[],
+        )
+
+    assert store_a.publish(mk("winner")) is True
+    # loser: same version, different checkpoint -- must NOT overwrite
+    assert store_b.publish(mk("loser")) is False
+    assert store_b.load(2).checkpoint_id == "winner"
+    assert store_a.latest_version() == 2
+    # idempotent re-publish by the winner is also fenced
+    assert store_a.publish(mk("winner")) is False
