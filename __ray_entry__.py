@@ -103,6 +103,20 @@ SELECT url, warc_ts, md5(html::VARCHAR) AS html_md5, text, lang
 FROM merged WHERE deleted = 0 ORDER BY url
 """
 
+# Point-lookup gate: the final replayed state filtered to the same
+# deterministic probe set Engine.lookup receives (the absent probe key
+# simply matches nothing on either side).
+_POINT_LOOKUP_SQL = f"""
+WITH f AS ({_FINAL_STATE_SQL.replace("ORDER BY url", "")}),
+nn AS (SELECT count(*) AS nd FROM documents),
+probes AS (
+  SELECT DISTINCT 'https://site' || (i % 20)::VARCHAR
+         || '.example/d/' || i::VARCHAR AS url
+  FROM (SELECT unnest([0, 1, 2, 3, nd // 2, nd - 1]) AS i FROM nn)
+)
+SELECT f.* FROM f JOIN probes USING (url) ORDER BY url
+"""
+
 # ADD-COLUMN-WITH-DEFAULT evolution gate: replay the purchase-driven
 # `rating` update stream (workload.derive_changelog_evolution --
 # txn = purchase-rank // TXN_SIZE, standard rollback pattern, rating
@@ -4976,6 +4990,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-url revision-churn profile in commit order (counts,
         # text-rev counts, SCN span, max inter-revision SCN gap)
         "cdc_url_revision_churn": q.cdc_url_revision_churn,
+        # hash-pruned point lookup: probe keys read only the partition
+        # files the merge's partitioner maps them to
+        "lake_point_lookup": q.lake_point_lookup,
         "cdc_envelope_counts": q.cdc_envelope_counts,
         # training-data ops (dedup / similarity / text analysis)
         "dedup_exact": d.dedup_exact,
@@ -5443,6 +5460,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_scn_range_stats": _SCN_RANGE_SQL,
         "cdc_lww_latest": _LWW_SQL,
         "cdc_url_revision_churn": _URL_CHURN_SQL,
+        "lake_point_lookup": _POINT_LOOKUP_SQL,
         "cdc_envelope_counts": _ENVELOPE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_incremental": _DEDUP_INCR_SQL,

@@ -350,6 +350,59 @@ class Engine:
             pc.sort_indices(t, sort_keys=[(self.config.key_column, "ascending")])
         )
 
+    def lookup(self, keys: list[str], version: int | None = None) -> pa.Table:
+        """Point lookup by key with partition pruning: hash each probe
+        key with the SAME partitioner the merge used (the manifest's
+        ``hash_probe`` guards against drift via ``_require_manifest``),
+        read ONLY the partition files those hashes land in, and return
+        the matching rows.  At 100 TB this is the difference between
+        touching ~k files and scanning the lake; the per-probe cost is
+        O(partition), independent of lake size.
+
+        Reads go through the same ``align_flat`` lineage fill as
+        ``read_table`` (defaults / renames / widenings), so a looked-up
+        row is byte-identical to the same row in a full scan.
+        ``self.last_lookup_stats`` records the pruning
+        (``partitions_read`` vs ``partitions_total``) for tests and
+        ops telemetry."""
+        from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+        m = self._require_manifest(version)
+        schema = schemas.schema_from_json(m.schema)
+        dflt = typed_defaults(schema, m.defaults, self.config.db_timezone)
+        fillf = {new: old for old, new in (m.renames or {}).items()}
+        want = sorted(set(keys))
+        pids = set(
+            partition_ids(pa.array(want, pa.string()), m.num_partitions)
+            .tolist()
+        )
+        by_id = {p.part_id: p for p in m.partitions}
+        key_set = pa.array(want, pa.string())
+        tables = []
+        n_read = 0
+        for pid in sorted(pids):
+            p = by_id.get(pid)
+            if p is None or not p.file:
+                continue  # empty partition: key cannot exist
+            n_read += 1
+            t = pq.read_table(f"{self.config.lake_dir}/{p.file}")
+            t = t.filter(
+                pc.is_in(t.column(self.config.key_column), value_set=key_set)
+            )
+            if t.num_rows:
+                tables.append(align_flat(t, schema, dflt, fillf))
+        self.last_lookup_stats = {
+            "partitions_read": n_read,
+            "partitions_total": sum(1 for p in m.partitions if p.file),
+            "keys_probed": len(want),
+        }
+        if not tables:
+            return schema.empty_table()
+        t = pa.concat_tables(tables)
+        return t.take(
+            pc.sort_indices(t, sort_keys=[(self.config.key_column, "ascending")])
+        )
+
     # --- materialized-view maintenance -------------------------------
     def _views_path(self, version: int) -> str:
         return os.path.join(self.config.lake_dir, "views", f"v{version:08d}.json")

@@ -284,6 +284,35 @@ def cdc_lww_latest(sf_dir: str) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
 
 
+def lake_point_lookup(sf_dir: str) -> pa.Table:
+    """Point lookup with partition pruning (the 'serve one url from a
+    100 TB lake' path): replay to final state, then probe a
+    deterministic key set (first/early docs, the middle doc, the last
+    doc, plus one key that never existed) through ``Engine.lookup`` --
+    probe keys are hashed with the merge's own partitioner and ONLY
+    those partition files are read.  The oracle filters the final
+    replayed state to the same probe set, so row content (including
+    the evolution lineage fill the lookup shares with full scans) is
+    value-hash-checked against the full-replay oracle."""
+    from logminer_kafka_connect_ray.pipelines.dataops import _table_meta
+
+    d = workload.ensure_workload(sf_dir)
+    lake = d["lake"] + "-lookup"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(EngineConfig(lake_dir=lake, num_partitions=16))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(d["changelog"])
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    ids = [0, 1, 2, 3, n_docs // 2, n_docs - 1]
+    probes = [f"https://site{i % 20}.example/d/{i}" for i in ids]
+    probes.append("https://site0.example/d/999999999")  # absent key
+    t = eng.lookup(probes)
+    stats = eng.last_lookup_stats
+    if stats["partitions_read"] > len(set(probes)):
+        raise RuntimeError(f"point lookup did not prune: {stats}")
+    return _digest_html(t)
+
+
 def cdc_url_revision_churn(sf_dir: str) -> pa.Table:
     """Per-url revision-churn profile over the COMMITTED change stream
     (the crawl-ops question a CDC'd web lake answers: how hot is each

@@ -2,6 +2,7 @@
 
 import os
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from logminer_kafka_connect_ray import EngineConfig
@@ -290,3 +291,33 @@ def test_publish_cas_two_drivers(tmp_path):
     assert store_a.latest_version() == 2
     # idempotent re-publish by the winner is also fenced
     assert store_a.publish(mk("winner")) is False
+
+
+def test_point_lookup_prunes_and_matches_scan(ray_session, tmp_path):
+    """Engine.lookup reads only the hash-matched partition files and
+    returns rows byte-identical to a full scan filtered to the same
+    keys (including after schema evolution's lineage fill, which the
+    lookup path shares with read_table)."""
+    import pyarrow.compute as pc
+
+    pages = gen_pages(60)
+    events, _final, _ = gen_changes(pages, ChangeGenConfig(n_events=200, seed=7))
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    changelog = str(tmp_path / "changelog")
+    write_event_batches(events, changelog, events_per_file=40)
+    eng = Engine(EngineConfig(lake_dir=str(tmp_path / "lake"),
+                              num_partitions=8))
+    eng.snapshot(pages_path, 999)
+    eng.replay(changelog)
+
+    full = eng.to_arrow()
+    urls = full.column("url").to_pylist()
+    probes = [urls[0], urls[len(urls) // 2], urls[-1], "https://nope/x"]
+    got = eng.lookup(probes)
+    want = full.filter(pc.is_in(full.column("url"),
+                                value_set=pa.array(sorted(set(probes)))))
+    assert got.equals(want.combine_chunks().cast(got.schema))
+    stats = eng.last_lookup_stats
+    assert stats["keys_probed"] == 4
+    assert 1 <= stats["partitions_read"] <= 4 < stats["partitions_total"]
