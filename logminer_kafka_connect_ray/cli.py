@@ -27,7 +27,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "command",
         choices=["snapshot", "replay", "stream", "show", "history",
-                 "vacuum", "erase", "query"],
+                 "vacuum", "erase", "query", "lookup"],
     )
     p.add_argument("--keep", type=int, default=2,
                    help="vacuum: versions to retain")
@@ -35,7 +35,8 @@ def main(argv=None) -> int:
                    help="erase: comma-separated record keys (urls) to "
                         "delete as one copy-on-write version (GDPR "
                         "right-to-erasure; vacuum afterwards completes "
-                        "the physical forget)")
+                        "the physical forget); lookup: keys to point-"
+                        "read via hash-pruned partition probe")
     p.add_argument("--lake", help="lake dir (required except for query)")
     p.add_argument("--name", help="query: registered pipeline name "
                                   "(see __ray_entry__.queries())")
@@ -171,6 +172,21 @@ def main(argv=None) -> int:
         stream.shutdown()
         m = eng.store.load()
         print(json.dumps({"applied_rows": applied, "version": m.version if m else None}))
+        ray.shutdown()
+        return 0
+    elif args.command == "lookup":
+        # hash-pruned point read: serve specific keys without a scan
+        keys = [k for k in args.keys.split(",") if k]
+        if not keys:
+            p.error("lookup requires --keys")
+        t = eng.lookup(keys)
+        if args.out:
+            import pyarrow.parquet as pq
+
+            pq.write_table(t, args.out)
+        else:
+            print(t.to_pandas().to_string())
+        print(json.dumps({"rows": t.num_rows, **eng.last_lookup_stats}))
         ray.shutdown()
         return 0
     elif args.command == "history":

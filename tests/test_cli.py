@@ -39,6 +39,15 @@ def test_cli_lifecycle(ray_session, tmp_path, monkeypatch, capsys):
     assert out2["version"] >= 2
 
     url = pages.column("url")[0].as_py()
+    url2 = pages.column("url")[7].as_py()
+    assert cli.main(["lookup", "--lake", lake,
+                     "--keys", f"{url},{url2},https://nope/x",
+                     "--partitions", "3"]) == 0
+    outl = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert outl["keys_probed"] == 3
+    assert 1 <= outl["partitions_read"] <= 3
+    assert 0 <= outl["rows"] <= 2  # either url may have been deleted
+
     assert cli.main(["erase", "--lake", lake, "--keys", url,
                      "--partitions", "3"]) == 0
     out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
