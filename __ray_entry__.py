@@ -106,6 +106,19 @@ FROM merged WHERE deleted = 0 ORDER BY url
 # Point-lookup gate: the final replayed state filtered to the same
 # deterministic probe set Engine.lookup receives (the absent probe key
 # simply matches nothing on either side).
+# Stats-pruned predicate scan: the Ray side consults per-partition
+# host Bloom filters + zonemaps before opening files, then exactly
+# filters; the oracle is the full final state filtered by the same
+# split_part host contract (Engine.scan's exact filter), so the value
+# hash proves pruning never dropped or altered a row.
+_PRUNED_SCAN_SQL = f"""
+WITH f AS ({_FINAL_STATE_SQL.replace("ORDER BY url", "")})
+SELECT f.* FROM f
+WHERE split_part(url, '/', 3) IN
+      ('site3.example', 'site17.example', 'no-such.example')
+ORDER BY url
+"""
+
 _POINT_LOOKUP_SQL = f"""
 WITH f AS ({_FINAL_STATE_SQL.replace("ORDER BY url", "")}),
 nn AS (SELECT count(*) AS nd FROM documents),
@@ -4993,6 +5006,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-pruned point lookup: probe keys read only the partition
         # files the merge's partitioner maps them to
         "lake_point_lookup": q.lake_point_lookup,
+        # stats-pruned predicate scan: per-partition host Bloom +
+        # zonemap stats in the manifest decide which files are opened
+        "lake_pruned_scan": q.lake_pruned_scan,
         "cdc_envelope_counts": q.cdc_envelope_counts,
         # training-data ops (dedup / similarity / text analysis)
         "dedup_exact": d.dedup_exact,
@@ -5461,6 +5477,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_latest": _LWW_SQL,
         "cdc_url_revision_churn": _URL_CHURN_SQL,
         "lake_point_lookup": _POINT_LOOKUP_SQL,
+        "lake_pruned_scan": _PRUNED_SCAN_SQL,
         "cdc_envelope_counts": _ENVELOPE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_incremental": _DEDUP_INCR_SQL,

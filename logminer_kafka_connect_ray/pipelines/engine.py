@@ -403,6 +403,133 @@ class Engine:
             pc.sort_indices(t, sort_keys=[(self.config.key_column, "ascending")])
         )
 
+    def scan(
+        self,
+        hosts: list[str] | None = None,
+        ts_range: tuple | None = None,
+        ts_column: str = "warc_ts",
+        columns: list[str] | None = None,
+        version: int | None = None,
+    ):
+        """Predicate scan with PARTITION-STATS data skipping: before a
+        single parquet file is opened, each partition's manifest stats
+        (stages/merge.py partition_stats_json) are consulted --
+
+        * ``hosts=[...]``: partitions whose host Bloom filter proves
+          none of the probe hosts is present are skipped.  The lake is
+          url-hash-partitioned, so this prunes hard exactly where it
+          matters: a needle host (few pages) lives in few partitions;
+          a dense host saturates every filter and the scan honestly
+          degrades to a full read (same trade as a Parquet/Delta bloom
+          index).
+        * ``ts_range=(lo, hi)``: partitions whose ``ts_column`` zonemap
+          misses the window are skipped (lo/hi inclusive; either side
+          None = unbounded).  Timestamps compare as int64 us.
+
+        Partitions without stats (pre-stats manifests) are always read
+        -- pruning is evidence-only, so a Bloom false positive or a
+        missing zonemap costs a read, never a row.  Surviving rows are
+        then EXACTLY filtered (the stats are a superset test), flow
+        through the same ``align_flat`` lineage fill as ``read_table``,
+        and come back as a streaming Dataset.  ``last_scan_stats``
+        records the pruning telemetry."""
+        import json as _json
+
+        import numpy as np
+        import ray.data as rd
+
+        from logminer_kafka_connect_ray.stages.merge import bloom_may_contain
+
+        m = self._require_manifest(version)
+        schema = schemas.schema_from_json(m.schema)
+        if columns:
+            out_schema = pa.schema([schema.field(c) for c in columns])
+        else:
+            out_schema = schema
+        dflt = typed_defaults(out_schema, m.defaults, self.config.db_timezone)
+        fillf = {new: old for old, new in (m.renames or {}).items()}
+
+        lo = hi = None
+        if ts_range is not None:
+            def _us(v):
+                if v is None:
+                    return None
+                if isinstance(v, (int, np.integer)):
+                    return int(v)
+                return pc.cast(
+                    pa.scalar(v, pa.timestamp("us")), pa.int64()
+                ).as_py()
+            lo, hi = _us(ts_range[0]), _us(ts_range[1])
+
+        kept, n_bloom, n_zone = [], 0, 0
+        total = 0
+        for p in m.partitions:
+            if not p.file:
+                continue
+            total += 1
+            st = _json.loads(p.stats) if p.stats else {}
+            if hosts is not None and not bloom_may_contain(st, list(hosts)):
+                n_bloom += 1
+                continue
+            mm = st.get("mm", {}).get(ts_column)
+            if mm is not None and (
+                (lo is not None and mm[1] < lo)
+                or (hi is not None and mm[0] > hi)
+            ):
+                n_zone += 1
+                continue
+            kept.append(f"{self.config.lake_dir}/{p.file}")
+        self.last_scan_stats = {
+            "partitions_total": total,
+            "partitions_read": len(kept),
+            "pruned_by_bloom": n_bloom,
+            "pruned_by_zonemap": n_zone,
+        }
+        if not kept:
+            return rd.from_arrow(out_schema.empty_table())
+
+        key = self.config.key_column
+        # the exact row filter needs the key (host derivation) and the
+        # ts column even when the caller pruned them away
+        read_cols = list(columns) if columns else None
+        if read_cols is not None:
+            for extra in ([key] if hosts is not None else []) + (
+                [ts_column] if ts_range is not None else []
+            ):
+                if extra not in read_cols:
+                    read_cols.append(extra)
+            for c in list(read_cols):
+                if c in fillf and fillf[c] not in read_cols:
+                    read_cols.append(fillf[c])
+
+        host_set = pa.array(sorted(set(hosts)), pa.string()) if hosts else None
+
+        def _filter(t: pa.Table, s=out_schema, d=dflt, ff=fillf) -> pa.Table:
+            if host_set is not None:
+                # keys without '//' have no host component -> can't match
+                # (guards list_element against short splits on odd keys)
+                t = t.filter(pc.match_substring(t.column(key), "//"))
+                if t.num_rows:
+                    h = pc.list_element(
+                        pc.split_pattern(t.column(key), "/"), 2
+                    )
+                    t = t.filter(pc.is_in(h, value_set=host_set))
+            if ts_range is not None and t.num_rows:
+                ts = pc.cast(
+                    pc.cast(t.column(ts_column), pa.timestamp("us")),
+                    pa.int64(),
+                )
+                mask = pc.is_valid(ts)
+                if lo is not None:
+                    mask = pc.and_(mask, pc.greater_equal(ts, lo))
+                if hi is not None:
+                    mask = pc.and_(mask, pc.less_equal(ts, hi))
+                t = t.filter(mask)
+            return align_flat(t, s, d, ff)
+
+        ds = rd.read_parquet(kept, columns=read_cols)
+        return ds.map_batches(_filter, batch_format="pyarrow")
+
     # --- materialized-view maintenance -------------------------------
     def _views_path(self, version: int) -> str:
         return os.path.join(self.config.lake_dir, "views", f"v{version:08d}.json")
@@ -1355,6 +1482,7 @@ class Engine:
                 scn_hi=r["scn_hi"],
                 version=version,
                 schema_version=schema_version,
+                stats=r.get("stats", ""),
             )
             rows_applied += r["events_applied"]
         all_parts = [entries[k] for k in sorted(entries)]

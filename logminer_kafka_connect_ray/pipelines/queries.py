@@ -313,6 +313,39 @@ def lake_point_lookup(sf_dir: str) -> pa.Table:
     return _digest_html(t)
 
 
+def lake_pruned_scan(sf_dir: str) -> pa.Table:
+    """Predicate scan through the manifest's per-partition data-skipping
+    stats (``Engine.scan``): replay to final state, then scan for two
+    present hosts plus one that never existed.  Partition host-Bloom
+    filters decide which files are even opened (needle hosts prune
+    hard; the workload's dense hosts honestly saturate to a full read
+    -- the pytest proves the pruning side on planted needles), and the
+    surviving rows are exactly filtered and lineage-filled, so the
+    value hash checks byte identity against the full-replay oracle
+    filtered by the same ``split_part(url,'/',3)`` predicate."""
+    import ray as _ray
+
+    d = workload.ensure_workload(sf_dir)
+    lake = d["lake"] + "-prunedscan"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(EngineConfig(lake_dir=lake, num_partitions=16))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(d["changelog"])
+    hosts = ["site3.example", "site17.example", "no-such.example"]
+    ds = eng.scan(hosts=hosts)
+    stats = eng.last_scan_stats
+    if stats["partitions_read"] > stats["partitions_total"]:
+        raise RuntimeError(f"scan telemetry inconsistent: {stats}")
+    tbls = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_rows]
+    t = (
+        pa.concat_tables(tbls)
+        if tbls
+        else ds.schema().base_schema.empty_table()
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+    return _digest_html(t)
+
+
 def cdc_url_revision_churn(sf_dir: str) -> pa.Table:
     """Per-url revision-churn profile over the COMMITTED change stream
     (the crawl-ops question a CDC'd web lake answers: how hot is each

@@ -49,8 +49,129 @@ LINEAGE_SCHEMA = pa.schema(
         # {"view": name, "delta": [[group, d_rows, d_chars], ...]}.
         # "" when the engine has no views configured.
         ("views_delta", pa.string()),
+        # JSON-encoded data-skipping stats of the FINAL partition
+        # content (see partition_stats_json): host Bloom filter +
+        # numeric/timestamp min-max zonemaps.  "" = no stats (pre-stats
+        # manifests; scans fall back to reading the partition).
+        ("stats", pa.string()),
     ]
 )
+
+# --- per-partition data-skipping stats (lakehouse "bloom index") ------
+#: Bloom geometry for the per-partition distinct-host filter.  2048
+#: bits / k=4 gives FP < 1e-5 at 20 distinct hosts per partition and
+#: costs 512 hex chars of manifest per partition (at 1e5 partitions
+#: that is ~50 MB of manifest -- acceptable for a 100 TB lake, and the
+#: cap below empties the filter long before it saturates).
+STATS_BLOOM_BITS = 2048
+STATS_BLOOM_K = 4
+#: above this many distinct hosts the filter would saturate (prune
+#: nothing) -- store no bloom instead of a useless one.
+STATS_BLOOM_HOST_CAP = 1024
+
+
+def _bloom_hashes(hosts) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 hash pairs for Kirsch-Mitzenmacher double
+    hashing: h1 = FNV-1a of the host, h2 = an odd avalanche mix of h1.
+    Writer and prober MUST share this recipe (same module, no drift)."""
+    h1 = fnv1a_u64(hosts)
+    with np.errstate(over="ignore"):
+        h2 = h1 * np.uint64(0x9E3779B97F4A7C15)
+        h2 ^= h2 >> np.uint64(31)
+        h2 |= np.uint64(1)
+    return h1, h2
+
+
+def _bloom_positions(hosts) -> np.ndarray:
+    """(n, k) bit positions for each host."""
+    h1, h2 = _bloom_hashes(hosts)
+    j = np.arange(STATS_BLOOM_K, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        return (h1[:, None] + j * h2[:, None]) % np.uint64(STATS_BLOOM_BITS)
+
+
+def hosts_of(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Host component of url-shaped strings (``split_part(url,'/',3)``
+    -- the shared host contract of lake_host_stats); rows with fewer
+    than 3 '/'-separated parts are dropped (not url-shaped)."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    split = pc.split_pattern(urls, "/")
+    ok = pc.greater_equal(pc.list_value_length(split), 3)
+    return pc.list_element(split.filter(ok), 2)
+
+
+def partition_stats_json(final: pa.Table, key_column: str) -> str:
+    """Data-skipping stats of one FINAL partition file, computed at the
+    copy-on-write rewrite (the only moment the whole partition content
+    is in hand) and carried in the manifest's lineage entry:
+
+    * ``hb``: hex Bloom filter over the partition's DISTINCT url hosts.
+      The lake is hash-partitioned by url, so a dense host (many pages)
+      scatters over every partition and the filter prunes nothing --
+      but a NEEDLE host (a handful of pages) touches only the
+      partitions its few urls hash to, and host-predicate scans skip
+      the rest without opening a file.  Same trade as a Parquet/Delta
+      bloom index: point predicates on high-cardinality values.
+    * ``mm``: min-max zonemap per numeric/timestamp column (timestamps
+      as int64 us).  Prunes time-range scans (e.g. "pages crawled
+      after T") when a partition's warc_ts range misses the window.
+
+    Strings other than the derived host are skipped (long values would
+    bloat the JSON manifest; host + zonemaps cover the scan shapes the
+    engine serves).  Returns "" when nothing useful can be computed.
+    """
+    import json as _json
+
+    out: dict = {}
+    if final.num_rows:
+        keys = final.column(key_column)
+        if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+            hosts = pc.unique(hosts_of(keys))
+            if 0 < len(hosts) <= STATS_BLOOM_HOST_CAP:
+                pos = _bloom_positions(hosts).ravel()
+                bits = np.zeros(STATS_BLOOM_BITS // 8, np.uint8)
+                np.bitwise_or.at(
+                    bits, (pos >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+                )
+                out["hb"] = bits.tobytes().hex()
+                out["nh"] = len(hosts)
+        mm: dict = {}
+        for name in final.column_names:
+            if name == key_column:
+                continue
+            col = final.column(name)
+            typ = col.type
+            is_ts = pa.types.is_timestamp(typ) or pa.types.is_date(typ)
+            if not (pa.types.is_integer(typ) or pa.types.is_floating(typ)
+                    or is_ts):
+                continue
+            r = pc.min_max(col)
+            lo, hi = r["min"], r["max"]
+            if not lo.is_valid:
+                continue  # all-null column
+            if is_ts:
+                lo = pc.cast(pc.cast(lo, pa.timestamp("us")), pa.int64())
+                hi = pc.cast(pc.cast(hi, pa.timestamp("us")), pa.int64())
+            mm[name] = [lo.as_py(), hi.as_py()]
+        if mm:
+            out["mm"] = mm
+    return _json.dumps(out, sort_keys=True) if out else ""
+
+
+def bloom_may_contain(stats: dict, hosts: list[str]) -> bool:
+    """Probe a partition's host Bloom: True when ANY probe host may be
+    present (or when the partition has no bloom -- never prune without
+    evidence; false positives only add reads, never drop rows)."""
+    hb = stats.get("hb")
+    if not hb:
+        return True
+    bits = np.frombuffer(bytes.fromhex(hb), np.uint8)
+    pos = _bloom_positions(list(hosts))
+    byte_i = (pos >> np.uint64(3)).astype(np.int64)
+    mask = np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+    return bool(((bits[byte_i] & mask) != 0).all(axis=1).any())
 
 
 class PreaggPartitioner:
@@ -221,6 +342,7 @@ class PartitionMerger:
             "events_applied": events.num_rows,
             "rows_deleted": max(0, n_base + _inserts(events) - final.num_rows),
             "views_delta": self._views_delta_json(events, base, final),
+            "stats": partition_stats_json(final, self.key_column),
         }
         if self.ledger_dir is not None:
             # sub-batch resume point: partition file is durable (renamed

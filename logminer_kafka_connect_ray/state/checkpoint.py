@@ -43,6 +43,11 @@ class PartitionEntry:
     scn_hi: int | None = None
     version: int = 0           # version whose merge last rewrote this partition
     schema_version: int = 0
+    #: JSON data-skipping stats of the partition file content (host
+    #: Bloom + numeric/timestamp zonemaps; stages/merge.py
+    #: partition_stats_json).  "" = none (pre-stats manifests): scans
+    #: must read the partition.
+    stats: str = ""
 
 
 @dataclass

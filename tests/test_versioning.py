@@ -321,3 +321,87 @@ def test_point_lookup_prunes_and_matches_scan(ray_session, tmp_path):
     stats = eng.last_lookup_stats
     assert stats["keys_probed"] == 4
     assert 1 <= stats["partitions_read"] <= 4 < stats["partitions_total"]
+
+
+def test_scan_stats_pruning(ray_session, tmp_path):
+    """Engine.scan consults the manifest's per-partition host-Bloom +
+    zonemap stats before opening any file: a planted NEEDLE host reads
+    only the partitions its urls hash to, an absent host / impossible
+    time window opens nothing, and every surviving row is byte-
+    identical to the same predicate over a full scan (pruning is a
+    superset test -- a Bloom false positive costs a read, never a row)."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    pages = gen_pages(60)
+    # needle host: 2 pages on a host no other url uses -- they hash to
+    # at most 2 of the 8 lake partitions
+    ts0 = pages.column("warc_ts")[0]
+    needle = pa.table(
+        {
+            "url": pa.array(
+                [f"https://needle.example/d/{i}" for i in (0, 1)]
+            ),
+            "warc_ts": pa.array([ts0.as_py()] * 2, ts0.type),
+            "html": pa.array([b"<html><body>n</body></html>"] * 2,
+                             pa.binary()),
+            "text": pa.array(["n", "n"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+        }
+    )
+    pages = pa.concat_tables([pages, needle])
+    events, _final, _ = gen_changes(pages, ChangeGenConfig(n_events=200,
+                                                           seed=11))
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    changelog = str(tmp_path / "changelog")
+    write_event_batches(events, changelog, events_per_file=50)
+    eng = Engine(EngineConfig(lake_dir=str(tmp_path / "lake"),
+                              num_partitions=8))
+    eng.snapshot(pages_path, 999)
+    eng.replay(changelog)
+    full = eng.to_arrow()
+    host_full = pc.list_element(pc.split_pattern(full.column("url"), "/"), 2)
+
+    def collect(ds):
+        tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        if not tbls:
+            return None
+        t = pa.concat_tables(tbls)
+        return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+    # (1) needle host: Bloom pruning opens <= 2 of 8 partitions, rows
+    # exactly match the full-scan filter
+    got = collect(eng.scan(hosts=["needle.example"]))
+    st = eng.last_scan_stats
+    assert st["partitions_read"] <= 2 < st["partitions_total"]
+    assert st["pruned_by_bloom"] >= st["partitions_total"] - 2
+    want = full.filter(pc.equal(host_full, "needle.example"))
+    assert got is not None and got.equals(want.combine_chunks().cast(got.schema))
+
+    # (2) absent host: every partition pruned, zero files opened
+    got = collect(eng.scan(hosts=["ghost.example"]))
+    st = eng.last_scan_stats
+    assert got is None and st["partitions_read"] == 0
+
+    # (3) zonemap: a time window beyond all data opens nothing
+    hi_ts = pc.max(pc.cast(full.column("warc_ts"), pa.int64())).as_py()
+    got = collect(eng.scan(ts_range=(hi_ts + 1_000_000, None)))
+    st = eng.last_scan_stats
+    assert got is None and st["partitions_read"] == 0
+    assert st["pruned_by_zonemap"] == st["partitions_total"]
+
+    # (4) an all-covering window reads everything and returns the
+    # exact full state
+    got = collect(eng.scan(ts_range=(0, hi_ts)))
+    st = eng.last_scan_stats
+    assert st["partitions_read"] == st["partitions_total"]
+    assert got.equals(full.combine_chunks().cast(got.schema))
+
+    # (5) dense host (present in most partitions): no pruning claimed,
+    # rows still exact
+    dense = host_full[0].as_py()
+    got = collect(eng.scan(hosts=[dense]))
+    want = full.filter(pc.equal(host_full, dense))
+    assert got.equals(want.combine_chunks().cast(got.schema))
