@@ -5009,6 +5009,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stats-pruned predicate scan: per-partition host Bloom +
         # zonemap stats in the manifest decide which files are opened
         "lake_pruned_scan": q.lake_pruned_scan,
+        # dead-letter REPAIR: re-fold affected keys' full history into
+        # compensating writes; oracle = the never-corrupted replay
+        "cdc_dead_letter_replay": q.cdc_dead_letter_replay,
         "cdc_envelope_counts": q.cdc_envelope_counts,
         # training-data ops (dedup / similarity / text analysis)
         "dedup_exact": d.dedup_exact,
@@ -5478,6 +5481,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_url_revision_churn": _URL_CHURN_SQL,
         "lake_point_lookup": _POINT_LOOKUP_SQL,
         "lake_pruned_scan": _PRUNED_SCAN_SQL,
+        # repair converges to the state where corruption never happened
+        "cdc_dead_letter_replay": _FINAL_STATE_SQL,
         "cdc_envelope_counts": _ENVELOPE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_incremental": _DEDUP_INCR_SQL,

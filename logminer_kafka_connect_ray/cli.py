@@ -27,7 +27,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "command",
         choices=["snapshot", "replay", "stream", "show", "history",
-                 "vacuum", "erase", "query", "lookup"],
+                 "vacuum", "erase", "query", "lookup", "scan", "repair"],
     )
     p.add_argument("--keep", type=int, default=2,
                    help="vacuum: versions to retain")
@@ -60,6 +60,21 @@ def main(argv=None) -> int:
                         "(>1 adds an exchange; use for hot partitions)")
     p.add_argument("--changelog-format", default="struct",
                    choices=["struct", "redo_sql"])
+    p.add_argument("--hosts", default="",
+                   help="scan: comma-separated url hosts -- partitions "
+                        "whose Bloom stats exclude all of them are "
+                        "never opened")
+    p.add_argument("--ts-lo", type=int, default=None,
+                   help="scan: warc_ts window lower bound (int64 us)")
+    p.add_argument("--ts-hi", type=int, default=None,
+                   help="scan: warc_ts window upper bound (int64 us)")
+    p.add_argument("--corrections", default=None,
+                   help="repair: parquet of flat RESOLVED corrected "
+                        "events (key, commit_scn, scn, row_id, op, "
+                        "set_mask, a_*/b_*) from the repair tooling")
+    p.add_argument("--base-version", type=int, default=1,
+                   help="repair: retained lake version predating every "
+                        "correction (PITR base)")
     p.add_argument("--transform", default=None, metavar="MODULE:FUNC",
                    help="user single-message transform: dotted path to "
                         "a module-level pa.Table -> pa.Table callable "
@@ -187,6 +202,45 @@ def main(argv=None) -> int:
         else:
             print(t.to_pandas().to_string())
         print(json.dumps({"rows": t.num_rows, **eng.last_lookup_stats}))
+        ray.shutdown()
+        return 0
+    elif args.command == "scan":
+        # stats-pruned predicate scan: host Bloom + zonemap decide
+        # which partition files are even opened
+        hosts = [h for h in args.hosts.split(",") if h] or None
+        ts_range = (
+            (args.ts_lo, args.ts_hi)
+            if args.ts_lo is not None or args.ts_hi is not None
+            else None
+        )
+        if hosts is None and ts_range is None:
+            p.error("scan requires --hosts and/or --ts-lo/--ts-hi")
+        ds = eng.scan(hosts=hosts, ts_range=ts_range)
+        if args.out:
+            ds.write_parquet(args.out)
+            n = None
+        else:
+            import pyarrow as pa
+
+            tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+            n = sum(t.num_rows for t in tbls)
+            if tbls:
+                print(pa.concat_tables(tbls).slice(0, 20)
+                      .to_pandas().to_string())
+        print(json.dumps({"rows": n, **eng.last_scan_stats}))
+        ray.shutdown()
+        return 0
+    elif args.command == "repair":
+        if not args.changelog or not args.corrections:
+            p.error("repair requires --changelog and --corrections")
+        import pyarrow.parquet as pq
+
+        m = eng.repair(
+            args.changelog,
+            pq.read_table(args.corrections),
+            base_version=args.base_version,
+        )
+        print(json.dumps({"version": m.version, **eng.last_repair_stats}))
         ray.shutdown()
         return 0
     elif args.command == "history":

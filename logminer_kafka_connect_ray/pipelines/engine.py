@@ -350,7 +350,12 @@ class Engine:
             pc.sort_indices(t, sort_keys=[(self.config.key_column, "ascending")])
         )
 
-    def lookup(self, keys: list[str], version: int | None = None) -> pa.Table:
+    def lookup(
+        self,
+        keys: list[str],
+        version: int | None = None,
+        with_meta: bool = False,
+    ) -> pa.Table:
         """Point lookup by key with partition pruning: hash each probe
         key with the SAME partitioner the merge used (the manifest's
         ``hash_probe`` guards against drift via ``_require_manifest``),
@@ -369,6 +374,8 @@ class Engine:
 
         m = self._require_manifest(version)
         schema = schemas.schema_from_json(m.schema)
+        if with_meta:
+            schema = schemas.lake_schema(schema)
         dflt = typed_defaults(schema, m.defaults, self.config.db_timezone)
         fillf = {new: old for old, new in (m.renames or {}).items()}
         want = sorted(set(keys))
@@ -1274,6 +1281,235 @@ class Engine:
                 lambda t: first_per_key(t.drop_columns(["_p"])),
                 batch_format="pyarrow",
             )
+        )
+
+    def repair(
+        self,
+        changelog_dir: str,
+        corrections: pa.Table,
+        base_version: int = 1,
+    ) -> Manifest:
+        """Dead-letter repair as COMPENSATING WRITES (the pt-table-sync
+        shape): re-fold each affected key's FULL history -- its base
+        row at a retained pre-correction version + every decodable
+        original event + the supplied corrections -- and write the
+        key's true final value as one full-image repair event at
+        ``last_commit_scn + 1`` through the standard merge.
+
+        Why not simply merge the corrected events at their original
+        coordinates?  The lake is a LOSSY fold: a base row is a full
+        image stamped at its last-applied ``(commit_scn, scn)``, so an
+        OLDER corrected event (e.g. a dead-lettered INSERT under later
+        partial updates) would be dominated and its never-again-set
+        columns stay null.  A late event fundamentally requires
+        re-folding its key's history (the same reason a compacted
+        Kafka topic cannot take out-of-order keys); doing so per
+        affected key keeps the rebuild at O(one changelog scan +
+        affected-key events), independent of lake size.
+
+        ``corrections`` is a flat RESOLVED event table -- the repair
+        tooling consulted the source of truth (reference analog: the
+        connector re-selects rows it could not parse): ``(key,
+        commit_scn, scn, row_id, op, set_mask, a_*/b_*)``; rolled-back
+        txns must be excluded by the fixer (they never committed).
+        ``base_version`` names a retained version whose watermark
+        predates every correction (default: the snapshot) -- repair
+        needs base + log, the same retention contract as
+        point-in-time recovery.
+
+        The compensating version moves NO watermark: pending changelog
+        files stay pending, and genuinely newer changes replayed later
+        still win (they carry higher commit SCNs).  Keys whose
+        re-folded history ends deleted (or never existed) get a
+        compensating delete -- a no-op if already absent."""
+        import ray.data as rd
+
+        cfg = self.config
+        m = self._require_manifest()
+        if self.store.load(base_version) is None:
+            raise RuntimeError(
+                f"repair base version {base_version} is not retained "
+                "(vacuumed?); repair needs base + changelog, like PITR"
+            )
+        schema = schemas.schema_from_json(m.schema)
+        flat_schema = schemas.flat_change_schema(cfg.key_column, schema)
+        data_cols = schemas.data_columns_of(schema, cfg.key_column)
+        full_mask = (1 << len(data_cols)) - 1
+        keys = sorted(
+            set(pc.drop_null(corrections.column(cfg.key_column)).to_pylist())
+        )
+        self.last_repair_stats = {
+            "keys_targeted": len(keys), "keys_alive": 0, "keys_deleted": 0,
+        }
+        if not keys:
+            return m
+        key_set = pa.array(keys, pa.string())
+        key_col = cfg.key_column
+
+        # (1) decode+resolve the ORIGINAL changelog up to the current
+        # watermark with the same fused processor replay uses (whole
+        # log: late events need history from the beginning), keeping
+        # only the affected keys' rows
+        files = changelog_src.list_batch_files(changelog_dir)
+        paths = [f.path for f in files]
+        schema_json = schemas.schema_to_json(schema)
+        _info, markers_ref = collect_txn_info_ref(paths, None, m.watermark_scn)
+        decoded = rd.read_parquet(paths).map_batches(
+            make_processor_fn(
+                markers_ref, schema_json, key_col, cfg.table_whitelist,
+                None, m.watermark_scn, cfg.num_partitions, "committed",
+                changelog_format=cfg.changelog_format,
+                db_timezone=cfg.db_timezone,
+                transform=cfg.transform,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+        def only_keys(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column(key_col), value_set=key_set))
+
+        history = decoded.map_batches(only_keys, batch_format="pyarrow")
+
+        # (2) base rows of the affected keys at the retained
+        # pre-correction version (hash-pruned point read), as 'r'
+        # pseudo-events at their recorded coordinates
+        from logminer_kafka_connect_ray.stages.fold import (
+            base_as_pseudo_events,
+            fold_final,
+        )
+
+        dflt = typed_defaults(schema, m.defaults, cfg.db_timezone)
+        fillf = {new: old for old, new in (m.renames or {}).items()}
+        base_rows = self.lookup(keys, version=base_version, with_meta=True)
+        pieces = [history]
+        if base_rows.num_rows:
+            base_flat = base_as_pseudo_events(
+                base_rows, schema, key_col, defaults=dflt, fill_from=fillf
+            )
+            pieces.append(rd.from_arrow(align_flat(base_flat, flat_schema)))
+        # (3) the corrections themselves (schema-aligned)
+        pieces.append(rd.from_arrow(align_flat(corrections, flat_schema)))
+        stamp = PreaggPartitioner(key_col, len(data_cols), cfg.num_partitions)
+        merged = history.map_batches(
+            lambda t: align_flat(
+                t.drop_columns(["_part"]), flat_schema
+            ).append_column("_part", t.column("_part")),
+            batch_format="pyarrow",
+        )
+        for p in pieces[1:]:
+            merged = merged.union(
+                p.map_batches(stamp, batch_format="pyarrow").map_batches(
+                    lambda t: align_flat(
+                        t.drop_columns(["_part"]), flat_schema
+                    ).append_column("_part", t.column("_part")),
+                    batch_format="pyarrow",
+                )
+            )
+
+        # (4) per-key re-fold (one exchange; volume = affected keys'
+        # events only) -> compensating full-image events at
+        # last_commit_scn + 1
+        repair_scn = m.last_commit_scn + 1
+
+        def refold(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return align_flat(
+                    flat_schema.empty_table(), flat_schema
+                ).append_column("_part", pa.array([], pa.int64()))
+            final = fold_final(
+                t.drop_columns(["_part"]), schema, key_col
+            )
+            n = final.num_rows
+            cols = {
+                key_col: final.column(key_col),
+                "commit_scn": pa.array([repair_scn] * n, pa.int64()),
+                "scn": pa.array([repair_scn] * n, pa.int64()),
+                "row_id": pa.array(["repair"] * n, pa.string()),
+                "op": pa.array(["r"] * n, pa.string()),
+                "set_mask": pa.array([full_mask] * n, pa.int64()),
+            }
+            for c in data_cols:
+                cols[f"a_{c}"] = final.column(c)
+                cols[f"b_{c}"] = pa.nulls(n, schema.field(c).type)
+            out = align_flat(pa.table(cols), flat_schema)
+            from logminer_kafka_connect_ray.functions.hashing import (
+                partition_ids,
+            )
+
+            return out.append_column(
+                "_part",
+                pa.array(partition_ids(out.column(key_col),
+                                       cfg.num_partitions)),
+            )
+
+        # materialize: the compensating rows are consumed twice (alive-
+        # key sweep + merge) and must not re-run the changelog scan;
+        # blocks stay in the object store, only KEYS reach the driver
+        comp = (
+            merged.sort("_part", boundaries=list(range(1, cfg.num_partitions)))
+            .map_batches(refold, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        alive: set = set()
+        n_comp = 0
+        for ref in comp.select_columns([key_col]).to_arrow_refs():
+            kt = _ray().get(ref)
+            if kt.num_rows == 0 or key_col not in kt.column_names:
+                continue  # schemaless empty exchange block
+            n_comp += kt.num_rows
+            alive.update(kt.column(key_col).to_pylist())
+        if n_comp != len(alive):
+            # the _part exchange split a partition across blocks and a
+            # key folded twice -- refuse to publish partial folds
+            raise RuntimeError(
+                "repair refold fragmented a partition across blocks "
+                f"({n_comp} rows for {len(alive)} keys); raise "
+                "DataContext.target_max_block_size"
+            )
+        # keys whose re-folded history is EMPTY (true-deleted or never
+        # existed): compensating delete (no-op when already absent)
+        gone = [k for k in keys if k not in alive]
+        repair_ds = comp
+        if gone:
+            ng = len(gone)
+            dcols = {
+                key_col: pa.array(gone, pa.string()),
+                "commit_scn": pa.array([repair_scn] * ng, pa.int64()),
+                "scn": pa.array([repair_scn] * ng, pa.int64()),
+                "row_id": pa.array(["repair"] * ng, pa.string()),
+                "op": pa.array(["d"] * ng, pa.string()),
+                "set_mask": pa.array([0] * ng, pa.int64()),
+            }
+            for c in data_cols:
+                dcols[f"a_{c}"] = pa.nulls(ng, schema.field(c).type)
+            from logminer_kafka_connect_ray.functions.hashing import (
+                partition_ids,
+            )
+
+            dt = align_flat(pa.table(dcols), flat_schema)
+            dt = dt.append_column(
+                "_part",
+                pa.array(partition_ids(dt.column(key_col),
+                                       cfg.num_partitions)),
+            )
+            repair_ds = comp.union(rd.from_arrow(dt))
+        self.last_repair_stats = {
+            "keys_targeted": len(keys),
+            "keys_alive": len(alive),
+            "keys_deleted": len(gone),
+        }
+        return self._merge_and_publish(
+            repair_ds,
+            version=m.version + 1,
+            phase="repair",
+            table_schema=schema,
+            schema_version=m.schema_version,
+            scn_lo=m.watermark_scn - 1,
+            scn_hi=m.watermark_scn,
+            prev=m,
+            open_spill=None,
+            pre_partitioned=True,
         )
 
     def _count_dead_letters(self, version: int) -> int:

@@ -346,6 +346,47 @@ def lake_pruned_scan(sf_dir: str) -> pa.Table:
     return _digest_html(t)
 
 
+def cdc_dead_letter_replay(sf_dir: str) -> pa.Table:
+    """Dead-letter REPAIR gate: replay the corrupted changelog (every
+    101st change event's key nulled -> routed to ``lake/dead_letters``),
+    then repair -- the fixer re-selects the failed rows from the
+    source of truth (``workload.derive_corrections``) and
+    ``Engine.repair`` re-folds each affected key's full history
+    (retained snapshot base + original log + corrections) into
+    compensating full-image writes.  The oracle is the UNCORRUPTED
+    full-replay final state, so the value hash proves the repaired
+    lake is byte-identical to the universe where the corruption never
+    happened -- including dead-lettered INSERTs buried under later
+    partial updates (the case a naive late-event merge gets wrong)."""
+    import os as _os
+
+    import ray as _ray
+
+    d = workload.ensure_workload(sf_dir)
+    corrupt = _os.path.join(d["root"], "changelog-corrupt")
+    marker = _os.path.join(d["root"], "_ready_corrupt")
+    if not _os.path.exists(marker):
+        workload.derive_changelog_corrupt(sf_dir, corrupt)
+        open(marker, "w").write("ok")
+    lake = d["lake"] + "-repair"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = Engine(EngineConfig(lake_dir=lake, num_partitions=16))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(corrupt)
+    dl = eng.read_dead_letters()
+    scns = sorted(
+        s
+        for t in _ray.get(dl.to_arrow_refs())
+        if t.num_rows and "scn" in t.column_names
+        for s in t.column("scn").to_pylist()
+    )
+    if not scns:
+        raise RuntimeError("corruption fixture produced no dead letters")
+    corr = workload.derive_corrections(sf_dir, scns)
+    eng.repair(corrupt, corr)
+    return _digest_html(eng.to_arrow())
+
+
 def cdc_url_revision_churn(sf_dir: str) -> pa.Table:
     """Per-url revision-churn profile over the COMMITTED change stream
     (the crawl-ops question a CDC'd web lake answers: how hot is each

@@ -784,6 +784,94 @@ def derive_changelog_corrupt(
     return outs
 
 
+def derive_corrections(sf_dir: str, scns: list[int]) -> pa.Table:
+    """Repair-tooling stand-in: rebuild the FLAT RESOLVED change events
+    for the given dead-lettered SCNs by consulting the source of truth
+    (the events table), exactly as an operator would re-select the
+    rows a connector failed to parse.  Output shape is what
+    ``Engine.repair`` takes: ``(url, commit_scn, scn, row_id, op,
+    set_mask, a_*/b_*)``.
+
+    Fidelity contract: values, validity and set_mask reproduce what
+    the struct decoder would have produced for the uncorrupted rows
+    (set_mask bit i = i-th data column in schema order: warc_ts=1,
+    html=2, text=4, lang=8; INSERT sets all, DELETE none, UPDATE only
+    the etype-driven columns -- before-images are null in this
+    workload, so decoder UPDATE enrichment adds no bits).  Rolled-back
+    txns are dropped: they never committed, so there is nothing to
+    repair."""
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    want_eids = np.array(sorted((s - SCN0) // 2 for s in set(scns)), np.int64)
+    ev = ev.filter(
+        pc.is_in(pc.cast(ev.column("event_id"), pa.int64()),
+                 value_set=pa.array(want_eids))
+    )
+    eid = ev.column("event_id").to_numpy().astype(np.int64)
+    etype = ev.column("event_type").to_pandas().to_numpy()
+    user = ev.column("user_id").to_numpy()
+    ts_us = (
+        ev.column("ts").cast(pa.timestamp("us")).to_numpy()
+        .astype("datetime64[us]").astype(np.int64)
+    )
+    tx = eid // TXN_SIZE
+    committed = tx % ROLLBACK_MOD != ROLLBACK_REM
+    eid, etype, user, ts_us, tx = (
+        eid[committed], etype[committed], user[committed],
+        ts_us[committed], tx[committed],
+    )
+    scn = SCN0 + eid * 2
+    cscn = SCN0 + (tx * TXN_SIZE + (TXN_SIZE - 1)) * 2 + 1
+    op = np.where(etype == "error", "d",
+                  np.where(etype == "signup", "i", "u"))
+    is_i = op == "i"
+    is_d = op == "d"
+    is_text = is_i | (etype == "click") | (etype == "view")
+    is_lang = is_i | (etype == "purchase")
+    # set_mask bits in schema data-column order (warc_ts, html, text,
+    # lang); deletes set none
+    mask = np.where(
+        is_i, 15,
+        (is_text & ~is_d) * 4 + (is_lang & ~is_d) * 8,
+    ).astype(np.int64)
+
+    def _masked(vals, valid, typ):
+        a = vals if isinstance(vals, (pa.Array, pa.ChunkedArray)) else pa.array(vals)
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        out = pc.if_else(pa.array(valid), a.cast(typ),
+                         pa.nulls(len(valid), typ))
+        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+    i_arr = pa.array(is_i)
+    text_val = pc.if_else(i_arr, _concat("signup:", eid), _concat("u:", eid))
+    lang_val = pc.if_else(i_arr, _concat("xx", eid % 5), _concat("p", eid % 5))
+    html_val = _concat("<html><body>signup:", eid, "</body></html>")
+    n = len(eid)
+    cols = {
+        "url": _urls(user % n_docs),
+        "commit_scn": pa.array(cscn, pa.int64()),
+        "scn": pa.array(scn, pa.int64()),
+        "row_id": _concat("R", scn),
+        "op": pa.array(op.astype(object), pa.string()),
+        "set_mask": pa.array(mask),
+        "a_warc_ts": _masked(ts_us, is_i, pa.timestamp("us")),
+        "a_html": pc.cast(_masked(html_val, is_i, pa.string()), pa.binary()),
+        "a_text": _masked(text_val, is_text & ~is_d, pa.string()),
+        "a_lang": _masked(lang_val, is_lang & ~is_d, pa.string()),
+        "b_warc_ts": pa.nulls(n, pa.timestamp("us")),
+        "b_html": pa.nulls(n, pa.binary()),
+        "b_text": pa.nulls(n, pa.string()),
+        "b_lang": pa.nulls(n, pa.string()),
+    }
+    return pa.table(cols)
+
+
 # ---------------------------------------------------------------------------
 # Schema evolution with DDL DEFAULT (ChangingTableTest.kt:42-93)
 # ---------------------------------------------------------------------------

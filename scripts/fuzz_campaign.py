@@ -74,14 +74,99 @@ def run_seed(seed: int, root: str) -> None:
         for r in pages.to_pylist()
     }
     want = replay_oracle(base, events)
-    got_tbl = eng.to_arrow()
-    if "fetch_status" in got_tbl.column_names:
-        for row in want.values():
-            row.setdefault("fetch_status", None)
-    got = table_to_state(got_tbl)
-    diff = state_diff(got, want)
-    if diff:
-        raise AssertionError(f"seed {seed}: {diff}")
+
+    def check(engine, leg: str) -> None:
+        got_tbl = engine.to_arrow()
+        w = want
+        if "fetch_status" in got_tbl.column_names:
+            w = {u: dict(r) for u, r in want.items()}
+            for row in w.values():
+                row.setdefault("fetch_status", None)
+        diff = state_diff(table_to_state(got_tbl), w)
+        if diff:
+            raise AssertionError(f"seed {seed} [{leg}]: {diff}")
+
+    check(eng, "replay")
+
+    if seed % 2 == 0:
+        _repair_leg(seed, root, pages_path, events, check)
+
+
+def _repair_leg(seed, root, pages_path, events, check) -> None:
+    """Corruption + dead-letter-repair leg: null the key of a
+    deterministic subset of decodable change events, replay the
+    corrupted log (rows dead-letter), then repair with corrections
+    decoded from the ORIGINAL rows by the engine's own ChangeDecoder
+    -- the repaired lake must equal the same uncorrupted oracle."""
+    import copy
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from logminer_kafka_connect_ray import schemas
+    from logminer_kafka_connect_ray.stages.decode import ChangeDecoder
+    from logminer_kafka_connect_ray.testing.gen import events_to_table
+
+    commit_scn_of = {
+        e["tx_id"]: e["scn"] for e in events if e["op"] == "commit"
+    }
+    cand = [
+        e for e in events
+        if e["op"] in ("i", "u", "d") and e.get("status", 0) != 2
+    ]
+    step = 3 + seed % 4
+    corrupt = {e["scn"] for i, e in enumerate(cand) if i % step == 0}
+    if not corrupt:
+        return
+    bad_events = []
+    for e in events:
+        if e["scn"] in corrupt and e["op"] in ("i", "u", "d"):
+            e = copy.deepcopy(e)
+            e["url"] = None
+        bad_events.append(e)
+    bad_dir = f"{root}/changelog-bad"
+    write_event_batches(bad_events, bad_dir, events_per_file=40)
+
+    eng = Engine(
+        EngineConfig(lake_dir=f"{root}/lake-repair",
+                     num_partitions=2 + seed % 5)
+    )
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    eng.replay(bad_dir)
+
+    dead = {
+        s
+        for t in ray.get(eng.read_dead_letters().to_arrow_refs())
+        if t.num_rows and "scn" in t.column_names
+        for s in t.column("scn").to_pylist()
+    }
+    if not corrupt <= dead:
+        raise AssertionError(
+            f"seed {seed} [repair]: corrupt rows not all dead-lettered "
+            f"(missing {sorted(corrupt - dead)[:5]})"
+        )
+    # corrections: re-decode the ORIGINAL rows of committed corrupt
+    # events with the engine's own decoder, then resolve commit_scn
+    # from the source's txn map (rolled-back/open txns: nothing to fix)
+    fix = [
+        e for e in events
+        if e["scn"] in dead and e["op"] in ("i", "u", "d")
+        and e["tx_id"] in commit_scn_of
+    ]
+    if fix:
+        m = eng.store.load()
+        schema = schemas.schema_from_json(m.schema)
+        evolved = any("fetch_status" in (e.get("after") or {}) for e in events)
+        raw = events_to_table(fix, evolved and "fetch_status" in schema.names)
+        flat = ChangeDecoder(schema, "url")(raw)
+        cscn = pa.array(
+            [commit_scn_of[e["tx_id"]] for e in fix], pa.int64()
+        )
+        flat = flat.set_column(
+            flat.schema.get_field_index("commit_scn"), "commit_scn", cscn
+        )
+        eng.repair(bad_dir, flat)
+    check(eng, "repair")
 
 
 def main() -> int:

@@ -48,6 +48,19 @@ def test_cli_lifecycle(ray_session, tmp_path, monkeypatch, capsys):
     assert 1 <= outl["partitions_read"] <= 3
     assert 0 <= outl["rows"] <= 2  # either url may have been deleted
 
+    host = url.split("/")[2]
+    assert cli.main(["scan", "--lake", lake, "--hosts",
+                     f"{host},ghost.example", "--partitions", "3"]) == 0
+    outs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert outs["partitions_read"] <= outs["partitions_total"]
+    assert outs["rows"] >= 1  # the host has pages in the lake
+
+    # a time window beyond all data: zonemaps prune every partition
+    assert cli.main(["scan", "--lake", lake, "--ts-lo",
+                     str(10**18), "--partitions", "3"]) == 0
+    outz = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert outz["partitions_read"] == 0 and outz["rows"] == 0
+
     assert cli.main(["erase", "--lake", lake, "--keys", url,
                      "--partitions", "3"]) == 0
     out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

@@ -405,3 +405,52 @@ def test_scan_stats_pruning(ray_session, tmp_path):
     got = collect(eng.scan(hosts=[dense]))
     want = full.filter(pc.equal(host_full, dense))
     assert got.equals(want.combine_chunks().cast(got.schema))
+
+
+def test_repair_guards_and_idempotence(ray_session, tmp_path):
+    """Engine.repair edge contracts: a second repair with the same
+    corrections is a data no-op (compensating writes are stable),
+    empty corrections publish nothing, and repair refuses to run when
+    the base version it needs has been vacuumed (the PITR retention
+    contract fails loudly, never silently mis-folds)."""
+    import os as _os
+
+    import pytest
+
+    from logminer_kafka_connect_ray import workload
+
+    sf = "/root/testdata/sf0.001"
+    d = workload.ensure_workload(sf)
+    corrupt = _os.path.join(d["root"], "changelog-corrupt")
+    marker = _os.path.join(d["root"], "_ready_corrupt")
+    if not _os.path.exists(marker):
+        workload.derive_changelog_corrupt(sf, corrupt)
+        open(marker, "w").write("ok")
+    eng = Engine(EngineConfig(lake_dir=str(tmp_path / "lake"),
+                              num_partitions=8))
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(corrupt)
+    import ray as _ray
+
+    scns = sorted(
+        s
+        for t in _ray.get(eng.read_dead_letters().to_arrow_refs())
+        if t.num_rows and "scn" in t.column_names
+        for s in t.column("scn").to_pylist()
+    )
+    assert scns, "corruption fixture produced no dead letters"
+    corr = workload.derive_corrections(sf, scns)
+
+    m1 = eng.repair(corrupt, corr)
+    assert eng.last_repair_stats["keys_targeted"] >= 1
+    t1 = eng.to_arrow()
+    # repair again: new version, identical data
+    m2 = eng.repair(corrupt, corr)
+    assert m2.version == m1.version + 1
+    assert eng.to_arrow().equals(t1)
+    # empty corrections: no-op, no new version
+    assert eng.repair(corrupt, corr.slice(0, 0)).version == m2.version
+    # vacuum away the snapshot base: repair must refuse, not mis-fold
+    eng.vacuum(keep_versions=1)
+    with pytest.raises(RuntimeError, match="not retained"):
+        eng.repair(corrupt, corr)
