@@ -4669,6 +4669,57 @@ GROUP BY dst
 ORDER BY dst
 """
 
+# PageRank over the replanted edge set with the engine's exact integer
+# recurrence: share = r // outdeg per edge, update = base +
+# (85 * in_sum) // 100, base = (15 * (R // N)) // 100, R = 1e12 -- all
+# floor integer ops, so every rank matches bit-for-bit after 3 rounds.
+_WEB_PAGERANK_SQL = r"""
+WITH n AS (SELECT count(*)::BIGINT AS nn FROM documents),
+docs AS (SELECT doc_id FROM documents),
+e AS (
+  SELECT d.doc_id AS src,
+         ((d.doc_id * 7 + 13 * j) % nd.nn)::BIGINT AS dst,
+         (1 + d.doc_id % 4)::BIGINT AS deg
+  FROM documents d, n nd,
+       unnest(range(1, 2 + (d.doc_id % 4))) AS t(j)
+),
+r0 AS (
+  SELECT doc_id, (1000000000000 // nn)::BIGINT AS r
+  FROM docs CROSS JOIN n
+),
+s1 AS (
+  SELECT e.dst AS doc_id, sum(r0.r // e.deg)::BIGINT AS s
+  FROM e JOIN r0 ON r0.doc_id = e.src GROUP BY e.dst
+),
+r1 AS (
+  SELECT d.doc_id,
+         ((15 * (1000000000000 // n.nn)) // 100
+            + (85 * COALESCE(s1.s, 0)) // 100)::BIGINT AS r
+  FROM docs d CROSS JOIN n LEFT JOIN s1 ON s1.doc_id = d.doc_id
+),
+s2 AS (
+  SELECT e.dst AS doc_id, sum(r1.r // e.deg)::BIGINT AS s
+  FROM e JOIN r1 ON r1.doc_id = e.src GROUP BY e.dst
+),
+r2 AS (
+  SELECT d.doc_id,
+         ((15 * (1000000000000 // n.nn)) // 100
+            + (85 * COALESCE(s2.s, 0)) // 100)::BIGINT AS r
+  FROM docs d CROSS JOIN n LEFT JOIN s2 ON s2.doc_id = d.doc_id
+),
+s3 AS (
+  SELECT e.dst AS doc_id, sum(r2.r // e.deg)::BIGINT AS s
+  FROM e JOIN r2 ON r2.doc_id = e.src GROUP BY e.dst
+),
+r3 AS (
+  SELECT d.doc_id,
+         ((15 * (1000000000000 // n.nn)) // 100
+            + (85 * COALESCE(s3.s, 0)) // 100)::BIGINT AS r
+  FROM docs d CROSS JOIN n LEFT JOIN s3 ON s3.doc_id = d.doc_id
+)
+SELECT doc_id, r FROM r3 ORDER BY doc_id
+"""
+
 _URL_CANON_SQL = r"""
 WITH raw AS (
   SELECT doc_id,
@@ -5398,6 +5449,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # <a href> anchor extraction from html:binary -> per-dst
         # inlink stats (web-graph construction step)
         "html_outlinks": d.html_outlinks,
+        # PageRank over the REAL extracted link graph (variable
+        # out-degree edge table co-partitioned with the rank state)
+        "web_pagerank": d.web_pagerank,
         # training-sequence chunking: fixed word windows with
         # overlap, fan-out vectorized per chunk ordinal
         "doc_chunking": d.doc_chunking,
@@ -5655,6 +5709,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _URL_CANON_SQL,
         "html_text_extract": _HTML_EXTRACT_SQL,
         "html_outlinks": _HTML_OUTLINKS_SQL,
+        "web_pagerank": _WEB_PAGERANK_SQL,
         "doc_chunking": _DOC_CHUNK_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
         "corpus_budget_select": _BUDGET_SELECT_SQL,

@@ -4256,29 +4256,7 @@ def html_outlinks(sf_dir: str) -> pa.Table:
 
     n_docs, _ = _table_meta(sf_dir, "documents")
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def build(t: pa.Table) -> pa.Table:
-        did = pc.cast(t.column("doc_id"), pa.int64())
-        dn = did.combine_chunks().to_numpy(zero_copy_only=False)
-        s = pa.scalar
-        parts = [s("<html><body>")]
-        for j in range(1, 5):
-            dst = (dn * 7 + 13 * j) % n_docs
-            anchor = pc.binary_join_element_wise(
-                s('<a href="https://site'),
-                pc.cast(pa.array(dst % 20), pa.string()),
-                s(".example/d/"),
-                pc.cast(pa.array(dst), pa.string()),
-                s('">l</a>'),
-                "",
-            )
-            parts.append(
-                pc.if_else(pa.array(dn % 4 >= j - 1), anchor, s(""))
-            )
-        parts += [s("<p>"), _escape_html_text(t.column("text")),
-                  s("</p></body></html>")]
-        html = pc.binary_join_element_wise(*parts, "")
-        return pa.table({"doc_id": did, "html": pc.cast(html, pa.binary())})
+    build = _build_linked_html(n_docs)
 
     def extract_combine(t: pa.Table) -> pa.Table:
         src = (
@@ -4336,6 +4314,224 @@ def html_outlinks(sf_dir: str) -> pa.Table:
             "n_src_hosts": pa.array(n_src_hosts.astype(np.int64)),
         }
     )
+
+
+def _build_linked_html(n_docs: int):
+    """Page builder shared by :func:`html_outlinks` and
+    :func:`web_pagerank`: each page plants ``1 + doc_id % 4``
+    deterministic anchors (``dst = (doc_id*7 + 13*j) % n_docs``)
+    around its escaped text -- the operators under test then see only
+    html bytes."""
+
+    def build(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.int64())
+        dn = did.combine_chunks().to_numpy(zero_copy_only=False)
+        s = pa.scalar
+        parts = [s("<html><body>")]
+        for j in range(1, 5):
+            dst = (dn * 7 + 13 * j) % n_docs
+            anchor = pc.binary_join_element_wise(
+                s('<a href="https://site'),
+                pc.cast(pa.array(dst % 20), pa.string()),
+                s(".example/d/"),
+                pc.cast(pa.array(dst), pa.string()),
+                s('">l</a>'),
+                "",
+            )
+            parts.append(
+                pc.if_else(pa.array(dn % 4 >= j - 1), anchor, s(""))
+            )
+        parts += [s("<p>"), _escape_html_text(t.column("text")),
+                  s("</p></body></html>")]
+        html = pc.binary_join_element_wise(*parts, "")
+        return pa.table({"doc_id": did, "html": pc.cast(html, pa.binary())})
+
+    return build
+
+
+def web_pagerank(sf_dir: str, iters: int = 3) -> pa.Table:
+    """PageRank over the REAL extracted web graph: edges come out of
+    the ``html:binary`` bytes with the same anchor kernels as
+    :func:`html_outlinks` (split_pattern -> list_flatten/parent,
+    extract_regex), out-degree comes from the page itself (its anchor
+    count), and the damped iteration runs with EXACT int64 ranks so
+    the SQL oracle reproduces every rank bit-for-bit: ranks at scale
+    1e12, per-edge share ``r // outdeg``, update ``base +
+    (85 * in_sum) // 100`` with ``base = (15 * (R // N)) // 100`` --
+    all floor ops, identical in numpy and DuckDB.  Unlike
+    :func:`doc_pagerank` (fixed synthetic out-degree 3, no edge
+    table), this is the full scatter-gather shape a real crawl graph
+    needs: variable out-degree, an edge TABLE that must be co-located
+    with the rank state.
+
+    Scale shape: edges are extracted ONCE and materialized already
+    stamped with ``_p = hash(src)`` (object-store blocks, reused
+    every iteration -- html is never re-parsed); each iteration is
+    (1) a union of the tagged rank table (same partitioner) with the
+    edge blocks and ONE exchange on ``_p`` so every src's rank and
+    its out-edges land in one block, (2) a vectorized searchsorted
+    share expansion (rank-not-found doubles as the split guard),
+    (3) ONE exchange on ``hash(dst)`` and a reduceat gather-sum.
+    Rank state never touches the driver until the output-sized
+    finish."""
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    R = _PR_SCALE
+    base = (15 * (R // n_docs)) // 100
+    r0 = R // n_docs
+    P = _exchange_width(n_docs * 4)
+
+    tag_schema = pa.schema(
+        [("k1", pa.int64()), ("k2", pa.int64()), ("k3", pa.int64()),
+         ("kind", pa.int64()), ("_p", pa.int64())]
+    )
+    share_schema = pa.schema(
+        [("dst", pa.int64()), ("share", pa.int64()), ("_p", pa.int64())]
+    )
+    rank_schema = pa.schema([("doc_id", pa.int64()), ("r", pa.int64())])
+
+    def edges_extract(t: pa.Table) -> pa.Table:
+        """build() output -> tagged edge rows (src, dst, outdeg)."""
+        if t.num_rows == 0:
+            return tag_schema.empty_table()
+        src = (
+            pc.cast(t.column("doc_id"), pa.int64())
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        h = pc.cast(t.column("html").combine_chunks(), pa.large_string())
+        parts = pc.split_pattern(h, '<a href="')
+        lens = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        starts = np.cumsum(lens) - lens
+        ordin = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        mask = ordin > 0
+        flat = flat.filter(pa.array(mask))
+        srcs = src[parent[mask]]
+        outdeg = (lens - 1)[parent[mask]]
+        ex = pc.extract_regex(
+            flat, r'^https://site[0-9]+\.example/d/(?P<id>[0-9]+)"'
+        )
+        ids = pc.struct_field(ex, "id")
+        if ids.null_count:
+            raise ValueError("web_pagerank: unparseable anchor href")
+        dst = pc.cast(ids, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"k1": pa.array(srcs), "k2": pa.array(dst),
+             "k3": pa.array(outdeg),
+             "kind": pa.array(np.ones(len(dst), np.int64)),
+             "_p": pa.array(partition_ids(pa.array(srcs), P))},
+            schema=tag_schema,
+        )
+
+    def tag_ranks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tag_schema.empty_table()
+        doc = pc.cast(t.column("doc_id"), pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {"k1": doc, "k2": t.column("r"),
+             "k3": pa.array(np.zeros(n, np.int64)),
+             "kind": pa.array(np.zeros(n, np.int64)),
+             "_p": pa.array(partition_ids(doc, P))},
+            schema=tag_schema,
+        )
+
+    # page build shared with html_outlinks (same planted anchors);
+    # extract once, keep the stamped edge blocks in the object store
+    edges_ds = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(_build_linked_html(n_docs), batch_format="pyarrow")
+        .map_batches(edges_extract, batch_format="pyarrow")
+        .materialize()
+    )
+
+    ranks = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: tag_ranks(
+            pa.table(
+                {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                 "r": pa.array(np.full(t.num_rows, r0, np.int64))},
+                schema=rank_schema,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    guards = []
+    for it in range(iters):
+        gd = _new_guard_dir(f"wpr{it}")
+        guards.append(gd)
+
+        def join_block(t: pa.Table, _gd=gd, _it=it) -> pa.Table:
+            if t.num_rows == 0:
+                return share_schema.empty_table()
+            _guard_record(
+                _gd, f"wprj{_it}",
+                t.column("_p").to_numpy(zero_copy_only=False),
+            )
+            kind = t.column("kind").to_numpy(zero_copy_only=False)
+            k1 = t.column("k1").to_numpy(zero_copy_only=False)
+            k2 = t.column("k2").to_numpy(zero_copy_only=False)
+            k3 = t.column("k3").to_numpy(zero_copy_only=False)
+            is_r = kind == 0
+            rdoc, rr = k1[is_r], k2[is_r]
+            order = np.argsort(rdoc, kind="stable")
+            rdoc, rr = rdoc[order], rr[order]
+            esrc, edst, edeg = k1[~is_r], k2[~is_r], k3[~is_r]
+            pos = np.searchsorted(rdoc, esrc)
+            if len(esrc) and (
+                (pos >= len(rdoc)).any() or (rdoc[pos] != esrc).any()
+            ):
+                raise RuntimeError(
+                    "web_pagerank: edge src without co-located rank "
+                    "(exchange split a partition across blocks)"
+                )
+            sh = rr[pos] // edeg if len(esrc) else esrc
+            dst = np.concatenate([edst, rdoc])
+            share = np.concatenate([sh, np.zeros(len(rdoc), np.int64)])
+            return pa.table(
+                {"dst": pa.array(dst), "share": pa.array(share),
+                 "_p": pa.array(partition_ids(pa.array(dst), P))},
+                schema=share_schema,
+            )
+
+        def gather(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return tag_schema.empty_table()
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            share = t.column("share").to_numpy(zero_copy_only=False)
+            order = np.argsort(dst, kind="stable")
+            dst, share = dst[order], share[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], dst[1:] != dst[:-1]])
+            )
+            sums = np.add.reduceat(share, starts)
+            return tag_ranks(
+                pa.table(
+                    {"doc_id": pa.array(dst[starts]),
+                     "r": pa.array(base + (85 * sums) // 100)},
+                    schema=rank_schema,
+                )
+            )
+
+        ranks = (
+            ranks.union(edges_ds)
+            .sort("_p", boundaries=list(range(1, P)))
+            .map_batches(join_block, batch_format="pyarrow", batch_size=None)
+            .sort("_p", boundaries=list(range(1, P)))
+            .map_batches(gather, batch_format="pyarrow", batch_size=None)
+        )
+
+    t = pa.Table.from_pandas(ranks.to_pandas(), preserve_index=False)
+    t = pa.table(
+        {"doc_id": t.column("k1"), "r": t.column("k2")}, schema=rank_schema
+    )
+    for gd in guards:
+        t = _finalize_guard(gd, t)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
 
 
 # ---------------------------------------------------------------------------
