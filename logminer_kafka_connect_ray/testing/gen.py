@@ -621,3 +621,39 @@ def smt_mark_text(t):
     return t.set_column(i, "a_text", pc.if_else(
         pc.is_valid(t.column("a_text")), marked, t.column("a_text")
     ))
+
+
+def corrections_for(
+    events: list[dict], dead_scns: set[int], table_schema: pa.Schema
+) -> pa.Table:
+    """Repair-tooling stand-in for generated workloads: re-decode the
+    ORIGINAL rows of the dead-lettered events with the engine's own
+    :class:`~..stages.decode.ChangeDecoder` (zero semantic drift --
+    set_mask/validity/enrichment are the decoder's, not a re-
+    implementation), then resolve ``commit_scn`` from the source's
+    txn markers.  Rolled-back / never-committed txns are dropped:
+    there is nothing to repair.  Output is the flat resolved shape
+    ``Engine.repair`` takes."""
+    import pyarrow.compute as pc
+
+    from logminer_kafka_connect_ray.stages.decode import ChangeDecoder
+
+    commit_scn_of = {
+        e["tx_id"]: e["scn"] for e in events if e["op"] == "commit"
+    }
+    fix = [
+        e for e in events
+        if e["scn"] in dead_scns and e["op"] in ("i", "u", "d")
+        and e["tx_id"] in commit_scn_of
+    ]
+    if not fix:
+        return ChangeDecoder(table_schema, "url").out_schema.empty_table()
+    evolved = "fetch_status" in table_schema.names and any(
+        "fetch_status" in (e.get("after") or {}) for e in events
+    )
+    raw = events_to_table(fix, evolved)
+    flat = ChangeDecoder(table_schema, "url")(raw)
+    cscn = pa.array([commit_scn_of[e["tx_id"]] for e in fix], pa.int64())
+    return flat.set_column(
+        flat.schema.get_field_index("commit_scn"), "commit_scn", cscn
+    )

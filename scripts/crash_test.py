@@ -125,6 +125,129 @@ def one_round(seed: int, repo_root: str) -> str:
         shutil.rmtree(work, ignore_errors=True)
 
 
+CHILD_REPAIR = """
+import sys
+sys.path.insert(0, {root!r})
+import ray
+import pyarrow.parquet as pq
+ray.init(address="local", num_cpus=8, include_dashboard=False,
+         logging_level="ERROR")
+from logminer_kafka_connect_ray import EngineConfig
+from logminer_kafka_connect_ray.pipelines.engine import Engine
+eng = Engine(EngineConfig(lake_dir={lake!r}, num_partitions=4))
+eng.repair({changelog!r}, pq.read_table({corrections!r}))
+ray.shutdown()
+"""
+
+
+def repair_round(seed: int, repo_root: str) -> str:
+    """Kill -9 DURING a dead-letter repair, then re-run the repair in
+    a fresh process: the compensating-write path shares the atomic
+    partition publish + versioned-manifest machinery with replay, so
+    a crash at any point (before or after the repair manifest lands)
+    must still converge to the uncorrupted oracle.  A post-publish
+    re-run is a legitimate second repair of the same keys -- the
+    compensating values are deterministic, so state is unchanged."""
+    import copy
+
+    import pyarrow.parquet as pq
+
+    from logminer_kafka_connect_ray import EngineConfig, schemas
+    from logminer_kafka_connect_ray.pipelines.engine import Engine
+    from logminer_kafka_connect_ray.testing.compare import (
+        state_diff,
+        table_to_state,
+    )
+    from logminer_kafka_connect_ray.testing.gen import (
+        ChangeGenConfig,
+        corrections_for,
+        gen_changes,
+        gen_pages,
+        write_event_batches,
+    )
+    from logminer_kafka_connect_ray.testing.oracle import replay_oracle
+
+    rng = random.Random(seed)
+    work = tempfile.mkdtemp(prefix=f"lkc-crash-rep-{seed}-")
+    try:
+        pages = gen_pages(30, seed=seed)
+        pages_path = f"{work}/pages.parquet"
+        pq.write_table(pages, pages_path)
+        events, _, _ = gen_changes(
+            pages,
+            ChangeGenConfig(n_events=300, seed=seed, p_rollback=0.1,
+                            max_open_txns=3, leave_open=0),
+        )
+        cand = [e for e in events
+                if e["op"] in ("i", "u", "d") and e.get("status", 0) != 2]
+        corrupt = {e["scn"] for i, e in enumerate(cand) if i % 4 == 0}
+        bad_events = []
+        for e in events:
+            if e["scn"] in corrupt and e["op"] in ("i", "u", "d"):
+                e = copy.deepcopy(e)
+                e["url"] = None
+            bad_events.append(e)
+        bad_dir = f"{work}/changelog-bad"
+        write_event_batches(bad_events, bad_dir, events_per_file=40)
+        lake = f"{work}/lake"
+
+        eng = Engine(EngineConfig(lake_dir=lake, num_partitions=4))
+        eng.snapshot(pages_path, 999)
+        eng.replay(bad_dir)
+        import ray as _r
+
+        dead = {
+            s
+            for t in _r.get(eng.read_dead_letters().to_arrow_refs())
+            if t.num_rows and "scn" in t.column_names
+            for s in t.column("scn").to_pylist()
+        }
+        m = eng.store.load()
+        corr = corrections_for(events, dead,
+                               schemas.schema_from_json(m.schema))
+        corr_path = f"{work}/corrections.parquet"
+        pq.write_table(corr, corr_path)
+
+        script = CHILD_REPAIR.format(root=repo_root, lake=lake,
+                                     changelog=bad_dir,
+                                     corrections=corr_path)
+        child = subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+        delay = rng.uniform(1.5, 8.0)
+        try:
+            child.wait(timeout=delay)
+            outcome = "completed-before-kill"
+        except subprocess.TimeoutExpired:
+            os.killpg(child.pid, signal.SIGKILL)
+            child.wait()
+            outcome = f"killed@{delay:.1f}s"
+
+        rc = subprocess.run(
+            [sys.executable, "-c", script],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ).returncode
+        if rc != 0:
+            return f"seed {seed}: REPAIR RESUME FAILED rc={rc} ({outcome})"
+
+        base = {
+            r["url"]: {k: v for k, v in r.items() if k != "url"}
+            for r in pages.to_pylist()
+        }
+        want = replay_oracle(base, events)
+        got = table_to_state(
+            Engine(EngineConfig(lake_dir=lake, num_partitions=4)).to_arrow()
+        )
+        diff = state_diff(got, want)
+        if diff:
+            return f"seed {seed}: REPAIR STATE DIVERGED ({outcome}): {diff}"
+        return f"seed {seed}: OK repair ({outcome})"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     import ray
 
@@ -136,7 +259,10 @@ def main() -> int:
                  logging_level="ERROR")
     failures = 0
     for i in range(n):
-        msg = one_round(seed0 + i, repo_root)
+        # every third round crashes a dead-letter REPAIR instead of a
+        # replay (same durability contract, different write path)
+        fn = repair_round if (seed0 + i) % 3 == 0 else one_round
+        msg = fn(seed0 + i, repo_root)
         print(msg, flush=True)
         if "OK" not in msg:
             failures += 1

@@ -100,16 +100,9 @@ def _repair_leg(seed, root, pages_path, events, check) -> None:
     -- the repaired lake must equal the same uncorrupted oracle."""
     import copy
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from logminer_kafka_connect_ray import schemas
-    from logminer_kafka_connect_ray.stages.decode import ChangeDecoder
-    from logminer_kafka_connect_ray.testing.gen import events_to_table
+    from logminer_kafka_connect_ray.testing.gen import corrections_for
 
-    commit_scn_of = {
-        e["tx_id"]: e["scn"] for e in events if e["op"] == "commit"
-    }
     cand = [
         e for e in events
         if e["op"] in ("i", "u", "d") and e.get("status", 0) != 2
@@ -146,25 +139,13 @@ def _repair_leg(seed, root, pages_path, events, check) -> None:
             f"(missing {sorted(corrupt - dead)[:5]})"
         )
     # corrections: re-decode the ORIGINAL rows of committed corrupt
-    # events with the engine's own decoder, then resolve commit_scn
-    # from the source's txn map (rolled-back/open txns: nothing to fix)
-    fix = [
-        e for e in events
-        if e["scn"] in dead and e["op"] in ("i", "u", "d")
-        and e["tx_id"] in commit_scn_of
-    ]
-    if fix:
-        m = eng.store.load()
-        schema = schemas.schema_from_json(m.schema)
-        evolved = any("fetch_status" in (e.get("after") or {}) for e in events)
-        raw = events_to_table(fix, evolved and "fetch_status" in schema.names)
-        flat = ChangeDecoder(schema, "url")(raw)
-        cscn = pa.array(
-            [commit_scn_of[e["tx_id"]] for e in fix], pa.int64()
-        )
-        flat = flat.set_column(
-            flat.schema.get_field_index("commit_scn"), "commit_scn", cscn
-        )
+    # events with the engine's own decoder (testing.gen.corrections_for;
+    # rolled-back/open txns: nothing to fix)
+    m = eng.store.load()
+    flat = corrections_for(
+        events, dead, schemas.schema_from_json(m.schema)
+    )
+    if flat.num_rows:
         eng.repair(bad_dir, flat)
     check(eng, "repair")
 
