@@ -253,6 +253,15 @@ def run_bench() -> dict:
         ("cdc_pit_lookup", q.cdc_pit_lookup),
         ("table_profile", evops.table_profile),
         ("doc_pagerank", dops.doc_pagerank),
+        ("web_pagerank", dops.web_pagerank),
+        ("html_text_extract", dops.html_text_extract),
+        ("html_outlinks", dops.html_outlinks),
+        ("winnowing_fingerprints", dops.winnowing_fingerprints),
+        ("semantic_dedup", dops.semantic_dedup),
+        ("dsir_select", dops.dsir_select),
+        ("benchmark_decontam", dops.benchmark_decontam),
+        ("doc_dup_span_removal", dops.doc_dup_span_removal),
+        ("dedup_incremental", dops.dedup_incremental),
         ("doc_connected_components", dops.doc_connected_components),
         ("doc_shortest_path", dops.doc_shortest_path),
         ("customer_rfm_segments", evops.customer_rfm_segments),

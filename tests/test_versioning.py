@@ -454,3 +454,36 @@ def test_repair_guards_and_idempotence(ray_session, tmp_path):
     eng.vacuum(keep_versions=1)
     with pytest.raises(RuntimeError, match="not retained"):
         eng.repair(corrupt, corr)
+
+
+def test_scan_column_pruning(ray_session, tmp_path):
+    """Engine.scan(columns=...) prunes the parquet read but still
+    evaluates host/ts predicates on the pruned-away key/ts columns,
+    and the output projects exactly the requested columns."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    pages = gen_pages(40)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    eng = Engine(EngineConfig(lake_dir=str(tmp_path / "lake"),
+                              num_partitions=4))
+    eng.snapshot(pages_path, 999)
+
+    host = pages.column("url")[0].as_py().split("/")[2]
+    ds = eng.scan(hosts=[host], columns=["text", "lang"])
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    got = pa.concat_tables(tbls)
+    assert got.column_names == ["text", "lang"]
+    full = eng.to_arrow()
+    h = pc.list_element(pc.split_pattern(full.column("url"), "/"), 2)
+    want = full.filter(pc.equal(h, host)).select(["text", "lang"])
+    assert (
+        got.take(pc.sort_indices(got, sort_keys=[("text", "ascending")]))
+        .equals(
+            want.take(
+                pc.sort_indices(want, sort_keys=[("text", "ascending")])
+            ).combine_chunks().cast(got.schema)
+        )
+    )
