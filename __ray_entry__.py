@@ -5014,6 +5014,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DBLog-style chunked snapshot: per-chunk as-of SCNs, chunk-vs-
         # log arbitration via the (commit_scn, scn, row_id) LWW fold
         "cdc_final_state_chunked": q.cdc_final_state_chunked,
+        # compacted-changelog bootstrap == full-history replay
+        "cdc_changelog_compaction": q.cdc_changelog_compaction,
         # ADD-COLUMN-WITH-DEFAULT evolution: catalog sidecar adds
         # `rating NUMBER(9) DEFAULT 7`; untouched pre-existing rows
         # must surface the DDL default, not null
@@ -5513,6 +5515,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_salted": _FINAL_STATE_SQL,
         "cdc_final_state_transform": _FINAL_STATE_TRANSFORM_SQL,
         "cdc_final_state_chunked": _FINAL_STATE_SQL,
+        "cdc_changelog_compaction": _FINAL_STATE_SQL,
         "cdc_schema_default_backfill": _DEFAULT_BACKFILL_SQL,
         "cdc_final_state_repartitioned": _FINAL_STATE_SQL,
         "lake_gdpr_erasure": _GDPR_SQL,

@@ -1,0 +1,357 @@
+"""Changelog compaction: fold a committed change log down to ONE
+replay-equivalent event per key.
+
+The reference's output topics are Kafka PK-COMPACTED (SURVEY.md
+section 7.0: final state = per-key fold, i.e. exactly what Kafka log
+compaction retains), so a bootstrap consumer of the connector reads a
+compacted stream, not the full history.  This module gives the engine
+the producer side of that contract: ``compact_changelog`` rewrites a
+changelog directory into a new directory of batch files containing one
+event per key, such that
+
+    snapshot(base) + replay(compacted)  ==  snapshot(base) + replay(full)
+
+byte-for-byte (the ``cdc_changelog_compaction`` SQL gate proves it
+against the full-replay oracle).  Uncommitted (still-open) transactions
+at the tail are EXCLUDED -- compaction runs behind the commit
+watermark, and a consumer resumes the ORIGINAL log from the compacted
+log's max SCN, so open transactions are simply re-read later.  Rolled
+back transactions are dropped (they never reach state).  Because each
+compacted event keeps its key's LAST ``(commit_scn, scn, row_id)``,
+later tail events still win LWW arbitration exactly as they would have
+against the uncompacted history.
+
+Scale shape (10^10 events -> ~|keys| events):
+
+1. the engine's own decode + commit-resolve + dominance-combiner tasks
+   stream over the log files (same fused per-event CPU path as replay;
+   the combiner already collapses hot keys to <= 2 + n_cols rows per
+   block before anything shuffles);
+2. ONE wide exchange on the precomputed ``_part`` key (explicit
+   boundaries, no sampling pass) co-locates each key, and
+   :func:`stages.fold.fold_to_events` folds every block to one event
+   per key -- output volume is bounded by distinct keys from here on;
+3. the (now output-sized) compacted events take a second, cheap
+   exchange onto scn-range buckets so the emitted files carry DISJOINT
+   ascending SCN ranges (a compacted log is still an SCN-ordered log:
+   micro-batch planning, footer pruning and gap detection keep
+   working), and each bucket writes one batch file of PRE-RESOLVED
+   events (original commit_scn kept, ``tx_id = NO_TXN``, no markers --
+   see :func:`encode_change_events`).
+
+A guard side-channel (one sentinel row per fold block, all routed to a
+dedicated final bucket) makes a split ``_part`` block -- a partition
+bigger than ``target_max_block_size``, which would silently emit two
+half-folded events for the same key -- fail loudly instead.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from logminer_kafka_connect_ray import schemas
+from logminer_kafka_connect_ray.config import EngineConfig
+from logminer_kafka_connect_ray.sources import changelog as changelog_src
+from logminer_kafka_connect_ray.stages import fold
+from logminer_kafka_connect_ray.stages.evolve import (
+    catalog_fields,
+    discover_image_fields,
+)
+from logminer_kafka_connect_ray.stages.process import make_processor_fn
+from logminer_kafka_connect_ray.stages.txn import collect_txn_info_ref
+
+log = logging.getLogger(__name__)
+
+#: lineage row emitted per written compacted file (and one guard row)
+_LINEAGE_SCHEMA = pa.schema(
+    [
+        ("file_idx", pa.int64()),
+        ("path", pa.string()),
+        ("n_events", pa.int64()),
+        ("scn_lo", pa.int64()),
+        ("scn_hi", pa.int64()),
+        ("guard_parts", pa.list_(pa.int64())),
+    ]
+)
+
+
+def encode_change_events(
+    flat: pa.Table,
+    table_schema: pa.Schema,
+    key_column: str,
+) -> pa.Table:
+    """Flat compacted events -> on-disk ``change_event_schema`` rows.
+
+    Inverse of the decode stage for the three compacted shapes:
+    ``i`` = full after image, ``u`` = partial after image with an
+    explicit ``set_cols`` list (so a column SET TO NULL survives the
+    decode round-trip, Issue14Test.kt:93-116) and the carried
+    before-image fallback, ``d`` = key in the before image.
+
+    Compacted events are PRE-RESOLVED: they keep their key's original
+    ``commit_scn`` in the file and carry ``tx_id = NO_TXN`` (the same
+    no-transaction sentinel snapshot READ rows use), so no commit
+    markers are written, the marker scan never counts them as open
+    rows, and the resolver's pre-resolved path stamps the original
+    commit SCN back -- lake lineage (``_commit_scn``/``_scn``) after a
+    compacted replay is bit-identical to the full-history replay's.
+    """
+    n = flat.num_rows
+    data_cols = schemas.data_columns_of(table_schema, key_column)
+    ev_schema = schemas.change_event_schema(table_schema)
+    op = flat.column("op").combine_chunks()
+    is_d = pc.equal(op, "d")
+    is_i = pc.equal(op, "i")
+    key = flat.column(key_column).combine_chunks()
+
+    def _child(name: str, side: str) -> pa.Array:
+        ftype = table_schema.field(name).type
+        if name == key_column:
+            return key.cast(ftype)
+        col = flat.column(f"{side}_{name}").combine_chunks()
+        return col.cast(ftype) if col.type != ftype else col
+
+    after = pa.StructArray.from_arrays(
+        [_child(f.name, "a") for f in table_schema],
+        names=[f.name for f in table_schema],
+        mask=is_d.combine_chunks() if isinstance(is_d, pa.ChunkedArray) else is_d,
+    )
+    before = pa.StructArray.from_arrays(
+        [_child(f.name, "b") for f in table_schema],
+        names=[f.name for f in table_schema],
+        mask=is_i.combine_chunks() if isinstance(is_i, pa.ChunkedArray) else is_i,
+    )
+
+    # explicit set_cols from the folded mask (vectorized list build)
+    mask = flat.column("set_mask").combine_chunks().to_numpy(zero_copy_only=False)
+    C = len(data_cols)
+    bits = ((mask[:, None] >> np.arange(C, dtype=np.int64)) & 1).astype(bool)
+    counts = bits.sum(axis=1).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    names_arr = pa.array(data_cols, pa.string())
+    values = names_arr.take(pa.array(np.nonzero(bits)[1].astype(np.int64)))
+    set_cols = pa.ListArray.from_arrays(pa.array(offsets), values)
+
+    rows = pa.table(
+        {
+            "scn": flat.column("scn").cast(pa.int64()),
+            "row_id": flat.column("row_id").cast(pa.string()),
+            "commit_scn": flat.column("commit_scn").cast(pa.int64()),
+            "tx_id": pa.array([schemas.NO_TXN] * n, pa.string()),
+            "op": op.cast(pa.string()),
+            "ts_ms": flat.column("ts_ms").cast(pa.timestamp("ms", tz="UTC")),
+            "table": flat.column("table").cast(pa.string()),
+            "username": pa.nulls(n, pa.string()),
+            "status": pa.array(np.zeros(n, np.int32)),
+            "before": before,
+            "after": after,
+            "set_cols": set_cols,
+        },
+        schema=ev_schema,
+    )
+    return rows.take(pc.sort_indices(rows, sort_keys=[("scn", "ascending")]))
+
+
+def compact_changelog(
+    config: EngineConfig,
+    changelog_dir: str,
+    out_dir: str,
+    num_files: int | None = None,
+    scn_hi: int | None = None,
+) -> dict:
+    """Rewrite ``changelog_dir`` into ``out_dir`` as a compacted log
+    (one committed event per key; see module docstring).  Returns a
+    metrics dict.  ``scn_hi`` bounds compaction to events at or below
+    it (compact behind a watermark); ``num_files`` sets the output
+    fan-out (default: ``config.num_partitions``)."""
+    import ray
+    import ray.data as rd
+
+    t0 = time.monotonic()
+    cfg = config
+    files = changelog_src.list_batch_files(changelog_dir)
+    if scn_hi is not None:
+        files = changelog_src.prune_files(files, None, scn_hi)
+    if not files:
+        raise RuntimeError(f"no batch files under {changelog_dir}")
+    paths = [f.path for f in files]
+    lo = min(f.scn_min for f in files) - 1
+    hi = scn_hi if scn_hi is not None else max(f.scn_max for f in files)
+    events_in = sum(f.num_rows for f in files)
+
+    info, markers_ref = collect_txn_info_ref(paths, lo, hi, block=False)
+
+    # schema from the log itself (same discovery as the start_scn
+    # bootstrap: image-struct footers + redo catalog sidecar)
+    fields = discover_image_fields(paths)
+    if cfg.changelog_format == "redo_sql":
+        fields = fields + catalog_fields(paths)
+    data_fields = [f for f in fields if f.name != cfg.key_column]
+    table_schema = pa.schema(
+        [pa.field(cfg.key_column, pa.string())] + data_fields
+    )
+    schema_json = schemas.schema_to_json(table_schema)
+    data_cols = schemas.data_columns_of(table_schema, cfg.key_column)
+    P = cfg.num_partitions
+    F = num_files or cfg.num_partitions
+
+    # ---- source: same per-event CPU path as replay ------------------
+    wanted = {
+        "scn", "row_id", "commit_scn", "tx_id", "op", "ts_ms", "table",
+        "status", "before", "after", "set_cols", "csf", "sql_redo",
+    }
+    avail = pq.ParquetFile(paths[0]).schema_arrow.names
+    cols = [c for c in avail if c in wanted]
+    if cfg.changelog_format == "redo_sql" and "csf" in cols:
+        from logminer_kafka_connect_ray.functions.redo_sql import reassemble_csf
+
+        read_cols = list(cols)
+
+        def read_reassembled(b: pa.Table) -> pa.Table:
+            out = []
+            for p in b.column("path").to_pylist():
+                out.append(reassemble_csf(pq.read_table(p, columns=read_cols)))
+            return pa.concat_tables(out)
+
+        ds = rd.from_items([{"path": p} for p in paths]).map_batches(
+            read_reassembled, batch_size=1, batch_format="pyarrow"
+        )
+    else:
+        ds = rd.read_parquet(paths, columns=cols)
+
+    committed = ds.map_batches(
+        make_processor_fn(
+            markers_ref, schema_json, cfg.key_column, cfg.table_whitelist,
+            lo, hi, P, "committed",
+            changelog_format=cfg.changelog_format,
+            db_timezone=cfg.db_timezone,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    # ---- exchange 1: co-locate keys, fold to one event per key ------
+    flat_schema = schemas.flat_change_schema(cfg.key_column, table_schema)
+    stage1_schema = pa.schema(
+        list(flat_schema)
+        + [pa.field("_file", pa.int64()), pa.field("_gpart", pa.int64())]
+    )
+    span = max(1, hi - lo)
+
+    def fold_block(t: pa.Table, _key=cfg.key_column) -> pa.Table:
+        if t.num_rows == 0:
+            return stage1_schema.empty_table()
+        parts = pc.unique(t.column("_part")).to_pylist()
+        t = t.drop_columns(["_part"])
+        out = fold.fold_to_events(t, table_schema, _key)
+        scn = out.column("scn").combine_chunks().to_numpy(zero_copy_only=False)
+        fidx = np.clip((scn - lo - 1) * F // span, 0, F - 1)
+        out = out.append_column("_file", pa.array(fidx.astype(np.int64)))
+        out = out.append_column(
+            "_gpart", pa.array(np.full(out.num_rows, -1, np.int64))
+        )
+        # guard side-channel: one sentinel per (block, part) routed to
+        # the dedicated final bucket; a part seen in TWO fold blocks
+        # means the exchange split it (half-folded keys) -> fail loudly
+        guard = stage1_schema.empty_table().to_pydict()
+        for p in parts:
+            for f in stage1_schema.names:
+                guard[f].append(
+                    F if f == "_file" else (p if f == "_gpart" else None)
+                )
+        return pa.concat_tables(
+            [out.select(stage1_schema.names).cast(stage1_schema),
+             pa.table(guard, schema=stage1_schema)]
+        )
+
+    folded = (
+        committed.sort("_part", boundaries=list(range(1, P)))
+        .map_batches(fold_block, batch_size=None, batch_format="pyarrow")
+    )
+
+    # ---- exchange 2: disjoint scn-range buckets -> batch files ------
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _LINEAGE_SCHEMA.empty_table()
+        guards = t.filter(pc.equal(t.column("_file"), F))
+        t = t.filter(pc.less(t.column("_file"), F))
+        rows = []
+        if guards.num_rows:
+            rows.append(
+                {
+                    "file_idx": -1, "path": "", "n_events": 0,
+                    "scn_lo": 0, "scn_hi": 0,
+                    "guard_parts": guards.column("_gpart").to_pylist(),
+                }
+            )
+        if t.num_rows:
+            fvals = pc.unique(t.column("_file")).to_pylist()
+            if len(fvals) != 1:
+                raise RuntimeError(
+                    f"compaction bucket exchange mixed file buckets {fvals}"
+                )
+            fidx = int(fvals[0])
+            flat = t.drop_columns(["_file", "_gpart"])
+            s_lo = int(pc.min(flat.column("scn")).as_py())
+            s_hi = int(pc.max(flat.column("scn")).as_py())
+            enc = encode_change_events(flat, table_schema, cfg.key_column)
+            name = f"batch-{s_lo:012d}-{s_hi:012d}.parquet"
+            tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}")
+            pq.write_table(enc, tmp)
+            os.rename(tmp, os.path.join(out_dir, name))
+            rows.append(
+                {
+                    "file_idx": fidx, "path": name, "n_events": flat.num_rows,
+                    "scn_lo": s_lo, "scn_hi": s_hi, "guard_parts": [],
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=_LINEAGE_SCHEMA)
+
+    lineage = pa.Table.from_pandas(
+        folded.sort("_file", boundaries=list(range(1, F + 1)))
+        .map_batches(write_bucket, batch_size=None, batch_format="pyarrow")
+        .to_pandas(),
+        schema=_LINEAGE_SCHEMA,
+        preserve_index=False,
+    )
+
+    gp = [p for row in lineage.column("guard_parts").to_pylist() for p in row]
+    if len(gp) != len(set(gp)):
+        raise RuntimeError(
+            "compaction fold exchange split a partition across blocks "
+            "(partition larger than target_max_block_size); raise "
+            "DataContext.target_max_block_size or num_partitions"
+        )
+    fidxs = [i for i in lineage.column("file_idx").to_pylist() if i >= 0]
+    if len(fidxs) != len(set(fidxs)):
+        raise RuntimeError(
+            "compaction bucket exchange fragmented a file bucket across "
+            "blocks; raise DataContext.target_max_block_size or num_files"
+        )
+    if markers_ref is not None and not hasattr(markers_ref, "n_open_rows"):
+        info = ray.get(markers_ref)
+    events_out = int(
+        pc.sum(lineage.column("n_events")).as_py() or 0
+    )
+    metrics = {
+        "events_in": events_in,
+        "events_out": events_out,
+        "n_files": len(fidxs),
+        "n_open_rows_excluded": int(info.n_open_rows),
+        "n_rolled_back_txns": int(info.n_rolled),
+        "scn_lo": lo,
+        "scn_hi": hi,
+        "seconds": round(time.monotonic() - t0, 3),
+    }
+    log.info("compacted %s -> %s: %s", changelog_dir, out_dir, metrics)
+    return metrics

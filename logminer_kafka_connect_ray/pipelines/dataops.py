@@ -4316,12 +4316,23 @@ def html_outlinks(sf_dir: str) -> pa.Table:
     )
 
 
-def _build_linked_html(n_docs: int):
-    """Page builder shared by :func:`html_outlinks` and
-    :func:`web_pagerank`: each page plants ``1 + doc_id % 4``
-    deterministic anchors (``dst = (doc_id*7 + 13*j) % n_docs``)
-    around its escaped text -- the operators under test then see only
-    html bytes."""
+def _build_linked_html(
+    n_docs: int, universe: int | None = None, anchor_terms: bool = False
+):
+    """Page builder shared by :func:`html_outlinks`,
+    :func:`web_pagerank`, :func:`web_crawl_frontier` and
+    :func:`web_anchor_text`: each page plants ``1 + doc_id % 4``
+    deterministic anchors (``dst = (doc_id*7 + 13*j) % universe``,
+    ``universe`` defaults to ``n_docs``) around its escaped text -- the
+    operators under test then see only html bytes.
+
+    ``universe > n_docs`` plants links whose targets are NOT in the
+    corpus (the crawl-frontier shape).  ``anchor_terms=True`` gives
+    each anchor a deterministic text token ``w{(src + dst + j) % 11}``
+    instead of the constant ``l`` (the inbound-anchor-text shape); the
+    href grammar is unchanged either way, so every extractor kernel
+    works on every variant."""
+    uni = universe or n_docs
 
     def build(t: pa.Table) -> pa.Table:
         did = pc.cast(t.column("doc_id"), pa.int64())
@@ -4329,13 +4340,22 @@ def _build_linked_html(n_docs: int):
         s = pa.scalar
         parts = [s("<html><body>")]
         for j in range(1, 5):
-            dst = (dn * 7 + 13 * j) % n_docs
+            dst = (dn * 7 + 13 * j) % uni
+            if anchor_terms:
+                term = pc.binary_join_element_wise(
+                    s("w"), pc.cast(pa.array((dn + dst + j) % 11), pa.string()),
+                    "",
+                )
+            else:
+                term = s("l")
             anchor = pc.binary_join_element_wise(
                 s('<a href="https://site'),
                 pc.cast(pa.array(dst % 20), pa.string()),
                 s(".example/d/"),
                 pc.cast(pa.array(dst), pa.string()),
-                s('">l</a>'),
+                s('">'),
+                term,
+                s("</a>"),
                 "",
             )
             parts.append(

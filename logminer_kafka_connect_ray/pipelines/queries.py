@@ -959,6 +959,36 @@ def cdc_final_state_repartitioned(sf_dir: str) -> pa.Table:
     return _digest_html(eng.to_arrow())
 
 
+def cdc_changelog_compaction(sf_dir: str) -> pa.Table:
+    """Changelog COMPACTION (Kafka compacted-topic semantics -- the
+    reference's output topics are PK-compacted, SURVEY.md section 7.0):
+    rewrite the full committed changelog down to ONE replay-equivalent
+    event per key (``pipelines/compaction.py``), then snapshot + replay
+    the COMPACTED log into a fresh lake.  The oracle is the
+    full-replay final state, so the driver's value hash proves a
+    bootstrap consumer reading the compacted stream reaches the exact
+    state a full-history consumer does -- deletes folded to tombstones,
+    partial-update chains folded to one partial with the union SET
+    mask, delete+reinsert chains folded to one full image."""
+    from logminer_kafka_connect_ray.pipelines.compaction import (
+        compact_changelog,
+    )
+
+    d = workload.ensure_workload(sf_dir)
+    comp_dir = d["lake"] + "-compacted-log"
+    lake = d["lake"] + "-compact"
+    shutil.rmtree(comp_dir, ignore_errors=True)
+    shutil.rmtree(lake, ignore_errors=True)
+    cfg = EngineConfig(lake_dir=lake, num_partitions=16)
+    metrics = compact_changelog(cfg, d["changelog"], comp_dir)
+    if metrics["events_out"] >= metrics["events_in"]:
+        raise RuntimeError(f"compaction did not shrink the log: {metrics}")
+    eng = Engine(cfg)
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(comp_dir)
+    return _digest_html(eng.to_arrow())
+
+
 #: doc_ids whose urls the GDPR gate erases -- shared between the Ray
 #: query and the SQL oracle in __ray_entry__.py (urls follow
 #: workload._urls: https://site{doc_id % 20}.example/d/{doc_id}).

@@ -260,3 +260,102 @@ def fold_final(
     out_cols["_scn"] = ev.column("scn").combine_chunks().take(lp)
     tbl = pa.table(out_cols)
     return tbl.cast(out_schema)
+
+
+def fold_to_events(
+    events: pa.Table, table_schema: pa.Schema, key_column: str
+) -> pa.Table:
+    """Changelog compaction kernel: fold a flat committed-event table
+    down to ONE replay-equivalent event per key (Kafka compacted-topic
+    semantics -- the reference's output topics are PK-compacted, so a
+    bootstrap consumer reads exactly this shape; SURVEY.md section 7.0).
+
+    The compacted event is chosen so that ``fold_final(base + [event])
+    == fold_final(base + events)`` for ANY base state (including "no
+    base row"):
+
+    * key finally deleted (last boundary is ``d`` with no overlays
+      after it) -> one ``d`` event;
+    * any full-image boundary in the history (i/r/d/full-mask u) ->
+      the base row cannot contribute, so emit one FULL image ``i``
+      whose per-column values are the fold of the events alone
+      (last provider, else the first post-boundary overlay's
+      before-image -- exactly ``fold_final``'s from-scratch path);
+    * overlays only -> one partial ``u`` whose set mask is the union
+      of the group's (enriched) masks with the last setter's value
+      per column, carrying the FIRST overlay's before image so a
+      downstream fold with no base row resolves never-set columns
+      the same way the uncompacted history would.
+
+    The compacted event keeps the group's LAST ``(commit_scn, scn,
+    row_id, tx_id, ts_ms, table)`` so lake lineage stamps
+    (``_commit_scn``/``_scn``) and LWW arbitration against any LATER
+    uncompacted tail replay are identical to the uncompacted history.
+
+    Same vectorized shape as :func:`fold_final`: one multi-key sort +
+    ``reduceat`` segment sweeps; no Python row loop.
+    """
+    data_cols = schemas.data_columns_of(table_schema, key_column)
+    full_mask = (1 << len(data_cols)) - 1
+    if events.num_rows == 0:
+        return events
+    idx = _sort_indices(events, key_column)
+    ev = events.take(idx)
+    n = ev.num_rows
+    is_u, is_d, is_full, is_boundary, mask = _boundary_masks(ev, full_mask)
+    starts, sizes = _group_layout(ev.column(key_column))
+    pos = np.arange(n, dtype=np.int64)
+    lastb = np.maximum.reduceat(np.where(is_boundary, pos, -1), starts)
+    lastb_row = np.repeat(lastb, sizes)
+    in_seg = pos >= lastb_row
+    BIG = n + 1
+    o_pos = np.where(is_u & (pos > lastb_row), pos, BIG)
+    fb_pos = np.minimum.reduceat(o_pos, starts)
+    lastb_valid = lastb >= 0
+    lastb_safe = np.where(lastb_valid, lastb, 0)
+    deleted = lastb_valid & is_d[lastb_safe] & (fb_pos == BIG)
+    last_pos = starts + sizes - 1
+    g = len(starts)
+
+    is_i_g = lastb_valid & ~deleted      # full-image rebuild
+    is_u_g = ~lastb_valid                # partial overlay-only group
+    fb_idx = np.where(fb_pos < BIG, fb_pos, -1)
+    fb_arr = pa.array(fb_idx, mask=(fb_idx < 0))
+
+    out: dict = {
+        key_column: ev.column(key_column).combine_chunks().take(pa.array(starts))
+    }
+    out_mask = np.zeros(g, np.int64)
+    provider_full = is_full & in_seg
+    for i, c in enumerate(data_cols):
+        bit = ((mask >> i) & 1).astype(bool)
+        prov = provider_full | (is_u & bit & in_seg)
+        lastprov = np.maximum.reduceat(np.where(prov, pos, -1), starts)
+        prov_arr = pa.array(lastprov, mask=(lastprov < 0))
+        a_val = ev.column(f"a_{c}").combine_chunks().take(prov_arr)
+        b_val = ev.column(f"b_{c}").combine_chunks().take(fb_arr)
+        has_prov = pa.array(lastprov >= 0)
+        # full rebuild: provider value, else before-image fallback;
+        # partial: only set columns carry a value; deleted: null
+        a_out = pc.if_else(has_prov, a_val, b_val)
+        a_out = pc.if_else(
+            pa.array(is_i_g | (lastprov >= 0)), a_out, pa.nulls(g, a_out.type)
+        )
+        a_out = pc.if_else(pa.array(deleted), pa.nulls(g, a_out.type), a_out)
+        out[f"a_{c}"] = a_out
+        # before image carried only on 'u' (the from-scratch fallback a
+        # downstream fold needs when the key has no base row)
+        out[f"b_{c}"] = pc.if_else(pa.array(is_u_g), b_val, pa.nulls(g, b_val.type))
+        out_mask |= ((lastprov >= 0) & is_u_g).astype(np.int64) << i
+    out_mask[is_i_g] = full_mask
+
+    lp = pa.array(last_pos)
+    for c in ("scn", "row_id", "commit_scn", "tx_id", "ts_ms", "table"):
+        if c in ev.column_names:
+            out[c] = ev.column(c).combine_chunks().take(lp)
+    out["op"] = pa.array(
+        np.where(deleted, "d", np.where(lastb_valid, "i", "u")), pa.string()
+    )
+    out["set_mask"] = pa.array(out_mask)
+    cols = [f for f in events.column_names if f in out]
+    return pa.table({c: out[c] for c in cols})

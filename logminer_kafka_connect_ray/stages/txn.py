@@ -374,6 +374,14 @@ class CommitResolver:
             False,
         )
         commit_scn = pc.if_else(auto, batch.column("scn"), commit_scn)
+        # PRE-RESOLVED rows (a compacted changelog's events,
+        # pipelines/compaction.py) arrive with commit_scn already
+        # stamped and tx_id = NO_TXN: honor the stamp so lake lineage
+        # (_commit_scn) survives compaction bit-for-bit instead of
+        # degrading to the auto-commit scn
+        pre = batch.column("commit_scn")
+        if pre.null_count < len(pre):
+            commit_scn = pc.coalesce(pre, commit_scn)
         is_committed = pc.and_(
             pc.is_valid(commit_scn), pc.invert(pc.and_(is_rolled, pc.invert(auto)))
         )

@@ -1,0 +1,323 @@
+"""Changelog compaction (pipelines/compaction.py + fold.fold_to_events).
+
+The invariant under test: for ANY committed history and ANY base state,
+
+    fold_final(base + history) == fold_final(base + compact(history))
+
+where compact = fold_to_events (one replay-equivalent event per key),
+plus the encode/decode round-trip that writes the compacted events back
+into on-disk change-event form, and an end-to-end run over a
+hand-built changelog with rollback / open-tail / delete+reinsert /
+set-to-null shapes.  The driver-level gate (cdc_changelog_compaction)
+proves the same on the full workload against the DuckDB oracle.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from logminer_kafka_connect_ray import schemas
+from logminer_kafka_connect_ray.stages import fold
+from logminer_kafka_connect_ray.stages.decode import ChangeDecoder
+
+SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+DATA_COLS = ["warc_ts", "html", "text", "lang"]
+
+
+def _flat(rows: list[dict]) -> pa.Table:
+    """rows: [{key, scn, op, set: {col: value|None}}] -> flat events.
+
+    ``set`` maps column -> after value (None = explicit SET NULL);
+    absent columns are not in the SET mask.  commit_scn = scn (already
+    resolved), before images null (the generator's shape).
+    """
+    flat_schema = schemas.flat_change_schema("url", SCHEMA)
+    cols: dict = {f.name: [] for f in flat_schema}
+    for r in rows:
+        st_ = r.get("set", {})
+        mask = 0
+        for i, c in enumerate(DATA_COLS):
+            mask |= (c in st_) << i
+        if r["op"] in ("i", "r"):
+            mask = (1 << len(DATA_COLS)) - 1
+        if r["op"] == "d":
+            mask = 0
+        cols["scn"].append(r["scn"])
+        cols["row_id"].append(f"R{r['scn']}")
+        cols["commit_scn"].append(r.get("commit_scn", r["scn"]))
+        cols["tx_id"].append("tx0")
+        cols["op"].append(r["op"])
+        cols["ts_ms"].append(None)
+        cols["table"].append("WEB.PAGES")
+        cols["url"].append(r["key"])
+        cols["set_mask"].append(mask)
+        for c in DATA_COLS:
+            cols[f"a_{c}"].append(st_.get(c) if r["op"] != "d" else None)
+            cols[f"b_{c}"].append(r.get("before", {}).get(c))
+    return pa.table(cols, schema=flat_schema)
+
+
+def _base(rows: list[dict]) -> pa.Table:
+    """[{key, text, ...}] -> base pseudo-events at (commit 1, scn 1)."""
+    lake = pa.table(
+        {
+            "url": pa.array([r["key"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r.get("warc_ts") for r in rows],
+                                pa.timestamp("us", tz="UTC")),
+            "html": pa.array([r.get("html") for r in rows], pa.binary()),
+            "text": pa.array([r.get("text") for r in rows], pa.string()),
+            "lang": pa.array([r.get("lang") for r in rows], pa.string()),
+            "_commit_scn": pa.array([1] * len(rows), pa.int64()),
+            "_scn": pa.array([1] * len(rows), pa.int64()),
+        }
+    )
+    return fold.base_as_pseudo_events(lake, SCHEMA, "url")
+
+
+def _final(base: pa.Table | None, ev: pa.Table) -> pa.Table:
+    """fold_final over (base pseudo-events + events), url-sorted."""
+    parts = ([base] if base is not None else []) + [ev]
+    names = sorted({c for p in parts for c in p.column_names})
+    norm = []
+    for p in parts:
+        cols = {}
+        for c in names:
+            if c in p.column_names:
+                cols[c] = p.column(c)
+            else:
+                # base pseudo-events lack tx_id/ts_ms/table
+                typ = (pa.string() if c in ("tx_id", "table")
+                       else pa.timestamp("ms", tz="UTC"))
+                cols[c] = pa.nulls(p.num_rows, typ)
+        norm.append(pa.table(cols))
+    allev = pa.concat_tables(norm, promote_options="permissive")
+    out = fold.fold_final(allev, SCHEMA, "url")
+    return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
+
+
+def _assert_state_equal(a: pa.Table, b: pa.Table):
+    assert a.num_rows == b.num_rows
+    for c in ["url"] + DATA_COLS + ["_commit_scn", "_scn"]:
+        assert a.column(c).to_pylist() == b.column(c).to_pylist(), c
+
+
+EDGE_HISTORIES = [
+    # update chain on a base key, disjoint + overlapping set masks
+    [
+        {"key": "k0", "scn": 10, "op": "u", "set": {"text": "t1"}},
+        {"key": "k0", "scn": 12, "op": "u", "set": {"lang": "l1"}},
+        {"key": "k0", "scn": 14, "op": "u", "set": {"text": "t2"}},
+    ],
+    # explicit SET NULL must survive compaction (Issue14 semantics)
+    [
+        {"key": "k0", "scn": 10, "op": "u", "set": {"text": "t1", "lang": None}},
+    ],
+    # delete then reinsert then partial update
+    [
+        {"key": "k0", "scn": 10, "op": "d"},
+        {"key": "k0", "scn": 12, "op": "i",
+         "set": {"text": "new", "lang": "xx", "warc_ts": None, "html": None}},
+        {"key": "k0", "scn": 14, "op": "u", "set": {"lang": "yy"}},
+    ],
+    # final delete folds to a tombstone
+    [
+        {"key": "k0", "scn": 10, "op": "u", "set": {"text": "t1"}},
+        {"key": "k0", "scn": 12, "op": "d"},
+    ],
+    # delete with trailing overlays: row rebuilt from scratch
+    [
+        {"key": "k0", "scn": 10, "op": "d"},
+        {"key": "k0", "scn": 12, "op": "u", "set": {"text": "t9"},
+         "before": {"lang": "carried"}},
+    ],
+    # update to a key with NO base row (before-image fallback path)
+    [
+        {"key": "nobase", "scn": 10, "op": "u", "set": {"text": "t1"},
+         "before": {"lang": "fb"}},
+        {"key": "nobase", "scn": 12, "op": "u", "set": {"html": b"h"}},
+    ],
+]
+
+
+@pytest.mark.parametrize("history", EDGE_HISTORIES)
+@pytest.mark.parametrize("with_base", [True, False])
+def test_fold_to_events_edge_equivalence(history, with_base):
+    ev = _flat(history)
+    base = _base([{"key": "k0", "text": "base", "lang": "b0"}]) if with_base else None
+    compacted = fold.fold_to_events(ev, SCHEMA, "url")
+    assert compacted.num_rows == len({r["key"] for r in history})
+    _assert_state_equal(_final(base, ev), _final(base, compacted))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_fold_to_events_random_equivalence(data):
+    n_keys = data.draw(st.integers(1, 4))
+    keys = [f"k{i}" for i in range(n_keys)]
+    n_ev = data.draw(st.integers(1, 12))
+    rows = []
+    for j in range(n_ev):
+        key = data.draw(st.sampled_from(keys))
+        op = data.draw(st.sampled_from(["u", "u", "u", "i", "d"]))
+        r = {"key": key, "scn": 10 + 2 * j, "op": op}
+        if op == "u":
+            ncols = data.draw(st.integers(1, 3))
+            chosen = data.draw(
+                st.lists(st.sampled_from(["text", "lang"]), min_size=ncols,
+                         max_size=ncols, unique=True)
+                if ncols <= 2 else st.just(["text", "lang"])
+            )
+            r["set"] = {
+                c: data.draw(st.sampled_from([f"v{j}", None])) for c in chosen
+            }
+            if data.draw(st.booleans()):
+                r["before"] = {"lang": f"b{j}"}
+        elif op == "i":
+            r["set"] = {"text": f"t{j}", "lang": f"l{j}",
+                        "warc_ts": None, "html": None}
+        rows.append(r)
+    ev = _flat(rows)
+    base_keys = data.draw(st.lists(st.sampled_from(keys), unique=True))
+    base = _base(
+        [{"key": k, "text": "base", "lang": "bb"} for k in base_keys]
+    ) if base_keys else None
+    compacted = fold.fold_to_events(ev, SCHEMA, "url")
+    _assert_state_equal(_final(base, ev), _final(base, compacted))
+
+
+def test_encode_decode_roundtrip():
+    """encode_change_events -> ChangeDecoder reproduces the compacted
+    flat rows exactly (op, set_mask incl. SET-NULL bits, values)."""
+    from logminer_kafka_connect_ray.pipelines.compaction import (
+        encode_change_events,
+    )
+
+    ev = _flat(
+        [
+            {"key": "a", "scn": 10, "op": "u",
+             "set": {"text": "t", "lang": None}, "before": {"lang": "fb"}},
+            {"key": "b", "scn": 12, "op": "i",
+             "set": {"text": "x", "lang": "y", "warc_ts": None, "html": b"h"}},
+            {"key": "c", "scn": 14, "op": "d"},
+        ]
+    )
+    compacted = fold.fold_to_events(ev, SCHEMA, "url")
+    enc = encode_change_events(compacted, SCHEMA, "url")
+    assert enc.num_rows == 3
+    # pre-resolved: original commit stamps kept, NO_TXN, no markers
+    assert set(enc.column("tx_id").to_pylist()) == {schemas.NO_TXN}
+    assert enc.column("commit_scn").null_count == 0
+    dec = ChangeDecoder(SCHEMA, "url")(enc)
+    assert dec.num_rows == 3
+    got = dec.take(pc.sort_indices(dec, sort_keys=[("url", "ascending")]))
+    want = compacted.take(
+        pc.sort_indices(compacted, sort_keys=[("url", "ascending")])
+    )
+    for c in ("url", "op", "set_mask", "scn", "row_id", "commit_scn",
+              "a_text", "a_lang", "a_html", "b_lang"):
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+
+def test_compact_changelog_end_to_end(ray_session, tmp_path):
+    """Hand-built log: committed txn, rolled-back txn, open tail txn.
+    Compacted replay over a snapshot == full replay over the same
+    snapshot; open/rolled-back events are excluded and accounted."""
+    from logminer_kafka_connect_ray.config import EngineConfig
+    from logminer_kafka_connect_ray.pipelines.compaction import (
+        compact_changelog,
+    )
+    from logminer_kafka_connect_ray.pipelines.engine import Engine
+
+    ev_schema = schemas.change_event_schema(SCHEMA)
+    img = schemas.image_struct(SCHEMA)
+
+    def event(scn, tx, op, key, text=None, lang=None, commit=None):
+        after = None if op in ("d", "commit", "rollback") else {
+            "url": key, "warc_ts": None, "html": None,
+            "text": text, "lang": lang,
+        }
+        before = {"url": key, "warc_ts": None, "html": None,
+                  "text": None, "lang": None} if op == "d" else None
+        return {
+            "scn": scn, "row_id": f"R{scn}", "commit_scn": commit,
+            "tx_id": tx, "op": op, "ts_ms": None,
+            "table": "WEB.PAGES", "username": None, "status": 0,
+            "before": before, "after": after, "set_cols": None,
+        }
+
+    rows = [
+        event(10, "t1", "i", "k1", text="one", lang="aa"),
+        event(12, "t1", "u", "k1", text="one-v2"),
+        event(14, "t1", "u", "k2", lang="zz"),      # base key update
+        event(16, "t1", "d", "k3"),                  # base key delete
+        event(18, "t2", "i", "kroll", text="never"),  # rolled back
+        event(20, "t1", "commit", "", commit=20),
+        event(22, "t2", "rollback", "", commit=22),
+        event(24, "t3", "i", "kopen", text="still-open"),  # no marker
+    ]
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=ev_schema),
+        os.path.join(log_dir, "batch-000000000010-000000000024.parquet"),
+    )
+    base = pa.table(
+        {
+            "url": pa.array(["k2", "k3"], pa.string()),
+            "warc_ts": pa.nulls(2, pa.timestamp("us", tz="UTC")),
+            "html": pa.nulls(2, pa.binary()),
+            "text": pa.array(["b2", "b3"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+        }
+    )
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(base, base_path)
+
+    def replay(lake, changelog):
+        eng = Engine(EngineConfig(lake_dir=lake, num_partitions=4))
+        eng.snapshot(base_path, 5)
+        eng.replay(changelog)
+        t = eng.to_arrow(with_meta=True)
+        return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+    comp_dir = str(tmp_path / "compacted")
+    metrics = compact_changelog(
+        EngineConfig(lake_dir=str(tmp_path / "x"), num_partitions=4),
+        log_dir, comp_dir, num_files=2,
+    )
+    assert metrics["events_out"] == 3       # k1 folded, k2, k3
+    assert metrics["n_open_rows_excluded"] == 1
+    assert metrics["n_rolled_back_txns"] == 1
+    assert metrics["n_files"] >= 1
+
+    full = replay(str(tmp_path / "lake_full"), log_dir)
+    comp = replay(str(tmp_path / "lake_comp"), comp_dir)
+    assert full.column("url").to_pylist() == ["k1", "k2"]
+    for c in ("url", "text", "lang", "_commit_scn", "_scn"):
+        assert full.column(c).to_pylist() == comp.column(c).to_pylist(), c
+
+    # double-compaction is a fixpoint: compacting the compacted log
+    # changes nothing but the txn grouping
+    comp2_dir = str(tmp_path / "compacted2")
+    m2 = compact_changelog(
+        EngineConfig(lake_dir=str(tmp_path / "y"), num_partitions=4),
+        comp_dir, comp2_dir, num_files=2,
+    )
+    assert m2["events_out"] == 3
+    comp2 = replay(str(tmp_path / "lake_comp2"), comp2_dir)
+    for c in ("url", "text", "lang"):
+        assert comp2.column(c).to_pylist() == full.column(c).to_pylist(), c
