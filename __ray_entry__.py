@@ -4720,6 +4720,56 @@ r3 AS (
 SELECT doc_id, r FROM r3 ORDER BY doc_id
 """
 
+# web_crawl_frontier: pages are built with a link universe of
+# 2*n_docs (half the targets are outside the corpus); replant the edge
+# set and anti-join against the crawled doc_id set in SQL -- the engine
+# side extracts hrefs from html bytes and anti-joins in ONE kind-tagged
+# hash(dst) exchange with a split guard.
+_WEB_FRONTIER_SQL = r"""
+WITH n AS (SELECT count(*) AS nd FROM documents),
+links AS (
+  SELECT d.doc_id AS src,
+         ((d.doc_id * 7 + 13 * j) % (2 * nd.nd)) AS dst
+  FROM documents d, n nd,
+       unnest(range(1, 2 + (d.doc_id % 4))) AS t(j)
+)
+SELECT dst AS dst_doc,
+       count(*)::BIGINT AS n_discoveries,
+       count(DISTINCT src % 20)::BIGINT AS n_src_hosts
+FROM links
+WHERE dst NOT IN (SELECT doc_id FROM documents)
+GROUP BY dst
+ORDER BY dst
+"""
+
+# web_anchor_text: anchors carry deterministic text w{(src+dst+j)%11};
+# replant (dst, term) in SQL and take per-target totals + the modal
+# term with the engine's tie-break (count desc, term id asc).
+_WEB_ANCHOR_SQL = r"""
+WITH n AS (SELECT count(*) AS nd FROM documents),
+links AS (
+  SELECT d.doc_id AS src,
+         ((d.doc_id * 7 + 13 * j) % nd.nd) AS dst,
+         ((d.doc_id + ((d.doc_id * 7 + 13 * j) % nd.nd) + j) % 11) AS tid
+  FROM documents d, n nd,
+       unnest(range(1, 2 + (d.doc_id % 4))) AS t(j)
+),
+pt AS (SELECT dst, tid, count(*)::BIGINT AS c FROM links GROUP BY dst, tid),
+ranked AS (
+  SELECT dst, tid, c,
+         row_number() OVER (PARTITION BY dst ORDER BY c DESC, tid ASC) AS rn
+  FROM pt
+)
+SELECT dst AS dst_doc,
+       sum(c)::BIGINT AS n_anchors,
+       count(*)::BIGINT AS n_terms,
+       max(CASE WHEN rn = 1 THEN 'w' || tid::VARCHAR END) AS top_term,
+       max(CASE WHEN rn = 1 THEN c END)::BIGINT AS top_cnt
+FROM ranked
+GROUP BY dst
+ORDER BY dst_doc
+"""
+
 _URL_CANON_SQL = r"""
 WITH raw AS (
   SELECT doc_id,
@@ -5454,6 +5504,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PageRank over the REAL extracted link graph (variable
         # out-degree edge table co-partitioned with the rank state)
         "web_pagerank": d.web_pagerank,
+        # outlink anti-join against the crawled set (frontier expansion)
+        "web_crawl_frontier": d.web_crawl_frontier,
+        # inbound anchor-text profile per target (modal term + counts)
+        "web_anchor_text": d.web_anchor_text,
         # training-sequence chunking: fixed word windows with
         # overlap, fan-out vectorized per chunk ordinal
         "doc_chunking": d.doc_chunking,
@@ -5713,6 +5767,8 @@ def oracle_sql() -> dict[str, str]:
         "html_text_extract": _HTML_EXTRACT_SQL,
         "html_outlinks": _HTML_OUTLINKS_SQL,
         "web_pagerank": _WEB_PAGERANK_SQL,
+        "web_crawl_frontier": _WEB_FRONTIER_SQL,
+        "web_anchor_text": _WEB_ANCHOR_SQL,
         "doc_chunking": _DOC_CHUNK_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
         "corpus_budget_select": _BUDGET_SELECT_SQL,

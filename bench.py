@@ -256,6 +256,9 @@ def run_bench() -> dict:
         ("web_pagerank", dops.web_pagerank),
         ("html_text_extract", dops.html_text_extract),
         ("html_outlinks", dops.html_outlinks),
+        ("web_crawl_frontier", dops.web_crawl_frontier),
+        ("web_anchor_text", dops.web_anchor_text),
+        ("cdc_changelog_compaction", q.cdc_changelog_compaction),
         ("winnowing_fingerprints", dops.winnowing_fingerprints),
         ("semantic_dedup", dops.semantic_dedup),
         ("dsir_select", dops.dsir_select),

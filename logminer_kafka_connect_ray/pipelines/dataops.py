@@ -4555,6 +4555,270 @@ def web_pagerank(sf_dir: str, iters: int = 3) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Crawl-frontier discovery (outlink anti-join against the crawled set)
+# ---------------------------------------------------------------------------
+def web_crawl_frontier(sf_dir: str) -> pa.Table:
+    """Frontier expansion -- the step after outlink extraction in a
+    crawler: which link targets are NOT yet in the corpus, and how
+    often / from how many hosts were they discovered (discovery count
+    drives crawl prioritization).
+
+    Pages are built with a link universe of ``2 * n_docs`` (same
+    planted grammar as :func:`html_outlinks`, ``universe`` knob), so
+    roughly half the anchor targets point outside the corpus.  The
+    operator sees only html bytes + the corpus's own ``doc_id`` set:
+    it extracts every href, pre-aggregates ``(dst, src_host)`` pairs
+    per block, and anti-joins against the crawled ids.
+
+    Scale shape: candidates are combined to distinct ``(dst, host)``
+    pairs per block BEFORE anything shuffles; the crawled side ships
+    only its ids.  Both sides take ONE explicit-boundary exchange on
+    ``hash(dst)`` (kind-tagged union, the repo's standard co-partition
+    join); each block then resolves membership with one searchsorted
+    sweep and emits only uncrawled targets -- output is bounded by
+    distinct frontier urls, never by edge count.  A guard sentinel per
+    block (crawled-id count per partition, summed and uniqueness-
+    checked on the driver) makes a split partition -- which could
+    surface a crawled url as frontier -- fail loudly."""
+    from logminer_kafka_connect_ray.functions.hashing import partition_ids
+
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    build = _build_linked_html(n_docs, universe=2 * n_docs)
+    P = _exchange_width(n_docs * 4)
+    u_schema = pa.schema(
+        [("key", pa.int64()), ("cnt", pa.int64()),
+         ("kind", pa.int64()), ("_p", pa.int64())]
+    )
+
+    def extract_candidates(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return u_schema.empty_table()
+        src = (
+            pc.cast(t.column("doc_id"), pa.int64())
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        h = pc.cast(t.column("html").combine_chunks(), pa.large_string())
+        parts = pc.split_pattern(h, '<a href="')
+        lens = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        starts = np.cumsum(lens) - lens
+        ordin = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        mask = ordin > 0
+        flat = flat.filter(pa.array(mask))
+        srcs = src[parent[mask]]
+        ex = pc.extract_regex(
+            flat, r'^https://site[0-9]+\.example/d/(?P<id>[0-9]+)"'
+        )
+        ids = pc.struct_field(ex, "id")
+        if ids.null_count:
+            raise ValueError("web_crawl_frontier: unparseable anchor href")
+        dst = pc.cast(ids, pa.int64()).to_numpy(zero_copy_only=False)
+        key, cnt = np.unique(dst * 32 + (srcs % 20), return_counts=True)
+        return pa.table(
+            {"key": pa.array(key), "cnt": pa.array(cnt.astype(np.int64)),
+             "kind": pa.array(np.zeros(len(key), np.int64)),
+             "_p": pa.array(partition_ids(pa.array(key >> 5), P))},
+            schema=u_schema,
+        )
+
+    def tag_crawled(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return u_schema.empty_table()
+        did = pc.cast(t.column("doc_id"), pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {"key": did, "cnt": pa.array(np.zeros(n, np.int64)),
+             "kind": pa.array(np.ones(n, np.int64)),
+             "_p": pa.array(partition_ids(did, P))},
+            schema=u_schema,
+        )
+
+    def anti_join(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("dst_doc", pa.int64()), ("n_discoveries", pa.int64()),
+             ("n_src_hosts", pa.int64()), ("_guard_part", pa.int64()),
+             ("_guard_crawled", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        kind = t.column("kind").combine_chunks().to_numpy(zero_copy_only=False)
+        key = t.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").combine_chunks().to_numpy(zero_copy_only=False)
+        crawled = np.sort(key[kind == 1])
+        ckey, ccnt = key[kind == 0], cnt[kind == 0]
+        dst, host = ckey >> 5, ckey & 31
+        pos = np.searchsorted(crawled, dst)
+        pos_c = np.minimum(pos, max(len(crawled) - 1, 0))
+        known = (crawled[pos_c] == dst) if len(crawled) else np.zeros(
+            len(dst), bool
+        )
+        dst, host, ccnt = dst[~known], host[~known], ccnt[~known]
+        order = np.argsort(dst, kind="stable")
+        dst, ccnt = dst[order], ccnt[order]
+        uniq, idx = np.unique(dst, return_index=True)
+        n_disc = (np.add.reduceat(ccnt, idx) if len(ccnt)
+                  else np.array([], np.int64))
+        n_hosts = np.diff(np.append(idx, len(dst)))
+        # data rows + one guard sentinel per partition present in the
+        # block (crawled-id count; driver sums + uniqueness-checks)
+        g, parts = len(uniq), pc.unique(t.column("_p")).to_pylist()
+        return pa.table(
+            {
+                "dst_doc": pa.array(
+                    np.concatenate([uniq, np.full(len(parts), -1)])
+                    .astype(np.int64)
+                ),
+                "n_discoveries": pa.array(
+                    np.concatenate([n_disc, np.zeros(len(parts))])
+                    .astype(np.int64)
+                ),
+                "n_src_hosts": pa.array(
+                    np.concatenate([n_hosts, np.zeros(len(parts))])
+                    .astype(np.int64)
+                ),
+                "_guard_part": pa.array(
+                    np.concatenate([np.full(g, -1), np.array(parts)])
+                    .astype(np.int64)
+                ),
+                "_guard_crawled": pa.array(
+                    np.concatenate([np.full(g, -1),
+                                    np.full(len(parts), len(crawled))])
+                    .astype(np.int64)
+                ),
+            },
+            schema=out_schema,
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = docs.map_batches(build, batch_format="pyarrow").map_batches(
+        extract_candidates, batch_format="pyarrow"
+    )
+    crawled_ds = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        tag_crawled, batch_format="pyarrow"
+    )
+    t = pa.Table.from_pandas(
+        cands.union(crawled_ds)
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(anti_join, batch_size=None, batch_format="pyarrow")
+        .to_pandas(),
+        preserve_index=False,
+    )
+    guards = t.filter(pc.greater_equal(t.column("_guard_part"), 0))
+    gparts = guards.column("_guard_part").to_pylist()
+    if len(gparts) != len(set(gparts)):
+        raise RuntimeError(
+            "web_crawl_frontier: exchange split a partition across "
+            "blocks; a crawled url could leak into the frontier"
+        )
+    n_seen = sum(guards.column("_guard_crawled").to_pylist())
+    n_docs_actual, _ = _table_meta(sf_dir, "documents")
+    if n_seen != n_docs_actual:
+        raise RuntimeError(
+            f"web_crawl_frontier: crawled-side rows lost in the "
+            f"exchange ({n_seen} != {n_docs_actual})"
+        )
+    t = t.filter(pc.equal(t.column("_guard_part"), -1)).drop_columns(
+        ["_guard_part", "_guard_crawled"]
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("dst_doc", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# Inbound anchor-text aggregation (the classic web-search signal)
+# ---------------------------------------------------------------------------
+def web_anchor_text(sf_dir: str) -> pa.Table:
+    """Per-target inbound ANCHOR TEXT profile: for every linked-to doc,
+    total inbound anchors, distinct anchor terms, and the most frequent
+    term (ties -> lexicographically smallest) -- the signal search
+    engines index a page under (anchor text of inbound links describes
+    the target better than the target itself).
+
+    Pages plant anchors with deterministic text ``w{(src+dst+j)%11}``
+    (:func:`_build_linked_html` ``anchor_terms``); the operator sees
+    only html bytes, extracts ``(dst, term)`` with one RE2 kernel over
+    the split anchor tails, and pre-aggregates packed
+    ``key = dst*16 + term_id`` counts per block.
+
+    Scale shape: one ``groupby(key).sum`` exchange over pre-aggregated
+    rows (volume bounded by distinct (target, term) pairs -- with a
+    bounded anchor vocabulary this is O(targets), not O(edges)); the
+    finish is output-sized: unpack, ``lexsort`` per target, first-row
+    argmax with the tie-break baked into the sort key."""
+    from ray.data.aggregate import Sum
+
+    n_docs, _ = _table_meta(sf_dir, "documents")
+    build = _build_linked_html(n_docs, anchor_terms=True)
+
+    def extract_terms(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("key", pa.int64()), ("cnt", pa.int64())]
+            ).empty_table()
+        h = pc.cast(t.column("html").combine_chunks(), pa.large_string())
+        parts = pc.split_pattern(h, '<a href="')
+        lens = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        starts = np.cumsum(lens) - lens
+        ordin = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        flat = flat.filter(pa.array(ordin > 0))
+        ex = pc.extract_regex(
+            flat,
+            r'^https://site[0-9]+\.example/d/(?P<id>[0-9]+)">w(?P<tid>[0-9]+)</a>',
+        )
+        ids = pc.struct_field(ex, "id")
+        tids = pc.struct_field(ex, "tid")
+        if ids.null_count or tids.null_count:
+            raise ValueError("web_anchor_text: unparseable anchor")
+        dst = pc.cast(ids, pa.int64()).to_numpy(zero_copy_only=False)
+        tid = pc.cast(tids, pa.int64()).to_numpy(zero_copy_only=False)
+        if tid.max(initial=0) >= 16:
+            raise ValueError("web_anchor_text: term id overflows the pack")
+        key, cnt = np.unique(dst * 16 + tid, return_counts=True)
+        return pa.table(
+            {"key": pa.array(key), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(build, batch_format="pyarrow")
+        .map_batches(extract_terms, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cnt"))
+        .to_pandas()
+    )
+    agg = _named_agg(agg, ["key", "cnt"])
+    key = agg["key"].to_numpy(dtype=np.int64)
+    cnt = agg["cnt"].to_numpy(dtype=np.int64)
+    dst, tid = key >> 4, key & 15
+    # per-target finish: count desc, term asc -- first row per dst wins
+    order = np.lexsort((tid, -cnt, dst))
+    dst, tid, cnt = dst[order], tid[order], cnt[order]
+    uniq, idx = np.unique(dst, return_index=True)
+    n_anchors = np.add.reduceat(cnt, idx) if len(cnt) else np.array([], np.int64)
+    n_terms = np.diff(np.append(idx, len(dst)))
+    top_tid, top_cnt = tid[idx], cnt[idx]
+    top_term = pc.binary_join_element_wise(
+        pa.array(["w"] * len(uniq)),
+        pc.cast(pa.array(top_tid.astype(np.int64)), pa.string()),
+        "",
+    )
+    return pa.table(
+        {
+            "dst_doc": pa.array(uniq.astype(np.int64)),
+            "n_anchors": pa.array(n_anchors.astype(np.int64)),
+            "n_terms": pa.array(n_terms.astype(np.int64)),
+            "top_term": top_term,
+            "top_cnt": pa.array(top_cnt.astype(np.int64)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Line-level exact dedup (C4 / RefinedWeb shape)
 # ---------------------------------------------------------------------------
 def line_dedup(sf_dir: str) -> pa.Table:
