@@ -278,7 +278,16 @@ def compact_changelog(
     )
 
     # ---- exchange 2: disjoint scn-range buckets -> batch files ------
+    # compaction OWNS its output dir: bucket ranges are deterministic
+    # for (input, F), so a re-run after a crash rewrites the same file
+    # names atomically (tmp+rename) -- but a prior attempt with
+    # different parameters could leave stale batch files that a reader
+    # would pick up, so clear them first.  The _compacted.json manifest
+    # written at the end is the completeness marker.
     os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.startswith("batch-") or f == "_compacted.json":
+            os.unlink(os.path.join(out_dir, f))
 
     def write_bucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -353,5 +362,16 @@ def compact_changelog(
         "scn_hi": hi,
         "seconds": round(time.monotonic() - t0, 3),
     }
+    # completeness marker (atomic): a reader finding batch files but no
+    # manifest is looking at a crashed attempt -- re-run compaction
+    import json
+
+    files_out = sorted(
+        p for p in lineage.column("path").to_pylist() if p
+    )
+    tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump({"metrics": metrics, "files": files_out}, fh, indent=1)
+    os.rename(tmp, os.path.join(out_dir, "_compacted.json"))
     log.info("compacted %s -> %s: %s", changelog_dir, out_dir, metrics)
     return metrics

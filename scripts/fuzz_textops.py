@@ -53,6 +53,8 @@ OPS = [
     # mismatch = a body the extraction failed to invert byte-for-byte
     "html_text_extract",
     "html_outlinks",
+    "web_crawl_frontier",
+    "web_anchor_text",
 ]
 
 #: embedding-table ops fuzzed alongside (random integer-grid vectors;

@@ -321,3 +321,95 @@ def test_compact_changelog_end_to_end(ray_session, tmp_path):
     comp2 = replay(str(tmp_path / "lake_comp2"), comp2_dir)
     for c in ("url", "text", "lang"):
         assert comp2.column(c).to_pylist() == full.column(c).to_pylist(), c
+
+
+def test_compacted_bootstrap_then_tail_replay(ray_session, tmp_path):
+    """The real deployment shape: compact BEHIND a watermark, bootstrap
+    a new consumer from snapshot + compacted log, then let it tail the
+    ORIGINAL log -- the tail txn (committed after the compaction
+    watermark) must apply on top, and the final lake must equal a
+    full-history replay bit-for-bit including lineage stamps."""
+    from logminer_kafka_connect_ray.config import EngineConfig
+    from logminer_kafka_connect_ray.pipelines.compaction import (
+        compact_changelog,
+    )
+    from logminer_kafka_connect_ray.pipelines.engine import Engine
+
+    ev_schema = schemas.change_event_schema(SCHEMA)
+
+    def event(scn, tx, op, key, text=None, lang=None, commit=None):
+        after = None if op in ("d", "commit", "rollback") else {
+            "url": key, "warc_ts": None, "html": None,
+            "text": text, "lang": lang,
+        }
+        before = {"url": key, "warc_ts": None, "html": None,
+                  "text": None, "lang": None} if op == "d" else None
+        return {
+            "scn": scn, "row_id": f"R{scn}", "commit_scn": commit,
+            "tx_id": tx, "op": op, "ts_ms": None,
+            "table": "WEB.PAGES", "username": None, "status": 0,
+            "before": before, "after": after, "set_cols": None,
+        }
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    file1 = [
+        event(10, "t1", "i", "k1", text="one", lang="aa"),
+        event(12, "t1", "u", "k1", text="one-v2"),
+        event(14, "t1", "u", "k2", lang="zz"),
+        event(16, "t1", "commit", "", commit=16),
+        # t2 starts before the compaction watermark but commits after
+        # it -> OPEN at compaction time, re-read from the tail
+        event(18, "t2", "i", "k4", text="late-txn"),
+    ]
+    file2 = [
+        event(22, "t2", "u", "k4", lang="l4"),
+        event(24, "t2", "commit", "", commit=24),
+        event(26, "t3", "u", "k1", text="one-v3"),
+        event(28, "t3", "d", "k2"),
+        event(30, "t3", "commit", "", commit=30),
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(file1, schema=ev_schema),
+        os.path.join(log_dir, "batch-000000000010-000000000018.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(file2, schema=ev_schema),
+        os.path.join(log_dir, "batch-000000000022-000000000030.parquet"),
+    )
+    base = pa.table(
+        {
+            "url": pa.array(["k2"], pa.string()),
+            "warc_ts": pa.nulls(1, pa.timestamp("us", tz="UTC")),
+            "html": pa.nulls(1, pa.binary()),
+            "text": pa.array(["b2"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(base, base_path)
+
+    comp_dir = str(tmp_path / "compacted")
+    metrics = compact_changelog(
+        EngineConfig(lake_dir=str(tmp_path / "x"), num_partitions=4),
+        log_dir, comp_dir, num_files=2, scn_hi=18,
+    )
+    assert metrics["events_out"] == 2           # k1 folded, k2
+    assert metrics["n_open_rows_excluded"] == 1  # t2's first row
+    assert os.path.exists(os.path.join(comp_dir, "_compacted.json"))
+
+    def final(lake, *logs):
+        eng = Engine(EngineConfig(lake_dir=lake, num_partitions=4))
+        eng.snapshot(base_path, 5)
+        for lg in logs:
+            eng.replay(lg)
+        t = eng.to_arrow(with_meta=True)
+        return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+    full = final(str(tmp_path / "lake_full"), log_dir)
+    boot = final(str(tmp_path / "lake_boot"), comp_dir, log_dir)
+    assert full.column("url").to_pylist() == ["k1", "k4"]
+    for c in ("url", "text", "lang", "_commit_scn", "_scn"):
+        assert full.column(c).to_pylist() == boot.column(c).to_pylist(), c
+    # the tail actually applied: k1 at v3, k4 present, k2 deleted
+    assert boot.column("text").to_pylist()[0] == "one-v3"
