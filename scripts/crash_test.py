@@ -248,6 +248,105 @@ def repair_round(seed: int, repo_root: str) -> str:
         shutil.rmtree(work, ignore_errors=True)
 
 
+CHILD_COMPACT = """
+import sys
+sys.path.insert(0, {root!r})
+import ray
+ray.init(address="local", num_cpus=8, include_dashboard=False,
+         logging_level="ERROR")
+from logminer_kafka_connect_ray import EngineConfig
+from logminer_kafka_connect_ray.pipelines.compaction import compact_changelog
+compact_changelog(
+    EngineConfig(lake_dir={lake!r}, num_partitions=4),
+    {changelog!r}, {out_dir!r}, num_files=3,
+)
+ray.shutdown()
+"""
+
+
+def compaction_round(seed: int, repo_root: str) -> str:
+    """Kill -9 DURING changelog compaction, re-run compaction in a
+    fresh process (it owns its output dir: stale batch files from the
+    crashed attempt are cleared / atomically overwritten), then replay
+    the compacted log over the snapshot -- the final state must equal
+    the dict oracle of the FULL history."""
+    import pyarrow.parquet as pq
+
+    from logminer_kafka_connect_ray import EngineConfig
+    from logminer_kafka_connect_ray.pipelines.engine import Engine
+    from logminer_kafka_connect_ray.testing.compare import (
+        state_diff,
+        table_to_state,
+    )
+    from logminer_kafka_connect_ray.testing.gen import (
+        ChangeGenConfig,
+        gen_changes,
+        gen_pages,
+        write_event_batches,
+    )
+    from logminer_kafka_connect_ray.testing.oracle import replay_oracle
+
+    rng = random.Random(seed)
+    work = tempfile.mkdtemp(prefix=f"lkc-crash-compact-{seed}-")
+    try:
+        pages = gen_pages(30, seed=seed)
+        pages_path = f"{work}/pages.parquet"
+        pq.write_table(pages, pages_path)
+        events, _, _ = gen_changes(
+            pages,
+            ChangeGenConfig(
+                n_events=400, seed=seed, p_rollback=0.1,
+                max_open_txns=4, leave_open=0,
+            ),
+        )
+        changelog = f"{work}/changelog"
+        write_event_batches(events, changelog, events_per_file=40)
+        lake = f"{work}/lake"
+        out_dir = f"{work}/compacted"
+
+        script = CHILD_COMPACT.format(
+            root=repo_root, lake=lake, changelog=changelog, out_dir=out_dir
+        )
+        child = subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+        delay = rng.uniform(2.0, 8.0)
+        try:
+            child.wait(timeout=delay)
+            outcome = "completed-before-kill"
+        except subprocess.TimeoutExpired:
+            os.killpg(child.pid, signal.SIGKILL)
+            child.wait()
+            outcome = f"killed@{delay:.1f}s"
+
+        rc = subprocess.run(
+            [sys.executable, "-c", script],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ).returncode
+        if rc != 0:
+            return f"seed {seed}: COMPACT RERUN FAILED rc={rc} ({outcome})"
+        if not os.path.exists(f"{out_dir}/_compacted.json"):
+            return f"seed {seed}: NO COMPLETENESS MANIFEST ({outcome})"
+
+        eng = Engine(EngineConfig(lake_dir=lake, num_partitions=4))
+        eng.snapshot(pages_path, 999)
+        eng.replay(out_dir)
+        base = {
+            r["url"]: {k: v for k, v in r.items() if k != "url"}
+            for r in pages.to_pylist()
+        }
+        want = replay_oracle(base, events)
+        got = table_to_state(eng.to_arrow())
+        diff = state_diff(got, want)
+        if diff:
+            return f"seed {seed}: STATE DIVERGED ({outcome}): {diff}"
+        return f"seed {seed}: OK compaction ({outcome})"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     import ray
 
@@ -259,9 +358,12 @@ def main() -> int:
                  logging_level="ERROR")
     failures = 0
     for i in range(n):
-        # every third round crashes a dead-letter REPAIR instead of a
-        # replay (same durability contract, different write path)
-        fn = repair_round if (seed0 + i) % 3 == 0 else one_round
+        # rotate the crash target: dead-letter REPAIR, changelog
+        # COMPACTION, plain replay (same durability contract, three
+        # different write paths)
+        fn = {0: repair_round, 1: compaction_round}.get(
+            (seed0 + i) % 3, one_round
+        )
         msg = fn(seed0 + i, repo_root)
         print(msg, flush=True)
         if "OK" not in msg:
