@@ -27,7 +27,8 @@ def main(argv=None) -> int:
     p.add_argument(
         "command",
         choices=["snapshot", "replay", "stream", "show", "history",
-                 "vacuum", "erase", "query", "lookup", "scan", "repair"],
+                 "vacuum", "erase", "query", "lookup", "scan", "repair",
+                 "compact"],
     )
     p.add_argument("--keep", type=int, default=2,
                    help="vacuum: versions to retain")
@@ -150,7 +151,12 @@ def main(argv=None) -> int:
         return 0
 
     if not args.lake:
-        p.error(f"{args.command} requires --lake")
+        if args.command == "compact":
+            # compaction is lake-independent (log in -> log out); the
+            # config only supplies key/partitions/whitelist/format
+            args.lake = "/tmp/lkc_compact_scratch"
+        else:
+            p.error(f"{args.command} requires --lake")
 
     from logminer_kafka_connect_ray.config import EngineConfig
     from logminer_kafka_connect_ray.pipelines.engine import Engine
@@ -228,6 +234,20 @@ def main(argv=None) -> int:
                 print(pa.concat_tables(tbls).slice(0, 20)
                       .to_pandas().to_string())
         print(json.dumps({"rows": n, **eng.last_scan_stats}))
+        ray.shutdown()
+        return 0
+    elif args.command == "compact":
+        if not args.changelog or not args.out:
+            p.error("compact requires --changelog and --out")
+        from logminer_kafka_connect_ray.pipelines.compaction import (
+            compact_changelog,
+        )
+
+        metrics = compact_changelog(
+            cfg, args.changelog, args.out,
+            scn_hi=args.scn or None,
+        )
+        print(json.dumps(metrics))
         ray.shutdown()
         return 0
     elif args.command == "repair":

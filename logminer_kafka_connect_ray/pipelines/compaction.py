@@ -286,8 +286,18 @@ def compact_changelog(
     # written at the end is the completeness marker.
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(out_dir):
-        if f.startswith("batch-") or f == "_compacted.json":
+        if f.startswith("batch-") or f in ("_compacted.json", "_catalog.json"):
             os.unlink(os.path.join(out_dir, f))
+    # DDL catalog sidecar travels with the log: defaults/renames/drops
+    # discovered by a replay of the COMPACTED log must match what the
+    # full log would have taught it (default backfill of old base
+    # partitions happens at merge time, not in the events themselves)
+    import shutil as _shutil
+
+    for d in sorted({os.path.dirname(p) for p in paths}):
+        cat = os.path.join(d, "_catalog.json")
+        if os.path.exists(cat):
+            _shutil.copyfile(cat, os.path.join(out_dir, "_catalog.json"))
 
     def write_bucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

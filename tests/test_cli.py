@@ -2,6 +2,7 @@
 lifecycle (snapshot -> replay -> erase -> vacuum -> history/show)."""
 
 import json
+import os
 
 import pyarrow.parquet as pq
 
@@ -37,6 +38,14 @@ def test_cli_lifecycle(ray_session, tmp_path, monkeypatch, capsys):
                      "--partitions", "3"]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["version"] >= 2
+
+    # changelog compaction: lake-independent (no --lake needed)
+    comp = str(tmp_path / "compacted")
+    assert cli.main(["compact", "--changelog", changelog, "--out", comp,
+                     "--partitions", "3"]) == 0
+    outc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < outc["events_out"] <= outc["events_in"]
+    assert os.path.exists(os.path.join(comp, "_compacted.json"))
 
     url = pages.column("url")[0].as_py()
     url2 = pages.column("url")[7].as_py()

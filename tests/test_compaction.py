@@ -413,3 +413,58 @@ def test_compacted_bootstrap_then_tail_replay(ray_session, tmp_path):
         assert full.column(c).to_pylist() == boot.column(c).to_pylist(), c
     # the tail actually applied: k1 at v3, k4 present, k2 deleted
     assert boot.column("text").to_pylist()[0] == "one-v3"
+
+
+def test_compaction_over_schema_evolution(ray_session, tmp_path):
+    """Compact a log that contains a mid-stream column add
+    (ChangingTableTest.kt:42-93 shape): the compacted replay must
+    carry the evolved schema and match the full replay exactly --
+    pre-evolution keys null for the new column, post-evolution values
+    folded in."""
+    from logminer_kafka_connect_ray.config import EngineConfig
+    from logminer_kafka_connect_ray.pipelines.compaction import (
+        compact_changelog,
+    )
+    from logminer_kafka_connect_ray.pipelines.engine import Engine
+    from logminer_kafka_connect_ray.testing.gen import (
+        ChangeGenConfig,
+        gen_changes,
+        gen_pages,
+        write_event_batches,
+    )
+
+    pages = gen_pages(30, seed=31)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(
+        pages,
+        ChangeGenConfig(
+            n_events=300, seed=31, evolution_at_scn=1150, leave_open=0
+        ),
+    )
+    log_dir = str(tmp_path / "log")
+    write_event_batches(events, log_dir, events_per_file=80)
+
+    comp_dir = str(tmp_path / "compacted")
+    metrics = compact_changelog(
+        EngineConfig(lake_dir=str(tmp_path / "x"), num_partitions=4),
+        log_dir, comp_dir, num_files=3,
+    )
+    assert metrics["events_out"] < metrics["events_in"]
+
+    def final(lake, changelog):
+        eng = Engine(EngineConfig(lake_dir=lake, num_partitions=4))
+        eng.snapshot(pages_path, 999)
+        m = eng.replay(changelog)
+        t = eng.to_arrow(with_meta=True)
+        return m, t.take(
+            pc.sort_indices(t, sort_keys=[("url", "ascending")])
+        )
+
+    m_full, full = final(str(tmp_path / "lake_full"), log_dir)
+    m_comp, comp = final(str(tmp_path / "lake_comp"), comp_dir)
+    assert m_full.schema_version >= 1 and m_comp.schema_version >= 1
+    assert "fetch_status" in full.column_names
+    assert full.column_names == comp.column_names
+    for c in full.column_names:
+        assert full.column(c).to_pylist() == comp.column(c).to_pylist(), c
