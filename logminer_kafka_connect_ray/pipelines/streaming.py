@@ -117,9 +117,16 @@ def _decode_changelog_file(
     )
     auto_rows = flat.filter(auto)
     if auto_rows.num_rows:
+        # PRE-RESOLVED rows (compacted changelog bootstrap,
+        # pipelines/compaction.py) keep their original commit stamp;
+        # plain no-txn rows auto-commit at their own scn
         i = auto_rows.column_names.index("commit_scn")
         auto_rows = auto_rows.set_column(
-            i, "commit_scn", auto_rows.column("scn").cast(pa.int64())
+            i, "commit_scn",
+            pc.coalesce(
+                auto_rows.column("commit_scn").cast(pa.int64()),
+                auto_rows.column("scn").cast(pa.int64()),
+            ),
         )
     # the auto count rides back as its own (tiny) return so the run()
     # loop never needs a _count task round over the auto refs

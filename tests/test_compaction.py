@@ -468,3 +468,62 @@ def test_compaction_over_schema_evolution(ray_session, tmp_path):
     assert full.column_names == comp.column_names
     for c in full.column_names:
         assert full.column(c).to_pylist() == comp.column(c).to_pylist(), c
+
+
+def test_streaming_bootstrap_from_compacted_log(ray_session, tmp_path):
+    """A STREAMING consumer can bootstrap from a compacted log: the
+    pre-resolved NO_TXN events auto-release with their ORIGINAL commit
+    stamps (never buffered as open txns), and the streamed state
+    equals the batch full-history replay."""
+    from logminer_kafka_connect_ray.config import EngineConfig
+    from logminer_kafka_connect_ray.pipelines.compaction import (
+        compact_changelog,
+    )
+    from logminer_kafka_connect_ray.pipelines.engine import Engine
+    from logminer_kafka_connect_ray.pipelines.streaming import (
+        StreamingEngine,
+    )
+    from logminer_kafka_connect_ray.testing.gen import (
+        ChangeGenConfig,
+        gen_changes,
+        gen_pages,
+        write_event_batches,
+    )
+
+    pages = gen_pages(30, seed=33)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(
+        pages, ChangeGenConfig(n_events=300, seed=33, leave_open=0)
+    )
+    log_dir = str(tmp_path / "log")
+    write_event_batches(events, log_dir, events_per_file=80)
+    comp_dir = str(tmp_path / "compacted")
+    compact_changelog(
+        EngineConfig(lake_dir=str(tmp_path / "x"), num_partitions=4),
+        log_dir, comp_dir, num_files=3,
+    )
+
+    eng_b = Engine(EngineConfig(lake_dir=str(tmp_path / "lake_b"),
+                                num_partitions=4))
+    eng_b.snapshot(pages_path, 999)
+    eng_b.replay(log_dir)
+
+    eng_s = Engine(EngineConfig(lake_dir=str(tmp_path / "lake_s"),
+                                num_partitions=4))
+    eng_s.snapshot(pages_path, 999)
+    stream = StreamingEngine(eng_s, comp_dir, num_shards=2,
+                             poll_interval=0.01)
+    stream.run(max_polls=5)
+    # nothing held open: every compacted event is pre-resolved
+    assert stream.min_open_scn() is None
+    stream.shutdown()
+
+    def sorted_tbl(eng):
+        t = eng.to_arrow(with_meta=True)
+        return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+    full, streamed = sorted_tbl(eng_b), sorted_tbl(eng_s)
+    assert full.num_rows == streamed.num_rows
+    for c in full.column_names:
+        assert full.column(c).to_pylist() == streamed.column(c).to_pylist(), c
