@@ -527,3 +527,65 @@ def test_streaming_bootstrap_from_compacted_log(ray_session, tmp_path):
     assert full.num_rows == streamed.num_rows
     for c in full.column_names:
         assert full.column(c).to_pylist() == streamed.column(c).to_pylist(), c
+
+
+def test_compaction_respects_table_whitelist(ray_session, tmp_path):
+    """A MIXED two-table log compacts per table: the whitelist keeps
+    only the target table's events (the other table's are dropped like
+    the engine's own decode filter does), and replaying the compacted
+    log reproduces the whitelisted replay of the full log."""
+    from logminer_kafka_connect_ray.config import EngineConfig
+    from logminer_kafka_connect_ray.pipelines.compaction import (
+        compact_changelog,
+    )
+    from logminer_kafka_connect_ray.pipelines.engine import Engine
+
+    ev_schema = schemas.change_event_schema(SCHEMA)
+
+    def event(scn, tx, op, key, table, text=None, commit=None):
+        after = None if op in ("d", "commit", "rollback") else {
+            "url": key, "warc_ts": None, "html": None,
+            "text": text, "lang": None,
+        }
+        return {
+            "scn": scn, "row_id": f"R{scn}", "commit_scn": commit,
+            "tx_id": tx, "op": op, "ts_ms": None,
+            "table": table, "username": None, "status": 0,
+            "before": None, "after": after, "set_cols": None,
+        }
+
+    rows = [
+        event(10, "t1", "i", "p1", "WEB.PAGES", text="page"),
+        event(12, "t1", "i", "s1", "WEB.SUPPLIERS", text="supplier"),
+        event(14, "t1", "u", "p1", "WEB.PAGES", text="page-v2"),
+        event(16, "t1", "commit", "", "WEB.PAGES", commit=16),
+    ]
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=ev_schema),
+        os.path.join(log_dir, "batch-000000000010-000000000016.parquet"),
+    )
+    comp_dir = str(tmp_path / "compacted")
+    cfg = EngineConfig(
+        lake_dir=str(tmp_path / "lake"), num_partitions=2,
+        table_whitelist=("WEB.PAGES",),
+    )
+    metrics = compact_changelog(cfg, log_dir, comp_dir, num_files=1)
+    assert metrics["events_out"] == 1  # p1 folded; s1 filtered out
+
+    eng = Engine(cfg)
+    eng.snapshot(
+        _write_base(tmp_path), 5
+    )
+    eng.replay(comp_dir)
+    t = eng.to_arrow()
+    assert t.column("url").to_pylist() == ["p1"]
+    assert t.column("text").to_pylist() == ["page-v2"]
+
+
+def _write_base(tmp_path) -> str:
+    base = SCHEMA.empty_table()
+    path = str(tmp_path / "empty_base.parquet")
+    pq.write_table(base, path)
+    return path
