@@ -90,6 +90,30 @@ def run_seed(seed: int, root: str) -> None:
 
     if seed % 2 == 0:
         _repair_leg(seed, root, pages_path, events, check)
+    else:
+        _compaction_leg(seed, root, pages_path, changelog, check)
+
+
+def _compaction_leg(seed, root, pages_path, changelog, check) -> None:
+    """Changelog-compaction leg: compact the same randomized log (one
+    replay-equivalent event per key; open-at-tail txns excluded just
+    like the engine holds them unapplied), replay the COMPACTED log
+    into a fresh lake -- state must equal the same dict oracle."""
+    from logminer_kafka_connect_ray.pipelines.compaction import (
+        compact_changelog,
+    )
+
+    cfg = EngineConfig(
+        lake_dir=f"{root}/lake_compact",
+        num_partitions=2 + (seed // 2) % 5,
+    )
+    compact_changelog(
+        cfg, changelog, f"{root}/compacted", num_files=1 + seed % 4
+    )
+    eng = Engine(cfg)
+    eng.snapshot(pages_path, SNAPSHOT_SCN)
+    eng.replay(f"{root}/compacted")
+    check(eng, "compaction")
 
 
 def _repair_leg(seed, root, pages_path, events, check) -> None:
