@@ -243,8 +243,12 @@ def main(argv=None) -> int:
             compact_changelog,
         )
 
+        # comma-separated dirs = incremental compaction
+        # (prev compacted output + new tail segments)
+        chlog = (args.changelog.split(",") if "," in args.changelog
+                 else args.changelog)
         metrics = compact_changelog(
-            cfg, args.changelog, args.out,
+            cfg, chlog, args.out,
             scn_hi=args.scn or None,
         )
         print(json.dumps(metrics))

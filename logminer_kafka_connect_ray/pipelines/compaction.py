@@ -13,13 +13,16 @@ event per key, such that
 
 byte-for-byte (the ``cdc_changelog_compaction`` SQL gate proves it
 against the full-replay oracle).  Uncommitted (still-open) transactions
-at the tail are EXCLUDED -- compaction runs behind the commit
-watermark, and a consumer resumes the ORIGINAL log from the compacted
-log's max SCN, so open transactions are simply re-read later.  Rolled
-back transactions are dropped (they never reach state).  Because each
-compacted event keeps its key's LAST ``(commit_scn, scn, row_id)``,
-later tail events still win LWW arbitration exactly as they would have
-against the uncompacted history.
+are CARRIED VERBATIM -- the active tail keeps its original ``tx_id``
+rows unresolved, so a transaction whose COMMIT lives in a later
+segment loses nothing (the Kafka log cleaner never touches the active
+segment), and ``compact([prev_compacted, tail])`` -- incremental
+compaction, a directory LIST input -- resolves them once the marker
+appears, equaling a from-scratch compaction of the full history.
+Rolled back transactions are dropped (they never reach state).
+Because each compacted event keeps its key's LAST ``(commit_scn, scn,
+row_id)``, later tail events still win LWW arbitration exactly as they
+would have against the uncompacted history.
 
 Scale shape (10^10 events -> ~|keys| events):
 
@@ -76,6 +79,7 @@ _LINEAGE_SCHEMA = pa.schema(
         ("file_idx", pa.int64()),
         ("path", pa.string()),
         ("n_events", pa.int64()),
+        ("n_open", pa.int64()),
         ("scn_lo", pa.int64()),
         ("scn_hi", pa.int64()),
         ("guard_parts", pa.list_(pa.int64())),
@@ -83,10 +87,73 @@ _LINEAGE_SCHEMA = pa.schema(
 )
 
 
+#: per-worker-process cache for the resolve+split stage (same stateless
+#: task + module cache pattern as stages/process.py)
+_SPLIT_CACHE: dict = {}
+
+
+def _make_split_keep_fn(markers_ref, schema_json, key_column: str,
+                        num_partitions: int):
+    """Resolve stage that KEEPS still-open rows inline (tagged
+    ``_kind=1``) instead of spilling them: compaction must carry the
+    active tail verbatim -- a transaction whose COMMIT lives in a
+    later, not-yet-compacted segment would otherwise lose its
+    already-written rows (the Kafka log cleaner never drops the active
+    segment).  Committed rows take the combiner + ``_part`` stamp
+    (``_kind=0``)."""
+    import json as _json
+
+    ref_key = (markers_ref.hex() if hasattr(markers_ref, "hex")
+               else str(id(markers_ref)))
+    cache_key = (ref_key, _json.dumps(schema_json), key_column,
+                 num_partitions)
+
+    def fn(t: pa.Table) -> pa.Table:
+        pair = _SPLIT_CACHE.get(cache_key)
+        if pair is None:
+            if len(_SPLIT_CACHE) > 8:
+                _SPLIT_CACHE.clear()
+            from logminer_kafka_connect_ray.stages.merge import (
+                PreaggPartitioner,
+            )
+            from logminer_kafka_connect_ray.stages.txn import CommitResolver
+
+            table_schema = schemas.schema_from_json(schema_json)
+            n_data = len(schemas.data_columns_of(table_schema, key_column))
+            pair = (
+                CommitResolver(markers_ref, "committed"),
+                PreaggPartitioner(key_column, n_data, num_partitions),
+            )
+            _SPLIT_CACHE[cache_key] = pair
+        resolver, partitioner = pair
+        committed, open_rows = resolver.split(t)
+        c = partitioner(committed)
+        c = c.append_column("_kind", pa.array(np.zeros(c.num_rows, np.int64)))
+        if open_rows.num_rows:
+            from logminer_kafka_connect_ray.functions.hashing import (
+                partition_ids,
+            )
+
+            o = open_rows.filter(pc.is_valid(open_rows.column(key_column)))
+            o = o.append_column(
+                "_part", pa.array(partition_ids(o.column(key_column),
+                                                num_partitions))
+            )
+            o = o.append_column(
+                "_kind", pa.array(np.ones(o.num_rows, np.int64))
+            )
+            return pa.concat_tables([c, o])
+        return c
+
+    fn.__name__ = "resolve_splitkeep"
+    return fn
+
+
 def encode_change_events(
     flat: pa.Table,
     table_schema: pa.Schema,
     key_column: str,
+    raw_mask: np.ndarray | None = None,
 ) -> pa.Table:
     """Flat compacted events -> on-disk ``change_event_schema`` rows.
 
@@ -103,6 +170,11 @@ def encode_change_events(
     rows, and the resolver's pre-resolved path stamps the original
     commit SCN back -- lake lineage (``_commit_scn``/``_scn``) after a
     compacted replay is bit-identical to the full-history replay's.
+
+    ``raw_mask`` marks STILL-OPEN rows carried verbatim (the active
+    tail): those keep their original ``tx_id`` with a null
+    ``commit_scn`` so a later replay / incremental compaction resolves
+    them when their COMMIT marker finally appears.
     """
     n = flat.num_rows
     data_cols = schemas.data_columns_of(table_schema, key_column)
@@ -140,12 +212,25 @@ def encode_change_events(
     values = names_arr.take(pa.array(np.nonzero(bits)[1].astype(np.int64)))
     set_cols = pa.ListArray.from_arrays(pa.array(offsets), values)
 
+    if raw_mask is None:
+        commit_col = flat.column("commit_scn").cast(pa.int64())
+        tx_col = pa.array([schemas.NO_TXN] * n, pa.string())
+    else:
+        raw_arr = pa.array(raw_mask.astype(bool))
+        commit_col = pc.if_else(
+            raw_arr, pa.nulls(n, pa.int64()),
+            flat.column("commit_scn").combine_chunks().cast(pa.int64()),
+        )
+        tx_col = pc.if_else(
+            raw_arr, flat.column("tx_id").combine_chunks().cast(pa.string()),
+            pa.scalar(schemas.NO_TXN, pa.string()),
+        )
     rows = pa.table(
         {
             "scn": flat.column("scn").cast(pa.int64()),
             "row_id": flat.column("row_id").cast(pa.string()),
-            "commit_scn": flat.column("commit_scn").cast(pa.int64()),
-            "tx_id": pa.array([schemas.NO_TXN] * n, pa.string()),
+            "commit_scn": commit_col,
+            "tx_id": tx_col,
             "op": op.cast(pa.string()),
             "ts_ms": flat.column("ts_ms").cast(pa.timestamp("ms", tz="UTC")),
             "table": flat.column("table").cast(pa.string()),
@@ -162,7 +247,7 @@ def encode_change_events(
 
 def compact_changelog(
     config: EngineConfig,
-    changelog_dir: str,
+    changelog_dir: str | list[str],
     out_dir: str,
     num_files: int | None = None,
     scn_hi: int | None = None,
@@ -171,17 +256,28 @@ def compact_changelog(
     (one committed event per key; see module docstring).  Returns a
     metrics dict.  ``scn_hi`` bounds compaction to events at or below
     it (compact behind a watermark); ``num_files`` sets the output
-    fan-out (default: ``config.num_partitions``)."""
+    fan-out (default: ``config.num_partitions``).
+
+    ``changelog_dir`` may be a LIST of directories -- the Kafka
+    log-cleaner shape: ``compact([prev_compacted, tail])`` folds the
+    previous compacted output (~|keys| pre-resolved events) with the
+    new tail segments, reaching the same state as compacting the full
+    history without ever re-reading it (incremental compaction; the
+    decode+resolve pass handles pre-resolved and marker-resolved rows
+    in one stream)."""
     import ray
     import ray.data as rd
 
     t0 = time.monotonic()
     cfg = config
-    files = changelog_src.list_batch_files(changelog_dir)
+    dirs = [changelog_dir] if isinstance(changelog_dir, str) else list(
+        changelog_dir
+    )
+    files = [f for d in dirs for f in changelog_src.list_batch_files(d)]
     if scn_hi is not None:
         files = changelog_src.prune_files(files, None, scn_hi)
     if not files:
-        raise RuntimeError(f"no batch files under {changelog_dir}")
+        raise RuntimeError(f"no batch files under {dirs}")
     paths = [f.path for f in files]
     lo = min(f.scn_min for f in files) - 1
     hi = scn_hi if scn_hi is not None else max(f.scn_max for f in files)
@@ -227,14 +323,23 @@ def compact_changelog(
     else:
         ds = rd.read_parquet(paths, columns=cols)
 
+    # decode (no marker dependency) -> resolve+split-keep: committed
+    # rows combined + _part-stamped (_kind=0), still-open rows carried
+    # inline verbatim (_kind=1) -- see _make_split_keep_fn
     committed = ds.map_batches(
         make_processor_fn(
-            markers_ref, schema_json, cfg.key_column, cfg.table_whitelist,
+            None, schema_json, cfg.key_column, cfg.table_whitelist,
             lo, hi, P, "committed",
             changelog_format=cfg.changelog_format,
             db_timezone=cfg.db_timezone,
+            stage="decode",
         ),
         batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        _make_split_keep_fn(markers_ref, schema_json, cfg.key_column, P),
+        batch_format="pyarrow",
+        batch_size=None,
         zero_copy_batch=True,
     )
 
@@ -242,22 +347,39 @@ def compact_changelog(
     flat_schema = schemas.flat_change_schema(cfg.key_column, table_schema)
     stage1_schema = pa.schema(
         list(flat_schema)
-        + [pa.field("_file", pa.int64()), pa.field("_gpart", pa.int64())]
+        + [pa.field("_kind", pa.int64()), pa.field("_file", pa.int64()),
+           pa.field("_gpart", pa.int64())]
     )
     span = max(1, hi - lo)
+
+    def _stamp_file(t: pa.Table) -> pa.Table:
+        scn = t.column("scn").combine_chunks().to_numpy(zero_copy_only=False)
+        fidx = np.clip((scn - lo - 1) * F // span, 0, F - 1)
+        t = t.append_column("_file", pa.array(fidx.astype(np.int64)))
+        return t.append_column(
+            "_gpart", pa.array(np.full(t.num_rows, -1, np.int64))
+        )
 
     def fold_block(t: pa.Table, _key=cfg.key_column) -> pa.Table:
         if t.num_rows == 0:
             return stage1_schema.empty_table()
         parts = pc.unique(t.column("_part")).to_pylist()
-        t = t.drop_columns(["_part"])
-        out = fold.fold_to_events(t, table_schema, _key)
-        scn = out.column("scn").combine_chunks().to_numpy(zero_copy_only=False)
-        fidx = np.clip((scn - lo - 1) * F // span, 0, F - 1)
-        out = out.append_column("_file", pa.array(fidx.astype(np.int64)))
+        kind = t.column("_kind")
+        # still-open rows (the active tail) pass through VERBATIM
+        carried = t.filter(pc.equal(kind, 1)).drop_columns(["_part"])
+        t0 = t.filter(pc.equal(kind, 0)).drop_columns(["_part", "_kind"])
+        out = fold.fold_to_events(t0, table_schema, _key)
         out = out.append_column(
-            "_gpart", pa.array(np.full(out.num_rows, -1, np.int64))
+            "_kind", pa.array(np.zeros(out.num_rows, np.int64))
         )
+        pieces = [
+            _stamp_file(out).select(stage1_schema.names).cast(stage1_schema)
+        ]
+        if carried.num_rows:
+            pieces.append(
+                _stamp_file(carried)
+                .select(stage1_schema.names).cast(stage1_schema)
+            )
         # guard side-channel: one sentinel per (block, part) routed to
         # the dedicated final bucket; a part seen in TWO fold blocks
         # means the exchange split it (half-folded keys) -> fail loudly
@@ -267,10 +389,8 @@ def compact_changelog(
                 guard[f].append(
                     F if f == "_file" else (p if f == "_gpart" else None)
                 )
-        return pa.concat_tables(
-            [out.select(stage1_schema.names).cast(stage1_schema),
-             pa.table(guard, schema=stage1_schema)]
-        )
+        pieces.append(pa.table(guard, schema=stage1_schema))
+        return pa.concat_tables(pieces)
 
     folded = (
         committed.sort("_part", boundaries=list(range(1, P)))
@@ -308,7 +428,7 @@ def compact_changelog(
         if guards.num_rows:
             rows.append(
                 {
-                    "file_idx": -1, "path": "", "n_events": 0,
+                    "file_idx": -1, "path": "", "n_events": 0, "n_open": 0,
                     "scn_lo": 0, "scn_hi": 0,
                     "guard_parts": guards.column("_gpart").to_pylist(),
                 }
@@ -320,17 +440,24 @@ def compact_changelog(
                     f"compaction bucket exchange mixed file buckets {fvals}"
                 )
             fidx = int(fvals[0])
-            flat = t.drop_columns(["_file", "_gpart"])
+            raw = pc.equal(t.column("_kind"), 1).combine_chunks()
+            raw_np = raw.to_numpy(zero_copy_only=False)
+            flat = t.drop_columns(["_kind", "_file", "_gpart"])
             s_lo = int(pc.min(flat.column("scn")).as_py())
             s_hi = int(pc.max(flat.column("scn")).as_py())
-            enc = encode_change_events(flat, table_schema, cfg.key_column)
+            enc = encode_change_events(
+                flat, table_schema, cfg.key_column,
+                raw_mask=raw_np if raw_np.any() else None,
+            )
             name = f"batch-{s_lo:012d}-{s_hi:012d}.parquet"
             tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}")
             pq.write_table(enc, tmp)
             os.rename(tmp, os.path.join(out_dir, name))
+            n_open = int(raw_np.sum())
             rows.append(
                 {
-                    "file_idx": fidx, "path": name, "n_events": flat.num_rows,
+                    "file_idx": fidx, "path": name,
+                    "n_events": flat.num_rows - n_open, "n_open": n_open,
                     "scn_lo": s_lo, "scn_hi": s_hi, "guard_parts": [],
                 }
             )
@@ -366,7 +493,9 @@ def compact_changelog(
         "events_in": events_in,
         "events_out": events_out,
         "n_files": len(fidxs),
-        "n_open_rows_excluded": int(info.n_open_rows),
+        "n_open_rows_carried": int(
+            pc.sum(lineage.column("n_open")).as_py() or 0
+        ),
         "n_rolled_back_txns": int(info.n_rolled),
         "scn_lo": lo,
         "scn_hi": hi,

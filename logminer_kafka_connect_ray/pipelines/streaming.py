@@ -121,12 +121,12 @@ def _decode_changelog_file(
         # pipelines/compaction.py) keep their original commit stamp;
         # plain no-txn rows auto-commit at their own scn
         i = auto_rows.column_names.index("commit_scn")
+        pre = auto_rows.column("commit_scn").cast(pa.int64()).combine_chunks()
+        scn = auto_rows.column("scn").cast(pa.int64()).combine_chunks()
         auto_rows = auto_rows.set_column(
-            i, "commit_scn",
-            pc.coalesce(
-                auto_rows.column("commit_scn").cast(pa.int64()),
-                auto_rows.column("scn").cast(pa.int64()),
-            ),
+            # explicit if_else(is_valid) over combined chunks -- see the
+            # pc.coalesce chunk-misalignment note in stages/txn.py
+            i, "commit_scn", pc.if_else(pc.is_valid(pre), pre, scn),
         )
     # the auto count rides back as its own (tiny) return so the run()
     # loop never needs a _count task round over the auto refs

@@ -381,7 +381,14 @@ class CommitResolver:
         # degrading to the auto-commit scn
         pre = batch.column("commit_scn")
         if pre.null_count < len(pre):
-            commit_scn = pc.coalesce(pre, commit_scn)
+            # NOT pc.coalesce: with a chunked `pre` and a flat second
+            # arg arrow misaligns chunks and fabricates 0 for rows
+            # where BOTH sides are null (observed pyarrow 16-21)
+            if isinstance(pre, pa.ChunkedArray):
+                pre = pre.combine_chunks()
+            if isinstance(commit_scn, pa.ChunkedArray):
+                commit_scn = commit_scn.combine_chunks()
+            commit_scn = pc.if_else(pc.is_valid(pre), pre, commit_scn)
         is_committed = pc.and_(
             pc.is_valid(commit_scn), pc.invert(pc.and_(is_rolled, pc.invert(auto)))
         )

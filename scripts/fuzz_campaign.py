@@ -96,9 +96,10 @@ def run_seed(seed: int, root: str) -> None:
 
 def _compaction_leg(seed, root, pages_path, changelog, check) -> None:
     """Changelog-compaction leg: compact the same randomized log (one
-    replay-equivalent event per key; open-at-tail txns excluded just
-    like the engine holds them unapplied), replay the COMPACTED log
-    into a fresh lake -- state must equal the same dict oracle."""
+    replay-equivalent event per key; open-at-tail txns carried
+    verbatim, unresolved until their marker appears), replay the
+    COMPACTED log into a fresh lake -- state must equal the same dict
+    oracle."""
     from logminer_kafka_connect_ray.pipelines.compaction import (
         compact_changelog,
     )

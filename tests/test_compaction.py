@@ -267,7 +267,7 @@ def test_compact_changelog_end_to_end(ray_session, tmp_path):
         event(18, "t2", "i", "kroll", text="never"),  # rolled back
         event(20, "t1", "commit", "", commit=20),
         event(22, "t2", "rollback", "", commit=22),
-        event(24, "t3", "i", "kopen", text="still-open"),  # no marker
+        event(24, "t3", "i", "kopen", text="still-open"),  # no marker -> carried verbatim
     ]
     log_dir = str(tmp_path / "log")
     os.makedirs(log_dir)
@@ -300,7 +300,7 @@ def test_compact_changelog_end_to_end(ray_session, tmp_path):
         log_dir, comp_dir, num_files=2,
     )
     assert metrics["events_out"] == 3       # k1 folded, k2, k3
-    assert metrics["n_open_rows_excluded"] == 1
+    assert metrics["n_open_rows_carried"] == 1
     assert metrics["n_rolled_back_txns"] == 1
     assert metrics["n_files"] >= 1
 
@@ -395,7 +395,7 @@ def test_compacted_bootstrap_then_tail_replay(ray_session, tmp_path):
         log_dir, comp_dir, num_files=2, scn_hi=18,
     )
     assert metrics["events_out"] == 2           # k1 folded, k2
-    assert metrics["n_open_rows_excluded"] == 1  # t2's first row
+    assert metrics["n_open_rows_carried"] == 1  # t2's first row, verbatim
     assert os.path.exists(os.path.join(comp_dir, "_compacted.json"))
 
     def final(lake, *logs):
@@ -589,3 +589,62 @@ def _write_base(tmp_path) -> str:
     path = str(tmp_path / "empty_base.parquet")
     pq.write_table(base, path)
     return path
+
+
+def test_incremental_compaction_log_cleaner(ray_session, tmp_path):
+    """The Kafka log-cleaner shape: compact segment 1, then compact
+    [compacted1 + segment 2] -- the cleaner reads ~|keys| + tail, never
+    the full history -- and the result replays to the same state (incl.
+    lineage stamps) as compacting the whole log at once."""
+    from logminer_kafka_connect_ray.config import EngineConfig
+    from logminer_kafka_connect_ray.pipelines.compaction import (
+        compact_changelog,
+    )
+    from logminer_kafka_connect_ray.pipelines.engine import Engine
+    from logminer_kafka_connect_ray.testing.gen import (
+        ChangeGenConfig,
+        gen_changes,
+        gen_pages,
+        write_event_batches,
+    )
+
+    pages = gen_pages(25, seed=37)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(
+        pages, ChangeGenConfig(n_events=300, seed=37, leave_open=0)
+    )
+    # split at a txn-safe boundary: find a marker row and cut after it
+    cut = next(
+        i + 1 for i in range(len(events) // 2, len(events))
+        if events[i]["op"] in ("commit", "rollback")
+    )
+    log1, log2 = str(tmp_path / "log1"), str(tmp_path / "log2")
+    write_event_batches(events[:cut], log1, events_per_file=60)
+    write_event_batches(events[cut:], log2, events_per_file=60)
+    log_full = str(tmp_path / "log_full")
+    write_event_batches(events, log_full, events_per_file=60)
+
+    cfg = EngineConfig(lake_dir=str(tmp_path / "x"), num_partitions=4)
+    c1 = str(tmp_path / "c1")
+    ci = str(tmp_path / "c_incr")
+    cf = str(tmp_path / "c_full")
+    compact_changelog(cfg, log1, c1, num_files=2)
+    m_incr = compact_changelog(cfg, [c1, log2], ci, num_files=2)
+    m_full = compact_changelog(cfg, log_full, cf, num_files=2)
+    # same per-key fold -> same event count
+    assert m_incr["events_out"] == m_full["events_out"]
+
+    def final(lake, changelog):
+        eng = Engine(EngineConfig(lake_dir=lake, num_partitions=4))
+        eng.snapshot(pages_path, 999)
+        eng.replay(changelog)
+        t = eng.to_arrow(with_meta=True)
+        return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+    want = final(str(tmp_path / "lake_orig"), log_full)
+    got_i = final(str(tmp_path / "lake_incr"), ci)
+    got_f = final(str(tmp_path / "lake_full"), cf)
+    for c in want.column_names:
+        assert want.column(c).to_pylist() == got_i.column(c).to_pylist(), c
+        assert want.column(c).to_pylist() == got_f.column(c).to_pylist(), c
