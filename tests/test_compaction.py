@@ -648,3 +648,47 @@ def test_incremental_compaction_log_cleaner(ray_session, tmp_path):
     for c in want.column_names:
         assert want.column(c).to_pylist() == got_i.column(c).to_pylist(), c
         assert want.column(c).to_pylist() == got_f.column(c).to_pylist(), c
+
+
+def test_snapshotless_bootstrap_from_compacted(ray_session, tmp_path):
+    """The Kafka-consumer bootstrap shape: NO initial snapshot -- a new
+    consumer reads the compacted topic alone (start_scn bootstrap; the
+    table schema comes from the compacted files' image footers) and
+    must reach the same state as a snapshot-less replay of the full
+    history."""
+    from logminer_kafka_connect_ray.config import EngineConfig
+    from logminer_kafka_connect_ray.pipelines.compaction import (
+        compact_changelog,
+    )
+    from logminer_kafka_connect_ray.pipelines.engine import Engine
+    from logminer_kafka_connect_ray.testing.gen import (
+        ChangeGenConfig,
+        gen_changes,
+        gen_pages,
+        write_event_batches,
+    )
+
+    pages = gen_pages(25, seed=41)
+    events, _, _ = gen_changes(
+        pages, ChangeGenConfig(n_events=250, seed=41, leave_open=0)
+    )
+    log_dir = str(tmp_path / "log")
+    write_event_batches(events, log_dir, events_per_file=60)
+    comp_dir = str(tmp_path / "compacted")
+    compact_changelog(
+        EngineConfig(lake_dir=str(tmp_path / "x"), num_partitions=4),
+        log_dir, comp_dir, num_files=2,
+    )
+
+    def final(lake, changelog):
+        eng = Engine(EngineConfig(lake_dir=lake, num_partitions=4,
+                                  start_scn=1))
+        eng.replay(changelog)
+        t = eng.to_arrow(with_meta=True)
+        return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+    full = final(str(tmp_path / "lake_full"), log_dir)
+    boot = final(str(tmp_path / "lake_boot"), comp_dir)
+    assert full.num_rows > 0
+    for c in full.column_names:
+        assert full.column(c).to_pylist() == boot.column(c).to_pylist(), c
