@@ -5066,6 +5066,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_final_state_chunked": q.cdc_final_state_chunked,
         # compacted-changelog bootstrap == full-history replay
         "cdc_changelog_compaction": q.cdc_changelog_compaction,
+        # log-cleaner loop: compact(prev_compacted + tail) == same state
+        "cdc_changelog_compaction_incremental":
+            q.cdc_changelog_compaction_incremental,
         # ADD-COLUMN-WITH-DEFAULT evolution: catalog sidecar adds
         # `rating NUMBER(9) DEFAULT 7`; untouched pre-existing rows
         # must surface the DDL default, not null
@@ -5570,6 +5573,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_transform": _FINAL_STATE_TRANSFORM_SQL,
         "cdc_final_state_chunked": _FINAL_STATE_SQL,
         "cdc_changelog_compaction": _FINAL_STATE_SQL,
+        "cdc_changelog_compaction_incremental": _FINAL_STATE_SQL,
         "cdc_schema_default_backfill": _DEFAULT_BACKFILL_SQL,
         "cdc_final_state_repartitioned": _FINAL_STATE_SQL,
         "lake_gdpr_erasure": _GDPR_SQL,

@@ -989,6 +989,48 @@ def cdc_changelog_compaction(sf_dir: str) -> pa.Table:
     return _digest_html(eng.to_arrow())
 
 
+def cdc_changelog_compaction_incremental(sf_dir: str) -> pa.Table:
+    """INCREMENTAL compaction at the driver level (the Kafka
+    log-cleaner loop): split the changelog into two segment sets,
+    compact segment 1, then compact ``[compacted1, segment2]`` -- the
+    cleaner reads ~|keys| pre-resolved events + the new tail, never
+    the full history; transactions SPANNING the split are carried
+    verbatim by the first pass and resolved by the second.  Replaying
+    the incrementally-compacted log must reach the same final state as
+    the full-history replay (same oracle as ``cdc_final_state``)."""
+    import os
+
+    from logminer_kafka_connect_ray.pipelines.compaction import (
+        compact_changelog,
+    )
+
+    d = workload.ensure_workload(sf_dir)
+    names = sorted(
+        f for f in os.listdir(d["changelog"]) if f.endswith(".parquet")
+    )
+    half = max(1, len(names) // 2)
+    root = d["lake"] + "-incr"
+    src1, src2 = root + "-src1", root + "-src2"
+    c1, c2 = root + "-c1", root + "-c2"
+    lake = root + "-lake"
+    for p in (src1, src2, c1, c2, lake):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(src1)
+    os.makedirs(src2)
+    for i, n in enumerate(names):
+        os.symlink(
+            os.path.join(d["changelog"], n),
+            os.path.join(src1 if i < half else src2, n),
+        )
+    cfg = EngineConfig(lake_dir=lake, num_partitions=16)
+    compact_changelog(cfg, src1, c1)
+    compact_changelog(cfg, [c1, src2], c2)
+    eng = Engine(cfg)
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    eng.replay(c2)
+    return _digest_html(eng.to_arrow())
+
+
 #: doc_ids whose urls the GDPR gate erases -- shared between the Ray
 #: query and the SQL oracle in __ray_entry__.py (urls follow
 #: workload._urls: https://site{doc_id % 20}.example/d/{doc_id}).
