@@ -285,12 +285,29 @@ def compact_changelog(
 
     info, markers_ref = collect_txn_info_ref(paths, lo, hi, block=False)
 
+    # per-dir format detection: a prev-compacted dir is ALWAYS struct
+    # form (encode_change_events output), even when the original log is
+    # redo-SQL -- the incremental log-cleaner loop mixes formats freely
+    by_dir: dict[str, list[str]] = {}
+    for p in paths:
+        by_dir.setdefault(os.path.dirname(p), []).append(p)
+    dir_fmt = {
+        d: ("redo_sql"
+            if "sql_redo" in pq.ParquetFile(ps[0]).schema_arrow.names
+            else "struct")
+        for d, ps in by_dir.items()
+    }
+
     # schema from the log itself (same discovery as the start_scn
-    # bootstrap: image-struct footers + redo catalog sidecar)
+    # bootstrap: image-struct footers + redo catalog sidecar), deduped
+    # first-wins by name across sources
     fields = discover_image_fields(paths)
-    if cfg.changelog_format == "redo_sql":
+    if "redo_sql" in dir_fmt.values():
         fields = fields + catalog_fields(paths)
-    data_fields = [f for f in fields if f.name != cfg.key_column]
+    seen: dict[str, pa.Field] = {}
+    for f in fields:
+        seen.setdefault(f.name, f)
+    data_fields = [f for n, f in seen.items() if n != cfg.key_column]
     table_schema = pa.schema(
         [pa.field(cfg.key_column, pa.string())] + data_fields
     )
@@ -299,44 +316,51 @@ def compact_changelog(
     P = cfg.num_partitions
     F = num_files or cfg.num_partitions
 
-    # ---- source: same per-event CPU path as replay ------------------
+    # ---- source: one decode stream per input dir (same per-event CPU
+    # path as replay, format chosen per dir) -------------------------
     wanted = {
         "scn", "row_id", "commit_scn", "tx_id", "op", "ts_ms", "table",
         "status", "before", "after", "set_cols", "csf", "sql_redo",
     }
-    avail = pq.ParquetFile(paths[0]).schema_arrow.names
-    cols = [c for c in avail if c in wanted]
-    if cfg.changelog_format == "redo_sql" and "csf" in cols:
-        from logminer_kafka_connect_ray.functions.redo_sql import reassemble_csf
+    decoded = None
+    for d, d_paths in by_dir.items():
+        avail = pq.ParquetFile(d_paths[0]).schema_arrow.names
+        cols = [c for c in avail if c in wanted]
+        fmt = dir_fmt[d]
+        if fmt == "redo_sql" and "csf" in cols:
+            from logminer_kafka_connect_ray.functions.redo_sql import (
+                reassemble_csf,
+            )
 
-        read_cols = list(cols)
+            read_cols = list(cols)
 
-        def read_reassembled(b: pa.Table) -> pa.Table:
-            out = []
-            for p in b.column("path").to_pylist():
-                out.append(reassemble_csf(pq.read_table(p, columns=read_cols)))
-            return pa.concat_tables(out)
+            def read_reassembled(b: pa.Table, _rc=read_cols) -> pa.Table:
+                out = []
+                for p in b.column("path").to_pylist():
+                    out.append(reassemble_csf(pq.read_table(p, columns=_rc)))
+                return pa.concat_tables(out)
 
-        ds = rd.from_items([{"path": p} for p in paths]).map_batches(
-            read_reassembled, batch_size=1, batch_format="pyarrow"
+            ds_d = rd.from_items([{"path": p} for p in d_paths]).map_batches(
+                read_reassembled, batch_size=1, batch_format="pyarrow"
+            )
+        else:
+            ds_d = rd.read_parquet(d_paths, columns=cols)
+        dec_d = ds_d.map_batches(
+            make_processor_fn(
+                None, schema_json, cfg.key_column, cfg.table_whitelist,
+                lo, hi, P, "committed",
+                changelog_format=fmt,
+                db_timezone=cfg.db_timezone,
+                stage="decode",
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-    else:
-        ds = rd.read_parquet(paths, columns=cols)
+        decoded = dec_d if decoded is None else decoded.union(dec_d)
 
-    # decode (no marker dependency) -> resolve+split-keep: committed
-    # rows combined + _part-stamped (_kind=0), still-open rows carried
-    # inline verbatim (_kind=1) -- see _make_split_keep_fn
-    committed = ds.map_batches(
-        make_processor_fn(
-            None, schema_json, cfg.key_column, cfg.table_whitelist,
-            lo, hi, P, "committed",
-            changelog_format=cfg.changelog_format,
-            db_timezone=cfg.db_timezone,
-            stage="decode",
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).map_batches(
+    # resolve+split-keep: committed rows combined + _part-stamped
+    # (_kind=0), still-open rows carried inline verbatim (_kind=1)
+    committed = decoded.map_batches(
         _make_split_keep_fn(markers_ref, schema_json, cfg.key_column, P),
         batch_format="pyarrow",
         batch_size=None,
@@ -404,6 +428,15 @@ def compact_changelog(
     # different parameters could leave stale batch files that a reader
     # would pick up, so clear them first.  The _compacted.json manifest
     # written at the end is the completeness marker.
+    # never compact in place: the pre-clean below would unlink the
+    # source log before the lazy read ever executes
+    out_real = os.path.realpath(out_dir)
+    for d in dirs:
+        if os.path.realpath(d) == out_real:
+            raise ValueError(
+                f"compact_changelog: out_dir {out_dir!r} is an input "
+                "directory; in-place compaction would destroy the log"
+            )
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(out_dir):
         if f.startswith("batch-") or f in ("_compacted.json", "_catalog.json"):
@@ -411,13 +444,32 @@ def compact_changelog(
     # DDL catalog sidecar travels with the log: defaults/renames/drops
     # discovered by a replay of the COMPACTED log must match what the
     # full log would have taught it (default backfill of old base
-    # partitions happens at merge time, not in the events themselves)
-    import shutil as _shutil
+    # partitions happens at merge time, not in the events themselves).
+    # MERGE catalogs across input dirs in input order (later dirs --
+    # the newer tail -- override per key), mirroring the per-dir merge
+    # catalog_fields/catalog_defaults do at replay time.
+    import json as _json
 
-    for d in sorted({os.path.dirname(p) for p in paths}):
+    merged: dict = {}
+    for d in dirs:
         cat = os.path.join(d, "_catalog.json")
-        if os.path.exists(cat):
-            _shutil.copyfile(cat, os.path.join(out_dir, "_catalog.json"))
+        if not os.path.exists(cat):
+            continue
+        with open(cat) as fh:
+            c = _json.load(fh)
+        for k, v in c.items():
+            if isinstance(v, dict):
+                merged.setdefault(k, {}).update(v)
+            elif isinstance(v, list):
+                prev = merged.setdefault(k, [])
+                prev.extend(x for x in v if x not in prev)
+            else:
+                merged[k] = v
+    if merged:
+        tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            _json.dump(merged, fh, indent=1)
+        os.rename(tmp, os.path.join(out_dir, "_catalog.json"))
 
     def write_bucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -4264,20 +4264,8 @@ def html_outlinks(sf_dir: str) -> pa.Table:
             .combine_chunks()
             .to_numpy(zero_copy_only=False)
         )
-        h = pc.cast(t.column("html").combine_chunks(), pa.large_string())
-        parts = pc.split_pattern(h, '<a href="')
-        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
-        lens = lens.astype(np.int64)
-        flat = pc.list_flatten(parts)
-        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
-        total = len(flat)
-        # ordinal of each element within its list; ordinal 0 is the
-        # pre-anchor prefix, not a link
-        starts = np.cumsum(lens) - lens
-        ordin = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
-        mask = ordin > 0
-        flat = flat.filter(pa.array(mask))
-        srcs = src[parent[mask]]
+        flat, parent_m, _ = _anchor_tails(t.column("html"))
+        srcs = src[parent_m]
         ex = pc.extract_regex(
             flat, r'^https://site[0-9]+\.example/d/(?P<id>[0-9]+)"'
         )
@@ -4314,6 +4302,29 @@ def html_outlinks(sf_dir: str) -> pa.Table:
             "n_src_hosts": pa.array(n_src_hosts.astype(np.int64)),
         }
     )
+
+
+def _anchor_tails(html_col):
+    """Shared ``<a href="`` splitter for every anchor extractor
+    (:func:`html_outlinks`, :func:`web_pagerank`,
+    :func:`web_crawl_frontier`, :func:`web_anchor_text`): returns
+    ``(tails, parent, lens)`` -- the flat string tails following each
+    anchor open (per-row list prefixes masked out via the
+    arange-ordinal trick), each tail's parent row index, and each
+    row's raw split length (anchor count = ``lens - 1``)."""
+    h = (html_col.combine_chunks()
+         if isinstance(html_col, pa.ChunkedArray) else html_col)
+    h = pc.cast(h, pa.large_string())
+    parts = pc.split_pattern(h, '<a href="')
+    lens = pc.list_value_length(parts).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    starts = np.cumsum(lens) - lens
+    ordin = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+    mask = ordin > 0
+    return flat.filter(pa.array(mask)), parent[mask], lens
 
 
 def _build_linked_html(
@@ -4419,19 +4430,9 @@ def web_pagerank(sf_dir: str, iters: int = 3) -> pa.Table:
             pc.cast(t.column("doc_id"), pa.int64())
             .combine_chunks().to_numpy(zero_copy_only=False)
         )
-        h = pc.cast(t.column("html").combine_chunks(), pa.large_string())
-        parts = pc.split_pattern(h, '<a href="')
-        lens = pc.list_value_length(parts).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        flat = pc.list_flatten(parts)
-        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
-        starts = np.cumsum(lens) - lens
-        ordin = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
-        mask = ordin > 0
-        flat = flat.filter(pa.array(mask))
-        srcs = src[parent[mask]]
-        outdeg = (lens - 1)[parent[mask]]
+        flat, parent_m, lens = _anchor_tails(t.column("html"))
+        srcs = src[parent_m]
+        outdeg = (lens - 1)[parent_m]
         ex = pc.extract_regex(
             flat, r'^https://site[0-9]+\.example/d/(?P<id>[0-9]+)"'
         )
@@ -4597,18 +4598,8 @@ def web_crawl_frontier(sf_dir: str) -> pa.Table:
             pc.cast(t.column("doc_id"), pa.int64())
             .combine_chunks().to_numpy(zero_copy_only=False)
         )
-        h = pc.cast(t.column("html").combine_chunks(), pa.large_string())
-        parts = pc.split_pattern(h, '<a href="')
-        lens = pc.list_value_length(parts).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        flat = pc.list_flatten(parts)
-        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
-        starts = np.cumsum(lens) - lens
-        ordin = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
-        mask = ordin > 0
-        flat = flat.filter(pa.array(mask))
-        srcs = src[parent[mask]]
+        flat, parent_m, _ = _anchor_tails(t.column("html"))
+        srcs = src[parent_m]
         ex = pc.extract_regex(
             flat, r'^https://site[0-9]+\.example/d/(?P<id>[0-9]+)"'
         )
@@ -4649,17 +4640,22 @@ def web_crawl_frontier(sf_dir: str) -> pa.Table:
         cnt = t.column("cnt").combine_chunks().to_numpy(zero_copy_only=False)
         crawled = np.sort(key[kind == 1])
         ckey, ccnt = key[kind == 0], cnt[kind == 0]
-        dst, host = ckey >> 5, ckey & 31
+        dst = ckey >> 5
         pos = np.searchsorted(crawled, dst)
         pos_c = np.minimum(pos, max(len(crawled) - 1, 0))
         known = (crawled[pos_c] == dst) if len(crawled) else np.zeros(
             len(dst), bool
         )
-        dst, host, ccnt = dst[~known], host[~known], ccnt[~known]
-        order = np.argsort(dst, kind="stable")
-        dst, ccnt = dst[order], ccnt[order]
+        # merge duplicate (dst, host) keys arriving from DIFFERENT
+        # extract blocks before counting: n_src_hosts is a DISTINCT
+        # count, so per-block-deduped rows must be re-deduped here
+        keep_key, keep_cnt = ckey[~known], ccnt[~known]
+        ukey, inv = np.unique(keep_key, return_inverse=True)
+        ucnt = np.zeros(len(ukey), np.int64)
+        np.add.at(ucnt, inv, keep_cnt)
+        dst = ukey >> 5  # ukey sorted -> dst nondecreasing
         uniq, idx = np.unique(dst, return_index=True)
-        n_disc = (np.add.reduceat(ccnt, idx) if len(ccnt)
+        n_disc = (np.add.reduceat(ucnt, idx) if len(ucnt)
                   else np.array([], np.int64))
         n_hosts = np.diff(np.append(idx, len(dst)))
         # data rows + one guard sentinel per partition present in the
@@ -4732,7 +4728,8 @@ def web_crawl_frontier(sf_dir: str) -> pa.Table:
 def web_anchor_text(sf_dir: str) -> pa.Table:
     """Per-target inbound ANCHOR TEXT profile: for every linked-to doc,
     total inbound anchors, distinct anchor terms, and the most frequent
-    term (ties -> lexicographically smallest) -- the signal search
+    term (ties -> numerically smallest term id, mirrored by the
+    oracle's ``ORDER BY c DESC, tid ASC``) -- the signal search
     engines index a page under (anchor text of inbound links describes
     the target better than the target itself).
 
@@ -4757,15 +4754,7 @@ def web_anchor_text(sf_dir: str) -> pa.Table:
             return pa.schema(
                 [("key", pa.int64()), ("cnt", pa.int64())]
             ).empty_table()
-        h = pc.cast(t.column("html").combine_chunks(), pa.large_string())
-        parts = pc.split_pattern(h, '<a href="')
-        lens = pc.list_value_length(parts).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        flat = pc.list_flatten(parts)
-        starts = np.cumsum(lens) - lens
-        ordin = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
-        flat = flat.filter(pa.array(ordin > 0))
+        flat, _, _ = _anchor_tails(t.column("html"))
         ex = pc.extract_regex(
             flat,
             r'^https://site[0-9]+\.example/d/(?P<id>[0-9]+)">w(?P<tid>[0-9]+)</a>',

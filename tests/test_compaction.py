@@ -692,3 +692,73 @@ def test_snapshotless_bootstrap_from_compacted(ray_session, tmp_path):
     assert full.num_rows > 0
     for c in full.column_names:
         assert full.column(c).to_pylist() == boot.column(c).to_pylist(), c
+
+
+def test_compaction_of_redo_sql_log_and_mixed_incremental(
+    ray_session, tmp_path
+):
+    """Redo-SQL input: compaction parses the statements with the
+    engine's own decode path and emits STRUCT-form compacted events
+    (replayable with changelog_format='struct').  The incremental
+    log-cleaner loop then mixes formats: [prev_compacted (struct),
+    redo tail] -- per-dir format detection feeds each through the
+    right decoder.  Both must equal the full redo replay."""
+    from logminer_kafka_connect_ray.config import EngineConfig
+    from logminer_kafka_connect_ray.pipelines.compaction import (
+        compact_changelog,
+    )
+    from logminer_kafka_connect_ray.pipelines.engine import Engine
+    from logminer_kafka_connect_ray.testing.gen import (
+        ChangeGenConfig,
+        gen_changes,
+        gen_pages,
+        write_redo_sql_batches,
+    )
+
+    pages = gen_pages(25, seed=43)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    events, _, _ = gen_changes(
+        pages, ChangeGenConfig(n_events=240, seed=43, leave_open=0)
+    )
+    cut = next(
+        i + 1 for i in range(len(events) // 2, len(events))
+        if events[i]["op"] in ("commit", "rollback")
+    )
+    log_full = str(tmp_path / "redo_full")
+    log1, log2 = str(tmp_path / "redo1"), str(tmp_path / "redo2")
+    write_redo_sql_batches(events, log_full, events_per_file=60)
+    write_redo_sql_batches(events[:cut], log1, events_per_file=60)
+    write_redo_sql_batches(events[cut:], log2, events_per_file=60)
+
+    rcfg = dict(num_partitions=4, changelog_format="redo_sql")
+    cf = str(tmp_path / "c_full")
+    compact_changelog(
+        EngineConfig(lake_dir=str(tmp_path / "x"), **rcfg), log_full, cf,
+        num_files=2,
+    )
+    c1, ci = str(tmp_path / "c1"), str(tmp_path / "c_incr")
+    compact_changelog(
+        EngineConfig(lake_dir=str(tmp_path / "y"), **rcfg), log1, c1,
+        num_files=2,
+    )
+    compact_changelog(
+        EngineConfig(lake_dir=str(tmp_path / "z"), **rcfg), [c1, log2], ci,
+        num_files=2,
+    )
+
+    def final(lake, changelog, fmt):
+        eng = Engine(EngineConfig(lake_dir=lake, num_partitions=4,
+                                  changelog_format=fmt))
+        eng.snapshot(pages_path, 999)
+        eng.replay(changelog)
+        t = eng.to_arrow(with_meta=True)
+        return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+    want = final(str(tmp_path / "lake_full"), log_full, "redo_sql")
+    got_f = final(str(tmp_path / "lake_cf"), cf, "struct")
+    got_i = final(str(tmp_path / "lake_ci"), ci, "struct")
+    assert want.num_rows > 0
+    for c in want.column_names:
+        assert want.column(c).to_pylist() == got_f.column(c).to_pylist(), c
+        assert want.column(c).to_pylist() == got_i.column(c).to_pylist(), c

@@ -1762,3 +1762,37 @@ def test_dedup_incremental_fp_confirm_exact(ray_session):
     want = d.dedup_incremental(sf)
     got = d.dedup_incremental(sf, bloom_bits=64, n_hashes=2)
     assert got.equals(want)
+
+
+def test_web_crawl_frontier_cross_block_distinct_hosts(ray_session, tmp_path):
+    """Regression: duplicate (dst, host) candidate keys arriving from
+    DIFFERENT extract blocks must be re-merged before the distinct-host
+    count.  n_docs=3640 plants identical anchor sets for src s and
+    s+1040 (140*52 = 2*3640: dst=(s*7+13j) % 7280 collide with the same
+    src host s%20), and 1040 > the default batch size, so the two
+    sources are per-block-deduped separately -- the pre-fix code
+    counted that host twice."""
+    import duckdb
+
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        web_crawl_frontier,
+    )
+
+    n = 3640
+    sf = make_docs(tmp_path, [f"doc {i}" for i in range(n)])
+    got = web_crawl_frontier(sf).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(f"""
+        WITH links AS (
+          SELECT d.doc_id AS src, ((d.doc_id*7 + 13*j) % {2*n}) AS dst
+          FROM documents d, unnest(range(1, 2 + (d.doc_id % 4))) AS t(j))
+        SELECT dst AS dst_doc, count(*)::BIGINT AS n_discoveries,
+               count(DISTINCT src % 20)::BIGINT AS n_src_hosts
+        FROM links WHERE dst NOT IN (SELECT doc_id FROM documents)
+        GROUP BY dst ORDER BY dst
+    """).df()
+    con.close()
+    assert len(got) == len(want)
+    assert got["n_src_hosts"].tolist() == want["n_src_hosts"].tolist()
+    assert got["n_discoveries"].tolist() == want["n_discoveries"].tolist()
