@@ -46,7 +46,9 @@ def main(argv=None) -> int:
     p.add_argument("--out", help="query: write result parquet here "
                                  "instead of printing a preview")
     p.add_argument("--base", help="base table parquet (snapshot)")
-    p.add_argument("--scn", type=int, default=0, help="snapshot SCN")
+    p.add_argument("--scn", type=int, default=None,
+                   help="snapshot SCN (snapshot; default 0) / compaction "
+                        "watermark scn_hi (compact; default: unbounded)")
     p.add_argument("--changelog", help="change-event parquet dir")
     p.add_argument("--partitions", type=int, default=64)
     p.add_argument("--max-events-per-checkpoint", type=int, default=50_000_000)
@@ -153,8 +155,13 @@ def main(argv=None) -> int:
     if not args.lake:
         if args.command == "compact":
             # compaction is lake-independent (log in -> log out); the
-            # config only supplies key/partitions/whitelist/format
-            args.lake = "/tmp/lkc_compact_scratch"
+            # config only supplies key/partitions/whitelist/format.
+            # Use a private per-invocation scratch dir (not a fixed
+            # world-shared /tmp name) so nothing can collide or be
+            # symlink-planted even if a future Engine touches lake_dir.
+            import tempfile
+
+            args.lake = tempfile.mkdtemp(prefix="lkc-compact-")
         else:
             p.error(f"{args.command} requires --lake")
 
@@ -178,7 +185,7 @@ def main(argv=None) -> int:
     if args.command == "snapshot":
         if not args.base:
             p.error("snapshot requires --base")
-        m = eng.snapshot(args.base, args.scn)
+        m = eng.snapshot(args.base, args.scn if args.scn is not None else 0)
     elif args.command == "replay":
         if not args.changelog:
             p.error("replay requires --changelog")
@@ -249,7 +256,10 @@ def main(argv=None) -> int:
                  else args.changelog)
         metrics = compact_changelog(
             cfg, chlog, args.out,
-            scn_hi=args.scn or None,
+            # explicit `--scn 0` means "compact nothing above SCN 0",
+            # not "unbounded" -- the argparse default is None, so no
+            # falsy coercion is needed
+            scn_hi=args.scn,
         )
         print(json.dumps(metrics))
         ray.shutdown()

@@ -273,6 +273,14 @@ def compact_changelog(
     dirs = [changelog_dir] if isinstance(changelog_dir, str) else list(
         changelog_dir
     )
+    # realpath-dedupe (preserving input order): the same dir listed
+    # twice -- or aliased via a symlink -- would be read twice, which
+    # is benign for the LWW fold but inflates events_in and duplicates
+    # carried open rows
+    seen_real: dict[str, str] = {}
+    for d in dirs:
+        seen_real.setdefault(os.path.realpath(d), d)
+    dirs = list(seen_real.values())
     files = [f for d in dirs for f in changelog_src.list_batch_files(d)]
     if scn_hi is not None:
         files = changelog_src.prune_files(files, None, scn_hi)
@@ -281,6 +289,9 @@ def compact_changelog(
     paths = [f.path for f in files]
     lo = min(f.scn_min for f in files) - 1
     hi = scn_hi if scn_hi is not None else max(f.scn_max for f in files)
+    # NOTE: footer-level count -- a file straddling scn_hi contributes
+    # ALL its footer rows here even though decode drops rows above the
+    # watermark, so events_in is an upper bound on rows actually folded
     events_in = sum(f.num_rows for f in files)
 
     info, markers_ref = collect_txn_info_ref(paths, lo, hi, block=False)
@@ -387,11 +398,15 @@ def compact_changelog(
     def fold_block(t: pa.Table, _key=cfg.key_column) -> pa.Table:
         if t.num_rows == 0:
             return stage1_schema.empty_table()
-        parts = pc.unique(t.column("_part")).to_pylist()
         kind = t.column("_kind")
         # still-open rows (the active tail) pass through VERBATIM
         carried = t.filter(pc.equal(kind, 1)).drop_columns(["_part"])
-        t0 = t.filter(pc.equal(kind, 0)).drop_columns(["_part", "_kind"])
+        t0 = t.filter(pc.equal(kind, 0))
+        # guard parts come from the COMMITTED subset only: carried open
+        # rows pass through verbatim and need no co-location, so a big
+        # open tail split across blocks must not trip the guard
+        parts = pc.unique(t0.column("_part")).to_pylist()
+        t0 = t0.drop_columns(["_part", "_kind"])
         out = fold.fold_to_events(t0, table_schema, _key)
         out = out.append_column(
             "_kind", pa.array(np.zeros(out.num_rows, np.int64))
@@ -439,7 +454,11 @@ def compact_changelog(
             )
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(out_dir):
-        if f.startswith("batch-") or f in ("_compacted.json", "_catalog.json"):
+        if (f.startswith("batch-") or f.startswith(".tmp-")
+                or f in ("_compacted.json", "_catalog.json")):
+            # .tmp-<uuid> files are orphans of a crashed attempt (the
+            # uuid names mean a re-run's tmp+rename never overwrites
+            # them), so they'd accumulate across crash/retry cycles
             os.unlink(os.path.join(out_dir, f))
     # DDL catalog sidecar travels with the log: defaults/renames/drops
     # discovered by a replay of the COMPACTED log must match what the
