@@ -513,6 +513,18 @@ GROUP BY tok.doc_id
 ORDER BY tok.doc_id
 """
 
+# Sink-variant digest: same per-doc model, outer GROUP BY doc_id % 64
+# -- the Ray side computes this by reading back the partitioned
+# parquet it just wrote, so the oracle certifies the on-disk rows.
+_DOC_LM_SINK_SQL = f"""
+WITH scored AS ({_DOC_LM_SQL})
+SELECT CAST(doc_id % 64 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_n_tokens,
+       CAST(sum(sum_lp_micro) AS BIGINT) AS sum_lp_micro
+FROM scored GROUP BY bucket ORDER BY bucket
+"""
+
 # DSIR importance selection (Xie et al. 2023): target model p = the
 # lang='en' slice, raw model q = the whole corpus, unigram+bigram
 # features with add-one smoothing over the joint feature space; each
@@ -3538,6 +3550,17 @@ SELECT event_id, user_id,
 FROM events ORDER BY event_id
 """
 
+# Sink-variant digest: same window function, outer GROUP BY
+# user_id % 64 -- the Ray side digests the parquet sink read-back.
+_RUNNING_TOTAL_SINK_SQL = f"""
+WITH rt AS ({_RUNNING_TOTAL_SQL})
+SELECT CAST(user_id % 64 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       CAST(sum(cum_value_cents) AS BIGINT) AS sum_cum_cents
+FROM rt GROUP BY bucket ORDER BY bucket
+"""
+
 _TYPE_PIVOT_SQL = """
 SELECT user_id,
        CAST(COUNT(CASE WHEN event_type='click' THEN 1 END) AS BIGINT) AS n_click,
@@ -5143,6 +5166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram LM quality score (CCNet-shape perplexity filter;
         # integer micro-nat arithmetic -> exact SQL gate)
         "doc_lm_score": d.doc_lm_score,
+        # corpus-scale finisher: per-doc scores stream to a resumable
+        # hash-partitioned parquet sink, gate hashes a 64-bucket
+        # integer digest computed by reading the sink BACK
+        "doc_lm_score_sink": d.doc_lm_score_sink,
         # DSIR importance selection (target=en vs raw corpus;
         # integer micro-nat importance weights, P*k top-k merge)
         "dsir_select": d.dsir_select,
@@ -5206,6 +5233,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sample_hash": ev.events_sample_hash,
         # cumulative window function (running total per key)
         "events_running_total": ev.events_running_total,
+        # corpus-scale finisher: the sweep writes its own (already
+        # key-co-located) output block straight to part files -- no
+        # second exchange -- and the gate digests the sink read-back
+        "events_running_total_sink": ev.events_running_total_sink,
         # pivot / wide aggregation (one column per category)
         "events_type_pivot": ev.events_type_pivot,
         # fact-vs-fact INTERSECT/EXCEPT cardinalities (both sides
@@ -5612,6 +5643,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_canonical": _CLUSTER_SQL,
         "word_freq_topk": _WORD_FREQ_SQL,
         "doc_lm_score": _DOC_LM_SQL,
+        "doc_lm_score_sink": _DOC_LM_SINK_SQL,
         "dsir_select": _DSIR_SQL,
         "benchmark_decontam": _DECONTAM_SQL,
         "winnowing_fingerprints": _WINNOW_SQL,
@@ -5639,6 +5671,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_presence": _SEMI_ANTI_SQL,
         "events_sample_hash": _SAMPLE_HASH_SQL,
         "events_running_total": _RUNNING_TOTAL_SQL,
+        "events_running_total_sink": _RUNNING_TOTAL_SINK_SQL,
         "events_type_pivot": _TYPE_PIVOT_SQL,
         "user_custkey_set_ops": _SET_OPS_SQL,
         "events_rollup": _ROLLUP_SQL,

@@ -2086,32 +2086,12 @@ class _UnigramScorer:
         )
 
 
-def doc_lm_score(sf_dir: str, vocab_cap: int | None = None) -> pa.Table:
-    """Per-document unigram language-model score -- the CCNet/KenLM
-    perplexity-filter shape every web-corpus pipeline runs before
-    training, restated as an exactly-checkable unigram model over the
-    corpus itself (public method: Wenzek et al., "CCNet: Extracting
-    High Quality Monolingual Datasets from Web Crawl Data", 2020).
-
-    Pass 1 trains: corpus-wide word counts via the same
-    vocabulary-bounded two-level aggregate as ``word_freq_topk``
-    (per-block ``np.unique`` combiner -> ``groupby.sum``; the exchange
-    carries |vocab| rows, never |tokens|).  The driver quantizes each
-    DISTINCT word's log-probability to integer micro-nats --
-    ``floor(1e6 * ln(n_w / n_total))``, one double op per vocab entry,
-    restated verbatim in the DuckDB oracle -- and broadcasts the
-    (sorted vocab, lp) arrays once via ``ray.put``.
-
-    Pass 2 scores: stateless searchsorted lookup + int64 sums per
-    batch (``_UnigramScorer``).  All cross-engine arithmetic after the
-    per-word quantization is integer, so scores match the oracle
-    bit-for-bit; zero-token docs are dropped on both sides.
-
-    Scale: pass 1 is the proven vocab-bounded shape; pass 2 is
-    embarrassingly parallel.  At 100 TB pass vocab_cap to clamp the
-    broadcast model to the top-V words (OOV scored at the rarest
-    retained word's lp); the gate runs uncapped so the oracle is the
-    full exact model."""
+def _doc_lm_scored(sf_dir: str, vocab_cap: int | None = None):
+    """Shared body of ``doc_lm_score`` / ``doc_lm_score_sink``: trains
+    the unigram model (pass 1) and returns the LAZY scored Dataset of
+    ``(doc_id, n_tokens, sum_lp_micro)`` rows (pass 2) -- the caller
+    decides the finisher (driver table at gate scale, partitioned
+    Parquet sink at corpus scale)."""
     import ray
 
     ds = _read(sf_dir, "documents", columns=["text"])
@@ -2156,14 +2136,200 @@ def doc_lm_score(sf_dir: str, vocab_cap: int | None = None) -> pa.Table:
     oov_lp = int(lp.min()) if capped else None
     model_ref = ray.put((vocab, lp, oov_lp))
 
-    scored = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         _cached_stage(
             ("lmscore", model_ref.hex()), lambda: _UnigramScorer(model_ref)
         ),
         batch_format="pyarrow",
     )
+
+
+def doc_lm_score(sf_dir: str, vocab_cap: int | None = None) -> pa.Table:
+    """Per-document unigram language-model score -- the CCNet/KenLM
+    perplexity-filter shape every web-corpus pipeline runs before
+    training, restated as an exactly-checkable unigram model over the
+    corpus itself (public method: Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data", 2020).
+
+    Pass 1 trains: corpus-wide word counts via the same
+    vocabulary-bounded two-level aggregate as ``word_freq_topk``
+    (per-block ``np.unique`` combiner -> ``groupby.sum``; the exchange
+    carries |vocab| rows, never |tokens|).  The driver quantizes each
+    DISTINCT word's log-probability to integer micro-nats --
+    ``floor(1e6 * ln(n_w / n_total))``, one double op per vocab entry,
+    restated verbatim in the DuckDB oracle -- and broadcasts the
+    (sorted vocab, lp) arrays once via ``ray.put``.
+
+    Pass 2 scores: stateless searchsorted lookup + int64 sums per
+    batch (``_UnigramScorer``).  All cross-engine arithmetic after the
+    per-word quantization is integer, so scores match the oracle
+    bit-for-bit; zero-token docs are dropped on both sides.
+
+    Scale: pass 1 is the proven vocab-bounded shape; pass 2 is
+    embarrassingly parallel.  At 100 TB pass vocab_cap to clamp the
+    broadcast model to the top-V words (OOV scored at the rarest
+    retained word's lp); the gate runs uncapped so the oracle is the
+    full exact model.
+
+    This finisher returns the PER-DOCUMENT table (gate-scale exact
+    row check); at corpus scale use :func:`doc_lm_score_sink`, which
+    streams the same rows to a resumable partitioned-Parquet sink and
+    returns only a bounded digest."""
+    scored = _doc_lm_scored(sf_dir, vocab_cap)
     df = scored.to_pandas().sort_values("doc_id", ignore_index=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def sink_hash_partitioned(
+    ds, out_dir: str, key_col: str, num_partitions: int,
+    sort_keys: list | None = None,
+) -> dict:
+    """Generic resumable hash-partitioned Parquet sink for a Dataset
+    whose output is input-sized (the ``curate_to_parquet`` contract,
+    factored for reuse by the sink-variant gates): stamp
+    ``_part = hash(key) % P``, ONE explicit-boundary exchange, one
+    writer task per partition publishing ``part-{p:05d}.parquet`` via
+    tmp+rename.  Partitions whose final file already exists are
+    pruned at PLAN time (their rows never enter the exchange), so a
+    crashed run resumes by paying only for missing partitions.
+    Returns ``{"written": [...], "skipped": [...], "rows": {p: n}}``.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = {
+        int(f[5:10])
+        for f in os.listdir(out_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    }
+    todo = sorted(set(range(num_partitions)) - done)
+    result: dict = {"written": [], "skipped": sorted(done), "rows": {}}
+    if not todo:
+        return result
+    todo_np = np.asarray(todo, np.int64)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_part", pa.array([], pa.int64()))
+        parts = partition_ids(t.column(key_col), num_partitions)
+        t = t.append_column("_part", pa.array(parts))
+        return t.filter(pa.array(np.isin(parts, todo_np)))
+
+    lineage_schema = pa.schema([("part_id", pa.int64()), ("rows", pa.int64())])
+    out_schema = pa.schema([f for f in ds.schema().base_schema])
+    sk = sort_keys or [(key_col, "ascending")]
+
+    def write_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return lineage_schema.empty_table()
+        out = []
+        for p in pc.unique(t.column("_part")).to_pylist():
+            g = t.filter(pc.equal(t.column("_part"), p)).drop(["_part"])
+            g = g.take(pc.sort_indices(g, sort_keys=sk))
+            final = os.path.join(out_dir, f"part-{int(p):05d}.parquet")
+            tmp = final + f".tmp-{os.getpid()}"
+            pq.write_table(g, tmp)
+            os.replace(tmp, final)  # atomic publish
+            out.append({"part_id": int(p), "rows": g.num_rows})
+        return pa.Table.from_pylist(out, schema=lineage_schema)
+
+    import pyarrow.parquet as pq  # noqa: F811
+
+    lineage = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_part", boundaries=list(range(1, num_partitions)))
+        .map_batches(write_part, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    for r in lineage.to_dict("records"):
+        result["written"].append(int(r["part_id"]))
+        result["rows"][int(r["part_id"])] = int(r["rows"])
+    # empty partitions still publish a typed empty file so a resume
+    # run can tell "done" from "missing"
+    for p in todo:
+        final = os.path.join(out_dir, f"part-{p:05d}.parquet")
+        if not os.path.exists(final):
+            tmp = final + f".tmp-{os.getpid()}"
+            pq.write_table(out_schema.empty_table(), tmp)
+            os.replace(tmp, final)
+            result["written"].append(p)
+            result["rows"][p] = 0
+    result["written"].sort()
+    return result
+
+
+def bucket_digest(
+    ds, id_col: str, sum_cols: dict[str, str], n_buckets: int = 64,
+    count_col: str = "n_rows",
+) -> pa.Table:
+    """Bounded integer digest of an input-sized Dataset: group rows by
+    ``id % n_buckets`` and emit per-bucket row count + exact int64
+    sums of ``sum_cols`` (``{out_name: src_col}``).  The partial
+    aggregation happens inside ``map_batches`` (``np.add.at`` on an
+    int64 accumulator -- exact, unlike float ``bincount`` weights), so
+    the exchange carries ``n_buckets`` rows per block and the driver
+    sees ``<= n_buckets`` rows total regardless of corpus size."""
+    out_names = [count_col] + list(sum_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()),
+                 **{n: pa.array([], pa.int64()) for n in out_names}}
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ids % n_buckets
+        cols = {"bucket": pa.array(np.arange(n_buckets, dtype=np.int64))}
+        cols[count_col] = pa.array(
+            np.bincount(b, minlength=n_buckets).astype(np.int64)
+        )
+        for name, src in sum_cols.items():
+            v = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+            acc = np.zeros(n_buckets, np.int64)
+            np.add.at(acc, b, v)
+            cols[name] = pa.array(acc)
+        return pa.table(cols)
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket").sum(out_names).to_pandas()
+    )
+    df = df.rename(columns={f"sum({n})": n for n in out_names})
+    df = df[df[count_col] > 0].sort_values("bucket", ignore_index=True)
+    return pa.Table.from_pandas(df, preserve_index=False).cast(
+        pa.schema([("bucket", pa.int64())]
+                  + [(n, pa.int64()) for n in out_names])
+    )
+
+
+def doc_lm_score_sink(
+    sf_dir: str, out_dir: str | None = None, num_partitions: int = 16
+) -> pa.Table:
+    """Corpus-scale finisher for :func:`doc_lm_score`: the per-document
+    score table (one row per input doc -- the one output that CANNOT
+    come back to the driver at 10^10 docs) streams straight into a
+    resumable hash-partitioned Parquet sink, and the gate returns a
+    64-bucket integer digest computed by READING THE SINK BACK with a
+    streaming partial aggregate -- so the digest certifies what was
+    actually written, not what the pipeline intended to write.  All
+    post-quantization arithmetic is int64, so the digest matches the
+    DuckDB oracle (same model restated over ``documents``, outer
+    GROUP BY ``doc_id % 64``) bit-for-bit."""
+    import tempfile
+
+    import ray.data as rd
+
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="lkc-lmscore-sink-")
+    sink_hash_partitioned(
+        _doc_lm_scored(sf_dir), out_dir, "doc_id", num_partitions
+    )
+    return bucket_digest(
+        rd.read_parquet(out_dir),
+        "doc_id",
+        {"sum_n_tokens": "n_tokens", "sum_lp_micro": "sum_lp_micro"},
+        count_col="n_docs",
+    )
 
 
 def label_centroids(sf_dir: str) -> pa.Table:

@@ -1752,6 +1752,106 @@ def events_running_total(sf_dir: str) -> pa.Table:
     return _finalize_guard(gd, t)
 
 
+def events_running_total_sink(sf_dir: str, out_dir: str | None = None) -> pa.Table:
+    """Corpus-scale finisher for :func:`events_running_total`: the
+    one-row-per-input-row cumulative table never returns to the
+    driver.  The parquet WRITE IS FUSED INTO THE SWEEP -- each
+    delivered block is already one user-hash range, so the sweep
+    publishes its own ``part-{p:05d}.parquet`` via tmp+rename (no
+    second exchange; a re-run skips parts whose final file exists)
+    and emits only a bounded lineage row.  The gate then reads the
+    sink back with a streaming 64-bucket integer digest
+    (:func:`~.dataops.bucket_digest` on ``user_id % 64``), so the
+    check certifies the bytes on disk, and every summed quantity is
+    int64 (floor-cents) -- bit-equal to the DuckDB window-function
+    oracle wrapped in the same outer GROUP BY."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logminer_kafka_connect_ray.pipelines.dataops import bucket_digest
+
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="lkc-runtot-sink-")
+    os.makedirs(out_dir, exist_ok=True)
+    n_rows, _ = _table_meta(sf_dir, "events")
+    P = _exchange_width(n_rows)
+    gd = _new_guard_dir("runtotsink")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        return t.append_column(
+            "_p", pa.array(partition_ids(t.column("user_id"), P))
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("cum_value_cents", pa.int64()),
+        ]
+    )
+    lineage_schema = pa.schema([("part_id", pa.int64()), ("rows", pa.int64())])
+
+    def sweep_write(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return lineage_schema.empty_table()
+        pvals = t.column("_p").to_numpy(zero_copy_only=False)
+        _guard_record(gd, "runtotsink", pvals)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, ts, u))
+        u, eid, cents = u[order], eid[order], cents[order]
+        pv = pvals.astype(np.int64)[order]
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        counts = np.diff(np.append(starts, len(u)))
+        c = np.cumsum(cents)
+        base = np.repeat(c[starts] - cents[starts], counts)
+        block = pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(u),
+                "cum_value_cents": pa.array(c - base),
+            },
+            schema=out_schema,
+        )
+        # guard asserts each _p range arrives exactly once, so one
+        # file per range id is a complete, resumable unit -- but one
+        # delivered block may COALESCE several small ranges, so split
+        # the block's rows by their own range id before publishing
+        rows = []
+        for p in sorted({int(x) for x in pvals}):
+            g = block.filter(pa.array(pv == p))
+            final = os.path.join(out_dir, f"part-{p:05d}.parquet")
+            if not os.path.exists(final):
+                tmp = final + f".tmp-{os.getpid()}"
+                pq.write_table(g, tmp)
+                os.replace(tmp, final)
+            rows.append({"part_id": p, "rows": g.num_rows})
+        return pa.Table.from_pylist(rows, schema=lineage_schema)
+
+    lineage = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .sort("_p", boundaries=list(range(1, P)))
+        .map_batches(sweep_write, batch_format="pyarrow", batch_size=None)
+    )
+    _finalize_guard(
+        gd,
+        pa.Table.from_pandas(lineage.to_pandas(), preserve_index=False),
+    )
+    return bucket_digest(
+        rd.read_parquet(out_dir),
+        "user_id",
+        {"sum_event_id": "event_id", "sum_cum_cents": "cum_value_cents"},
+    )
+
+
 # ---------------------------------------------------------------------------
 # LAG window function (previous-row deltas per key)
 # ---------------------------------------------------------------------------

@@ -1796,3 +1796,41 @@ def test_web_crawl_frontier_cross_block_distinct_hosts(ray_session, tmp_path):
     assert len(got) == len(want)
     assert got["n_src_hosts"].tolist() == want["n_src_hosts"].tolist()
     assert got["n_discoveries"].tolist() == want["n_discoveries"].tolist()
+
+
+def test_doc_lm_score_sink_matches_whole_and_resumes(ray_session, tmp_path):
+    texts = [f"alpha beta gamma{i % 3} delta word{i}" for i in range(12)]
+    sf = make_docs(tmp_path, texts)
+    out_dir = str(tmp_path / "lm_sink")
+    digest = d.doc_lm_score_sink(sf, out_dir=out_dir, num_partitions=4)
+    import os
+
+    files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    assert files == [f"part-{p:05d}.parquet" for p in range(4)]
+    sunk = pa.concat_tables(
+        [pq.read_table(os.path.join(out_dir, f)) for f in files]
+    )
+    whole = d.doc_lm_score(sf)
+    assert sunk.sort_by("doc_id").equals(whole)
+    # digest is exactly the 64-bucket rollup of the whole table
+    agg = {}
+    for r in whole.to_pylist():
+        b = r["doc_id"] % 64
+        n, t_, s = agg.get(b, (0, 0, 0))
+        agg[b] = (n + 1, t_ + r["n_tokens"], s + r["sum_lp_micro"])
+    got = {r["bucket"]: (r["n_docs"], r["sum_n_tokens"], r["sum_lp_micro"])
+           for r in digest.to_pylist()}
+    assert got == agg
+    # resume: delete one partition, ONLY it rewrites, content identical
+    victim = files[1]
+    before = pq.read_table(os.path.join(out_dir, victim))
+    mtimes = {f: os.path.getmtime(os.path.join(out_dir, f)) for f in files}
+    os.remove(os.path.join(out_dir, victim))
+    r2 = d.sink_hash_partitioned(
+        d._doc_lm_scored(sf), out_dir, "doc_id", 4
+    )
+    assert r2["written"] == [1] and r2["skipped"] == [0, 2, 3]
+    assert pq.read_table(os.path.join(out_dir, victim)).equals(before)
+    for f in files:
+        if f != victim:
+            assert os.path.getmtime(os.path.join(out_dir, f)) == mtimes[f]

@@ -3397,3 +3397,45 @@ def test_events_iqr_outliers_fences(ray_session, tmp_path):
     assert (out["q1"], out["q3"]) == (200, 700)
     assert out["n_low"] == 1   # -10000c < -550c
     assert out["n_high"] == 1  # 10000c > 1450c
+
+
+def test_events_running_total_sink_digest_and_resume(ray_session, tmp_path):
+    # two users interleaved; values chosen so cum sums are distinct
+    rows = [
+        (1, 7, 0.0, "a", 1.00),
+        (2, 8, 1.0, "a", 2.00),
+        (3, 7, 2.0, "a", 3.00),
+        (4, 8, 3.0, "a", 4.00),
+        (5, 7, 4.0, "a", 5.00),
+    ]
+    sf = make_events(tmp_path, rows)
+    out_dir = str(tmp_path / "runtot_sink")
+    digest = ev.events_running_total_sink(sf, out_dir=out_dir)
+    # sink content == the driver-table variant, row for row
+    import os
+
+    import pyarrow.compute as pc
+
+    files = sorted(
+        f for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+    assert files, "sink wrote no part files"
+    sunk = pa.concat_tables(
+        [pq.read_table(os.path.join(out_dir, f)) for f in files]
+    )
+    sunk = sunk.take(pc.sort_indices(sunk, sort_keys=[("event_id", "ascending")]))
+    whole = ev.events_running_total(sf)
+    assert sunk.equals(whole)
+    # digest: user 7 -> bucket 7 (rows 1,3,5; cums 100,400,900),
+    # user 8 -> bucket 8 (rows 2,4; cums 200,600)
+    d = {r["bucket"]: r for r in digest.to_pylist()}
+    assert d[7]["n_rows"] == 3 and d[7]["sum_cum_cents"] == 1400
+    assert d[7]["sum_event_id"] == 9
+    assert d[8]["n_rows"] == 2 and d[8]["sum_cum_cents"] == 800
+    assert d[8]["sum_event_id"] == 6
+    # idempotent re-run: existing part files are not rewritten
+    mtimes = {f: os.path.getmtime(os.path.join(out_dir, f)) for f in files}
+    digest2 = ev.events_running_total_sink(sf, out_dir=out_dir)
+    assert digest2.equals(digest)
+    for f in files:
+        assert os.path.getmtime(os.path.join(out_dir, f)) == mtimes[f]
