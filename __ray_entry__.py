@@ -157,6 +157,32 @@ FROM base LEFT JOIN r USING (url)
 ORDER BY url
 """
 
+# Mid-stream type-widening gate: committed purchase UPDATEs set
+# `views`, int32-typed (eid % 100000) below the txn-aligned halfway
+# point H, int64-typed (3e9 + eid, > INT32_MAX) from H on; LWW per
+# url = arg_max by eid.  H = (n_purchases // 2 // 5) * 5.
+_TYPE_WIDENING_SQL = f"""
+WITH {_BASE_CTE.strip().rstrip()},
+n AS (SELECT count(*) AS n_docs FROM documents),
+p AS (
+  SELECT event_id AS eid, user_id,
+         row_number() OVER (ORDER BY event_id) - 1 AS pidx
+  FROM events WHERE event_type = 'purchase'
+),
+h AS (SELECT ((count(*) // 2) // 5) * 5 AS hb FROM p),
+k AS (SELECT eid, user_id, pidx FROM p WHERE (pidx // 5) % 11 != 7),
+r AS (
+  SELECT 'https://site' || ((k.user_id % n.n_docs) % 20)::VARCHAR ||
+         '.example/d/' || (k.user_id % n.n_docs)::VARCHAR AS url,
+         arg_max(CASE WHEN k.pidx < h.hb THEN k.eid % 100000
+                      ELSE 3000000000 + k.eid END, k.eid) AS views
+  FROM k, n, h GROUP BY 1
+)
+SELECT base.url, base.lang, CAST(r.views AS BIGINT) AS views
+FROM base LEFT JOIN r USING (url)
+ORDER BY url
+"""
+
 # GDPR erasure gate: the replay oracle minus the erased urls (doc_ids
 # 3, 17, 123 -- queries.GDPR_ERASE_DOC_IDS; url pattern from
 # workload._urls).  Keys absent at a given scale factor erase as
@@ -5096,6 +5122,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # `rating NUMBER(9) DEFAULT 7`; untouched pre-existing rows
         # must surface the DDL default, not null
         "cdc_schema_default_backfill": q.cdc_schema_default_backfill,
+        # mid-stream int32 -> int64 type widening (two separate schema
+        # bumps asserted; phase-2 values > INT32_MAX so truncation
+        # cannot pass the value hash)
+        "cdc_schema_type_widening": q.cdc_schema_type_widening,
         # lake maintenance gate: repartition_lake (16->24 live
         # re-layout) + vacuum, state must survive byte-identical
         "cdc_final_state_repartitioned": q.cdc_final_state_repartitioned,
@@ -5606,6 +5636,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changelog_compaction": _FINAL_STATE_SQL,
         "cdc_changelog_compaction_incremental": _FINAL_STATE_SQL,
         "cdc_schema_default_backfill": _DEFAULT_BACKFILL_SQL,
+        "cdc_schema_type_widening": _TYPE_WIDENING_SQL,
         "cdc_final_state_repartitioned": _FINAL_STATE_SQL,
         "lake_gdpr_erasure": _GDPR_SQL,
         "cdc_dead_letters": _DEAD_LETTERS_SQL,

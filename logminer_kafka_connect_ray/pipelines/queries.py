@@ -1293,3 +1293,51 @@ def cdc_schema_default_backfill(sf_dir: str) -> pa.Table:
             "rating": t.column("rating").cast(pa.int64()),
         }
     )
+
+
+def cdc_schema_type_widening(sf_dir: str) -> pa.Table:
+    """MID-STREAM TYPE-WIDENING evolution gate (SchemaService.kt:34-40
+    refresh + ColumnSchemaBuilder.kt:201-257 NUMBER precision tiers):
+    replay a struct changelog whose first file adds ``views`` as
+    int32 and whose second file carries it as int64 with values >
+    INT32_MAX.  The checkpoint budget is one file, so the engine must
+    ADD int32 at micro-batch 1 (partition files on disk carry int32),
+    then WIDEN to int64 at micro-batch 2 and cast the existing
+    partitions on read -- asserted via TWO separate schema-version
+    bumps, not one unified discovery.  Returns ``(url, lang, views)``
+    with untouched rows NULL; any silent int32 truncation of the
+    phase-2 values fails the value hash."""
+    import os as _os
+    import shutil as _sh
+
+    d = workload.ensure_widening_workload(sf_dir)
+    lake = d["lake"] + "-widening"
+    _sh.rmtree(lake, ignore_errors=True)
+    eng = Engine(
+        EngineConfig(
+            lake_dir=lake, num_partitions=16,
+            max_events_per_checkpoint=max(d["widening_info"]["phase_rows"]),
+        )
+    )
+    eng.snapshot(d["pages"], workload.SNAPSHOT_SCN)
+    v0 = eng.store.load().schema_version
+    eng.replay(d["widening"])
+    m = eng.store.load()
+    if m.schema_version < v0 + 2:
+        raise AssertionError(
+            "type widening was not applied MID-stream: expected two "
+            f"schema bumps (add int32, widen int64), got "
+            f"{m.schema_version - v0}"
+        )
+    t = eng.to_arrow()
+    if t.schema.field("views").type != pa.int64():
+        raise AssertionError(
+            f"views not widened to int64: {t.schema.field('views').type}"
+        )
+    return pa.table(
+        {
+            "url": t.column("url"),
+            "lang": t.column("lang"),
+            "views": t.column("views"),
+        }
+    )

@@ -975,3 +975,141 @@ def ensure_evolution_workload(
         with open(marker, "w") as f:
             f.write("ok")
     return {**d, "evolution": evo}
+
+
+#: int64-phase views values start above INT32_MAX so a silent int32
+#: truncation can never masquerade as a pass
+WIDEN_INT64_BASE = 3_000_000_000
+
+
+def derive_changelog_widening(sf_dir: str, out_dir: str) -> dict:
+    """Struct changelog exercising MID-STREAM TYPE WIDENING
+    (SchemaService.kt:34-40 refresh + ColumnSchemaBuilder.kt:201-257
+    NUMBER tiers): committed UPDATEs set a new ``views`` column, typed
+    **int32** in the first half of the log (one batch file) and
+    **int64 with values > INT32_MAX** in the second half (a second
+    file).  Replayed with a per-file checkpoint budget, the engine
+    must (1) ADD views:int32 at the first micro-batch plan, then
+    (2) WIDEN it to int64 at the second -- two separate schema bumps,
+    with partition files written as int32 in between cast on read.
+
+    Deterministic from the driver's events table, SQL-restatable:
+    purchases ordered by event_id, pidx = rank-1, txn = pidx //
+    TXN_SIZE with the standard rollback pattern; phase boundary at the
+    txn-aligned halfway point H = (n_purchases // 2 // TXN_SIZE) *
+    TXN_SIZE; views = eid % 100000 (phase 1) or WIDEN_INT64_BASE + eid
+    (phase 2); scn = SCN0 + eid*2, marker at last member scn + 1.
+
+    Returns ``{"paths": [...], "h": H, "phase_rows": [n1, n2]}``."""
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    etype = ev.column("event_type").to_pandas().to_numpy()
+    sel = etype == "purchase"
+    eid = ev.column("event_id").to_numpy()[sel]
+    user = ev.column("user_id").to_numpy()[sel]
+    order = np.argsort(eid, kind="stable")
+    eid, user = eid[order], user[order]
+    H = (len(eid) // 2 // TXN_SIZE) * TXN_SIZE
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths, phase_rows = [], []
+    for phase, (lo_i, hi_i) in enumerate([(0, H), (H, len(eid))]):
+        p_eid, p_user = eid[lo_i:hi_i], user[lo_i:hi_i]
+        n = len(p_eid)
+        vtype = pa.int32() if phase == 0 else pa.int64()
+        views = (p_eid % 100000 if phase == 0
+                 else WIDEN_INT64_BASE + p_eid)
+        t_schema = pa.schema(list(PAGES_SCHEMA_NAIVE)
+                             + [pa.field("views", vtype)])
+        img = schemas.image_struct(t_schema)
+        ev_schema = schemas.change_event_schema(t_schema)
+        url = _urls(p_user % n_docs)
+        scn = SCN0 + p_eid * 2
+        after = pa.StructArray.from_arrays(
+            [
+                url.combine_chunks() if isinstance(url, pa.ChunkedArray)
+                else url,
+                pa.nulls(n, pa.timestamp("us")),
+                pa.nulls(n, pa.binary()),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.string()),
+                pa.array(views.astype(np.int64), pa.int64()).cast(vtype),
+            ],
+            names=[f.name for f in t_schema],
+        )
+        changes = pa.table(
+            {
+                "scn": pa.array(scn, pa.int64()),
+                "row_id": _concat("R", scn),
+                "commit_scn": pa.nulls(n, pa.int64()),
+                "tx_id": _concat("wtx", (lo_i + np.arange(n)) // TXN_SIZE),
+                "op": _const("u", n),
+                "ts_ms": pa.nulls(n, pa.timestamp("ms", tz="UTC")),
+                "table": _const(TABLE_NAME, n),
+                "username": pa.nulls(n, pa.string()),
+                "status": pa.array(np.zeros(n, np.int32)),
+                "before": pa.nulls(n, img),
+                "after": after,
+                "set_cols": pa.nulls(n, pa.list_(pa.string())),
+            },
+            schema=ev_schema,
+        )
+        # one marker per txn at (last member scn + 1); H is txn-aligned
+        # so every txn's rows AND marker live in the same phase file
+        tx = (lo_i + np.arange(n)) // TXN_SIZE
+        txs = np.unique(tx)
+        m_scn = np.array(
+            [int(scn[tx == t_].max()) + 1 for t_ in txs], np.int64
+        )
+        m_op = np.where(txs % ROLLBACK_MOD == ROLLBACK_REM,
+                        "rollback", "commit")
+        nm = len(txs)
+        markers = pa.table(
+            {
+                "scn": pa.array(m_scn, pa.int64()),
+                "row_id": _concat("R", m_scn),
+                "commit_scn": pa.array(m_scn, pa.int64()),
+                "tx_id": _concat("wtx", txs),
+                "op": pa.array(m_op),
+                "ts_ms": pa.nulls(nm, pa.timestamp("ms", tz="UTC")),
+                "table": _const(TABLE_NAME, nm),
+                "username": pa.nulls(nm, pa.string()),
+                "status": pa.array(np.zeros(nm, np.int32)),
+                "before": pa.nulls(nm, img),
+                "after": pa.nulls(nm, img),
+                "set_cols": pa.nulls(nm, pa.list_(pa.string())),
+            },
+            schema=ev_schema,
+        )
+        tbl = pa.concat_tables([changes, markers])
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("scn", "ascending")]))
+        lo = tbl.column("scn")[0].as_py()
+        hi = tbl.column("scn")[-1].as_py()
+        p = os.path.join(out_dir, f"batch-{lo:012d}-{hi:012d}.parquet")
+        pq.write_table(tbl, p)
+        paths.append(p)
+        phase_rows.append(tbl.num_rows)
+    return {"paths": paths, "h": int(H), "phase_rows": phase_rows}
+
+
+def ensure_widening_workload(
+    sf_dir: str, root: str = "/tmp/lkc_workload"
+) -> dict:
+    """Idempotently materialize pages + the type-widening changelog."""
+    import json
+
+    d = ensure_workload(sf_dir, root)
+    wid = os.path.join(d["root"], "changelog-widening")
+    marker = os.path.join(d["root"], "_ready_widening")
+    if not os.path.exists(marker):
+        info = derive_changelog_widening(sf_dir, wid)
+        with open(marker, "w") as f:
+            json.dump(info, f)
+    with open(marker) as f:
+        info = json.load(f)
+    return {**d, "widening": wid, "widening_info": info}
