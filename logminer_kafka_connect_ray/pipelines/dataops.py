@@ -2836,17 +2836,21 @@ class MediaPipelineStage:
             encode_png_palette,
         )
 
+        from logminer_kafka_connect_ray.stages.jpeg import encode_jpeg
+
         ids = t.column("doc_id").to_pylist()
         # rotate REAL containers per doc: BMP / palette PNG (indices
-        # through a 16-color PLTE) / truecolor PNG -- one oracle
-        # covers all three codecs AND the stages' format
+        # through a 16-color PLTE) / truecolor PNG / baseline JPEG
+        # (4:2:0 + restart markers, the crawl shape) -- one oracle
+        # covers all four codecs AND the stages' format
         # auto-detection; the palette doc's pixels come FROM its
-        # palette so every downstream dim/count formula is unchanged
+        # palette, and the oracle checks only dims/counts, so JPEG's
+        # lossy pixels leave every formula unchanged
         pxs, img = [], []
         for i in ids:
             rng = np.random.default_rng(i)
             hw = (16 + i % 32, 16 + i % 48)
-            if i % 3 == 1:
+            if i % 4 == 1:
                 pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
                 idx = rng.integers(0, 16, hw, dtype=np.uint8)
                 pxs.append(pal[idx])
@@ -2854,7 +2858,12 @@ class MediaPipelineStage:
             else:
                 px = rng.integers(0, 256, size=hw + (3,), dtype=np.uint8)
                 pxs.append(px)
-                img.append(encode_png(px) if i % 3 == 2 else encode_bmp(px))
+                img.append(
+                    encode_png(px) if i % 4 == 2
+                    else encode_jpeg(px, quality=85, subsample=True,
+                                     restart_interval=2) if i % 4 == 3
+                    else encode_bmp(px)
+                )
         vid = [encode_avi([px] * (1 + i % 4)) for i, px in zip(ids, pxs)]
         wav = [
             encode_wav(

@@ -32,7 +32,13 @@ Codec status (round 3):
   PLTE with ``tRNS`` widening to RGBA -- ``encode_png`` /
   ``encode_png_palette`` / ``encode_png_grey`` / ``decode_png``.
   16-bit/interlaced raise with the feature named.
-* transform-coded formats (JPEG/WebP/MP3/H.264 ...) need codec
+* **JPEG is REAL** (baseline sequential, round 5): a pure-numpy
+  ITU-T T.81 codec in ``stages/jpeg.py`` -- marker parser, canonical
+  Huffman with flat 16-bit prefix LUTs, vectorized (n,8,8) DCT/IDCT
+  stacks, 4:4:4/4:2:2/4:2:0 sampling, restart intervals, JFIF color
+  transform; encoder emits standard Annex K tables.  Progressive /
+  arithmetic / 12-bit raise with the feature named.
+* remaining transform-coded formats (WebP/MP3/H.264 ...) need codec
   libraries that are NOT in this container -> honest
   ``NotImplementedError``, with the deterministic FAKE containers
   below retained for plumbing tests.
@@ -512,32 +518,35 @@ def decode_avi(b: bytes) -> tuple[int, int, list[np.ndarray]]:
 class ImageDecodeStage:
     """payload -> (width, height, channels, mean_luma).
 
-    REAL for BMP (the pure-numpy ``decode_bmp`` above) and for the
-    FIMG fake container; compressed formats (JPEG/PNG/...) need an
-    image library that is not in this container ->
-    ``NotImplementedError``.  Actor-pool stage: pass the CLASS to
-    ``map_batches`` with ``concurrency=N, batch_size=MEDIA_BATCH_SIZE``.
+    REAL for BMP, PNG and baseline JPEG (the pure-numpy codecs in
+    this module and ``stages/jpeg.py``) plus the FIMG fake container;
+    remaining compressed formats (WebP/AVIF/...) need libraries not
+    in this container -> ``NotImplementedError``.  Actor-pool stage:
+    pass the CLASS to ``map_batches`` with ``concurrency=N,
+    batch_size=MEDIA_BATCH_SIZE``.
     """
 
     def __init__(self):
-        try:  # pragma: no cover - not installed here
-            from PIL import Image  # noqa: F401
+        # codec state built once per actor: the JPEG Huffman prefix
+        # LUTs live in the module, imported here so workers pay the
+        # import exactly once
+        from logminer_kafka_connect_ray.stages import jpeg as _jpeg
 
-            self._pil = True
-        except ImportError:
-            self._pil = False
+        self._jpeg = _jpeg
 
     def _decode(self, b: bytes):
         if b[:2] == b"BM":
             return decode_bmp(b)
         if b[:8] == _PNG_SIG:
             return decode_png(b)
+        if b[:2] == b"\xff\xd8":
+            return self._jpeg.decode_jpeg(b)
         if b[:4] == b"FIMG":
             return _decode_fake_image(b)
         raise NotImplementedError(
-            "JPEG/WebP/... need PIL, which is not available in this "
-            "environment; supported payloads: BMP and PNG (real "
-            "codecs) and the FIMG fake container (stages/multimodal.py)"
+            "unsupported image container; supported payloads: BMP, "
+            "PNG, baseline JPEG (real pure-numpy codecs) and the FIMG "
+            "fake container (stages/multimodal.py, stages/jpeg.py)"
         )
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -562,11 +571,16 @@ class ImageDecodeStage:
 class ImageResizeStage:
     """payload -> payload resized to (out_w, out_h), nearest-neighbor,
     re-encoded in the SAME container it arrived in (BMP in -> BMP out,
-    FIMG in -> FIMG out); compressed formats: NotImplementedError."""
+    JPEG in -> JPEG out, FIMG in -> FIMG out); remaining compressed
+    formats: NotImplementedError."""
 
-    def __init__(self, out_w: int, out_h: int):
+    def __init__(self, out_w: int, out_h: int, jpeg_quality: int = 85):
+        from logminer_kafka_connect_ray.stages import jpeg as _jpeg
+
         self.out_w = out_w
         self.out_h = out_h
+        self.jpeg_quality = jpeg_quality
+        self._jpeg = _jpeg
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out = []
@@ -577,13 +591,16 @@ class ImageResizeStage:
             elif b[:8] == _PNG_SIG:
                 w, h, c, px = decode_png(b)
                 fmt = "png"
+            elif b[:2] == b"\xff\xd8":
+                w, h, c, px = self._jpeg.decode_jpeg(b)
+                fmt = "jpeg"
             elif b[:4] == b"FIMG":
                 w, h, c, px = _decode_fake_image(b)
                 fmt = "fimg"
             else:
                 raise NotImplementedError(
-                    "JPEG/WebP/... resize requires PIL; supported: "
-                    "BMP and PNG (real codecs), FIMG fake container"
+                    "unsupported image container for resize; supported: "
+                    "BMP, PNG, baseline JPEG (real codecs), FIMG fake"
                 )
             xi = (np.arange(self.out_w) * w // self.out_w)
             yi = (np.arange(self.out_h) * h // self.out_h)
@@ -592,6 +609,11 @@ class ImageResizeStage:
                 out.append(encode_bmp(res[:, :, :3]))
             elif fmt == "png":
                 out.append(encode_png(res))
+            elif fmt == "jpeg":
+                img = res[:, :, 0] if c == 1 else res[:, :, :3]
+                out.append(
+                    self._jpeg.encode_jpeg(img, quality=self.jpeg_quality)
+                )
             else:
                 out.append(
                     b"FIMG"

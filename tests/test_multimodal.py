@@ -430,3 +430,94 @@ def test_png_through_decode_and_resize_stages(ray_session):
     xi = np.arange(6) * 12 // 6
     yi = np.arange(8) * 16 // 8
     assert np.array_equal(rp, px[yi][:, xi])
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (stages/jpeg.py)
+# ---------------------------------------------------------------------------
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 255 // max(w - 1, 1)).astype(np.uint8),
+         (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+         (((xx + yy) * 255) // max(w + h - 2, 1)).astype(np.uint8)],
+        axis=-1,
+    )
+
+
+def test_jpeg_roundtrip_444_and_420():
+    from logminer_kafka_connect_ray.stages import jpeg
+
+    px = _gradient(41, 67)
+    for sub, bound in [(False, 6), (True, 12)]:
+        b = jpeg.encode_jpeg(px, quality=90, subsample=sub)
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        w, h, c, out = jpeg.decode_jpeg(b)
+        assert (w, h, c) == (67, 41, 3) and out.shape == (41, 67, 3)
+        err = np.abs(out.astype(int) - px.astype(int)).max()
+        assert err <= bound, (sub, err)
+        # decode is deterministic
+        assert np.array_equal(jpeg.decode_jpeg(b)[3], out)
+
+
+def test_jpeg_grayscale_and_odd_dims():
+    from logminer_kafka_connect_ray.stages import jpeg
+
+    g = _gradient(33, 49)[:, :, 0]
+    b = jpeg.encode_jpeg(g, quality=90)
+    w, h, c, out = jpeg.decode_jpeg(b)
+    assert (w, h, c) == (49, 33, 1)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 4
+
+
+def test_jpeg_restart_markers_lossless_plumbing():
+    """RST segmentation + DC predictor reset must not change a single
+    decoded pixel vs the same image without restarts."""
+    from logminer_kafka_connect_ray.stages import jpeg
+
+    px = _gradient(37, 53)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=85))[3]
+    for ri in (1, 2, 5):
+        b = jpeg.encode_jpeg(px, quality=85, restart_interval=ri)
+        assert b"\xff\xdd" in b  # DRI present
+        assert np.array_equal(jpeg.decode_jpeg(b)[3], base)
+
+
+def test_jpeg_unsupported_modes_raise_named():
+    from logminer_kafka_connect_ray.stages import jpeg
+
+    b = bytearray(jpeg.encode_jpeg(_gradient(16, 16), quality=85))
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_jpeg(bytes(b))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"\x00\x01")
+
+
+def test_image_stages_decode_and_resize_jpeg():
+    from logminer_kafka_connect_ray.stages import jpeg
+    from logminer_kafka_connect_ray.stages.multimodal import (
+        ImageDecodeStage,
+        ImageResizeStage,
+    )
+
+    px = _gradient(24, 40)
+    t = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array(
+                [jpeg.encode_jpeg(px, quality=85, subsample=True)],
+                pa.binary(),
+            ),
+        }
+    )
+    dec = ImageDecodeStage()(t)
+    assert dec.column("width")[0].as_py() == 40
+    assert dec.column("height")[0].as_py() == 24
+    assert dec.column("channels")[0].as_py() == 3
+    res = ImageResizeStage(8, 8)(t)
+    out_b = res.column("payload")[0].as_py()
+    assert out_b[:2] == b"\xff\xd8"  # JPEG in -> JPEG out
+    w, h, c, out = jpeg.decode_jpeg(out_b)
+    assert (w, h, c) == (8, 8, 3)
