@@ -128,11 +128,20 @@ def catalog_fields(paths: list[str]) -> list[pa.Field]:
         with open(cat) as f:
             doc = json.load(f)
         for name, decl in doc.get("columns", {}).items():
+            as_string = False
             if isinstance(decl, dict):  # {"type": ..., "default": ...}
+                # {"as_string": true} = lossless string-typed mapping
+                # for numeric ranges Arrow decimals cannot carry (the
+                # reference holds unqualified NUMBER as Decimal(79,40),
+                # ColumnSchemaBuilder.kt:18-19/80-86; Oracle NUMBER
+                # reaches ~1e126 -- decimal256 caps at precision 76).
+                # The literal text lands verbatim in a string column:
+                # no dead letter, no silently wrong value.
+                as_string = bool(decl.get("as_string"))
                 decl = decl["type"]
-            ct = resolve_type(decl)
+            ct = (pa.string() if as_string else resolve_type(decl).arrow)
             prev = fields.get(name)
-            t = widen(prev.type, ct.arrow) if prev is not None else ct.arrow
+            t = widen(prev.type, ct) if prev is not None else ct
             fields[name] = pa.field(name, t, nullable=True)
     return list(fields.values())
 

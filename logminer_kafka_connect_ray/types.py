@@ -73,8 +73,11 @@ NULL_LITERAL = "NULL"
 #: ROUTES TO DEAD LETTERS (reason ``convert_error``) -- an explicit
 #: skip-with-accounting, never a silently wrong value.  Values at or
 #: below 1e36 round-trip exactly.  (Oracle NUMBER reaches ~1e126 at
-#: 38 significant digits; a source actually using that range needs a
-#: string-typed column mapping.)
+#: 38 significant digits; a source actually using that range opts
+#: into the lossless string-typed mapping: declare the column as
+#: ``{"type": "NUMBER", "as_string": true}`` in the ``_catalog.json``
+#: sidecar -- stages/evolve.py catalog_fields -- and the literal text
+#: lands verbatim in a string column, no dead letter.)
 UNQUALIFIED_NUMBER_PRECISION = 76
 UNQUALIFIED_NUMBER_SCALE = 40
 

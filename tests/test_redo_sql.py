@@ -701,3 +701,58 @@ def test_redo_derive_chunking_byte_identical(tmp_path, monkeypatch):
         ta = _pq.read_table(f"{mono}/{f}")
         tb = _pq.read_table(f"{chunked}/{f}")
         assert ta.equals(tb), f
+
+
+def test_number_as_string_catalog_mapping(ray_session, tmp_path):
+    """The string-typed fallback for numeric ranges Arrow decimals
+    cannot hold (reference carries unqualified NUMBER as Decimal(79,40)
+    BigDecimal, ColumnSchemaBuilder.kt:18-19/80-86; Oracle NUMBER
+    reaches ~1e126): a catalog column declared {"type": "NUMBER",
+    "as_string": true} types as string, and a 41-digit literal lands
+    VERBATIM in the final state with ZERO dead letters -- vs the
+    default pinned behavior where magnitudes > 1e36 route to dead
+    letters as convert_error."""
+    import json
+
+    from logminer_kafka_connect_ray.testing.gen import REDO_SQL_SCHEMA
+
+    pages = gen_pages(10)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    url = pages.column("url")[0].as_py()
+    big = "9" * 41  # far beyond decimal256(76, 40)'s 1e36 integer cap
+    rows = [
+        {"scn": 1001, "row_id": "AAAx1001", "commit_scn": None,
+         "tx_id": "tx0", "op": "u", "ts_ms": 0, "table": "WEB.PAGES",
+         "username": "WEBCRAWL", "status": 0, "csf": 0,
+         "sql_redo": f'update "WEB"."PAGES" set "big" = {big} '
+                     f"where \"url\" = '{url}' and ROWID = 'AAAx1001'"},
+        {"scn": 1002, "row_id": "AAAx1002", "commit_scn": 1002,
+         "tx_id": "tx0", "op": "commit", "ts_ms": 0, "table": "WEB.PAGES",
+         "username": "WEBCRAWL", "status": 0, "csf": 0, "sql_redo": None},
+    ]
+    changelog = str(tmp_path / "changelog")
+    import os
+
+    os.makedirs(changelog)
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=REDO_SQL_SCHEMA),
+        f"{changelog}/batch-000000001001-000000001002.parquet",
+    )
+    with open(f"{changelog}/_catalog.json", "w") as f:
+        json.dump(
+            {"columns": {"big": {"type": "NUMBER", "as_string": True}}}, f
+        )
+
+    eng = Engine(
+        EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2,
+                     changelog_format="redo_sql")
+    )
+    eng.snapshot(pages_path, 999)
+    m = eng.replay(changelog)
+    assert m.metrics["dead_letters"] == 0, m.metrics
+    t = eng.to_arrow()
+    assert t.schema.field("big").type == pa.string()
+    got = {r["url"]: r["big"] for r in t.to_pylist()}
+    assert got[url] == big
+    assert all(v is None for u, v in got.items() if u != url)
