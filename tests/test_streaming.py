@@ -693,3 +693,85 @@ def test_run_idle_polls_limit_drains_and_exits(streamed_setup, tmp_path):
     wall = _t.monotonic() - t0
     stream.shutdown()
     assert again == 0 and wall < 6.0
+
+
+def test_streaming_mid_stream_type_widening(ray_session, tmp_path):
+    """An int32 column WIDENED to int64 between polls (reference
+    SchemaService refresh + ColumnSchemaBuilder NUMBER tiers): the
+    first wave adds `hits` as int32, partition files commit with that
+    type, then a second wave carries hits:int64 with values >
+    INT32_MAX -- the per-poll schema refresh must widen (second
+    schema-version bump) and the earlier partitions cast on read.
+    Streaming counterpart of the cdc_schema_type_widening driver
+    gate."""
+    import numpy as np
+
+    from logminer_kafka_connect_ray import schemas as _schemas
+
+    pages = gen_pages(12)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    urls = pages.column("url").to_pylist()
+
+    def wave(path, scn0, vals, vtype):
+        t_schema = pa.schema(
+            [("url", pa.string()), ("hits", vtype)]
+        )
+        img = _schemas.image_struct(t_schema)
+        ev_schema = _schemas.change_event_schema(t_schema)
+        rows = []
+        for i, (u, v) in enumerate(vals):
+            s = scn0 + 2 * i
+            rows.append(
+                {"scn": s, "row_id": f"R{s}", "commit_scn": None,
+                 "tx_id": f"wtx{scn0}", "op": "u", "ts_ms": None,
+                 "table": "WEB.PAGES", "username": None, "status": 0,
+                 "before": None, "after": {"url": u, "hits": v},
+                 "set_cols": None}
+            )
+        mscn = scn0 + 2 * len(vals)
+        rows.append(
+            {"scn": mscn, "row_id": f"R{mscn}", "commit_scn": mscn,
+             "tx_id": f"wtx{scn0}", "op": "commit", "ts_ms": None,
+             "table": "WEB.PAGES", "username": None, "status": 0,
+             "before": None, "after": None, "set_cols": None}
+        )
+        tbl = pa.Table.from_pylist(rows, schema=ev_schema)
+        pq.write_table(tbl, path)
+        return mscn
+
+    changelog = str(tmp_path / "changelog")
+    os.makedirs(changelog)
+    eng = Engine(EngineConfig(lake_dir=str(tmp_path / "lake"),
+                              num_partitions=4))
+    eng.snapshot(pages_path, 999)
+
+    # wave 1: hits arrives as int32
+    hi1 = wave(os.path.join(changelog, "batch-000000001001-000000001007.parquet"),
+               1001, [(urls[0], 7), (urls[1], 8), (urls[2], 9)], pa.int32())
+    assert hi1 == 1007
+    stream = StreamingEngine(eng, changelog, num_shards=2, poll_interval=0.01)
+    stream.run(max_polls=3)
+    m1 = eng.store.load()
+    v1 = m1.schema_version
+    assert pa.schema(
+        _schemas.schema_from_json(m1.schema)
+    ).field("hits").type == pa.int32()
+
+    # wave 2: hits arrives as int64 with values beyond int32
+    big = 3_000_000_000
+    wave(os.path.join(changelog, "batch-000000001101-000000001105.parquet"),
+         1101, [(urls[1], big + 1), (urls[3], big + 2)], pa.int64())
+    stream.run(max_polls=4)
+    stream.shutdown()
+
+    m2 = eng.store.load()
+    assert m2.schema_version > v1, "mid-stream widen not detected"
+    t = eng.to_arrow()
+    assert t.schema.field("hits").type == pa.int64()
+    got = {r["url"]: r["hits"] for r in t.to_pylist()}
+    assert got[urls[0]] == 7           # int32-era value survives the cast
+    assert got[urls[1]] == big + 1     # later write wins LWW
+    assert got[urls[3]] == big + 2
+    assert got[urls[5]] is None        # untouched row
+    assert np.int64(got[urls[1]]) > np.iinfo(np.int32).max
