@@ -259,6 +259,9 @@ def run_bench() -> dict:
         ("web_crawl_frontier", dops.web_crawl_frontier),
         ("web_anchor_text", dops.web_anchor_text),
         ("cdc_changelog_compaction", q.cdc_changelog_compaction),
+        ("cdc_schema_type_widening", q.cdc_schema_type_widening),
+        ("doc_lm_score_sink", dops.doc_lm_score_sink),
+        ("events_running_total_sink", evops.events_running_total_sink),
         ("winnowing_fingerprints", dops.winnowing_fingerprints),
         ("semantic_dedup", dops.semantic_dedup),
         ("dsir_select", dops.dsir_select),
