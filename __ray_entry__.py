@@ -1198,6 +1198,18 @@ SELECT event_id, user_id,
 FROM w ORDER BY event_id
 """
 
+# Sink-variant digest of the LAG offsets: SQL sum() skips the
+# first-event nulls, matching the Ray digest's null-as-0 partial.
+_LAG_DELTA_SINK_SQL = f"""
+WITH lg AS ({_LAG_DELTA_SQL})
+SELECT CAST(user_id % 64 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(sum(gap_seconds), 0) AS BIGINT) AS sum_gap_seconds,
+       CAST(COALESCE(sum(delta_value_cents), 0) AS BIGINT)
+         AS sum_delta_cents
+FROM lg GROUP BY bucket ORDER BY bucket
+"""
+
 _TFIDF_SQL = """
 WITH toks AS (
   SELECT doc_id,
@@ -5267,6 +5279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # key-co-located) output block straight to part files -- no
         # second exchange -- and the gate digests the sink read-back
         "events_running_total_sink": ev.events_running_total_sink,
+        # same fused sweep-sink shape for the LAG offsets (first-event
+        # nulls masked; digest's null-as-0 partial == SQL sum())
+        "events_lag_delta_sink": ev.events_lag_delta_sink,
         # pivot / wide aggregation (one column per category)
         "events_type_pivot": ev.events_type_pivot,
         # fact-vs-fact INTERSECT/EXCEPT cardinalities (both sides
@@ -5734,6 +5749,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": _CONTAMINATION_SQL,
         "label_centroids": _LABEL_CENTROIDS_SQL,
         "events_lag_delta": _LAG_DELTA_SQL,
+        "events_lag_delta_sink": _LAG_DELTA_SINK_SQL,
         "events_frame_agg": _FRAME_AGG_SQL,
         "events_last_touch": _LAST_TOUCH_SQL,
         "events_user_cms": _USER_CMS_SQL,

@@ -2284,7 +2284,9 @@ def bucket_digest(
             np.bincount(b, minlength=n_buckets).astype(np.int64)
         )
         for name, src in sum_cols.items():
-            v = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+            # null-safe: SQL sum() skips nulls == summing null-as-0
+            col = pc.fill_null(t.column(src).combine_chunks(), 0)
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
             acc = np.zeros(n_buckets, np.int64)
             np.add.at(acc, b, v)
             cols[name] = pa.array(acc)

@@ -1752,19 +1752,30 @@ def events_running_total(sf_dir: str) -> pa.Table:
     return _finalize_guard(gd, t)
 
 
-def events_running_total_sink(sf_dir: str, out_dir: str | None = None) -> pa.Table:
-    """Corpus-scale finisher for :func:`events_running_total`: the
-    one-row-per-input-row cumulative table never returns to the
-    driver.  The parquet WRITE IS FUSED INTO THE SWEEP -- each
-    delivered block is already one user-hash range, so the sweep
-    publishes its own ``part-{p:05d}.parquet`` via tmp+rename (no
-    second exchange; a re-run skips parts whose final file exists)
-    and emits only a bounded lineage row.  The gate then reads the
-    sink back with a streaming 64-bucket integer digest
-    (:func:`~.dataops.bucket_digest` on ``user_id % 64``), so the
-    check certifies the bytes on disk, and every summed quantity is
-    int64 (floor-cents) -- bit-equal to the DuckDB window-function
-    oracle wrapped in the same outer GROUP BY."""
+def _fused_sweep_sink(
+    sf_dir: str,
+    out_dir: str | None,
+    guard_tag: str,
+    kernel,
+    out_schema: pa.Schema,
+    digest_sums: dict[str, str],
+) -> pa.Table:
+    """Shared corpus-scale finisher for input-sized window-function
+    outputs (one output row per input event): hash exchange on
+    ``user_id`` -> per-range vectorized sweep with the parquet WRITE
+    FUSED INTO THE SWEEP -- each delivered block is already one
+    user-hash range, so the sweep publishes its own
+    ``part-{p:05d}.parquet`` via tmp+rename (NO second exchange; a
+    re-run skips parts whose final file exists) and emits only a
+    bounded lineage row.  The gate then reads the sink back with a
+    streaming 64-bucket integer digest (:func:`~.dataops
+    .bucket_digest` on ``user_id % 64``), so the check certifies the
+    bytes on disk; every summed quantity is int64, bit-equal to the
+    DuckDB window-function oracle wrapped in the same outer GROUP BY.
+
+    ``kernel(u, ts_us, eid, cents)`` receives the block's rows sorted
+    by ``(user_id, ts, event_id)`` and returns the output columns
+    (np or pa arrays, aligned with that order) for ``out_schema``."""
     import os
     import tempfile
 
@@ -1774,11 +1785,11 @@ def events_running_total_sink(sf_dir: str, out_dir: str | None = None) -> pa.Tab
     from logminer_kafka_connect_ray.pipelines.dataops import bucket_digest
 
     if out_dir is None:
-        out_dir = tempfile.mkdtemp(prefix="lkc-runtot-sink-")
+        out_dir = tempfile.mkdtemp(prefix=f"lkc-{guard_tag}-")
     os.makedirs(out_dir, exist_ok=True)
     n_rows, _ = _table_meta(sf_dir, "events")
     P = _exchange_width(n_rows)
-    gd = _new_guard_dir("runtotsink")
+    gd = _new_guard_dir(guard_tag)
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
 
     def stamp(t: pa.Table) -> pa.Table:
@@ -1788,37 +1799,24 @@ def events_running_total_sink(sf_dir: str, out_dir: str | None = None) -> pa.Tab
             "_p", pa.array(partition_ids(t.column("user_id"), P))
         )
 
-    out_schema = pa.schema(
-        [
-            ("event_id", pa.int64()),
-            ("user_id", pa.int64()),
-            ("cum_value_cents", pa.int64()),
-        ]
-    )
     lineage_schema = pa.schema([("part_id", pa.int64()), ("rows", pa.int64())])
 
     def sweep_write(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return lineage_schema.empty_table()
         pvals = t.column("_p").to_numpy(zero_copy_only=False)
-        _guard_record(gd, "runtotsink", pvals)
+        _guard_record(gd, guard_tag, pvals)
         u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
         ts = _ts_i64(t.column("ts"))
         eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
         cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
         order = np.lexsort((eid, ts, u))
-        u, eid, cents = u[order], eid[order], cents[order]
+        u, ts, eid, cents = u[order], ts[order], eid[order], cents[order]
         pv = pvals.astype(np.int64)[order]
-        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
-        counts = np.diff(np.append(starts, len(u)))
-        c = np.cumsum(cents)
-        base = np.repeat(c[starts] - cents[starts], counts)
+        cols = kernel(u, ts, eid, cents)
         block = pa.table(
-            {
-                "event_id": pa.array(eid),
-                "user_id": pa.array(u),
-                "cum_value_cents": pa.array(c - base),
-            },
+            {n: (c if isinstance(c, (pa.Array, pa.ChunkedArray))
+                 else pa.array(c)) for n, c in cols.items()},
             schema=out_schema,
         )
         # guard asserts each _p range arrives exactly once, so one
@@ -1845,10 +1843,73 @@ def events_running_total_sink(sf_dir: str, out_dir: str | None = None) -> pa.Tab
         gd,
         pa.Table.from_pandas(lineage.to_pandas(), preserve_index=False),
     )
-    return bucket_digest(
-        rd.read_parquet(out_dir),
-        "user_id",
+    return bucket_digest(rd.read_parquet(out_dir), "user_id", digest_sums)
+
+
+def events_running_total_sink(sf_dir: str, out_dir: str | None = None) -> pa.Table:
+    """Corpus-scale finisher for :func:`events_running_total` (see
+    :func:`_fused_sweep_sink` for the shared fused-write/digest
+    shape and its scale rationale)."""
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("cum_value_cents", pa.int64()),
+        ]
+    )
+
+    def kernel(u, ts, eid, cents):
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        counts = np.diff(np.append(starts, len(u)))
+        c = np.cumsum(cents)
+        base = np.repeat(c[starts] - cents[starts], counts)
+        return {"event_id": eid, "user_id": u, "cum_value_cents": c - base}
+
+    return _fused_sweep_sink(
+        sf_dir, out_dir, "runtotsink", kernel, out_schema,
         {"sum_event_id": "event_id", "sum_cum_cents": "cum_value_cents"},
+    )
+
+
+def events_lag_delta_sink(sf_dir: str, out_dir: str | None = None) -> pa.Table:
+    """Corpus-scale finisher for :func:`events_lag_delta` -- same
+    fused sweep-sink shape; each user's FIRST event carries null
+    gap/delta (masked in the kernel), and the digest's null-as-0
+    int64 partial equals the SQL oracle's null-skipping sum()."""
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("gap_seconds", pa.int64()),
+            ("delta_value_cents", pa.int64()),
+        ]
+    )
+
+    def kernel(u, ts, eid, cents):
+        n = len(u)
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        prev_ts = np.empty(n, np.int64)
+        prev_c = np.empty(n, np.int64)
+        prev_ts[1:], prev_ts[0] = ts[:-1], 0
+        prev_c[1:], prev_c[0] = cents[:-1], 0
+        gap = (ts - prev_ts) // _US
+        dlt = cents - prev_c
+        mask = pa.array(first)
+        return {
+            "event_id": eid,
+            "user_id": u,
+            "gap_seconds": pc.if_else(
+                mask, pa.nulls(n, pa.int64()), pa.array(gap)
+            ),
+            "delta_value_cents": pc.if_else(
+                mask, pa.nulls(n, pa.int64()), pa.array(dlt)
+            ),
+        }
+
+    return _fused_sweep_sink(
+        sf_dir, out_dir, "lagsink", kernel, out_schema,
+        {"sum_gap_seconds": "gap_seconds",
+         "sum_delta_cents": "delta_value_cents"},
     )
 
 

@@ -3439,3 +3439,35 @@ def test_events_running_total_sink_digest_and_resume(ray_session, tmp_path):
     assert digest2.equals(digest)
     for f in files:
         assert os.path.getmtime(os.path.join(out_dir, f)) == mtimes[f]
+
+
+def test_events_lag_delta_sink_matches_whole(ray_session, tmp_path):
+    rows = [
+        (1, 7, 0.0, "a", 1.00),
+        (2, 8, 1.0, "a", 2.00),
+        (3, 7, 2.5, "a", 3.00),
+        (4, 8, 3.0, "a", 1.50),
+        (5, 7, 4.0, "a", 5.00),
+    ]
+    sf = make_events(tmp_path, rows)
+    out_dir = str(tmp_path / "lag_sink")
+    digest = ev.events_lag_delta_sink(sf, out_dir=out_dir)
+    import os
+
+    import pyarrow.compute as pc
+
+    files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    sunk = pa.concat_tables(
+        [pq.read_table(os.path.join(out_dir, f)) for f in files]
+    )
+    sunk = sunk.take(pc.sort_indices(sunk, sort_keys=[("event_id", "ascending")]))
+    whole = ev.events_lag_delta(sf)
+    assert sunk.equals(whole)
+    d = {r["bucket"]: r for r in digest.to_pylist()}
+    # user 7: gaps at rows 3 (150s) and 5 (90s); deltas +200c, +200c
+    assert d[7]["n_rows"] == 3
+    assert d[7]["sum_gap_seconds"] == 150 + 90
+    assert d[7]["sum_delta_cents"] == 200 + 200
+    # user 8: one gap 120s, delta -50c
+    assert d[8]["sum_gap_seconds"] == 120
+    assert d[8]["sum_delta_cents"] == -50
