@@ -2180,28 +2180,103 @@ def doc_lm_score(sf_dir: str, vocab_cap: int | None = None) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def sink_hash_partitioned(
-    ds, out_dir: str, key_col: str, num_partitions: int,
-    sort_keys: list | None = None,
-) -> dict:
-    """Generic resumable hash-partitioned Parquet sink for a Dataset
-    whose output is input-sized (the ``curate_to_parquet`` contract,
-    factored for reuse by the sink-variant gates): stamp
-    ``_part = hash(key) % P``, ONE explicit-boundary exchange, one
-    writer task per partition publishing ``part-{p:05d}.parquet`` via
-    tmp+rename.  Partitions whose final file already exists are
-    pruned at PLAN time (their rows never enter the exchange), so a
-    crashed run resumes by paying only for missing partitions.
-    Returns ``{"written": [...], "skipped": [...], "rows": {p: n}}``.
+def sink_prepare(out_dir: str, key_col: str, num_partitions: int) -> set:
+    """Open (or begin) a resumable sink dir.  Three duties shared by
+    every sink writer (review findings, round 5):
+
+    1. parameter manifest ``_sink.json`` is written BEFORE any part
+       file (tmp+rename), so even a crashed first attempt records how
+       it was partitioned; a re-run with DIFFERENT ``key_col`` /
+       ``num_partitions`` fails loudly instead of silently mixing two
+       partitionings (file-presence resume alone cannot detect that);
+    2. ``.tmp-*`` orphans of crashed attempts are removed -- Ray's
+       ``read_parquet(dir)`` has no extension filter and would read a
+       complete orphan BACK as duplicate rows (empirically verified);
+    3. returns the set of already-published partition ids.
     """
+    import json
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    man_path = os.path.join(out_dir, "_sink.json")
+    params = {"key_col": key_col, "num_partitions": int(num_partitions)}
     done = {
         int(f[5:10])
         for f in os.listdir(out_dir)
         if f.startswith("part-") and f.endswith(".parquet")
     }
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            prev = json.load(f)
+        if prev != params:
+            raise ValueError(
+                f"sink dir {out_dir!r} was started with {prev}, now asked "
+                f"for {params}; resuming would mix two partitionings -- "
+                "use a fresh directory"
+            )
+    else:
+        if done:
+            raise ValueError(
+                f"sink dir {out_dir!r} holds part files but no _sink.json "
+                "parameter manifest; cannot prove they used the same "
+                "partitioning -- use a fresh directory"
+            )
+        tmp = man_path + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(tmp, man_path)
+    for f in os.listdir(out_dir):
+        if ".tmp-" in f:
+            os.unlink(os.path.join(out_dir, f))
+    return done
+
+
+def publish_part(out_dir: str, p: int, table: pa.Table) -> bool:
+    """Atomic (tmp+rename) publish of one partition file; returns
+    False when the final file already exists (idempotent resume)."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    final = os.path.join(out_dir, f"part-{int(p):05d}.parquet")
+    if os.path.exists(final):
+        return False
+    tmp = final + f".tmp-{os.getpid()}"
+    pq_.write_table(table, tmp)
+    os.replace(tmp, final)
+    return True
+
+
+def sink_files(out_dir: str) -> list:
+    """Only PUBLISHED part files, for read-back -- never manifests or
+    ``.tmp-*`` orphans (Ray's read_parquet(dir) would read those)."""
+    import os
+
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+
+
+def sink_hash_partitioned(
+    ds, out_dir: str, key_col: str, num_partitions: int,
+    sort_keys: list | None = None, out_schema: pa.Schema | None = None,
+) -> dict:
+    """Generic resumable hash-partitioned Parquet sink for a Dataset
+    whose output is input-sized (``curate_to_parquet`` and the
+    sink-variant gates run on this): stamp ``_part = hash(key) % P``,
+    ONE explicit-boundary exchange, one writer task per partition
+    publishing ``part-{p:05d}.parquet`` via tmp+rename.  Partitions
+    whose final file already exists are pruned at PLAN time (their
+    rows never enter the exchange), so a crashed run resumes by
+    paying only for missing partitions; ``sink_prepare`` guards
+    against parameter drift and cleans crashed-attempt orphans.
+    Returns ``{"written": [...], "skipped": [...], "rows": {p: n}}``.
+    """
+    import os
+
+    done = sink_prepare(out_dir, key_col, num_partitions)
     todo = sorted(set(range(num_partitions)) - done)
     result: dict = {"written": [], "skipped": sorted(done), "rows": {}}
     if not todo:
@@ -2216,7 +2291,8 @@ def sink_hash_partitioned(
         return t.filter(pa.array(np.isin(parts, todo_np)))
 
     lineage_schema = pa.schema([("part_id", pa.int64()), ("rows", pa.int64())])
-    out_schema = pa.schema([f for f in ds.schema().base_schema])
+    if out_schema is None:
+        out_schema = pa.schema([f for f in ds.schema().base_schema])
     sk = sort_keys or [(key_col, "ascending")]
 
     def write_part(t: pa.Table) -> pa.Table:
@@ -2226,14 +2302,9 @@ def sink_hash_partitioned(
         for p in pc.unique(t.column("_part")).to_pylist():
             g = t.filter(pc.equal(t.column("_part"), p)).drop(["_part"])
             g = g.take(pc.sort_indices(g, sort_keys=sk))
-            final = os.path.join(out_dir, f"part-{int(p):05d}.parquet")
-            tmp = final + f".tmp-{os.getpid()}"
-            pq.write_table(g, tmp)
-            os.replace(tmp, final)  # atomic publish
+            publish_part(out_dir, int(p), g)
             out.append({"part_id": int(p), "rows": g.num_rows})
         return pa.Table.from_pylist(out, schema=lineage_schema)
-
-    import pyarrow.parquet as pq  # noqa: F811
 
     lineage = (
         ds.map_batches(stamp, batch_format="pyarrow")
@@ -2247,11 +2318,8 @@ def sink_hash_partitioned(
     # empty partitions still publish a typed empty file so a resume
     # run can tell "done" from "missing"
     for p in todo:
-        final = os.path.join(out_dir, f"part-{p:05d}.parquet")
-        if not os.path.exists(final):
-            tmp = final + f".tmp-{os.getpid()}"
-            pq.write_table(out_schema.empty_table(), tmp)
-            os.replace(tmp, final)
+        if p not in result["rows"]:
+            publish_part(out_dir, p, out_schema.empty_table())
             result["written"].append(p)
             result["rows"][p] = 0
     result["written"].sort()
@@ -2316,22 +2384,34 @@ def doc_lm_score_sink(
     actually written, not what the pipeline intended to write.  All
     post-quantization arithmetic is int64, so the digest matches the
     DuckDB oracle (same model restated over ``documents``, outer
-    GROUP BY ``doc_id % 64``) bit-for-bit."""
+    GROUP BY ``doc_id % 64``) bit-for-bit.
+
+    With ``out_dir=None`` (the gate/bench path) the sink is a scratch
+    mkdtemp REMOVED after the digest materializes -- repeated
+    evidence sweeps must not grow /tmp; pass ``out_dir`` to keep the
+    sink."""
+    import shutil
     import tempfile
 
     import ray.data as rd
 
-    if out_dir is None:
+    scratch = out_dir is None
+    if scratch:
         out_dir = tempfile.mkdtemp(prefix="lkc-lmscore-sink-")
-    sink_hash_partitioned(
-        _doc_lm_scored(sf_dir), out_dir, "doc_id", num_partitions
-    )
-    return bucket_digest(
-        rd.read_parquet(out_dir),
-        "doc_id",
-        {"sum_n_tokens": "n_tokens", "sum_lp_micro": "sum_lp_micro"},
-        count_col="n_docs",
-    )
+    try:
+        sink_hash_partitioned(
+            _doc_lm_scored(sf_dir), out_dir, "doc_id", num_partitions
+        )
+        # read back only PUBLISHED part files (never .tmp orphans)
+        return bucket_digest(
+            rd.read_parquet(sink_files(out_dir)),
+            "doc_id",
+            {"sum_n_tokens": "n_tokens", "sum_lp_micro": "sum_lp_micro"},
+            count_col="n_docs",
+        )
+    finally:
+        if scratch:
+            shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def label_centroids(sf_dir: str) -> pa.Table:
@@ -3211,103 +3291,43 @@ def curate_to_parquet(
     sf_dir: str, out_dir: str, num_partitions: int = 16
 ) -> dict:
     """Resumable partitioned-Parquet sink for the curation pipeline:
-    curated docs hash-partition on ``doc_id`` into
-    ``part-{p:05d}.parquet`` files written tmp+rename (a reader never
-    sees a torn file), and a partition whose final file ALREADY
-    EXISTS is skipped wholesale on re-run -- read-side pruning
-    happens at plan time, so a crashed run resumes by paying only for
-    the missing partitions.  This is the dataops side of the
-    resumable-output contract the CDC lake implements with manifests
-    (never one giant output file).
+    curated docs (lang='en', >= 5 tokens) flow through the shared
+    :func:`sink_hash_partitioned` machinery -- hash-partition on
+    ``doc_id`` into ``part-{p:05d}.parquet`` files written tmp+rename
+    (a reader never sees a torn file); a partition whose final file
+    ALREADY EXISTS is pruned at PLAN time, so a crashed run resumes
+    by paying only for the missing partitions, and ``sink_prepare``
+    guards parameter drift + cleans crashed-attempt ``.tmp-*``
+    orphans.  This is the dataops side of the resumable-output
+    contract the CDC lake implements with manifests (never one giant
+    output file).
 
     Returns ``{"written": [...], "skipped": [...], "rows": {p: n}}``.
-    Scale shape: the curation filter fuses into the partition stamp
-    (one map_batches), one explicit-boundary exchange, one writer
+    Scale shape: the curation filter fuses into one map_batches ahead
+    of the sink's stamp, one explicit-boundary exchange, one writer
     task per partition."""
-    import os
-
-    from logminer_kafka_connect_ray.functions.hashing import partition_ids
-
-    os.makedirs(out_dir, exist_ok=True)
-    done = {
-        int(f[5:10])
-        for f in os.listdir(out_dir)
-        if f.startswith("part-") and f.endswith(".parquet")
-    }
-    todo = [p for p in range(num_partitions) if p not in done]
-    result = {
-        "written": [],
-        "skipped": sorted(done),
-        "rows": {},
-    }
-    if not todo:
-        return result
-
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    todo_set = frozenset(todo)
 
-    def stamp(t: pa.Table) -> pa.Table:
+    def curate(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t.append_column("_part", pa.array([], pa.int64()))
+            return t
         lang_pred = textfn.lang_id_batch(t.column("text"))
         q = textfn.quality_features(t.column("text"))
         keep = pc.and_(
             pc.equal(lang_pred, "en"), pc.greater_equal(q["n_tokens"], 5)
         )
-        t = t.filter(keep)
-        parts = partition_ids(t.column("doc_id"), num_partitions)
-        t = t.append_column("_part", pa.array(parts))
-        # plan-time pruning: rows of already-written partitions never
-        # enter the exchange on a resume run
-        mask = np.isin(parts, np.fromiter(todo_set, np.int64))
-        return t.filter(pa.array(mask))
+        return t.filter(keep)
 
-    lineage_schema = pa.schema(
-        [("part_id", pa.int64()), ("rows", pa.int64())]
+    return sink_hash_partitioned(
+        ds.map_batches(curate, batch_format="pyarrow"),
+        out_dir,
+        "doc_id",
+        num_partitions,
+        out_schema=pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()),
+             ("lang", pa.string())]
+        ),
     )
-
-    def write_part(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return lineage_schema.empty_table()
-        out = []
-        for p in pc.unique(t.column("_part")).to_pylist():
-            g = t.filter(pc.equal(t.column("_part"), p)).drop(["_part"])
-            g = g.take(pc.sort_indices(g, sort_keys=[("doc_id", "ascending")]))
-            final = os.path.join(out_dir, f"part-{int(p):05d}.parquet")
-            tmp = final + f".tmp-{os.getpid()}"
-            pq.write_table(g, tmp)
-            os.replace(tmp, final)  # atomic publish
-            out.append({"part_id": int(p), "rows": g.num_rows})
-        return pa.Table.from_pylist(out, schema=lineage_schema)
-
-    import pyarrow.parquet as pq  # noqa: F811
-
-    lineage = (
-        ds.map_batches(stamp, batch_format="pyarrow")
-        .sort("_part", boundaries=list(range(1, num_partitions)))
-        .map_batches(write_part, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
-    )
-    for r in lineage.to_dict("records"):
-        result["written"].append(int(r["part_id"]))
-        result["rows"][int(r["part_id"])] = int(r["rows"])
-    result["written"].sort()
-    # empty partitions (no surviving docs hash there) still publish a
-    # typed empty file so a resume run can tell "done" from "missing"
-    sch = pa.schema(
-        [("doc_id", pa.int64()), ("text", pa.string()),
-         ("lang", pa.string())]
-    )
-    for p in todo:
-        final = os.path.join(out_dir, f"part-{p:05d}.parquet")
-        if not os.path.exists(final):
-            tmp = final + f".tmp-{os.getpid()}"
-            pq.write_table(sch.empty_table(), tmp)
-            os.replace(tmp, final)
-            result["written"].append(p)
-            result["rows"][p] = 0
-    result["written"].sort()
-    return result
 
 
 # ---------------------------------------------------------------------------

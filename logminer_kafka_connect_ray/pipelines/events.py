@@ -1775,20 +1775,31 @@ def _fused_sweep_sink(
 
     ``kernel(u, ts_us, eid, cents)`` receives the block's rows sorted
     by ``(user_id, ts, event_id)`` and returns the output columns
-    (np or pa arrays, aligned with that order) for ``out_schema``."""
-    import os
+    (np or pa arrays, aligned with that order) for ``out_schema``.
+
+    With ``out_dir=None`` (the gate/bench path) the sink is a scratch
+    mkdtemp REMOVED after the digest materializes; pass ``out_dir``
+    to keep the sink.  ``sink_prepare`` guards parameter drift and
+    cleans crashed-attempt ``.tmp-*`` orphans; the digest reads back
+    only PUBLISHED part files."""
+    import shutil
     import tempfile
 
-    import pyarrow.parquet as pq
     import ray.data as rd
 
-    from logminer_kafka_connect_ray.pipelines.dataops import bucket_digest
+    from logminer_kafka_connect_ray.pipelines.dataops import (
+        bucket_digest,
+        publish_part,
+        sink_files,
+        sink_prepare,
+    )
 
-    if out_dir is None:
+    scratch = out_dir is None
+    if scratch:
         out_dir = tempfile.mkdtemp(prefix=f"lkc-{guard_tag}-")
-    os.makedirs(out_dir, exist_ok=True)
     n_rows, _ = _table_meta(sf_dir, "events")
     P = _exchange_width(n_rows)
+    sink_prepare(out_dir, "user_id", P)
     gd = _new_guard_dir(guard_tag)
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
 
@@ -1826,24 +1837,27 @@ def _fused_sweep_sink(
         rows = []
         for p in sorted({int(x) for x in pvals}):
             g = block.filter(pa.array(pv == p))
-            final = os.path.join(out_dir, f"part-{p:05d}.parquet")
-            if not os.path.exists(final):
-                tmp = final + f".tmp-{os.getpid()}"
-                pq.write_table(g, tmp)
-                os.replace(tmp, final)
+            publish_part(out_dir, p, g)
             rows.append({"part_id": p, "rows": g.num_rows})
         return pa.Table.from_pylist(rows, schema=lineage_schema)
 
-    lineage = (
-        ds.map_batches(stamp, batch_format="pyarrow")
-        .sort("_p", boundaries=list(range(1, P)))
-        .map_batches(sweep_write, batch_format="pyarrow", batch_size=None)
-    )
-    _finalize_guard(
-        gd,
-        pa.Table.from_pandas(lineage.to_pandas(), preserve_index=False),
-    )
-    return bucket_digest(rd.read_parquet(out_dir), "user_id", digest_sums)
+    try:
+        lineage = (
+            ds.map_batches(stamp, batch_format="pyarrow")
+            .sort("_p", boundaries=list(range(1, P)))
+            .map_batches(sweep_write, batch_format="pyarrow", batch_size=None)
+        )
+        _finalize_guard(
+            gd,
+            pa.Table.from_pandas(lineage.to_pandas(), preserve_index=False),
+        )
+        # read back only PUBLISHED part files (never .tmp orphans)
+        return bucket_digest(
+            rd.read_parquet(sink_files(out_dir)), "user_id", digest_sums
+        )
+    finally:
+        if scratch:
+            shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def events_running_total_sink(sf_dir: str, out_dir: str | None = None) -> pa.Table:

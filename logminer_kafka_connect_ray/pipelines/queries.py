@@ -1307,7 +1307,6 @@ def cdc_schema_type_widening(sf_dir: str) -> pa.Table:
     bumps, not one unified discovery.  Returns ``(url, lang, views)``
     with untouched rows NULL; any silent int32 truncation of the
     phase-2 values fails the value hash."""
-    import os as _os
     import shutil as _sh
 
     d = workload.ensure_widening_workload(sf_dir)

@@ -494,6 +494,11 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
             continue
         marker = int(data[pos + 1])
         pos += 2
+        if marker == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+            # a marker -- re-examine from the second FF
+            pos -= 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
@@ -529,6 +534,11 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision not supported")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG not supported (greyscale or "
+                    "YCbCr only; 4 components = Adobe CMYK/YCCK)"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tqi = payload[6 + 3 * i : 9 + 3 * i]

@@ -877,8 +877,10 @@ def test_curate_to_parquet_resumable(ray_session, tmp_path):
     r1 = d.curate_to_parquet(sf, out_dir, num_partitions=4)
     assert sorted(r1["written"]) == [0, 1, 2, 3] and r1["skipped"] == []
     import os
-    files = sorted(os.listdir(out_dir))
+    files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
     assert files == [f"part-{p:05d}.parquet" for p in range(4)]
+    # the sink's parameter manifest travels with the part files
+    assert os.path.exists(os.path.join(out_dir, "_sink.json"))
     mtimes = {f: os.path.getmtime(os.path.join(out_dir, f)) for f in files}
     total = sum(
         pq.read_table(os.path.join(out_dir, f)).num_rows for f in files
@@ -1834,3 +1836,38 @@ def test_doc_lm_score_sink_matches_whole_and_resumes(ray_session, tmp_path):
     for f in files:
         if f != victim:
             assert os.path.getmtime(os.path.join(out_dir, f)) == mtimes[f]
+
+
+def test_sink_orphan_cleanup_and_param_guard(ray_session, tmp_path):
+    """Review findings (round 5): (1) a crashed attempt's
+    ``part-*.tmp-<pid>`` orphan would be read back by Ray's
+    ``read_parquet(dir)`` as duplicate rows -- ``sink_prepare`` must
+    unlink it and ``sink_files`` must never list it; (2) resuming a
+    sink dir with DIFFERENT num_partitions must fail loudly instead
+    of silently mixing two partitionings."""
+    import os
+
+    texts = [f"the quick word{i} fox" for i in range(8)]
+    sf = make_docs(tmp_path, texts)
+    out_dir = str(tmp_path / "sink")
+    d.sink_hash_partitioned(d._doc_lm_scored(sf), out_dir, "doc_id", 4)
+
+    # plant a complete orphan (crashed-attempt shape: valid parquet,
+    # uuid-ish tmp suffix) holding duplicate rows
+    part0 = os.path.join(out_dir, "part-00000.parquet")
+    orphan = part0 + ".tmp-99999"
+    pq.write_table(pq.read_table(part0), orphan)
+    assert orphan not in d.sink_files(out_dir)
+    assert all(p.endswith(".parquet") and ".tmp-" not in p
+               for p in d.sink_files(out_dir))
+    # a resume pass removes the orphan entirely
+    r = d.sink_hash_partitioned(d._doc_lm_scored(sf), out_dir, "doc_id", 4)
+    assert r["written"] == [] and not os.path.exists(orphan)
+
+    # parameter drift fails loudly
+    with pytest.raises(ValueError, match="partitioning"):
+        d.sink_hash_partitioned(d._doc_lm_scored(sf), out_dir, "doc_id", 8)
+    # part files without a manifest fail loudly too
+    os.remove(os.path.join(out_dir, "_sink.json"))
+    with pytest.raises(ValueError, match="manifest"):
+        d.sink_hash_partitioned(d._doc_lm_scored(sf), out_dir, "doc_id", 4)

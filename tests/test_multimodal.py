@@ -521,3 +521,24 @@ def test_image_stages_decode_and_resize_jpeg():
     assert out_b[:2] == b"\xff\xd8"  # JPEG in -> JPEG out
     w, h, c, out = jpeg.decode_jpeg(out_b)
     assert (w, h, c) == (8, 8, 3)
+
+
+def test_jpeg_fill_bytes_and_component_guard():
+    """Review findings (round 5): T.81 B.1.1.2 fill bytes (FF FF ...
+    before a marker) must not desync the parser, and component counts
+    other than 1/3 (Adobe CMYK = 4) must raise the named error
+    instead of decoding to silent garbage."""
+    from logminer_kafka_connect_ray.stages import jpeg
+
+    px = _gradient(16, 24)
+    b = jpeg.encode_jpeg(px, quality=85)
+    base = jpeg.decode_jpeg(b)[3]
+    # inject fill bytes before the SOF0 marker
+    i = b.find(b"\xff\xc0")
+    filled = b[:i] + b"\xff\xff\xff" + b[i:]
+    assert np.array_equal(jpeg.decode_jpeg(filled)[3], base)
+    # flip component count to 4 (CMYK shape)
+    mut = bytearray(b)
+    mut[i + 9] = 4  # SOF payload: len(2) + prec(1) + h(2) + w(2) -> nc
+    with pytest.raises(NotImplementedError, match="CMYK"):
+        jpeg.decode_jpeg(bytes(mut))
