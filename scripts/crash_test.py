@@ -347,6 +347,79 @@ def compaction_round(seed: int, repo_root: str) -> str:
         shutil.rmtree(work, ignore_errors=True)
 
 
+CHILD_SINK = """
+import sys
+sys.path.insert(0, {root!r})
+import ray
+ray.init(address="local", num_cpus=8, include_dashboard=False,
+         logging_level="ERROR")
+from logminer_kafka_connect_ray.pipelines.events import (
+    events_running_total_sink,
+)
+events_running_total_sink({sf!r}, out_dir={out!r})
+ray.shutdown()
+"""
+
+
+def sink_round(seed: int, repo_root: str,
+               sf: str = "/root/testdata/sf0.1") -> str:
+    """Kill -9 DURING a fused sweep-sink write (the round-5 machinery:
+    ``sink_prepare`` parameter manifest + ``.tmp-*`` orphan cleanup +
+    per-partition atomic publish + published-files-only read-back),
+    re-run in a fresh process, and require the resumed sink's
+    64-bucket digest to equal a clean single-run digest."""
+    rng = random.Random(seed)
+    work = tempfile.mkdtemp(prefix=f"lkc-crash-sink-{seed}-")
+    try:
+        out = f"{work}/sink"
+        script = CHILD_SINK.format(root=repo_root, sf=sf, out=out)
+        child = subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+        delay = rng.uniform(2.0, 7.0)
+        try:
+            child.wait(timeout=delay)
+            outcome = "completed-before-kill"
+        except subprocess.TimeoutExpired:
+            os.killpg(child.pid, signal.SIGKILL)
+            child.wait()
+            outcome = f"killed@{delay:.1f}s"
+
+        rc = subprocess.run(
+            [sys.executable, "-c", script],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ).returncode
+        if rc != 0:
+            return f"seed {seed}: SINK RERUN FAILED rc={rc} ({outcome})"
+
+        import ray.data as rd
+
+        from logminer_kafka_connect_ray.pipelines.dataops import (
+            bucket_digest,
+            sink_files,
+        )
+        from logminer_kafka_connect_ray.pipelines.events import (
+            events_running_total_sink,
+        )
+
+        want = events_running_total_sink(sf, out_dir=f"{work}/ref")
+        got = bucket_digest(
+            rd.read_parquet(sink_files(out)), "user_id",
+            {"sum_event_id": "event_id",
+             "sum_cum_cents": "cum_value_cents"},
+        )
+        if not got.equals(want):
+            return f"seed {seed}: SINK DIGEST DIVERGED ({outcome})"
+        orphans = [f for f in os.listdir(out) if ".tmp-" in f]
+        if orphans:
+            return f"seed {seed}: ORPHANS SURVIVED {orphans} ({outcome})"
+        return f"seed {seed}: OK sink ({outcome})"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     import ray
 
@@ -359,10 +432,10 @@ def main() -> int:
     failures = 0
     for i in range(n):
         # rotate the crash target: dead-letter REPAIR, changelog
-        # COMPACTION, plain replay (same durability contract, three
-        # different write paths)
-        fn = {0: repair_round, 1: compaction_round}.get(
-            (seed0 + i) % 3, one_round
+        # COMPACTION, fused sweep SINK, plain replay (same durability
+        # contract, four different write paths)
+        fn = {0: repair_round, 1: compaction_round, 2: sink_round}.get(
+            (seed0 + i) % 4, one_round
         )
         msg = fn(seed0 + i, repo_root)
         print(msg, flush=True)
