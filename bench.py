@@ -262,6 +262,8 @@ def run_bench() -> dict:
         ("cdc_schema_type_widening", q.cdc_schema_type_widening),
         ("doc_lm_score_sink", dops.doc_lm_score_sink),
         ("events_running_total_sink", evops.events_running_total_sink),
+        ("events_lag_delta_sink", evops.events_lag_delta_sink),
+        ("media_pipeline", dops.media_pipeline),
         ("winnowing_fingerprints", dops.winnowing_fingerprints),
         ("semantic_dedup", dops.semantic_dedup),
         ("dsir_select", dops.dsir_select),

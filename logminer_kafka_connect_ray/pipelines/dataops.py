@@ -3001,9 +3001,12 @@ def media_pipeline(sf_dir: str) -> pa.Table:
     from logminer_kafka_connect_ray.stages.multimodal import MEDIA_BATCH_SIZE
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
+    # the JPEG leg made this stage entropy-coder-bound (per-symbol
+    # Python in encode; LUT probes in decode) -- scale the actor pool
+    # with the host so the wall tracks per-doc cost / n_actors
     out = ds.map_batches(
         MediaPipelineStage,
-        concurrency=(1, 4),
+        concurrency=(1, 8),
         batch_size=MEDIA_BATCH_SIZE,
         batch_format="pyarrow",
     )
