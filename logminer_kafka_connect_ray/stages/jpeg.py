@@ -492,6 +492,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(data):
+            raise ValueError("JPEG stream truncated at a marker byte")
         marker = int(data[pos + 1])
         pos += 2
         if marker == 0xFF:
@@ -503,6 +505,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(b):
+            raise ValueError("JPEG stream truncated inside a marker header")
         (ln,) = struct.unpack_from(">H", b, pos)
         payload = b[pos + 2 : pos + ln]
         seg_end = pos + ln

@@ -542,3 +542,26 @@ def test_jpeg_fill_bytes_and_component_guard():
     mut[i + 9] = 4  # SOF payload: len(2) + prec(1) + h(2) + w(2) -> nc
     with pytest.raises(NotImplementedError, match="CMYK"):
         jpeg.decode_jpeg(bytes(mut))
+
+
+def test_jpeg_extreme_geometries_and_truncation():
+    """Seeded sweep over degenerate dims (1x1 up to single-row/column,
+    non-multiples of 8 and 16) x subsampling x restart intervals: dims
+    always round-trip; truncating the stream at ANY prefix raises
+    ValueError (or the named NotImplementedError), never a raw
+    struct.error / IndexError."""
+    from logminer_kafka_connect_ray.stages import jpeg
+
+    rng = np.random.default_rng(1)
+    for (h, w) in [(1, 1), (1, 9), (8, 8), (7, 16), (16, 7), (64, 1), (9, 9)]:
+        for sub in (False, True):
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            b = jpeg.encode_jpeg(px, 85, sub, restart_interval=2)
+            W, H, C, out = jpeg.decode_jpeg(b)
+            assert (W, H, C) == (w, h, 3) and out.shape == (h, w, 3)
+    b = jpeg.encode_jpeg(
+        rng.integers(0, 256, (24, 24, 3), dtype=np.uint8), 85
+    )
+    for cut in (3, 4, 20, 100, len(b) // 2, len(b) - 3):
+        with pytest.raises((ValueError, NotImplementedError)):
+            jpeg.decode_jpeg(b[:cut])
