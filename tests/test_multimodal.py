@@ -565,3 +565,62 @@ def test_jpeg_extreme_geometries_and_truncation():
     for cut in (3, 4, 20, 100, len(b) // 2, len(b) - 3):
         with pytest.raises((ValueError, NotImplementedError)):
             jpeg.decode_jpeg(b[:cut])
+
+
+def test_jpeg_decoder_against_hand_assembled_spec_vector():
+    """Decoder vs the SPEC, not vs our own encoder (rules out
+    symmetric zigzag/Huffman/DCT-scale bugs): a single-component 8x8
+    baseline JPEG is assembled BY HAND -- quant table all ones,
+    Annex K tables, entropy bits written from first-principles
+    canonical codes (DC cat-4 = '101', diff +8 = '1000', EOB =
+    '1010' -> bytes B1 5F) -- and must decode to the analytically
+    derived constant: DC coeff 8 x quant 1 -> orthonormal-IDCT
+    constant 1 -> level-shift 129."""
+    import struct
+
+    from logminer_kafka_connect_ray.stages import jpeg
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def canon(bits, vals):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc = canon(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS)
+    ac = canon(jpeg.AC_LUMA_BITS, jpeg.AC_LUMA_VALS)
+    bits = []
+    c, ln = dc[4]
+    bits += [(c >> (ln - 1 - i)) & 1 for i in range(ln)]
+    bits += [1, 0, 0, 0]                 # diff = +8
+    c, ln = ac[0]
+    bits += [(c >> (ln - 1 - i)) & 1 for i in range(ln)]
+    while len(bits) % 8:
+        bits.append(1)
+    entropy = bytes(
+        int("".join(map(str, bits[i:i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+    assert entropy == b"\xb1\x5f"
+
+    b = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, bytes([0x00]) + bytes(jpeg.DC_LUMA_BITS)
+              + bytes(jpeg.DC_LUMA_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(jpeg.AC_LUMA_BITS)
+              + bytes(jpeg.AC_LUMA_VALS))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + entropy
+        + b"\xff\xd9"
+    )
+    w, h, c_, px = jpeg.decode_jpeg(b)
+    assert (w, h, c_) == (8, 8, 1)
+    assert np.all(px == 129)
