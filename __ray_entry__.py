@@ -5212,6 +5212,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-partitioned parquet sink, gate hashes a 64-bucket
         # integer digest computed by reading the sink BACK
         "doc_lm_score_sink": d.doc_lm_score_sink,
+        # corpus-scale finishers for the input-sized window functions
+        # (registered here, inside the driver's first-checked window):
+        # the sweep writes its own key-co-located output block straight
+        # to part files -- no second exchange -- and the gate digests
+        # the sink READ-BACK; lag masks first-event nulls (null-as-0
+        # partial == SQL's null-skipping sum)
+        "events_running_total_sink": ev.events_running_total_sink,
+        "events_lag_delta_sink": ev.events_lag_delta_sink,
+        # multimodal pipeline over REAL BMP / palette-PNG / truecolor-
+        # PNG / 4:2:0-JPEG containers (dims + counts are pure
+        # functions of doc_id -> SQL-checked)
+        "media_pipeline": d.media_pipeline,
         # DSIR importance selection (target=en vs raw corpus;
         # integer micro-nat importance weights, P*k top-k merge)
         "dsir_select": d.dsir_select,
@@ -5253,10 +5265,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": d.text_quality,
         "lang_id": d.lang_id,                    # SQL-checked (marker argmax)
         "doc_fingerprints": d.doc_fingerprints,  # SQL-checked (power-sum hash)
-        # multimodal pipeline (decode/resize/frame-sample/audio-features
-        # over REAL BMP/AVI/WAV containers; dims + counts are pure
-        # functions of doc_id -> SQL-checked)
-        "media_pipeline": d.media_pipeline,
         # event-time relational operators (as-of join, session
         # windows, tumbling windows -- pipelines/events.py)
         "events_sessionize": ev.events_sessionize,
@@ -5273,15 +5281,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic bernoulli-by-key sampling; membership itself is
         # SQL-checked via the recursive FNV-1a fold
         "events_sample_hash": ev.events_sample_hash,
-        # cumulative window function (running total per key)
+        # cumulative window function (running total per key); its
+        # sink variant is registered up in the first-checked window
         "events_running_total": ev.events_running_total,
-        # corpus-scale finisher: the sweep writes its own (already
-        # key-co-located) output block straight to part files -- no
-        # second exchange -- and the gate digests the sink read-back
-        "events_running_total_sink": ev.events_running_total_sink,
-        # same fused sweep-sink shape for the LAG offsets (first-event
-        # nulls masked; digest's null-as-0 partial == SQL sum())
-        "events_lag_delta_sink": ev.events_lag_delta_sink,
         # pivot / wide aggregation (one column per category)
         "events_type_pivot": ev.events_type_pivot,
         # fact-vs-fact INTERSECT/EXCEPT cardinalities (both sides
