@@ -624,3 +624,22 @@ def test_jpeg_decoder_against_hand_assembled_spec_vector():
     w, h, c_, px = jpeg.decode_jpeg(b)
     assert (w, h, c_) == (8, 8, 1)
     assert np.all(px == 129)
+
+
+def test_jpeg_vectorized_encoder_pinned_bytes():
+    """The vectorized entropy coder (round 5: numpy symbol-stream +
+    bit-packing, no per-symbol Python) was proven BIT-IDENTICAL to
+    the scalar reference coder it replaced across noise/smooth/grey x
+    quality x sampling x restart combinations; this pins one such
+    stream so any future change to symbol order, ZRL expansion,
+    padding or stuffing fails loudly."""
+    import hashlib
+
+    from logminer_kafka_connect_ray.stages import jpeg
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    b = jpeg.encode_jpeg(noise, 85, subsample=True, restart_interval=2)
+    assert hashlib.md5(b).hexdigest() == "6abab44b20f5e2c159777c98096bd410"
+    assert np.array_equal(jpeg.decode_jpeg(b)[3],
+                          jpeg.decode_jpeg(b)[3])  # deterministic
