@@ -244,7 +244,6 @@ def _entropy_segment(
         prev_k = np.where(first, 0, np.concatenate([[0], k[:-1]]))
         run = k - prev_k - 1
         zrl_n = run >> 4
-        sym = ((run & 15) << 4) | 0  # filled below
         v = A[bi, col].astype(np.int64)
         sac = _bitlen(v)
         sym = ((run & 15) << 4) | sac
@@ -311,7 +310,8 @@ def _pack_bits(vals: np.ndarray, lens: np.ndarray) -> bytes:
         return b""
     start = off - lens
     idx = np.arange(total, dtype=np.int64)
-    item = np.searchsorted(off, idx, side="right")
+    # O(bits) linear expansion (not a per-bit binary search)
+    item = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
     bits = ((vals[item] >> (lens[item] - 1 - (idx - start[item]))) & 1)
     by = np.packbits(bits.astype(np.uint8))
     ff = np.nonzero(by == 0xFF)[0]
@@ -600,6 +600,11 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError("JPEG stream truncated inside a marker header")
         (ln,) = struct.unpack_from(">H", b, pos)
         payload = b[pos + 2 : pos + ln]
+        if len(payload) != ln - 2:
+            # a cut inside ANY segment payload (SOF/DHT/DQT/SOS/...)
+            # yields a silently short slice; fail uniformly here
+            # instead of letting downstream parsers index past it
+            raise ValueError("JPEG stream truncated inside a segment")
         seg_end = pos + ln
         if marker == 0xDB:  # DQT (may hold several tables)
             off = 0

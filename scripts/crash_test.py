@@ -361,13 +361,15 @@ ray.shutdown()
 """
 
 
-def sink_round(seed: int, repo_root: str,
-               sf: str = "/root/testdata/sf0.1") -> str:
+def sink_round(seed: int, repo_root: str, sf: str | None = None) -> str:
     """Kill -9 DURING a fused sweep-sink write (the round-5 machinery:
     ``sink_prepare`` parameter manifest + ``.tmp-*`` orphan cleanup +
     per-partition atomic publish + published-files-only read-back),
     re-run in a fresh process, and require the resumed sink's
     64-bucket digest to equal a clean single-run digest."""
+    if sf is None:
+        # same corpus override bench.py honors
+        sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     rng = random.Random(seed)
     work = tempfile.mkdtemp(prefix=f"lkc-crash-sink-{seed}-")
     try:
